@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.internal._
+
+/** Percentile-cutoff portfolio assignment (decile sorts etc.).
+  *
+  * Reference: pd_utils/port.py:16-440. NOT ntile: buckets are bounded
+  * by per-group percentile *values* (NumPy linear interpolation), not
+  * equal row counts — they differ whenever ties straddle a cutoff.
+  *
+  * Boundary semantics (SURVEY §2.7 caveat): the per-group array path
+  * takes the FIRST bucket with bot <= x <= top
+  * (pd_utils/port.py:312-315) which equals
+  * `1 + #{interior cutoffs strictly below x}`; the whole-frame/hard-
+  * cutoff path overwrites low→high so an exact-boundary value lands in
+  * the HIGHER bucket, i.e. `1 + #{interior cutoffs <= x}`, with
+  * unmatched rows (outside [lo, hi]) left at 0
+  * (pd_utils/port.py:263-268). Both are implemented faithfully.
+  * NaN/±inf group values always map to portfolio 0.
+  */
+object Portfolio {
+
+  private def badValue(x: Column): Column =
+    x.isNull || isnan(x) || x === Double.PositiveInfinity || x === Double.NegativeInfinity
+
+  /** percentiles 0, 1/n, ..., 1 for ngroups buckets. */
+  def equalPercentiles(ngroups: Int): Seq[Double] =
+    (0 to ngroups).map(_.toDouble / ngroups)
+
+  /** Assign portfolio 1..n per row by bucketing `groupvar` between
+    * per-group percentile cutoffs.
+    *
+    * @param cutoffs      hard cutoff values (whole-frame path; bounds
+    *                     are extended by the global min/max like
+    *                     pd_utils/port.py:77-83).
+    * @param quantCutoffs explicit interior quantiles in (0,1).
+    * @param cutDf        compute cutoffs on a different dataset with
+    *                     1:1 matching by-groups (pd_utils/port.py:37-39).
+    *
+    * Scale: cutoffs are one exact-percentile aggregation per group
+    * (single shuffle), broadcast-joined back; assignment is a codegen
+    * when-chain — no per-group materialization.
+    */
+  def portfolio(
+      df: DataFrame,
+      groupvar: String,
+      ngroups: Int = 10,
+      byvars: Seq[String] = Nil,
+      cutoffs: Seq[Double] = Nil,
+      quantCutoffs: Seq[Double] = Nil,
+      cutDf: Option[DataFrame] = None,
+      portvar: String = "portfolio"
+  ): DataFrame = {
+    val x = col(groupvar)
+    if (cutoffs.nonEmpty) {
+      // hard-cutoff whole-frame path: extend with global min/max, then
+      // last-match (higher bucket wins at boundary equality).
+      val src = cutDf.getOrElse(df)
+      val mm = src.agg(min(x).as("mn"), max(x).as("mx")).head()
+      val lo = math.min(mm.getDouble(0), cutoffs.min)
+      val hi = math.max(mm.getDouble(1), cutoffs.max)
+      val all = (lo +: cutoffs.sorted) :+ hi
+      val interior = all.drop(1).dropRight(1)
+      val count = interior.map(c => (x >= lit(c)).cast("int")).reduceOption(_ + _).getOrElse(lit(0))
+      val port = when(badValue(x) || x < lit(all.head) || x > lit(all.last), lit(0))
+        .otherwise(lit(1) + count)
+      df.withColumn(portvar, port)
+    } else {
+      val ps: Seq[Double] =
+        if (quantCutoffs.nonEmpty) (0.0 +: quantCutoffs.sorted) :+ 1.0
+        else equalPercentiles(ngroups)
+      val interiorPs = ps.drop(1).dropRight(1)
+      val src = cutDf.getOrElse(df)
+      // exact percentiles (NumPy linear interpolation parity — never
+      // approx_percentile; goldens pin interpolated cut values).
+      val clean = when(badValue(x), lit(null)).otherwise(x)
+      if (byvars.nonEmpty) {
+        val cuts = src
+          .groupBy(toCols(byvars): _*)
+          .agg(percentile(clean, lit(interiorPs.toArray)).as("__cuts__"))
+        val joined = df.join(broadcast(cuts), byvars, "left")
+        val count = interiorPs.indices
+          .map(i => (x > element_at(col("__cuts__"), i + 1)).cast("int"))
+          .reduceOption(_ + _)
+          .getOrElse(lit(0))
+        joined
+          .withColumn(portvar, when(badValue(x), lit(0)).otherwise(lit(1) + count))
+          .drop("__cuts__")
+      } else {
+        val cutRow = src.agg(percentile(clean, lit(interiorPs.toArray))).head()
+        val cutVals = cutRow.getSeq[Double](0)
+        val count = cutVals
+          .map(c => (x > lit(c)).cast("int"))
+          .reduceOption(_ + _)
+          .getOrElse(lit(0))
+        df.withColumn(portvar, when(badValue(x), lit(0)).otherwise(lit(1) + count))
+      }
+    }
+  }
+
+  /** portfolio() then averages() within (byvars × portfolio)
+    * (pd_utils/port.py:157-208). Returns the averages frame; callers
+    * wanting the row-level detail can call portfolio() themselves.
+    */
+  def portfolioAverages(
+      df: DataFrame,
+      groupvar: String,
+      avgvars: Seq[String],
+      ngroups: Int = 10,
+      byvars: Seq[String] = Nil,
+      cutDf: Option[DataFrame] = None,
+      wtvar: Option[String] = None,
+      count: Option[String] = None,
+      portvar: String = "portfolio"
+  ): DataFrame = {
+    val ports = portfolio(df, groupvar, ngroups, byvars, cutDf = cutDf, portvar = portvar)
+    GroupOps.averages(ports, avgvars, byvars :+ portvar, wtvar, count)
+  }
+
+  /** Long top portfolio minus short bottom portfolio, aligned on
+    * byvars (pd_utils/port.py:211-260): equi self-join replaces the
+    * reference's index alignment.
+    */
+  def longShortPortfolio(
+      df: DataFrame,
+      portvar: String,
+      byvars: Seq[String],
+      retvars: Seq[String],
+      shortBottom: Boolean = true
+  ): DataFrame = {
+    val mm = df.agg(max(col(portvar)).as("mx"), min(col(portvar)).as("mn")).head()
+    val (longPort, shortPort) =
+      if (shortBottom) (mm.get(0), mm.get(1)) else (mm.get(1), mm.get(0))
+    val top = df.filter(col(portvar) === lit(longPort)).select((byvars ++ retvars).map(col): _*)
+    val bot = df.filter(col(portvar) === lit(shortPort)).select((byvars ++ retvars).map(col): _*)
+    val botRen = retvars.foldLeft(bot)((d, c) => d.withColumnRenamed(c, s"__short_$c"))
+    top
+      .join(botRen, byvars)
+      .select(toCols(byvars) ++ retvars.map(c => (col(c) - col(s"__short_$c")).as(c)): _*)
+  }
+}

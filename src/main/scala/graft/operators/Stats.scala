@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType, StringType}
+
+/** Correlation matrix operators (pd_utils/corr.py:7-27).
+  *
+  * `corrPairs` is the engine-side tidy form (one row per column pair,
+  * single aggregation pass — k*(k+1)/2 `corr` aggregates, one
+  * reduce); `formattedCorrDf` reproduces the reference's
+  * lower-triangular 2-decimal string presentation on the collected
+  * k×k matrix (driver-side, k is small).
+  */
+object Stats {
+
+  /** Tidy pairwise Pearson correlations including the diagonal. */
+  def corrPairs(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = for {
+      i <- cols.indices
+      j <- cols.indices
+      if j >= i
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) => corr(col(a), col(b)).as(s"${a}__${b}") }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    pairs.zipWithIndex
+      .map { case ((a, b), i) => (a, b, row.getDouble(i)) }
+      .toDF("col1", "col2", "corr")
+  }
+
+  /** Lower-triangular formatted correlation matrix as strings
+    * (reference presentation: 2 decimals, upper triangle blanked).
+    */
+  def formattedCorrDf(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    val tidy = corrPairs(df, cols)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2)))
+      .toMap
+    val rows = cols.zipWithIndex.map { case (rc, i) =>
+      val vals = cols.zipWithIndex.map { case (cc, j) =>
+        if (j > i) ""
+        else f"${tidy.getOrElse((cc, rc), tidy((rc, cc)))}%.2f"
+      }
+      Row.fromSeq(rc +: vals)
+    }
+    val schema = StructType(
+      StructField("column", StringType) +: cols.map(c => StructField(c, StringType))
+    )
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+}

@@ -1,0 +1,120 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k (query set × corpus — fine when
+  * the query side is small enough to broadcast). Scale path:
+  * sign-random-projection LSH bucketing so the join only touches
+  * matching buckets; recall is tuned with `planes` (bucket
+  * granularity) and multi-probe is achieved by repeating with
+  * different seeds and unioning.
+  *
+  * All vector math is codegen'd zip_with/aggregate over Array columns
+  * — no UDF, no driver collect.
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns (double accumulation). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each row of `queries`, the `k`
+    * nearest corpus rows. Ranking uses (rounded score desc, id asc)
+    * so results are stable across engines at float-epsilon level.
+    *
+    * Broadcast the query side (it is the small one by construction).
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      scoreDecimals: Int = 4
+  ): DataFrame = {
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv__"))
+    )
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv__"))
+    val scored = q
+      .crossJoin(c)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", round(cosine(col("__qv__"), col("__cv__")), scoreDecimals))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane,
+    * dim): a hash of the indices mapped into [-1, 1]. Reproducible
+    * across runs and engines without RNG state.
+    */
+  private def planeComponent(plane: Int, dim: Column, seed: Int): Column =
+    (pmod(xxhash64(lit(seed), lit(plane), dim), lit(2001L)) - lit(1000L)).cast("double") / 1000.0
+
+  /** Sign-LSH bucket id: one bit per hyperplane = sign of <v, r_p>.
+    * Returns a string of 0/1 of length `planes`.
+    */
+  def lshBucket(vec: Column, planes: Int, seed: Int = 42): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (v, i) => v * planeComponent(p, i, seed)),
+        lit(0.0d),
+        (acc, v) => acc + v
+      )
+      when(proj >= 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+
+  /** LSH-bucketed cosine top-k: queries join only their own bucket.
+    * With `probes > 1`, unions results over several independent
+    * hash seeds (multi-probe) before re-ranking globally per query.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      planes: Int = 8,
+      probes: Int = 2,
+      scoreDecimals: Int = 4
+  ): DataFrame = {
+    val per = (0 until probes).map { probe =>
+      val seed = 42 + probe
+      val c = corpus.select(
+        col(idCol).as("neighbor_id"),
+        col(vecCol).as("__cv__"),
+        lshBucket(col(vecCol), planes, seed).as("__bucket__")
+      )
+      val q = queries.select(
+        col(idCol).as("query_id"),
+        col(vecCol).as("__qv__"),
+        lshBucket(col(vecCol), planes, seed).as("__bucket__")
+      )
+      q.join(c, Seq("__bucket__"))
+        .where(col("query_id") =!= col("neighbor_id"))
+        .select(
+          col("query_id"),
+          col("neighbor_id"),
+          round(cosine(col("__qv__"), col("__cv__")), scoreDecimals).as("score")
+        )
+    }
+    val all = per.reduce(_ unionByName _).dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
+    all
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+}
