@@ -1,0 +1,399 @@
+package graft
+
+import graft.functions.{Dates, Strings}
+import graft.pipeline.TextAnalysis
+
+/** DuckDB-equivalent SQL for each SparkEntry query. Where a query
+  * depends on engine constants (holiday calendar, stopword list,
+  * language markers, state map), the SQL is GENERATED from the same
+  * Scala values the operators use, so oracle and engine cannot drift.
+  *
+  * Queries without an entry here (LSH ANN, media frames/features) are
+  * not reasonably SQL-expressible; the driver records a rows-only
+  * check for them.
+  */
+object OracleSql {
+
+  // ---- shared fragments -------------------------------------------
+
+  private lazy val holidaySqlList: String =
+    Dates.usTradingHolidays(1960, 2040).map(d => s"'$d'").mkString(", ")
+
+  /** cal2: every day 1960-2040 with ord0 = ordinal of the latest
+    * trading day <= it; td: ordinal -> trading day. Mirrors
+    * Dates.calendarWithOrdinals (ordinals start at 0 on 1960-01-04's
+    * predecessor convention: first trading day has ord 0).
+    */
+  private lazy val calendarCtes: String = {
+    val istd = s"(dayofweek(day) NOT IN (0, 6) AND strftime(day, '%Y-%m-%d') NOT IN ($holidaySqlList))"
+    s"""days AS (SELECT CAST(unnest(generate_series(DATE '1960-01-01', DATE '2040-12-31', INTERVAL 1 DAY)) AS DATE) AS day),
+cal2 AS (SELECT day, $istd AS istd, sum(CASE WHEN $istd THEN 1 ELSE 0 END) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS ord0 FROM days),
+td AS (SELECT ord0 AS ord, day FROM cal2 WHERE istd)"""
+  }
+
+  /** Normalization used by fingerprintMd5 / exact dedup. */
+  private val fpNorm =
+    "regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9\\p{L}]+', ' ', 'g')), '\\s+', ' ', 'g')"
+
+  /** Word list used by wordShingles (minhash / jaccard). */
+  private val wordsSql =
+    "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+
+  /** 3-gram shingle list mirroring Dedup.wordShingles(n=3). */
+  private val shingles3 =
+    s"(CASE WHEN len($wordsSql) - 2 > 0 THEN list_transform(range(1, len($wordsSql) - 1), i -> $wordsSql[i] || ' ' || $wordsSql[i+1] || ' ' || $wordsSql[i+2]) ELSE [] END)"
+
+  /** Alphanumeric word list used by simhash / rolling hash. */
+  private val alnumWords =
+    "string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')"
+
+  private val portfolioCuts5 =
+    """c AS (SELECT l_returnflag,
+quantile_cont(l_extendedprice, 0.2) AS c1, quantile_cont(l_extendedprice, 0.4) AS c2,
+quantile_cont(l_extendedprice, 0.6) AS c3, quantile_cont(l_extendedprice, 0.8) AS c4
+FROM lineitem GROUP BY 1)"""
+
+  private val portfolioAssign5 =
+    "1 + CAST(l_extendedprice > c1 AS INT) + CAST(l_extendedprice > c2 AS INT) + CAST(l_extendedprice > c3 AS INT) + CAST(l_extendedprice > c4 AS INT)"
+
+  private val asofCtes =
+    """r AS (SELECT user_id AS o_custkey, CAST(ts AS DATE) AS edate, round(max(value), 6) AS val FROM events GROUP BY 1, 2),
+l AS (SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS odate FROM orders)"""
+
+  private val ffillBase =
+    """b AS (SELECT user_id, CAST(ts AS DATE) AS day, round(sum(value), 6) AS mval FROM events GROUP BY 1, 2),
+s AS (SELECT u.user_id, m.day FROM (SELECT DISTINCT user_id FROM b) u CROSS JOIN (SELECT DISTINCT day FROM b) m),
+j AS (SELECT s.user_id, s.day, b.mval FROM s LEFT JOIN b USING (user_id, day))"""
+
+  // ---- generated fragments ----------------------------------------
+
+  private lazy val stateCaseSql: String = {
+    val whens = Strings.stateToAbbrev.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"WHEN '${k.replace("'", "''")}' THEN '$v'" }
+      .mkString(" ")
+    s"CASE n_name $whens ELSE n_name END"
+  }
+
+  private lazy val corrPairsSql: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val parts = for {
+      i <- cols.indices
+      j <- cols.indices
+      if j >= i
+    } yield s"SELECT '${cols(i)}' AS col1, '${cols(j)}' AS col2, round(corr(${cols(i)}, ${cols(j)}), 6) AS corr FROM lineitem"
+    parts.mkString("\nUNION ALL\n")
+  }
+
+  private lazy val qualitySql: String = {
+    val punctRe = """[\.,;:!\?''"\(\)]""" // '' = escaped quote inside SQL literal
+    val stopHits = TextAnalysis.defaultStopwords
+      .map(w => s"(length(text) - length(regexp_replace(text, '(?i)\\b$w\\b', '', 'g'))) / ${w.length}")
+      .mkString(" + ")
+    s"""WITH b AS (SELECT doc_id, text, CAST(length(text) AS INT) AS chars,
+CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS toks
+FROM documents)
+SELECT doc_id, chars AS q_chars, toks AS q_tokens,
+round(CASE WHEN toks > 0 THEN CAST(chars - (toks - 1) AS DOUBLE) / toks ELSE 0.0 END, 6) AS q_mean_tok_len,
+round(CASE WHEN chars > 0 THEN CAST(length(text) - length(regexp_replace(text, '$punctRe', '', 'g')) AS DOUBLE) / chars ELSE 0.0 END, 6) AS q_punct_ratio,
+round(CASE WHEN chars > 0 THEN CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / chars ELSE 0.0 END, 6) AS q_digit_ratio,
+round(CASE WHEN chars > 0 THEN CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) / chars ELSE 0.0 END, 6) AS q_upper_ratio,
+round(CASE WHEN toks > 0 THEN CAST($stopHits AS DOUBLE) / toks ELSE 0.0 END, 6) AS q_stop_ratio
+FROM b"""
+  }
+
+  private lazy val langIdSql: String = {
+    // score columns, then the exact argmax fold of TextAnalysis.langId
+    // (first language wins ties, later languages only replace on
+    // strictly-greater score)
+    val p = "(' ' || lower(text) || ' ')"
+    val scores = TextAnalysis.langMarkers.map { case (lang, ws) =>
+      val terms = ws.map { w =>
+        val esc = w.replace("'", "''")
+        s"(length($p) - length(replace($p, '$esc', ''))) / ${w.length}"
+      }.mkString(" + ")
+      lang -> terms
+    }
+    val scoreCols = scores.map { case (l, e) => s"($e) AS s_$l" }.mkString(",\n")
+    var bl = s"'${scores.head._1}'"
+    var bs = s"s_${scores.head._1}"
+    for ((l, _) <- scores.tail) {
+      val nbl = s"(CASE WHEN s_$l > $bs THEN '$l' ELSE $bl END)"
+      val nbs = s"(CASE WHEN s_$l > $bs THEN s_$l ELSE $bs END)"
+      bl = nbl
+      bs = nbs
+    }
+    s"""WITH s0 AS (SELECT doc_id,
+$scoreCols
+FROM documents)
+SELECT doc_id, $bl AS lang_pred FROM s0"""
+  }
+
+  private lazy val simhashSql: String = {
+    val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f").map(h => s"'$h'").mkString(", ")
+    val bits = (0 until 16).map { i =>
+      s"(CASE WHEN list_sum(list_transform(ws, x -> CASE WHEN substring(md5(x), ${i + 1}, 1) IN ($hexHigh) THEN 1 ELSE -1 END)) >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+    s"""WITH w AS (SELECT doc_id, $alnumWords AS ws FROM documents)
+SELECT doc_id, $bits AS sh FROM w"""
+  }
+
+  private lazy val minhashSql: String = {
+    val mins = (0 until 8).map(seed => s"list_min(list_transform(sg, s -> md5(s || '#$seed')))").mkString(", ")
+    val bandsigs = (0 until 4).map(b => s"sig[${2 * b + 1}] || '|' || sig[${2 * b + 2}]").mkString(", ")
+    s"""WITH sh AS (SELECT doc_id, $shingles3 AS sg FROM documents),
+sig AS (SELECT doc_id, [$mins] AS sig FROM sh WHERE len(sg) > 0),
+banded AS (SELECT doc_id, unnest([0, 1, 2, 3]) AS b, unnest([$bandsigs]) AS bandsig FROM sig)
+SELECT a.doc_id AS id_a, b2.doc_id AS id_b, count(*) AS n_band_matches
+FROM banded a JOIN banded b2 ON a.b = b2.b AND a.bandsig = b2.bandsig AND a.doc_id < b2.doc_id
+GROUP BY 1, 2"""
+  }
+
+  // ---- the map ----------------------------------------------------
+
+  lazy val all: Map[String, String] = Map(
+    "q_groupby_merge_max" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+max(l_quantity) OVER (PARTITION BY l_returnflag) AS l_quantity_max
+FROM lineitem""",
+
+    "q_groupby_merge_std" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+round(stddev_samp(l_extendedprice) OVER (PARTITION BY l_returnflag, l_linestatus), 4) AS price_std
+FROM lineitem""",
+
+    "q_groupby_transform_sum" ->
+      """SELECT l_orderkey, l_linenumber,
+round(sum(l_quantity) OVER (PARTITION BY l_orderkey), 6) AS qty_sum
+FROM lineitem""",
+
+    "q_groupby_index" ->
+      """SELECT o_orderkey, o_custkey,
+CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) - 1 AS INT) AS group_index
+FROM orders""",
+
+    "q_averages" ->
+      """WITH b AS (SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice, l_discount,
+CAST(count(l_quantity) OVER (PARTITION BY l_returnflag, l_linestatus) AS DOUBLE) AS l_quantity_count
+FROM lineitem)
+SELECT l_returnflag, l_linestatus,
+round(avg(l_quantity), 4) AS l_quantity,
+round(avg(l_extendedprice), 4) AS l_extendedprice,
+round(avg(l_quantity_count), 4) AS l_quantity_count,
+round(sum(l_quantity * l_discount) / sum(l_discount), 4) AS l_quantity_wavg,
+round(sum(l_extendedprice * l_discount) / sum(l_discount), 4) AS l_extendedprice_wavg,
+round(sum(l_quantity_count * l_discount) / sum(l_discount), 4) AS l_quantity_count_wavg
+FROM b GROUP BY l_returnflag, l_linestatus""",
+
+    "q_var_change" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+round(o_totalprice - lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 6) AS o_totalprice_change
+FROM orders""",
+
+    "q_cumulate_between" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice / 1000000.0 AS ret,
+row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) - 1 AS rn FROM orders),
+w AS (SELECT *, CASE WHEN rn <= 0 THEN 0 WHEN rn <= 2 THEN 1 ELSE 2 END AS wid FROM base)
+SELECT o_orderkey, o_custkey,
+round(product(1 + ret) OVER (PARTITION BY o_custkey, wid ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1, 6) AS cum_ret
+FROM w""",
+
+    "q_cumulate_first" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice / 1000000.0 AS ret,
+CASE WHEN o_orderkey = (SELECT min(o_orderkey) FROM orders) THEN 0 ELSE 1 END AS wid FROM orders)
+SELECT o_orderkey, o_custkey,
+round(product(1 + ret) OVER (PARTITION BY o_custkey, wid ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1, 6) AS cum_ret
+FROM base""",
+
+    "q_winsorize_by" ->
+      """WITH b AS (SELECT l_returnflag, quantile_cont(l_extendedprice, 0.05) AS lo, quantile_cont(l_extendedprice, 0.95) AS hi FROM lineitem GROUP BY 1)
+SELECT l_orderkey, l_linenumber, l_returnflag,
+round(CASE WHEN l_extendedprice > hi THEN hi WHEN l_extendedprice < lo THEN lo ELSE l_extendedprice END, 4) AS price_w
+FROM lineitem JOIN b USING (l_returnflag)""",
+
+    "q_winsorize_all" ->
+      """WITH b AS (SELECT quantile_cont(l_quantity, 0.01) AS qlo, quantile_cont(l_quantity, 0.99) AS qhi,
+quantile_cont(l_extendedprice, 0.01) AS plo, quantile_cont(l_extendedprice, 0.99) AS phi FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+round(CASE WHEN l_quantity > qhi THEN qhi WHEN l_quantity < qlo THEN qlo ELSE l_quantity END, 6) AS qty_w,
+round(CASE WHEN l_extendedprice > phi THEN phi WHEN l_extendedprice < plo THEN plo ELSE l_extendedprice END, 4) AS price_w
+FROM lineitem CROSS JOIN b""",
+
+    "q_portfolio_by" ->
+      s"""WITH $portfolioCuts5
+SELECT l_orderkey, l_linenumber, l_returnflag,
+$portfolioAssign5 AS portfolio
+FROM lineitem JOIN c USING (l_returnflag)""",
+
+    "q_portfolio_hard" ->
+      """SELECT l_orderkey, l_linenumber,
+1 + CAST(l_extendedprice >= 20000.0 AS INT) + CAST(l_extendedprice >= 60000.0 AS INT) AS portfolio
+FROM lineitem""",
+
+    "q_portfolio_averages" ->
+      s"""WITH $portfolioCuts5,
+p AS (SELECT l_returnflag, l_quantity, $portfolioAssign5 AS portfolio FROM lineitem JOIN c USING (l_returnflag))
+SELECT l_returnflag, portfolio, round(avg(l_quantity), 4) AS l_quantity
+FROM p GROUP BY 1, 2""",
+
+    "q_long_short" ->
+      s"""WITH $portfolioCuts5,
+p AS (SELECT l_returnflag, l_quantity, $portfolioAssign5 AS portfolio FROM lineitem JOIN c USING (l_returnflag)),
+pa AS (SELECT l_returnflag, portfolio, avg(l_quantity) AS l_quantity FROM p GROUP BY 1, 2)
+SELECT a.l_returnflag, round(a.l_quantity - b.l_quantity, 4) AS l_quantity
+FROM pa a JOIN pa b ON a.l_returnflag = b.l_returnflag
+WHERE a.portfolio = (SELECT max(portfolio) FROM pa) AND b.portfolio = (SELECT min(portfolio) FROM pa)""",
+
+    "q_asof_join" ->
+      s"""WITH $asofCtes,
+m AS (SELECT lk.o_custkey, lk.odate, max(r.edate) AS edate
+FROM (SELECT DISTINCT o_custkey, odate FROM l) lk
+JOIN r ON lk.o_custkey = r.o_custkey AND r.edate <= lk.odate GROUP BY 1, 2)
+SELECT l.o_orderkey, l.o_custkey, strftime(l.odate, '%Y-%m-%d') AS odate, strftime(m.edate, '%Y-%m-%d') AS edate, r.val
+FROM l LEFT JOIN m ON l.o_custkey = m.o_custkey AND l.odate = m.odate
+LEFT JOIN r ON m.o_custkey = r.o_custkey AND m.edate = r.edate""",
+
+    "q_asof_offset" ->
+      s"""WITH $asofCtes,
+m AS (SELECT lk.o_custkey, lk.odate, max(r.edate) AS edate
+FROM (SELECT DISTINCT o_custkey, odate FROM l) lk
+JOIN r ON lk.o_custkey = r.o_custkey AND r.edate <= lk.odate AND r.edate >= lk.odate - INTERVAL 30 DAY GROUP BY 1, 2)
+SELECT l.o_orderkey, l.o_custkey, strftime(l.odate, '%Y-%m-%d') AS odate, strftime(m.edate, '%Y-%m-%d') AS edate, r.val
+FROM l LEFT JOIN m ON l.o_custkey = m.o_custkey AND l.odate = m.odate
+LEFT JOIN r ON m.o_custkey = r.o_custkey AND m.edate = r.edate""",
+
+    "q_long_to_wide" -> {
+      val qcols = (1 to 7).map(i => s"max(CASE WHEN l_linenumber = $i THEN l_quantity END) AS l_quantity$i").mkString(",\n")
+      val dcols = (1 to 7).map(i => s"max(CASE WHEN l_linenumber = $i THEN l_discount END) AS l_discount$i").mkString(",\n")
+      s"""SELECT l_orderkey,
+$qcols,
+$dcols
+FROM lineitem GROUP BY l_orderkey"""
+    },
+
+    "q_expand_time_m" ->
+      """SELECT o_orderkey, s.shift, strftime(CAST(o_orderdate + to_months(CAST(s.shift AS INT)) AS DATE), '%Y-%m-%d') AS shift_date
+FROM orders CROSS JOIN (SELECT unnest([1, 6, 12]) AS shift) s""",
+
+    "q_expand_time_td" ->
+      s"""WITH $calendarCtes,
+s AS (SELECT unnest([1, 5, 22]) AS shift)
+SELECT o.o_orderkey, s.shift, strftime(t.day, '%Y-%m-%d') AS shift_date
+FROM orders o CROSS JOIN s
+LEFT JOIN cal2 c ON CAST(o.o_orderdate AS DATE) = c.day
+LEFT JOIN td t ON t.ord = c.ord0 + s.shift""",
+
+    "q_expand_months" ->
+      s"""SELECT o_orderkey, strftime(daily_date, '%Y-%m-%d') AS daily_date FROM (
+SELECT o_orderkey, CAST(unnest(generate_series(date_trunc('month', o_orderdate), CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS daily_date
+FROM orders) t
+WHERE dayofweek(daily_date) NOT IN (0, 6) AND strftime(daily_date, '%Y-%m-%d') NOT IN ($holidaySqlList)""",
+
+    "q_fill_excluded" ->
+      """WITH a AS (SELECT c_mktsegment, c_nationkey, count(*) AS n_cust FROM customer GROUP BY 1, 2),
+s AS (SELECT m.c_mktsegment, n.c_nationkey FROM (SELECT DISTINCT c_mktsegment FROM a) m CROSS JOIN (SELECT DISTINCT c_nationkey FROM a) n)
+SELECT s.c_mktsegment, s.c_nationkey, coalesce(a.n_cust, 0) AS n_cust
+FROM s LEFT JOIN a USING (c_mktsegment, c_nationkey)""",
+
+    "q_add_missing_ffill" ->
+      s"""WITH $ffillBase
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day, coalesce(mval, last_value(mval IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS mval FROM j""",
+
+    "q_ffill_limit" ->
+      s"""WITH $ffillBase,
+r1 AS (SELECT user_id, day, mval, row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn FROM j),
+r2 AS (SELECT user_id, day, mval, rn,
+last_value(CASE WHEN mval IS NOT NULL THEN rn END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnn,
+last_value(mval IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+FROM r1)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day, CASE WHEN mval IS NOT NULL THEN mval WHEN rn - lnn <= 1 THEN filled END AS mval FROM r2""",
+
+    "q_fillna_groups" ->
+      """WITH b AS (SELECT user_id, event_id, CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v FROM events)
+SELECT user_id, event_id, round(coalesce(v, avg(v) OVER (PARTITION BY user_id)), 6) AS v FROM b""",
+
+    "q_drop_missing_rows" ->
+      """SELECT user_id, event_id, CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+FROM events WHERE event_type <> 'error'""",
+
+    "q_sas_dates" ->
+      """SELECT l_orderkey, l_linenumber, strftime(DATE '1960-01-01' + CAST(floor(l_quantity) AS INT), '%Y-%m-%d') AS sasdate FROM lineitem""",
+
+    "q_year_month" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS "Year", CAST(month(o_orderdate) AS INT) AS "Month" FROM orders""",
+
+    "q_state_abbrev" ->
+      s"""SELECT n_nationkey, $stateCaseSql AS n_name FROM nation""",
+
+    "q_join_col_strings" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+l_returnflag || '_' || l_linestatus AS flag_status FROM lineitem""",
+
+    "q_select_rows" ->
+      """SELECT l_orderkey, l_linenumber, l_discount, l_tax FROM lineitem WHERE l_discount > 0.05 OR l_tax > 0.05""",
+
+    "q_sql_binding" ->
+      """SELECT c.c_mktsegment, count(*) AS cnt FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY c.c_mktsegment""",
+
+    "q_corr_pairs" -> corrPairsSql,
+
+    "q_regby" ->
+      """SELECT l_returnflag, l_linestatus,
+round(CASE WHEN count(*) >= 3 THEN regr_intercept(l_extendedprice, l_quantity) END, 3) AS const,
+round(CASE WHEN count(*) >= 3 THEN regr_slope(l_extendedprice, l_quantity) END, 3) AS coef_l_quantity
+FROM lineitem GROUP BY 1, 2""",
+
+    "q_read_file" ->
+      """SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY 1""",
+
+    "q_token_count" ->
+      """SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INT) AS n_tok FROM documents""",
+
+    "q_regex_token_count" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_tok_re FROM documents""",
+
+    "q_quality" -> qualitySql,
+
+    "q_lang_id" -> langIdSql,
+
+    "q_fingerprint" ->
+      s"""SELECT doc_id, md5($fpNorm) AS fp FROM documents""",
+
+    "q_rolling_hash" ->
+      s"""SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+', ' ', 'g'), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % ${TextAnalysis.rollingHashMod}) AS rhash FROM documents""",
+
+    "q_dedup_exact_groups" ->
+      s"""SELECT md5($fpNorm) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1""",
+
+    "q_dedup_exact" ->
+      s"""SELECT doc_id FROM documents WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5($fpNorm))""",
+
+    "q_minhash_candidates" -> minhashSql,
+
+    "q_simhash" -> simhashSql,
+
+    "q_ngram_jaccard" ->
+      s"""WITH sh AS (SELECT doc_id, lang, source, list_distinct($shingles3) AS sg FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+round(CASE WHEN len(list_distinct(list_concat(a.sg, b.sg))) > 0
+THEN CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sg, b.sg))) AS DOUBLE)
+ELSE 0.0 END, 6) AS jac
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id""",
+
+    "q_embed_neardups" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+round(list_cosine_similarity(a.emb, b.emb), 4) AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.emb, b.emb) >= 0.25""",
+
+    "q_ann_bruteforce" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+q AS (SELECT vec_id, emb FROM c WHERE vec_id % 50 = 0),
+s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, round(list_cosine_similarity(q.emb, c.emb), 4) AS score FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id),
+r AS (SELECT query_id, neighbor_id, score, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS INT) AS "rank" FROM s)
+SELECT query_id, neighbor_id, score, "rank" FROM r WHERE "rank" <= 5""",
+
+    "q_media_metadata" ->
+      """SELECT doc_id, 'text/plain' AS mime, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, md5(text) AS digest FROM documents"""
+  )
+}

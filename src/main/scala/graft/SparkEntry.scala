@@ -1,13 +1,352 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.functions.{Dates, Strings}
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * One `queries` entry per implemented SURVEY §2 operator (plus the
+  * LLM-pipeline operators), each with DuckDB-equivalent `oracleSql`
+  * where SQL-expressible. Column names are aliased identically on both
+  * sides (the driver sorts columns by name before hashing), and every
+  * floating-point output is rounded to a fixed number of decimals on
+  * BOTH sides so engine-level summation-order differences cannot flip
+  * the hash.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
+    * reader rejects; with spark.sql.legacy.parquet.nanosAsLong the
+    * column arrives as a raw nano count — convert via integer
+    * division (a double division would lose precision at 1e18).
+    */
+  private def eventsTable(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def entry(spark: SparkSession): DataFrame = {
+    val li = t(spark, "/root/testdata/sf0.001", "lineitem")
+    Portfolio.portfolioAverages(
+      li, groupvar = "l_extendedprice", avgvars = Seq("l_quantity"),
+      ngroups = 5, byvars = Seq("l_returnflag"))
+  }
+
+  // -----------------------------------------------------------------
+  // the queries
+  // -----------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.4 groupby_merge family -------------------------------
+    "q_groupby_merge_max" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      GroupOps.groupbyMerge(li, Seq("l_returnflag"), "max", Seq("l_quantity"))
+    }),
+    "q_groupby_merge_std" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_extendedprice")
+      GroupOps.groupbyMerge(li, Seq("l_returnflag", "l_linestatus"), "std", Seq("l_extendedprice"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_linestatus"),
+          round(col("l_extendedprice_std"), 4).as("price_std"))
+    }),
+    "q_groupby_transform_sum" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+      GroupOps.groupbyTransform(li, Seq("l_orderkey"), Seq("l_quantity"), (c, w) => sum(c).over(w))
+        .select(col("l_orderkey"), col("l_linenumber"), round(col("l_quantity_transform"), 6).as("qty_sum"))
+    }),
+    "q_groupby_index" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+      GroupOps.groupbyIndex(o, Seq("o_custkey"), Seq("o_orderdate", "o_orderkey"))
+        .select("o_orderkey", "o_custkey", "group_index")
+    }),
+    "q_averages" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      GroupOps.averages(li, Seq("l_quantity", "l_extendedprice"), Seq("l_returnflag", "l_linestatus"),
+          wtvar = Some("l_discount"), count = Some("l_quantity"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          round(col("l_quantity"), 4).as("l_quantity"),
+          round(col("l_extendedprice"), 4).as("l_extendedprice"),
+          round(col("l_quantity_count"), 4).as("l_quantity_count"),
+          round(col("l_quantity_wavg"), 4).as("l_quantity_wavg"),
+          round(col("l_extendedprice_wavg"), 4).as("l_extendedprice_wavg"),
+          round(col("l_quantity_count_wavg"), 4).as("l_quantity_count_wavg"))
+    }),
+    "q_var_change" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      GroupOps.varChangeByGroups(o, Seq("o_totalprice"), Seq("o_custkey"), "o_orderdate",
+          tiebreakCols = Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          round(col("o_totalprice_change"), 6).as("o_totalprice_change"))
+    }),
+    // ---- §2.5 cumulate -------------------------------------------
+    "q_cumulate_between" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice") / 1000000.0).as("ret"))
+      Cumulate.cumulate(o, Seq("ret"), "between", "o_orderkey", Seq("o_custkey"),
+          time = Seq(1, 3), grossify = true)
+        .select(col("o_orderkey"), col("o_custkey"), round(col("cum_ret"), 6).as("cum_ret"))
+    }),
+    "q_cumulate_first" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice") / 1000000.0).as("ret"))
+      Cumulate.cumulate(o, Seq("ret"), "first", "o_orderkey", Seq("o_custkey"), grossify = true)
+        .select(col("o_orderkey"), col("o_custkey"), round(col("cum_ret"), 6).as("cum_ret"))
+    }),
+    // ---- §2.7 winsorize / portfolio ------------------------------
+    "q_winsorize_by" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+      Winsorize.winsorize(li, (0.05, 0.05), Seq("l_extendedprice"), Seq("l_returnflag"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round(col("l_extendedprice"), 4).as("price_w"))
+    }),
+    "q_winsorize_all" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      Winsorize.winsorize(li, (0.01, 0.01), Seq("l_quantity", "l_extendedprice"), Nil)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_quantity"), 6).as("qty_w"),
+          round(col("l_extendedprice"), 4).as("price_w"))
+    }),
+    "q_portfolio_by" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+      Portfolio.portfolio(li, "l_extendedprice", ngroups = 5, byvars = Seq("l_returnflag"))
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "portfolio")
+    }),
+    "q_portfolio_hard" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
+      Portfolio.portfolio(li, "l_extendedprice", cutoffs = Seq(20000.0, 60000.0))
+        .select("l_orderkey", "l_linenumber", "portfolio")
+    }),
+    "q_portfolio_averages" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      Portfolio.portfolioAverages(li, "l_extendedprice", Seq("l_quantity"), ngroups = 5, byvars = Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("portfolio"), round(col("l_quantity"), 4).as("l_quantity"))
+    }),
+    "q_long_short" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val pa = Portfolio.portfolioAverages(li, "l_extendedprice", Seq("l_quantity"), ngroups = 5, byvars = Seq("l_returnflag"))
+      Portfolio.longShortPortfolio(pa, "portfolio", Seq("l_returnflag"), Seq("l_quantity"))
+        .select(col("l_returnflag"), round(col("l_quantity"), 4).as("l_quantity"))
+    }),
+    // ---- §2.3 as-of join -----------------------------------------
+    "q_asof_join" -> ((s, dir) => {
+      val l = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_orderdate").cast("date").as("odate"))
+      val r = eventsTable(s, dir).groupBy(col("user_id").as("o_custkey"), col("ts").cast("date").as("edate"))
+        .agg(round(max(col("value")), 6).as("val"))
+      AsOf.leftMergeLatest(l, r, Seq("o_custkey"), "odate", "edate")
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_format(col("odate"), "yyyy-MM-dd").as("odate"),
+          date_format(col("edate"), "yyyy-MM-dd").as("edate"), col("val"))
+    }),
+    "q_asof_offset" -> ((s, dir) => {
+      val l = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_orderdate").cast("date").as("odate"))
+      val r = eventsTable(s, dir).groupBy(col("user_id").as("o_custkey"), col("ts").cast("date").as("edate"))
+        .agg(round(max(col("value")), 6).as("val"))
+      AsOf.leftMergeLatest(l, r, Seq("o_custkey"), "odate", "edate",
+        maxOffset = Some(expr("INTERVAL 30 DAYS")))
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_format(col("odate"), "yyyy-MM-dd").as("odate"),
+          date_format(col("edate"), "yyyy-MM-dd").as("edate"), col("val"))
+    }),
+    // ---- §2.9 reshape --------------------------------------------
+    "q_long_to_wide" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+      Reshape.longToWide(li, Seq("l_orderkey"), Seq("l_quantity", "l_discount"),
+        colindex = Seq("l_linenumber"), agg = c => max(c))
+    }),
+    "q_expand_time_m" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select("o_orderkey", "o_orderdate")
+      Reshape.expandTime(o, Seq(1, 6, 12), "o_orderdate", "m", newdate = "shift_date", shiftvar = "shift")
+        .select(col("o_orderkey"), col("shift"), date_format(col("shift_date"), "yyyy-MM-dd").as("shift_date"))
+    }),
+    "q_expand_time_td" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select("o_orderkey", "o_orderdate")
+      Reshape.expandTime(o, Seq(1, 5, 22), "o_orderdate", "td", newdate = "shift_date", shiftvar = "shift")
+        .select(col("o_orderkey"), col("shift"), date_format(col("shift_date"), "yyyy-MM-dd").as("shift_date"))
+    }),
+    "q_expand_months" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select("o_orderkey", "o_orderdate")
+      Reshape.expandMonths(o, "o_orderdate", "daily_date", tradeDays = true)
+        .select(col("o_orderkey"), date_format(col("daily_date"), "yyyy-MM-dd").as("daily_date"))
+    }),
+    // ---- §2.9 fill operators -------------------------------------
+    "q_fill_excluded" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val agg = c.groupBy("c_mktsegment", "c_nationkey").agg(count(lit(1)).as("n_cust"))
+      Fill.fillExcludedRows(agg, Seq("c_mktsegment", "c_nationkey"), Seq("n_cust"), Some(0L))
+    }),
+    "q_add_missing_ffill" -> ((s, dir) => {
+      val e = eventsTable(s, dir)
+      val base = e.groupBy(col("user_id"), col("ts").cast("date").as("day"))
+        .agg(round(sum(col("value")), 6).as("mval"))
+      Fill.addMissingGroupRows(base, Seq("user_id"), Seq("day"), Some("ffill"))
+        .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"), col("mval"))
+    }),
+    "q_ffill_limit" -> ((s, dir) => {
+      val e = eventsTable(s, dir)
+      val base = e.groupBy(col("user_id"), col("ts").cast("date").as("day"))
+        .agg(round(sum(col("value")), 6).as("mval"))
+      Fill.addMissingGroupRows(base, Seq("user_id"), Seq("day"), Some("ffill"), fillLimit = Some(1))
+        .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"), col("mval"))
+    }),
+    "q_fillna_groups" -> ((s, dir) => {
+      val e = eventsTable(s, dir)
+      val base = e.select(col("user_id"), col("event_id"),
+        when(col("event_type") === "error", lit(null)).otherwise(col("value")).as("v"))
+      Fill.fillnaByGroups(base, Seq("user_id"), Seq("event_id"))
+        .select(col("user_id"), col("event_id"), round(col("v"), 6).as("v"))
+    }),
+    "q_drop_missing_rows" -> ((s, dir) => {
+      val e = eventsTable(s, dir)
+      val base = e.select(col("user_id"), col("event_id"),
+        when(col("event_type") === "error", lit(null)).otherwise(col("value")).as("v"))
+      Fill.dropMissingGroupRows(base, Seq("user_id", "event_id"))
+    }),
+    // ---- §2.10 dates ---------------------------------------------
+    "q_sas_dates" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        date_format(Dates.sasDateToTimestamp(floor(col("l_quantity"))), "yyyy-MM-dd").as("sasdate"))
+    }),
+    "q_year_month" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select("o_orderkey", "o_orderdate")
+      Dates.yearMonthFromDate(o, "o_orderdate").select("o_orderkey", "Year", "Month")
+    }),
+    // ---- §2.11 strings / §2.2 filters / §2.12 sql ----------------
+    "q_state_abbrev" -> ((s, dir) => {
+      val n = t(s, dir, "nation").select("n_nationkey", "n_name")
+      Strings.stateAbbrev(n, "n_name")
+    }),
+    "q_join_col_strings" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
+      Strings.joinColStrings(li, Seq("l_returnflag", "l_linestatus"), "flag_status")
+    }),
+    "q_select_rows" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_discount", "l_tax")
+      Query.selectRowsByConditionOnColumns(li, Seq("l_discount", "l_tax"), "> 0.05", "or")
+    }),
+    "q_sql_binding" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      Query.sql(Seq(o, c),
+        "SELECT c.c_mktsegment, count(*) AS cnt FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY c.c_mktsegment")
+    }),
+    // ---- §2.8 stats ----------------------------------------------
+    "q_corr_pairs" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      Stats.corrPairs(li, Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .select(col("col1"), col("col2"), round(col("corr"), 6).as("corr"))
+    }),
+    "q_regby" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      RegBy.regBy(li, "l_extendedprice", Seq("l_quantity"), Seq("l_returnflag", "l_linestatus"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          round(col("const"), 3).as("const"), round(col("coef_l_quantity"), 3).as("coef_l_quantity"))
+    }),
+    // ---- §2.1 sources --------------------------------------------
+    "q_read_file" -> ((s, dir) => {
+      val li = graft.sources.ReadFile.readFile(s, s"$dir/lineitem.parquet")
+      li.groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
+    }),
+    // ---- pipeline: text analysis ---------------------------------
+    "q_token_count" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tok"))
+    }),
+    "q_regex_token_count" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"), TextAnalysis.regexTokenCount(col("text")).as("n_tok_re"))
+    }),
+    "q_quality" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val q = TextAnalysis.qualityFeatures(d, "text")
+      q.select(col("doc_id"), col("q_chars"), col("q_tokens"),
+        round(col("q_mean_tok_len"), 6).as("q_mean_tok_len"),
+        round(col("q_punct_ratio"), 6).as("q_punct_ratio"),
+        round(col("q_digit_ratio"), 6).as("q_digit_ratio"),
+        round(col("q_upper_ratio"), 6).as("q_upper_ratio"),
+        round(col("q_stop_ratio"), 6).as("q_stop_ratio"))
+    }),
+    "q_lang_id" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+    }),
+    "q_fingerprint" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+    }),
+    "q_rolling_hash" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rhash"))
+    }),
+    // ---- pipeline: dedup -----------------------------------------
+    "q_dedup_exact_groups" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.exactGroups(d, "doc_id", "text")
+    }),
+    "q_dedup_exact" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.dedupExact(d, "doc_id", "text").select("doc_id")
+    }),
+    "q_minhash_candidates" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.minhashCandidates(d, "doc_id", "text", shingleWords = 3, numHashes = 8, bands = 4)
+    }),
+    "q_simhash" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+          transform(split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " "), w => md5(w)).as("__md5s__"))
+        .select(col("doc_id"), Dedup.simhashFromMd5s(col("__md5s__"), 16).as("sh"))
+    }),
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      // shingle sets are materialized per document BEFORE the
+      // quadratic pair stage, so each text is tokenized exactly once
+      val sh = d
+        .select(col("lang"), col("source"), col("doc_id"), Dedup.splitWords(col("text")).as("__w__"))
+        .select(col("lang"), col("source"), col("doc_id"),
+          array_distinct(Dedup.shinglesFromWords(col("__w__"), 3)).as("sg"))
+      val a = sh.select(col("lang"), col("source"), col("doc_id").as("id_a"), col("sg").as("sga"))
+      val b = sh.select(col("lang"), col("source"), col("doc_id").as("id_b"), col("sg").as("sgb"))
+      a.join(b, Seq("lang", "source")).where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(Dedup.jaccardOfShingleArrays(col("sga"), col("sgb")), 6).as("jac"))
+    }),
+    "q_embed_neardups" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").withColumn("emb", col("embedding").cast("array<double>"))
+      Dedup.embeddingNearDups(e, "vec_id", "emb", Seq("label"), 0.25)
+        .select(col("label"), col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+    }),
+    // ---- pipeline: similarity ------------------------------------
+    "q_ann_bruteforce" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val q = e.where(col("vec_id") % 50 === 0)
+      Similarity.bruteForceTopK(e, q, "vec_id", "emb", k = 5)
+    }),
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val q = e.where(col("vec_id") % 50 === 0)
+      Similarity.lshTopK(e, q, "vec_id", "emb", k = 5, planes = 8, probes = 2)
+    }),
+    // ---- pipeline: multimodal ------------------------------------
+    "q_media_metadata" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.withMediaMetadata(d, "payload", "text/plain")
+        .select("doc_id", "mime", "n_bytes", "digest")
+    }),
+    "q_media_frames" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.sampleFrames(d, "doc_id", "payload", frames = 4)
+    }),
+    "q_media_features" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.extractFeatures(d, "doc_id", "payload", dims = 8).select("doc_id", "features")
+    })
+  )
+
+  def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -11,6 +11,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // the events table ships nanosecond timestamps, which the
+      // vectorized parquet reader rejects; read them as raw longs and
+      // convert in SparkEntry.eventsTable
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -19,7 +23,9 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val cause = Option(e.getCause).getOrElse(e)
+        System.err.println(s"[verify] $name failed: $cause")
+        cause.getStackTrace.take(6).foreach(f => System.err.println(s"[verify]   at $f"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -103,6 +103,34 @@ object Dates {
       .toSeq
   }
 
+  /** Driver-side trading-day predicate (holiday set built per call —
+    * use for calendar construction, not per-row loops).
+    */
+  def isTradingDayLocal(d: LocalDate): Boolean =
+    !isWeekend(d) && !usTradingHolidays(d.getYear).contains(d)
+
+  /** Every calendar day in [from, to] with (ordinal of the latest
+    * trading day <= it; -1 before the first trading day) and whether
+    * the day itself is a trading day. One holiday set drives both
+    * fields (holidays observed across year boundaries — Jan 1 on a
+    * Saturday observed Dec 31 — would otherwise classify
+    * inconsistently). Turns date→trading-ordinal lookups into equi
+    * joins against a small broadcast frame instead of range joins.
+    */
+  def calendarWithOrdinals(from: LocalDate, to: LocalDate): Seq[(LocalDate, Int, Boolean)] = {
+    val hols = usTradingHolidays(from.getYear, to.getYear).toSet
+    var ord = -1
+    Iterator
+      .iterate(from)(_.plusDays(1))
+      .takeWhile(!_.isAfter(to))
+      .map { d =>
+        val isTd = !isWeekend(d) && !hols.contains(d)
+        if (isTd) ord += 1
+        (d, ord, isTd)
+      }
+      .toSeq
+  }
+
   /** Column predicate: is this DATE column a trading day?
     * Weekday check is a codegen'd expression; the holiday set (9/year,
     * tiny) is an in-literal — effectively a broadcast lookup.

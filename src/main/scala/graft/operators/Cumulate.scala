@@ -90,15 +90,27 @@ object Cumulate {
     } else df
 
     val wOrder = Window.partitionBy(toCols(byvars): _*).orderBy(col(periodvar))
-    val wid = method match {
+    val withWid = method match {
       case "first" =>
-        // reference: 0 where periodvar == group min, else 1
-        val gmin = min(col(periodvar)).over(Window.partitionBy(toCols(byvars): _*))
-        when(col(periodvar) === gmin, lit(0)).otherwise(lit(1))
+        // reference: 0 where periodvar == the GLOBAL frame minimum,
+        // else 1 (pd_utils/cum.py:200-201 filters on
+        // df[periodvar] == min(df[periodvar]) — whole frame, not per
+        // group). Kept lazy: scalar agg broadcast-cross-joined into
+        // the plan, no driver action at composition time.
+        val gmin = grossified.agg(min(col(periodvar)).as("__gmin__"))
+        grossified
+          .crossJoin(broadcast(gmin))
+          .withColumn(
+            "__window__",
+            when(col(periodvar) === col("__gmin__"), lit(0)).otherwise(lit(1))
+          )
+          .drop("__gmin__")
       case "between" =>
-        windowIdBetween(row_number().over(wOrder) - 1, sortedTime)
+        grossified.withColumn(
+          "__window__",
+          windowIdBetween(row_number().over(wOrder) - 1, sortedTime)
+        )
     }
-    val withWid = grossified.withColumn("__window__", wid)
 
     val wCum = Window
       .partitionBy((toCols(byvars) :+ col("__window__")): _*)

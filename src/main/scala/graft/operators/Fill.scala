@@ -46,7 +46,10 @@ object Fill {
         case _: NumericType => numVars
         case _              => strVars
       }
-      d.withColumn(c, coalesce(col(c), fillExpr(c, how)))
+      // cast the fill back to the column's dtype so untouched columns
+      // don't silently widen (pandas integer columns can never hold
+      // NaN, so the reference's mean-fill only ever sees floats there)
+      d.withColumn(c, coalesce(col(c), fillExpr(c, how).cast(df.schema(c).dataType)))
     }
   }
 

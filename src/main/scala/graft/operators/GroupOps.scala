@@ -188,11 +188,16 @@ object GroupOps {
       vars: Seq[String],
       byvars: Seq[String],
       datevar: String,
-      numlags: Int = 1
+      numlags: Int = 1,
+      tiebreakCols: Seq[String] = Nil
   ): DataFrame = {
+    // tiebreakCols make the in-group order total when datevar alone
+    // has duplicates — without them lag() is nondeterministic (the
+    // reference instead inherits the caller's physical row order,
+    // which Spark does not have; SURVEY §1.1)
     val w = Window
       .partitionBy(toCols(byvars): _*)
-      .orderBy(col(datevar))
+      .orderBy((datevar +: tiebreakCols).map(col): _*)
     val nullKey = anyMissing(df, byvars)
     vars.foldLeft(df) { (d, v) =>
       d.withColumn(

@@ -58,17 +58,20 @@ object Portfolio {
     val x = col(groupvar)
     if (cutoffs.nonEmpty) {
       // hard-cutoff whole-frame path: extend with global min/max, then
-      // last-match (higher bucket wins at boundary equality).
+      // last-match (higher bucket wins at boundary equality). The
+      // min/max stay IN the plan as a broadcast-cross-joined scalar
+      // aggregate — composing this operator triggers no Spark job.
       val src = cutDf.getOrElse(df)
-      val mm = src.agg(min(x).as("mn"), max(x).as("mx")).head()
-      val lo = math.min(mm.getDouble(0), cutoffs.min)
-      val hi = math.max(mm.getDouble(1), cutoffs.max)
-      val all = (lo +: cutoffs.sorted) :+ hi
-      val interior = all.drop(1).dropRight(1)
-      val count = interior.map(c => (x >= lit(c)).cast("int")).reduceOption(_ + _).getOrElse(lit(0))
-      val port = when(badValue(x) || x < lit(all.head) || x > lit(all.last), lit(0))
+      val mm = src.agg(min(x).cast("double").as("__mn__"), max(x).cast("double").as("__mx__"))
+      val sorted = cutoffs.sorted
+      val loB = least(col("__mn__"), lit(sorted.head))
+      val hiB = greatest(col("__mx__"), lit(sorted.last))
+      val count = sorted.map(c => (x >= lit(c)).cast("int")).reduce(_ + _)
+      val port = when(badValue(x) || x < loB || x > hiB, lit(0))
         .otherwise(lit(1) + count)
-      df.withColumn(portvar, port)
+      df.crossJoin(broadcast(mm))
+        .withColumn(portvar, port)
+        .drop("__mn__", "__mx__")
     } else {
       val ps: Seq[Double] =
         if (quantCutoffs.nonEmpty) (0.0 +: quantCutoffs.sorted) :+ 1.0
@@ -79,6 +82,8 @@ object Portfolio {
       // approx_percentile; goldens pin interpolated cut values).
       val clean = when(badValue(x), lit(null)).otherwise(x)
       if (byvars.nonEmpty) {
+        // per-group path: FIRST match (lower bucket) on boundary ties,
+        // replicating _portfolio_match (pd_utils/port.py:312-315).
         val cuts = src
           .groupBy(toCols(byvars): _*)
           .agg(percentile(clean, lit(interiorPs.toArray)).as("__cuts__"))
@@ -91,13 +96,18 @@ object Portfolio {
           .withColumn(portvar, when(badValue(x), lit(0)).otherwise(lit(1) + count))
           .drop("__cuts__")
       } else {
-        val cutRow = src.agg(percentile(clean, lit(interiorPs.toArray))).head()
-        val cutVals = cutRow.getSeq[Double](0)
-        val count = cutVals
-          .map(c => (x > lit(c)).cast("int"))
+        // whole-frame path: _sort_into_ports overwrites low→high, so a
+        // value equal to a shared boundary lands in the HIGHER bucket
+        // (pd_utils/port.py:263-268) — hence >=, unlike the per-group
+        // path above. Lazy scalar agg, broadcast back into the plan.
+        val cuts = src.agg(percentile(clean, lit(interiorPs.toArray)).as("__cuts__"))
+        val count = interiorPs.indices
+          .map(i => (x >= element_at(col("__cuts__"), i + 1)).cast("int"))
           .reduceOption(_ + _)
           .getOrElse(lit(0))
-        df.withColumn(portvar, when(badValue(x), lit(0)).otherwise(lit(1) + count))
+        df.crossJoin(broadcast(cuts))
+          .withColumn(portvar, when(badValue(x), lit(0)).otherwise(lit(1) + count))
+          .drop("__cuts__")
       }
     }
   }
@@ -132,11 +142,15 @@ object Portfolio {
       retvars: Seq[String],
       shortBottom: Boolean = true
   ): DataFrame = {
-    val mm = df.agg(max(col(portvar)).as("mx"), min(col(portvar)).as("mn")).head()
-    val (longPort, shortPort) =
-      if (shortBottom) (mm.get(0), mm.get(1)) else (mm.get(1), mm.get(0))
-    val top = df.filter(col(portvar) === lit(longPort)).select((byvars ++ retvars).map(col): _*)
-    val bot = df.filter(col(portvar) === lit(shortPort)).select((byvars ++ retvars).map(col): _*)
+    // global max/min portfolio numbers stay in the plan (broadcast
+    // scalar agg) — no driver action at composition time.
+    val mm = df.agg(max(col(portvar)).as("__mx__"), min(col(portvar)).as("__mn__"))
+    val withMM = df.crossJoin(broadcast(mm))
+    val (longSel, shortSel) =
+      if (shortBottom) (col(portvar) === col("__mx__"), col(portvar) === col("__mn__"))
+      else (col(portvar) === col("__mn__"), col(portvar) === col("__mx__"))
+    val top = withMM.filter(longSel).select((byvars ++ retvars).map(col): _*)
+    val bot = withMM.filter(shortSel).select((byvars ++ retvars).map(col): _*)
     val botRen = retvars.foldLeft(bot)((d, c) => d.withColumnRenamed(c, s"__short_$c"))
     top
       .join(botRen, byvars)

@@ -29,12 +29,17 @@ object Query {
     require(dfs.nonEmpty, "need at least one DataFrame")
     val names = extractTableNames(query)
     require(
-      names.size >= dfs.size,
+      names.size == dfs.size,
       s"query references ${names.size} tables but ${dfs.size} DataFrames passed"
     )
     val spark = dfs.head.sparkSession
     dfs.zip(names).foreach { case (df, n) => df.createOrReplaceTempView(n) }
-    spark.sql(query)
+    // spark.sql analyzes eagerly, so the resolved plan no longer needs
+    // the views — drop them to avoid leaking stale bindings into later
+    // calls (the reference binds per-call via locals()).
+    val out = spark.sql(query)
+    names.take(dfs.size).foreach(spark.catalog.dropTempView)
+    out
   }
 
   /** Keeps rows where `col <condition>` holds for ANY ("or") or ALL

@@ -57,7 +57,10 @@ object Reshape {
       .pivot(col(idxCol).cast("string"))
       .agg(aggExprs.head, aggExprs.tail: _*)
     // Spark names pivot columns "<idx>" (single value) or "<idx>_<v>"
-    // (multi value); the reference names them "<value><idx>".
+    // (multi value); the reference names them "<value><idx>". For the
+    // multi-value case, match the KNOWN value-name suffix rather than
+    // splitting at the last underscore (which corrupts value names
+    // that themselves contain '_', e.g. "ret_1").
     val renames: Seq[(String, String)] =
       if (values.size == 1)
         pivoted.columns.toSeq
@@ -67,9 +70,10 @@ object Reshape {
         pivoted.columns.toSeq
           .filterNot((groupvars ++ carried).contains)
           .map { c =>
-            val i = c.lastIndexOf('_')
-            val (idx, v) = (c.substring(0, i), c.substring(i + 1))
-            c -> s"$v$idx"
+            values.find(v => c.endsWith(s"_$v")) match {
+              case Some(v) => c -> s"$v${c.dropRight(v.length + 1)}"
+              case None    => c -> c
+            }
           }
     renames.foldLeft(pivoted) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
   }
@@ -99,43 +103,28 @@ object Reshape {
       case "td" =>
         val spark = df.sparkSession
         import spark.implicits._
-        // dedup-compute-expand (the reference's own optimization,
-        // pd_utils/merge.py:157-191): map the DISTINCT dates to
-        // trading-day ordinals via a broadcast calendar, shift the
-        // ordinal, map back — then broadcast-join onto the data.
-        val Seq(lo, hi) = df
-          .agg(min(col(datevar)).cast("date").cast("string"), max(col(datevar)).cast("date").cast("string"))
-          .head()
-          .toSeq
-          .map(_.toString)
-        val span = time.map(v => math.abs(v.toLong)).max
-        val days = Dates.tradingDays(
-          java.time.LocalDate.parse(lo).minusDays(span * 3 + 10),
-          java.time.LocalDate.parse(hi).plusDays(span * 3 + 10)
+        // Static calendar (no data scan at composition time — the old
+        // version ran an eager min/max job to bound the calendar; a
+        // fixed 1960-2040 span is ~20k trading days, trivially
+        // broadcast). EVERY calendar day maps to the ordinal of the
+        // latest trading day <= it, so the date→ordinal lookup is an
+        // equi join, not a range join.
+        val allDays = Dates.calendarWithOrdinals(
+          java.time.LocalDate.of(1960, 1, 1),
+          java.time.LocalDate.of(2040, 12, 31)
         )
-        val cal = days.zipWithIndex
-          .map { case (d, i) => (java.sql.Date.valueOf(d), i) }
-          .toDF("__td__", "__ord__")
-        // ordinal of the latest trading day <= each distinct date
-        val ordMap = df
-          .select(col(datevar).cast("date").as("__d__"))
-          .distinct()
-          .join(broadcast(cal), col("__td__") <= col("__d__"))
-          .groupBy(col("__d__"))
-          .agg(max(col("__ord__")).as("__ord0__"))
-        val shiftMap = ordMap
-          .crossJoin(broadcast(Seq.tabulate(time.size)(i => time(i)).toDF("__shift__")))
-          .withColumn("__target__", col("__ord0__") + col("__shift__"))
-          .join(broadcast(cal), col("__ord__") === col("__target__"), "left")
-          .select(col("__d__"), col("__shift__"), col("__td__").as("__newdate__"))
+        val dayToOrd = allDays
+          .map { case (d, ord, _) => (java.sql.Date.valueOf(d), ord) }
+          .toDF("__day__", "__ord0__")
+        val ordToTd = allDays
+          .collect { case (d, ord, true) => (ord, java.sql.Date.valueOf(d)) }
+          .toDF("__ord__", "__td__")
         exploded
-          .join(
-            broadcast(shiftMap),
-            col(datevar).cast("date") === col("__d__") && col(shiftvar) === col("__shift__"),
-            "left"
-          )
-          .withColumn(newdate, col("__newdate__").cast("timestamp"))
-          .drop("__d__", "__shift__", "__newdate__")
+          .join(broadcast(dayToOrd), col(datevar).cast("date") === col("__day__"), "left")
+          .withColumn("__target__", col("__ord0__") + col(shiftvar))
+          .join(broadcast(ordToTd), col("__ord__") === col("__target__"), "left")
+          .withColumn(newdate, col("__td__").cast("timestamp"))
+          .drop("__day__", "__ord0__", "__target__", "__ord__", "__td__")
       case other => throw new IllegalArgumentException(s"unsupported freq '$other'")
     }
   }

@@ -25,8 +25,12 @@ object Stats {
     } yield (cols(i), cols(j))
     val aggs = pairs.map { case (a, b) => corr(col(a), col(b)).as(s"${a}__${b}") }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
+    // corr is NULL for degenerate inputs (zero variance / <2 obs) —
+    // surface as None, don't NPE on getDouble.
     pairs.zipWithIndex
-      .map { case ((a, b), i) => (a, b, row.getDouble(i)) }
+      .map { case ((a, b), i) =>
+        (a, b, if (row.isNullAt(i)) None else Some(row.getDouble(i)))
+      }
       .toDF("col1", "col2", "corr")
   }
 
@@ -37,12 +41,12 @@ object Stats {
     val spark = df.sparkSession
     val tidy = corrPairs(df, cols)
       .collect()
-      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2)))
+      .map(r => ((r.getString(0), r.getString(1)), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
       .toMap
     val rows = cols.zipWithIndex.map { case (rc, i) =>
       val vals = cols.zipWithIndex.map { case (cc, j) =>
         if (j > i) ""
-        else f"${tidy.getOrElse((cc, rc), tidy((rc, cc)))}%.2f"
+        else tidy.getOrElse((cc, rc), tidy((rc, cc))).map(v => f"$v%.2f").getOrElse("")
       }
       Row.fromSeq(rc +: vals)
     }

