@@ -205,18 +205,22 @@ round(product(1 + ret) OVER (PARTITION BY o_custkey, wid ORDER BY o_orderkey ROW
 FROM base""",
 
     "q_winsorize_by" ->
-      """WITH b AS (SELECT l_returnflag, quantile_cont(l_extendedprice, 0.05) AS lo, quantile_cont(l_extendedprice, 0.95) AS hi FROM lineitem GROUP BY 1)
+      """WITH h AS (SELECT l_returnflag, quantile_cont(l_extendedprice, 0.95) AS hi FROM lineitem GROUP BY 1),
+l2 AS (SELECT l_returnflag, quantile_cont(CASE WHEN l_extendedprice > hi THEN hi ELSE l_extendedprice END, 0.05) AS lo
+FROM lineitem JOIN h USING (l_returnflag) GROUP BY l_returnflag)
 SELECT l_orderkey, l_linenumber, l_returnflag,
 round(CASE WHEN l_extendedprice > hi THEN hi WHEN l_extendedprice < lo THEN lo ELSE l_extendedprice END, 4) AS price_w
-FROM lineitem JOIN b USING (l_returnflag)""",
+FROM lineitem JOIN h USING (l_returnflag) JOIN l2 USING (l_returnflag)""",
 
     "q_winsorize_all" ->
-      """WITH b AS (SELECT quantile_cont(l_quantity, 0.01) AS qlo, quantile_cont(l_quantity, 0.99) AS qhi,
-quantile_cont(l_extendedprice, 0.01) AS plo, quantile_cont(l_extendedprice, 0.99) AS phi FROM lineitem)
+      """WITH h AS (SELECT quantile_cont(l_quantity, 0.99) AS qhi, quantile_cont(l_extendedprice, 0.99) AS phi FROM lineitem),
+l2 AS (SELECT quantile_cont(CASE WHEN l_quantity > qhi THEN qhi ELSE l_quantity END, 0.01) AS qlo,
+quantile_cont(CASE WHEN l_extendedprice > phi THEN phi ELSE l_extendedprice END, 0.01) AS plo
+FROM lineitem CROSS JOIN h)
 SELECT l_orderkey, l_linenumber,
 round(CASE WHEN l_quantity > qhi THEN qhi WHEN l_quantity < qlo THEN qlo ELSE l_quantity END, 6) AS qty_w,
 round(CASE WHEN l_extendedprice > phi THEN phi WHEN l_extendedprice < plo THEN plo ELSE l_extendedprice END, 4) AS price_w
-FROM lineitem CROSS JOIN b""",
+FROM lineitem CROSS JOIN h CROSS JOIN l2""",
 
     "q_portfolio_by" ->
       s"""WITH $portfolioCuts5

@@ -51,11 +51,18 @@ object Reshape {
       .filterNot(values.contains)
       .filterNot(colindex.contains)
       .filterNot(_ == idxCol)
-    val grouped = withIdx.groupBy((groupvars ++ carried).map(col): _*)
+    // pivot per GROUP, then join the wide row back onto each original
+    // row's carried columns — the reference merges the wide frame onto
+    // the other columns so every original row carries the group's full
+    // wide vector (tests/test_pandas.py:362-380, expect_df_no_colindex)
+    val grouped = withIdx.groupBy(toCols(groupvars): _*)
     val aggExprs = values.map(v => agg(col(v)).as(v))
-    val pivoted = grouped
+    val wide = grouped
       .pivot(col(idxCol).cast("string"))
       .agg(aggExprs.head, aggExprs.tail: _*)
+    val pivoted =
+      if (carried.isEmpty) wide
+      else base.select((groupvars ++ carried).map(col): _*).dropDuplicates().join(wide, groupvars)
     // Spark names pivot columns "<idx>" (single value) or "<idx>_<v>"
     // (multi value); the reference names them "<value><idx>". For the
     // multi-value case, match the KNOWN value-name suffix rather than

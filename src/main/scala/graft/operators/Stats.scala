@@ -14,6 +14,19 @@ import org.apache.spark.sql.types.{StructField, StructType, StringType}
   */
 object Stats {
 
+  /** Pearson correlation as covar/(sd*sd) with a zero-variance guard:
+    * Spark 4's ANSI mode makes the builtin `corr` THROW
+    * DIVIDE_BY_ZERO on a constant column, where pandas (and DuckDB)
+    * return NaN/NULL. The guard keeps the division conditional.
+    */
+  private def safeCorr(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+    val cov = covar_samp(a, b)
+    val sa = stddev_samp(a)
+    val sb = stddev_samp(b)
+    when(sa.isNull || sb.isNull || sa === 0 || sb === 0, lit(null))
+      .otherwise(cov / (sa * sb))
+  }
+
   /** Tidy pairwise Pearson correlations including the diagonal. */
   def corrPairs(df: DataFrame, cols: Seq[String]): DataFrame = {
     val spark = df.sparkSession
@@ -23,7 +36,7 @@ object Stats {
       j <- cols.indices
       if j >= i
     } yield (cols(i), cols(j))
-    val aggs = pairs.map { case (a, b) => corr(col(a), col(b)).as(s"${a}__${b}") }
+    val aggs = pairs.map { case (a, b) => safeCorr(col(a), col(b)).as(s"${a}__${b}") }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     // corr is NULL for degenerate inputs (zero variance / <2 obs) —
     // surface as None, don't NPE on getDouble.

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.NumericType
@@ -12,12 +12,15 @@ import graft.internal._
   * Reference: pd_utils/transform.py:167-232. pandas `quantile` uses
   * linear interpolation — Spark's exact `percentile` matches
   * (approx_percentile would NOT; SURVEY §7.4.1). NaN/NULL values are
-  * left untouched (pandas comparisons with NaN are False) and are
-  * excluded from the percentile computation (pandas quantile skips
-  * NaN).
+  * left untouched and excluded from the percentile computation.
   *
-  * Implemented as a whole-partition window percentile + clamp: one
-  * shuffle on byvars, no join back.
+  * Ordering subtlety the goldens pin (test_winsor_40_subset_byvars,
+  * expected 1.0216): `_winsorize` clamps the TOP first by MUTATING the
+  * column, then computes the bottom quantile on the already-clamped
+  * values (pd_utils/transform.py:221-232). So with both tails active,
+  * the bottom percentile here is taken over `least(x, hi)`, not the
+  * raw column — a second window/aggregation pass that depends on the
+  * first. Same partitioning both passes -> still a single shuffle.
   */
 object Winsorize {
 
@@ -45,37 +48,46 @@ object Winsorize {
           .filter(f => f.dataType.isInstanceOf[NumericType] && !byvars.contains(f.name))
           .map(_.name)
           .toSeq
-    def clamp(d: DataFrame, c: String, lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column): DataFrame = {
+
+    def cleanOf(c: String): Column = {
       val x = col(c).cast("double")
-      val clampTop = if (top) when(x > hi, hi).otherwise(x) else x
-      val clampBoth = if (bot) when(clampTop < lo, lo).otherwise(clampTop) else clampTop
+      when(isnan(x), lit(null)).otherwise(x)
+    }
+    def topClamped(c: String): Column = {
+      val x = cleanOf(c)
+      if (top) least(x, col(s"__hi_$c")) else x
+    }
+    def applyClamp(d: DataFrame, c: String): DataFrame = {
+      val x = col(c).cast("double")
+      val clampTop = if (top) when(x > col(s"__hi_$c"), col(s"__hi_$c")).otherwise(x) else x
+      val clampBoth = if (bot) when(clampTop < col(s"__lo_$c"), col(s"__lo_$c")).otherwise(clampTop) else clampTop
       d.withColumn(c, when(x.isNull || isnan(x), x).otherwise(clampBoth))
     }
-    if (byvars.nonEmpty) {
+    val tmpCols = cols.flatMap(c => Seq(s"__hi_$c", s"__lo_$c")).toSeq
+
+    val withBounds = if (byvars.nonEmpty) {
       val w = Window.partitionBy(toCols(byvars): _*)
-      cols.foldLeft(df) { (d, c) =>
-        val x = col(c).cast("double")
-        val cleanX = when(isnan(x), lit(null)).otherwise(x)
-        clamp(d, c, percentile(cleanX, lit(botPct)).over(w), percentile(cleanX, lit(topPct)).over(w))
-      }
+      val withHi =
+        if (top) cols.foldLeft(df)((d, c) => d.withColumn(s"__hi_$c", percentile(cleanOf(c), lit(topPct)).over(w)))
+        else df
+      if (bot) cols.foldLeft(withHi)((d, c) => d.withColumn(s"__lo_$c", percentile(topClamped(c), lit(botPct)).over(w)))
+      else withHi
     } else {
       // No byvars: an empty-partition Window would funnel the whole
-      // dataset through ONE task. Instead: one scalar aggregation for
-      // every column's two percentiles, broadcast-cross-joined back —
-      // stays a two-stage distributed plan at any scale.
-      val aggs = cols.flatMap { c =>
-        val x = col(c).cast("double")
-        val cleanX = when(isnan(x), lit(null)).otherwise(x)
-        Seq(
-          percentile(cleanX, lit(botPct)).as(s"__lo_$c"),
-          percentile(cleanX, lit(topPct)).as(s"__hi_$c")
-        )
-      }
-      val bounds = df.agg(aggs.head, aggs.tail: _*)
-      val joined = df.crossJoin(broadcast(bounds))
-      val clamped = cols.foldLeft(joined)((d, c) => clamp(d, c, col(s"__lo_$c"), col(s"__hi_$c")))
-      clamped.drop(cols.flatMap(c => Seq(s"__lo_$c", s"__hi_$c")): _*)
+      // dataset through ONE task. Scalar aggregations broadcast-cross-
+      // joined back keep the plan distributed at any scale (two
+      // passes because the bottom quantile depends on the top clamp).
+      val withHi = if (top) {
+        val aggs = cols.map(c => percentile(cleanOf(c), lit(topPct)).as(s"__hi_$c"))
+        df.crossJoin(broadcast(df.agg(aggs.head, aggs.tail: _*)))
+      } else df
+      if (bot) {
+        val aggs = cols.map(c => percentile(topClamped(c), lit(botPct)).as(s"__lo_$c"))
+        withHi.crossJoin(broadcast(withHi.agg(aggs.head, aggs.tail: _*)))
+      } else withHi
     }
+    val clamped = cols.foldLeft(withBounds)(applyClamp)
+    clamped.drop(tmpCols.filter(clamped.columns.contains): _*)
   }
 
   def winsorize(

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-pipeline operators: dedup, similarity, text analysis,
+  * multimodal plumbing. These have no reference goldens — invariants
+  * and hand-computed expectations instead.
+  */
+class PipelineSpec extends SparkSuite {
+
+  private def docs = {
+    val s = spark; import s.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (3L, "The  quick Brown fox jumps over the lazy dog!"), // normalized dup of 1
+      (4L, "completely different content about spark engines and shuffles"),
+      (5L, "hi") // shorter than shingle width
+    ).toDF("doc_id", "text")
+  }
+
+  test("wordShingles yields an EMPTY array for short docs — no ANSI crash (ADVICE r1 high)") {
+    val out = docs.select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("sh"))
+    val m = out.collect().map(r => r.getLong(0) -> r.getSeq[String](1).length).toMap
+    assert(m(5L) == 0)
+    assert(m(1L) == 7) // 9 words -> 7 trigrams
+  }
+
+  test("exact dedup keeps the minimum id per normalized digest") {
+    val kept = Dedup.dedupExact(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 5L)) // 2 and 3 collapse onto 1
+    val groups = Dedup.exactGroups(docs, "doc_id", "text")
+    val trio = groups.where(col("keep_id") === 1L).head()
+    assert(trio.getLong(trio.fieldIndex("n_dups")) == 3L)
+  }
+
+  test("minhash candidates surface the duplicate pair, not the unrelated doc") {
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))
+    assert(!cands.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("hot-bucket cap prevents the quadratic blowup on identical docs (VERDICT r2 #10)") {
+    val s = spark; import s.implicits._
+    val many = (1 to 1000).map(i => (i.toLong, "identical text repeated for the bucket cap test"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.minhashCandidates(many, "doc_id", "text", maxBucketSize = 100)
+    assert(capped.count() == 0) // every bucket over cap -> dropped, not O(n^2) pairs
+    val uncapped = Dedup.minhashCandidates(many.limit(50), "doc_id", "text", maxBucketSize = 1000)
+    assert(uncapped.count() == 50L * 49 / 2)
+  }
+
+  test("ngram jaccard: identical docs 1.0, disjoint docs 0.0") {
+    val s = spark; import s.implicits._
+    val sh = docs
+      .select(col("doc_id"), Dedup.splitWords(col("text")).as("w"))
+      .select(col("doc_id"), array_distinct(Dedup.shinglesFromWords(col("w"), 3)).as("sg"))
+    val a = sh.select(col("doc_id").as("id_a"), col("sg").as("sa"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sg").as("sb"))
+    val pairs = a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .withColumn("jac", Dedup.jaccardOfShingleArrays(col("sa"), col("sb")))
+    val m = pairs.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("jac"))
+      .toMap
+    assert(m((1L, 2L)) == 1.0)
+    assert(m((1L, 4L)) == 0.0)
+    assert(m((1L, 5L)) == 0.0) // empty shingle set -> 0, not NaN
+  }
+
+  test("simhash: identical docs identical bits; bit string length = 16") {
+    val out = docs.select(col("doc_id"), Dedup.simhashBits(col("text"), 16).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == out(2L))
+    assert(out(1L).length == 16 && out(1L).forall(c => c == '0' || c == '1'))
+    assert(out(1L) != out(4L))
+  }
+
+  test("token counting and quality features") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "Hello, world 42!"), (2L, "")).toDF("doc_id", "text")
+    val toks = df.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(toks == Map(1L -> 3, 2L -> 0))
+    val q = TextAnalysis.qualityFeatures(df.where(col("doc_id") === 1L), "text").head()
+    assert(q.getInt(q.fieldIndex("q_chars")) == 16)
+    assert(q.getDouble(q.fieldIndex("q_digit_ratio")) > 0)
+    assert(q.getDouble(q.fieldIndex("q_punct_ratio")) > 0)
+  }
+
+  test("language id picks the marker-heavy language") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog of the house is big"),
+      (2L, "el gato y la casa es grande y los perros"),
+      (3L, "der Hund und die Katze ist gross und der Baum")
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "es", 3L -> "de"))
+  }
+
+  test("rolling hash is deterministic, normalized, and mod-bounded") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "Hello  WORLD"), (2L, "hello world"), (3L, "other")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == got(2L)) // case/whitespace normalized
+    assert(got(1L) != got(3L))
+    assert(got.values.forall(h => h >= 0 && h < TextAnalysis.rollingHashMod))
+  }
+
+  test("brute-force cosine top-k ranks by similarity with deterministic ties") {
+    val s = spark; import s.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)), (3L, Array(0.0, 1.0)), (4L, Array(1.0, 0.01))
+    ).toDF("id", "v")
+    val out = Similarity.bruteForceTopK(vecs, vecs.where(col("id") === 1L), "id", "v", k = 2)
+    val got = out.orderBy("rank").select("neighbor_id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(4L, 2L)) // cos(1,4) > cos(1,2) > cos(1,3)
+  }
+
+  test("LSH top-k finds the identical vector (same bucket by construction)") {
+    val s = spark; import s.implicits._
+    val base = (1 to 40).map(i => (i.toLong, Array.tabulate(8)(d => math.sin(i * 13 + d).abs)))
+    val vecs = (base :+ (99L, base.head._2)).toDF("id", "v")
+    val out = Similarity.lshTopK(vecs, vecs.where(col("id") === 99L), "id", "v",
+      k = 3, planes = 4, probes = 2)
+    val top = out.where(col("rank") === 1).head()
+    assert(top.getLong(top.fieldIndex("neighbor_id")) == 1L) // its identical twin
+    assert(top.getDouble(top.fieldIndex("score")) == 1.0)
+  }
+
+  test("multimodal metadata + frame sampling plumbing") {
+    val s = spark; import s.implicits._
+    val df = docs.withColumn("payload", col("text").cast("binary"))
+    val meta = Multimodal.withMediaMetadata(df, "payload", "text/plain")
+    val r = meta.where(col("doc_id") === 1L).head()
+    assert(r.getLong(r.fieldIndex("n_bytes")) == 43L)
+    assert(r.getString(r.fieldIndex("digest")).length == 32)
+    val frames = Multimodal.sampleFrames(df, "doc_id", "payload", frames = 4)
+    assert(frames.count() == 5 * 4)
+    val feats = Multimodal.extractFeatures(df, "doc_id", "payload", dims = 8)
+    assert(feats.columns.contains("text")) // other columns preserved (no rdd round-trip)
+    assert(feats.select("features").head().getSeq[Float](0).length == 8)
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Portfolio
+
+/** Goldens: /root/reference/tests/test_pandas.py:416-475
+  * (TestPortfolioAverages) and :904-960 (TestPortfolio).
+  */
+class PortfolioSpec extends SparkSuite {
+
+  private def expectPorts = {
+    val s = spark; import s.implicits._
+    Seq(
+      (10516L, "a", "1/1/2000", 1.01, 1), (10516L, "a", "1/2/2000", 1.02, 1),
+      (10516L, "a", "1/3/2000", 1.03, 2), (10516L, "a", "1/4/2000", 1.04, 2),
+      (10516L, "b", "1/1/2000", 1.05, 1), (10516L, "b", "1/2/2000", 1.06, 1),
+      (10516L, "b", "1/3/2000", 1.07, 2), (10516L, "b", "1/4/2000", 1.08, 2),
+      (10517L, "a", "1/1/2000", 1.09, 1), (10517L, "a", "1/2/2000", 1.10, 1),
+      (10517L, "a", "1/3/2000", 1.11, 2), (10517L, "a", "1/4/2000", 1.12, 2)
+    ).toDF("PERMNO", "byvar", "Date", "RET", "portfolio")
+  }
+
+  test("portfolio with byvars, ngroups=2 (tests/test_pandas.py:905-926)") {
+    val out = Portfolio.portfolio(fixtureDf, "RET", ngroups = 2, byvars = Seq("PERMNO", "byvar"))
+    assertSame(out, expectPorts)
+  }
+
+  test("NaN-like null maps to portfolio 0 and is excluded from cutoffs (tests/test_pandas.py:929-960)") {
+    val s = spark; import s.implicits._
+    val indf = fixtureDf.withColumn("RET",
+      when(col("PERMNO") === 10516L && col("Date") === "1/1/2000" && col("byvar") === "a", lit(null))
+        .otherwise(col("RET")))
+    val out = Portfolio.portfolio(indf, "RET", ngroups = 2, byvars = Seq("PERMNO", "byvar"))
+    val expect = Seq(
+      (10516L, "a", "1/1/2000", Option.empty[Double], 0),
+      (10516L, "a", "1/2/2000", Option(1.02), 1),
+      (10516L, "a", "1/3/2000", Option(1.03), 1), // boundary tie -> LOWER bucket (per-group rule)
+      (10516L, "a", "1/4/2000", Option(1.04), 2),
+      (10516L, "b", "1/1/2000", Option(1.05), 1),
+      (10516L, "b", "1/2/2000", Option(1.06), 1),
+      (10516L, "b", "1/3/2000", Option(1.07), 2),
+      (10516L, "b", "1/4/2000", Option(1.08), 2),
+      (10517L, "a", "1/1/2000", Option(1.09), 1),
+      (10517L, "a", "1/2/2000", Option(1.10), 1),
+      (10517L, "a", "1/3/2000", Option(1.11), 2),
+      (10517L, "a", "1/4/2000", Option(1.12), 2)
+    ).toDF("PERMNO", "byvar", "Date", "RET", "portfolio")
+    assertSame(out, expect)
+  }
+
+  test("portfolio_averages EW (tests/test_pandas.py:420-428,466-467)") {
+    val s = spark; import s.implicits._
+    val avgs = Portfolio.portfolioAverages(fixtureDfWeight, "RET", Seq("RET"),
+      ngroups = 2, byvars = Seq("byvar"))
+    val expect = Seq(
+      (1, "a", 1.0250000000000001), (1, "b", 1.0550000000000002),
+      (2, "a", 1.1050000000000002), (2, "b", 1.0750000000000002)
+    ).toDF("portfolio", "byvar", "RET")
+    assertSame(avgs, expect)
+  }
+
+  test("portfolio_averages VW (tests/test_pandas.py:430-438,469-470)") {
+    val s = spark; import s.implicits._
+    val avgs = Portfolio.portfolioAverages(fixtureDfWeight, "RET", Seq("RET"),
+      ngroups = 2, byvars = Seq("byvar"), wtvar = Some("weight"))
+    val expect = Seq(
+      (1, "a", 1.0250000000000001, 1.025), (1, "b", 1.0550000000000002, 1.0550000000000002),
+      (2, "a", 1.1050000000000002, 1.12), (2, "b", 1.0750000000000002, 1.0750000000000002)
+    ).toDF("portfolio", "byvar", "RET", "RET_wavg")
+    assertSame(avgs, expect)
+  }
+
+  test("portfolio construction under averages matches golden (tests/test_pandas.py:440-457,472-475)") {
+    val s = spark; import s.implicits._
+    val out = Portfolio.portfolio(fixtureDfWeight, "RET", ngroups = 2, byvars = Seq("byvar"))
+    val expect = Seq(
+      (10516L, "a", "1/1/2000", 1.01, 1), (10516L, "a", "1/2/2000", 1.02, 1),
+      (10516L, "a", "1/3/2000", 1.03, 1), (10516L, "a", "1/4/2000", 1.04, 1),
+      (10516L, "b", "1/1/2000", 1.05, 1), (10516L, "b", "1/2/2000", 1.06, 1),
+      (10516L, "b", "1/3/2000", 1.07, 2), (10516L, "b", "1/4/2000", 1.08, 2),
+      (10517L, "a", "1/1/2000", 1.09, 2), (10517L, "a", "1/2/2000", 1.10, 2),
+      (10517L, "a", "1/3/2000", 1.11, 2), (10517L, "a", "1/4/2000", 1.12, 2)
+    ).toDF("PERMNO", "byvar", "Date", "RET", "portfolio")
+    assertSame(out.drop("weight"), expect)
+  }
+
+  test("whole-frame hard cutoffs put boundary ties in the HIGHER bucket (pd_utils/port.py:263-268)") {
+    val s = spark; import s.implicits._
+    val df = Seq(1.0, 2.0, 2.0, 3.0).toDF("x")
+    val out = Portfolio.portfolio(df, "x", cutoffs = Seq(2.0))
+    val got = out.orderBy("x").select("portfolio").collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(1, 2, 2, 2)) // 2.0 == cutoff -> higher bucket
+  }
+
+  test("long_short_portfolio subtracts bottom from top aligned on byvars (pd_utils/port.py:211-260)") {
+    val s = spark; import s.implicits._
+    val pa = Portfolio.portfolioAverages(fixtureDfWeight, "RET", Seq("RET"),
+      ngroups = 2, byvars = Seq("byvar"))
+    val ls = Portfolio.longShortPortfolio(pa, "portfolio", Seq("byvar"), Seq("RET"))
+    val expect = Seq(
+      ("a", 1.1050000000000002 - 1.0250000000000001),
+      ("b", 1.0750000000000002 - 1.0550000000000002)
+    ).toDF("byvar", "RET")
+    assertSame(ls, expect)
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.Winsorize
+
+/** Golden: /root/reference/tests/test_pandas.py:478-503
+  * (test_winsor_40_subset_byvars, check_less_precise -> tol 1e-3).
+  * The 1.0216 value pins the reference's sequential clamp: the bottom
+  * quantile is computed AFTER the top clamp mutates the column.
+  */
+class WinsorizeSpec extends SparkSuite {
+
+  test("winsorize 0.4 subset byvars (tests/test_pandas.py:478-503)") {
+    val s = spark; import s.implicits._
+    val out = Winsorize.winsorize(fixtureDf, 0.4, Seq("RET"), Seq("PERMNO", "byvar"))
+    val expect = Seq(
+      (10516L, "a", "1/1/2000", 1.0216), (10516L, "a", "1/2/2000", 1.0216),
+      (10516L, "a", "1/3/2000", 1.028), (10516L, "a", "1/4/2000", 1.028),
+      (10516L, "b", "1/1/2000", 1.0616), (10516L, "b", "1/2/2000", 1.0616),
+      (10516L, "b", "1/3/2000", 1.068), (10516L, "b", "1/4/2000", 1.068),
+      (10517L, "a", "1/1/2000", 1.1016000000000001), (10517L, "a", "1/2/2000", 1.1016000000000001),
+      (10517L, "a", "1/3/2000", 1.108), (10517L, "a", "1/4/2000", 1.108)
+    ).toDF("PERMNO", "byvar", "Date", "RET")
+    assertSame(out, expect, tol = 1e-3)
+  }
+
+  test("winsorize without byvars keeps a distributed plan and clamps whole-frame") {
+    val s = spark; import s.implicits._
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "x")
+    val out = Winsorize.winsorize(df, (0.05, 0.05), Seq("x"), Nil)
+    val xs = out.select("x").collect().map(_.getDouble(0))
+    // q0.95 of 1..100 (linear) = 95.05; q0.05 of the top-clamped data
+    assert(xs.max <= 95.0500001)
+    assert(xs.min >= 5.9499999 - 1e-6)
+    // no single-partition Window in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window ["), s"unexpected Window in plan:\n$plan")
+  }
+
+  test("single-tail winsorize leaves the other tail untouched") {
+    val s = spark; import s.implicits._
+    val df = (1 to 10).map(i => (i.toLong, i.toDouble)).toDF("id", "x")
+    val out = Winsorize.winsorize(df, (0.2, 0.2), Seq("x"), Nil, bot = false, top = true)
+    val xs = out.select("x").collect().map(_.getDouble(0))
+    assert(xs.min == 1.0)
+    assert(xs.max < 10.0)
+  }
+}
