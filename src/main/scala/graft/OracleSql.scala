@@ -346,6 +346,9 @@ round(CASE WHEN count(*) >= 3 THEN regr_intercept(l_extendedprice, l_quantity) E
 round(CASE WHEN count(*) >= 3 THEN regr_slope(l_extendedprice, l_quantity) END, 3) AS coef_l_quantity
 FROM lineitem GROUP BY 1, 2""",
 
+    "q_apply_unique" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS ym FROM orders""",
+
     "q_read_file" ->
       """SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY 1""",
 

@@ -247,6 +247,11 @@ object SparkEntry {
         .select(col("l_returnflag"), col("l_linestatus"),
           round(col("const"), 3).as("const"), round(col("coef_l_quantity"), 3).as("coef_l_quantity"))
     }),
+    "q_apply_unique" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select("o_orderkey", "o_orderdate")
+      Merge.applyFuncToUniqueAndMerge(o, "o_orderdate", d => date_format(d, "yyyy-MM"), "ym")
+        .select("o_orderkey", "ym")
+    }),
     // ---- §2.1 sources --------------------------------------------
     "q_read_file" -> ((s, dir) => {
       val li = graft.sources.ReadFile.readFile(s, s"$dir/lineitem.parquet")

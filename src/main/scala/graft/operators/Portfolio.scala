@@ -113,8 +113,8 @@ object Portfolio {
   }
 
   /** portfolio() then averages() within (byvars × portfolio)
-    * (pd_utils/port.py:157-208). Returns the averages frame; callers
-    * wanting the row-level detail can call portfolio() themselves.
+    * (pd_utils/port.py:157-208). Returns the averages frame only —
+    * the reference's `avgonly=True` form.
     */
   def portfolioAverages(
       df: DataFrame,
@@ -126,9 +126,29 @@ object Portfolio {
       wtvar: Option[String] = None,
       count: Option[String] = None,
       portvar: String = "portfolio"
-  ): DataFrame = {
+  ): DataFrame =
+    portfolioAveragesWithDetail(df, groupvar, avgvars, ngroups, byvars, cutDf, wtvar, count, portvar)._1
+
+  /** The reference's default return shape: (averages, the individual
+    * observations with their portfolio assignments)
+    * (pd_utils/port.py:203-208). Both frames share the single
+    * portfolio-assignment plan, so Catalyst reuses the cutoff
+    * aggregation if both are consumed.
+    */
+  def portfolioAveragesWithDetail(
+      df: DataFrame,
+      groupvar: String,
+      avgvars: Seq[String],
+      ngroups: Int = 10,
+      byvars: Seq[String] = Nil,
+      cutDf: Option[DataFrame] = None,
+      wtvar: Option[String] = None,
+      count: Option[String] = None,
+      portvar: String = "portfolio"
+  ): (DataFrame, DataFrame) = {
     val ports = portfolio(df, groupvar, ngroups, byvars, cutDf = cutDf, portvar = portvar)
-    GroupOps.averages(ports, avgvars, byvars :+ portvar, wtvar, count)
+    val avgs = GroupOps.averages(ports, avgvars, byvars :+ portvar, wtvar, count)
+    (avgs, ports)
   }
 
   /** Long top portfolio minus short bottom portfolio, aligned on

@@ -88,7 +88,9 @@ object Reshape {
   /** Duplicates each row once per shift in `time`, adding `shiftvar`
     * and `newdate` = date advanced by that many periods
     * (pd_utils/datetime_utils.py:56-174). freq: "m" months, "a" years,
-    * "d" calendar days, "td" trading days (reference: CustomBusinessDay).
+    * "d"/"td" trading days (the reference's 'd' defaults to its US
+    * trading-day CustomBusinessDay calendar), "cd" plain calendar
+    * days (extension).
     *
     * Implemented with explode(array(...)) — no frame duplication.
     * Trading-day shifts map the date to its trading-day ordinal via a
@@ -106,8 +108,8 @@ object Reshape {
     freq match {
       case "m" => exploded.withColumn(newdate, add_months(col(datevar), col(shiftvar)).cast("timestamp"))
       case "a" => exploded.withColumn(newdate, add_months(col(datevar), col(shiftvar) * 12).cast("timestamp"))
-      case "d" => exploded.withColumn(newdate, date_add(col(datevar), col(shiftvar)).cast("timestamp"))
-      case "td" =>
+      case "cd" => exploded.withColumn(newdate, date_add(col(datevar), col(shiftvar)).cast("timestamp"))
+      case "d" | "td" =>
         val spark = df.sparkSession
         import spark.implicits._
         // Static calendar (no data scan at composition time — the old
