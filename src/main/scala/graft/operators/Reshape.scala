@@ -34,8 +34,11 @@ object Reshape {
       values: Seq[String],
       colindex: Seq[String] = Nil,
       orderCols: Seq[String] = Nil,
-      agg: Column => Column = c => first(c, ignoreNulls = true)
+      agg: Column => Column = c => first(c, ignoreNulls = true),
+      colindexOnly: Boolean = false
   ): DataFrame = {
+    require(!(colindexOnly && values.size > 1),
+      "set colindexOnly to false when passing more than one value (pd_utils/transform.py:63-65)")
     val base = df.dropDuplicates()
     val (withIdx, idxCol) = colindex match {
       case Nil =>
@@ -69,7 +72,9 @@ object Reshape {
     // splitting at the last underscore (which corrupts value names
     // that themselves contain '_', e.g. "ret_1").
     val renames: Seq[(String, String)] =
-      if (values.size == 1)
+      if (colindexOnly)
+        Nil // bare colindex values as column names (pd_utils/transform.py:92)
+      else if (values.size == 1)
         pivoted.columns.toSeq
           .filterNot((groupvars ++ carried).contains)
           .map(c => c -> s"${values.head}$c")

@@ -93,6 +93,24 @@ class PortfolioSpec extends SparkSuite {
     assert(got == Seq(1, 2, 2, 2)) // 2.0 == cutoff -> higher bucket
   }
 
+  test("quant_cutoffs define explicit interior quantiles (pd_utils/port.py:31-36)") {
+    val s = spark; import s.implicits._
+    val df = (1 to 10).map(i => (i.toLong, i.toDouble)).toDF("id", "x")
+    val out = Portfolio.portfolio(df, "x", quantCutoffs = Seq(0.8)) // 80/20 split, whole frame
+    val counts = out.groupBy("portfolio").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1 -> 8, 2 -> 2)) // q0.8 of 1..10 = 8.2 -> x >= 8.2 in bucket 2
+  }
+
+  test("cutdf computes cutoffs on a different dataset (pd_utils/port.py:37-39)") {
+    val s = spark; import s.implicits._
+    val data = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 100.0)).toDF("k", "x")
+    val cut = Seq(("g", 0.0), ("g", 10.0)).toDF("k", "x") // median 5.0
+    val out = Portfolio.portfolio(data, "x", ngroups = 2, byvars = Seq("k"), cutDf = Some(cut))
+    val m = out.collect().map(r => r.getDouble(1) -> r.getInt(2)).toMap
+    assert(m == Map(1.0 -> 1, 2.0 -> 1, 3.0 -> 1, 100.0 -> 2)) // cut at 5.0 from cutdf
+  }
+
   test("long_short_portfolio subtracts bottom from top aligned on byvars (pd_utils/port.py:211-260)") {
     val s = spark; import s.implicits._
     val pa = Portfolio.portfolioAverages(fixtureDfWeight, "RET", Seq("RET"),

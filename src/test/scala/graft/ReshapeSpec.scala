@@ -101,6 +101,15 @@ class ReshapeSpec extends SparkSuite {
     assert(got == Seq((1, "2000-02-29"), (12, "2001-01-31")))
   }
 
+  test("colindex_only uses bare colindex values as names (pd_utils/transform.py:23-25,92)") {
+    val out = Reshape.longToWide(fixtureDf, Seq("PERMNO", "byvar"), Seq("RET"), Seq("Date"),
+      colindexOnly = true)
+    assert(out.columns.toSet == Set("PERMNO", "byvar", "1/1/2000", "1/2/2000", "1/3/2000", "1/4/2000"))
+    intercept[IllegalArgumentException] {
+      Reshape.longToWide(fixtureDf, Seq("PERMNO"), Seq("RET", "PERMNO"), Seq("Date"), colindexOnly = true)
+    }
+  }
+
   test("expand_time trading-day shifts skip weekends and holidays") {
     val s = spark; import s.implicits._
     // Fri 2000-01-14 + 1 trading day = Tue 2000-01-18 (17th = MLK Day)
