@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.SessionEvent
+
+/** Structured Streaming extensions: the same operators run on batch
+  * frames (deterministic) and on a MemoryStream (exercising the
+  * streaming planner, watermarks, and state handling).
+  */
+class StreamingSpec extends SparkSuite {
+
+  test("windowedAverages tumbling event-time windows (batch parity)") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, ts("2024-01-01"), 10.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:03:00"), 20.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:07:00"), 30.0)
+    ).toDF("user_id", "ts", "value")
+    val out = StreamOps.windowedAverages(df, "ts", Seq("user_id"), "value", "5 minutes")
+    val got = out.orderBy("window_start")
+      .select("value_avg", "n_events").collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    assert(got == Seq((15.0, 2L), (30.0, 1L)))
+  }
+
+  test("windowedAverages runs as a real stream with a watermark") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val df = input.toDF().toDF("user_id", "ts", "value")
+    val out = StreamOps.windowedAverages(df, "ts", Seq("user_id"), "value", "5 minutes")
+    val q = out.writeStream.format("memory").queryName("wavg_test")
+      .outputMode("update").start()
+    try {
+      input.addData((1L, ts("2024-01-01"), 10.0), (1L, java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), 30.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT value_avg, n_events FROM wavg_test").collect()
+      assert(rows.map(r => (r.getDouble(0), r.getLong(1))).toSet == Set((20.0, 2L)))
+    } finally q.stop()
+  }
+
+  test("sessionize splits on inactivity gaps (batch parity)") {
+    val s = spark; import s.implicits._
+    val events = Seq(
+      SessionEvent(1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      SessionEvent(1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:30"), 2.0),
+      SessionEvent(1L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 3.0), // > 1 min gap
+      SessionEvent(2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 4.0)
+    ).toDS()
+    val out = StreamOps.sessionize(events, gapMillis = 60000).collect()
+    val byKey = out.groupBy(_.key)
+    assert(byKey(1L).length == 2)
+    val first = byKey(1L).minBy(_.start.getTime)
+    assert(first.nEvents == 2 && first.totalValue == 3.0)
+    assert(byKey(2L).head.nEvents == 1)
+  }
+
+  test("streamingDedup keeps one row per normalized digest") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (ts("2024-01-01"), "The quick brown fox"),
+      (ts("2024-01-01"), "the  quick BROWN fox!"), // same normalized digest
+      (ts("2024-01-01"), "something else")
+    ).toDF("ts", "text")
+    val out = StreamOps.streamingDedup(df, "ts", "text")
+    assert(out.count() == 2)
+  }
+}
