@@ -63,6 +63,30 @@ object Dedup {
   def wordShingles(text: Column, n: Int): Column =
     shinglesFromWords(splitWords(text), n)
 
+  /** Same output as [[shinglesFromWords]] as a JVM-native UDF. Spark
+    * evaluates lambda higher-order functions (transform/aggregate)
+    * interpreted — never codegen — at ~4-5us per element; this loop
+    * is ~20x faster (measured 13.7s -> 0.7s over 260k shingles) and
+    * is what the dedup hot paths use. The expression form remains the
+    * spec the DuckDB oracle mirrors.
+    */
+  def shinglesFromWordsUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (words: Seq[String]) =>
+      if (words.length < n) Seq.empty[String]
+      else {
+        val out = new Array[String](words.length - n + 1)
+        var i = 0
+        while (i < out.length) {
+          val sb = new java.lang.StringBuilder(words(i))
+          var k = 1
+          while (k < n) { sb.append(' ').append(words(i + k)); k += 1 }
+          out(i) = sb.toString
+          i += 1
+        }
+        out.toSeq
+      }
+    }
+
   /** MinHash signature of a shingle array: for each of `numHashes`
     * seeds, the lexicographic minimum of md5(shingle || '#' || seed).
     * A string-min over md5 is a valid min-wise hash family and is
@@ -85,6 +109,45 @@ object Dedup {
           least(element_at(acc, seed + 1), md5(concat(s, lit(s"#$seed"))))
         }: _*)
     )
+
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  /** Same signature as [[minhashSignature]] (bit-identical: md5 hex of
+    * `shingle || '#' || seed`, lexicographic min per lane) as a
+    * JVM-native UDF. Spark never code-generates lambda higher-order
+    * functions, so the expression form pays ~5us of interpreted
+    * overhead per lane-element; this tight loop is ~10x faster and is
+    * what [[minhashCandidates]] uses on the hot path. Kept alongside
+    * the expression form, which remains the spec for the DuckDB
+    * oracle.
+    */
+  def minhashSignatureUdf(numHashes: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (shingles: Seq[String]) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val mins = Array.fill(numHashes)("g")
+      var i = 0
+      while (i < shingles.length) {
+        val s = shingles(i)
+        var seed = 0
+        while (seed < numHashes) {
+          md.reset()
+          md.update((s + "#" + seed).getBytes("UTF-8"))
+          val dig = md.digest()
+          val sb = new java.lang.StringBuilder(32)
+          var b = 0
+          while (b < 16) {
+            sb.append(hexChars((dig(b) >> 4) & 0xf))
+            sb.append(hexChars(dig(b) & 0xf))
+            b += 1
+          }
+          val hex = sb.toString
+          if (hex.compareTo(mins(seed)) < 0) mins(seed) = hex
+          seed += 1
+        }
+        i += 1
+      }
+      mins.toSeq
+    }
 
   /** Candidate near-duplicate pairs via banded LSH over MinHash
     * signatures. `numHashes` must be divisible by `bands`; docs
@@ -114,9 +177,9 @@ object Dedup {
     // penalty (measured 14.6s -> 0.3s at sf0.001 with the barrier)
     val sig = df
       .select(col(idCol).as("__id__"), splitWords(col(textCol)).as("__words__"))
-      .select(col("__id__"), shinglesFromWords(col("__words__"), shingleWords).as("__shingles__"))
+      .select(col("__id__"), shinglesFromWordsUdf(shingleWords)(col("__words__")).as("__shingles__"))
       .where(size(col("__shingles__")) > 0)
-      .select(col("__id__"), minhashSignature(col("__shingles__"), numHashes).as("__sig__"))
+      .select(col("__id__"), minhashSignatureUdf(numHashes)(col("__shingles__")).as("__sig__"))
     // persist the tiny (id, band, bandsig) frame: it feeds BOTH sides
     // of the self-join plus the bucket-size window, and Catalyst's
     // project-collapsing would otherwise re-inline (and re-execute)
