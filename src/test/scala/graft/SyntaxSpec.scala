@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.syntax._
+
+/** The fluent extension-method surface composes like the reference
+  * reads: each call is still a lazy plan.
+  */
+class SyntaxSpec extends SparkSuite {
+
+  test("fluent chain: winsorize -> portfolio -> averages via df.<op>") {
+    val out = fixtureDf
+      .winsorize((0.1, 0.1), Seq("RET"), Seq("PERMNO", "byvar"))
+      .portfolio("RET", ngroups = 2, byvars = Seq("byvar"))
+      .averages(Seq("RET"), Seq("byvar", "portfolio"))
+    assert(out.count() == 4)
+    assert(out.columns.toSet == Set("byvar", "portfolio", "RET"))
+  }
+
+  test("fluent groupbyMerge / varChange / groupbyIndex") {
+    val out = fixtureDf
+      .groupbyMerge(Seq("PERMNO", "byvar"), "max", Seq("RET"))
+      .varChangeByGroups(Seq("RET"), Seq("PERMNO", "byvar"), "Date")
+      .groupbyIndex(Seq("PERMNO", "byvar"), Seq("Date"))
+    assert(out.columns.contains("RET_max"))
+    assert(out.columns.contains("RET_change"))
+    assert(out.columns.contains("group_index"))
+    assert(out.count() == 12)
+  }
+
+  test("composing operators triggers no Spark jobs (lazy plans)") {
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val composed = fixtureDf
+      .winsorize((0.1, 0.1), Seq("RET"), Nil) // no-byvars path: scalar aggs stay lazy
+      .portfolio("RET", ngroups = 2)          // whole-frame cutoffs stay lazy
+      .longShortPortfolio("portfolio", Seq("byvar"), Seq("RET"))
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before, "operator composition must not run Spark jobs")
+    assert(composed.count() >= 0) // materializes fine when asked
+  }
+}
