@@ -276,9 +276,15 @@ object Dedup {
       blockCols: Seq[String],
       threshold: Double
   ): DataFrame = {
-    val a = df.select((blockCols.map(col) :+ col(idCol).as("id_a")) :+ col(vecCol).as("__va__"): _*)
-    val b = df.select((blockCols.map(col) :+ col(idCol).as("id_b")) :+ col(vecCol).as("__vb__"): _*)
-    val cos = Similarity.cosine(col("__va__"), col("__vb__"))
+    // norms are per ROW, so compute them before the quadratic pair
+    // stage — norm-inside-cosine would re-fold each vector once per
+    // pair instead of once per row
+    val withNorm = df.select(
+      (blockCols.map(col) :+ col(idCol).as("__id__") :+ col(vecCol).as("__v__")
+        :+ Similarity.norm(col(vecCol)).as("__n__")): _*)
+    val a = withNorm.toDF((blockCols :+ "id_a" :+ "__va__" :+ "__na__"): _*)
+    val b = withNorm.toDF((blockCols :+ "id_b" :+ "__vb__" :+ "__nb__"): _*)
+    val cos = Similarity.dot(col("__va__"), col("__vb__")) / (col("__na__") * col("__nb__"))
     a.join(b, blockCols)
       .where(col("id_a") < col("id_b"))
       .withColumn("cosine", cos)

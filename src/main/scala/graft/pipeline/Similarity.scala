@@ -40,14 +40,18 @@ object Similarity {
       k: Int,
       scoreDecimals: Int = 4
   ): DataFrame = {
+    // norms staged per row, not per (query, corpus) pair
     val q = broadcast(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv__"))
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv__"),
+        norm(col(vecCol)).as("__qn__"))
     )
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv__"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv__"),
+      norm(col(vecCol)).as("__cn__"))
     val scored = q
       .crossJoin(c)
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", round(cosine(col("__qv__"), col("__cv__")), scoreDecimals))
+      .withColumn("score",
+        round(dot(col("__qv__"), col("__cv__")) / (col("__qn__") * col("__cn__")), scoreDecimals))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -96,11 +100,13 @@ object Similarity {
       val c = corpus.select(
         col(idCol).as("neighbor_id"),
         col(vecCol).as("__cv__"),
+        norm(col(vecCol)).as("__cn__"),
         lshBucket(col(vecCol), planes, seed).as("__bucket__")
       )
       val q = queries.select(
         col(idCol).as("query_id"),
         col(vecCol).as("__qv__"),
+        norm(col(vecCol)).as("__qn__"),
         lshBucket(col(vecCol), planes, seed).as("__bucket__")
       )
       q.join(c, Seq("__bucket__"))
@@ -108,7 +114,7 @@ object Similarity {
         .select(
           col("query_id"),
           col("neighbor_id"),
-          round(cosine(col("__qv__"), col("__cv__")), scoreDecimals).as("score")
+          round(dot(col("__qv__"), col("__cv__")) / (col("__qn__") * col("__cn__")), scoreDecimals).as("score")
         )
     }
     val all = per.reduce(_ unionByName _).dropDuplicates("query_id", "neighbor_id")
