@@ -163,17 +163,24 @@ object Portfolio {
       shortBottom: Boolean = true
   ): DataFrame = {
     // global max/min portfolio numbers stay in the plan (broadcast
-    // scalar agg) — no driver action at composition time.
+    // scalar agg) — no driver action at composition time. The
+    // subtraction is a single conditional aggregation pass instead of
+    // a top-side/bottom-side self-join, so the input plan is
+    // evaluated twice (mm + agg), not three times. Like the
+    // reference's index alignment (pd_utils/port.py:246-252), the
+    // input must have one row per (byvars, portfolio).
     val mm = df.agg(max(col(portvar)).as("__mx__"), min(col(portvar)).as("__mn__"))
     val withMM = df.crossJoin(broadcast(mm))
     val (longSel, shortSel) =
       if (shortBottom) (col(portvar) === col("__mx__"), col(portvar) === col("__mn__"))
       else (col(portvar) === col("__mn__"), col(portvar) === col("__mx__"))
-    val top = withMM.filter(longSel).select((byvars ++ retvars).map(col): _*)
-    val bot = withMM.filter(shortSel).select((byvars ++ retvars).map(col): _*)
-    val botRen = retvars.foldLeft(bot)((d, c) => d.withColumnRenamed(c, s"__short_$c"))
-    top
-      .join(botRen, byvars)
-      .select(toCols(byvars) ++ retvars.map(c => (col(c) - col(s"__short_$c")).as(c)): _*)
+    val tagged = withMM
+      .filter(longSel || shortSel)
+      .withColumn("__is_long__", longSel)
+    val aggs = retvars.map(c =>
+      (max(when(col("__is_long__"), col(c))) - max(when(!col("__is_long__"), col(c)))).as(c))
+    tagged
+      .groupBy(toCols(byvars): _*)
+      .agg(aggs.head, aggs.tail: _*)
   }
 }
