@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.operators.{Cumulate, Portfolio, Winsorize}
+
+/** Property tests the reference never had (SURVEY §5): structural
+  * invariants that must hold for ANY input, not just the goldens.
+  * Small generated frames; 10 cases per property keeps the suite
+  * fast while still sweeping group sizes/values.
+  */
+class PropertySpec extends SparkSuite {
+
+  /** Raw ScalaCheck generators (the scalatest bridge isn't in the
+    * offline dependency set); each property sweeps `n` samples.
+    */
+  private def forAllSamples[A](g: Gen[A], n: Int = 10)(body: A => Unit): Unit =
+    Iterator.continually(g.sample).flatten.take(n).foreach(body)
+
+  private val groupGen: Gen[List[(String, Double)]] = for {
+    n <- Gen.choose(2, 25)
+    keys <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+    vals <- Gen.listOfN(n, Gen.choose(-100.0, 100.0))
+  } yield keys.zip(vals)
+
+  test("winsorize output is always within the clamp bounds and preserves row count") {
+    forAllSamples(groupGen) { rows =>
+      if (rows.size >= 2) {
+        val s = spark; import s.implicits._
+        val df = rows.zipWithIndex.map { case ((k, v), i) => (i.toLong, k, v) }.toDF("id", "k", "x")
+        val out = Winsorize.winsorize(df, (0.1, 0.1), Seq("x"), Seq("k"))
+        assert(out.count() == rows.size)
+        // every group's output range is within its input range (clamping never expands)
+        val joined = out.groupBy("k").agg(min("x").as("omin"), max("x").as("omax"))
+          .join(df.groupBy("k").agg(min("x").as("imin"), max("x").as("imax")), "k")
+        joined.collect().foreach { r =>
+          assert(r.getDouble(1) >= r.getDouble(3) - 1e-9, "out min below in min")
+          assert(r.getDouble(2) <= r.getDouble(4) + 1e-9, "out max above in max")
+        }
+      }
+    }
+  }
+
+  test("portfolio assigns every non-null row a bucket in [1, ngroups]") {
+    forAllSamples(groupGen) { rows =>
+      if (rows.size >= 2) {
+        val s = spark; import s.implicits._
+        val df = rows.zipWithIndex.map { case ((k, v), i) => (i.toLong, k, v) }.toDF("id", "k", "x")
+        val out = Portfolio.portfolio(df, "x", ngroups = 3, byvars = Seq("k"))
+        val ports = out.select("portfolio").collect().map(_.getInt(0))
+        assert(ports.forall(p => p >= 1 && p <= 3))
+        // monotonicity: within a group, a larger x never gets a smaller bucket
+        val byGroup = out.select("k", "x", "portfolio").collect()
+          .map(r => (r.getString(0), r.getDouble(1), r.getInt(2)))
+          .groupBy(_._1)
+        byGroup.values.foreach { g =>
+          val sorted = g.sortBy(_._2)
+          sorted.sliding(2).foreach {
+            case Array((_, _, p1), (_, _, p2)) => assert(p1 <= p2, "bucket not monotone in value")
+            case _ =>
+          }
+        }
+      }
+    }
+  }
+
+  test("cumulate 'first': final cum value equals the product of the non-window-0 rows") {
+    forAllSamples(groupGen) { rows =>
+      if (rows.size >= 2) {
+        val s = spark; import s.implicits._
+        // returns near 1 so products stay finite
+        val df = rows.zipWithIndex.map { case ((k, v), i) => (i.toLong, k, 1.0 + v / 1000.0) }
+          .toDF("t", "k", "r")
+        val out = Cumulate.cumulate(df, Seq("r"), "first", "t", Seq("k"))
+        val globalMinT = df.agg(min("t")).head().getLong(0)
+        val expected = df.where(col("t") =!= globalMinT)
+          .groupBy("k").agg(expr("exp(sum(ln(r)))").as("prod"))
+        val lastCum = out.where(col("t") =!= globalMinT)
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy(col("t").desc)))
+          .where(col("rn") === 1).select("k", "cum_r")
+        val cmp = expected.join(lastCum, "k").collect()
+        cmp.foreach { r =>
+          assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-9 * math.max(1, math.abs(r.getDouble(1))))
+        }
+      }
+    }
+  }
+
+  test("grossify(cumulate) is consistent: grossify of (r-1) equals plain cumulate of r minus 1") {
+    forAllSamples(groupGen) { rows =>
+      if (rows.size >= 2) {
+        val s = spark; import s.implicits._
+        val df = rows.zipWithIndex.map { case ((k, v), i) => (i.toLong, k, 1.0 + v / 1000.0) }
+          .toDF("t", "k", "r")
+        val plain = Cumulate.cumulate(df, Seq("r"), "first", "t", Seq("k"))
+          .select(col("t"), col("k"), (col("cum_r") - 1).as("cum"))
+        val gross = Cumulate.cumulate(df.withColumn("r", col("r") - 1), Seq("r"), "first", "t", Seq("k"), grossify = true)
+          .select(col("t"), col("k"), col("cum_r").as("cum"))
+        val diff = plain.join(gross, Seq("t", "k"))
+          .select(abs(plain("cum") - gross("cum")).as("d"))
+          .agg(max("d")).head().getDouble(0)
+        assert(diff < 1e-9)
+      }
+    }
+  }
+}
