@@ -401,6 +401,34 @@ r AS (SELECT query_id, neighbor_id, score, CAST(row_number() OVER (PARTITION BY 
 SELECT query_id, neighbor_id, score, "rank" FROM r WHERE "rank" <= 5""",
 
     "q_media_metadata" ->
-      """SELECT doc_id, 'text/plain' AS mime, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, md5(text) AS digest FROM documents"""
+      """SELECT doc_id, 'text/plain' AS mime, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, md5(text) AS digest FROM documents""",
+
+    // frame digest = md5 over the hex encoding of each byte window
+    // (hex is ASCII, so string md5 matches Spark's byte md5 of the
+    // same hex text exactly; see Multimodal.sampleFrames)
+    "q_media_frames" ->
+      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents),
+s AS (SELECT doc_id, hx, greatest(CAST(floor(n / 4.0) AS BIGINT), 1) AS step FROM h),
+f AS (SELECT doc_id, hx, step, unnest([0, 1, 2, 3]) AS frame_idx FROM s)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+md5(substring(hx, CAST(frame_idx * step * 2 + 1 AS INT), CAST(step * 2 AS INT))) AS frame_digest
+FROM f""",
+
+    // lane-mean byte features: integer lane sums / (255 * lane count),
+    // cast through float32 exactly as Multimodal.decodeStub does —
+    // every arithmetic step is IEEE-deterministic so the hash matches
+    "q_media_features" ->
+      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents),
+p AS (SELECT doc_id, hx, unnest(range(0, n)) AS pos FROM h),
+b AS (SELECT doc_id, CAST(pos % 8 AS INT) AS dim,
+(strpos('0123456789ABCDEF', substring(hx, CAST(2*pos+1 AS INT), 1)) - 1) * 16
++ (strpos('0123456789ABCDEF', substring(hx, CAST(2*pos+2 AS INT), 1)) - 1) AS byte
+FROM p),
+agg AS (SELECT doc_id, dim, sum(byte) AS s, count(*) AS c FROM b GROUP BY 1, 2),
+grid AS (SELECT d.doc_id, dm.dim FROM (SELECT DISTINCT doc_id FROM documents) d
+CROSS JOIN (SELECT CAST(unnest(range(0, 8)) AS INT) AS dim) dm)
+SELECT grid.doc_id, grid.dim,
+round(CAST(CAST(CASE WHEN agg.c IS NULL THEN 0.0 ELSE agg.s / (255.0 * agg.c) END AS FLOAT) AS DOUBLE), 6) AS value
+FROM grid LEFT JOIN agg ON grid.doc_id = agg.doc_id AND grid.dim = agg.dim"""
   )
 }

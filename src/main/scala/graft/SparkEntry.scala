@@ -348,8 +348,14 @@ object SparkEntry {
       Multimodal.sampleFrames(d, "doc_id", "payload", frames = 4)
     }),
     "q_media_features" -> ((s, dir) => {
+      // exploded to scalar (doc_id, dim, value) rows: the driver's
+      // comparator sorts rows with pandas, which cannot sort an
+      // array<float> column — and the lane-mean stub is integer-exact,
+      // so the float32 values reproduce bit-for-bit in the oracle
       val d = t(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("payload"))
-      Multimodal.extractFeatures(d, "doc_id", "payload", dims = 8).select("doc_id", "features")
+      Multimodal.extractFeatures(d, "doc_id", "payload", dims = 8)
+        .select(col("doc_id"), posexplode(col("features")).as(Seq("dim", "value")))
+        .select(col("doc_id"), col("dim"), round(col("value").cast("double"), 6).as("value"))
     })
   )
 

@@ -34,24 +34,29 @@ object Multimodal {
       .withColumn("n_bytes", octet_length(col(payloadCol)).cast("long"))
       .withColumn("digest", md5(col(payloadCol)))
 
-  /** Deterministic fake "decode": a fixed-size feature vector derived
-    * from the payload bytes (byte histogram moments + length). Stands
-    * in for image-resize/audio-spectrogram feature extraction; the
-    * real implementation replaces ONLY the body of `features`.
+  /** Deterministic fake "decode": feature d is the mean normalized
+    * byte value over the stride lane `i % dims == d` (0 when the lane
+    * is empty). Stands in for image-resize/audio-spectrogram feature
+    * extraction; the real implementation replaces ONLY this body.
+    *
+    * Numerically integer-exact by construction — lane sums are exact
+    * Long integers and the single double division + float32 rounding
+    * is IEEE-deterministic, so an external engine (the DuckDB oracle)
+    * reproduces every value bit-for-bit from the same bytes.
     */
   def decodeStub(payload: Array[Byte], dims: Int): Array[Float] = {
     if (payload == null) return Array.fill(dims)(0f)
-    val out = new Array[Float](dims)
+    val sums = new Array[Long](dims)
+    val counts = new Array[Long](dims)
     var i = 0
     while (i < payload.length) {
-      out(i % dims) += (payload(i) & 0xff) / 255.0f
+      sums(i % dims) += (payload(i) & 0xff)
+      counts(i % dims) += 1
       i += 1
     }
-    if (payload.length > 0) {
-      var d = 0
-      while (d < dims) { out(d) /= math.max(1, payload.length / dims).toFloat; d += 1 }
+    Array.tabulate(dims) { d =>
+      if (counts(d) == 0) 0f else (sums(d) / (255.0 * counts(d))).toFloat
     }
-    out
   }
 
   /** Feature extraction over a binary column as a column expression:
@@ -75,18 +80,29 @@ object Multimodal {
   /** Frame-sampling stub for video-like payloads: splits the payload
     * into `frames` equal byte windows (stand-in for keyframe
     * extraction) and explodes one row per frame with its digest.
+    *
+    * The digest is md5 over the HEX encoding of the byte window, not
+    * the raw bytes: hex is a faithful byte encoding, the window can
+    * split a payload anywhere (no UTF-8 validity concern), and a
+    * string md5 is reproducible in any engine — so the operator is
+    * oracle-checkable end to end. The hex string is staged once per
+    * row before the per-frame explode.
     */
   def sampleFrames(df: DataFrame, idCol: String, payloadCol: String, frames: Int): DataFrame = {
+    // explicit floor: `/` is double division in Spark SQL, and an
+    // implicit double->int cast truncates here but ROUNDS in other
+    // engines — integer positions keep the operator oracle-portable
     val n = octet_length(col(payloadCol))
-    val step = greatest((n / frames), lit(1))
-    df.select(
-      col(idCol),
-      posexplode(
-        transform(
-          sequence(lit(0), lit(frames - 1)),
-          i => md5(substring(col(payloadCol), (i * step + 1).cast("int"), step.cast("int")))
-        )
-      ).as(Seq("frame_idx", "frame_digest"))
-    )
+    val step = greatest(floor(n / frames), lit(1L))
+    df.select(col(idCol), hex(col(payloadCol)).as("__hex__"), step.as("__step__"))
+      .select(
+        col(idCol),
+        posexplode(
+          transform(
+            sequence(lit(0), lit(frames - 1)),
+            i => md5(col("__hex__").substr((i * col("__step__") * 2 + 1).cast("int"), (col("__step__") * 2).cast("int")))
+          )
+        ).as(Seq("frame_idx", "frame_digest"))
+      )
   }
 }
