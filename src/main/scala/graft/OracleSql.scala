@@ -239,13 +239,17 @@ p AS (SELECT l_returnflag, l_quantity, $portfolioAssign5 AS portfolio FROM linei
 SELECT l_returnflag, portfolio, round(avg(l_quantity), 4) AS l_quantity
 FROM p GROUP BY 1, 2""",
 
+    // FULL OUTER alignment mirrors pandas' index-aligned `long - short`
+    // (and the engine's conditional aggregation): a byvars group with
+    // only one side still appears, with a NULL return
     "q_long_short" ->
       s"""WITH $portfolioCuts5,
 p AS (SELECT l_returnflag, l_quantity, $portfolioAssign5 AS portfolio FROM lineitem JOIN c USING (l_returnflag)),
 pa AS (SELECT l_returnflag, portfolio, avg(l_quantity) AS l_quantity FROM p GROUP BY 1, 2)
-SELECT a.l_returnflag, round(a.l_quantity - b.l_quantity, 4) AS l_quantity
-FROM pa a JOIN pa b ON a.l_returnflag = b.l_returnflag
-WHERE a.portfolio = (SELECT max(portfolio) FROM pa) AND b.portfolio = (SELECT min(portfolio) FROM pa)""",
+SELECT coalesce(a.l_returnflag, b.l_returnflag) AS l_returnflag, round(a.l_quantity - b.l_quantity, 4) AS l_quantity
+FROM (SELECT * FROM pa WHERE portfolio = (SELECT max(portfolio) FROM pa)) a
+FULL JOIN (SELECT * FROM pa WHERE portfolio = (SELECT min(portfolio) FROM pa)) b
+ON a.l_returnflag = b.l_returnflag""",
 
     "q_asof_join" ->
       s"""WITH $asofCtes,

@@ -32,12 +32,14 @@ object Fill {
       .partitionBy(toCols(byvars): _*)
       .orderBy(toCols(orderCols): _*)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    def fillExpr(c: String, how: String): Column = how match {
-      case "mean"  => avg(col(c)).over(wAll)
-      case "first" => first(col(c), ignoreNulls = true).over(wAll)
-      case "last"  => last(col(c), ignoreNulls = true).over(wAll)
-      case other   => throw new IllegalArgumentException(s"unsupported fill '$other'")
-    }
+    // any GroupOps.namedAggs name works as the numeric fill, matching
+    // the reference's arbitrary pandas agg string
+    // (pd_utils/filldata.py:129-136): mean/median/min/max/sum/...
+    def fillExpr(c: String, how: String): Column =
+      GroupOps.namedAggs
+        .getOrElse(how, throw new IllegalArgumentException(s"unsupported fill '$how'"))
+        .apply(col(c))
+        .over(wAll)
     val fillCols = df.columns.toSeq
       .filterNot(byvars.contains)
       .filterNot(excludeCols.contains)

@@ -162,21 +162,28 @@ object Portfolio {
       retvars: Seq[String],
       shortBottom: Boolean = true
   ): DataFrame = {
-    // global max/min portfolio numbers stay in the plan (broadcast
-    // scalar agg) — no driver action at composition time. The
-    // subtraction is a single conditional aggregation pass instead of
-    // a top-side/bottom-side self-join, so the input plan is
-    // evaluated twice (mm + agg), not three times. Like the
-    // reference's index alignment (pd_utils/port.py:246-252), the
-    // input must have one row per (byvars, portfolio).
-    val mm = df.agg(max(col(portvar)).as("__mx__"), min(col(portvar)).as("__mn__"))
-    val withMM = df.crossJoin(broadcast(mm))
+    // Global max/min portfolio numbers come from an unpartitioned
+    // window over the input, so the upstream plan is evaluated
+    // exactly ONCE (the previous scalar-agg + crossJoin form ran it
+    // twice — with a whole pipeline upstream that doubled the scan).
+    // An empty-partition window funnels through a single task, which
+    // is safe HERE by contract: like the reference's index alignment
+    // (pd_utils/port.py:246-252), the input must have one row per
+    // (byvars, portfolio) — an already-aggregated frame of
+    // |byvars-combos| x ngroups rows, never the raw data.
+    val wAll = Window.partitionBy()
+    val withMM = df
+      .withColumn("__mx__", max(col(portvar)).over(wAll))
+      .withColumn("__mn__", min(col(portvar)).over(wAll))
     val (longSel, shortSel) =
       if (shortBottom) (col(portvar) === col("__mx__"), col(portvar) === col("__mn__"))
       else (col(portvar) === col("__mn__"), col(portvar) === col("__mx__"))
     val tagged = withMM
       .filter(longSel || shortSel)
       .withColumn("__is_long__", longSel)
+    // pandas index alignment keeps a byvars group that has only one
+    // side, with a null return (reference: long_df - short_df); the
+    // conditional aggregation reproduces that exactly
     val aggs = retvars.map(c =>
       (max(when(col("__is_long__"), col(c))) - max(when(!col("__is_long__"), col(c)))).as(c))
     tagged

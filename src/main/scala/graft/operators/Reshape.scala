@@ -78,15 +78,20 @@ object Reshape {
         pivoted.columns.toSeq
           .filterNot((groupvars ++ carried).contains)
           .map(c => c -> s"${values.head}$c")
-      else
+      else {
+        // longest value-name first: with values like ("ret", "vol_ret")
+        // the column "1_vol_ret" suffix-matches BOTH, and picking the
+        // shorter would misname it "ret1_vol" (ADVICE r3)
+        val byLen = values.sortBy(-_.length)
         pivoted.columns.toSeq
           .filterNot((groupvars ++ carried).contains)
           .map { c =>
-            values.find(v => c.endsWith(s"_$v")) match {
+            byLen.find(v => c.endsWith(s"_$v")) match {
               case Some(v) => c -> s"$v${c.dropRight(v.length + 1)}"
               case None    => c -> c
             }
           }
+      }
     renames.foldLeft(pivoted) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
   }
 
@@ -107,9 +112,13 @@ object Reshape {
       datevar: String = "Date",
       freq: String = "m",
       newdate: String = "Shift Date",
-      shiftvar: String = "Shift"
+      shiftvar: String = "Shift",
+      intermediatePeriods: Boolean = false
   ): DataFrame = {
-    val exploded = df.withColumn(shiftvar, explode(array(time.map(lit): _*)))
+    // intermediate_periods=True densifies to every period between
+    // min(time) and max(time) (pd_utils/datetime_utils.py:82-83)
+    val periods = if (intermediatePeriods) time.min to time.max else time
+    val exploded = df.withColumn(shiftvar, explode(array(periods.map(p => lit(p)): _*)))
     freq match {
       case "m" => exploded.withColumn(newdate, add_months(col(datevar), col(shiftvar)).cast("timestamp"))
       case "a" => exploded.withColumn(newdate, add_months(col(datevar), col(shiftvar) * 12).cast("timestamp"))

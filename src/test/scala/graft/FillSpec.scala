@@ -47,6 +47,24 @@ class FillSpec extends SparkSuite {
     assertSame(out, expect)
   }
 
+  test("fillna_by_groups accepts any namedAggs numeric fill, e.g. median (VERDICT r3 #6)") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      ("a", 1L, Some(1.0)), ("a", 2L, Some(2.0)), ("a", 3L, Some(10.0)), ("a", 4L, None),
+      ("b", 1L, Some(5.0)), ("b", 2L, None)
+    ).toDF("group", "idx", "v")
+    val med = Fill.fillnaByGroups(df, Seq("group"), orderCols = Seq("idx"), numVars = "median")
+      .where(col("idx") === (when(col("group") === "a", 4L).otherwise(2L)))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(med == Map("a" -> 2.0, "b" -> 5.0)) // pandas interpolated median of (1,2,10) = 2
+    val mx = Fill.fillnaByGroups(df, Seq("group"), orderCols = Seq("idx"), numVars = "max")
+      .where(col("group") === "a" && col("idx") === 4L).head().getDouble(2)
+    assert(mx == 10.0)
+    intercept[IllegalArgumentException] {
+      Fill.fillnaByGroups(df, Seq("group"), orderCols = Seq("idx"), numVars = "nope").collect()
+    }
+  }
+
   test("fillna_by_groups_and_keep_one (tests/test_pandas.py:1404-1419)") {
     val s = spark; import s.implicits._
     val out = Fill.fillnaByGroupsAndKeepOnePerGroup(fixtureFillData, Seq("group"), Seq("idx"))

@@ -122,4 +122,26 @@ class PortfolioSpec extends SparkSuite {
     ).toDF("byvar", "RET")
     assertSame(ls, expect)
   }
+
+  test("long_short evaluates its input plan exactly once (VERDICT r3 #8)") {
+    val s = spark; import s.implicits._
+    val pa = Seq(("a", 1, 1.0), ("a", 2, 2.0), ("b", 1, 3.0), ("b", 2, 5.0))
+      .toDF("byvar", "portfolio", "RET")
+    val ls = Portfolio.longShortPortfolio(pa, "portfolio", Seq("byvar"), Seq("RET"))
+    // AQE hides children from collect(), so count scans textually
+    val plan = ls.queryExecution.executedPlan.toString
+    val scans = "LocalTableScan".r.findAllIn(plan).size
+    assert(scans == 1, s"expected one scan of the input, got:\n$plan")
+  }
+
+  test("a byvars group with only one side keeps a NULL return (pandas alignment, ADVICE r3)") {
+    val s = spark; import s.implicits._
+    // group "c" has a row only in the short (min) portfolio
+    val pa = Seq(("a", 1, 1.0), ("a", 3, 2.0), ("c", 1, 9.0))
+      .toDF("byvar", "portfolio", "RET")
+    val ls = Portfolio.longShortPortfolio(pa, "portfolio", Seq("byvar"), Seq("RET"))
+    val rows = ls.collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(rows("a").contains(1.0))
+    assert(rows("c").isEmpty) // present, null return — not dropped
+  }
 }

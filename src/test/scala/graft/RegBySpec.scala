@@ -55,15 +55,44 @@ class RegBySpec extends SparkSuite {
     assert(out.columns.contains("coef_RET") && out.columns.contains("RET"))
   }
 
-  test("HC1 robust stderr is emitted and positive for a noisy group") {
+  test("HC1 robust stderr matches the closed form (golden vs NumPy)") {
     val s = spark; import s.implicits._
     val noisy = Seq(
       ("g", 1.0, 1.0), ("g", 2.0, 2.9), ("g", 3.0, 2.2),
       ("g", 4.0, 4.5), ("g", 5.0, 4.9)
     ).toDF("key", "x", "y")
     val out = RegBy.regBy(noisy, "y", Seq("x"), Seq("key"), cons = true, stderr = true)
-    val row = out.head()
-    assert(row.getDouble(out.columns.indexOf("stderr_const")) > 0)
-    assert(row.getDouble(out.columns.indexOf("stderr_x")) > 0)
+    val expect = Seq(
+      ("g", 0.28, 0.94, 0.5822599577445, 0.1276975606063)
+    ).toDF("key", "const", "coef_x", "stderr_const", "stderr_x")
+    assertSame(out, expect, tol = 1e-6)
+  }
+
+  test("stderr path keeps colliding multi-col keys separate (VERDICT r3 #3)") {
+    val s = spark; import s.implicits._
+    // a separator-less key concat would merge ("AB","C") with ("A","BC")
+    // into one 6-obs regression; the real-column grouping must fit two
+    // distinct 3-obs lines (y = x and y = 2x + 1 exactly)
+    val df = Seq(
+      ("AB", "C", 1.0, 1.0), ("AB", "C", 2.0, 2.0), ("AB", "C", 3.0, 3.0),
+      ("A", "BC", 1.0, 3.0), ("A", "BC", 2.0, 5.0), ("A", "BC", 3.0, 7.0)
+    ).toDF("g1", "g2", "x", "y")
+    val out = RegBy.regBy(df, "y", Seq("x"), Seq("g1", "g2"), cons = true, stderr = true)
+    assert(out.count() == 2)
+    val m = out.collect().map(r => (r.getString(0), r.getString(1)) ->
+      (r.getDouble(out.columns.indexOf("const")), r.getDouble(out.columns.indexOf("coef_x")))).toMap
+    assert(math.abs(m(("AB", "C"))._2 - 1.0) < 1e-9 && math.abs(m(("AB", "C"))._1) < 1e-9)
+    assert(math.abs(m(("A", "BC"))._2 - 2.0) < 1e-9 && math.abs(m(("A", "BC"))._1 - 1.0) < 1e-9)
+  }
+
+  test("underdetermined group yields null stderr, not a crash") {
+    val s = spark; import s.implicits._
+    val df = Seq(("g", 1.0, 1.0), ("g", 2.0, 2.0), ("g", 3.0, 3.1), ("h", 1.0, 1.0))
+      .toDF("key", "x", "y")
+    val out = RegBy.regBy(df, "y", Seq("x"), Seq("key"), cons = true, stderr = true)
+    val h = out.where(col("key") === "h").head()
+    assert(h.isNullAt(out.columns.indexOf("const")) && h.isNullAt(out.columns.indexOf("stderr_x")))
+    val g = out.where(col("key") === "g").head()
+    assert(g.getDouble(out.columns.indexOf("stderr_x")) > 0)
   }
 }

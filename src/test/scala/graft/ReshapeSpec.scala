@@ -118,4 +118,23 @@ class ReshapeSpec extends SparkSuite {
     val got = out.select(date_format(col("Shift Date"), "yyyy-MM-dd")).head().getString(0)
     assert(got == "2000-01-18")
   }
+
+  test("expand_time intermediate_periods densifies min..max (pd_utils/datetime_utils.py:82-83)") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, ts("2000-01-31"))).toDF("id", "Date")
+    val out = Reshape.expandTime(df, Seq(3, 1, 6), "Date", "m", intermediatePeriods = true)
+    val shifts = out.select("Shift").collect().map(_.getInt(0)).sorted.toSeq
+    assert(shifts == (1 to 6)) // every period between min and max, not just 1,3,6
+  }
+
+  test("multi-value rename matches the LONGEST value-name suffix first (ADVICE r3)") {
+    val s = spark; import s.implicits._
+    // "ret" is a suffix of "vol_ret": pivot column "1_vol_ret" must
+    // become "vol_ret1", never "ret1_vol"
+    val df = Seq(
+      ("g", 1, 0.5, 0.9), ("g", 2, 0.6, 0.8)
+    ).toDF("id", "t", "ret", "vol_ret")
+    val out = Reshape.longToWide(df, Seq("id"), Seq("ret", "vol_ret"), colindex = Seq("t"))
+    assert(out.columns.toSet == Set("id", "ret1", "ret2", "vol_ret1", "vol_ret2"))
+  }
 }
