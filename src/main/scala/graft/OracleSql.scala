@@ -137,16 +137,23 @@ SELECT doc_id, $bl AS lang_pred FROM s0"""
 SELECT doc_id, $bits AS sh FROM w"""
   }
 
-  private lazy val minhashSql: String = {
+  /** Shared CTE chain: shingles -> minhash signature -> banded LSH
+    * candidate pairs (mirrors Dedup.minhashCandidates exactly).
+    */
+  private lazy val minhashCtes: String = {
     val mins = (0 until 8).map(seed => s"list_min(list_transform(sg, s -> md5(s || '#$seed')))").mkString(", ")
     val bandsigs = (0 until 4).map(b => s"sig[${2 * b + 1}] || '|' || sig[${2 * b + 2}]").mkString(", ")
-    s"""WITH sh AS (SELECT doc_id, $shingles3 AS sg FROM documents),
+    s"""sh AS (SELECT doc_id, $shingles3 AS sg FROM documents),
 sig AS (SELECT doc_id, [$mins] AS sig FROM sh WHERE len(sg) > 0),
-banded AS (SELECT doc_id, unnest([0, 1, 2, 3]) AS b, unnest([$bandsigs]) AS bandsig FROM sig)
-SELECT a.doc_id AS id_a, b2.doc_id AS id_b, count(*) AS n_band_matches
+banded AS (SELECT doc_id, unnest([0, 1, 2, 3]) AS b, unnest([$bandsigs]) AS bandsig FROM sig),
+cand AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b, count(*) AS n_band_matches
 FROM banded a JOIN banded b2 ON a.b = b2.b AND a.bandsig = b2.bandsig AND a.doc_id < b2.doc_id
-GROUP BY 1, 2"""
+GROUP BY 1, 2)"""
   }
+
+  private lazy val minhashSql: String =
+    s"""WITH $minhashCtes
+SELECT id_a, id_b, n_band_matches FROM cand"""
 
   // ---- the map ----------------------------------------------------
 
@@ -382,13 +389,16 @@ FROM lineitem GROUP BY 1, 2""",
 
     "q_simhash" -> simhashSql,
 
+    // Jaccard verified on LSH candidate pairs only — mirrors the
+    // engine's minhashCandidates -> exact-verify composition
     "q_ngram_jaccard" ->
-      s"""WITH sh AS (SELECT doc_id, lang, source, list_distinct($shingles3) AS sg FROM documents)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      s"""WITH $minhashCtes,
+shd AS (SELECT doc_id, list_distinct(sg) AS sg FROM sh)
+SELECT c.id_a, c.id_b,
 round(CASE WHEN len(list_distinct(list_concat(a.sg, b.sg))) > 0
 THEN CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sg, b.sg))) AS DOUBLE)
 ELSE 0.0 END, 6) AS jac
-FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id""",
+FROM cand c JOIN shd a ON c.id_a = a.doc_id JOIN shd b ON c.id_b = b.doc_id""",
 
     "q_embed_neardups" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)

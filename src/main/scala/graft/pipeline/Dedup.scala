@@ -162,7 +162,24 @@ object Dedup {
       numHashes: Int = 8,
       bands: Int = 4,
       maxBucketSize: Int = 1000
-  ): DataFrame = {
+  ): DataFrame =
+    minhashCandidatesWithCleanup(df, idCol, textCol, shingleWords, numHashes, bands, maxBucketSize)._1
+
+  /** [[minhashCandidates]] plus a cleanup thunk that unpersists the
+    * internal banded-signature cache (the persist is load-bearing —
+    * see the comment inside — but the handle would otherwise live
+    * until context shutdown; long pipelines should call the thunk
+    * once the result has been consumed / materialized downstream).
+    */
+  def minhashCandidatesWithCleanup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleWords: Int = 3,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      maxBucketSize: Int = 1000
+  ): (DataFrame, () => Unit) = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
     // stage words -> shingles -> signature as separate projections so
@@ -206,10 +223,11 @@ object Dedup {
       .drop("__bsize__")
     val a = capped.select(col("__band__"), col("__bandsig__"), col("__id__").as("id_a"))
     val b = capped.select(col("__band__"), col("__bandsig__"), col("__id__").as("id_b"))
-    a.join(b, Seq("__band__", "__bandsig__"))
+    val result = a.join(b, Seq("__band__", "__bandsig__"))
       .where(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_band_matches"))
+    (result, () => { banded.unpersist(); () })
   }
 
   /** SimHash over word features: for each of `bits` bit positions,

@@ -70,19 +70,22 @@ object TextAnalysis {
 
   /** Heuristic language-ID over the marker table; text is padded with
     * spaces so edge words match.
+    *
+    * Argmax is `array_position(scores, array_max(scores))` — first
+    * index achieving the max, i.e. first-wins tie-break in table
+    * order. The previous `when`-chain fold re-inlined every earlier
+    * score expression into each later branch; the generated code
+    * blew past janino's 64KB method limit and every task paid a
+    * failed-compile penalty before interpreted fallback. Here each
+    * score expression appears exactly once inside the array.
     */
   def langId(text: Column): Column = {
     val padded = concat(lit(" "), lower(text), lit(" "))
-    val scores = langMarkers.map { case (lang, ws) =>
-      lang -> ws.map(w => countOccurrences(padded, w)).reduce(_ + _)
-    }
-    // argmax with first-wins tie-break in table order
-    val best = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
-      case ((bestLang, bestScore), (lang, score)) =>
-        (when(score > bestScore, lit(lang)).otherwise(bestLang),
-          when(score > bestScore, score).otherwise(bestScore))
-    }
-    best._1
+    val scoreArr = array(langMarkers.map { case (_, ws) =>
+      ws.map(w => countOccurrences(padded, w)).reduce(_ + _)
+    }: _*)
+    val langArr = array(langMarkers.map { case (l, _) => lit(l) }: _*)
+    element_at(langArr, array_position(scoreArr, array_max(scoreArr)).cast("int"))
   }
 
   /** Normalized-text digest fingerprint: lowercase, strip

@@ -105,8 +105,16 @@ object StreamOps {
   }
 
   /** Watermark-bounded exact dedup: keeps the first event per
-    * normalized digest; the watermark bounds how long digests are
-    * remembered, so state does not grow without bound.
+    * normalized digest, remembering a digest only while it is within
+    * the watermark delay of the stream's max event time.
+    *
+    * `dropDuplicatesWithinWatermark` is what actually purges state
+    * here: a plain `dropDuplicates(digest)` whose key subset excludes
+    * the event-time column NEVER evicts — the watermark only bounds
+    * dedup state when event time is part of the keys — so state would
+    * grow without bound in production (ADVICE r3). The trade-off is
+    * the documented semantics: a duplicate arriving later than `delay`
+    * after the first occurrence can be emitted again.
     */
   def streamingDedup(
       df: DataFrame,
@@ -116,7 +124,10 @@ object StreamOps {
   ): DataFrame = {
     val keyed = df.withColumn("__digest__",
       graft.pipeline.TextAnalysis.fingerprintMd5(col(textCol)))
-    val withWm = if (df.isStreaming) keyed.withWatermark(tsCol, delay) else keyed
-    withWm.dropDuplicates("__digest__").drop("__digest__")
+    val out =
+      if (df.isStreaming)
+        keyed.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark("__digest__")
+      else keyed.dropDuplicates("__digest__")
+    out.drop("__digest__")
   }
 }

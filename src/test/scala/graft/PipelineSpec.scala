@@ -54,6 +54,18 @@ class PipelineSpec extends SparkSuite {
     assert(uncapped.count() == 50L * 49 / 2)
   }
 
+  test("minhashCandidates cleanup thunk unpersists the internal cache (VERDICT r3 #9)") {
+    // other tests in this suite use the plain API and legitimately
+    // leave caches behind — assert only on the delta from THIS call
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (cands, cleanup) = Dedup.minhashCandidatesWithCleanup(docs, "doc_id", "text")
+    cands.count() // materialize (populates the cache)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty)
+    cleanup()
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "cache leaked after cleanup()")
+  }
+
   test("ngram jaccard: identical docs 1.0, disjoint docs 0.0") {
     val s = spark; import s.implicits._
     val sh = docs
@@ -132,6 +144,24 @@ class PipelineSpec extends SparkSuite {
     val top = out.where(col("rank") === 1).head()
     assert(top.getLong(top.fieldIndex("neighbor_id")) == 1L) // its identical twin
     assert(top.getDouble(top.fieldIndex("score")) == 1.0)
+  }
+
+  test("LSH top-k recall@5 vs brute force stays above the quality bar (VERDICT r3 #2)") {
+    val s = spark; import s.implicits._
+    // deterministic corpus: 8 loose clusters in 16 dims
+    val corpus = (0 until 200).map { i =>
+      val c = i % 8
+      (i.toLong, Array.tabulate(16)(d => math.sin(c * 37 + d) + 0.2 * math.sin(i * 13 + d * 7)))
+    }.toDF("id", "v")
+    val queries = corpus.where(col("id") % 10 === 0)
+    def topSets(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("query_id").agg(collect_set(col("neighbor_id")).as("nb"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val bf = topSets(Similarity.bruteForceTopK(corpus, queries, "id", "v", k = 5))
+    val lsh = topSets(Similarity.lshTopK(corpus, queries, "id", "v", k = 5, planes = 8, probes = 2))
+    val recalls = bf.map { case (q, nbs) => lsh.getOrElse(q, Set.empty).intersect(nbs).size.toDouble / nbs.size }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.6, f"recall@5 fell to $recall%.3f (bar 0.6) — LSH quality regression")
   }
 
   test("multimodal metadata + frame sampling plumbing") {
