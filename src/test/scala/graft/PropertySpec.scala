@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 
-import graft.operators.{Cumulate, Portfolio, Winsorize}
+import graft.operators.{AsOf, Cumulate, Portfolio, Winsorize}
+import graft.pipeline.Similarity
 
 /** Property tests the reference never had (SURVEY §5): structural
   * invariants that must hold for ANY input, not just the goldens.
@@ -86,6 +87,72 @@ class PropertySpec extends SparkSuite {
         }
       }
     }
+  }
+
+  private val asofGen: Gen[(List[(String, Int)], List[(String, Int, Double)])] = for {
+    nl <- Gen.choose(1, 20)
+    nr <- Gen.choose(0, 20)
+    lks <- Gen.listOfN(nl, Gen.oneOf("a", "b"))
+    lds <- Gen.listOfN(nl, Gen.choose(0, 60))
+    rks <- Gen.listOfN(nr, Gen.oneOf("a", "b"))
+    rds <- Gen.listOfN(nr, Gen.choose(0, 60))
+    rvs <- Gen.listOfN(nr, Gen.choose(-10.0, 10.0))
+  } yield (lks.zip(lds), rks.lazyZip(rds).lazyZip(rvs).toList)
+
+  private def day(n: Int): java.sql.Date =
+    java.sql.Date.valueOf(java.time.LocalDate.of(2020, 1, 1).plusDays(n))
+
+  test("as-of join invariants: matched date <= left date, staleness bound respected (VERDICT r3 #10)") {
+    forAllSamples(asofGen, n = 8) { case (lrows, rrows) =>
+      val s = spark; import s.implicits._
+      val l = lrows.zipWithIndex.map { case ((k, d), i) => (i.toLong, k, day(d)) }
+        .toDF("id", "k", "ldate")
+      val r = rrows.zipWithIndex.map { case ((k, d, v), i) => (k, day(d), v, i.toLong) }
+        .toDF("k", "rdate", "v", "rid")
+        .dropDuplicates("k", "rdate") // one row per (key, date) like a real quote table
+      // plain as-of: every match is at or before the left date, and is
+      // the LATEST such right date for that key
+      val out = AsOf.leftMergeLatest(l, r.drop("rid"), Seq("k"), "ldate", "rdate")
+      assert(out.count() == l.count(), "left rows must be preserved")
+      val rByKey = r.collect().map(x => (x.getString(0), x.getDate(1).toLocalDate)).toSeq
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      out.collect().foreach { row =>
+        val k = row.getString(row.fieldIndex("k"))
+        val ld = row.getDate(row.fieldIndex("ldate")).toLocalDate
+        val rdIdx = row.fieldIndex("rdate")
+        val eligible = rByKey.getOrElse(k, Nil).filter(!_.isAfter(ld))
+        if (row.isNullAt(rdIdx)) assert(eligible.isEmpty, s"match missing though $eligible eligible")
+        else {
+          val rd = row.getDate(rdIdx).toLocalDate
+          assert(!rd.isAfter(ld), "matched date after left date")
+          assert(rd == eligible.max, "not the latest eligible right date")
+        }
+      }
+      // staleness bound: with max_offset = 7 days no match is older
+      val capped = AsOf.leftMergeLatest(l, r.drop("rid"), Seq("k"), "ldate", "rdate",
+        maxOffset = Some(expr("INTERVAL 7 DAYS")))
+      capped.collect().foreach { row =>
+        val rdIdx = row.fieldIndex("rdate")
+        if (!row.isNullAt(rdIdx)) {
+          val gap = java.time.temporal.ChronoUnit.DAYS.between(
+            row.getDate(rdIdx).toLocalDate, row.getDate(row.fieldIndex("ldate")).toLocalDate)
+          assert(gap >= 0 && gap <= 7, s"staleness bound violated: $gap days")
+        }
+      }
+    }
+  }
+
+  test("LSH bucket assignment is deterministic across partitioning (VERDICT r3 #10)") {
+    val s = spark; import s.implicits._
+    val vecs = (0 until 100).map(i => (i.toLong, Array.tabulate(12)(d => math.sin(i * 31 + d * 7))))
+      .toDF("id", "v")
+    def buckets(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), Similarity.lshBucket(col("v"), planes = 8, seed = 42).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val one = buckets(vecs.coalesce(1))
+    val many = buckets(vecs.repartition(13))
+    assert(one == many, "bucket ids changed under repartitioning")
+    assert(one.values.forall(b => b.length == 8 && b.forall(c => c == '0' || c == '1')))
   }
 
   test("grossify(cumulate) is consistent: grossify of (r-1) equals plain cumulate of r minus 1") {
