@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Dates, Strings}
-import graft.pipeline.TextAnalysis
+import graft.pipeline.{Sampling, TextAnalysis}
 
 /** DuckDB-equivalent SQL for each SparkEntry query. Where a query
   * depends on engine constants (holiday calendar, stopword list,
@@ -400,6 +400,24 @@ THEN CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE) / CAST(len(list_distinct(li
 ELSE 0.0 END, 6) AS jac
 FROM cand c JOIN shd a ON c.id_a = a.doc_id JOIN shd b ON c.id_b = b.doc_id""",
 
+    // transitive closure over the jaccard-verified candidate edges:
+    // cluster = min reachable doc id; singletons keep their own id
+    "q_neardup_groups" ->
+      s"""WITH RECURSIVE $minhashCtes,
+shd AS (SELECT doc_id, list_distinct(sg) AS sg FROM sh),
+e AS (SELECT c.id_a, c.id_b FROM cand c
+JOIN shd a ON c.id_a = a.doc_id JOIN shd b ON c.id_b = b.doc_id
+WHERE len(list_distinct(list_concat(a.sg, b.sg))) > 0
+AND CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sg, b.sg))) AS DOUBLE) >= 0.5),
+sym AS (SELECT id_a AS src, id_b AS dst FROM e UNION SELECT id_b, id_a FROM e),
+reach(node, r) AS (
+SELECT src, src FROM sym
+UNION
+SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.node),
+lab AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node)
+SELECT d.doc_id, coalesce(lab.cluster, d.doc_id) AS cluster
+FROM documents d LEFT JOIN lab ON d.doc_id = lab.node""",
+
     "q_embed_neardups" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
 SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
@@ -414,8 +432,40 @@ s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, round(list_cosine_si
 r AS (SELECT query_id, neighbor_id, score, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS INT) AS "rank" FROM s)
 SELECT query_id, neighbor_id, score, "rank" FROM r WHERE "rank" <= 5""",
 
+    // IVF mirrors the engine cell-for-cell: md5-ordered centroid draw,
+    // rank-1 corpus assignment, nprobe query probing, global re-rank
+    "q_ann_ivf" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, emb AS cemb FROM c ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+ca AS (SELECT neighbor_id, emb, cent_id FROM (
+SELECT c.vec_id AS neighbor_id, c.emb, cent_id,
+row_number() OVER (PARTITION BY c.vec_id ORDER BY round(list_cosine_similarity(c.emb, cemb), 4) DESC, cent_id) AS cr
+FROM c CROSS JOIN cents) t WHERE cr = 1),
+q AS (SELECT vec_id, emb FROM c WHERE vec_id % 50 = 0),
+qa AS (SELECT query_id, qemb, cent_id FROM (
+SELECT q.vec_id AS query_id, q.emb AS qemb, cent_id,
+row_number() OVER (PARTITION BY q.vec_id ORDER BY round(list_cosine_similarity(q.emb, cemb), 4) DESC, cent_id) AS cr
+FROM q CROSS JOIN cents) t WHERE cr <= 4),
+s AS (SELECT qa.query_id, ca.neighbor_id, round(list_cosine_similarity(qa.qemb, ca.emb), 4) AS score
+FROM qa JOIN ca USING (cent_id) WHERE qa.query_id <> ca.neighbor_id),
+r AS (SELECT query_id, neighbor_id, score,
+CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS "rank" FROM s)
+SELECT query_id, neighbor_id, score, "rank" FROM r WHERE "rank" <= 5""",
+
     "q_media_metadata" ->
       """SELECT doc_id, 'text/plain' AS mime, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, md5(text) AS digest FROM documents""",
+
+    // threshold generated from the same Scala constant the operator
+    // uses; chr(1) = the unit separator in deterministicSample
+    "q_sample_det" ->
+      s"""SELECT doc_id, lang FROM documents
+WHERE md5(CAST(doc_id AS VARCHAR) || chr(1) || 's1') < '${Sampling.fractionThresholdHex(0.3)}'""",
+
+    "q_cap_group" ->
+      """WITH r AS (SELECT doc_id, lang,
+row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+FROM documents)
+SELECT doc_id, lang FROM r WHERE rn <= 50""",
 
     // frame digest = md5 over the hex encoding of each byte window
     // (hex is ASCII, so string md5 matches Spark's byte md5 of the

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators._
 import graft.functions.{Dates, Strings}
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -323,6 +323,10 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"),
           round(Dedup.jaccardOfShingleArrays(col("sga"), col("sgb")), 6).as("jac"))
     }),
+    "q_neardup_groups" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.nearDupGroups(d, "doc_id", "text", jaccardThreshold = 0.5)
+    }),
     "q_embed_neardups" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").withColumn("emb", col("embedding").cast("array<double>"))
       Dedup.embeddingNearDups(e, "vec_id", "emb", Seq("label"), 0.25)
@@ -338,6 +342,24 @@ object SparkEntry {
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       val q = e.where(col("vec_id") % 50 === 0)
       Similarity.lshTopK(e, q, "vec_id", "emb", k = 5, planes = 8, probes = 2)
+    }),
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val q = e.where(col("vec_id") % 50 === 0)
+      Similarity.ivfTopK(e, q, "vec_id", "emb", k = 5, nlist = 16, nprobe = 4)
+    }),
+    // ---- pipeline: sampling --------------------------------------
+    "q_sample_det" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Sampling.deterministicSample(d, Seq("doc_id"), fraction = 0.3, salt = "s1")
+        .select("doc_id", "lang")
+    }),
+    "q_cap_group" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      // unbiased cap: preference order = hash of the id (+ id tiebreak)
+      Sampling.capPerGroup(d, Seq("lang"), 50,
+          Seq(md5(col("doc_id").cast("string")), col("doc_id")))
+        .select("doc_id", "lang")
     }),
     // ---- pipeline: multimodal ------------------------------------
     "q_media_metadata" -> ((s, dir) => {

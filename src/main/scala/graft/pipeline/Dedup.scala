@@ -282,6 +282,95 @@ object Dedup {
     when(union > 0, inter / union).otherwise(lit(0.0))
   }
 
+  /** Connected components over an undirected edge list by iterative
+    * min-label propagation: every node ends with the minimum node id
+    * reachable from it as `cluster`. The per-iteration work is one
+    * equi-join + one min-aggregation over the edges (both plain
+    * shuffles on node ids), and each iteration halves the distance
+    * to the component minimum at worst — near-dup clusters are small
+    * and dense, so convergence is a handful of rounds. Labels are
+    * `localCheckpoint`ed every iteration: without lineage truncation
+    * the plan doubles per round and the job dies re-executing the
+    * whole history at every action.
+    *
+    * Output: (node, cluster) for every node appearing in `edges`.
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 30
+  ): DataFrame = {
+    // symmetrize + dedup parallel edges once, and keep the frame hot:
+    // it is re-joined every iteration
+    val sym = edges
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = sym
+      .select(col("src").as("node"))
+      .distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (iter < maxIter && changed > 0) {
+      val incoming = sym
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(min(col("label")).as("__in__"))
+      val updated = labels
+        .join(incoming, Seq("node"), "left")
+        .select(
+          col("node"),
+          least(col("label"), coalesce(col("__in__"), col("label"))).as("label"),
+          (col("__in__") < col("label")).as("__chg__")
+        )
+        .localCheckpoint(true) // materializes; the counts below are cheap
+      changed = updated.where(col("__chg__")).count()
+      labels = updated.drop("__chg__")
+      iter += 1
+    }
+    sym.unpersist()
+    require(changed == 0, s"connectedComponents did not converge in $maxIter iterations")
+    labels.select(col("node"), col("label").as("cluster"))
+  }
+
+  /** End-to-end near-duplicate grouping: banded-LSH candidates,
+    * exact Jaccard verification on the candidate pairs only, then
+    * connected components over the verified edges. Every document
+    * gets a `cluster` id = the minimum doc id in its near-dup group
+    * (its own id if it has no near-duplicates). Keep one row per
+    * cluster downstream to materialize the deduplicated corpus.
+    */
+  def nearDupGroups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      jaccardThreshold: Double,
+      shingleWords: Int = 3,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      maxBucketSize: Int = 1000
+  ): DataFrame = {
+    val (cands, cleanup) =
+      minhashCandidatesWithCleanup(df, idCol, textCol, shingleWords, numHashes, bands, maxBucketSize)
+    val sh = df
+      .select(col(idCol), splitWords(col(textCol)).as("__w__"))
+      .select(col(idCol), array_distinct(shinglesFromWordsUdf(shingleWords)(col("__w__"))).as("__sg__"))
+    val edges = cands
+      .join(sh.select(col(idCol).as("id_a"), col("__sg__").as("__sga__")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("__sg__").as("__sgb__")), Seq("id_b"))
+      .where(jaccardOfShingleArrays(col("__sga__"), col("__sgb__")) >= jaccardThreshold)
+      .select(col("id_a"), col("id_b"))
+    val cc = connectedComponents(edges, "id_a", "id_b")
+    cleanup()
+    df.select(col(idCol))
+      .join(cc.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("cluster"), col(idCol)).as("cluster"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within blocking keys.
     * `blockCols` bounds the quadratic stage (e.g. an LSH bucket or a
     * coarse cluster id); cosine is computed with codegen'd

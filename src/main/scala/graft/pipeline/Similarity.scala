@@ -123,4 +123,67 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
+
+  /** IVF (inverted-file) cosine top-k — the coarse-quantizer scale
+    * path: corpus rows are assigned to their nearest of `nlist`
+    * centroids, and each query scores only the rows in its `nprobe`
+    * nearest centroid cells, so the scored fraction is ~nprobe/nlist
+    * of the corpus instead of all of it.
+    *
+    * Centroids are the `nlist` corpus vectors whose md5(id) sorts
+    * lowest — a deterministic uniform draw with no RNG state and no
+    * k-means iterations, reproducible in any engine (which makes the
+    * whole operator oracle-checkable, unlike the xxhash64 sign-LSH).
+    * The centroid set is broadcast; assignment is a broadcast
+    * cross-join + per-row rank, one shuffle each side. Ties rank by
+    * (rounded similarity desc, centroid id) so assignment is exact
+    * across engines.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      scoreDecimals: Int = 4
+  ): DataFrame = {
+    val cents = broadcast(
+      corpus
+        .select(col(idCol).as("cent_id"), col(vecCol).as("__cv__"), norm(col(vecCol)).as("__cn__"),
+          md5(col(idCol).cast("string")).as("__h__"))
+        .orderBy(col("__h__"), col("cent_id"))
+        .limit(nlist)
+        .drop("__h__")
+    )
+    // nearest `keep` centroids per row; norms staged per row/centroid
+    def assign(df: DataFrame, pfx: String, keep: Int): DataFrame = {
+      val scored = df
+        .select(col(idCol).as(s"${pfx}_id"), col(vecCol).as(s"__${pfx}v__"),
+          norm(col(vecCol)).as(s"__${pfx}n__"))
+        .crossJoin(cents)
+        .withColumn("__csim__",
+          round(dot(col(s"__${pfx}v__"), col("__cv__")) / (col(s"__${pfx}n__") * col("__cn__")), scoreDecimals))
+      val w = Window.partitionBy(col(s"${pfx}_id")).orderBy(col("__csim__").desc, col("cent_id").asc)
+      scored
+        .withColumn("__cr__", row_number().over(w))
+        .where(col("__cr__") <= keep)
+        .drop("__cv__", "__cn__", "__csim__", "__cr__")
+    }
+    val corpusCells = assign(corpus, "neighbor", keep = 1)
+    val queryCells = assign(queries, "query", keep = nprobe)
+    // a corpus row lives in exactly ONE cell and a query probes
+    // DISTINCT cells, so each (query, neighbor) pair appears at most
+    // once — no dedup stage needed before the global re-rank
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
+    queryCells
+      .join(corpusCells, Seq("cent_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        round(dot(col("__queryv__"), col("__neighborv__")) / (col("__queryn__") * col("__neighborn__")), scoreDecimals))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
 }

@@ -66,6 +66,25 @@ class PipelineSpec extends SparkSuite {
       "cache leaked after cleanup()")
   }
 
+  test("connectedComponents: chains collapse to the min id, separate components stay apart") {
+    val s = spark; import s.implicits._
+    // component {1,2,3,4} as a chain, component {10,11}, parallel +
+    // reversed edges thrown in
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (1L, 2L)).toDF("a", "b")
+    val cc = Dedup.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    val none = Dedup.connectedComponents(edges.limit(0), "a", "b")
+    assert(none.count() == 0)
+  }
+
+  test("nearDupGroups clusters the exact+near dups and leaves singletons alone") {
+    val groups = Dedup.nearDupGroups(docs, "doc_id", "text", jaccardThreshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups(1L) == 1L && groups(2L) == 1L && groups(3L) == 1L) // near-dup trio
+    assert(groups(4L) == 4L && groups(5L) == 5L) // singletons keep their own id
+  }
+
   test("ngram jaccard: identical docs 1.0, disjoint docs 0.0") {
     val s = spark; import s.implicits._
     val sh = docs
@@ -162,6 +181,31 @@ class PipelineSpec extends SparkSuite {
     val recalls = bf.map { case (q, nbs) => lsh.getOrElse(q, Set.empty).intersect(nbs).size.toDouble / nbs.size }
     val recall = recalls.sum / recalls.size
     assert(recall >= 0.6, f"recall@5 fell to $recall%.3f (bar 0.6) — LSH quality regression")
+  }
+
+  test("IVF top-k: identical twin found, recall@5 above the bar, probes bound the work") {
+    val s = spark; import s.implicits._
+    val corpus = (0 until 200).map { i =>
+      val c = i % 8
+      (i.toLong, Array.tabulate(16)(d => math.sin(c * 37 + d) + 0.2 * math.sin(i * 13 + d * 7)))
+    }.toDF("id", "v")
+    val twin = corpus.where(col("id") === 0L).select(lit(999L).as("id"), col("v"))
+    val all = corpus.unionByName(twin)
+    val out = Similarity.ivfTopK(all, all.where(col("id") === 999L), "id", "v",
+      k = 3, nlist = 8, nprobe = 3)
+    val top = out.where(col("rank") === 1).head()
+    assert(top.getLong(top.fieldIndex("neighbor_id")) == 0L)
+    assert(top.getDouble(top.fieldIndex("score")) == 1.0)
+    // recall across all queries
+    val queries = corpus.where(col("id") % 10 === 0)
+    def topSets(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("query_id").agg(collect_set(col("neighbor_id")).as("nb"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val bf = topSets(Similarity.bruteForceTopK(corpus, queries, "id", "v", k = 5))
+    val ivf = topSets(Similarity.ivfTopK(corpus, queries, "id", "v", k = 5, nlist = 8, nprobe = 3))
+    val recalls = bf.map { case (q, nbs) => ivf.getOrElse(q, Set.empty).intersect(nbs).size.toDouble / nbs.size }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.6, f"IVF recall@5 fell to $recall%.3f (bar 0.6)")
   }
 
   test("multimodal metadata + frame sampling plumbing") {

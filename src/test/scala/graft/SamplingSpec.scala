@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Sampling
+
+class SamplingSpec extends SparkSuite {
+
+  private def ids = {
+    val s = spark; import s.implicits._
+    (0 until 2000).map(i => (i.toLong, s"g${i % 5}")).toDF("id", "grp")
+  }
+
+  test("deterministic sample hits the fraction within sampling error and is repartition-stable") {
+    val out = Sampling.deterministicSample(ids, Seq("id"), 0.3, salt = "s1")
+    val n = out.count()
+    assert(n > 2000 * 0.25 && n < 2000 * 0.35, s"got $n of 2000 at fraction 0.3")
+    val again = Sampling.deterministicSample(ids.repartition(13), Seq("id"), 0.3, salt = "s1")
+    assert(out.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      again.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("fraction edge cases: 0 keeps nothing, 1 keeps everything") {
+    assert(Sampling.deterministicSample(ids, Seq("id"), 0.0).count() == 0)
+    assert(Sampling.deterministicSample(ids, Seq("id"), 1.0).count() == 2000)
+  }
+
+  test("different salts draw (nearly) independent samples") {
+    val a = Sampling.deterministicSample(ids, Seq("id"), 0.3, salt = "a")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.deterministicSample(ids, Seq("id"), 0.3, salt = "b")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val overlap = a.intersect(b).size.toDouble
+    // independent 0.3 samples overlap ~0.09 * 2000 = 180; correlated ones ~600
+    assert(overlap < 2000 * 0.15, s"salts correlated: overlap $overlap")
+  }
+
+  test("sample filter pushes down to the parquet scan (no shuffle, no extra stage)") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Sampling.deterministicSample(d, Seq("doc_id"), 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampling should be a pure filter:\n$plan")
+  }
+
+  test("capPerGroup keeps at most n per group, deterministically") {
+    val capped = Sampling.capPerGroup(ids, Seq("grp"), 7,
+      Seq(md5(col("id").cast("string")), col("id")))
+    val sizes = capped.groupBy("grp").count().collect().map(_.getLong(1))
+    assert(sizes.forall(_ == 7))
+    val again = Sampling.capPerGroup(ids.repartition(11), Seq("grp"), 7,
+      Seq(md5(col("id").cast("string")), col("id")))
+    assert(capped.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      again.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+    // groups smaller than the cap survive whole
+    val tiny = Sampling.capPerGroup(ids.where(col("id") < 3), Seq("grp"), 7, Seq(col("id")))
+    assert(tiny.count() == 3)
+  }
+}
