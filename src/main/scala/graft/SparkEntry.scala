@@ -311,17 +311,10 @@ object SparkEntry {
       // scale-true composition (VERDICT r3 #7): pair generation comes
       // from banded-LSH minhash candidates — NO all-pairs stage — and
       // exact Jaccard is verified only on the candidate pairs, with
-      // each document's shingle set materialized once before the join
+      // each document tokenized/shingled exactly once
       val d = t(s, dir, "documents")
-      val cands = Dedup.minhashCandidates(d, "doc_id", "text", shingleWords = 3, numHashes = 8, bands = 4)
-      val sh = d
-        .select(col("doc_id"), Dedup.splitWords(col("text")).as("__w__"))
-        .select(col("doc_id"), array_distinct(Dedup.shinglesFromWordsUdf(3)(col("__w__"))).as("sg"))
-      cands
-        .join(sh.select(col("doc_id").as("id_a"), col("sg").as("sga")), Seq("id_a"))
-        .join(sh.select(col("doc_id").as("id_b"), col("sg").as("sgb")), Seq("id_b"))
-        .select(col("id_a"), col("id_b"),
-          round(Dedup.jaccardOfShingleArrays(col("sga"), col("sgb")), 6).as("jac"))
+      Dedup.jaccardCandidates(d, "doc_id", "text")
+        .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
     }),
     "q_neardup_groups" -> ((s, dir) => {
       val d = t(s, dir, "documents")

@@ -337,6 +337,48 @@ object Dedup {
     labels.select(col("node"), col("label").as("cluster"))
   }
 
+  /** Banded-LSH candidate pairs with exact n-gram Jaccard attached:
+    * (id_a, id_b, n_band_matches, jac). The scale-true near-dup
+    * verify composition — the quadratic stage only ever sees LSH
+    * candidates, and each document is tokenized/shingled exactly once
+    * (the shingle frame is persisted because it feeds both sides of
+    * the pair join). The cleanup thunk releases both internal caches.
+    */
+  def jaccardCandidatesWithCleanup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleWords: Int = 3,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      maxBucketSize: Int = 1000
+  ): (DataFrame, () => Unit) = {
+    val (cands, cleanupCands) =
+      minhashCandidatesWithCleanup(df, idCol, textCol, shingleWords, numHashes, bands, maxBucketSize)
+    val sh = df
+      .select(col(idCol), splitWords(col(textCol)).as("__w__"))
+      .select(col(idCol), array_distinct(shinglesFromWordsUdf(shingleWords)(col("__w__"))).as("__sg__"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = cands
+      .join(sh.select(col(idCol).as("id_a"), col("__sg__").as("__sga__")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("__sg__").as("__sgb__")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_band_matches"),
+        jaccardOfShingleArrays(col("__sga__"), col("__sgb__")).as("jac"))
+    (out, () => { cleanupCands(); sh.unpersist(); () })
+  }
+
+  /** [[jaccardCandidatesWithCleanup]] without the cleanup handle. */
+  def jaccardCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleWords: Int = 3,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      maxBucketSize: Int = 1000
+  ): DataFrame =
+    jaccardCandidatesWithCleanup(df, idCol, textCol, shingleWords, numHashes, bands, maxBucketSize)._1
+
   /** End-to-end near-duplicate grouping: banded-LSH candidates,
     * exact Jaccard verification on the candidate pairs only, then
     * connected components over the verified edges. Every document
@@ -354,16 +396,13 @@ object Dedup {
       bands: Int = 4,
       maxBucketSize: Int = 1000
   ): DataFrame = {
-    val (cands, cleanup) =
-      minhashCandidatesWithCleanup(df, idCol, textCol, shingleWords, numHashes, bands, maxBucketSize)
-    val sh = df
-      .select(col(idCol), splitWords(col(textCol)).as("__w__"))
-      .select(col(idCol), array_distinct(shinglesFromWordsUdf(shingleWords)(col("__w__"))).as("__sg__"))
-    val edges = cands
-      .join(sh.select(col(idCol).as("id_a"), col("__sg__").as("__sga__")), Seq("id_a"))
-      .join(sh.select(col(idCol).as("id_b"), col("__sg__").as("__sgb__")), Seq("id_b"))
-      .where(jaccardOfShingleArrays(col("__sga__"), col("__sgb__")) >= jaccardThreshold)
+    val (verified, cleanup) =
+      jaccardCandidatesWithCleanup(df, idCol, textCol, shingleWords, numHashes, bands, maxBucketSize)
+    val edges = verified
+      .where(col("jac") >= jaccardThreshold)
       .select(col("id_a"), col("id_b"))
+    // connectedComponents is eager (its loop runs jobs), so the
+    // internal caches have been fully consumed when it returns
     val cc = connectedComponents(edges, "id_a", "id_b")
     cleanup()
     df.select(col(idCol))
