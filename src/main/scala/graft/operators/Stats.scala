@@ -27,24 +27,30 @@ object Stats {
       .otherwise(cov / (sa * sb))
   }
 
-  /** Tidy pairwise Pearson correlations including the diagonal. */
+  /** Tidy pairwise Pearson correlations including the diagonal.
+    *
+    * Fully lazy: one aggregation pass (k*(k+1)/2 corr aggregates,
+    * map-side partial) followed by an in-plan stack-unpivot to
+    * (col1, col2, corr) rows — no driver action at composition time,
+    * so it composes into larger pipelines like any other operator.
+    */
   def corrPairs(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val pairs = for {
       i <- cols.indices
       j <- cols.indices
       if j >= i
     } yield (cols(i), cols(j))
     val aggs = pairs.map { case (a, b) => safeCorr(col(a), col(b)).as(s"${a}__${b}") }
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
-    // corr is NULL for degenerate inputs (zero variance / <2 obs) —
-    // surface as None, don't NPE on getDouble.
-    pairs.zipWithIndex
-      .map { case ((a, b), i) =>
-        (a, b, if (row.isNullAt(i)) None else Some(row.getDouble(i)))
-      }
-      .toDF("col1", "col2", "corr")
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // explode the single aggregated row into one (col1, col2, corr)
+    // row per pair — corr stays NULL for degenerate inputs
+    wide.select(
+      explode(
+        array(pairs.map { case (a, b) =>
+          struct(lit(a).as("col1"), lit(b).as("col2"), col(s"${a}__${b}").as("corr"))
+        }: _*)
+      ).as("p")
+    ).select(col("p.col1"), col("p.col2"), col("p.corr"))
   }
 
   /** Lower-triangular formatted correlation matrix as strings
