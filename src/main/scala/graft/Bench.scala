@@ -18,7 +18,11 @@ object Bench {
     SparkEntry.queries.headOption.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional args = query names to run (default: all)
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a crashing query must NOT masquerade as a fast one: record -1
       val ok =

@@ -141,7 +141,13 @@ SELECT doc_id, $bits AS sh FROM w"""
     * candidate pairs (mirrors Dedup.minhashCandidates exactly).
     */
   private lazy val minhashCtes: String = {
-    val mins = (0 until 8).map(seed => s"list_min(list_transform(sg, s -> md5(s || '#$seed')))").mkString(", ")
+    // lane k = min over shingles of hex chars [8*(k%4)+1, 8) of
+    // md5(s || '#'*(k/4)) — mirrors Dedup.minhashSignature's
+    // slice-per-lane family (4 lanes per digest)
+    val mins = (0 until 8).map { k =>
+      val src = if (k < 4) "s" else "s || '#'"
+      s"list_min(list_transform(sg, s -> substring(md5($src), ${(k % 4) * 8 + 1}, 8)))"
+    }.mkString(", ")
     val bandsigs = (0 until 4).map(b => s"sig[${2 * b + 1}] || '|' || sig[${2 * b + 2}]").mkString(", ")
     s"""sh AS (SELECT doc_id, $shingles3 AS sg FROM documents),
 sig AS (SELECT doc_id, [$mins] AS sig FROM sh WHERE len(sg) > 0),

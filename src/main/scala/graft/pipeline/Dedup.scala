@@ -87,10 +87,17 @@ object Dedup {
       }
     }
 
-  /** MinHash signature of a shingle array: for each of `numHashes`
-    * seeds, the lexicographic minimum of md5(shingle || '#' || seed).
-    * A string-min over md5 is a valid min-wise hash family and is
-    * bit-reproducible across engines (used by the DuckDB oracle too).
+  /** MinHash signature of a shingle array. Lane `k` takes the
+    * lexicographic minimum over shingles of an 8-hex-char slice of an
+    * md5 digest: chars `[8*(k%4), 8*(k%4)+8)` of `md5(s || "#"*(k/4))`
+    * — i.e. each digest feeds FOUR 32-bit lanes, so `numHashes` lanes
+    * cost `ceil(numHashes/4)` digests per shingle instead of
+    * `numHashes` (4x less hashing on the hot path). Disjoint
+    * fixed-width slices of a cryptographic digest are independent
+    * uniform hashes, and a string-min over fixed-width hex equals the
+    * numeric min over the underlying 32-bit values — valid min-wise
+    * lanes, bit-reproducible across engines (the DuckDB oracle mirrors
+    * the same substring-of-md5 expression).
     *
     * Implemented as ONE fold over the shingles that updates all
     * lanes per element — the obvious `numHashes x
@@ -98,22 +105,23 @@ object Dedup {
     * expression per lane once Catalyst collapses projections, and the
     * generated code then blows past janino's method limit (every task
     * pays a failed-compile penalty; measured ~20x slower). "g" sorts
-    * above every md5 hex digest, so it is the fold's +infinity.
+    * above every hex slice, so it is the fold's +infinity.
     */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     aggregate(
       shingles,
       array(Seq.fill(numHashes)(lit("g")): _*),
       (acc, s) =>
-        array((0 until numHashes).map { seed =>
-          least(element_at(acc, seed + 1), md5(concat(s, lit(s"#$seed"))))
+        array((0 until numHashes).map { k =>
+          val dig = md5(concat(s, lit("#" * (k / 4))))
+          least(element_at(acc, k + 1), substring(dig, (k % 4) * 8 + 1, 8))
         }: _*)
     )
 
   private val hexChars = "0123456789abcdef".toCharArray
 
-  /** Same signature as [[minhashSignature]] (bit-identical: md5 hex of
-    * `shingle || '#' || seed`, lexicographic min per lane) as a
+  /** Same signature as [[minhashSignature]] (bit-identical: 8-hex-char
+    * slices of `md5(s || "#"*(k/4))`, lexicographic min per lane) as a
     * JVM-native UDF. Spark never code-generates lambda higher-order
     * functions, so the expression form pays ~5us of interpreted
     * overhead per lane-element; this tight loop is ~10x faster and is
@@ -123,26 +131,36 @@ object Dedup {
     */
   def minhashSignatureUdf(numHashes: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (shingles: Seq[String]) =>
+      val nDigests = (numHashes + 3) / 4
       val md = java.security.MessageDigest.getInstance("MD5")
       val mins = Array.fill(numHashes)("g")
       var i = 0
       while (i < shingles.length) {
-        val s = shingles(i)
-        var seed = 0
-        while (seed < numHashes) {
+        val sBytes = shingles(i).getBytes("UTF-8")
+        var d = 0
+        while (d < nDigests) {
           md.reset()
-          md.update((s + "#" + seed).getBytes("UTF-8"))
+          md.update(sBytes)
+          var j = 0
+          while (j < d) { md.update('#'.toByte); j += 1 }
           val dig = md.digest()
-          val sb = new java.lang.StringBuilder(32)
-          var b = 0
-          while (b < 16) {
-            sb.append(hexChars((dig(b) >> 4) & 0xf))
-            sb.append(hexChars(dig(b) & 0xf))
-            b += 1
+          var lane = d * 4
+          val laneEnd = math.min(lane + 4, numHashes)
+          while (lane < laneEnd) {
+            // hex chars [8*(lane%4), +8) = digest bytes [4*(lane%4), +4)
+            val b0 = (lane % 4) * 4
+            val sb = new java.lang.StringBuilder(8)
+            var b = b0
+            while (b < b0 + 4) {
+              sb.append(hexChars((dig(b) >> 4) & 0xf))
+              sb.append(hexChars(dig(b) & 0xf))
+              b += 1
+            }
+            val hex = sb.toString
+            if (hex.compareTo(mins(lane)) < 0) mins(lane) = hex
+            lane += 1
           }
-          val hex = sb.toString
-          if (hex.compareTo(mins(seed)) < 0) mins(seed) = hex
-          seed += 1
+          d += 1
         }
         i += 1
       }
@@ -179,24 +197,48 @@ object Dedup {
       numHashes: Int = 8,
       bands: Int = 4,
       maxBucketSize: Int = 1000
+  ): (DataFrame, () => Unit) =
+    minhashCandidatesFromShingles(shingleFrame(df, idCol, textCol, shingleWords), numHashes, bands, maxBucketSize)
+
+  /** (`__id__`, `__sg__`) distinct-shingle frame — the shared first
+    * stage of the MinHash/Jaccard pipelines. Words -> shingles are
+    * staged as separate projections so each is evaluated once per row;
+    * inlining the shingle expression into all `numHashes` min-lanes
+    * would re-run the regex split per lane per element (measured ~20x
+    * slower). `array_distinct` is safe for MinHash (a min over a
+    * multiset equals the min over its distinct set) and is what exact
+    * Jaccard needs anyway, so both consumers share this frame.
+    */
+  private[pipeline] def shingleFrame(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleWords: Int
+  ): DataFrame = df
+    .select(col(idCol).as("__id__"), splitWords(col(textCol)).as("__words__"))
+    .select(col("__id__"), array_distinct(shinglesFromWordsUdf(shingleWords)(col("__words__"))).as("__sg__"))
+    .where(size(col("__sg__")) > 0)
+
+  /** [[minhashCandidatesWithCleanup]] starting from a pre-staged
+    * [[shingleFrame]] — lets callers that also need the shingles
+    * (exact-Jaccard verify) tokenize each document exactly once.
+    */
+  private[pipeline] def minhashCandidatesFromShingles(
+      shingles: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      maxBucketSize: Int
   ): (DataFrame, () => Unit) = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
-    // stage words -> shingles -> signature as separate projections so
-    // each is evaluated once per row; inlining the shingle expression
-    // into all `numHashes` min-lanes re-runs the regex split per lane
-    // per element (measured ~20x slower)
     // persist the signature frame: the filter + band extraction below
     // reference __sig__ many times, and with everything in one stage
     // the collapsed projection duplicates the 8-lane minhash
     // expression per reference — the generated code then exceeds
     // janino's method limit and every task pays a failed-compile
     // penalty (measured 14.6s -> 0.3s at sf0.001 with the barrier)
-    val sig = df
-      .select(col(idCol).as("__id__"), splitWords(col(textCol)).as("__words__"))
-      .select(col("__id__"), shinglesFromWordsUdf(shingleWords)(col("__words__")).as("__shingles__"))
-      .where(size(col("__shingles__")) > 0)
-      .select(col("__id__"), minhashSignatureUdf(numHashes)(col("__shingles__")).as("__sig__"))
+    val sig = shingles
+      .select(col("__id__"), minhashSignatureUdf(numHashes)(col("__sg__")).as("__sig__"))
     // persist the tiny (id, band, bandsig) frame: it feeds BOTH sides
     // of the self-join plus the bucket-size window, and Catalyst's
     // project-collapsing would otherwise re-inline (and re-execute)
@@ -286,12 +328,12 @@ object Dedup {
     * min-label propagation: every node ends with the minimum node id
     * reachable from it as `cluster`. The per-iteration work is one
     * equi-join + one min-aggregation over the edges (both plain
-    * shuffles on node ids), and each iteration halves the distance
-    * to the component minimum at worst — near-dup clusters are small
-    * and dense, so convergence is a handful of rounds. Labels are
-    * `localCheckpoint`ed every iteration: without lineage truncation
-    * the plan doubles per round and the job dies re-executing the
-    * whole history at every action.
+    * shuffles on node ids), and the minimum label travels one hop
+    * per iteration, so rounds ~ component diameter — near-dup
+    * clusters are small and dense, so convergence is a handful of
+    * rounds. Labels are `localCheckpoint`ed every iteration: without
+    * lineage truncation the plan doubles per round and the job dies
+    * re-executing the whole history at every action.
     *
     * Output: (node, cluster) for every node appearing in `edges`.
     */
@@ -308,10 +350,14 @@ object Dedup {
       .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // seed label = min(node, min neighbor): one aggregation (same
+    // shuffle cost as the distinct node list) that is already the
+    // fixed point for pair and star clusters — typically saves a
+    // whole propagation round vs seeding with the node id itself
     var labels = sym
-      .select(col("src").as("node"))
-      .distinct()
-      .withColumn("label", col("node"))
+      .groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("__nmin__"))
+      .select(col("node"), least(col("node"), col("__nmin__")).as("label"))
       .localCheckpoint(true)
     var iter = 0
     var changed = 1L
@@ -327,7 +373,8 @@ object Dedup {
           least(col("label"), coalesce(col("__in__"), col("label"))).as("label"),
           (col("__in__") < col("label")).as("__chg__")
         )
-        .localCheckpoint(true) // materializes; the counts below are cheap
+        .localCheckpoint(false) // lazy: the count below materializes it,
+      // truncating lineage in the same job — one job per iteration
       changed = updated.where(col("__chg__")).count()
       labels = updated.drop("__chg__")
       iter += 1
@@ -353,15 +400,15 @@ object Dedup {
       bands: Int = 4,
       maxBucketSize: Int = 1000
   ): (DataFrame, () => Unit) = {
-    val (cands, cleanupCands) =
-      minhashCandidatesWithCleanup(df, idCol, textCol, shingleWords, numHashes, bands, maxBucketSize)
-    val sh = df
-      .select(col(idCol), splitWords(col(textCol)).as("__w__"))
-      .select(col(idCol), array_distinct(shinglesFromWordsUdf(shingleWords)(col("__w__"))).as("__sg__"))
+    // ONE tokenize+shingle pass feeds both the MinHash signatures and
+    // the exact-Jaccard verify joins (persisted: three consumers)
+    val sh = shingleFrame(df, idCol, textCol, shingleWords)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (cands, cleanupCands) =
+      minhashCandidatesFromShingles(sh, numHashes, bands, maxBucketSize)
     val out = cands
-      .join(sh.select(col(idCol).as("id_a"), col("__sg__").as("__sga__")), Seq("id_a"))
-      .join(sh.select(col(idCol).as("id_b"), col("__sg__").as("__sgb__")), Seq("id_b"))
+      .join(sh.select(col("__id__").as("id_a"), col("__sg__").as("__sga__")), Seq("id_a"))
+      .join(sh.select(col("__id__").as("id_b"), col("__sg__").as("__sgb__")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), col("n_band_matches"),
         jaccardOfShingleArrays(col("__sga__"), col("__sgb__")).as("jac"))
     (out, () => { cleanupCands(); sh.unpersist(); () })
