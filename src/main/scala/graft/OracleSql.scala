@@ -39,9 +39,13 @@ td AS (SELECT ord0 AS ord, day FROM cal2 WHERE istd)"""
   private val wordsSql =
     "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
 
-  /** 3-gram shingle list mirroring Dedup.wordShingles(n=3). */
-  private val shingles3 =
-    s"(CASE WHEN len($wordsSql) - 2 > 0 THEN list_transform(range(1, len($wordsSql) - 1), i -> $wordsSql[i] || ' ' || $wordsSql[i+1] || ' ' || $wordsSql[i+2]) ELSE [] END)"
+  /** n-gram word-shingle list mirroring Dedup.wordShingles(n). */
+  private def shinglesSql(n: Int): String = {
+    val gram = (0 until n).map(k => s"$wordsSql[i+$k]").mkString(" || ' ' || ")
+    s"(CASE WHEN len($wordsSql) - ${n - 1} > 0 THEN list_transform(range(1, len($wordsSql) - ${n - 2}), i -> $gram) ELSE [] END)"
+  }
+
+  private lazy val shingles3 = shinglesSql(3)
 
   /** Alphanumeric word list used by simhash / rolling hash. */
   private val alnumWords =
@@ -128,13 +132,37 @@ FROM documents)
 SELECT doc_id, $bl AS lang_pred FROM s0"""
   }
 
-  private lazy val simhashSql: String = {
+  /** `bits`-wide simhash bit-string over a word-list column `ws` —
+    * mirrors Dedup.simhashFromMd5s(transform(ws, md5), bits).
+    */
+  private def simhashBitsExpr(bits: Int): String = {
     val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f").map(h => s"'$h'").mkString(", ")
-    val bits = (0 until 16).map { i =>
+    (0 until bits).map { i =>
       s"(CASE WHEN list_sum(list_transform(ws, x -> CASE WHEN substring(md5(x), ${i + 1}, 1) IN ($hexHigh) THEN 1 ELSE -1 END)) >= 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
+  }
+
+  private lazy val simhashSql: String =
     s"""WITH w AS (SELECT doc_id, $alnumWords AS ws FROM documents)
-SELECT doc_id, $bits AS sh FROM w"""
+SELECT doc_id, ${simhashBitsExpr(16)} AS sh FROM w"""
+
+  /** Banded simhash candidates + exact hamming — mirrors
+    * Dedup.simhashCandidates(bits=32, bands=4, maxHamming=3,
+    * maxBucketSize=1000) including the hot-bucket cap.
+    */
+  private lazy val simhashCandidatesSql: String = {
+    val bandsigs = (0 until 4).map(b => s"substring(sh, ${b * 8 + 1}, 8)").mkString(", ")
+    val hamming = (1 to 32)
+      .map(i => s"(CASE WHEN substring(a.sh, $i, 1) <> substring(b2.sh, $i, 1) THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH w AS (SELECT doc_id, $alnumWords AS ws FROM documents),
+s AS (SELECT doc_id, ${simhashBitsExpr(32)} AS sh FROM w),
+banded0 AS (SELECT doc_id, sh, unnest([0, 1, 2, 3]) AS b, unnest([$bandsigs]) AS bandsig FROM s),
+banded AS (SELECT * FROM banded0 QUALIFY count(*) OVER (PARTITION BY b, bandsig) <= 1000),
+cand AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b, count(*) AS n_band_matches, min($hamming) AS hamming
+FROM banded a JOIN banded b2 ON a.b = b2.b AND a.bandsig = b2.bandsig AND a.doc_id < b2.doc_id
+GROUP BY 1, 2)
+SELECT id_a, id_b, n_band_matches, CAST(hamming AS INT) AS hamming FROM cand WHERE hamming <= 3"""
   }
 
   /** Shared CTE chain: shingles -> minhash signature -> banded LSH
@@ -385,6 +413,37 @@ FROM lineitem GROUP BY 1, 2""",
     "q_rolling_hash" ->
       s"""SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+', ' ', 'g'), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % ${TextAnalysis.rollingHashMod}) AS rhash FROM documents""",
 
+    // Gopher-style repetition signals: dup-line / dup-word fractions
+    // are per-row list expressions; the top-bigram coverage mirrors
+    // the engine's explode -> count -> window-top-1 aggregation
+    "q_repetition" ->
+      s"""WITH base AS (SELECT doc_id,
+CASE WHEN len(list_filter(string_split(text, chr(10)), x -> trim(x) <> '')) > 0
+THEN CAST(len(list_filter(string_split(text, chr(10)), x -> trim(x) <> '')) - len(list_distinct(list_filter(string_split(text, chr(10)), x -> trim(x) <> ''))) AS DOUBLE) / len(list_filter(string_split(text, chr(10)), x -> trim(x) <> ''))
+ELSE 0.0 END AS dup_line_frac,
+CASE WHEN length(trim(text)) = 0 THEN 0.0
+WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 0
+THEN CAST(len(regexp_split_to_array(trim(text), '\\s+')) - len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS DOUBLE) / len(regexp_split_to_array(trim(text), '\\s+'))
+ELSE 0.0 END AS dup_word_frac,
+length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS tc FROM documents),
+g AS (SELECT doc_id, unnest(${shinglesSql(2)}) AS g FROM documents),
+c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+top AS (SELECT doc_id, c * length(g) AS cov FROM c
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) = 1)
+SELECT base.doc_id, round(dup_line_frac, 6) AS dup_line_frac, round(dup_word_frac, 6) AS dup_word_frac,
+round(coalesce(CAST(cov AS DOUBLE) / tc, 0.0), 6) AS top_ngram_char_frac
+FROM base LEFT JOIN top ON base.doc_id = top.doc_id""",
+
+    // corpus TF-IDF, top-3 words per doc on exact-integer ordering
+    "q_tfidf" ->
+      s"""WITH wds AS (SELECT doc_id, unnest($wordsSql) AS word FROM documents),
+wf AS (SELECT doc_id, word, count(*) AS tf FROM wds WHERE length(word) > 0 GROUP BY 1, 2),
+dfq AS (SELECT word, count(*) AS df FROM wf GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
+SELECT doc_id, word, tf, df, round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
+FROM wf JOIN dfq USING (word) CROSS JOIN n
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, df ASC, word ASC) <= 3""",
+
     "q_dedup_exact_groups" ->
       s"""SELECT md5($fpNorm) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1""",
 
@@ -423,6 +482,28 @@ SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.node),
 lab AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node)
 SELECT d.doc_id, coalesce(lab.cluster, d.doc_id) AS cluster
 FROM documents d LEFT JOIN lab ON d.doc_id = lab.node""",
+
+    // same transitive closure, then keep the longest document per
+    // cluster (ties to the smaller id) — mirrors nearDupRepresentatives
+    "q_neardup_keep" ->
+      s"""WITH RECURSIVE $minhashCtes,
+shd AS (SELECT doc_id, list_distinct(sg) AS sg FROM sh),
+e AS (SELECT c.id_a, c.id_b FROM cand c
+JOIN shd a ON c.id_a = a.doc_id JOIN shd b ON c.id_b = b.doc_id
+WHERE len(list_distinct(list_concat(a.sg, b.sg))) > 0
+AND CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sg, b.sg))) AS DOUBLE) >= 0.5),
+sym AS (SELECT id_a AS src, id_b AS dst FROM e UNION SELECT id_b, id_a FROM e),
+reach(node, r) AS (
+SELECT src, src FROM sym
+UNION
+SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.node),
+lab AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+full_lab AS (SELECT d.doc_id, length(d.text) AS tl, coalesce(lab.cluster, d.doc_id) AS cluster
+FROM documents d LEFT JOIN lab ON d.doc_id = lab.node)
+SELECT doc_id, cluster FROM full_lab
+QUALIFY row_number() OVER (PARTITION BY cluster ORDER BY tl DESC, doc_id ASC) = 1""",
+
+    "q_simhash_candidates" -> simhashCandidatesSql,
 
     "q_embed_neardups" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)

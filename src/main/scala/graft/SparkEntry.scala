@@ -288,6 +288,27 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       d.select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rhash"))
     }),
+    "q_repetition" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextAnalysis.repetitionSignals(d, "doc_id", "text", ngramWords = 2)
+        .select(col("doc_id"),
+          round(col("dup_line_frac"), 6).as("dup_line_frac"),
+          round(col("dup_word_frac"), 6).as("dup_word_frac"),
+          round(col("top_ngram_char_frac"), 6).as("top_ngram_char_frac"))
+    }),
+    "q_tfidf" -> ((s, dir) => {
+      // top-3 words per doc; ORDER ON EXACT INTEGERS (tf desc, df asc,
+      // word asc) — ranking on the float tfidf would be nondeterministic
+      // across engines at equal values
+      val d = t(s, dir, "documents")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("df").asc, col("word").asc)
+      TextAnalysis.tfIdf(d, "doc_id", "text")
+        .withColumn("__rn__", row_number().over(w))
+        .where(col("__rn__") <= 3)
+        .select(col("doc_id"), col("word"), col("tf"), col("df"), round(col("tfidf"), 6).as("tfidf"))
+    }),
     // ---- pipeline: dedup -----------------------------------------
     "q_dedup_exact_groups" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -319,6 +340,16 @@ object SparkEntry {
     "q_neardup_groups" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       Dedup.nearDupGroups(d, "doc_id", "text", jaccardThreshold = 0.5)
+    }),
+    "q_neardup_keep" -> ((s, dir) => {
+      // deduplicated-corpus materialization: longest doc per cluster
+      val d = t(s, dir, "documents")
+      Dedup.nearDupRepresentatives(d, "doc_id", "text", jaccardThreshold = 0.5, keepLongest = true)
+        .select(col("doc_id"), col("cluster"))
+    }),
+    "q_simhash_candidates" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.simhashCandidates(d, "doc_id", "text", bits = 32, bands = 4, maxHamming = 3)
     }),
     "q_embed_neardups" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").withColumn("emb", col("embedding").cast("array<double>"))

@@ -303,6 +303,90 @@ object Dedup {
     concat(bitCols: _*)
   }
 
+  /** Hamming distance between two equal-length bit-string columns as
+    * a fixed-width codegen'd sum — one `substring` comparison per bit,
+    * no UDF, no loop state. `bits` is small (<= 32) by construction.
+    */
+  def hammingDistance(a: Column, b: Column, bits: Int): Column =
+    (0 until bits)
+      .map(i => when(substring(a, i + 1, 1) =!= substring(b, i + 1, 1), 1).otherwise(0))
+      .reduce(_ + _)
+
+  /** Candidate near-duplicate pairs via banded SimHash: documents
+    * agreeing EXACTLY on any of `bands` contiguous bit-slices of
+    * their [[simhashBits]] signature become candidates, then the
+    * exact Hamming distance is computed on candidates only and pairs
+    * above `maxHamming` are dropped. By pigeonhole, any pair with
+    * hamming < `bands` is guaranteed to collide in at least one band,
+    * so recall is exact for `maxHamming <= bands - 1` and heuristic
+    * above that. The shuffle carries (id, band, slice) — never text —
+    * and the quadratic stage only sees same-slice buckets, the same
+    * scale shape as [[minhashCandidates]].
+    *
+    * Output: (id_a, id_b, n_band_matches, hamming) with id_a < id_b.
+    */
+  def simhashCandidatesWithCleanup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bits: Int = 32,
+      bands: Int = 4,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1000
+  ): (DataFrame, () => Unit) = {
+    require(bits % bands == 0, "bits must be divisible by bands")
+    val slice = bits / bands
+    require(slice >= 8, "band slices narrower than 8 bits collide half the corpus into one bucket")
+    // stage words -> md5s -> simhash as separate projections (the
+    // digest array is referenced once per bit — see simhashFromMd5s),
+    // and persist: the signature feeds the band explode AND both
+    // sides of the bucket join, and Catalyst's projection collapse
+    // would otherwise re-execute the full simhash per consumer
+    val sim = df
+      .select(
+        col(idCol).as("__id__"),
+        transform(split(trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " ")), " "), w => md5(w)).as("__md5s__"))
+      .select(col("__id__"), simhashFromMd5s(col("__md5s__"), bits).as("__sh__"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sim.select(
+      col("__id__"),
+      col("__sh__"),
+      posexplode(array((0 until bands).map(b => substring(col("__sh__"), b * slice + 1, slice)): _*))
+        .as(Seq("__band__", "__bandsig__"))
+    )
+    // hot-bucket cap, same rationale and shape as minhashCandidates:
+    // a boilerplate-heavy band slice would make the bucket self-join
+    // quadratic; the count shares the join's partitioning key
+    val wBucket = Window.partitionBy(col("__band__"), col("__bandsig__"))
+    val capped = banded
+      .withColumn("__bsize__", count(lit(1)).over(wBucket))
+      .where(col("__bsize__") <= maxBucketSize)
+      .drop("__bsize__")
+    val a = capped.select(col("__band__"), col("__bandsig__"), col("__id__").as("id_a"), col("__sh__").as("__sha__"))
+    val b = capped.select(col("__band__"), col("__bandsig__"), col("__id__").as("id_b"), col("__sh__").as("__shb__"))
+    val out = a.join(b, Seq("__band__", "__bandsig__"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(
+        count(lit(1)).as("n_band_matches"),
+        // identical for every band match of the pair; min() just picks it
+        min(hammingDistance(col("__sha__"), col("__shb__"), bits)).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+    (out, () => { sim.unpersist(); () })
+  }
+
+  /** [[simhashCandidatesWithCleanup]] without the cleanup handle. */
+  def simhashCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bits: Int = 32,
+      bands: Int = 4,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1000
+  ): DataFrame =
+    simhashCandidatesWithCleanup(df, idCol, textCol, bits, bands, maxHamming, maxBucketSize)._1
+
   /** Jaccard similarity of two MATERIALIZED distinct-shingle array
     * columns (see [[shinglesFromWords]] for staging rationale).
     */
@@ -455,6 +539,40 @@ object Dedup {
     df.select(col(idCol))
       .join(cc.withColumnRenamed("node", idCol), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("cluster"), col(idCol)).as("cluster"))
+  }
+
+  /** Materialize the deduplicated corpus: one representative row per
+    * near-dup cluster (all original columns plus `cluster`).
+    *
+    *  - `keepLongest = false` (default): representative = the
+    *    minimum-id document. The cluster label IS that id, so this is
+    *    a pure filter after the cluster join — no extra shuffle.
+    *  - `keepLongest = true`: representative = the document with the
+    *    longest `textCol` (ties to the smaller id) — one windowed
+    *    rank partitioned by cluster.
+    */
+  def nearDupRepresentatives(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      jaccardThreshold: Double,
+      keepLongest: Boolean = false,
+      shingleWords: Int = 3,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      maxBucketSize: Int = 1000
+  ): DataFrame = {
+    val clusters =
+      nearDupGroups(df, idCol, textCol, jaccardThreshold, shingleWords, numHashes, bands, maxBucketSize)
+    val joined = df.join(clusters, Seq(idCol))
+    if (!keepLongest) joined.where(col(idCol) === col("cluster"))
+    else {
+      val w = Window.partitionBy(col("cluster")).orderBy(length(col(textCol)).desc, col(idCol).asc)
+      joined
+        .withColumn("__rn__", row_number().over(w))
+        .where(col("__rn__") === 1)
+        .drop("__rn__")
+    }
   }
 
   /** Embedding-cosine near-duplicate pairs within blocking keys.

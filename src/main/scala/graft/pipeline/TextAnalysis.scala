@@ -113,4 +113,91 @@ object TextAnalysis {
       (acc, c) => (acc * lit(31L) + c) % lit(rollingHashMod)
     )
   }
+
+  // ---- repetition signals (Gopher-style, Rae et al. 2021) ---------
+
+  /** Fraction of non-blank lines that are repeats of an earlier line:
+    * `1 - distinct/total`. Pure per-row array expression. */
+  def duplicateLineFraction(text: Column): Column = {
+    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+    val n = size(lines)
+    when(n > 0, (n - size(array_distinct(lines))).cast("double") / n).otherwise(lit(0.0))
+  }
+
+  /** Fraction of whitespace tokens that are repeats of an earlier
+    * token — high values flag boilerplate / degenerate generations. */
+  def duplicateWordFraction(text: Column): Column = {
+    val words = split(trim(text), "\\s+")
+    val n = when(length(trim(text)) === 0, lit(0)).otherwise(size(words))
+    when(n > 0, (n - size(array_distinct(words))).cast("double") / n).otherwise(lit(0.0))
+  }
+
+  /** Per-document repetition signals:
+    * (idCol, dup_line_frac, dup_word_frac, top_ngram_char_frac).
+    *
+    * `top_ngram_char_frac` is the fraction of the normalized text's
+    * characters covered by the single most frequent word `ngramWords`-
+    * gram (count * gram length / text length) — the Gopher
+    * "top n-gram character fraction" filter. The frequent-gram search
+    * is a real aggregation, not a per-row loop: explode grams, count
+    * by (doc, gram), take the top gram per doc with one window — all
+    * shuffles keyed on (doc, gram) / doc, so a hot document never
+    * concentrates more than its own grams on one task at 100 TB.
+    * Ties break to the lexicographically smallest gram.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String, ngramWords: Int = 2): DataFrame = {
+    val norm = regexp_replace(trim(regexp_replace(lower(col(textCol)), "\\s+", " ")), "\\s+", " ")
+    val base = df.select(
+      col(idCol),
+      duplicateLineFraction(col(textCol)).as("dup_line_frac"),
+      duplicateWordFraction(col(textCol)).as("dup_word_frac"),
+      length(norm).as("__tc__"))
+    val grams = df.select(
+      col(idCol),
+      explode(Dedup.shinglesFromWordsUdf(ngramWords)(Dedup.splitWords(col(textCol)))).as("__g__"))
+    val counts = grams.groupBy(col(idCol), col("__g__")).agg(count(lit(1)).as("__c__"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("__c__").desc, col("__g__").asc)
+    val top = counts
+      .withColumn("__rn__", row_number().over(w))
+      .where(col("__rn__") === 1)
+      .select(col(idCol), (col("__c__") * length(col("__g__"))).as("__cov__"))
+    base
+      .join(top, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("dup_line_frac"),
+        col("dup_word_frac"),
+        coalesce(col("__cov__").cast("double") / col("__tc__"), lit(0.0)).as("top_ngram_char_frac"))
+  }
+
+  // ---- corpus TF-IDF ----------------------------------------------
+
+  /** Corpus TF-IDF over lowercase whitespace words: one row per
+    * (document, word) with raw term frequency, document frequency,
+    * and `tf * ln(N / df)`.
+    *
+    * Scale shape: two hash aggregations — (doc, word) then (word) —
+    * plus a shuffle join on `word`; the corpus size `N` enters as a
+    * broadcast one-row aggregate, never a driver action. `minDocFreq`
+    * prunes the long hapax tail BEFORE the join back, which is where
+    * a 100 TB vocabulary would otherwise explode.
+    */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String, minDocFreq: Int = 1): DataFrame = {
+    val words = df
+      .select(col(idCol).as("__id__"), explode(Dedup.splitWords(col(textCol))).as("word"))
+      .where(length(col("word")) > 0)
+    val tf = words.groupBy(col("__id__"), col("word")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df")).where(col("df") >= minDocFreq)
+    val nDocs = df.select(countDistinct(col(idCol)).as("__n__"))
+    tf.join(dfreq, Seq("word"))
+      .crossJoin(broadcast(nDocs))
+      .select(
+        col("__id__").as(idCol),
+        col("word"),
+        col("tf"),
+        col("df"),
+        (col("tf") * log(col("__n__").cast("double") / col("df"))).as("tfidf"))
+  }
 }

@@ -208,6 +208,69 @@ class PipelineSpec extends SparkSuite {
     assert(recall >= 0.6, f"IVF recall@5 fell to $recall%.3f (bar 0.6)")
   }
 
+  test("simhash candidates: exact dups collide at hamming 0, unrelated text is pruned") {
+    val out = Dedup.simhashCandidates(docs, "doc_id", "text", bits = 32, bands = 4, maxHamming = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(r.fieldIndex("hamming")))
+      .toMap
+    assert(out((1L, 2L)) == 0) // identical text -> identical signature
+    assert(out.contains((1L, 3L))) // case/punct variant stays within maxHamming
+    assert(!out.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simhash candidates respect the hot-bucket cap") {
+    val s = spark; import s.implicits._
+    val many = (1 to 300).map(i => (i.toLong, "identical text repeated for the bucket cap test"))
+      .toDF("doc_id", "text")
+    assert(Dedup.simhashCandidates(many, "doc_id", "text", maxBucketSize = 100).count() == 0)
+  }
+
+  test("hammingDistance counts differing bit positions") {
+    val s = spark; import s.implicits._
+    val df = Seq(("1010", "1001")).toDF("a", "b")
+    assert(df.select(Dedup.hammingDistance(col("a"), col("b"), 4)).head().getInt(0) == 2)
+  }
+
+  test("nearDupRepresentatives keeps min-id (default) or longest per cluster") {
+    // 1,2,3 form one near-dup cluster; 4 and 5 are singletons
+    val minIds = Dedup.nearDupRepresentatives(docs, "doc_id", "text", jaccardThreshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(minIds == Set(1L, 4L, 5L))
+    val longest = Dedup.nearDupRepresentatives(docs, "doc_id", "text", jaccardThreshold = 0.5, keepLongest = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // doc 3 is the longest member of cluster {1,2,3} (45 chars vs 43)
+    assert(longest == Set(3L, 4L, 5L))
+  }
+
+  test("repetition signals: dup-word fraction and top-bigram coverage, hand-computed") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "x y x y x y"), // 6 words, 2 distinct; top bigram "x y" count 3
+      (2L, "all unique words here"),
+      (3L, "a\nb\na\n\n") // 3 non-blank lines, one repeat
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(math.abs(out(1L).getDouble(2) - 4.0 / 6) < 1e-9) // dup_word_frac
+    // normalized text "x y x y x y" = 11 chars; coverage 3 * len("x y") = 9
+    assert(math.abs(out(1L).getDouble(3) - 9.0 / 11) < 1e-9)
+    assert(out(2L).getDouble(2) == 0.0)
+    assert(math.abs(out(3L).getDouble(1) - 1.0 / 3) < 1e-9) // dup_line_frac
+  }
+
+  test("tfIdf: corpus-wide word scores match the closed form") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "spark spark flink"), (2L, "spark beam")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdf(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r).toMap
+    val r1 = out((1L, "spark"))
+    assert(r1.getLong(r1.fieldIndex("tf")) == 2L)
+    assert(r1.getLong(r1.fieldIndex("df")) == 2L)
+    assert(math.abs(r1.getDouble(r1.fieldIndex("tfidf")) - 0.0) < 1e-9) // in every doc -> 0
+    val fl = out((1L, "flink"))
+    assert(math.abs(fl.getDouble(fl.fieldIndex("tfidf")) - math.log(2.0)) < 1e-9)
+  }
+
   test("multimodal metadata + frame sampling plumbing") {
     val s = spark; import s.implicits._
     val df = docs.withColumn("payload", col("text").cast("binary"))
