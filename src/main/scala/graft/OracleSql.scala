@@ -148,7 +148,7 @@ SELECT doc_id, ${simhashBitsExpr(16)} AS sh FROM w"""
 
   /** Banded simhash candidates + exact hamming — mirrors
     * Dedup.simhashCandidates(bits=32, bands=4, maxHamming=3,
-    * maxBucketSize=1000) including the hot-bucket cap.
+    * maxBucketSize=100) including the hot-bucket cap.
     */
   private lazy val simhashCandidatesSql: String = {
     val bandsigs = (0 until 4).map(b => s"substring(sh, ${b * 8 + 1}, 8)").mkString(", ")
@@ -158,7 +158,7 @@ SELECT doc_id, ${simhashBitsExpr(16)} AS sh FROM w"""
     s"""WITH w AS (SELECT doc_id, $alnumWords AS ws FROM documents),
 s AS (SELECT doc_id, ${simhashBitsExpr(32)} AS sh FROM w),
 banded0 AS (SELECT doc_id, sh, unnest([0, 1, 2, 3]) AS b, unnest([$bandsigs]) AS bandsig FROM s),
-banded AS (SELECT * FROM banded0 QUALIFY count(*) OVER (PARTITION BY b, bandsig) <= 1000),
+banded AS (SELECT * FROM banded0 QUALIFY count(*) OVER (PARTITION BY b, bandsig) <= 100),
 cand AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b, count(*) AS n_band_matches, min($hamming) AS hamming
 FROM banded a JOIN banded b2 ON a.b = b2.b AND a.bandsig = b2.bandsig AND a.doc_id < b2.doc_id
 GROUP BY 1, 2)

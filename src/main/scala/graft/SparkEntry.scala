@@ -349,7 +349,10 @@ object SparkEntry {
     }),
     "q_simhash_candidates" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      Dedup.simhashCandidates(d, "doc_id", "text", bits = 32, bands = 4, maxHamming = 3)
+      // cap at 100 here: the synthetic corpus draws from a ~30-word
+      // vocabulary, so topic-level simhash buckets are pathologically
+      // dense; real corpora keep the 1000 default
+      Dedup.simhashCandidates(d, "doc_id", "text", bits = 32, bands = 4, maxHamming = 3, maxBucketSize = 100)
     }),
     "q_embed_neardups" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").withColumn("emb", col("embedding").cast("array<double>"))

