@@ -1,0 +1,45 @@
+package graft
+
+/** Physical-plan assertions over the driver queries at sf0.001 — the
+  * properties that make these plans survive a 100 TB scale-up, pinned
+  * so a refactor that silently degrades the plan fails the suite.
+  */
+class PlanSpec extends SparkSuite {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("no driver query plans a CartesianProduct") {
+    SparkEntry.queries.keys.foreach { name =>
+      val plan = planOf(name)
+      assert(!plan.contains("CartesianProduct"), s"$name plans a CartesianProduct join")
+    }
+  }
+
+  test("filter pushdown reaches the parquet scan (q_select_rows)") {
+    val plan = planOf("q_select_rows")
+    assert(plan.contains("PushedFilters: ["), s"no pushdown section in scan:\n$plan")
+    assert(!plan.contains("PushedFilters: []"), s"no filters pushed to the scan:\n$plan")
+  }
+
+  test("column pruning: a two-column projection reads a two-column schema") {
+    // documents has 5 columns; token counting touches doc_id + text only
+    val plan = planOf("q_token_count")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan reads more than the projected columns:\n$plan")
+  }
+
+  test("expand_months is a single codegen stage: no join, no shuffle") {
+    // the calendar is explode(sequence(...)) + an INSET holiday filter
+    // inlined over the scan — there is nothing to broadcast or shuffle
+    val em = planOf("q_expand_months")
+    assert(!em.contains("Exchange"), s"expand_months should not shuffle:\n$em")
+    assert(em.contains("Generate explode(sequence"), s"calendar not inlined:\n$em")
+  }
+
+  test("tfIdf joins the corpus-size scalar by broadcast, not shuffle") {
+    val tf = planOf("q_tfidf")
+    assert(tf.contains("Broadcast"), s"tfIdf corpus-size join is not broadcast:\n$tf")
+  }
+}
