@@ -1,16 +1,13 @@
 package graft
 
 import graft.functions.{Dates, Strings}
-import graft.pipeline.{Sampling, TextAnalysis}
+import graft.pipeline.{Sampling, Similarity, TextAnalysis}
 
 /** DuckDB-equivalent SQL for each SparkEntry query. Where a query
   * depends on engine constants (holiday calendar, stopword list,
-  * language markers, state map), the SQL is GENERATED from the same
-  * Scala values the operators use, so oracle and engine cannot drift.
-  *
-  * Queries without an entry here (LSH ANN, media frames/features) are
-  * not reasonably SQL-expressible; the driver records a rows-only
-  * check for them.
+  * language markers, state map, LSH hyperplanes), the SQL is GENERATED
+  * from the same Scala values the operators use, so oracle and engine
+  * cannot drift. EVERY query has an entry — no rows-only checks.
   */
 object OracleSql {
 
@@ -188,6 +185,31 @@ GROUP BY 1, 2)"""
   private lazy val minhashSql: String =
     s"""WITH $minhashCtes
 SELECT id_a, id_b, n_band_matches FROM cand"""
+
+  /** Sign-LSH ANN — mirrors Similarity.lshTopK(k=5, dims=64, planes=8,
+    * probes=2). The hyperplane values are EMBEDDED from the very
+    * planeMatrix the operator evaluates (anti-drift by construction);
+    * UNION dedups (query, neighbor) pairs across probes exactly like
+    * the engine's dropDuplicates (score is deterministic per pair).
+    */
+  private lazy val annLshSql: String = {
+    def bucketExpr(seed: Int): String =
+      Similarity.planeMatrix(8, 64, seed).map { plane =>
+        val lst = plane.mkString("[", ", ", "]")
+        s"(CASE WHEN list_sum(list_transform(range(1, 65), i -> emb[i] * ($lst)[i])) >= 0 THEN '1' ELSE '0' END)"
+      }.mkString(" || ")
+    val probes = (0 until 2).map { probe =>
+      val seed = 42 + probe
+      s"""SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, round(list_cosine_similarity(q.emb, c.emb), 4) AS score
+FROM (SELECT vec_id, emb, ${bucketExpr(seed)} AS b FROM e WHERE vec_id % 50 = 0) q
+JOIN (SELECT vec_id, emb, ${bucketExpr(seed)} AS b FROM e) c ON q.b = c.b AND q.vec_id <> c.vec_id"""
+    }.mkString("\nUNION\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+allp AS ($probes),
+r AS (SELECT query_id, neighbor_id, score,
+CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS INT) AS "rank" FROM allp)
+SELECT query_id, neighbor_id, score, "rank" FROM r WHERE "rank" <= 5"""
+  }
 
   // ---- the map ----------------------------------------------------
 
@@ -518,6 +540,8 @@ q AS (SELECT vec_id, emb FROM c WHERE vec_id % 50 = 0),
 s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, round(list_cosine_similarity(q.emb, c.emb), 4) AS score FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id),
 r AS (SELECT query_id, neighbor_id, score, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS INT) AS "rank" FROM s)
 SELECT query_id, neighbor_id, score, "rank" FROM r WHERE "rank" <= 5""",
+
+    "q_ann_lsh" -> annLshSql,
 
     // IVF mirrors the engine cell-for-cell: md5-ordered centroid draw,
     // rank-1 corpus assignment, nprobe query probing, global re-rank

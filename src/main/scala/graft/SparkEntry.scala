@@ -368,7 +368,7 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       val q = e.where(col("vec_id") % 50 === 0)
-      Similarity.lshTopK(e, q, "vec_id", "emb", k = 5, planes = 8, probes = 2)
+      Similarity.lshTopK(e, q, "vec_id", "emb", k = 5, dims = 64, planes = 8, probes = 2)
     }),
     "q_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))

@@ -59,23 +59,35 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane,
-    * dim): a hash of the indices mapped into [-1, 1]. Reproducible
-    * across runs and engines without RNG state.
+  /** Deterministic pseudo-random hyperplane matrix: component (p, d)
+    * = (uint32 of the first 8 hex chars of md5("seed#p#d") mod 2001
+    * - 1000) / 1000, uniform in [-1, 1]. Computed ONCE in plain Scala
+    * at plan-construction time and embedded as literal arrays — the
+    * per-row work is a pure codegen'd zip_with fold with zero hashing
+    * — and md5 makes the same matrix reproducible in any engine
+    * (`('0x' || substring(md5(s), 1, 8))::BIGINT % 2001` in DuckDB),
+    * so LSH results are oracle-checkable, unlike the earlier
+    * xxhash64 formulation.
     */
-  private def planeComponent(plane: Int, dim: Column, seed: Int): Column =
-    (pmod(xxhash64(lit(seed), lit(plane), dim), lit(2001L)) - lit(1000L)).cast("double") / 1000.0
+  def planeMatrix(planes: Int, dims: Int, seed: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(planes, dims) { (p, d) =>
+      md.reset()
+      val dig = md.digest(s"$seed#$p#$d".getBytes("UTF-8"))
+      val u = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) | ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+      ((u % 2001L) - 1000L).toDouble / 1000.0
+    }
+  }
 
   /** Sign-LSH bucket id: one bit per hyperplane = sign of <v, r_p>.
-    * Returns a string of 0/1 of length `planes`.
+    * Returns a string of 0/1 of length `planes`. `dims` must match
+    * the vector length (zip_with would null-pad a mismatch).
     */
-  def lshBucket(vec: Column, planes: Int, seed: Int = 42): Column = {
+  def lshBucket(vec: Column, planes: Int, dims: Int, seed: Int = 42): Column = {
+    val m = planeMatrix(planes, dims, seed)
     val bits = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (v, i) => v * planeComponent(p, i, seed)),
-        lit(0.0d),
-        (acc, v) => acc + v
-      )
+      val plane = array(m(p).map(lit): _*)
+      val proj = aggregate(zip_with(vec, plane, (v, r) => v * r), lit(0.0d), (acc, v) => acc + v)
       when(proj >= 0, lit("1")).otherwise(lit("0"))
     }
     concat(bits: _*)
@@ -91,6 +103,7 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
+      dims: Int,
       planes: Int = 8,
       probes: Int = 2,
       scoreDecimals: Int = 4
@@ -101,13 +114,13 @@ object Similarity {
         col(idCol).as("neighbor_id"),
         col(vecCol).as("__cv__"),
         norm(col(vecCol)).as("__cn__"),
-        lshBucket(col(vecCol), planes, seed).as("__bucket__")
+        lshBucket(col(vecCol), planes, dims, seed).as("__bucket__")
       )
       val q = queries.select(
         col(idCol).as("query_id"),
         col(vecCol).as("__qv__"),
         norm(col(vecCol)).as("__qn__"),
-        lshBucket(col(vecCol), planes, seed).as("__bucket__")
+        lshBucket(col(vecCol), planes, dims, seed).as("__bucket__")
       )
       q.join(c, Seq("__bucket__"))
         .where(col("query_id") =!= col("neighbor_id"))
@@ -132,8 +145,8 @@ object Similarity {
     *
     * Centroids are the `nlist` corpus vectors whose md5(id) sorts
     * lowest — a deterministic uniform draw with no RNG state and no
-    * k-means iterations, reproducible in any engine (which makes the
-    * whole operator oracle-checkable, unlike the xxhash64 sign-LSH).
+    * k-means iterations, reproducible in any engine (so the whole
+    * operator is oracle-checkable, like the md5-plane sign-LSH).
     * The centroid set is broadcast; assignment is a broadcast
     * cross-join + per-row rank, one shuffle each side. Ties rank by
     * (rounded similarity desc, centroid id) so assignment is exact

@@ -159,7 +159,7 @@ class PipelineSpec extends SparkSuite {
     val base = (1 to 40).map(i => (i.toLong, Array.tabulate(8)(d => math.sin(i * 13 + d).abs)))
     val vecs = (base :+ (99L, base.head._2)).toDF("id", "v")
     val out = Similarity.lshTopK(vecs, vecs.where(col("id") === 99L), "id", "v",
-      k = 3, planes = 4, probes = 2)
+      k = 3, dims = 8, planes = 4, probes = 2)
     val top = out.where(col("rank") === 1).head()
     assert(top.getLong(top.fieldIndex("neighbor_id")) == 1L) // its identical twin
     assert(top.getDouble(top.fieldIndex("score")) == 1.0)
@@ -177,7 +177,7 @@ class PipelineSpec extends SparkSuite {
       .groupBy("query_id").agg(collect_set(col("neighbor_id")).as("nb"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
     val bf = topSets(Similarity.bruteForceTopK(corpus, queries, "id", "v", k = 5))
-    val lsh = topSets(Similarity.lshTopK(corpus, queries, "id", "v", k = 5, planes = 8, probes = 2))
+    val lsh = topSets(Similarity.lshTopK(corpus, queries, "id", "v", k = 5, dims = 16, planes = 8, probes = 2))
     val recalls = bf.map { case (q, nbs) => lsh.getOrElse(q, Set.empty).intersect(nbs).size.toDouble / nbs.size }
     val recall = recalls.sum / recalls.size
     assert(recall >= 0.6, f"recall@5 fell to $recall%.3f (bar 0.6) — LSH quality regression")

@@ -147,7 +147,7 @@ class PropertySpec extends SparkSuite {
     val vecs = (0 until 100).map(i => (i.toLong, Array.tabulate(12)(d => math.sin(i * 31 + d * 7))))
       .toDF("id", "v")
     def buckets(df: org.apache.spark.sql.DataFrame) = df
-      .select(col("id"), Similarity.lshBucket(col("v"), planes = 8, seed = 42).as("b"))
+      .select(col("id"), Similarity.lshBucket(col("v"), planes = 8, dims = 12, seed = 42).as("b"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val one = buckets(vecs.coalesce(1))
     val many = buckets(vecs.repartition(13))
