@@ -130,4 +130,19 @@ object StreamOps {
       else keyed.dropDuplicates("__digest__")
     out.drop("__digest__")
   }
+
+  /** Stream-static enrichment: left-join a (micro-batched) stream
+    * against a static dimension table on `keys`, broadcasting the
+    * dimension so every micro-batch is a map-side join — no shuffle
+    * of the stream, no streaming state. The static side is re-read
+    * per micro-batch by Spark's stream-static join machinery, so a
+    * dimension refreshed in place (e.g. overwritten parquet) is
+    * picked up without restarting the query.
+    */
+  def enrichWithDimension(
+      stream: DataFrame,
+      dimension: DataFrame,
+      keys: Seq[String]
+  ): DataFrame =
+    stream.join(broadcast(dimension), keys, "left")
 }

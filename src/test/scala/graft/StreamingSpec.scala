@@ -68,4 +68,21 @@ class StreamingSpec extends SparkSuite {
     val out = StreamOps.streamingDedup(df, "ts", "text")
     assert(out.count() == 2)
   }
+
+  test("enrichWithDimension broadcast-joins a stream against a static table") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val input = MemoryStream[(Long, Double)]
+    val stream = input.toDF().toDF("user_id", "value")
+    val q = StreamOps.enrichWithDimension(stream, dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enrich_test").outputMode("append").start()
+    try {
+      input.addData((1L, 10.0), (3L, 30.0)) // 3 has no dim row -> null tier
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, tier FROM enrich_test").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(rows == Map(1L -> Some("gold"), 3L -> None))
+    } finally q.stop()
+  }
 }
