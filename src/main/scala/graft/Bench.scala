@@ -17,6 +17,7 @@ object Bench {
     // cost so per-query numbers reflect execution, not class loading.
     SparkEntry.queries.headOption.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      finally SparkEntry.runPendingCleanups()
     }
     // optional args = query names to run (default: all)
     val selected =
@@ -28,8 +29,12 @@ object Bench {
       val ok =
         try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable => errors += s"$name: ${e.getClass.getSimpleName}"; false }
+        // release operator-internal caches AFTER the action, inside the
+        // timed window — cache hygiene is part of each query's cost
+        finally SparkEntry.runPendingCleanups()
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    SparkEntry.releaseShared()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum

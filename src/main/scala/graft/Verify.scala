@@ -27,7 +27,9 @@ object Verify {
         System.err.println(s"[verify] $name failed: $cause")
         cause.getStackTrace.take(6).foreach(f => System.err.println(s"[verify]   at $f"))
       }
+      finally SparkEntry.runPendingCleanups()
     }
+    SparkEntry.releaseShared()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

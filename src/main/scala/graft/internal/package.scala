@@ -36,4 +36,27 @@ package object internal {
     df.where(!anyMissing(df, keys))
 
   def toCols(names: Seq[String]): Seq[Column] = names.map(col)
+
+  /** `df.localCheckpoint(eager)` plus a release handle for the
+    * checkpoint's cached blocks. Spark has no public API to unpersist
+    * a localCheckpoint (the Dataset's own `unpersist` targets the
+    * plan cache, not the checkpoint RDD), so the handle is captured
+    * by diffing `sc.getPersistentRDDs` around the checkpoint call —
+    * `RDD.localCheckpoint` registers its storage level synchronously
+    * inside the `Dataset.localCheckpoint` call, for both the eager
+    * and the lazy form. Callers must not checkpoint concurrently
+    * from another thread between the two snapshots (driver-side code
+    * here is single-threaded).
+    *
+    * Without release, every localCheckpoint strands MEMORY_AND_DISK
+    * blocks until context shutdown — measured in round 4 as a ~2x
+    * slowdown on every subsequent query in the same session.
+    */
+  def localCheckpointTracked(df: DataFrame, eager: Boolean): (DataFrame, () => Unit) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val cp = df.localCheckpoint(eager)
+    val newIds = sc.getPersistentRDDs.keySet -- before
+    (cp, () => newIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))))
+  }
 }

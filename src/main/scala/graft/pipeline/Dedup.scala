@@ -447,25 +447,32 @@ object Dedup {
     when(union > 0, inter / union).otherwise(lit(0.0))
   }
 
-  /** Connected components over an undirected edge list by iterative
-    * min-label propagation: every node ends with the minimum node id
-    * reachable from it as `cluster`. The per-iteration work is one
-    * equi-join + one min-aggregation over the edges (both plain
-    * shuffles on node ids), and the minimum label travels one hop
-    * per iteration, so rounds ~ component diameter — near-dup
-    * clusters are small and dense, so convergence is a handful of
-    * rounds. Labels are `localCheckpoint`ed every iteration: without
-    * lineage truncation the plan doubles per round and the job dies
-    * re-executing the whole history at every action.
+  /** Connected components over an undirected edge list: every node
+    * ends with the minimum node id reachable from it as `cluster`.
     *
-    * Output: (node, cluster) for every node appearing in `edges`.
+    * Each round combines min-label propagation (one hop over the
+    * edges) with pointer jumping (`label := label(label)`), so the
+    * effective reach DOUBLES per round and convergence is
+    * O(log diameter) — a 100 TB chain-shaped component of length L
+    * converges in ~log2(L) rounds, not L (a pure propagation loop is
+    * diameter-bound and would blow any fixed `maxIter`). Per-round
+    * work is two equi-joins + one min-aggregation, all plain shuffles
+    * on node ids. Labels are `localCheckpoint`ed every round (without
+    * lineage truncation the plan doubles per round), and the
+    * superseded round's checkpoint blocks are RELEASED as soon as the
+    * next round materializes — only the final labels' blocks outlive
+    * the loop, via the cleanup handle.
+    *
+    * Output: (node, cluster) for every node appearing in `edges`,
+    * plus a thunk releasing the final labels' checkpoint blocks (call
+    * it once the result has been consumed / materialized downstream).
     */
-  def connectedComponents(
+  def connectedComponentsWithCleanup(
       edges: DataFrame,
       aCol: String,
       bCol: String,
       maxIter: Int = 30
-  ): DataFrame = {
+  ): (DataFrame, () => Unit) = {
     // symmetrize + dedup parallel edges once, and keep the frame hot:
     // it is re-joined every iteration
     val sym = edges
@@ -477,35 +484,62 @@ object Dedup {
     // shuffle cost as the distinct node list) that is already the
     // fixed point for pair and star clusters — typically saves a
     // whole propagation round vs seeding with the node id itself
-    var labels = sym
-      .groupBy(col("src").as("node"))
-      .agg(min(col("dst")).as("__nmin__"))
-      .select(col("node"), least(col("node"), col("__nmin__")).as("label"))
-      .localCheckpoint(true)
+    var (labels, releaseLabels) = graft.internal.localCheckpointTracked(
+      sym
+        .groupBy(col("src").as("node"))
+        .agg(min(col("dst")).as("__nmin__"))
+        .select(col("node"), least(col("node"), col("__nmin__")).as("label")),
+      eager = true)
     var iter = 0
     var changed = 1L
     while (iter < maxIter && changed > 0) {
+      // hop step: min label over graph neighbors
       val incoming = sym
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(min(col("label")).as("__in__"))
-      val updated = labels
-        .join(incoming, Seq("node"), "left")
-        .select(
-          col("node"),
-          least(col("label"), coalesce(col("__in__"), col("label"))).as("label"),
-          (col("__in__") < col("label")).as("__chg__")
-        )
-        .localCheckpoint(false) // lazy: the count below materializes it,
+      // jump step: the label of my label (labels are node ids within
+      // the same component, so this is always component-internal)
+      val labelOfLabel = labels.select(col("node").as("label"), col("label").as("__ll__"))
+      val (updated, releaseUpdated) = graft.internal.localCheckpointTracked(
+        labels
+          .join(incoming, Seq("node"), "left")
+          .join(labelOfLabel, Seq("label"), "left")
+          .select(
+            col("node"),
+            least(
+              col("label"),
+              coalesce(col("__in__"), col("label")),
+              coalesce(col("__ll__"), col("label"))).as("label"),
+            (coalesce(col("__in__"), col("label")) < col("label") ||
+              coalesce(col("__ll__"), col("label")) < col("label")).as("__chg__")
+          ),
+        eager = false) // lazy: the count below materializes it,
       // truncating lineage in the same job — one job per iteration
       changed = updated.where(col("__chg__")).count()
+      releaseLabels() // round N's blocks are superseded by round N+1
       labels = updated.drop("__chg__")
+      releaseLabels = releaseUpdated
       iter += 1
     }
     sym.unpersist()
     require(changed == 0, s"connectedComponents did not converge in $maxIter iterations")
-    labels.select(col("node"), col("label").as("cluster"))
+    (labels.select(col("node"), col("label").as("cluster")), releaseLabels)
   }
+
+  /** [[connectedComponentsWithCleanup]] without the cleanup handle:
+    * the final labels' checkpoint blocks stay cached for as long as
+    * the returned frame is in use (superseded per-round blocks are
+    * still released inside the loop). Long-running sessions should
+    * prefer the WithCleanup variant.
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 30
+  ): DataFrame =
+    connectedComponentsWithCleanup(edges, aCol, bCol, maxIter)._1
 
   /** Banded-LSH candidate pairs with exact n-gram Jaccard attached:
     * (id_a, id_b, n_band_matches, jac). The scale-true near-dup
@@ -565,7 +599,25 @@ object Dedup {
       numHashes: Int = 8,
       bands: Int = 4,
       maxBucketSize: Int = 1000
-  ): DataFrame = {
+  ): DataFrame =
+    nearDupGroupsWithCleanup(df, idCol, textCol, jaccardThreshold, shingleWords, numHashes, bands, maxBucketSize)._1
+
+  /** [[nearDupGroups]] plus a cleanup thunk releasing the connected-
+    * components labels' checkpoint blocks (the LSH/shingle caches are
+    * already released internally before return — the CC loop is eager,
+    * so they are fully consumed by then). Call the thunk once the
+    * cluster frame has been consumed / materialized downstream.
+    */
+  def nearDupGroupsWithCleanup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      jaccardThreshold: Double,
+      shingleWords: Int = 3,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      maxBucketSize: Int = 1000
+  ): (DataFrame, () => Unit) = {
     val (verified, cleanup) =
       jaccardCandidatesWithCleanup(df, idCol, textCol, shingleWords, numHashes, bands, maxBucketSize)
     val edges = verified
@@ -573,11 +625,12 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
     // connectedComponents is eager (its loop runs jobs), so the
     // internal caches have been fully consumed when it returns
-    val cc = connectedComponents(edges, "id_a", "id_b")
+    val (cc, releaseCc) = connectedComponentsWithCleanup(edges, "id_a", "id_b")
     cleanup()
-    df.select(col(idCol))
+    val out = df.select(col(idCol))
       .join(cc.withColumnRenamed("node", idCol), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("cluster"), col(idCol)).as("cluster"))
+    (out, releaseCc)
   }
 
   /** Materialize the deduplicated corpus: one representative row per
@@ -601,8 +654,28 @@ object Dedup {
       bands: Int = 4,
       maxBucketSize: Int = 1000
   ): DataFrame = {
+    // callers that need both the cluster map AND the deduplicated
+    // corpus should run nearDupGroupsWithCleanup once and feed its
+    // output to nearDupRepresentativesFromClusters instead
     val clusters =
       nearDupGroups(df, idCol, textCol, jaccardThreshold, shingleWords, numHashes, bands, maxBucketSize)
+    nearDupRepresentativesFromClusters(df, clusters, idCol, textCol, keepLongest)
+  }
+
+  /** Representative selection from a PRE-COMPUTED cluster frame (the
+    * output shape of [[nearDupGroups]]: one (idCol, cluster) row per
+    * document). Lets callers that need both the cluster map and the
+    * deduplicated corpus run LSH + Jaccard + connected components
+    * exactly once and derive both results — recomputing the whole
+    * pipeline for each output doubles the dominant cost.
+    */
+  def nearDupRepresentativesFromClusters(
+      df: DataFrame,
+      clusters: DataFrame,
+      idCol: String,
+      textCol: String,
+      keepLongest: Boolean = false
+  ): DataFrame = {
     val joined = df.join(clusters, Seq(idCol))
     if (!keepLongest) joined.where(col(idCol) === col("cluster"))
     else {

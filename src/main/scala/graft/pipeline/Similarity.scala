@@ -93,6 +93,35 @@ object Similarity {
     concat(bits: _*)
   }
 
+  /** Same bucket string as [[lshBucket]] (bit-identical: sign of
+    * <v, r_p> over the md5-derived plane matrix) as a JVM-native UDF:
+    * ONE pass over the vector computing all `planes` projections.
+    * The expression form runs `planes` interpreted
+    * `aggregate(zip_with(...))` lambda folds per row — Spark never
+    * code-generates lambda higher-order functions, the same pathology
+    * measured and fixed for MinHash ([[Dedup.minhashSignatureUdf]])
+    * and SimHash ([[Dedup.simhashUdf]]) — so [[lshTopK]] uses this on
+    * the hot path while the expression form remains the spec the
+    * DuckDB oracle mirrors (pinned equal in PipelineSpec).
+    */
+  def lshBucketUdf(planes: Int, dims: Int, seed: Int = 42): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val m = planeMatrix(planes, dims, seed)
+    udf { (vec: Seq[Double]) =>
+      val n = math.min(dims, vec.length)
+      val sb = new java.lang.StringBuilder(planes)
+      var p = 0
+      while (p < planes) {
+        val row = m(p)
+        var acc = 0.0
+        var d = 0
+        while (d < n) { acc += vec(d) * row(d); d += 1 }
+        sb.append(if (acc >= 0) '1' else '0')
+        p += 1
+      }
+      sb.toString
+    }
+  }
+
   /** LSH-bucketed cosine top-k: queries join only their own bucket.
     * With `probes > 1`, unions results over several independent
     * hash seeds (multi-probe) before re-ranking globally per query.
@@ -110,17 +139,18 @@ object Similarity {
   ): DataFrame = {
     val per = (0 until probes).map { probe =>
       val seed = 42 + probe
+      val bucketUdf = lshBucketUdf(planes, dims, seed)
       val c = corpus.select(
         col(idCol).as("neighbor_id"),
         col(vecCol).as("__cv__"),
         norm(col(vecCol)).as("__cn__"),
-        lshBucket(col(vecCol), planes, dims, seed).as("__bucket__")
+        bucketUdf(col(vecCol)).as("__bucket__")
       )
       val q = queries.select(
         col(idCol).as("query_id"),
         col(vecCol).as("__qv__"),
         norm(col(vecCol)).as("__qn__"),
-        lshBucket(col(vecCol), planes, dims, seed).as("__bucket__")
+        bucketUdf(col(vecCol)).as("__bucket__")
       )
       q.join(c, Seq("__bucket__"))
         .where(col("query_id") =!= col("neighbor_id"))

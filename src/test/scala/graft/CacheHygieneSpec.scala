@@ -1,0 +1,32 @@
+package graft
+
+/** Cache-lifecycle regression guard (VERDICT r4 #1/#3): round 4's
+  * bench was ~2x inflated by persist/localCheckpoint blocks that
+  * outlived their query and degraded every later query in the
+  * session. This spec drives every driver query exactly the way the
+  * runners do — build, action, runPendingCleanups() — and pins that
+  * nothing stays resident except the one deliberately shared frame
+  * (the near-dup cluster checkpoint, released by releaseShared()).
+  */
+class CacheHygieneSpec extends SparkSuite {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("every driver query releases its caches after action + cleanup") {
+    // flush registrations staged by other suites' plan-only builds
+    // (persist() registers the RDD handle at BUILD time, before any
+    // blocks exist, so earlier suites can leave stale entries)
+    SparkEntry.runPendingCleanups()
+    SparkEntry.releaseShared()
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet
+    SparkEntry.queries.foreach { case (name, fn) =>
+      fn(spark, dir).count()
+      SparkEntry.runPendingCleanups()
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- baseline
+      assert(leaked.size <= 1,
+        s"$name left ${leaked.size} persistent RDDs resident (allowed: the shared near-dup cluster frame only)")
+    }
+    SparkEntry.releaseShared()
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- baseline).isEmpty,
+      "shared frames still resident after releaseShared()")
+  }
+}

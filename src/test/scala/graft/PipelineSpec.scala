@@ -78,6 +78,29 @@ class PipelineSpec extends SparkSuite {
     assert(none.count() == 0)
   }
 
+  test("connectedComponents converges on a 100-link chain in O(log n) rounds (VERDICT r4 #6)") {
+    val s = spark; import s.implicits._
+    // worst case for pure min-label propagation: one chain component of
+    // diameter 100 would need 100 rounds; the pointer-jumping step cuts
+    // that to ~log2(100). maxIter = 12 proves the log-round behavior
+    // AND stays under the default 30 a production caller would use.
+    val chain = (1 until 100).map(i => (i.toLong, i.toLong + 1)).toDF("a", "b")
+    val cc = Dedup.connectedComponents(chain, "a", "b", maxIter = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 100 && cc.values.forall(_ == 1L))
+  }
+
+  test("connectedComponentsWithCleanup releases every checkpoint block (VERDICT r4 #1)") {
+    val s = spark; import s.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val edges = (1 until 40).map(i => (i.toLong, i.toLong + 1)).toDF("a", "b")
+    val (cc, release) = Dedup.connectedComponentsWithCleanup(edges, "a", "b")
+    assert(cc.count() == 40)
+    release()
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "connectedComponents leaked checkpoint blocks after release()")
+  }
+
   test("nearDupGroups clusters the exact+near dups and leaves singletons alone") {
     val groups = Dedup.nearDupGroups(docs, "doc_id", "text", jaccardThreshold = 0.5)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -181,6 +204,19 @@ class PipelineSpec extends SparkSuite {
     val recalls = bf.map { case (q, nbs) => lsh.getOrElse(q, Set.empty).intersect(nbs).size.toDouble / nbs.size }
     val recall = recalls.sum / recalls.size
     assert(recall >= 0.6, f"recall@5 fell to $recall%.3f (bar 0.6) — LSH quality regression")
+  }
+
+  test("lshBucketUdf is bit-identical to the lshBucket expression spec") {
+    val s = spark; import s.implicits._
+    val vecs = (0 until 100).map { i =>
+      (i.toLong, Array.tabulate(16)(d => math.sin(i * 13 + d * 7) * 3))
+    }.toDF("id", "v")
+    for (seed <- Seq(42, 43)) {
+      val both = vecs.select(
+        Similarity.lshBucketUdf(planes = 8, dims = 16, seed = seed)(col("v")).as("u"),
+        Similarity.lshBucket(col("v"), planes = 8, dims = 16, seed = seed).as("e"))
+      assert(both.where(col("u") =!= col("e")).count() == 0)
+    }
   }
 
   test("IVF top-k: identical twin found, recall@5 above the bar, probes bound the work") {
