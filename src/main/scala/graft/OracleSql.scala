@@ -163,7 +163,10 @@ SELECT id_a, id_b, n_band_matches, CAST(hamming AS INT) AS hamming FROM cand WHE
   }
 
   /** Shared CTE chain: shingles -> minhash signature -> banded LSH
-    * candidate pairs (mirrors Dedup.minhashCandidates exactly).
+    * candidate pairs (mirrors Dedup.minhashCandidates exactly,
+    * INCLUDING the maxBucketSize=1000 hot-bucket cap — no bucket at
+    * the test SFs reaches it, but oracle and engine must agree by
+    * construction at any scale, not by luck).
     */
   private lazy val minhashCtes: String = {
     // lane k = min over shingles of hex chars [8*(k%4)+1, 8) of
@@ -176,7 +179,8 @@ SELECT id_a, id_b, n_band_matches, CAST(hamming AS INT) AS hamming FROM cand WHE
     val bandsigs = (0 until 4).map(b => s"sig[${2 * b + 1}] || '|' || sig[${2 * b + 2}]").mkString(", ")
     s"""sh AS (SELECT doc_id, $shingles3 AS sg FROM documents),
 sig AS (SELECT doc_id, [$mins] AS sig FROM sh WHERE len(sg) > 0),
-banded AS (SELECT doc_id, unnest([0, 1, 2, 3]) AS b, unnest([$bandsigs]) AS bandsig FROM sig),
+banded0 AS (SELECT doc_id, unnest([0, 1, 2, 3]) AS b, unnest([$bandsigs]) AS bandsig FROM sig),
+banded AS (SELECT * FROM banded0 QUALIFY count(*) OVER (PARTITION BY b, bandsig) <= 1000),
 cand AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b, count(*) AS n_band_matches
 FROM banded a JOIN banded b2 ON a.b = b2.b AND a.bandsig = b2.bandsig AND a.doc_id < b2.doc_id
 GROUP BY 1, 2)"""
@@ -418,6 +422,18 @@ FROM lineitem GROUP BY 1, 2""",
 
     "q_read_file" ->
       """SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY 1""",
+
+    // closed form of graft.testing.SasFixture: the engine writes this
+    // table as a real sas7bdat file and parses it back through the
+    // page reader; the oracle regenerates the same rows directly.
+    // CASTs keep the arithmetic in DOUBLE (DuckDB's bare 0.25 literal
+    // is DECIMAL) and the date math in INT days.
+    "q_load_sas" ->
+      """SELECT CAST(i AS DOUBLE) AS id,
+CASE WHEN i % 7 = 3 THEN NULL ELSE CAST(i AS DOUBLE) * 0.25 - 10 END AS ret,
+strftime(DATE '2000-01-01' + CAST(i AS INT), '%Y-%m-%d') AS evtdate,
+CASE WHEN i % 11 = 5 THEN NULL ELSE 'T' || CAST(i % 97 AS VARCHAR) END AS ticker
+FROM range(0, 500) t(i)""",
 
     "q_token_count" ->
       """SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INT) AS n_tok FROM documents""",

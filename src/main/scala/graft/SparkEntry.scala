@@ -306,6 +306,16 @@ object SparkEntry {
       val li = graft.sources.ReadFile.readFile(s, s"$dir/lineitem.parquet")
       li.groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
     }),
+    "q_load_sas" -> ((s, dir) => {
+      // the load_sas path end to end: write the closed-form 500-row
+      // fixture (pure function of the row index — the DuckDB oracle
+      // regenerates the same table in SQL), read it back through the
+      // sas7bdat page parser
+      val p = graft.testing.SasFixture.writeToTemp(500)
+      graft.sources.ReadFile.readFile(s, p)
+        .select(col("id"), col("ret"),
+          date_format(col("evtdate"), "yyyy-MM-dd").as("evtdate"), col("ticker"))
+    }),
     // ---- pipeline: text analysis ---------------------------------
     "q_token_count" -> ((s, dir) => {
       val d = t(s, dir, "documents")

@@ -154,6 +154,15 @@ object Portfolio {
   /** Long top portfolio minus short bottom portfolio, aligned on
     * byvars (pd_utils/port.py:211-260): equi self-join replaces the
     * reference's index alignment.
+    *
+    * CONTRACT: `df` must be the PRE-AGGREGATED portfolio-returns
+    * frame — one row per (byvars, portfolio), i.e. the first element
+    * of [[portfolioAverages]] — never row-level data. The global
+    * max/min portfolio lookup below funnels the input through a
+    * single-partition window (that is what makes the upstream plan
+    * evaluate exactly once), which is O(|byvars| x ngroups) rows by
+    * contract but would be a serial bottleneck on raw data. PlanSpec
+    * pins that the driver query's window input is post-aggregation.
     */
   def longShortPortfolio(
       df: DataFrame,

@@ -100,7 +100,16 @@ object Multimodal {
         posexplode(
           transform(
             sequence(lit(0), lit(frames - 1)),
-            i => md5(col("__hex__").substr((i * col("__step__") * 2 + 1).cast("int"), (col("__step__") * 2).cast("int")))
+            // positions stay in LONG arithmetic (int i promotes against
+            // the long step) with ONE final narrowing cast, which is
+            // exact for every payload this operator can represent:
+            // substr demands int positions, and a position only exceeds
+            // Int.MaxValue for payloads >= ~1 GiB — where hex() itself
+            // already fails (the doubled hex string would exceed the
+            // JVM's max string length)
+            i => md5(col("__hex__").substr(
+              (i.cast("long") * col("__step__") * 2L + 1L).cast("int"),
+              (col("__step__") * 2L).cast("int")))
           )
         ).as(Seq("frame_idx", "frame_digest"))
       )

@@ -47,8 +47,12 @@ object Sampling {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
     // unit separator between key parts: a separator-less concat would
     // hash ("AB","C") and ("A","BC") identically, correlating their
-    // sampling decisions
-    val digest = md5(concat_ws("\u0001", (keyCols.map(c => col(c).cast("string")) :+ lit(salt)): _*))
+    // sampling decisions. NULL keys get an explicit sentinel BEFORE
+    // concat_ws — concat_ws silently SKIPS null elements, so without
+    // it ("a", NULL) and (NULL, "a") would collapse to the same key
+    // and draw identical (correlated) sampling decisions.
+    val digest = md5(concat_ws("\u0001",
+      (keyCols.map(c => coalesce(col(c).cast("string"), lit("\u0000null"))) :+ lit(salt)): _*))
     df.where(digest < lit(fractionThresholdHex(fraction)))
   }
 

@@ -8,9 +8,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Reference: pd_utils/optimize/load/__init__.py:6-22 (read_file — csv
   * only) and pd_utils/load.py:7-42 (load_sas with an mtime-checked CSV
-  * side-cache). SAS itself needs an external connector; the public
-  * surface here is the dispatch + the mtime-checked Parquet cache,
-  * which is the part that transfers: any slow source gets a columnar
+  * side-cache). SAS7BDAT reads through [[Sas7bdat]] (pure-JVM page
+  * parser, uncompressed files); the mtime-checked Parquet side-cache
+  * mirrors load_sas's CSV cache — any slow source gets a columnar
   * cache next to it that is reused while fresher than the source.
   */
 object ReadFile {
@@ -22,7 +22,19 @@ object ReadFile {
       spark.read.option("header", "true").option("inferSchema", "true").csv(path)
     else if (lower.endsWith(".json")) spark.read.json(path)
     else if (lower.endsWith(".orc")) spark.read.orc(path)
+    else if (lower.endsWith(".sas7bdat")) Sas7bdat.read(spark, path)
     else throw new IllegalArgumentException(s"unsupported extension: $path")
+  }
+
+  /** load_sas parity (pd_utils/load.py:7-42): read a sas7bdat through
+    * a sibling Parquet cache (`<name>.parquet` next to the file —
+    * columnar in place of the reference's CSV), reusing the cache
+    * while it is fresher than the source.
+    */
+  def loadSas(spark: SparkSession, path: String): DataFrame = {
+    require(path.toLowerCase.endsWith(".sas7bdat"), s"not a sas7bdat path: $path")
+    val cachePath = path.substring(0, path.length - ".sas7bdat".length) + ".parquet"
+    readCached(spark, path, cachePath)
   }
 
   /** Reads `path` through a Parquet cache at `cachePath`: reuses the

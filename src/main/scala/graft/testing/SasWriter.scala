@@ -1,0 +1,219 @@
+package graft.testing
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+
+/** Test-only minimal SAS7BDAT WRITER: emits 64-bit little-endian
+  * uncompressed files following the published format layout (Shotwell,
+  * "sas7bdat Database Binary Format"; same constants as the BSD
+  * pandas/parso readers). A fixture generator, not a data sink: it
+  * feeds Sas7bdatSpec and the q_load_sas driver query. This sandbox
+  * has no SAS binaries, so fixtures are cross-validated against
+  * pandas.read_sas (an INDEPENDENT reader implementation, via
+  * scripts/check_sas.py) to keep writer and reader from sharing a
+  * misunderstanding of the format.
+  */
+object SasWriter {
+
+  case class Col(name: String, isNum: Boolean, width: Int = 8, format: String = "")
+
+  private val Magic: Array[Byte] = Array(
+    0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00,
+    0x00, 0x00, 0x00, 0x00, 0xc2, 0xea, 0x81, 0x60,
+    0xb3, 0x14, 0x11, 0xcf, 0xbd, 0x92, 0x08, 0x00,
+    0x09, 0xc7, 0x31, 0x8c, 0x18, 0x1f, 0x10, 0x11).map(_.toByte)
+
+  private val HeaderLength = 1024
+  private val PageLength = 4096
+  private val BitOff = 32 // u64 page bit offset
+  private val PtrLen = 24 // u64 subheader pointer length
+
+  private class W(val b: Array[Byte]) {
+    private def bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    def u16(off: Int, v: Int): Unit = bb.putShort(off, v.toShort)
+    def u32(off: Int, v: Long): Unit = bb.putInt(off, v.toInt)
+    def u64(off: Int, v: Long): Unit = bb.putLong(off, v)
+    def f64(off: Int, v: Double): Unit = bb.putDouble(off, v)
+    def bytes(off: Int, v: Array[Byte]): Unit = System.arraycopy(v, 0, b, off, v.length)
+  }
+
+  /** Row values: java.lang.Double / null for numeric (dates as raw SAS
+    * day counts), String / null for character columns.
+    */
+  def write(path: String, cols: Seq[Col], rows: Seq[Seq[Any]]): Unit = {
+    require(cols.forall(c => !c.isNum || c.width == 8), "numeric cols must be width 8")
+    // row layout: columns in declared order, numerics 8 bytes
+    val offsets = cols.scanLeft(0)((acc, c) => acc + c.width).init
+    val rowLength = cols.zip(offsets).map { case (c, o) => o + c.width }.max
+
+    // ---- text block: names + formats, laid out from relative 16 ----
+    val textItems = scala.collection.mutable.LinkedHashMap.empty[String, (Int, Int)]
+    var cursor = 16
+    def intern(s: String): (Int, Int) = textItems.getOrElseUpdate(s, {
+      val bytesUtf = s.getBytes("UTF-8")
+      val at = cursor
+      cursor += bytesUtf.length
+      cursor = (cursor + 7) / 8 * 8
+      (at, bytesUtf.length)
+    })
+    cols.foreach(c => intern(c.name))
+    cols.filter(_.format.nonEmpty).foreach(c => intern(c.format))
+    val blockSize = (cursor + 7) / 8 * 8
+
+    // ---- subheaders (content, built before placement) --------------
+    val n = cols.length
+    def sub(len: Int, sig: Array[Byte])(fill: W => Unit): Array[Byte] = {
+      val a = new Array[Byte](len)
+      System.arraycopy(sig, 0, a, 0, sig.length)
+      fill(new W(a)); a
+    }
+    val sigRowSize = Array(0xf7, 0xf7, 0xf7, 0xf7, 0, 0, 0, 0).map(_.toByte)
+    val sigColSize = Array(0xf6, 0xf6, 0xf6, 0xf6, 0, 0, 0, 0).map(_.toByte)
+    val sigColText = Array(0xfd, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff).map(_.toByte)
+    val sigColName = Array(0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff).map(_.toByte)
+    val sigColAttr = Array(0xfc, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff).map(_.toByte)
+    val sigFormat = Array(0xfe, 0xfb, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff).map(_.toByte)
+
+    val rowSize = sub(808, sigRowSize) { w =>
+      w.u64(5 * 8, rowLength)
+      w.u64(6 * 8, rows.length)
+      w.u64(9 * 8, n) // col_count_p1 (+p2 at 10*8 stays 0)
+      w.u64(15 * 8, 0) // no mix pages
+      w.u16(682, 0); w.u16(706, 0) // lcs / lcp
+    }
+    val colSize = sub(24, sigColSize)(_.u64(8, n))
+    val colText = sub(8 + blockSize, sigColText) { w =>
+      w.u16(8, blockSize)
+      textItems.foreach { case (s, (at, _)) => w.bytes(8 + at, s.getBytes("UTF-8")) }
+    }
+    val colName = sub(28 + 8 * n, sigColName) { w =>
+      cols.zipWithIndex.foreach { case (c, i) =>
+        val base = 8 + 8 * (i + 1)
+        val (at, len) = textItems(c.name)
+        w.u16(base, 0); w.u16(base + 2, at); w.u16(base + 4, len)
+      }
+    }
+    val colAttr = sub(28 + 16 * n, sigColAttr) { w =>
+      cols.zipWithIndex.foreach { case (c, i) =>
+        w.u64(16 + 16 * i, offsets(i))
+        w.u32(24 + 16 * i, c.width)
+        w.b(30 + 16 * i) = (if (c.isNum) 1 else 2).toByte
+      }
+    }
+    val formatSubs = cols.map { c =>
+      sub(64, sigFormat) { w =>
+        if (c.format.nonEmpty) {
+          val (at, len) = textItems(c.format)
+          w.u16(46, 0); w.u16(48, at); w.u16(50, len)
+        }
+      }
+    }
+    val subheaders = Seq(rowSize, colSize, colText, colName, colAttr) ++ formatSubs
+
+    // ---- meta page: pointers up front, content packed from the end --
+    val metaPage = new Array[Byte](PageLength)
+    val mw = new W(metaPage)
+    mw.u16(BitOff, 0x0000)
+    mw.u16(BitOff + 2, subheaders.length)
+    mw.u16(BitOff + 4, subheaders.length)
+    var tail = PageLength
+    subheaders.zipWithIndex.foreach { case (sh, i) =>
+      tail = (tail - sh.length) / 8 * 8
+      mw.bytes(tail, sh)
+      val p = BitOff + 8 + i * PtrLen
+      mw.u64(p, tail); mw.u64(p + 8, sh.length)
+      metaPage(p + 16) = 0 // uncompressed
+      metaPage(p + 17) = 0
+    }
+    require(BitOff + 8 + subheaders.length * PtrLen <= tail, "meta page overflow")
+
+    // ---- data pages -------------------------------------------------
+    val rowsPerPage = (PageLength - (BitOff + 8)) / rowLength
+    val dataPages = rows.grouped(rowsPerPage).map { chunk =>
+      val page = new Array[Byte](PageLength)
+      val w = new W(page)
+      w.u16(BitOff, 0x0100)
+      w.u16(BitOff + 2, chunk.length)
+      w.u16(BitOff + 4, 0)
+      chunk.zipWithIndex.foreach { case (row, r) =>
+        val base = BitOff + 8 + r * rowLength
+        cols.zipWithIndex.foreach { case (c, i) =>
+          row(i) match {
+            case null => if (c.isNum) w.f64(base + offsets(i), Double.NaN)
+            case d: java.lang.Double => w.f64(base + offsets(i), d)
+            case s: String =>
+              val enc = s.getBytes("UTF-8")
+              require(enc.length <= c.width, s"'$s' wider than ${c.width}")
+              val padded = enc ++ Array.fill(c.width - enc.length)(' '.toByte)
+              w.bytes(base + offsets(i), padded)
+            case other => throw new IllegalArgumentException(s"bad cell $other")
+          }
+        }
+      }
+      page
+    }.toSeq
+
+    // ---- header -----------------------------------------------------
+    val header = new Array[Byte](HeaderLength)
+    val hw = new W(header)
+    hw.bytes(0, Magic)
+    header(32) = 0x33 // u64
+    header(35) = 0x33 // align1 = 4
+    header(37) = 0x01 // little-endian
+    header(39) = '1'.toByte
+    header(70) = 20 // utf-8
+    hw.f64(168, 0.0); hw.f64(176, 0.0) // created/modified (1960 epoch)
+    hw.u32(200, HeaderLength)
+    hw.u32(204, PageLength)
+    hw.u32(208, 1L + dataPages.length)
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(header); out.write(metaPage); dataPages.foreach(out.write)
+    Files.write(Paths.get(path), out.toByteArray)
+  }
+}
+
+/** The canonical sample fixture: a closed-form 4-column table shared
+  * by Sas7bdatSpec, the q_load_sas driver query, its DuckDB oracle
+  * (which reproduces the SAME closed form in SQL), and the pandas
+  * cross-validation script. Content is a pure function of the row
+  * index, so every consumer can regenerate it independently.
+  */
+object SasFixture {
+  import SasWriter._
+
+  val columns: Seq[Col] = Seq(
+    Col("id", isNum = true),
+    Col("ret", isNum = true),
+    Col("evtdate", isNum = true, format = "DATE"),
+    Col("ticker", isNum = false, width = 8))
+
+  /** Row i: id = i; ret = i/4 - 10 (null when i%7==3); evtdate =
+    * 2000-01-01 + i days (14610 = days from the 1960 SAS epoch);
+    * ticker = "T"+(i%97) (null when i%11==5).
+    */
+  def rows(n: Int): Seq[Seq[Any]] = (0 until n).map { i =>
+    Seq[Any](
+      java.lang.Double.valueOf(i.toDouble),
+      if (i % 7 == 3) null else java.lang.Double.valueOf(i * 0.25 - 10),
+      java.lang.Double.valueOf((14610 + i).toDouble),
+      if (i % 11 == 5) null else s"T${i % 97}")
+  }
+
+  /** Write the n-row fixture to a fresh temp path and return it. */
+  def writeToTemp(n: Int): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sas").toFile
+    dir.deleteOnExit()
+    val p = new java.io.File(dir, "fixture.sas7bdat").getAbsolutePath
+    SasWriter.write(p, columns, rows(n))
+    p
+  }
+}
+
+/** CLI for cross-validation against pandas.read_sas (check_sas.py). */
+object SasWriterMain {
+  def main(args: Array[String]): Unit = {
+    SasWriter.write(args(0), SasFixture.columns, SasFixture.rows(500))
+    println(s"wrote ${args(0)}")
+  }
+}

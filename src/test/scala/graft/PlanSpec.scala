@@ -42,4 +42,36 @@ class PlanSpec extends SparkSuite {
     val tf = planOf("q_tfidf")
     assert(tf.contains("Broadcast"), s"tfIdf corpus-size join is not broadcast:\n$tf")
   }
+
+  test("shuffle accounting: the expensive queries keep today's Exchange counts (VERDICT r4 #8)") {
+    // pinned so a refactor that slips an extra shuffle into a hot plan
+    // fails loudly instead of silently doubling network at 100 TB
+    val expected = Map(
+      "q_portfolio_averages" -> 2, // percentile agg + averages agg; cutoffs ride a broadcast
+      "q_long_short"         -> 3, // the above + the final byvars agg
+      "q_asof_join"          -> 4, // events pre-agg + range-join repartition pair + group-limit
+      "q_tfidf"              -> 6, // tf agg + df agg + word join + top-3 window (N is broadcast)
+      "q_minhash_candidates" -> 3  // banded persist barrier + bucket join + pair agg
+    )
+    val shuffleRe = "Exchange (hash|range|Single|rebalance)".r
+    expected.foreach { case (name, n) =>
+      val got = shuffleRe.findAllIn(planOf(name)).size
+      assert(got == n, s"$name plans $got shuffles, expected $n — a refactor changed the exchange shape")
+    }
+    SparkEntry.runPendingCleanups()
+    SparkEntry.releaseShared()
+  }
+
+  test("long_short's single-partition window sees only the post-aggregation frame") {
+    // longShortPortfolio funnels through an unpartitioned window BY
+    // CONTRACT (input = one row per (byvars, portfolio)); this pins
+    // that the driver query honors it — an (Hash)Aggregate must sit
+    // BELOW the Window in the physical plan, so the single task only
+    // ever receives the tiny aggregated frame, never raw rows
+    val plan = planOf("q_long_short")
+    val wIdx = plan.indexOf("Window [")
+    assert(wIdx >= 0, s"no Window node in q_long_short plan:\n$plan")
+    assert(plan.indexOf("HashAggregate", wIdx) >= 0,
+      s"q_long_short's single-partition window is not fed by an aggregation:\n$plan")
+  }
 }
