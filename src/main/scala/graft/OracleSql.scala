@@ -472,6 +472,41 @@ SELECT base.doc_id, round(dup_line_frac, 6) AS dup_line_frac, round(dup_word_fra
 round(coalesce(CAST(cov AS DOUBLE) / tc, 0.0), 6) AS top_ngram_char_frac
 FROM base LEFT JOIN top ON base.doc_id = top.doc_id""",
 
+    // PII redaction: patterns come from the SAME Scala constants the
+    // operator uses (TextAnalysis.piiPatterns); counts are taken on
+    // the progressively-redacted text exactly like piiCounts, and the
+    // 'g' flag matches Spark's replace-all semantics
+    "q_pii_redact" -> {
+      val pats = TextAnalysis.piiPatterns
+      val (email, emailR) = pats(0); val (ip, ipR) = pats(1); val (phone, phoneR) = pats(2)
+      s"""WITH a AS (SELECT doc_id,
+text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 or call 555-123-4567' AS t
+FROM documents),
+e AS (SELECT doc_id, CAST(len(regexp_extract_all(t, '$email')) AS INT) AS pii_email,
+regexp_replace(t, '$email', '$emailR', 'g') AS t FROM a),
+i AS (SELECT doc_id, pii_email, CAST(len(regexp_extract_all(t, '$ip')) AS INT) AS pii_ip,
+regexp_replace(t, '$ip', '$ipR', 'g') AS t FROM e),
+p AS (SELECT doc_id, pii_email, pii_ip, CAST(len(regexp_extract_all(t, '$phone')) AS INT) AS pii_phone,
+regexp_replace(t, '$phone', '$phoneR', 'g') AS t FROM i)
+SELECT doc_id, pii_email, pii_ip, pii_phone, md5(t) AS red_fp FROM p"""
+    },
+
+    // benchmark decontamination: distinct 3-gram overlap between the
+    // corpus (doc_id % 37 <> 0) and the eval slice (doc_id % 37 = 0)
+    "q_contaminated" ->
+      s"""WITH sh AS (SELECT doc_id, list_distinct($shingles3) AS sg FROM documents),
+ex AS (SELECT doc_id, unnest(sg) AS g FROM sh),
+ev AS (SELECT DISTINCT g FROM ex WHERE doc_id % 37 = 0),
+co AS (SELECT doc_id, g FROM ex WHERE doc_id % 37 <> 0)
+SELECT doc_id, count(*) AS n_overlap FROM co JOIN ev USING (g) GROUP BY 1""",
+
+    "q_decontaminate" ->
+      s"""WITH sh AS (SELECT doc_id, list_distinct($shingles3) AS sg FROM documents),
+ex AS (SELECT doc_id, unnest(sg) AS g FROM sh),
+ev AS (SELECT DISTINCT g FROM ex WHERE doc_id % 37 = 0),
+bad AS (SELECT DISTINCT co.doc_id FROM ex co JOIN ev USING (g) WHERE co.doc_id % 37 <> 0)
+SELECT doc_id FROM documents WHERE doc_id % 37 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)""",
+
     // corpus TF-IDF, top-3 words per doc on exact-integer ordering
     "q_tfidf" ->
       s"""WITH wds AS (SELECT doc_id, unnest($wordsSql) AS word FROM documents),

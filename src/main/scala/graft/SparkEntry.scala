@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators._
 import graft.functions.{Dates, Strings}
-import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Contamination, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -354,6 +354,34 @@ object SparkEntry {
           round(col("dup_line_frac"), 6).as("dup_line_frac"),
           round(col("dup_word_frac"), 6).as("dup_word_frac"),
           round(col("top_ngram_char_frac"), 6).as("top_ngram_char_frac"))
+    }),
+    "q_pii_redact" -> ((s, dir) => {
+      // the synthetic corpus carries no PII, so a deterministic PII
+      // suffix (a pure function of doc_id, reproduced by the oracle)
+      // is appended before redaction to exercise every pattern
+      val d = t(s, dir, "documents")
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".7 or call 555-123-4567"))
+      TextAnalysis.piiCounts(d.select(col("doc_id"), aug.as("text")), "text")
+        .select(col("doc_id"), col("pii_email"), col("pii_ip"), col("pii_phone"),
+          md5(TextAnalysis.piiRedact(col("text"))).as("red_fp"))
+    }),
+    "q_contaminated" -> ((s, dir) => {
+      // eval set = every 37th doc; duplicates in the synthetic corpus
+      // guarantee real contamination hits
+      val d = t(s, dir, "documents")
+      Contamination.contaminatedIds(
+        d.where(col("doc_id") % 37 =!= 0), d.where(col("doc_id") % 37 === 0),
+        "doc_id", "text", n = 3)
+    }),
+    "q_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Contamination.decontaminate(
+        d.where(col("doc_id") % 37 =!= 0), d.where(col("doc_id") % 37 === 0),
+        "doc_id", "text", n = 3)
+        .select("doc_id")
     }),
     "q_tfidf" -> ((s, dir) => {
       // top-3 words per doc; ORDER ON EXACT INTEGERS (tf desc, df asc,

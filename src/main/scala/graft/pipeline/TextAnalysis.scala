@@ -172,6 +172,41 @@ object TextAnalysis {
         coalesce(col("__cov__").cast("double") / col("__tc__"), lit(0.0)).as("top_ngram_char_frac"))
   }
 
+  // ---- PII redaction ----------------------------------------------
+
+  /** PII patterns, ordered by specificity (emails before phone-ish
+    * digit runs so an address is consumed whole). Deliberately
+    * restricted to syntax BOTH Java regex and RE2 support (no
+    * lookaround, no backreferences) so the DuckDB oracle runs the
+    * exact same patterns — and so the patterns stay linear-time at
+    * 100 TB.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b", "<PHONE>"))
+
+  /** Mask emails / IPv4s / phone numbers with typed placeholder
+    * tokens. A chain of codegen'd regexp_replace — single stage over
+    * the scan, no UDF.
+    */
+  def piiRedact(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (acc, (pat, repl)) => regexp_replace(acc, pat, repl) }
+
+  /** Per-kind PII match counts (email, ip, phone), computed on the
+    * same progressively-redacted text as [[piiRedact]] so overlapping
+    * patterns are attributed once, to the most specific kind.
+    */
+  def piiCounts(df: DataFrame, textCol: String, prefix: String = "pii_"): DataFrame = {
+    val names = Seq("email", "ip", "phone")
+    val (out, _) = piiPatterns.zip(names).foldLeft((df, col(textCol))) {
+      case ((d, t), ((pat, repl), name)) =>
+        (d.withColumn(prefix + name, size(regexp_extract_all(t, lit(pat), lit(0)))),
+          regexp_replace(t, pat, repl))
+    }
+    out
+  }
+
   // ---- corpus TF-IDF ----------------------------------------------
 
   /** Corpus TF-IDF over lowercase whitespace words: one row per

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Contamination, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-pipeline operators: dedup, similarity, text analysis,
   * multimodal plumbing. These have no reference goldens — invariants
@@ -165,6 +165,43 @@ class PipelineSpec extends SparkSuite {
     assert(got(1L) == got(2L)) // case/whitespace normalized
     assert(got(1L) != got(3L))
     assert(got.values.forall(h => h >= 0 && h < TextAnalysis.rollingHashMod))
+  }
+
+  test("piiRedact masks emails/IPs/phones; piiCounts attributes overlaps to the specific kind") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "mail a.b+c@ex-1.org and 192.168.0.1 then 555-123-4567 end"),
+      (2L, "no pii here, just 123 and 1.5"),
+      (3L, "two mails: x@y.io z@w.co")
+    ).toDF("doc_id", "text")
+    val red = df.select(col("doc_id"), TextAnalysis.piiRedact(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(red(1L) == "mail <EMAIL> and <IP> then <PHONE> end")
+    assert(red(2L) == "no pii here, just 123 and 1.5")
+    assert(red(3L) == "two mails: <EMAIL> <EMAIL>")
+    val counts = TextAnalysis.piiCounts(df, "text")
+      .collect().map(r => r.getLong(0) -> (r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    assert(counts(1L) == ((1, 1, 1)) && counts(2L) == ((0, 0, 0)) && counts(3L) == ((2, 0, 0)))
+  }
+
+  test("decontaminate drops exactly the docs sharing n-grams with the eval set") {
+    val s = spark; import s.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps high"), // shares 'quick brown fox' with eval
+      (2L, "completely different words entirely here"),
+      (3L, "the quick brown dog sits")        // 'the quick brown' also in eval doc
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "see the quick brown fox run")).toDF("doc_id", "text")
+    val bad = Contamination.contaminatedIds(corpus, eval, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bad == Map(1L -> 2L, 3L -> 1L)) // doc1: 'the quick brown'+'quick brown fox'; doc3: 'the quick brown'
+    val kept = Contamination.decontaminate(corpus, eval, "doc_id", "text", n = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L))
+    // minOverlap raises the bar
+    val strict = Contamination.decontaminate(corpus, eval, "doc_id", "text", n = 3, minOverlap = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(strict == Set(2L, 3L))
   }
 
   test("brute-force cosine top-k ranks by similarity with deterministic ties") {
