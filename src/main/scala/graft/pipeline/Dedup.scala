@@ -620,12 +620,20 @@ object Dedup {
   ): (DataFrame, () => Unit) = {
     val (verified, cleanup) =
       jaccardCandidatesWithCleanup(df, idCol, textCol, shingleWords, numHashes, bands, maxBucketSize)
+    // materialize the (tiny) verified edge list BEFORE handing it to
+    // connectedComponents: CC's symmetrize step references the edges
+    // twice (forward + swapped union), and an unmaterialized input
+    // would run the whole LSH + Jaccard pipeline once per branch
+    // inside that first job — measured ~2x the dominant phase
     val edges = verified
       .where(col("jac") >= jaccardThreshold)
       .select(col("id_a"), col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count()
     // connectedComponents is eager (its loop runs jobs), so the
     // internal caches have been fully consumed when it returns
     val (cc, releaseCc) = connectedComponentsWithCleanup(edges, "id_a", "id_b")
+    edges.unpersist()
     cleanup()
     val out = df.select(col(idCol))
       .join(cc.withColumnRenamed("node", idCol), Seq(idCol), "left")

@@ -25,8 +25,6 @@ object SasWriter {
 
   private val HeaderLength = 1024
   private val PageLength = 4096
-  private val BitOff = 32 // u64 page bit offset
-  private val PtrLen = 24 // u64 subheader pointer length
 
   private class W(val b: Array[Byte]) {
     private def bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
@@ -38,10 +36,16 @@ object SasWriter {
   }
 
   /** Row values: java.lang.Double / null for numeric (dates as raw SAS
-    * day counts), String / null for character columns.
+    * day counts), String / null for character columns. `u64 = false`
+    * emits the 32-bit layout (4-byte subheader ints, 16-byte page bit
+    * offset, 12-byte pointers) so the reader's 32-bit branch is
+    * exercised too.
     */
-  def write(path: String, cols: Seq[Col], rows: Seq[Seq[Any]]): Unit = {
+  def write(path: String, cols: Seq[Col], rows: Seq[Seq[Any]], u64: Boolean = true): Unit = {
     require(cols.forall(c => !c.isNum || c.width == 8), "numeric cols must be width 8")
+    val intLen = if (u64) 8 else 4
+    val bitOff = if (u64) 32 else 16
+    val ptrLen = if (u64) 24 else 12
     // row layout: columns in declared order, numerics 8 bytes
     val offsets = cols.scanLeft(0)((acc, c) => acc + c.width).init
     val rowLength = cols.zip(offsets).map { case (c, o) => o + c.width }.max
@@ -67,44 +71,54 @@ object SasWriter {
       System.arraycopy(sig, 0, a, 0, sig.length)
       fill(new W(a)); a
     }
-    val sigRowSize = Array(0xf7, 0xf7, 0xf7, 0xf7, 0, 0, 0, 0).map(_.toByte)
-    val sigColSize = Array(0xf6, 0xf6, 0xf6, 0xf6, 0, 0, 0, 0).map(_.toByte)
-    val sigColText = Array(0xfd, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff).map(_.toByte)
-    val sigColName = Array(0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff).map(_.toByte)
-    val sigColAttr = Array(0xfc, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff).map(_.toByte)
-    val sigFormat = Array(0xfe, 0xfb, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff).map(_.toByte)
+    // 32-bit signatures are the 4 leading bytes; u64 zero/FF-extends
+    def sig(first: Array[Int], extFf: Boolean): Array[Byte] = {
+      val head = first.map(_.toByte)
+      if (!u64) head
+      else head ++ Array.fill(4)(if (extFf) 0xff.toByte else 0x00.toByte)
+    }
+    val sigRowSize = sig(Array(0xf7, 0xf7, 0xf7, 0xf7), extFf = false)
+    val sigColSize = sig(Array(0xf6, 0xf6, 0xf6, 0xf6), extFf = false)
+    val sigColText = sig(Array(0xfd, 0xff, 0xff, 0xff), extFf = true)
+    val sigColName = sig(Array(0xff, 0xff, 0xff, 0xff), extFf = true)
+    val sigColAttr = sig(Array(0xfc, 0xff, 0xff, 0xff), extFf = true)
+    val sigFormat = sig(Array(0xfe, 0xfb, 0xff, 0xff), extFf = true)
+    def uint(w: W, off: Int, v: Long): Unit = if (u64) w.u64(off, v) else w.u32(off, v)
 
-    val rowSize = sub(808, sigRowSize) { w =>
-      w.u64(5 * 8, rowLength)
-      w.u64(6 * 8, rows.length)
-      w.u64(9 * 8, n) // col_count_p1 (+p2 at 10*8 stays 0)
-      w.u64(15 * 8, 0) // no mix pages
-      w.u16(682, 0); w.u16(706, 0) // lcs / lcp
+    val rowSize = sub(if (u64) 808 else 480, sigRowSize) { w =>
+      uint(w, 5 * intLen, rowLength)
+      uint(w, 6 * intLen, rows.length)
+      uint(w, 9 * intLen, n) // col_count_p1 (+p2 at 10*intLen stays 0)
+      uint(w, 15 * intLen, 0) // no mix pages
+      val (lcs, lcp) = if (u64) (682, 706) else (354, 378)
+      w.u16(lcs, 0); w.u16(lcp, 0)
     }
-    val colSize = sub(24, sigColSize)(_.u64(8, n))
-    val colText = sub(8 + blockSize, sigColText) { w =>
-      w.u16(8, blockSize)
-      textItems.foreach { case (s, (at, _)) => w.bytes(8 + at, s.getBytes("UTF-8")) }
+    val colSize = sub(3 * intLen, sigColSize)(w => uint(w, intLen, n))
+    val colText = sub(intLen + blockSize, sigColText) { w =>
+      w.u16(intLen, blockSize)
+      textItems.foreach { case (s, (at, _)) => w.bytes(intLen + at, s.getBytes("UTF-8")) }
     }
-    val colName = sub(28 + 8 * n, sigColName) { w =>
+    val colName = sub(2 * intLen + 12 + 8 * n, sigColName) { w =>
       cols.zipWithIndex.foreach { case (c, i) =>
-        val base = 8 + 8 * (i + 1)
+        val base = intLen + 8 * (i + 1)
         val (at, len) = textItems(c.name)
         w.u16(base, 0); w.u16(base + 2, at); w.u16(base + 4, len)
       }
     }
-    val colAttr = sub(28 + 16 * n, sigColAttr) { w =>
+    val colAttr = sub(2 * intLen + 12 + (intLen + 8) * n, sigColAttr) { w =>
       cols.zipWithIndex.foreach { case (c, i) =>
-        w.u64(16 + 16 * i, offsets(i))
-        w.u32(24 + 16 * i, c.width)
-        w.b(30 + 16 * i) = (if (c.isNum) 1 else 2).toByte
+        uint(w, intLen + 8 + (intLen + 8) * i, offsets(i))
+        w.u32(2 * intLen + 8 + (intLen + 8) * i, c.width)
+        w.b(2 * intLen + 14 + (intLen + 8) * i) = (if (c.isNum) 1 else 2).toByte
       }
     }
     val formatSubs = cols.map { c =>
-      sub(64, sigFormat) { w =>
+      sub(34 + 3 * intLen, sigFormat) { w =>
         if (c.format.nonEmpty) {
           val (at, len) = textItems(c.format)
-          w.u16(46, 0); w.u16(48, at); w.u16(50, len)
+          w.u16(22 + 3 * intLen, 0)
+          w.u16(24 + 3 * intLen, at)
+          w.u16(26 + 3 * intLen, len)
         }
       }
     }
@@ -113,30 +127,30 @@ object SasWriter {
     // ---- meta page: pointers up front, content packed from the end --
     val metaPage = new Array[Byte](PageLength)
     val mw = new W(metaPage)
-    mw.u16(BitOff, 0x0000)
-    mw.u16(BitOff + 2, subheaders.length)
-    mw.u16(BitOff + 4, subheaders.length)
+    mw.u16(bitOff, 0x0000)
+    mw.u16(bitOff + 2, subheaders.length)
+    mw.u16(bitOff + 4, subheaders.length)
     var tail = PageLength
     subheaders.zipWithIndex.foreach { case (sh, i) =>
       tail = (tail - sh.length) / 8 * 8
       mw.bytes(tail, sh)
-      val p = BitOff + 8 + i * PtrLen
-      mw.u64(p, tail); mw.u64(p + 8, sh.length)
-      metaPage(p + 16) = 0 // uncompressed
-      metaPage(p + 17) = 0
+      val p = bitOff + 8 + i * ptrLen
+      uint(mw, p, tail); uint(mw, p + intLen, sh.length)
+      metaPage(p + 2 * intLen) = 0 // uncompressed
+      metaPage(p + 2 * intLen + 1) = 0
     }
-    require(BitOff + 8 + subheaders.length * PtrLen <= tail, "meta page overflow")
+    require(bitOff + 8 + subheaders.length * ptrLen <= tail, "meta page overflow")
 
     // ---- data pages -------------------------------------------------
-    val rowsPerPage = (PageLength - (BitOff + 8)) / rowLength
+    val rowsPerPage = (PageLength - (bitOff + 8)) / rowLength
     val dataPages = rows.grouped(rowsPerPage).map { chunk =>
       val page = new Array[Byte](PageLength)
       val w = new W(page)
-      w.u16(BitOff, 0x0100)
-      w.u16(BitOff + 2, chunk.length)
-      w.u16(BitOff + 4, 0)
+      w.u16(bitOff, 0x0100)
+      w.u16(bitOff + 2, chunk.length)
+      w.u16(bitOff + 4, 0)
       chunk.zipWithIndex.foreach { case (row, r) =>
-        val base = BitOff + 8 + r * rowLength
+        val base = bitOff + 8 + r * rowLength
         cols.zipWithIndex.foreach { case (c, i) =>
           row(i) match {
             case null => if (c.isNum) w.f64(base + offsets(i), Double.NaN)
@@ -154,18 +168,18 @@ object SasWriter {
     }.toSeq
 
     // ---- header -----------------------------------------------------
+    val align1 = if (u64) 4 else 0
     val header = new Array[Byte](HeaderLength)
     val hw = new W(header)
     hw.bytes(0, Magic)
-    header(32) = 0x33 // u64
-    header(35) = 0x33 // align1 = 4
+    if (u64) { header(32) = 0x33; header(35) = 0x33 }
     header(37) = 0x01 // little-endian
     header(39) = '1'.toByte
     header(70) = 20 // utf-8
-    hw.f64(168, 0.0); hw.f64(176, 0.0) // created/modified (1960 epoch)
-    hw.u32(200, HeaderLength)
-    hw.u32(204, PageLength)
-    hw.u32(208, 1L + dataPages.length)
+    hw.f64(164 + align1, 0.0); hw.f64(172 + align1, 0.0) // created/modified
+    hw.u32(196 + align1, HeaderLength)
+    hw.u32(200 + align1, PageLength)
+    hw.u32(204 + align1, 1L + dataPages.length)
 
     val out = new java.io.ByteArrayOutputStream()
     out.write(header); out.write(metaPage); dataPages.foreach(out.write)
@@ -210,10 +224,13 @@ object SasFixture {
   }
 }
 
-/** CLI for cross-validation against pandas.read_sas (check_sas.py). */
+/** CLI for cross-validation against pandas.read_sas (check_sas.py).
+  * Pass a second arg "32" to emit the 32-bit layout.
+  */
 object SasWriterMain {
   def main(args: Array[String]): Unit = {
-    SasWriter.write(args(0), SasFixture.columns, SasFixture.rows(500))
-    println(s"wrote ${args(0)}")
+    val u64 = !(args.length > 1 && args(1) == "32")
+    SasWriter.write(args(0), SasFixture.columns, SasFixture.rows(500), u64 = u64)
+    println(s"wrote ${args(0)} (u64=$u64)")
   }
 }

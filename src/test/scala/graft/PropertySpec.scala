@@ -155,6 +155,39 @@ class PropertySpec extends SparkSuite {
     assert(one.values.forall(b => b.length == 8 && b.forall(c => c == '0' || c == '1')))
   }
 
+  test("connectedComponents matches a union-find oracle on random graphs") {
+    val edgeListGen: Gen[List[(Long, Long)]] = for {
+      nNodes <- Gen.choose(2, 40)
+      nEdges <- Gen.choose(1, 60)
+      edges <- Gen.listOfN(nEdges, for {
+        a <- Gen.choose(0L, nNodes.toLong - 1)
+        b <- Gen.choose(0L, nNodes.toLong - 1)
+      } yield (a, b))
+    } yield edges.filter { case (a, b) => a != b }
+    forAllSamples(edgeListGen, n = 8) { edges =>
+      if (edges.nonEmpty) {
+        val s = spark; import s.implicits._
+        // driver-side union-find oracle
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        // min-id per component = the expected cluster label
+        val byRoot = nodes.groupBy(find)
+        val expected = byRoot.values.flatMap(ns => ns.map(_ -> ns.min)).toMap
+        val got = graft.pipeline.Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected, s"CC mismatch on edges $edges")
+      }
+    }
+  }
+
   test("grossify(cumulate) is consistent: grossify of (r-1) equals plain cumulate of r minus 1") {
     forAllSamples(groupGen) { rows =>
       if (rows.size >= 2) {

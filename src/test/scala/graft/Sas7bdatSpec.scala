@@ -45,6 +45,20 @@ class Sas7bdatSpec extends SparkSuite {
     }
   }
 
+  test("32-bit layout round-trips identically (4-byte ints, 16-byte bit offset)") {
+    val p = tmpPath("fix32.sas7bdat")
+    SasWriter.write(p, cols, sampleRows(300), u64 = false)
+    val df = Sas7bdat.read(spark, p)
+    assert(df.count() == 300)
+    val rows = df.orderBy("id").collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getDouble(0) == i.toDouble)
+      if (i % 7 == 3) assert(r.isNullAt(1)) else assert(math.abs(r.getDouble(1) - (i * 0.25 - 10)) < 1e-12)
+      assert(r.getDate(2).toString == java.time.LocalDate.of(2000, 1, 1).plusDays(i).toString)
+      if (i % 11 == 5) assert(r.isNullAt(3)) else assert(r.getString(3) == s"T${i % 97}")
+    }
+  }
+
   test("convertDates=false leaves SAS day counts as raw doubles") {
     val p = tmpPath("raw.sas7bdat")
     SasWriter.write(p, cols, sampleRows(3))
