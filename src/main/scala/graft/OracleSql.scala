@@ -623,6 +623,26 @@ SELECT query_id, neighbor_id, score, "rank" FROM r WHERE "rank" <= 5""",
       s"""SELECT doc_id, lang FROM documents
 WHERE md5(CAST(doc_id AS VARCHAR) || chr(1) || 's1') < '${Sampling.fractionThresholdHex(0.3)}'""",
 
+    // multi-way split: same hash family, cumulative thresholds from
+    // the same fractionThresholdHex the operator embeds
+    "q_split_assign" ->
+      s"""SELECT doc_id,
+CASE WHEN md5(CAST(doc_id AS VARCHAR) || chr(1) || 's2') < '${Sampling.fractionThresholdHex(0.8)}' THEN 'train'
+WHEN md5(CAST(doc_id AS VARCHAR) || chr(1) || 's2') < '${Sampling.fractionThresholdHex(0.9)}' THEN 'validation'
+WHEN md5(CAST(doc_id AS VARCHAR) || chr(1) || 's2') < '${Sampling.fractionThresholdHex(1.0)}' THEN 'test'
+ELSE 'rest' END AS split
+FROM documents""",
+
+    // corpus-wide line dedup: first occurrence by (doc_id, line idx)
+    // per trimmed-line digest, documents rebuilt in original order
+    "q_dedup_lines" ->
+      """WITH l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+l AS (SELECT doc_id, unnest(list_transform(range(1, len(ls) + 1), i -> {'i': i, 'line': ls[i]})) AS s FROM l0),
+f AS (SELECT doc_id, s.i AS i, s.line AS line FROM l WHERE length(trim(s.line)) > 0),
+k AS (SELECT doc_id, i, line FROM f QUALIFY row_number() OVER (PARTITION BY md5(trim(line)) ORDER BY doc_id, i) = 1),
+r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text_dedup FROM k GROUP BY 1)
+SELECT d.doc_id, coalesce(r.text_dedup, '') AS text_dedup FROM documents d LEFT JOIN r USING (doc_id)""",
+
     "q_cap_group" ->
       """WITH r AS (SELECT doc_id, lang,
 row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn

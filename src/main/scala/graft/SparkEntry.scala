@@ -474,6 +474,16 @@ object SparkEntry {
       Sampling.deterministicSample(d, Seq("doc_id"), fraction = 0.3, salt = "s1")
         .select("doc_id", "lang")
     }),
+    "q_split_assign" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Sampling.assignSplit(d, Seq("doc_id"),
+          Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1), salt = "s2")
+        .select("doc_id", "split")
+    }),
+    "q_dedup_lines" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.dedupLines(d, "doc_id", "text")
+    }),
     "q_cap_group" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       // unbiased cap: preference order = hash of the id (+ id tiebreak)

@@ -695,6 +695,41 @@ object Dedup {
     }
   }
 
+  /** Corpus-wide line deduplication (the CCNet/C4 paragraph-dedup
+    * primitive): every non-blank line keeps only its FIRST occurrence
+    * across the whole corpus — first = smallest (doc id, line index) —
+    * and each document is rebuilt from its surviving lines in original
+    * order (empty string if nothing survives). Boilerplate lines
+    * (headers, cookie banners, nav text) disappear from every document
+    * but the one that introduced them.
+    *
+    * Scale shape: one shuffle keyed on the line DIGEST (32-byte md5,
+    * never line text) for the first-occurrence window, one shuffle on
+    * doc id for the rebuild — both plain hash partitions; a
+    * boilerplate line repeated a billion times lands on one key but
+    * WindowGroupLimit keeps only rank 1 per partition map-side before
+    * the reduce.
+    */
+  def dedupLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      outCol: String = "text_dedup"
+  ): DataFrame = {
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("__li__", "__line__")))
+      .where(length(trim(col("__line__"))) > 0)
+    val w = Window.partitionBy(md5(trim(col("__line__")))).orderBy(col(idCol).asc, col("__li__").asc)
+    val kept = lines.withColumn("__rn__", row_number().over(w)).where(col("__rn__") === 1)
+    val rebuilt = kept
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("__li__"), col("__line__")))).as("__ls__"))
+      .select(col(idCol), concat_ws("\n", transform(col("__ls__"), x => x.getField("__line__"))).as(outCol))
+    df.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(outCol), lit("")).as(outCol))
+  }
+
   /** Embedding-cosine near-duplicate pairs within blocking keys.
     * `blockCols` bounds the quadratic stage (e.g. an LSH bucket or a
     * coarse cluster id); cosine is computed with codegen'd

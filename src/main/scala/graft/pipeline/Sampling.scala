@@ -45,15 +45,48 @@ object Sampling {
       salt: String = ""
   ): DataFrame = {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
-    // unit separator between key parts: a separator-less concat would
-    // hash ("AB","C") and ("A","BC") identically, correlating their
-    // sampling decisions. NULL keys get an explicit sentinel BEFORE
-    // concat_ws — concat_ws silently SKIPS null elements, so without
-    // it ("a", NULL) and (NULL, "a") would collapse to the same key
-    // and draw identical (correlated) sampling decisions.
-    val digest = md5(concat_ws("\u0001",
+    df.where(keyDigest(keyCols, salt) < lit(fractionThresholdHex(fraction)))
+  }
+
+  /** md5 over the separator-joined, null-sentineled key columns plus
+    * salt — the shared hash of [[deterministicSample]] and
+    * [[assignSplit]], so bands drawn by one compose with samples
+    * drawn by the other. The unit separator keeps ("AB","C") and
+    * ("A","BC") apart; the explicit null sentinel is needed because
+    * concat_ws silently SKIPS null elements, which would otherwise
+    * collapse ("a", NULL) and (NULL, "a") into one key with
+    * correlated decisions.
+    */
+  private def keyDigest(keyCols: Seq[String], salt: String): Column =
+    md5(concat_ws("\u0001",
       (keyCols.map(c => coalesce(col(c).cast("string"), lit("\u0000null"))) :+ lit(salt)): _*))
-    df.where(digest < lit(fractionThresholdHex(fraction)))
+
+  /** Deterministic multi-way split (train/validation/test): adds a
+    * `split` column assigning each row to the FIRST band whose
+    * cumulative hash threshold exceeds `md5(keys ++ salt)`. Same
+    * hash family as [[deterministicSample]], so splits are disjoint
+    * by construction, reproducible across runs/engines/retries, and
+    * a pure codegen filter (no shuffle, no RNG). Fractions must sum
+    * to <= 1; rows above the last threshold get the `rest` label
+    * (empty-string label drops them from every split).
+    */
+  def assignSplit(
+      df: DataFrame,
+      keyCols: Seq[String],
+      fractions: Seq[(String, Double)],
+      salt: String = "",
+      rest: String = "rest"
+  ): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(fractions.nonEmpty && fractions.map(_._2).sum <= 1.0 + 1e-12,
+      "fractions must be non-empty and sum to <= 1")
+    val digest = keyDigest(keyCols, salt)
+    val cum = fractions.scanLeft(0.0)(_ + _._2).tail
+    val assign = fractions.zip(cum).foldRight(lit(rest): Column) {
+      case (((name, _), cumFrac), tail) =>
+        when(digest < lit(fractionThresholdHex(math.min(cumFrac, 1.0))), lit(name)).otherwise(tail)
+    }
+    df.withColumn("split", assign)
   }
 
   /** Keep at most `n` rows per group, chosen deterministically by

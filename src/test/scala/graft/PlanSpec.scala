@@ -43,6 +43,20 @@ class PlanSpec extends SparkSuite {
     assert(tf.contains("Broadcast"), s"tfIdf corpus-size join is not broadcast:\n$tf")
   }
 
+  test("piiRedact is a single stage: zero shuffles, two-column pruned scan") {
+    val plan = planOf("q_pii_redact")
+    assert(!"Exchange (hash|range|Single|rebalance)".r.findFirstIn(plan).isDefined,
+      s"pii redaction should not shuffle:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"pii scan reads more than doc_id+text:\n$plan")
+  }
+
+  test("contamination joins the (tiny) eval digest set by broadcast") {
+    val plan = planOf("q_contaminated")
+    assert(plan.contains("BroadcastExchange"),
+      s"eval-side digests should broadcast, not shuffle the corpus:\n$plan")
+  }
+
   test("shuffle accounting: the expensive queries keep today's Exchange counts (VERDICT r4 #8)") {
     // pinned so a refactor that slips an extra shuffle into a hot plan
     // fails loudly instead of silently doubling network at 100 TB

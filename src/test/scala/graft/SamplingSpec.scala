@@ -42,6 +42,44 @@ class SamplingSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), s"sampling should be a pure filter:\n$plan")
   }
 
+  test("assignSplit partitions every row into disjoint bands with ~right sizes") {
+    val out = Sampling.assignSplit(ids, Seq("id"),
+      Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1), salt = "s")
+    val sizes = out.groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == Set("train", "validation", "test")) // fractions sum to 1 -> no 'rest'
+    assert(sizes.values.sum == 2000)
+    assert(math.abs(sizes("train") - 1600.0) < 120, s"train band off: $sizes")
+    assert(math.abs(sizes("validation") - 200.0) < 70, s"validation band off: $sizes")
+    // composes with deterministicSample: a 0.8 sample with the same
+    // keys/salt is EXACTLY the train band (shared keyDigest)
+    val sampled = Sampling.deterministicSample(ids, Seq("id"), 0.8, salt = "s")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val train = out.where(col("split") === "train").select("id").collect().map(_.getLong(0)).toSet
+    assert(sampled == train)
+    // and it is a pure projection: no shuffle
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignSplit should not shuffle:\n$plan")
+  }
+
+  test("dedupLines keeps first occurrence corpus-wide and rebuilds docs in order") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "intro\nshared boilerplate\nbody one"),
+      (2L, "shared boilerplate\nbody two\n\n  \nbody two"), // blank lines dropped; in-doc dup kept once
+      (3L, "  shared boilerplate  \nunique tail")           // trimmed match still dedups, original kept
+    ).toDF("doc_id", "text")
+    val out = graft.pipeline.Dedup.dedupLines(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "intro\nshared boilerplate\nbody one")
+    assert(out(2L) == "body two")
+    assert(out(3L) == "unique tail")
+    // a doc that is ALL duplicates rebuilds to empty
+    val docs2 = docs.unionByName(Seq((4L, "intro\nbody two")).toDF("doc_id", "text"))
+    val out2 = graft.pipeline.Dedup.dedupLines(docs2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out2(4L) == "")
+  }
+
   test("capPerGroup keeps at most n per group, deterministically") {
     val capped = Sampling.capPerGroup(ids, Seq("grp"), 7,
       Seq(md5(col("id").cast("string")), col("id")))
