@@ -43,32 +43,48 @@ object SparkEntry {
     pendingCleanups.clear()
   }
 
-  // Near-dup clusters feed TWO driver queries (q_neardup_groups and
-  // q_neardup_keep). The pipeline (LSH -> Jaccard verify -> connected
-  // components) runs ONCE per data dir; its small (doc_id, cluster)
-  // output is eagerly checkpointed and shared, and the heavyweight
-  // internals are released immediately. The memo itself (one tiny
-  // frame per dir) lives until releaseShared() at end of run.
-  private val nearDupClustersMemo =
+  // Some expensive pipelines feed TWO driver queries (near-dup
+  // clusters -> q_neardup_groups + q_neardup_keep; contamination ids
+  // -> q_contaminated + q_decontaminate). Each runs ONCE per data
+  // dir; its small output frame is eagerly checkpointed and shared,
+  // and the heavyweight internals are released immediately. The memo
+  // itself (tiny frames) lives until releaseShared() at end of run.
+  private val sharedMemos =
     scala.collection.mutable.Map.empty[String, (DataFrame, () => Unit)]
 
-  private def nearDupClusters(s: SparkSession, dir: String): DataFrame = synchronized {
-    nearDupClustersMemo.getOrElseUpdate(dir, {
+  private def sharedFrame(key: String)(build: => (DataFrame, () => Unit)): DataFrame =
+    synchronized {
+      sharedMemos.getOrElseUpdate(key, {
+        val (frame, releasePipeline) = build
+        val (cp, releaseCp) = graft.internal.localCheckpointTracked(frame, eager = true)
+        releasePipeline() // the checkpoint above materialized everything
+        (cp, releaseCp)
+      })._1
+    }
+
+  private def nearDupClusters(s: SparkSession, dir: String): DataFrame =
+    sharedFrame(s"neardup:$dir") {
+      Dedup.nearDupGroupsWithCleanup(t(s, dir, "documents"), "doc_id", "text", jaccardThreshold = 0.5)
+    }
+
+  /** (doc_id, n_overlap) of corpus docs (doc_id % 37 <> 0) sharing
+    * 3-grams with the eval slice (doc_id % 37 = 0).
+    */
+  private def contaminatedFrame(s: SparkSession, dir: String): DataFrame =
+    sharedFrame(s"contam:$dir") {
       val d = t(s, dir, "documents")
-      val (clusters, releasePipeline) =
-        Dedup.nearDupGroupsWithCleanup(d, "doc_id", "text", jaccardThreshold = 0.5)
-      val (cp, releaseCp) = graft.internal.localCheckpointTracked(clusters, eager = true)
-      releasePipeline() // the checkpoint above materialized everything
-      (cp, releaseCp)
-    })._1
-  }
+      val ids = Contamination.contaminatedIds(
+        d.where(col("doc_id") % 37 =!= 0), d.where(col("doc_id") % 37 === 0),
+        "doc_id", "text", n = 3)
+      (ids, () => ())
+    }
 
   /** Release the cross-query shared frames (runners call this once at
     * end of run; per-query caches go through runPendingCleanups).
     */
   def releaseShared(): Unit = synchronized {
-    nearDupClustersMemo.values.foreach { case (_, release) => release() }
-    nearDupClustersMemo.clear()
+    sharedMemos.values.foreach { case (_, release) => release() }
+    sharedMemos.clear()
   }
 
   /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
@@ -368,19 +384,14 @@ object SparkEntry {
         .select(col("doc_id"), col("pii_email"), col("pii_ip"), col("pii_phone"),
           md5(TextAnalysis.piiRedact(col("text"))).as("red_fp"))
     }),
-    "q_contaminated" -> ((s, dir) => {
-      // eval set = every 37th doc; duplicates in the synthetic corpus
-      // guarantee real contamination hits
-      val d = t(s, dir, "documents")
-      Contamination.contaminatedIds(
-        d.where(col("doc_id") % 37 =!= 0), d.where(col("doc_id") % 37 === 0),
-        "doc_id", "text", n = 3)
-    }),
+    // eval set = every 37th doc; duplicates in the synthetic corpus
+    // guarantee real contamination hits. Both queries derive from the
+    // SAME shared overlap frame (the shingle pipeline runs once).
+    "q_contaminated" -> ((s, dir) => contaminatedFrame(s, dir)),
     "q_decontaminate" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      Contamination.decontaminate(
-        d.where(col("doc_id") % 37 =!= 0), d.where(col("doc_id") % 37 === 0),
-        "doc_id", "text", n = 3)
+      d.where(col("doc_id") % 37 =!= 0)
+        .join(contaminatedFrame(s, dir).select("doc_id"), Seq("doc_id"), "left_anti")
         .select("doc_id")
     }),
     "q_tfidf" -> ((s, dir) => {

@@ -52,7 +52,14 @@ class PlanSpec extends SparkSuite {
   }
 
   test("contamination joins the (tiny) eval digest set by broadcast") {
-    val plan = planOf("q_contaminated")
+    // the driver query serves a memoized checkpoint, so inspect the
+    // operator's own plan
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = graft.pipeline.Contamination.contaminatedIds(
+        d.where(org.apache.spark.sql.functions.col("doc_id") % 37 =!= 0),
+        d.where(org.apache.spark.sql.functions.col("doc_id") % 37 === 0),
+        "doc_id", "text", n = 3)
+      .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastExchange"),
       s"eval-side digests should broadcast, not shuffle the corpus:\n$plan")
   }
