@@ -42,6 +42,28 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("batch text operators (PII redaction, quality, token count) compose into streams") {
+    // the pipeline operators are pure column expressions, so the SAME
+    // code runs over readStream — this pins that no operator silently
+    // requires a batch-only feature (e.g. a window without watermark)
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    val out = df.select(
+      col("doc_id"),
+      graft.pipeline.TextAnalysis.piiRedact(col("text")).as("red"),
+      graft.pipeline.TextAnalysis.tokenCount(col("text")).as("n_tok"))
+    val q = out.writeStream.format("memory").queryName("pii_stream").outputMode("append").start()
+    try {
+      input.addData((1L, "mail a@b.io now"), (2L, "clean text"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, red, n_tok FROM pii_stream").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      assert(rows == Set((1L, "mail <EMAIL> now", 3), (2L, "clean text", 2)))
+    } finally q.stop()
+  }
+
   test("sessionize splits on inactivity gaps (batch parity)") {
     val s = spark; import s.implicits._
     val events = Seq(
