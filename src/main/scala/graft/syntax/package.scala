@@ -122,5 +122,42 @@ package object syntax {
 
     def yearMonthFromDate(datevar: String = "Date"): DataFrame =
       Dates.yearMonthFromDate(df, datevar)
+
+    // --- training-data pipeline (beyond the reference) ------------
+    def dedupExact(idCol: String, textCol: String): DataFrame =
+      pipeline.Dedup.dedupExact(df, idCol, textCol)
+
+    def minhashCandidates(idCol: String, textCol: String, shingleWords: Int = 3,
+        numHashes: Int = 8, bands: Int = 4, maxBucketSize: Int = 1000): DataFrame =
+      pipeline.Dedup.minhashCandidates(df, idCol, textCol, shingleWords, numHashes, bands, maxBucketSize)
+
+    def nearDupGroups(idCol: String, textCol: String, jaccardThreshold: Double): DataFrame =
+      pipeline.Dedup.nearDupGroups(df, idCol, textCol, jaccardThreshold)
+
+    def dedupLines(idCol: String, textCol: String, outCol: String = "text_dedup"): DataFrame =
+      pipeline.Dedup.dedupLines(df, idCol, textCol, outCol)
+
+    def deterministicSample(keyCols: Seq[String], fraction: Double, salt: String = ""): DataFrame =
+      pipeline.Sampling.deterministicSample(df, keyCols, fraction, salt)
+
+    def assignSplit(keyCols: Seq[String], fractions: Seq[(String, Double)],
+        salt: String = "", rest: String = "rest"): DataFrame =
+      pipeline.Sampling.assignSplit(df, keyCols, fractions, salt, rest)
+
+    def capPerGroup(byvars: Seq[String], n: Int, orderCols: Seq[Column]): DataFrame =
+      pipeline.Sampling.capPerGroup(df, byvars, n, orderCols)
+
+    def decontaminate(evalSet: DataFrame, idCol: String, textCol: String,
+        n: Int = 13, minOverlap: Int = 1): DataFrame =
+      pipeline.Contamination.decontaminate(df, evalSet, idCol, textCol, n, minOverlap)
+
+    def qualityFeatures(textCol: String, prefix: String = "q_"): DataFrame =
+      pipeline.TextAnalysis.qualityFeatures(df, textCol, prefix)
+
+    def piiCounts(textCol: String, prefix: String = "pii_"): DataFrame =
+      pipeline.TextAnalysis.piiCounts(df, textCol, prefix)
+
+    def tfIdf(idCol: String, textCol: String, minDocFreq: Int = 1): DataFrame =
+      pipeline.TextAnalysis.tfIdf(df, idCol, textCol, minDocFreq)
   }
 }

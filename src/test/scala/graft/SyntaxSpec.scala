@@ -29,6 +29,22 @@ class SyntaxSpec extends SparkSuite {
     assert(out.count() == 12)
   }
 
+  test("fluent pipeline chain: sample -> split -> pii counts -> dedup lines") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "alpha\nshared line"), (2L, "shared line\nbeta"), (3L, "gamma only")
+    ).toDF("doc_id", "text")
+    val out = docs
+      .assignSplit(Seq("doc_id"), Seq("train" -> 0.5, "test" -> 0.5))
+      .piiCounts("text")
+      .dedupLines("doc_id", "text")
+    assert(out.count() == 3)
+    assert(out.columns.toSet == Set("doc_id", "text_dedup"))
+    val eval = Seq((9L, "gamma only here today")).toDF("doc_id", "text")
+    // 13-gram default finds no overlap on these short docs; 2-gram does
+    assert(docs.decontaminate(eval, "doc_id", "text", n = 2).count() == 2)
+  }
+
   test("composing operators triggers no Spark jobs (lazy plans)") {
     val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
     val composed = fixtureDf
