@@ -507,6 +507,21 @@ ev AS (SELECT DISTINCT g FROM ex WHERE doc_id % 37 = 0),
 bad AS (SELECT DISTINCT co.doc_id FROM ex co JOIN ev USING (g) WHERE co.doc_id % 37 <> 0)
 SELECT doc_id FROM documents WHERE doc_id % 37 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)""",
 
+    // bigram-LM cross-entropy (perplexity-proxy quality score):
+    // add-0.5 smoothing, corpus unigram counts, vocab-size V — exact
+    // integer counts up to the final log, so only the averaged log
+    // needs rounding
+    "q_bigram_xent" ->
+      s"""WITH sh AS (SELECT doc_id, ${shinglesSql(2)} AS sg FROM documents),
+g AS (SELECT doc_id, unnest(sg) AS bg FROM sh),
+g2 AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM g),
+bc AS (SELECT bg, count(*) AS cbg FROM g2 GROUP BY 1),
+wds AS (SELECT unnest($wordsSql) AS w1 FROM documents),
+uc AS (SELECT w1, count(*) AS cw FROM wds WHERE length(w1) > 0 GROUP BY 1),
+v AS (SELECT count(DISTINCT w1) AS v FROM uc)
+SELECT doc_id, round(-avg(ln((cbg + 0.5) / (cw + 0.5 * v))), 6) AS xent
+FROM g2 JOIN bc USING (bg) JOIN uc USING (w1) CROSS JOIN v GROUP BY 1""",
+
     // corpus TF-IDF, top-3 words per doc on exact-integer ordering
     "q_tfidf" ->
       s"""WITH wds AS (SELECT doc_id, unnest($wordsSql) AS word FROM documents),

@@ -394,6 +394,11 @@ object SparkEntry {
         .join(contaminatedFrame(s, dir).select("doc_id"), Seq("doc_id"), "left_anti")
         .select("doc_id")
     }),
+    "q_bigram_xent" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextAnalysis.bigramCrossEntropy(d, "doc_id", "text")
+        .select(col("doc_id"), round(col("xent"), 6).as("xent"))
+    }),
     "q_tfidf" -> ((s, dir) => {
       // top-3 words per doc; ORDER ON EXACT INTEGERS (tf desc, df asc,
       // word asc) — ranking on the float tfidf would be nondeterministic

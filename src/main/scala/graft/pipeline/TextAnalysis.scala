@@ -207,6 +207,53 @@ object TextAnalysis {
     out
   }
 
+  // ---- bigram-LM quality score (perplexity proxy) -----------------
+
+  /** Per-document cross-entropy under an add-k-smoothed bigram
+    * language model trained on the corpus itself — the CCNet-style
+    * "perplexity filter" signal: boilerplate and fluent text score
+    * low, lexical garbage scores high.
+    *
+    * score(doc) = -(1/|bigrams|) * sum over doc bigrams of
+    *   ln( (C(w1,w2) + k) / (C(w1) + k * V) )
+    * with V = corpus vocabulary size and C(w1) the corpus unigram
+    * count (the plain-count convention; both sides of the oracle use
+    * the same definition). Docs with fewer than 2 words have no
+    * bigrams and are absent from the output.
+    *
+    * Scale shape: one explode + two hash aggregations ((w1,w2) and
+    * (w1) counts), a join of doc bigrams against the two count
+    * tables, and a per-doc re-aggregation — all shuffles keyed on
+    * grams / doc id. V enters as a broadcast one-row aggregate, like
+    * tfIdf's corpus size. Everything is exact integer counts until
+    * the final log, so the score is engine-reproducible.
+    */
+  def bigramCrossEntropy(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Double = 0.5
+  ): DataFrame = {
+    val words = df.select(col(idCol).as("__id__"), Dedup.splitWords(col(textCol)).as("__w__"))
+    val grams = words
+      .select(col("__id__"),
+        posexplode(Dedup.shinglesFromWordsUdf(2)(col("__w__"))).as(Seq("__pos__", "__g__")))
+      .select(col("__id__"), col("__pos__"),
+        substring_index(col("__g__"), " ", 1).as("w1"), col("__g__").as("__bg__"))
+    val bigramCounts = grams.groupBy(col("__bg__")).agg(count(lit(1)).as("__cbg__"))
+    val unigramCounts = df
+      .select(explode(Dedup.splitWords(col(textCol))).as("w1"))
+      .where(length(col("w1")) > 0)
+      .groupBy(col("w1")).agg(count(lit(1)).as("__cw__"))
+    val vocab = unigramCounts.select(countDistinct(col("w1")).as("__v__"))
+    grams
+      .join(bigramCounts, Seq("__bg__"))
+      .join(unigramCounts, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("__id__").as(idCol))
+      .agg((-avg(log((col("__cbg__") + k) / (col("__cw__") + col("__v__") * k)))).as("xent"))
+  }
+
   // ---- corpus TF-IDF ----------------------------------------------
 
   /** Corpus TF-IDF over lowercase whitespace words: one row per

@@ -167,6 +167,24 @@ class PipelineSpec extends SparkSuite {
     assert(got.values.forall(h => h >= 0 && h < TextAnalysis.rollingHashMod))
   }
 
+  test("bigramCrossEntropy matches the closed form on a tiny corpus") {
+    val s = spark; import s.implicits._
+    // corpus: "a b a b" and "a b c". V = 3; unigrams a:3 b:3 c:1;
+    // bigrams: "a b":3, "b a":1, "b c":1
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "solo")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramCrossEntropy(docs, "doc_id", "text", k = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val v = 4.0 // vocab includes "solo"
+    def p(cbg: Double, cw: Double) = (cbg + 0.5) / (cw + 0.5 * v)
+    val d1 = -(math.log(p(3, 3)) + math.log(p(1, 3)) + math.log(p(3, 3))) / 3
+    val d2 = -(math.log(p(3, 3)) + math.log(p(1, 3))) / 2
+    assert(math.abs(got(1L) - d1) < 1e-9, s"doc1: ${got(1L)} vs $d1")
+    assert(math.abs(got(2L) - d2) < 1e-9, s"doc2: ${got(2L)} vs $d2")
+    assert(!got.contains(3L)) // single-word doc: no bigrams
+    // garbage (rare bigrams) scores strictly higher than fluent repeats
+    assert(got(2L) > got(1L))
+  }
+
   test("piiRedact masks emails/IPs/phones; piiCounts attributes overlaps to the specific kind") {
     val s = spark; import s.implicits._
     val df = Seq(
