@@ -522,6 +522,45 @@ v AS (SELECT count(DISTINCT w1) AS v FROM uc)
 SELECT doc_id, round(-avg(ln((cbg + 0.5) / (cw + 0.5 * v))), 6) AS xent
 FROM g2 JOIN bc USING (bg) JOIN uc USING (w1) CROSS JOIN v GROUP BY 1""",
 
+    // C4 cleaning over the derived lined corpus (5-word lines, '.'
+    // on even lines — the same derivation as the Spark side): line
+    // filters (terminal punct, >=5 words, no javascript) then the
+    // doc-level minKeptLines floor
+    "q_c4_clean" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+ln0 AS (SELECT doc_id, list_transform(range(0, CAST(ceil(len(ws) / 5.0) AS BIGINT)), i ->
+  array_to_string(ws[(i*5+1):(i*5+5)], ' ') || CASE WHEN i % 2 = 0 THEN '.' ELSE '' END) AS ls FROM w),
+d AS (SELECT doc_id, array_to_string(ls, chr(10)) AS text FROM ln0),
+l0 AS (SELECT doc_id, string_split(text, chr(10)) AS lsx FROM d
+  WHERE NOT contains(text, '{') AND NOT contains(lower(text), 'lorem ipsum')),
+l AS (SELECT doc_id, unnest(list_transform(range(1, len(lsx) + 1), j -> {'j': j, 'line': trim(lsx[j])})) AS s FROM l0),
+k AS (SELECT doc_id, s.j AS j, s.line AS line FROM l
+  WHERE (s.line LIKE '%.' OR s.line LIKE '%!' OR s.line LIKE '%?' OR s.line LIKE '%"')
+    AND len(regexp_split_to_array(s.line, '\\s+')) >= 5
+    AND NOT contains(lower(s.line), 'javascript')),
+r AS (SELECT doc_id, count(*) AS n_lines_kept, string_agg(line, chr(10) ORDER BY j) AS text_clean FROM k GROUP BY 1)
+SELECT doc_id, n_lines_kept, text_clean FROM r WHERE n_lines_kept >= 3""",
+
+    // mixture resampling: per-source copy counts = floor(weight) +
+    // one fractional deterministic draw, from the same hash family
+    // and threshold constants the operator embeds
+    "q_mixture" ->
+      s"""WITH b AS (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR) || chr(1) || 'm1') AS dg FROM documents),
+c AS (SELECT doc_id, source, CASE source
+  WHEN 'src0' THEN 2 + CASE WHEN dg < '${Sampling.fractionThresholdHex(0.5)}' THEN 1 ELSE 0 END
+  WHEN 'src1' THEN 0 + CASE WHEN dg < '${Sampling.fractionThresholdHex(0.25)}' THEN 1 ELSE 0 END
+  WHEN 'src2' THEN 0
+  ELSE 1 END AS copies FROM b)
+SELECT doc_id, source, unnest(range(copies)) AS copy FROM c WHERE copies > 0""",
+
+    // concat-and-chunk packing: the oracle is the naive single
+    // global cumsum the operator's distributed prefix sum must equal
+    "q_pack" ->
+      s"""WITH b AS (SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR) || chr(1) || 'p1') AS ok FROM documents),
+c AS (SELECT doc_id, n_chars,
+  CAST(sum(n_chars) OVER (ORDER BY ok, doc_id ROWS UNBOUNDED PRECEDING) - n_chars AS BIGINT) AS st FROM b)
+SELECT doc_id, n_chars, st // 2048 AS pack_id, st % 2048 AS pack_offset FROM c""",
+
     // corpus TF-IDF, top-3 words per doc on exact-integer ordering
     "q_tfidf" ->
       s"""WITH wds AS (SELECT doc_id, unnest($wordsSql) AS word FROM documents),

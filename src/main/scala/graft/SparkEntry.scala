@@ -399,6 +399,36 @@ object SparkEntry {
       TextAnalysis.bigramCrossEntropy(d, "doc_id", "text")
         .select(col("doc_id"), round(col("xent"), 6).as("xent"))
     }),
+    "q_c4_clean" -> ((s, dir) => {
+      // the synthetic docs are single-line with no terminal
+      // punctuation, so a lined corpus is derived first (5-word
+      // lines, '.' appended to even lines — reproduced by the
+      // oracle): alternating lines then fail the punctuation rule,
+      // short tail lines fail the word minimum, and docs left under
+      // minKeptLines drop entirely
+      val d = t(s, dir, "documents")
+      val ws = Dedup.splitWords(col("text"))
+      val lines = transform(sequence(lit(0), ceil(size(ws) / lit(5.0)).cast("int") - 1), i =>
+        concat(array_join(slice(ws, i * 5 + 1, lit(5)), " "),
+          when(i % 2 === 0, lit(".")).otherwise(lit(""))))
+      val lined = d.select(col("doc_id"), array_join(lines, "\n").as("text"))
+      TextAnalysis.c4Clean(lined, "doc_id", "text", minWordsPerLine = 5, minKeptLines = 3)
+        .select(col("doc_id"), col("n_lines_kept").cast("long").as("n_lines_kept"),
+          col("text_clean"))
+    }),
+    "q_mixture" -> ((s, dir) => {
+      // src0 upweighted to 2.5 epochs, src1 kept at 25%, src2
+      // dropped, everything else passes through once
+      val d = t(s, dir, "documents")
+      Sampling.mixtureSample(d, "source",
+        Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 0.0),
+        keyCols = Seq("doc_id"), salt = "m1")
+        .select(col("doc_id"), col("source"), col("copy"))
+    }),
+    "q_pack" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Sampling.packSequences(d, "doc_id", "n_chars", capacity = 2048L, salt = "p1")
+    }),
     "q_tfidf" -> ((s, dir) => {
       // top-3 words per doc; ORDER ON EXACT INTEGERS (tf desc, df asc,
       // word asc) — ranking on the float tfidf would be nondeterministic

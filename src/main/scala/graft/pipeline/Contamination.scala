@@ -9,8 +9,8 @@ import org.apache.spark.sql.functions._
   * PaLM-style 13-gram overlap).
   *
   * Scale shape: both sides tokenize+shingle ONCE (the same staged
-  * word-array path as [[Dedup]]), shingles are md5-digested so the
-  * join shuffles 32-byte keys instead of raw n-gram text, and the
+  * word-array path as [[Dedup]]), shingles are xxhash64-digested so
+  * the join shuffles 8-byte longs instead of raw n-gram text, and the
   * eval side is aggregated to DISTINCT digests before the join — an
   * eval suite is tiny next to a 100 TB corpus, so Spark's AQE turns
   * that side into a broadcast and the corpus never shuffles at all.
@@ -21,11 +21,20 @@ object Contamination {
   /** (idCol, `__dg__`) shingle-digest frame for one side. Pairs are
     * already distinct: [[Dedup.shingleFrame]] array_distincts the
     * shingles within each document, so no extra shuffle is needed.
+    *
+    * The digest is xxhash64 — an 8-byte long join key instead of a
+    * 32-char md5 string, so the corpus-side shuffle moves 4x less key
+    * data and hashing is a few ns per shingle. A collision only
+    * matters when a corpus shingle collides with one of the eval
+    * side's distinct shingles: with an eval suite of ~1e6 distinct
+    * grams and a 1e12-gram corpus, expected cross-collisions are
+    * ~1e18/2^64 = 0.05 — a spurious +1 on one doc's n_overlap, well
+    * inside the tolerance of a leakage filter.
     */
   private def digests(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     Dedup.shingleFrame(df, idCol, textCol, n)
       .select(col("__id__").as(idCol), explode(col("__sg__")).as("__shingle__"))
-      .select(col(idCol), md5(col("__shingle__")).as("__dg__"))
+      .select(col(idCol), xxhash64(col("__shingle__")).as("__dg__"))
 
   /** Corpus documents sharing at least `minOverlap` distinct
     * `n`-gram shingles with `evalSet`: (idCol, n_overlap), overlap

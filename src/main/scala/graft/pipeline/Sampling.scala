@@ -89,6 +89,108 @@ object Sampling {
     df.withColumn("split", assign)
   }
 
+  /** Deterministic domain-mixture resampling: emit each row
+    * `weights(group)` times in expectation — the "data mixture"
+    * primitive that up/down-weights sources (e.g. wiki 3.0x, web
+    * 0.5x) for training. A weight's integer part duplicates the row
+    * that many times (a `copy` index column distinguishes epochs);
+    * the fractional part is a [[deterministicSample]] draw from the
+    * same hash family, so mixtures compose with samples and splits.
+    * Groups absent from `weights` get `defaultWeight`.
+    *
+    * Scale shape: a literal `when`-chain threshold per group plus one
+    * `explode` of a tiny int sequence — no shuffle, no RNG, no join
+    * against a weights table (mixtures have a handful of sources; a
+    * thousand-entry chain is still a cheap codegen'd expression).
+    * Down-weighting (all weights < 1) degenerates to a pure
+    * scan-pushable filter with `copy` constantly 0.
+    */
+  def mixtureSample(
+      df: DataFrame,
+      groupCol: String,
+      weights: Map[String, Double],
+      keyCols: Seq[String],
+      salt: String = "",
+      defaultWeight: Double = 1.0
+  ): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require((weights.values ++ Seq(defaultWeight)).forall(_ >= 0), "weights must be >= 0")
+    val digest = keyDigest(keyCols, salt)
+    def copiesFor(w: Double): Column = {
+      val whole = math.floor(w).toLong
+      lit(whole) + when(digest < lit(fractionThresholdHex(w - whole)), lit(1L)).otherwise(lit(0L))
+    }
+    // sorted for a deterministic chain order; the final otherwise
+    // carries the default weight
+    val copies = weights.toSeq.sortBy(_._1).foldRight(copiesFor(defaultWeight)) {
+      case ((g, w), tail) => when(col(groupCol) === lit(g), copiesFor(w)).otherwise(tail)
+    }
+    // sequence(0, copies - 1) with copies = 0 would be the DESCENDING
+    // sequence [0, -1] (the same trap shinglesFromWords guards), so
+    // zero-copy rows take the empty array, which explode then drops.
+    df.withColumn("copy",
+      explode(when(copies > 0, sequence(lit(0L), copies - 1)).otherwise(array())))
+  }
+
+  /** Concat-and-chunk sequence packing: documents are concatenated in
+    * a deterministic pseudo-random order (the [[deterministicSample]]
+    * hash of the id, so packing is reproducible and key-shufflable by
+    * salt) and the token stream is chunked every `capacity` tokens.
+    * Returns (idCol, lengthCol, pack_id, pack_offset): the chunk the
+    * document STARTS in and its token offset within that chunk — a
+    * document whose length crosses a boundary continues into the
+    * following pack(s), exactly like GPT-style pretraining packing.
+    *
+    * Scale shape — the naive formulation is a running total over one
+    * global window, i.e. every row through a single task; this one is
+    * the standard distributed prefix sum instead: rows hash into 256
+    * DATA-DERIVED range buckets (first two hex chars of the order
+    * digest, so bucketing is reproducible and partition-layout
+    * independent), a windowed cumsum runs inside each bucket (one
+    * shuffle, 1/256th of the data per task), per-bucket totals
+    * (256 rows) prefix-sum on the driver side of a broadcast join,
+    * and each row's global start is bucket offset + local cumsum.
+    * Costs one full-data shuffle plus one tiny aggregation — no
+    * single-partition stage anywhere.
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      lengthCol: String,
+      capacity: Long,
+      salt: String = ""
+  ): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val keyed = df.select(
+      col(idCol), col(lengthCol),
+      keyDigest(Seq(idCol), salt).as("__ok__"))
+      .withColumn("__bkt__", substring(col("__ok__"), 1, 2))
+    val w = Window.partitionBy(col("__bkt__"))
+      .orderBy(col("__ok__").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = keyed.withColumn("__cum__", sum(col(lengthCol)).over(w))
+    // 256-row frame: total tokens per bucket -> exclusive prefix sum
+    // over bucket order. Tiny, so the single-partition window and the
+    // broadcast are both free.
+    val wb = Window.orderBy(col("__bkt__").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = keyed.groupBy(col("__bkt__"))
+      .agg(sum(col(lengthCol)).as("__btot__"))
+      .withColumn("__boff__", sum(col("__btot__")).over(wb) - col("__btot__"))
+      .select(col("__bkt__"), col("__boff__"))
+    // `/` on longs is double division in Spark; dividing the exact
+    // multiple (start - start % capacity) keeps the quotient integral
+    // and hence exact in double up to 2^53 total tokens (9 petatokens).
+    val start = col("__boff__") + col("__cum__") - col(lengthCol)
+    local.join(broadcast(offsets), Seq("__bkt__"))
+      .withColumn("__start__", start)
+      .select(
+        col(idCol), col(lengthCol),
+        ((col("__start__") - col("__start__") % capacity) / capacity)
+          .cast("long").as("pack_id"),
+        (col("__start__") % capacity).as("pack_offset"))
+  }
+
   /** Keep at most `n` rows per group, chosen deterministically by
     * `orderCols` (pass a hash column for an unbiased cap, or e.g. a
     * quality score to keep the best). The standard "cap documents

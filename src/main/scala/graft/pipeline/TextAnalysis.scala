@@ -207,6 +207,54 @@ object TextAnalysis {
     out
   }
 
+  // ---- C4-style corpus cleaning -----------------------------------
+
+  /** Lines retained by the C4 cleaning heuristics (Raffel et al.
+    * 2020, §2.2): trim each line, keep those that (a) end in a
+    * terminal punctuation mark (`.` `!` `?` `"`), (b) have at least
+    * `minWords` whitespace-separated words, and (c) don't mention
+    * "javascript" (case-insensitive). A per-row array expression —
+    * no shuffle, pipelines in the scan stage.
+    */
+  def c4KeptLines(text: Column, minWords: Int = 5): Column =
+    filter(transform(split(text, "\n"), l => trim(l)), l =>
+      (endswith(l, lit(".")) || endswith(l, lit("!")) ||
+        endswith(l, lit("?")) || endswith(l, lit("\""))) &&
+        size(split(l, "\\s+")) >= minWords &&
+        !contains(lower(l), lit("javascript")))
+
+  /** C4-style corpus cleaning: document-level drops (any `{` — a
+    * code/markup page; any "lorem ipsum" — placeholder boilerplate),
+    * then the [[c4KeptLines]] line filters, then drop documents left
+    * with fewer than `minKeptLines` lines. Returns
+    * (idCol, n_lines_kept, text_clean) for surviving documents, with
+    * `text_clean` the kept lines re-joined by newline.
+    *
+    * Scale shape: the doc-level `contains` filters sit directly on
+    * the text column so they evaluate before any line work; the rest
+    * is per-row array expressions — zero shuffles end to end. The
+    * kept-lines array is referenced by both the size filter and the
+    * re-join, and Catalyst's filter pushdown re-inlines it into the
+    * predicate, so the line pass runs twice per surviving doc — the
+    * cost of staying barrier-free; a persist here would trade one
+    * extra in-stage pass for materializing the corpus, a bad deal at
+    * 100 TB.
+    */
+  def c4Clean(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWordsPerLine: Int = 5,
+      minKeptLines: Int = 3
+  ): DataFrame =
+    df.where(!col(textCol).contains("{") && !lower(col(textCol)).contains("lorem ipsum"))
+      .select(col(idCol), c4KeptLines(col(textCol), minWordsPerLine).as("__kept__"))
+      .where(size(col("__kept__")) >= minKeptLines)
+      .select(
+        col(idCol),
+        size(col("__kept__")).as("n_lines_kept"),
+        array_join(col("__kept__"), "\n").as("text_clean"))
+
   // ---- bigram-LM quality score (perplexity proxy) -----------------
 
   /** Per-document cross-entropy under an add-k-smoothed bigram

@@ -159,5 +159,20 @@ package object syntax {
 
     def tfIdf(idCol: String, textCol: String, minDocFreq: Int = 1): DataFrame =
       pipeline.TextAnalysis.tfIdf(df, idCol, textCol, minDocFreq)
+
+    def c4Clean(idCol: String, textCol: String, minWordsPerLine: Int = 5,
+        minKeptLines: Int = 3): DataFrame =
+      pipeline.TextAnalysis.c4Clean(df, idCol, textCol, minWordsPerLine, minKeptLines)
+
+    def bigramCrossEntropy(idCol: String, textCol: String, k: Double = 0.5): DataFrame =
+      pipeline.TextAnalysis.bigramCrossEntropy(df, idCol, textCol, k)
+
+    def mixtureSample(groupCol: String, weights: Map[String, Double], keyCols: Seq[String],
+        salt: String = "", defaultWeight: Double = 1.0): DataFrame =
+      pipeline.Sampling.mixtureSample(df, groupCol, weights, keyCols, salt, defaultWeight)
+
+    def packSequences(idCol: String, lengthCol: String, capacity: Long,
+        salt: String = ""): DataFrame =
+      pipeline.Sampling.packSequences(df, idCol, lengthCol, capacity, salt)
   }
 }

@@ -167,6 +167,28 @@ class PipelineSpec extends SparkSuite {
     assert(got.values.forall(h => h >= 0 && h < TextAnalysis.rollingHashMod))
   }
 
+  test("c4Clean applies line filters, doc filters, and the minKeptLines floor") {
+    val s = spark; import s.implicits._
+    val keepMe = "this line has five words.\nno punct so dropped here\nshort line.\n" +
+      "another good line stays here!\nthis javascript line is dropped.\nfinal line also survives fine?"
+    val docs = Seq(
+      (1L, keepMe), // 3 surviving lines
+      (2L, "a curly brace { document with lines.\nmore good lines in here."), // doc-level drop
+      (3L, "Lorem Ipsum dolor sit amet placeholder.\nmore filler text lines here."), // doc-level drop
+      (4L, "only one line survives this document.\nnot enough lines") // under minKeptLines
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.c4Clean(docs, "doc_id", "text", minWordsPerLine = 5, minKeptLines = 3)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    assert(out.keySet == Set(1L))
+    assert(out(1L)._1 == 3)
+    assert(out(1L)._2 ==
+      "this line has five words.\nanother good line stays here!\nfinal line also survives fine?")
+    // trailing-quote terminal punctuation counts; trimming happens first
+    val q = Seq((9L, "  he said \"stop right there now\"  \nsecond line is good too.\nthird line rounds it out.")).toDF("doc_id", "text")
+    val got = TextAnalysis.c4Clean(q, "doc_id", "text", 5, 3).collect()
+    assert(got.length == 1 && got.head.getString(2).startsWith("he said \"stop"))
+  }
+
   test("bigramCrossEntropy matches the closed form on a tiny corpus") {
     val s = spark; import s.implicits._
     // corpus: "a b a b" and "a b c". V = 3; unigrams a:3 b:3 c:1;

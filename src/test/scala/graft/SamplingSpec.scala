@@ -93,4 +93,47 @@ class SamplingSpec extends SparkSuite {
     val tiny = Sampling.capPerGroup(ids.where(col("id") < 3), Seq("grp"), 7, Seq(col("id")))
     assert(tiny.count() == 3)
   }
+
+  test("mixtureSample: integer weights copy exactly, zero drops, fractional samples, default passes through") {
+    val out = Sampling.mixtureSample(ids, "grp",
+      Map("g0" -> 2.0, "g1" -> 0.0, "g2" -> 0.5),
+      keyCols = Seq("id"), salt = "mx")
+    val byGrp = out.groupBy("grp").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGrp("g0") == 800L, s"g0 weight 2.0 should yield exactly 2 copies: $byGrp") // 400 rows x 2
+    assert(!byGrp.contains("g1"), s"g1 weight 0 should vanish: $byGrp")
+    assert(byGrp("g2") > 400 * 0.4 && byGrp("g2") < 400 * 0.6, s"g2 ~half: $byGrp")
+    assert(byGrp("g3") == 400L && byGrp("g4") == 400L, s"default weight 1: $byGrp")
+    // copy indices enumerate epochs: g0 rows appear once with copy=0 and once with copy=1
+    val copies = out.where(col("grp") === "g0").groupBy("id").agg(sort_array(collect_list("copy")).as("cs"))
+    assert(copies.collect().forall(_.getSeq[Long](1) == Seq(0L, 1L)))
+    // deterministic: same call, same rows
+    val again = Sampling.mixtureSample(ids.repartition(7), "grp",
+      Map("g0" -> 2.0, "g1" -> 0.0, "g2" -> 0.5), keyCols = Seq("id"), salt = "mx")
+    assert(out.select("id", "copy").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      again.select("id", "copy").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+  }
+
+  test("packSequences equals the naive global cumsum and never single-partitions the corpus") {
+    val s = spark; import s.implicits._
+    val docs = (0 until 500).map(i => (i.toLong, (i % 97 + 1).toLong)).toDF("id", "toks")
+    val out = Sampling.packSequences(docs, "id", "toks", capacity = 100L, salt = "pk")
+      .collect().map(r => (r.getLong(0), (r.getLong(2), r.getLong(3)))).toMap
+    // reference: explicit global order by (md5(id ||  || salt), id)
+    def dg(id: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${id}\u0001pk".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    var cum = 0L
+    (0 until 500).map(_.toLong).sortBy(i => (dg(i), i)).foreach { i =>
+      val len = i % 97 + 1
+      assert(out(i) == (cum / 100L, cum % 100L), s"doc $i: ${out(i)} vs start $cum")
+      cum += len
+    }
+    // scale guard: the corpus-side window shuffles on the derived
+    // bucket key (not into one partition), and the 256-row offset
+    // frame comes back as a broadcast
+    val plan = Sampling.packSequences(docs, "id", "toks", 100L, "pk")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(__bkt__"), s"corpus window not bucket-partitioned:\n$plan")
+    assert(plan.contains("BroadcastExchange"), s"bucket offsets not broadcast:\n$plan")
+  }
 }
