@@ -639,6 +639,19 @@ round(list_cosine_similarity(a.emb, b.emb), 4) AS cosine
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.emb, b.emb) >= 0.25""",
 
+    // SemDeDup: IVF-cell blocking (same centroid draw as q_ann_ivf),
+    // lower-id similar row within the cell marks a duplicate
+    "q_semdedup" ->
+      """WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, emb AS cemb FROM c ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+cell AS (SELECT vec_id, emb, cent_id FROM (
+SELECT c.vec_id, c.emb, cent_id,
+row_number() OVER (PARTITION BY c.vec_id ORDER BY round(list_cosine_similarity(c.emb, cemb), 4) DESC, cent_id) AS cr
+FROM c CROSS JOIN cents) t WHERE cr = 1),
+dup AS (SELECT DISTINCT b.vec_id FROM cell a JOIN cell b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.emb, b.emb) >= 0.25)
+SELECT vec_id, label FROM c WHERE vec_id NOT IN (SELECT vec_id FROM dup)""",
+
     "q_ann_bruteforce" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 q AS (SELECT vec_id, emb FROM c WHERE vec_id % 50 = 0),

@@ -498,6 +498,11 @@ object SparkEntry {
       Dedup.embeddingNearDups(e, "vec_id", "emb", Seq("label"), 0.25)
         .select(col("label"), col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
     }),
+    "q_semdedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").withColumn("emb", col("embedding").cast("array<double>"))
+      Dedup.semDedup(e, "vec_id", "emb", threshold = 0.25, nlist = 16)
+        .select(col("vec_id"), col("label"))
+    }),
     // ---- pipeline: similarity ------------------------------------
     "q_ann_bruteforce" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))

@@ -757,4 +757,43 @@ object Dedup {
       .where(col("cosine") >= threshold)
       .select((blockCols.map(col) :+ col("id_a")) :+ col("id_b") :+ col("cosine"): _*)
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication in embedding space. Rows are blocked into IVF
+    * cells — nearest of `nlist` deterministic centroids, the same
+    * md5-ordered draw as [[Similarity.ivfTopK]] so both operators
+    * agree on cells — and within a cell a row is a semantic
+    * duplicate if some lower-id row's cosine similarity reaches
+    * `threshold` (min-id-survives, this repo's deterministic stand-in
+    * for the paper's keep-farthest-from-centroid tie-break). Returns
+    * the surviving rows of `df` unchanged.
+    *
+    * Scale shape: the centroid set is tiny and broadcast; assignment
+    * is one broadcast nested-loop plus a per-row top-1 window keyed
+    * on the row id; the quadratic stage is confined to each cell
+    * (~N/nlist rows — pick `nlist` so a cell's pairs fit a task, the
+    * same contract as [[embeddingNearDups]]' blocking key); survivors
+    * come back via one left_anti on the id. No all-pairs stage.
+    */
+  def semDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nlist: Int = 16,
+      scoreDecimals: Int = 4
+  ): DataFrame = {
+    val cents = Similarity.ivfCentroids(df, idCol, vecCol, nlist)
+    val cells = Similarity.ivfAssign(df, cents, idCol, vecCol, "row", keep = 1, scoreDecimals)
+    val a = cells.select(col("cent_id"), col("row_id").as("id_a"),
+      col("__rowv__").as("__va__"), col("__rown__").as("__na__"))
+    val b = cells.select(col("cent_id"), col("row_id").as("id_b"),
+      col("__rowv__").as("__vb__"), col("__rown__").as("__nb__"))
+    val dups = a.join(b, Seq("cent_id"))
+      .where(col("id_a") < col("id_b"))
+      .where(Similarity.dot(col("__va__"), col("__vb__")) / (col("__na__") * col("__nb__")) >= threshold)
+      .select(col("id_b").as(idCol))
+      .distinct()
+    df.join(dups, Seq(idCol), "left_anti")
+  }
 }

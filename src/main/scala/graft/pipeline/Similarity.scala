@@ -192,30 +192,9 @@ object Similarity {
       nprobe: Int = 4,
       scoreDecimals: Int = 4
   ): DataFrame = {
-    val cents = broadcast(
-      corpus
-        .select(col(idCol).as("cent_id"), col(vecCol).as("__cv__"), norm(col(vecCol)).as("__cn__"),
-          md5(col(idCol).cast("string")).as("__h__"))
-        .orderBy(col("__h__"), col("cent_id"))
-        .limit(nlist)
-        .drop("__h__")
-    )
-    // nearest `keep` centroids per row; norms staged per row/centroid
-    def assign(df: DataFrame, pfx: String, keep: Int): DataFrame = {
-      val scored = df
-        .select(col(idCol).as(s"${pfx}_id"), col(vecCol).as(s"__${pfx}v__"),
-          norm(col(vecCol)).as(s"__${pfx}n__"))
-        .crossJoin(cents)
-        .withColumn("__csim__",
-          round(dot(col(s"__${pfx}v__"), col("__cv__")) / (col(s"__${pfx}n__") * col("__cn__")), scoreDecimals))
-      val w = Window.partitionBy(col(s"${pfx}_id")).orderBy(col("__csim__").desc, col("cent_id").asc)
-      scored
-        .withColumn("__cr__", row_number().over(w))
-        .where(col("__cr__") <= keep)
-        .drop("__cv__", "__cn__", "__csim__", "__cr__")
-    }
-    val corpusCells = assign(corpus, "neighbor", keep = 1)
-    val queryCells = assign(queries, "query", keep = nprobe)
+    val cents = ivfCentroids(corpus, idCol, vecCol, nlist)
+    val corpusCells = ivfAssign(corpus, cents, idCol, vecCol, "neighbor", keep = 1, scoreDecimals)
+    val queryCells = ivfAssign(queries, cents, idCol, vecCol, "query", keep = nprobe, scoreDecimals)
     // a corpus row lives in exactly ONE cell and a query probes
     // DISTINCT cells, so each (query, neighbor) pair appears at most
     // once — no dedup stage needed before the global re-rank
@@ -228,5 +207,50 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+
+  /** The `nlist` deterministic IVF centroids of [[ivfTopK]]: the
+    * corpus vectors whose md5(id) sorts lowest, broadcast as
+    * (cent_id, __cv__, __cn__). Shared with [[Dedup.semDedup]] so
+    * both operators block by the same cells.
+    */
+  private[pipeline] def ivfCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int
+  ): DataFrame = broadcast(
+    corpus
+      .select(col(idCol).as("cent_id"), col(vecCol).as("__cv__"), norm(col(vecCol)).as("__cn__"),
+        md5(col(idCol).cast("string")).as("__h__"))
+      .orderBy(col("__h__"), col("cent_id"))
+      .limit(nlist)
+      .drop("__h__")
+  )
+
+  /** Nearest `keep` centroids per row (norms staged per row/centroid;
+    * ties on rounded similarity rank by centroid id so assignment is
+    * exact across engines): (pfx_id, __pfxv__, __pfxn__, cent_id).
+    */
+  private[pipeline] def ivfAssign(
+      df: DataFrame,
+      cents: DataFrame,
+      idCol: String,
+      vecCol: String,
+      pfx: String,
+      keep: Int,
+      scoreDecimals: Int
+  ): DataFrame = {
+    val scored = df
+      .select(col(idCol).as(s"${pfx}_id"), col(vecCol).as(s"__${pfx}v__"),
+        norm(col(vecCol)).as(s"__${pfx}n__"))
+      .crossJoin(cents)
+      .withColumn("__csim__",
+        round(dot(col(s"__${pfx}v__"), col("__cv__")) / (col(s"__${pfx}n__") * col("__cn__")), scoreDecimals))
+    val w = Window.partitionBy(col(s"${pfx}_id")).orderBy(col("__csim__").desc, col("cent_id").asc)
+    scored
+      .withColumn("__cr__", row_number().over(w))
+      .where(col("__cr__") <= keep)
+      .drop("__cv__", "__cn__", "__csim__", "__cr__")
   }
 }

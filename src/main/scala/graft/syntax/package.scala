@@ -160,6 +160,10 @@ package object syntax {
     def tfIdf(idCol: String, textCol: String, minDocFreq: Int = 1): DataFrame =
       pipeline.TextAnalysis.tfIdf(df, idCol, textCol, minDocFreq)
 
+    def semDedup(idCol: String, vecCol: String, threshold: Double,
+        nlist: Int = 16): DataFrame =
+      pipeline.Dedup.semDedup(df, idCol, vecCol, threshold, nlist)
+
     def c4Clean(idCol: String, textCol: String, minWordsPerLine: Int = 5,
         minKeptLines: Int = 3): DataFrame =
       pipeline.TextAnalysis.c4Clean(df, idCol, textCol, minWordsPerLine, minKeptLines)

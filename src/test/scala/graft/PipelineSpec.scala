@@ -167,6 +167,26 @@ class PipelineSpec extends SparkSuite {
     assert(got.values.forall(h => h >= 0 && h < TextAnalysis.rollingHashMod))
   }
 
+  test("semDedup drops the higher-id member of an embedding twin, keeps dissimilar rows") {
+    val s = spark; import s.implicits._
+    // twins always share an IVF cell (identical vectors tie on every
+    // rounded centroid similarity, so the cent_id tie-break agrees),
+    // so the higher-id twin must drop whatever the centroid draw is
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0, 0.0)), (2L, Array(1.0, 0.0, 0.0)),   // twin pair
+      (3L, Array(0.0, 1.0, 0.0)), (4L, Array(0.0, 1.0, 0.0)),   // twin pair
+      (5L, Array(0.0, 0.0, 1.0))                                 // loner
+    ).toDF("vec_id", "emb")
+    val kept = graft.pipeline.Dedup.semDedup(vecs, "vec_id", "emb", threshold = 0.9, nlist = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 5L), s"got $kept")
+    // threshold above every cross-similarity keeps everything
+    val all = graft.pipeline.Dedup.semDedup(vecs.where(col("vec_id").isin(1L, 3L, 5L)),
+      "vec_id", "emb", threshold = 0.9, nlist = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(all == Set(1L, 3L, 5L))
+  }
+
   test("c4Clean applies line filters, doc filters, and the minKeptLines floor") {
     val s = spark; import s.implicits._
     val keepMe = "this line has five words.\nno punct so dropped here\nshort line.\n" +
