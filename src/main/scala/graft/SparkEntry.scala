@@ -500,8 +500,9 @@ object SparkEntry {
     }),
     "q_semdedup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").withColumn("emb", col("embedding").cast("array<double>"))
-      Dedup.semDedup(e, "vec_id", "emb", threshold = 0.25, nlist = 16)
-        .select(col("vec_id"), col("label"))
+      val (out, cleanup) = Dedup.semDedupWithCleanup(e, "vec_id", "emb", threshold = 0.25, nlist = 16)
+      deferCleanup(cleanup)
+      out.select(col("vec_id"), col("label"))
     }),
     // ---- pipeline: similarity ------------------------------------
     "q_ann_bruteforce" -> ((s, dir) => {

@@ -782,9 +782,27 @@ object Dedup {
       threshold: Double,
       nlist: Int = 16,
       scoreDecimals: Int = 4
-  ): DataFrame = {
+  ): DataFrame =
+    semDedupWithCleanup(df, idCol, vecCol, threshold, nlist, scoreDecimals)._1
+
+  /** [[semDedup]] plus a cleanup thunk for the internal cell-
+    * assignment cache: the assignment frame feeds BOTH sides of the
+    * within-cell pair join, and without the persist barrier Catalyst
+    * re-runs the broadcast centroid scoring and the top-1 window for
+    * each side. The cache is (id, vector, norm, cent_id) — one row
+    * per input row; release it once the result is materialized.
+    */
+  def semDedupWithCleanup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nlist: Int = 16,
+      scoreDecimals: Int = 4
+  ): (DataFrame, () => Unit) = {
     val cents = Similarity.ivfCentroids(df, idCol, vecCol, nlist)
     val cells = Similarity.ivfAssign(df, cents, idCol, vecCol, "row", keep = 1, scoreDecimals)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = cells.select(col("cent_id"), col("row_id").as("id_a"),
       col("__rowv__").as("__va__"), col("__rown__").as("__na__"))
     val b = cells.select(col("cent_id"), col("row_id").as("id_b"),
@@ -794,6 +812,6 @@ object Dedup {
       .where(Similarity.dot(col("__va__"), col("__vb__")) / (col("__na__") * col("__nb__")) >= threshold)
       .select(col("id_b").as(idCol))
       .distinct()
-    df.join(dups, Seq(idCol), "left_anti")
+    (df.join(dups, Seq(idCol), "left_anti"), () => { cells.unpersist(); () })
   }
 }
