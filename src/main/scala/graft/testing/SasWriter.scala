@@ -35,13 +35,75 @@ object SasWriter {
     def bytes(off: Int, v: Array[Byte]): Unit = System.arraycopy(v, 0, b, off, v.length)
   }
 
+  /** Greedy RLE encoder for COMPRESS=CHAR rows, inverse of the
+    * reader's opcode table. Emits space-fill (0x60/0xE0), zero-fill
+    * (0x70/0xF0), byte-repeat (0xC0), and literal-copy (0x80-0xB0,
+    * 0x00) commands — every documented opcode except the SAS-rare
+    * 0x40/0xD0 forms — so compressed fixtures exercise the decoder
+    * broadly. Cross-validated against pandas.read_sas's independent
+    * decompressor via scripts/check_sas.py.
+    */
+  private[graft] def rleCompress(row: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    val n = row.length
+    def runLen(at: Int): Int = {
+      var j = at + 1
+      while (j < n && row(j) == row(at)) j += 1
+      j - at
+    }
+    while (i < n) {
+      val r = runLen(i)
+      val b = row(i)
+      if (r >= 3 && (b == ' ' || b == 0)) {
+        val op = if (b == ' ') 0x60 else 0x70
+        val opShort = if (b == ' ') 0xe0 else 0xf0
+        val take = math.min(r, 15 * 256 + 255 + 17)
+        if (take >= 17) {
+          val len = take - 17
+          out.write(op | (len >> 8)); out.write(len & 0xff)
+        } else out.write(opShort | (take - 2)) // 3..16 -> nib 1..14
+        i += take
+      } else if (r >= 4) { // 0xC0 repeat: nib+3, 3..18 (use from 4 so
+        val take = math.min(r, 18)           // 3-byte literals stay literal)
+        out.write(0xc0 | (take - 3)); out.write(b & 0xff)
+        i += take
+      } else {
+        // literal run: extend until the next compressible run starts
+        var j = i
+        while (j < n && {
+          val rr = runLen(j)
+          !(rr >= 4 || (rr >= 3 && (row(j) == ' ' || row(j) == 0)))
+        }) j += runLen(j)
+        var len = j - i
+        while (len > 0) {
+          val take = math.min(len, 15 * 256 + 255 + 64)
+          if (take > 64) {
+            val l = take - 64
+            out.write(l >> 8); out.write(l & 0xff) // 0x00 | hi nibble
+          } else {
+            val grp = (take - 1) / 16 // 0..3 -> 0x80/0x90/0xA0/0xB0
+            out.write((0x80 + grp * 16) | ((take - 1) % 16))
+          }
+          out.write(row, i, take)
+          i += take; len -= take
+        }
+      }
+    }
+    out.toByteArray
+  }
+
   /** Row values: java.lang.Double / null for numeric (dates as raw SAS
     * day counts), String / null for character columns. `u64 = false`
     * emits the 32-bit layout (4-byte subheader ints, 16-byte page bit
     * offset, 12-byte pointers) so the reader's 32-bit branch is
-    * exercised too.
+    * exercised too. `compress = true` writes COMPRESS=CHAR: the
+    * SASYZCRL marker leads the column text block and every row
+    * becomes an RLE-compressed data subheader (flag 4) on meta-type
+    * pages, exactly how SAS lays out compressed files.
     */
-  def write(path: String, cols: Seq[Col], rows: Seq[Seq[Any]], u64: Boolean = true): Unit = {
+  def write(path: String, cols: Seq[Col], rows: Seq[Seq[Any]], u64: Boolean = true,
+      compress: Boolean = false): Unit = {
     require(cols.forall(c => !c.isNum || c.width == 8), "numeric cols must be width 8")
     val intLen = if (u64) 8 else 4
     val bitOff = if (u64) 32 else 16
@@ -60,6 +122,7 @@ object SasWriter {
       cursor = (cursor + 7) / 8 * 8
       (at, bytesUtf.length)
     })
+    if (compress) intern("SASYZCRL") // marker must live in the text block
     cols.foreach(c => intern(c.name))
     cols.filter(_.format.nonEmpty).foreach(c => intern(c.format))
     val blockSize = (cursor + 7) / 8 * 8
@@ -124,48 +187,83 @@ object SasWriter {
     }
     val subheaders = Seq(rowSize, colSize, colText, colName, colAttr) ++ formatSubs
 
-    // ---- meta page: pointers up front, content packed from the end --
-    val metaPage = new Array[Byte](PageLength)
-    val mw = new W(metaPage)
-    mw.u16(bitOff, 0x0000)
-    mw.u16(bitOff + 2, subheaders.length)
-    mw.u16(bitOff + 4, subheaders.length)
-    var tail = PageLength
-    subheaders.zipWithIndex.foreach { case (sh, i) =>
-      tail = (tail - sh.length) / 8 * 8
-      mw.bytes(tail, sh)
-      val p = bitOff + 8 + i * ptrLen
-      uint(mw, p, tail); uint(mw, p + intLen, sh.length)
-      metaPage(p + 2 * intLen) = 0 // uncompressed
-      metaPage(p + 2 * intLen + 1) = 0
-    }
-    require(bitOff + 8 + subheaders.length * ptrLen <= tail, "meta page overflow")
-
-    // ---- data pages -------------------------------------------------
-    val rowsPerPage = (PageLength - (bitOff + 8)) / rowLength
-    val dataPages = rows.grouped(rowsPerPage).map { chunk =>
-      val page = new Array[Byte](PageLength)
-      val w = new W(page)
-      w.u16(bitOff, 0x0100)
-      w.u16(bitOff + 2, chunk.length)
-      w.u16(bitOff + 4, 0)
-      chunk.zipWithIndex.foreach { case (row, r) =>
-        val base = bitOff + 8 + r * rowLength
-        cols.zipWithIndex.foreach { case (c, i) =>
-          row(i) match {
-            case null => if (c.isNum) w.f64(base + offsets(i), Double.NaN)
-            case d: java.lang.Double => w.f64(base + offsets(i), d)
-            case s: String =>
-              val enc = s.getBytes("UTF-8")
-              require(enc.length <= c.width, s"'$s' wider than ${c.width}")
-              val padded = enc ++ Array.fill(c.width - enc.length)(' '.toByte)
-              w.bytes(base + offsets(i), padded)
-            case other => throw new IllegalArgumentException(s"bad cell $other")
-          }
+    def rowBytes(row: Seq[Any]): Array[Byte] = {
+      val a = new Array[Byte](rowLength)
+      val w = new W(a)
+      cols.zipWithIndex.foreach { case (c, i) =>
+        row(i) match {
+          case null => if (c.isNum) w.f64(offsets(i), Double.NaN)
+          case d: java.lang.Double => w.f64(offsets(i), d)
+          case s: String =>
+            val enc = s.getBytes("UTF-8")
+            require(enc.length <= c.width, s"'$s' wider than ${c.width}")
+            w.bytes(offsets(i), enc ++ Array.fill(c.width - enc.length)(' '.toByte))
+          case other => throw new IllegalArgumentException(s"bad cell $other")
         }
       }
-      page
-    }.toSeq
+      a
+    }
+
+    /** Pack subheaders into meta-type pages: pointers grow from the
+      * page header, payloads from the tail, new page when they'd
+      * collide. `flag4` marks RLE row subheaders (compression = 4,
+      * ptype = 1 in the pointer, the layout pandas expects).
+      */
+    def packSubheaderPages(subs: Seq[(Array[Byte], Boolean)]): Seq[Array[Byte]] = {
+      val pages = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var page: Array[Byte] = null; var mw: W = null
+      var count = 0; var tail = 0
+      def flush(): Unit = if (page != null) {
+        mw.u16(bitOff + 2, count); mw.u16(bitOff + 4, count)
+        pages += page; page = null
+      }
+      def open(): Unit = {
+        page = new Array[Byte](PageLength); mw = new W(page)
+        mw.u16(bitOff, 0x0000); count = 0; tail = PageLength
+      }
+      subs.foreach { case (sh, flag4) =>
+        val need = (tail - sh.length) / 8 * 8
+        if (page == null || bitOff + 8 + (count + 1) * ptrLen > need) { flush(); open() }
+        tail = (tail - sh.length) / 8 * 8
+        mw.bytes(tail, sh)
+        val p = bitOff + 8 + count * ptrLen
+        uint(mw, p, tail); uint(mw, p + intLen, sh.length)
+        page(p + 2 * intLen) = if (flag4) 4 else 0
+        page(p + 2 * intLen + 1) = if (flag4) 1 else 0
+        count += 1
+      }
+      flush()
+      pages.toSeq
+    }
+
+    val allPages: Seq[Array[Byte]] =
+      if (compress) {
+        // every row is its own subheader: RLE payload when it is
+        // actually shorter, raw otherwise (the same length rule both
+        // the repo reader and pandas use to decide decompression)
+        val rowSubs = rows.map { r =>
+          val raw = rowBytes(r)
+          val comp = rleCompress(raw)
+          (if (comp.length < rowLength) comp else raw, true)
+        }
+        packSubheaderPages(subheaders.map((_, false)) ++ rowSubs)
+      } else {
+        val metaPages = packSubheaderPages(subheaders.map((_, false)))
+        require(metaPages.length == 1, "metadata should fit one page")
+        val rowsPerPage = (PageLength - (bitOff + 8)) / rowLength
+        val dataPages = rows.grouped(rowsPerPage).map { chunk =>
+          val page = new Array[Byte](PageLength)
+          val w = new W(page)
+          w.u16(bitOff, 0x0100)
+          w.u16(bitOff + 2, chunk.length)
+          w.u16(bitOff + 4, 0)
+          chunk.zipWithIndex.foreach { case (row, r) =>
+            w.bytes(bitOff + 8 + r * rowLength, rowBytes(row))
+          }
+          page
+        }.toSeq
+        metaPages ++ dataPages
+      }
 
     // ---- header -----------------------------------------------------
     val align1 = if (u64) 4 else 0
@@ -179,10 +277,10 @@ object SasWriter {
     hw.f64(164 + align1, 0.0); hw.f64(172 + align1, 0.0) // created/modified
     hw.u32(196 + align1, HeaderLength)
     hw.u32(200 + align1, PageLength)
-    hw.u32(204 + align1, 1L + dataPages.length)
+    hw.u32(204 + align1, allPages.length.toLong)
 
     val out = new java.io.ByteArrayOutputStream()
-    out.write(header); out.write(metaPage); dataPages.foreach(out.write)
+    out.write(header); allPages.foreach(out.write)
     Files.write(Paths.get(path), out.toByteArray)
   }
 }
@@ -215,22 +313,24 @@ object SasFixture {
   }
 
   /** Write the n-row fixture to a fresh temp path and return it. */
-  def writeToTemp(n: Int): String = {
+  def writeToTemp(n: Int, compress: Boolean = false): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-sas").toFile
     dir.deleteOnExit()
     val p = new java.io.File(dir, "fixture.sas7bdat").getAbsolutePath
-    SasWriter.write(p, columns, rows(n))
+    SasWriter.write(p, columns, rows(n), compress = compress)
     p
   }
 }
 
 /** CLI for cross-validation against pandas.read_sas (check_sas.py).
-  * Pass a second arg "32" to emit the 32-bit layout.
+  * Pass a second arg "32" for the 32-bit layout or "rle" for a
+  * COMPRESS=CHAR (RLE) file.
   */
 object SasWriterMain {
   def main(args: Array[String]): Unit = {
     val u64 = !(args.length > 1 && args(1) == "32")
-    SasWriter.write(args(0), SasFixture.columns, SasFixture.rows(500), u64 = u64)
-    println(s"wrote ${args(0)} (u64=$u64)")
+    val compress = args.length > 1 && args(1) == "rle"
+    SasWriter.write(args(0), SasFixture.columns, SasFixture.rows(500), u64 = u64, compress = compress)
+    println(s"wrote ${args(0)} (u64=$u64, compress=$compress)")
   }
 }

@@ -45,6 +45,39 @@ class Sas7bdatSpec extends SparkSuite {
     }
   }
 
+  test("RLE-compressed (COMPRESS=CHAR) file round-trips identically to uncompressed") {
+    val p = tmpPath("rle.sas7bdat")
+    SasWriter.write(p, cols, sampleRows(500), compress = true) // rows span several subheader pages
+    val df = Sas7bdat.read(spark, p)
+    assert(df.count() == 500)
+    val rows = df.orderBy("id").collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getDouble(0) == i.toDouble)
+      if (i % 7 == 3) assert(r.isNullAt(1)) else assert(math.abs(r.getDouble(1) - (i * 0.25 - 10)) < 1e-12)
+      assert(r.getDate(2).toString == java.time.LocalDate.of(2000, 1, 1).plusDays(i).toString)
+      if (i % 11 == 5) assert(r.isNullAt(3)) else assert(r.getString(3) == s"T${i % 97}")
+    }
+  }
+
+  test("rleCompress/rleDecompress round-trip arbitrary byte rows, including opcode edges") {
+    val rnd = new scala.util.Random(7)
+    val cases = Seq(
+      Array.fill[Byte](100)(0),                         // long zero fill
+      Array.fill[Byte](100)(' '.toByte),                // long space fill
+      Array.fill[Byte](200)(7),                         // repeat chains (0xC0 x several)
+      Array.tabulate[Byte](300)(i => i.toByte),         // pure literal, >64 (copy64 path)
+      Array.tabulate[Byte](10)(i => i.toByte),          // short literal
+      (Array.fill[Byte](3)(' '.toByte) ++ Array.tabulate[Byte](5)(_.toByte)
+        ++ Array.fill[Byte](17)(0) ++ Array.fill[Byte](16)(' '.toByte)), // mixed short/long fills
+      Array.tabulate[Byte](5000)(_ => rnd.nextInt(4).toByte)             // random compressible soup
+    )
+    cases.zipWithIndex.foreach { case (row, k) =>
+      val comp = SasWriter.rleCompress(row)
+      val back = graft.sources.Sas7bdat.rleDecompress(comp, 0, comp.length, row.length)
+      assert(back.sameElements(row), s"case $k failed round-trip")
+    }
+  }
+
   test("32-bit layout round-trips identically (4-byte ints, 16-byte bit offset)") {
     val p = tmpPath("fix32.sas7bdat")
     SasWriter.write(p, cols, sampleRows(300), u64 = false)
