@@ -67,6 +67,18 @@ object SparkEntry {
       Dedup.nearDupGroupsWithCleanup(t(s, dir, "documents"), "doc_id", "text", jaccardThreshold = 0.5)
     }
 
+  /** (byvars, portfolio, averaged vars) — the percentile-sort
+    * pipeline feeding BOTH q_portfolio_averages and q_long_short;
+    * runs once per data dir, its ~(byvars x ngroups)-row output
+    * checkpointed and shared.
+    */
+  private def portfolioAveragesFrame(s: SparkSession, dir: String): DataFrame =
+    sharedFrame(s"pavg:$dir") {
+      val li = t(s, dir, "lineitem")
+      (Portfolio.portfolioAverages(li, "l_extendedprice", Seq("l_quantity"),
+        ngroups = 5, byvars = Seq("l_returnflag")), () => ())
+    }
+
   /** (doc_id, n_overlap) of corpus docs (doc_id % 37 <> 0) sharing
     * 3-grams with the eval slice (doc_id % 37 = 0).
     */
@@ -187,13 +199,11 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber", "portfolio")
     }),
     "q_portfolio_averages" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      Portfolio.portfolioAverages(li, "l_extendedprice", Seq("l_quantity"), ngroups = 5, byvars = Seq("l_returnflag"))
+      portfolioAveragesFrame(s, dir)
         .select(col("l_returnflag"), col("portfolio"), round(col("l_quantity"), 4).as("l_quantity"))
     }),
     "q_long_short" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val pa = Portfolio.portfolioAverages(li, "l_extendedprice", Seq("l_quantity"), ngroups = 5, byvars = Seq("l_returnflag"))
+      val pa = portfolioAveragesFrame(s, dir)
       Portfolio.longShortPortfolio(pa, "portfolio", Seq("l_returnflag"), Seq("l_quantity"))
         .select(col("l_returnflag"), round(col("l_quantity"), 4).as("l_quantity"))
     }),

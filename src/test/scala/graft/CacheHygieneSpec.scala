@@ -22,8 +22,8 @@ class CacheHygieneSpec extends SparkSuite {
       fn(spark, dir).count()
       SparkEntry.runPendingCleanups()
       val leaked = spark.sparkContext.getPersistentRDDs.keySet -- baseline
-      assert(leaked.size <= 2,
-        s"$name left ${leaked.size} persistent RDDs resident (allowed: the two shared memo frames — near-dup clusters and contamination ids)")
+      assert(leaked.size <= 3,
+        s"$name left ${leaked.size} persistent RDDs resident (allowed: the three shared memo frames — near-dup clusters, contamination ids, portfolio averages)")
     }
     SparkEntry.releaseShared()
     assert((spark.sparkContext.getPersistentRDDs.keySet -- baseline).isEmpty,

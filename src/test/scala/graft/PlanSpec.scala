@@ -68,8 +68,8 @@ class PlanSpec extends SparkSuite {
     // pinned so a refactor that slips an extra shuffle into a hot plan
     // fails loudly instead of silently doubling network at 100 TB
     val expected = Map(
-      "q_portfolio_averages" -> 2, // percentile agg + averages agg; cutoffs ride a broadcast
-      "q_long_short"         -> 3, // the above + the final byvars agg
+      "q_portfolio_averages" -> 0, // reads the shared pavg checkpoint — no shuffle at all
+      "q_long_short"         -> 1, // checkpoint + the contract-bounded single-partition window
       "q_asof_join"          -> 4, // events pre-agg + range-join repartition pair + group-limit
       "q_tfidf"              -> 6, // tf agg + df agg + word join + top-3 window (N is broadcast)
       "q_minhash_candidates" -> 3  // banded persist barrier + bucket join + pair agg
@@ -79,6 +79,15 @@ class PlanSpec extends SparkSuite {
       val got = shuffleRe.findAllIn(planOf(name)).size
       assert(got == n, s"$name plans $got shuffles, expected $n — a refactor changed the exchange shape")
     }
+    // the memoized portfolio pipeline itself (no longer visible
+    // through the q_ plans): percentile agg + averages agg, cutoffs
+    // ride a broadcast
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val pipeline = graft.operators.Portfolio
+      .portfolioAverages(li, "l_extendedprice", Seq("l_quantity"), ngroups = 5, byvars = Seq("l_returnflag"))
+      .queryExecution.executedPlan.toString
+    val pGot = shuffleRe.findAllIn(pipeline).size
+    assert(pGot == 2, s"portfolioAverages pipeline plans $pGot shuffles, expected 2:\n$pipeline")
     SparkEntry.runPendingCleanups()
     SparkEntry.releaseShared()
   }
@@ -86,13 +95,20 @@ class PlanSpec extends SparkSuite {
   test("long_short's single-partition window sees only the post-aggregation frame") {
     // longShortPortfolio funnels through an unpartitioned window BY
     // CONTRACT (input = one row per (byvars, portfolio)); this pins
-    // that the driver query honors it — an (Hash)Aggregate must sit
-    // BELOW the Window in the physical plan, so the single task only
-    // ever receives the tiny aggregated frame, never raw rows
-    val plan = planOf("q_long_short")
+    // that the contract composition holds — an (Hash)Aggregate must
+    // sit BELOW the Window in the physical plan, so the single task
+    // only ever receives the tiny aggregated frame, never raw rows.
+    // (The driver query itself now feeds the window from the shared
+    // 15-row pavg checkpoint, bounded by construction.)
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val pa = graft.operators.Portfolio
+      .portfolioAverages(li, "l_extendedprice", Seq("l_quantity"), ngroups = 5, byvars = Seq("l_returnflag"))
+    val plan = graft.operators.Portfolio
+      .longShortPortfolio(pa, "portfolio", Seq("l_returnflag"), Seq("l_quantity"))
+      .queryExecution.executedPlan.toString
     val wIdx = plan.indexOf("Window [")
-    assert(wIdx >= 0, s"no Window node in q_long_short plan:\n$plan")
+    assert(wIdx >= 0, s"no Window node in long_short plan:\n$plan")
     assert(plan.indexOf("HashAggregate", wIdx) >= 0,
-      s"q_long_short's single-partition window is not fed by an aggregation:\n$plan")
+      s"long_short's single-partition window is not fed by an aggregation:\n$plan")
   }
 }
