@@ -417,11 +417,15 @@ object SparkEntry {
       // short tail lines fail the word minimum, and docs left under
       // minKeptLines drop entirely
       val d = t(s, dir, "documents")
-      val ws = Dedup.splitWords(col("text"))
+      // stage the word array as an attribute: slicing an inlined
+      // split expression inside the transform lambda would re-split
+      // the text once per derived line
+      val staged = d.select(col("doc_id"), Dedup.splitWords(col("text")).as("__ws__"))
+      val ws = col("__ws__")
       val lines = transform(sequence(lit(0), ceil(size(ws) / lit(5.0)).cast("int") - 1), i =>
         concat(array_join(slice(ws, i * 5 + 1, lit(5)), " "),
           when(i % 2 === 0, lit(".")).otherwise(lit(""))))
-      val lined = d.select(col("doc_id"), array_join(lines, "\n").as("text"))
+      val lined = staged.select(col("doc_id"), array_join(lines, "\n").as("text"))
       TextAnalysis.c4Clean(lined, "doc_id", "text", minWordsPerLine = 5, minKeptLines = 3)
         .select(col("doc_id"), col("n_lines_kept").cast("long").as("n_lines_kept"),
           col("text_clean"))

@@ -205,4 +205,23 @@ class PropertySpec extends SparkSuite {
       }
     }
   }
+
+  test("SAS RLE codec round-trips arbitrary byte rows (any run structure, any alphabet)") {
+    // byte soups biased toward runs of 0x00/0x20 (the SAS-common
+    // padding bytes with dedicated opcodes) plus fully random noise
+    val rowGen: Gen[Array[Byte]] = for {
+      n <- Gen.choose(1, 3000)
+      mode <- Gen.choose(0, 2)
+      bytes <- Gen.listOfN(n, mode match {
+        case 0 => Gen.oneOf[Byte](0.toByte, ' '.toByte, 7.toByte) // long runs
+        case 1 => Gen.choose(-128, 127).map(_.toByte)          // noise
+        case 2 => Gen.oneOf[Byte](0.toByte, 1.toByte, 2.toByte, ' '.toByte) // mixed
+      })
+    } yield bytes.toArray
+    forAllSamples(rowGen, n = 60) { row =>
+      val comp = graft.testing.SasWriter.rleCompress(row)
+      val back = graft.sources.Sas7bdat.rleDecompress(comp, 0, comp.length, row.length)
+      assert(back.sameElements(row), s"RLE round-trip failed for ${row.length}-byte row")
+    }
+  }
 }
