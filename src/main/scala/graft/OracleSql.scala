@@ -522,6 +522,17 @@ v AS (SELECT count(DISTINCT w1) AS v FROM uc)
 SELECT doc_id, round(-avg(ln((cbg + 0.5) / (cw + 0.5 * v))), 6) AS xent
 FROM g2 JOIN bc USING (bg) JOIN uc USING (w1) CROSS JOIN v GROUP BY 1""",
 
+    // unicode normalization: the decomposed suffix (chr(769) =
+    // U+0301 combining acute, chr(776) = U+0308 combining diaeresis)
+    // matches the Spark side's literal; nfc_normalize/strip_accents
+    // are DuckDB's independent implementations of the same standard
+    "q_normalize" ->
+      """WITH a AS (SELECT doc_id,
+  text || ' cafe' || chr(769) || ' nai' || chr(776) || 've ' || CAST(doc_id AS VARCHAR) AS aug
+FROM documents)
+SELECT doc_id, length(aug) AS n_raw, length(nfc_normalize(aug)) AS n_nfc,
+md5(nfc_normalize(aug)) AS nfc_fp, md5(strip_accents(aug)) AS ascii_fp FROM a""",
+
     // C4 cleaning over the derived lined corpus (5-word lines, '.'
     // on even lines — the same derivation as the Spark side): line
     // filters (terminal punct, >=5 words, no javascript) then the

@@ -409,6 +409,20 @@ object SparkEntry {
       TextAnalysis.bigramCrossEntropy(d, "doc_id", "text")
         .select(col("doc_id"), round(col("xent"), 6).as("xent"))
     }),
+    "q_normalize" -> ((s, dir) => {
+      // the synthetic corpus is pure ASCII, so decomposed combining
+      // sequences (e+U+0301, i+U+0308) are appended first — the
+      // oracle builds the identical suffix with chr() — making NFC
+      // composition and accent stripping observable in the digests
+      val d = t(s, dir, "documents")
+      val aug = concat(col("text"), lit(" café naïve "), col("doc_id").cast("string"))
+      d.select(
+        col("doc_id"),
+        length(aug).cast("long").as("n_raw"),
+        length(TextAnalysis.nfcNormalize(aug)).cast("long").as("n_nfc"),
+        md5(TextAnalysis.nfcNormalize(aug)).as("nfc_fp"),
+        md5(TextAnalysis.stripAccents(aug)).as("ascii_fp"))
+    }),
     "q_c4_clean" -> ((s, dir) => {
       // the synthetic docs are single-line with no terminal
       // punctuation, so a lined corpus is derived first (5-word

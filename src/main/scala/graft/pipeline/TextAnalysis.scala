@@ -88,6 +88,33 @@ object TextAnalysis {
     element_at(langArr, array_position(scoreArr, array_max(scoreArr)).cast("int"))
   }
 
+  // ---- unicode normalization --------------------------------------
+
+  /** Unicode NFC normalization (combining sequences composed to
+    * precomposed forms — the standard canonicalization before
+    * hashing/dedup on multilingual corpora, where "é" and "e"+U+0301
+    * must collide). No Catalyst builtin exists, so this is a scalar
+    * JVM UDF over `java.text.Normalizer` — a per-row pure function
+    * with no state, the narrow case where a UDF is the honest tool;
+    * mirrored exactly by DuckDB's `nfc_normalize` in the oracle.
+    */
+  private lazy val nfcUdf =
+    udf((s: String) => if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+
+  def nfcNormalize(text: Column): Column = nfcUdf(text)
+
+  /** Accent stripping: canonical decomposition (NFD) then removal of
+    * all combining marks — "école" -> "ecole". The classic fold for
+    * search/dedup keys; mirrored by DuckDB's `strip_accents`.
+    */
+  private lazy val stripAccentsUdf =
+    udf((s: String) => if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+        .replaceAll("\\p{M}+", ""))
+
+  def stripAccents(text: Column): Column = stripAccentsUdf(text)
+
   /** Normalized-text digest fingerprint: lowercase, strip
     * non-alphanumerics to single spaces, trim, md5. Identical texts
     * modulo casing/punctuation/whitespace collide — the standard

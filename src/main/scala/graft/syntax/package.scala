@@ -168,6 +168,12 @@ package object syntax {
         minKeptLines: Int = 3): DataFrame =
       pipeline.TextAnalysis.c4Clean(df, idCol, textCol, minWordsPerLine, minKeptLines)
 
+    def nfcNormalize(textCol: String, outCol: String = "text_nfc"): DataFrame =
+      df.withColumn(outCol, pipeline.TextAnalysis.nfcNormalize(org.apache.spark.sql.functions.col(textCol)))
+
+    def stripAccents(textCol: String, outCol: String = "text_ascii"): DataFrame =
+      df.withColumn(outCol, pipeline.TextAnalysis.stripAccents(org.apache.spark.sql.functions.col(textCol)))
+
     def bigramCrossEntropy(idCol: String, textCol: String, k: Double = 0.5): DataFrame =
       pipeline.TextAnalysis.bigramCrossEntropy(df, idCol, textCol, k)
 

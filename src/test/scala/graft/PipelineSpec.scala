@@ -167,6 +167,24 @@ class PipelineSpec extends SparkSuite {
     assert(got.values.forall(h => h >= 0 && h < TextAnalysis.rollingHashMod))
   }
 
+  test("nfcNormalize composes combining sequences; stripAccents folds to ASCII; both null-safe") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "café"),        // decomposed e + combining acute
+      (2L, "café"),         // precomposed é
+      (3L, "naïve plain"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("id", "t")
+    val got = df.select(col("id"), TextAnalysis.nfcNormalize(col("t")).as("n"),
+      TextAnalysis.stripAccents(col("t")).as("a"))
+      .collect().map(r => r.getLong(0) -> (Option(r.getString(1)), Option(r.getString(2)))).toMap
+    assert(got(1L)._1 == Some("café")) // composed
+    assert(got(1L)._1 == got(2L)._1)        // decomposed == precomposed after NFC
+    assert(got(2L)._1 == Some("café")) // already-normal text unchanged (idempotent)
+    assert(got(1L)._2 == Some("cafe") && got(3L)._2 == Some("naive plain"))
+    assert(got(4L) == ((None, None)))
+  }
+
   test("semDedup drops the higher-id member of an embedding twin, keeps dissimilar rows") {
     val s = spark; import s.implicits._
     // twins always share an IVF cell (identical vectors tie on every
