@@ -522,6 +522,20 @@ v AS (SELECT count(DISTINCT w1) AS v FROM uc)
 SELECT doc_id, round(-avg(ln((cbg + 0.5) / (cw + 0.5 * v))), 6) AS xent
 FROM g2 JOIN bc USING (bg) JOIN uc USING (w1) CROSS JOIN v GROUP BY 1""",
 
+    // per-source corpus report; tokens mirror q_token_count's word
+    // rule, quantile_cont matches Spark's exact interpolating
+    // percentile
+    "q_corpus_stats" ->
+      """WITH b AS (SELECT source,
+  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tc,
+  length(text) AS lc FROM documents)
+SELECT source, count(*) AS n_docs, CAST(sum(tc) AS BIGINT) AS n_tokens,
+round(avg(tc), 6) AS avg_tokens,
+round(quantile_cont(lc, 0.5), 4) AS p50_chars,
+round(quantile_cont(lc, 0.9), 4) AS p90_chars,
+round(quantile_cont(lc, 0.99), 4) AS p99_chars
+FROM b GROUP BY 1""",
+
     // unicode normalization: the decomposed suffix (chr(769) =
     // U+0301 combining acute, chr(776) = U+0308 combining diaeresis)
     // matches the Spark side's literal; nfc_normalize/strip_accents

@@ -409,6 +409,15 @@ object SparkEntry {
       TextAnalysis.bigramCrossEntropy(d, "doc_id", "text")
         .select(col("doc_id"), round(col("xent"), 6).as("xent"))
     }),
+    "q_corpus_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextAnalysis.corpusStats(d, Seq("source"), "text")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("avg_tokens"), 6).as("avg_tokens"),
+          round(col("p50_chars"), 4).as("p50_chars"),
+          round(col("p90_chars"), 4).as("p90_chars"),
+          round(col("p99_chars"), 4).as("p99_chars"))
+    }),
     "q_normalize" -> ((s, dir) => {
       // the synthetic corpus is pure ASCII, so decomposed combining
       // sequences (e+U+0301, i+U+0308) are appended first — the

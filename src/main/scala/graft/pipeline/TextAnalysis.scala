@@ -88,6 +88,31 @@ object TextAnalysis {
     element_at(langArr, array_position(scoreArr, array_max(scoreArr)).cast("int"))
   }
 
+  // ---- corpus report ----------------------------------------------
+
+  /** Per-group corpus summary — the dataset-card numbers every
+    * training corpus ships with: document count, token total/mean,
+    * and exact character-length quantiles (p50/p90/p99).
+    *
+    * One hash-aggregate shuffle on the group keys; percentiles are
+    * exact (the repo-wide rule — approx quantiles differ by engine
+    * and are not oracle-checkable). Groups here are coarse corpus
+    * slices (source, language), so per-group sort state is bounded
+    * by the slice, not the corpus.
+    */
+  def corpusStats(df: DataFrame, byvars: Seq[String], textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokenCount(t)
+    df.groupBy(byvars.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(toks.cast("long")).as("n_tokens"),
+        avg(toks).as("avg_tokens"),
+        expr(s"percentile(length($textCol), 0.5)").as("p50_chars"),
+        expr(s"percentile(length($textCol), 0.9)").as("p90_chars"),
+        expr(s"percentile(length($textCol), 0.99)").as("p99_chars"))
+  }
+
   // ---- unicode normalization --------------------------------------
 
   /** Unicode NFC normalization (combining sequences composed to

@@ -168,6 +168,9 @@ package object syntax {
         minKeptLines: Int = 3): DataFrame =
       pipeline.TextAnalysis.c4Clean(df, idCol, textCol, minWordsPerLine, minKeptLines)
 
+    def corpusStats(byvars: Seq[String], textCol: String): DataFrame =
+      pipeline.TextAnalysis.corpusStats(df, byvars, textCol)
+
     def nfcNormalize(textCol: String, outCol: String = "text_nfc"): DataFrame =
       df.withColumn(outCol, pipeline.TextAnalysis.nfcNormalize(org.apache.spark.sql.functions.col(textCol)))
 

@@ -167,6 +167,21 @@ class PipelineSpec extends SparkSuite {
     assert(got.values.forall(h => h >= 0 && h < TextAnalysis.rollingHashMod))
   }
 
+  test("corpusStats: closed-form counts, token sums, and exact quantiles per group") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "g1", "a b c"), (2L, "g1", "a b"), (3L, "g1", ""),
+      (4L, "g2", "one two three four")
+    ).toDF("doc_id", "src", "text")
+    val got = TextAnalysis.corpusStats(docs, Seq("src"), "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("g1").getLong(1) == 3 && got("g1").getLong(2) == 5) // 3+2+0 tokens
+    assert(math.abs(got("g1").getDouble(3) - 5.0 / 3) < 1e-9)
+    assert(got("g1").getDouble(4) == 3.0) // lengths 5,3,0 -> median 3
+    assert(got("g2").getLong(1) == 1 && got("g2").getLong(2) == 4)
+    assert(got("g2").getDouble(4) == 18.0)
+  }
+
   test("nfcNormalize composes combining sequences; stripAccents folds to ASCII; both null-safe") {
     val s = spark; import s.implicits._
     val df = Seq(
