@@ -145,4 +145,19 @@ object StreamOps {
       keys: Seq[String]
   ): DataFrame =
     stream.join(broadcast(dimension), keys, "left")
+
+  /** Streaming ingest filtering against a static blocklist (the
+    * stream-side form of [[graft.pipeline.Contamination]]: drop
+    * arriving documents whose key appears in a decontamination /
+    * dedup blocklist materialized by the batch pipeline). A
+    * stream-static left_anti with the static side broadcast — each
+    * micro-batch is a map-side probe, no stream shuffle, no state,
+    * and an in-place-refreshed blocklist is picked up per batch.
+    */
+  def filterAgainstBlocklist(
+      stream: DataFrame,
+      blocklist: DataFrame,
+      keys: Seq[String]
+  ): DataFrame =
+    stream.join(broadcast(blocklist.select(keys.map(col): _*).distinct()), keys, "left_anti")
 }

@@ -91,6 +91,23 @@ class StreamingSpec extends SparkSuite {
     assert(out.count() == 2)
   }
 
+  test("filterAgainstBlocklist drops blocklisted keys from a live stream (left_anti, stateless)") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // blocklist as the batch pipeline would emit it: contaminated ids
+    val block = Seq((2L, "why"), (4L, "why")).toDF("doc_id", "reason")
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val q = StreamOps.filterAgainstBlocklist(stream, block, Seq("doc_id"))
+      .writeStream.format("memory").queryName("blocklist_test").outputMode("append").start()
+    try {
+      input.addData((1L, "keep"), (2L, "drop"), (3L, "keep"), (4L, "drop"))
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id FROM blocklist_test").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 3L))
+    } finally q.stop()
+  }
+
   test("enrichWithDimension broadcast-joins a stream against a static table") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
