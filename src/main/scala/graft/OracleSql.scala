@@ -522,6 +522,17 @@ v AS (SELECT count(DISTINCT w1) AS v FROM uc)
 SELECT doc_id, round(-avg(ln((cbg + 0.5) / (cw + 0.5 * v))), 6) AS xent
 FROM g2 JOIN bc USING (bg) JOIN uc USING (w1) CROSS JOIN v GROUP BY 1""",
 
+    // gap-based session numbering; epoch_us on both sides sidesteps
+    // the events table's nanosecond-timestamp formatting differences
+    "q_sessionize" ->
+      """WITH b AS (SELECT user_id, ts, value,
+  CASE WHEN lag(ts) OVER w IS NULL
+       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000 THEN 1 ELSE 0 END AS nb
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+SELECT user_id, epoch_us(ts) AS ts_us, value,
+CAST(sum(nb) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session
+FROM b""",
+
     // per-source corpus report; tokens mirror q_token_count's word
     // rule, quantile_cont matches Spark's exact interpolating
     // percentile

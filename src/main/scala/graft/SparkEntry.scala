@@ -409,6 +409,10 @@ object SparkEntry {
       TextAnalysis.bigramCrossEntropy(d, "doc_id", "text")
         .select(col("doc_id"), round(col("xent"), 6).as("xent"))
     }),
+    "q_sessionize" -> ((s, dir) => {
+      GroupOps.sessionize(eventsTable(s, dir), Seq("user_id"), "ts", gapSeconds = 3600L)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"), col("session"))
+    }),
     "q_corpus_stats" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       TextAnalysis.corpusStats(d, Seq("source"), "text")

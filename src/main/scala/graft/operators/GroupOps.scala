@@ -207,4 +207,32 @@ object GroupOps {
       )
     }
   }
+
+  /** Batch sessionization: number each key's events into sessions
+    * separated by more than `gapSeconds` of inactivity (the batch
+    * twin of `StreamOps.sessionize`). Adds a 1-based `session`
+    * column. Two window functions (gap detection via lag, session
+    * numbering via running sum) over the SAME window spec — one
+    * shuffle + one sort on the keys, no extra exchange.
+    *
+    * Tied timestamps are order-ambiguous but session-stable: the
+    * in-tie gap is zero, so every ordering assigns tied rows the
+    * same session number.
+    */
+  def sessionize(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      gapSeconds: Long
+  ): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
+    val w = Window.partitionBy(toCols(keys): _*).orderBy(col(tsCol))
+    val us = unix_micros(col(tsCol))
+    val boundary = when(
+      lag(col(tsCol), 1).over(w).isNull ||
+        us - unix_micros(lag(col(tsCol), 1).over(w)) > gapSeconds * 1000000L,
+      lit(1L)).otherwise(lit(0L))
+    df.withColumn("session",
+      sum(boundary).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
 }

@@ -168,6 +168,9 @@ package object syntax {
         minKeptLines: Int = 3): DataFrame =
       pipeline.TextAnalysis.c4Clean(df, idCol, textCol, minWordsPerLine, minKeptLines)
 
+    def sessionize(keys: Seq[String], tsCol: String, gapSeconds: Long): DataFrame =
+      operators.GroupOps.sessionize(df, keys, tsCol, gapSeconds)
+
     def corpusStats(byvars: Seq[String], textCol: String): DataFrame =
       pipeline.TextAnalysis.corpusStats(df, byvars, textCol)
 

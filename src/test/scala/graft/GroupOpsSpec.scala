@@ -109,4 +109,21 @@ class GroupOpsSpec extends SparkSuite {
       .map(_.getInt(0))
     assert(idx.toSeq == Seq(0, 1, 2, 3))
   }
+
+  test("sessionize numbers gap-separated sessions per key; ties share a session") {
+    val s = spark; import s.implicits._
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val df = Seq(
+      ("u1", t(0)), ("u1", t(100)),          // session 1
+      ("u1", t(100)),                         // tie -> still session 1
+      ("u1", t(4000)),                        // > 3600s gap -> session 2
+      ("u1", t(4100)), ("u1", t(8000)),      // session 2 + session 3
+      ("u2", t(0))                            // separate key restarts at 1
+    ).toDF("k", "ts")
+    val got = graft.operators.GroupOps.sessionize(df, Seq("k"), "ts", gapSeconds = 3600L)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000, r.getLong(2)))
+    val u1 = got.filter(_._1 == "u1").sortBy(x => (x._2, x._3)).map(x => (x._2, x._3)).toSeq
+    assert(u1 == Seq((0L, 1L), (100L, 1L), (100L, 1L), (4000L, 2L), (4100L, 2L), (8000L, 3L)))
+    assert(got.filter(_._1 == "u2").map(_._3).toSeq == Seq(1L))
+  }
 }
