@@ -45,6 +45,29 @@ class SyntaxSpec extends SparkSuite {
     assert(docs.decontaminate(eval, "doc_id", "text", n = 2).count() == 2)
   }
 
+  test("fluent round-5 ops: mixture -> normalize -> c4 clean -> pack -> stats") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "w", "one good line with five words.\nsecond good line is here too.\nthird keeps the doc alive okay."),
+      (2L, "x", "one good line with five words.\nsecond good line is here too.\nthird keeps the doc alive okay."),
+      (3L, "w", "too short.\nnope")
+    ).toDF("doc_id", "src", "text")
+    val mixed = docs.mixtureSample("src", Map("x" -> 2.0), Seq("doc_id"), salt = "s")
+    assert(mixed.where(col("src") === "x").count() == 2) // weight 2 -> two epochs
+    assert(docs.nfcNormalize("text").columns.contains("text_nfc"))
+    assert(docs.stripAccents("text").columns.contains("text_ascii"))
+    val cleaned = docs.c4Clean("doc_id", "text")
+    assert(cleaned.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    val packed = docs.withColumn("n", length(col("text")).cast("long"))
+      .packSequences("doc_id", "n", capacity = 64L)
+    assert(packed.count() == 3 && packed.columns.contains("pack_id"))
+    val stats = docs.corpusStats(Seq("src"), "text").collect()
+    assert(stats.length == 2)
+    val sem = Seq((1L, Array(1.0, 0.0)), (2L, Array(1.0, 0.0)), (3L, Array(0.0, 1.0)))
+      .toDF("vec_id", "emb").semDedup("vec_id", "emb", threshold = 0.9, nlist = 1)
+    assert(sem.select("vec_id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+  }
+
   test("composing operators triggers no Spark jobs (lazy plans)") {
     val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
     val composed = fixtureDf
