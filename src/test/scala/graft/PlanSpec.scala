@@ -51,6 +51,22 @@ class PlanSpec extends SparkSuite {
       s"pii scan reads more than doc_id+text:\n$plan")
   }
 
+  test("round-5 scan-resident queries never shuffle; aggregating ones shuffle exactly once") {
+    val shuffleRe = "Exchange (hash|range|Single|rebalance)".r
+    // pure per-row pipelines: the whole query should pipeline over
+    // the scan with zero exchanges
+    Seq("q_c4_clean", "q_mixture", "q_normalize").foreach { q =>
+      val plan = planOf(q)
+      assert(!shuffleRe.findFirstIn(plan).isDefined, s"$q should not shuffle:\n$plan")
+    }
+    // one hash-agg / one window shuffle respectively
+    Seq("q_corpus_stats" -> 1, "q_sessionize" -> 1).foreach { case (q, n) =>
+      val got = shuffleRe.findAllIn(planOf(q)).size
+      assert(got == n, s"$q plans $got shuffles, expected $n")
+    }
+    SparkEntry.runPendingCleanups()
+  }
+
   test("contamination joins the (tiny) eval digest set by broadcast") {
     // the driver query serves a memoized checkpoint, so inspect the
     // operator's own plan
