@@ -107,6 +107,11 @@ object Similarity {
   def lshBucketUdf(planes: Int, dims: Int, seed: Int = 42): org.apache.spark.sql.expressions.UserDefinedFunction = {
     val m = planeMatrix(planes, dims, seed)
     udf { (vec: Seq[Double]) =>
+      // null vector: the expression form's when(null >= 0, "1")
+      // .otherwise("0") yields the all-zeros bucket — mirror it
+      // instead of NPE-ing on vec.length
+      if (vec == null) "0" * planes
+      else {
       val n = math.min(dims, vec.length)
       val sb = new java.lang.StringBuilder(planes)
       var p = 0
@@ -119,6 +124,7 @@ object Similarity {
         p += 1
       }
       sb.toString
+      }
     }
   }
 

@@ -108,9 +108,9 @@ object TextAnalysis {
         count(lit(1)).as("n_docs"),
         sum(toks.cast("long")).as("n_tokens"),
         avg(toks).as("avg_tokens"),
-        expr(s"percentile(length($textCol), 0.5)").as("p50_chars"),
-        expr(s"percentile(length($textCol), 0.9)").as("p90_chars"),
-        expr(s"percentile(length($textCol), 0.99)").as("p99_chars"))
+        percentile(length(t), lit(0.5)).as("p50_chars"),
+        percentile(length(t), lit(0.9)).as("p90_chars"),
+        percentile(length(t), lit(0.99)).as("p99_chars"))
   }
 
   // ---- unicode normalization --------------------------------------
@@ -321,12 +321,16 @@ object TextAnalysis {
     * the same definition). Docs with fewer than 2 words have no
     * bigrams and are absent from the output.
     *
-    * Scale shape: one explode + two hash aggregations ((w1,w2) and
-    * (w1) counts), a join of doc bigrams against the two count
-    * tables, and a per-doc re-aggregation — all shuffles keyed on
-    * grams / doc id. V enters as a broadcast one-row aggregate, like
-    * tfIdf's corpus size. Everything is exact integer counts until
-    * the final log, so the score is engine-reproducible.
+    * Scale shape: the corpus tokenizes TWICE total (once for the
+    * bigram path, once for the unigram counts — the two aggregation
+    * branches cannot share a scan without persisting the exploded
+    * corpus, a bad trade at scale). The bigram side collapses to
+    * per-doc (bigram, count) rows in its FIRST shuffle, so the
+    * expensive tokenize/shingle stage runs once and every later join
+    * touches only the aggregated frame. V enters as a broadcast
+    * one-row aggregate, like tfIdf's corpus size. Everything is
+    * exact integer counts until the final log, so the score is
+    * engine-reproducible.
     */
   def bigramCrossEntropy(
       df: DataFrame,
@@ -335,23 +339,28 @@ object TextAnalysis {
       k: Double = 0.5
   ): DataFrame = {
     val words = df.select(col(idCol).as("__id__"), Dedup.splitWords(col(textCol)).as("__w__"))
-    val grams = words
-      .select(col("__id__"),
-        posexplode(Dedup.shinglesFromWordsUdf(2)(col("__w__"))).as(Seq("__pos__", "__g__")))
-      .select(col("__id__"), col("__pos__"),
-        substring_index(col("__g__"), " ", 1).as("w1"), col("__g__").as("__bg__"))
-    val bigramCounts = grams.groupBy(col("__bg__")).agg(count(lit(1)).as("__cbg__"))
+    // (doc, bigram) with multiplicity, aggregated immediately: the
+    // shingle stage is evaluated exactly once, in this aggregation
+    val docBigram = words
+      .select(col("__id__"), explode(Dedup.shinglesFromWordsUdf(2)(col("__w__"))).as("__bg__"))
+      .groupBy(col("__id__"), col("__bg__")).agg(count(lit(1)).as("__c__"))
+    // corpus-wide bigram count as a window over the SAME frame — a
+    // groupBy + self-join here would re-run the tokenize pipeline
+    // for the second reference
+    val withBg = docBigram.withColumn("__cbg__",
+      sum(col("__c__")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("__bg__"))))
     val unigramCounts = df
       .select(explode(Dedup.splitWords(col(textCol))).as("w1"))
       .where(length(col("w1")) > 0)
       .groupBy(col("w1")).agg(count(lit(1)).as("__cw__"))
     val vocab = unigramCounts.select(countDistinct(col("w1")).as("__v__"))
-    grams
-      .join(bigramCounts, Seq("__bg__"))
+    withBg
+      .withColumn("w1", substring_index(col("__bg__"), " ", 1))
       .join(unigramCounts, Seq("w1"))
       .crossJoin(broadcast(vocab))
       .groupBy(col("__id__").as(idCol))
-      .agg((-avg(log((col("__cbg__") + k) / (col("__cw__") + col("__v__") * k)))).as("xent"))
+      .agg((-(sum(col("__c__") * log((col("__cbg__") + k) / (col("__cw__") + col("__v__") * k)))
+        / sum(col("__c__")))).as("xent"))
   }
 
   // ---- corpus TF-IDF ----------------------------------------------

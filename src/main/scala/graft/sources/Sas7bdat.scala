@@ -207,7 +207,9 @@ object Sas7bdat {
             val shOff = page.uint(p, intLen).toInt
             val shLen = page.uint(p + intLen, intLen).toInt
             val compression = page.uint(p + 2 * intLen, 1).toInt
-            if (shLen > 0 && compression != 1) { // 1 = truncated
+            if (shLen > 0 && compression == 4) {
+              sawDataSubheader = true // RLE row payload; never metadata
+            } else if (shLen > 0 && compression != 1) { // 1 = truncated
               val sig = page.hex(shOff, intLen)
               SignatureKind.get(sig) match {
                 case Some(RowSize) =>
@@ -352,7 +354,12 @@ object Sas7bdat {
           val shOff = page.uint(p, meta.intLen).toInt
           val shLen = page.uint(p + meta.intLen, meta.intLen).toInt
           val compression = page.uint(p + 2 * meta.intLen, 1).toInt
-          val isMetaSig = shLen > 0 && SignatureKind.contains(page.hex(shOff, meta.intLen))
+          // metadata subheaders always carry compression flag 0, so
+          // only consult the signature table for those — a flag-4 row
+          // whose payload bytes collide with a signature must still
+          // decode as a row
+          val isMetaSig = compression == 0 && shLen > 0 &&
+            SignatureKind.contains(page.hex(shOff, meta.intLen))
           if (isMetaSig || shLen == 0 || compression == 1) None
           else if (shLen == meta.rowLength) Some((page, shOff)) // stored raw
           else if (meta.rleCompressed && shLen < meta.rowLength)
@@ -425,16 +432,16 @@ object Sas7bdat {
         if (idxs.isEmpty) Iterator.empty
         else {
           val in = openAt(pathStr)
-          val out = idxs.iterator.flatMap { pi =>
+          // close on task completion, not iterator exhaustion — a
+          // limit()/take() that abandons the iterator early would
+          // otherwise leak the file handle until GC
+          Option(org.apache.spark.TaskContext.get())
+            .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
+          idxs.iterator.flatMap { pi =>
             val buf = new Buf(
               readFully(in, m.headerLength.toLong + pi.toLong * m.pageLength, m.pageLength),
               m.littleEndian)
             rowsInPage(buf, m).map { case (b, off) => decodeRow(b, off, m, cd) }
-          }
-          // hand the stream through but close the file when exhausted
-          new Iterator[Row] {
-            def hasNext: Boolean = { val h = out.hasNext; if (!h) in.close(); h }
-            def next(): Row = out.next()
           }
         }
       }

@@ -224,6 +224,8 @@ object SasWriter {
       subs.foreach { case (sh, flag4) =>
         val need = (tail - sh.length) / 8 * 8
         if (page == null || bitOff + 8 + (count + 1) * ptrLen > need) { flush(); open() }
+        require(bitOff + 8 + (count + 1) * ptrLen <= (tail - sh.length) / 8 * 8,
+          s"subheader of ${sh.length} bytes exceeds the $PageLength-byte page")
         tail = (tail - sh.length) / 8 * 8
         mw.bytes(tail, sh)
         val p = bitOff + 8 + count * ptrLen
