@@ -72,7 +72,8 @@ object Dedup {
     */
   def shinglesFromWordsUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (words: Seq[String]) =>
-      if (words.length < n) Seq.empty[String]
+      if (words == null) null // mirror the expression form: null words -> null
+      else if (words.length < n) Seq.empty[String]
       else {
         val out = new Array[String](words.length - n + 1)
         var i = 0
@@ -131,6 +132,8 @@ object Dedup {
     */
   def minhashSignatureUdf(numHashes: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (shingles: Seq[String]) =>
+      if (shingles == null) null
+      else {
       val nDigests = (numHashes + 3) / 4
       val md = java.security.MessageDigest.getInstance("MD5")
       val mins = Array.fill(numHashes)("g")
@@ -165,6 +168,7 @@ object Dedup {
         i += 1
       }
       mins.toSeq
+      }
     }
 
   /** Candidate near-duplicate pairs via banded LSH over MinHash
@@ -404,6 +408,8 @@ object Dedup {
   def simhashUdf(bits: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
     require(bits <= 32, "hex-nibble simhash supports at most 32 bits")
     udf { (words: Seq[String]) =>
+      if (words == null) null
+      else {
       val md = java.security.MessageDigest.getInstance("MD5")
       val votes = new Array[Int](bits)
       var i = 0
@@ -423,6 +429,7 @@ object Dedup {
       var b = 0
       while (b < bits) { sb.append(if (votes(b) >= 0) '1' else '0'); b += 1 }
       sb.toString
+      }
     }
   }
 

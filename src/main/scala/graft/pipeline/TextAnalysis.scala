@@ -85,7 +85,12 @@ object TextAnalysis {
       ws.map(w => countOccurrences(padded, w)).reduce(_ + _)
     }: _*)
     val langArr = array(langMarkers.map { case (l, _) => lit(l) }: _*)
-    element_at(langArr, array_position(scoreArr, array_max(scoreArr)).cast("int"))
+    // explicit null guard: with a null text the all-null score array
+    // reaches array_position(arr, null), which NPEs inside Spark's
+    // own constant-level evaluation (observed on 4.1.2) instead of
+    // returning null
+    when(text.isNotNull,
+      element_at(langArr, array_position(scoreArr, array_max(scoreArr)).cast("int")))
   }
 
   // ---- corpus report ----------------------------------------------

@@ -167,6 +167,31 @@ class PipelineSpec extends SparkSuite {
     assert(got.values.forall(h => h >= 0 && h < TextAnalysis.rollingHashMod))
   }
 
+  test("null text: per-row signals propagate null, corpus ops drop the row, nothing throws") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "g", "real text here with words."), (2L, "g", null.asInstanceOf[String]))
+      .toDF("doc_id", "src", "text")
+    // per-row signal columns: null in, null out
+    val sig = docs.select(
+      TextAnalysis.tokenCount(col("text")).as("tc"),
+      TextAnalysis.fingerprintMd5(col("text")).as("fp"),
+      TextAnalysis.langId(col("text")).as("lang"),
+      TextAnalysis.nfcNormalize(col("text")).as("nfc"))
+      .where(col("doc_id").isNull || lit(true)).collect()
+    val nullRow = docs.where(col("text").isNull)
+      .select(TextAnalysis.tokenCount(col("text")), TextAnalysis.fingerprintMd5(col("text")))
+      .head()
+    assert(nullRow.isNullAt(0) && nullRow.isNullAt(1))
+    // corpus-level ops: the null-text doc drops out cleanly
+    assert(TextAnalysis.c4Clean(docs, "doc_id", "text", 5, 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(Dedup.dedupExact(docs, "doc_id", "text").count() >= 1) // no throw
+    assert(Contamination.contaminatedIds(
+      docs.where(col("doc_id") === 1), docs.where(col("doc_id") === 2),
+      "doc_id", "text", n = 2).count() == 0) // null eval side = no overlap, no throw
+    assert(sig.length == 2)
+  }
+
   test("corpusStats: closed-form counts, token sums, and exact quantiles per group") {
     val s = spark; import s.implicits._
     val docs = Seq(
