@@ -152,6 +152,10 @@ object Sampling {
     * and each row's global start is bucket offset + local cumsum.
     * Costs one full-data shuffle plus one tiny aggregation — no
     * single-partition stage anywhere.
+    *
+    * `idCol` must be unique per row (it is the total-order
+    * tiebreak); rows replicated by [[mixtureSample]] should pack on
+    * a composite key, e.g. `concat_ws(":", col(id), col("copy"))`.
     */
   def packSequences(
       df: DataFrame,
