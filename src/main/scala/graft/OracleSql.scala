@@ -37,6 +37,19 @@ td AS (SELECT ord0 AS ord, day FROM cal2 WHERE istd)"""
     "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
 
   /** n-gram word-shingle list mirroring Dedup.wordShingles(n). */
+  /** Distinct char-window list over the normalized column `t`,
+    * mirroring Contamination.charDigests' arithmetic (grid windows at
+    * `stride`, tail window flush with the end, short texts whole).
+    */
+  private def charWindowsSql(window: Int, stride: Int): String =
+    s"""CASE
+  WHEN length(t) = 0 THEN []
+  WHEN length(t) <= $window THEN [t]
+  ELSE list_distinct(list_append(
+    list_transform(range(0, CAST(floor((length(t) - $window) / $stride.0) + 1 AS BIGINT)),
+      i -> substring(t, CAST(i * $stride + 1 AS INT), $window)),
+    substring(t, length(t) - ${window - 1}, $window))) END"""
+
   private def shinglesSql(n: Int): String = {
     val gram = (0 until n).map(k => s"$wordsSql[i+$k]").mkString(" || ' ' || ")
     s"(CASE WHEN len($wordsSql) - ${n - 1} > 0 THEN list_transform(range(1, len($wordsSql) - ${n - 2}), i -> $gram) ELSE [] END)"
@@ -508,6 +521,19 @@ ex AS (SELECT doc_id, unnest(sg) AS g FROM sh),
 ev AS (SELECT DISTINCT g FROM ex WHERE doc_id % 37 = 0),
 bad AS (SELECT DISTINCT co.doc_id FROM ex co JOIN ev USING (g) WHERE co.doc_id % 37 <> 0)
 SELECT doc_id FROM documents WHERE doc_id % 37 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)""",
+
+    // char-window contamination: same normalization and window/
+    // stride arithmetic as the engine (corpus strides at 10, eval
+    // enumerates every offset, tail window flush with the end, short
+    // texts contribute themselves); overlap counted on raw windows
+    // where the engine counts their xxhash64 digests
+    "q_char_contam" ->
+      s"""WITH t0 AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),
+cw AS (SELECT doc_id, ${charWindowsSql(40, 10)} AS ws FROM t0 WHERE doc_id % 37 <> 0),
+ew AS (SELECT doc_id, ${charWindowsSql(40, 1)} AS ws FROM t0 WHERE doc_id % 37 = 0),
+ev AS (SELECT DISTINCT unnest(ws) AS w FROM ew),
+co AS (SELECT doc_id, unnest(ws) AS w FROM cw)
+SELECT doc_id, count(*) AS n_overlap FROM co JOIN ev USING (w) GROUP BY 1""",
 
     // bigram-LM cross-entropy (perplexity-proxy quality score):
     // add-0.5 smoothing, corpus unigram counts, vocab-size V — exact

@@ -408,6 +408,14 @@ object SparkEntry {
         .join(contaminatedFrame(s, dir).select("doc_id"), Seq("doc_id"), "left_anti")
         .select("doc_id")
     }),
+    "q_char_contam" -> ((s, dir) => {
+      // char-window (exact-substring) contamination against the same
+      // %37 eval slice the word-gram queries use
+      val d = t(s, dir, "documents")
+      Contamination.charWindowContaminatedIds(
+        d.where(col("doc_id") % 37 =!= 0), d.where(col("doc_id") % 37 === 0),
+        "doc_id", "text", window = 40, stride = 10)
+    }),
     "q_bigram_xent" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       TextAnalysis.bigramCrossEntropy(d, "doc_id", "text")

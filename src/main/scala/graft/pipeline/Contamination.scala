@@ -57,6 +57,65 @@ object Contamination {
       .where(col("n_overlap") >= minOverlap)
   }
 
+  /** Character-window digests: slide a `window`-char window with
+    * `stride` over the whitespace-normalized lowercase text (plus
+    * one tail window flush with the end so suffixes are never
+    * missed; texts shorter than the window contribute themselves).
+    * Returns distinct (idCol, `__dg__`) pairs.
+    */
+  private def charDigests(
+      df: DataFrame, idCol: String, textCol: String, window: Int, stride: Int): DataFrame = {
+    val staged = df.select(col(idCol),
+      trim(regexp_replace(lower(col(textCol)), "\\s+", " ")).as("__t__"))
+    val t = col("__t__")
+    val len = length(t)
+    val nWin = (floor((len - window).cast("double") / stride) + 1).cast("int")
+    val wins = when(len.isNull || len === 0, array().cast("array<string>"))
+      .when(len <= window, array(t))
+      .otherwise(array_union(
+        transform(sequence(lit(0), nWin - 1), i => t.substr(i * stride + 1, lit(window))),
+        array(t.substr(len - window + 1, lit(window)))))
+    staged
+      .select(col(idCol), explode(array_distinct(wins)).as("__win__"))
+      .select(col(idCol), xxhash64(col("__win__")).as("__dg__"))
+  }
+
+  /** Exact-substring decontamination: corpus documents sharing at
+    * least `minOverlap` distinct `window`-char windows with the eval
+    * set — the character-level leakage family (robust to
+    * tokenization and punctuation drift, complements the word-n-gram
+    * [[contaminatedIds]]).
+    *
+    * The corpus slides at `stride`; the EVAL side enumerates every
+    * offset (stride 1) — eval suites are tiny next to the corpus, and
+    * one-sided exhaustion is what makes strided windows sound: some
+    * corpus grid window falls fully inside any shared span of at
+    * least `window + stride - 1` chars, and the eval side is
+    * guaranteed to hold that exact substring. Strided windows on
+    * BOTH sides would only match when the two occurrences align
+    * mod stride. Same scale shape as [[contaminatedIds]]: windows
+    * digest to 8-byte longs, the eval side reduces to DISTINCT
+    * digests and broadcasts, the corpus never shuffles.
+    */
+  def charWindowContaminatedIds(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 50,
+      stride: Int = 10,
+      minOverlap: Int = 1
+  ): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    val evalDigests = charDigests(evalSet, idCol, textCol, window, stride = 1)
+      .select(col("__dg__")).distinct()
+    charDigests(corpus, idCol, textCol, window, stride)
+      .join(evalDigests, Seq("__dg__"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+      .where(col("n_overlap") >= minOverlap)
+  }
+
   /** The decontaminated corpus: all rows of `corpus` minus the
     * contaminated ids (one left_anti — no extra shuffle beyond the
     * overlap join itself).

@@ -151,6 +151,11 @@ package object syntax {
         n: Int = 13, minOverlap: Int = 1): DataFrame =
       pipeline.Contamination.decontaminate(df, evalSet, idCol, textCol, n, minOverlap)
 
+    def charWindowContaminatedIds(evalSet: DataFrame, idCol: String, textCol: String,
+        window: Int = 50, stride: Int = 10, minOverlap: Int = 1): DataFrame =
+      pipeline.Contamination.charWindowContaminatedIds(
+        df, evalSet, idCol, textCol, window, stride, minOverlap)
+
     def qualityFeatures(textCol: String, prefix: String = "q_"): DataFrame =
       pipeline.TextAnalysis.qualityFeatures(df, textCol, prefix)
 

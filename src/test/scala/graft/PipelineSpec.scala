@@ -167,6 +167,27 @@ class PipelineSpec extends SparkSuite {
     assert(got.values.forall(h => h >= 0 && h < TextAnalysis.rollingHashMod))
   }
 
+  test("charWindowContaminatedIds flags shared substrings, short docs need exact match") {
+    val s = spark; import s.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val corpus = Seq(
+      (1L, s"prefix words here $shared suffix tail"), // embeds the eval substring
+      (2L, "completely unrelated content with nothing shared at all in this document"),
+      (3L, "tiny doc") // < window: only exact equality can flag it
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, s"eval set carries $shared inside")).toDF("doc_id", "text")
+    val got = graft.pipeline.Contamination
+      .charWindowContaminatedIds(corpus, eval, "doc_id", "text", window = 40, stride = 10)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(got == Set(1L), s"got $got")
+    // a short doc flags iff it appears verbatim in the eval side
+    val evalShort = eval.unionByName(Seq((101L, "tiny doc")).toDF("doc_id", "text"))
+    val got2 = graft.pipeline.Contamination
+      .charWindowContaminatedIds(corpus, evalShort, "doc_id", "text", window = 40, stride = 10)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(got2 == Set(1L, 3L), s"got $got2")
+  }
+
   test("null text: per-row signals propagate null, corpus ops drop the row, nothing throws") {
     val s = spark; import s.implicits._
     val docs = Seq((1L, "g", "real text here with words."), (2L, "g", null.asInstanceOf[String]))
