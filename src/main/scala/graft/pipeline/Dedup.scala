@@ -478,7 +478,8 @@ object Dedup {
       edges: DataFrame,
       aCol: String,
       bCol: String,
-      maxIter: Int = 30
+      maxIter: Int = 30,
+      localSolveMaxEdges: Long = 1L << 20
   ): (DataFrame, () => Unit) = {
     // symmetrize + dedup parallel edges once, and keep the frame hot:
     // it is re-joined every iteration
@@ -487,6 +488,48 @@ object Dedup {
       .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Small-graph fast path: the edge set after LSH + Jaccard
+    // filtering is proportional to the DUPLICATE count, not the
+    // corpus, and usually fits the driver with room to spare. Below
+    // the threshold (~16 MB of id pairs at the default), solve with
+    // a local union-find in one collect instead of several
+    // driver-coordinated join rounds; the distributed loop below
+    // remains the path for genuinely large duplicate graphs.
+    // Integral ids only — the local min-label must order identically
+    // to Spark's `least`, which is only unambiguous for integers.
+    val integralIds = {
+      import org.apache.spark.sql.types._
+      Seq("src", "dst").forall(c => sym.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      })
+    }
+    if (integralIds && sym.count() <= localSolveMaxEdges) {
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      sym.collect().foreach { row =>
+        val a = row.get(0).asInstanceOf[Number].longValue
+        val b = row.get(1).asInstanceOf[Number].longValue
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // min root wins -> component label = min id
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val dt = edges.schema(aCol).dataType
+      val labels = parent.keys.toSeq.map(n => (n, find(n))).toDF("node", "cluster")
+        .select(col("node").cast(dt).as("node"), col("cluster").cast(dt).as("cluster"))
+      sym.unpersist()
+      return (labels, () => ())
+    }
     // seed label = min(node, min neighbor): one aggregation (same
     // shuffle cost as the distinct node list) that is already the
     // fixed point for pair and star clusters — typically saves a
@@ -544,9 +587,10 @@ object Dedup {
       edges: DataFrame,
       aCol: String,
       bCol: String,
-      maxIter: Int = 30
+      maxIter: Int = 30,
+      localSolveMaxEdges: Long = 1L << 20
   ): DataFrame =
-    connectedComponentsWithCleanup(edges, aCol, bCol, maxIter)._1
+    connectedComponentsWithCleanup(edges, aCol, bCol, maxIter, localSolveMaxEdges)._1
 
   /** Banded-LSH candidate pairs with exact n-gram Jaccard attached:
     * (id_a, id_b, n_band_matches, jac). The scale-true near-dup

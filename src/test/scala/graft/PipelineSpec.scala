@@ -71,9 +71,14 @@ class PipelineSpec extends SparkSuite {
     // component {1,2,3,4} as a chain, component {10,11}, parallel +
     // reversed edges thrown in
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (1L, 2L)).toDF("a", "b")
-    val cc = Dedup.connectedComponents(edges, "a", "b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L)
+    // both paths must agree: the local union-find fast path (default
+    // threshold) and the distributed loop (threshold 0 forces it)
+    val fast = Dedup.connectedComponents(edges, "a", "b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    val loop = Dedup.connectedComponents(edges, "a", "b", localSolveMaxEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == expected && loop == expected)
     val none = Dedup.connectedComponents(edges.limit(0), "a", "b")
     assert(none.count() == 0)
   }
@@ -85,7 +90,9 @@ class PipelineSpec extends SparkSuite {
     // that to ~log2(100). maxIter = 12 proves the log-round behavior
     // AND stays under the default 30 a production caller would use.
     val chain = (1 until 100).map(i => (i.toLong, i.toLong + 1)).toDF("a", "b")
-    val cc = Dedup.connectedComponents(chain, "a", "b", maxIter = 12)
+    // force the distributed loop: the log-round claim is about it,
+    // not the small-graph local solve
+    val cc = Dedup.connectedComponents(chain, "a", "b", maxIter = 12, localSolveMaxEdges = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc.size == 100 && cc.values.forall(_ == 1L))
   }
@@ -94,7 +101,8 @@ class PipelineSpec extends SparkSuite {
     val s = spark; import s.implicits._
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val edges = (1 until 40).map(i => (i.toLong, i.toLong + 1)).toDF("a", "b")
-    val (cc, release) = Dedup.connectedComponentsWithCleanup(edges, "a", "b")
+    val (cc, release) = Dedup.connectedComponentsWithCleanup(edges, "a", "b",
+      localSolveMaxEdges = 0) // the loop path is the one with checkpoints to release
     assert(cc.count() == 40)
     release()
     assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,

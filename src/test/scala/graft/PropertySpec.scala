@@ -181,9 +181,13 @@ class PropertySpec extends SparkSuite {
         // min-id per component = the expected cluster label
         val byRoot = nodes.groupBy(find)
         val expected = byRoot.values.flatMap(ns => ns.map(_ -> ns.min)).toMap
-        val got = graft.pipeline.Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+        val fast = graft.pipeline.Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        assert(got == expected, s"CC mismatch on edges $edges")
+        assert(fast == expected, s"CC (local solve) mismatch on edges $edges")
+        val loop = graft.pipeline.Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b",
+            localSolveMaxEdges = 0)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(loop == expected, s"CC (distributed loop) mismatch on edges $edges")
       }
     }
   }
