@@ -228,9 +228,62 @@ CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id A
 SELECT query_id, neighbor_id, score, "rank" FROM r WHERE "rank" <= 5"""
   }
 
+  /** Lloyd k-means mirroring Similarity.kmeansCentroids +
+    * kmeansAssign cell-for-cell: md5-ordered init draw, per-iteration
+    * (rounded cosine desc, cent_id asc) rank-1 assignment, and
+    * per-dimension means rounded to 6 decimals reassembled in
+    * dimension order — the iterations are UNROLLED as one CTE pair
+    * per round, so the oracle replays the exact training trajectory.
+    */
+  private def kmeansSql(k: Int, iters: Int, dims: Int): String = {
+    def assign(out: String, cents: String): String =
+      s"""$out AS (SELECT vec_id, emb, cent_id FROM (
+SELECT c.vec_id, c.emb, cent_id,
+row_number() OVER (PARTITION BY c.vec_id ORDER BY round(list_cosine_similarity(c.emb, cemb), 4) DESC, cent_id) AS cr
+FROM c CROSS JOIN $cents) t WHERE cr = 1)"""
+    val rounds = (0 until iters).map { i =>
+      s"""${assign(s"a$i", s"cents$i")},
+m$i AS (SELECT cent_id, d, round(avg(emb[d]), 6) AS m FROM a$i CROSS JOIN (SELECT unnest(range(1, ${dims + 1})) AS d) dims GROUP BY cent_id, d),
+cents${i + 1} AS (SELECT cent_id, list(m ORDER BY d) AS cemb FROM m$i GROUP BY cent_id)"""
+    }.mkString(",\n")
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+cents0 AS (SELECT vec_id AS cent_id, emb AS cemb FROM c ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k),
+$rounds,
+${assign("afin", s"cents$iters")}
+SELECT vec_id, cent_id FROM afin"""
+  }
+
+  /** DSIR importance weights mirroring Sampling.dsirLogWeights:
+    * unigram+bigram grams of the (empty-token-filtered) word list,
+    * md5-uint32 bucket hash, add-one-smoothed per-side bucket models
+    * over a full bucket spine, per-doc log-ratio sum. Target = the
+    * `doc_id % 37 = 0` eval slice the contamination queries use.
+    */
+  private def dsirSql(buckets: Int): String = {
+    val bucket = (g: String) => s"CAST(('0x' || substring(md5($g), 1, 8))::BIGINT % $buckets AS INT)"
+    def grams(tbl: String, pred: String): String =
+      s"""(SELECT doc_id, unnest(list_concat(ws, list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]))) AS g
+FROM (SELECT doc_id, list_filter($wordsSql, w -> w <> '') AS ws FROM $tbl WHERE $pred) t)"""
+    s"""WITH tg AS ${grams("documents", "doc_id % 37 = 0")},
+rg AS ${grams("documents", "doc_id % 37 <> 0")},
+tb AS (SELECT ${bucket("g")} AS b, count(*) AS c FROM tg GROUP BY 1),
+rb AS (SELECT ${bucket("g")} AS b, count(*) AS c FROM rg GROUP BY 1),
+tt AS (SELECT CAST(COALESCE(sum(c), 0) AS DOUBLE) AS t FROM tb),
+rt AS (SELECT CAST(COALESCE(sum(c), 0) AS DOUBLE) AS t FROM rb),
+spine AS (SELECT CAST(unnest(range(0, $buckets)) AS INT) AS b),
+lr AS (SELECT spine.b,
+  ln((COALESCE(tb.c, 0) + 1.0) / (tt.t + $buckets)) - ln((COALESCE(rb.c, 0) + 1.0) / (rt.t + $buckets)) AS lr
+FROM spine LEFT JOIN tb ON spine.b = tb.b LEFT JOIN rb ON spine.b = rb.b CROSS JOIN tt CROSS JOIN rt),
+sc AS (SELECT rg.doc_id, sum(lr.lr) AS logw FROM rg JOIN lr ON ${bucket("rg.g")} = lr.b GROUP BY 1)
+SELECT d.doc_id, round(COALESCE(sc.logw, 0.0), 6) AS logw
+FROM (SELECT doc_id FROM documents WHERE doc_id % 37 <> 0) d LEFT JOIN sc ON d.doc_id = sc.doc_id"""
+  }
+
   // ---- the map ----------------------------------------------------
 
   lazy val all: Map[String, String] = Map(
+    "q_kmeans" -> kmeansSql(k = 8, iters = 2, dims = 64),
+    "q_dsir" -> dsirSql(buckets = 256),
     "q_groupby_merge_max" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
 max(l_quantity) OVER (PARTITION BY l_returnflag) AS l_quantity_max

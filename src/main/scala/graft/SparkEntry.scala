@@ -573,6 +573,22 @@ object SparkEntry {
       val q = e.where(col("vec_id") % 50 === 0)
       Similarity.ivfTopK(e, q, "vec_id", "emb", k = 5, nlist = 16, nprobe = 4)
     }),
+    "q_kmeans" -> ((s, dir) => {
+      // trained coarse quantizer: 2 Lloyd rounds over the 8-centroid
+      // md5 draw, then final cluster labels under the fitted model
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val cents = Similarity.kmeansCentroids(e, "vec_id", "emb", k = 8, iters = 2)
+      Similarity.kmeansAssign(e, cents, "vec_id", "emb")
+    }),
+    "q_dsir" -> ((s, dir) => {
+      // importance weights toward the %37 eval-slice distribution —
+      // the same target the contamination queries key on
+      val d = t(s, dir, "documents")
+      Sampling.dsirLogWeights(
+          d.where(col("doc_id") % 37 =!= 0), d.where(col("doc_id") % 37 === 0),
+          "doc_id", "text", buckets = 256)
+        .select(col("doc_id"), round(col("logw"), 6).as("logw"))
+    }),
     // ---- pipeline: sampling --------------------------------------
     "q_sample_det" -> ((s, dir) => {
       val d = t(s, dir, "documents")

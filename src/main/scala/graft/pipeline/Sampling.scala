@@ -195,6 +195,82 @@ object Sampling {
         (col("__start__") % capacity).as("pack_offset"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling",
+    * arXiv:2302.03169): score raw-corpus documents by how target-like
+    * their hashed n-gram distribution is. Features are the unigrams +
+    * bigrams of the lowercased whitespace tokenization ([[Dedup
+    * .splitWords]], empty tokens dropped), hashed into `buckets`
+    * buckets — uint32 of the first 8 md5 hex chars mod `buckets`,
+    * reproducible in any engine with md5, like the LSH plane matrix.
+    * Bag-of-buckets models with add-one smoothing are fit on each
+    * side, and a document's log importance weight is
+    *
+    *   logw(d) = sum over grams g of d of
+    *             [ ln p_target(bucket(g)) - ln p_raw(bucket(g)) ]
+    *
+    * Keep the highest-logw documents (or feed `logw` through a
+    * deterministic threshold) to resample the corpus toward the
+    * target distribution. Documents with no grams (null/empty text)
+    * score 0.
+    *
+    * Scale shape: the two bucket-count aggregations are map-side
+    * combinable hash aggs whose shuffles carry at most `buckets` rows
+    * per task; the bucket -> log-ratio table is `buckets` rows,
+    * assembled against an in-plan spine (missing buckets count 0) and
+    * BROADCAST into the scoring join; scoring then re-aggregates to
+    * one row per document. No driver collect, no all-pairs stage; the
+    * only non-expression step is the shared native shingle loop.
+    */
+  def dsirLogWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 256
+  ): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    // unigrams ++ bigrams from ONE materialized word array per doc
+    // (same staging rationale as Dedup.shingleFrame: an inline split
+    // would re-run the regex once per consumer)
+    def withGrams(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("__id__"),
+        array_remove(Dedup.splitWords(col(textCol)), "").as("__ws__"))
+      .select(col("__id__"),
+        concat(col("__ws__"), Dedup.shinglesFromWordsUdf(2)(col("__ws__"))).as("__gs__"))
+    def bucketOf(g: Column): Column =
+      (conv(substring(md5(g), 1, 8), 16, 10).cast("long") % buckets).cast("int")
+    def bucketCounts(df: DataFrame): DataFrame = withGrams(df)
+      .select(explode(col("__gs__")).as("__g__"))
+      .select(bucketOf(col("__g__")).as("__b__"))
+      .groupBy(col("__b__"))
+      .agg(count(lit(1)).as("__c__"))
+    val tCnt = bucketCounts(target)
+    val rCnt = bucketCounts(raw)
+    // totals as broadcast scalar aggs (the tfIdf corpus-size pattern)
+    val tTot = broadcast(tCnt.agg(coalesce(sum(col("__c__")), lit(0L)).cast("double").as("__tt__")))
+    val rTot = broadcast(rCnt.agg(coalesce(sum(col("__c__")), lit(0L)).cast("double").as("__rt__")))
+    val spine = raw.sparkSession.range(buckets).select(col("id").cast("int").as("__b__"))
+    val logRatio = broadcast(
+      spine
+        .join(tCnt.withColumnRenamed("__c__", "__ct__"), Seq("__b__"), "left")
+        .join(rCnt.withColumnRenamed("__c__", "__cr__"), Seq("__b__"), "left")
+        .crossJoin(tTot)
+        .crossJoin(rTot)
+        .select(col("__b__"),
+          (log((coalesce(col("__ct__"), lit(0L)) + lit(1.0)) / (col("__tt__") + lit(buckets.toDouble))) -
+            log((coalesce(col("__cr__"), lit(0L)) + lit(1.0)) / (col("__rt__") + lit(buckets.toDouble)))).as("__lr__")))
+    val scores = withGrams(raw)
+      .select(col("__id__"), explode(col("__gs__")).as("__g__"))
+      .select(col("__id__"), bucketOf(col("__g__")).as("__b__"))
+      .join(logRatio, Seq("__b__"))
+      .groupBy(col("__id__"))
+      .agg(sum(col("__lr__")).as("logw"))
+    raw.select(col(idCol))
+      .join(scores.withColumnRenamed("__id__", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("logw"), lit(0.0)).as("logw"))
+  }
+
   /** Keep at most `n` rows per group, chosen deterministically by
     * `orderCols` (pass a hash column for an unbiased cap, or e.g. a
     * quality score to keep the best). The standard "cap documents

@@ -234,6 +234,71 @@ object Similarity {
       .drop("__h__")
   )
 
+  /** Lloyd k-means over an embedding column — the TRAINED upgrade of
+    * the [[ivfTopK]] coarse quantizer (whose centroids are a uniform
+    * draw, not fitted). Every step is deterministic and
+    * engine-portable, so the whole trained model is oracle-checkable:
+    *
+    *  - init = the [[ivfCentroids]] md5-order draw (no RNG state);
+    *  - assignment = nearest centroid by (cosine rounded to
+    *    `scoreDecimals` desc, centroid id asc) — [[ivfAssign]];
+    *  - update = per-dimension mean rounded to `centroidDecimals`
+    *    (the ONE cross-engine-inexact step is the distributed sum
+    *    inside the mean; rounding absorbs its ulp-level order
+    *    sensitivity), dimensions reassembled in order via a struct
+    *    array_sort, norms re-derived from the rounded components so
+    *    downstream cosines are bit-identical given identical means.
+    *
+    * Scale shape per iteration: one broadcast of the k-row centroid
+    * frame, one per-row top-1 window keyed on the row id, one
+    * (cent, dim)-keyed hash agg whose shuffle carries k x dims rows
+    * after map-side combine — no all-pairs stage, no driver collect.
+    * A centroid that attracts no rows drops out (standard Lloyd);
+    * `iters` is fixed and small by contract (each iteration extends
+    * the lazy plan, so train offline and persist for reuse).
+    *
+    * Returns the fitted (cent_id, __cv__, __cn__) broadcast frame —
+    * feed it to [[kmeansAssign]] for cluster labels.
+    */
+  def kmeansCentroids(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      scoreDecimals: Int = 4,
+      centroidDecimals: Int = 6
+  ): DataFrame = {
+    var cents = ivfCentroids(df, idCol, vecCol, k)
+    for (_ <- 0 until iters) {
+      val assigned = ivfAssign(df, cents, idCol, vecCol, "row", keep = 1, scoreDecimals)
+      cents = broadcast(
+        assigned
+          .select(col("cent_id"), posexplode(col("__rowv__")).as(Seq("__dim__", "__v__")))
+          .groupBy(col("cent_id"), col("__dim__"))
+          .agg(round(avg(col("__v__")), centroidDecimals).as("__m__"))
+          .groupBy(col("cent_id"))
+          .agg(array_sort(collect_list(struct(col("__dim__"), col("__m__")))).as("__dm__"))
+          .select(col("cent_id"), transform(col("__dm__"), x => x.getField("__m__")).as("__cv__"))
+          .withColumn("__cn__", norm(col("__cv__"))))
+    }
+    cents
+  }
+
+  /** Cluster labels under a fitted [[kmeansCentroids]] model:
+    * (idCol, cent_id), assignment by the same deterministic
+    * (rounded cosine desc, cent_id asc) rule training used.
+    */
+  def kmeansAssign(
+      df: DataFrame,
+      cents: DataFrame,
+      idCol: String,
+      vecCol: String,
+      scoreDecimals: Int = 4
+  ): DataFrame =
+    ivfAssign(df, cents, idCol, vecCol, "row", keep = 1, scoreDecimals)
+      .select(col("row_id").as(idCol), col("cent_id"))
+
   /** Nearest `keep` centroids per row (norms staged per row/centroid;
     * ties on rounded similarity rank by centroid id so assignment is
     * exact across engines): (pfx_id, __pfxv__, __pfxn__, cent_id).

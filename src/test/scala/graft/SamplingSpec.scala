@@ -136,4 +136,79 @@ class SamplingSpec extends SparkSuite {
     assert(plan.contains("hashpartitioning(__bkt__"), s"corpus window not bucket-partitioned:\n$plan")
     assert(plan.contains("BroadcastExchange"), s"bucket offsets not broadcast:\n$plan")
   }
+
+  test("dsirLogWeights matches an independent local computation and scores target-like docs higher") {
+    val s = spark; import s.implicits._
+    val target = Seq((100L, "alpha beta gamma"), (101L, "alpha beta")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "alpha beta gamma"),      // identical to target doc -> highest
+      (2L, "zeta eta theta iota"),   // disjoint vocabulary -> lowest
+      (3L, "alpha zeta"),            // mixed
+      (4L, "")                       // no grams -> exactly 0
+    ).toDF("doc_id", "text")
+    val out = Sampling.dsirLogWeights(raw, target, "doc_id", "text", buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // independent local oracle: same grams, same md5-uint32 bucket
+    // hash, same add-one-smoothed log-ratio formula
+    def words(t: String) = t.toLowerCase.trim.replaceAll("\\s+", " ").split(" ").filter(_.nonEmpty).toSeq
+    def grams(t: String) = { val w = words(t); w ++ w.sliding(2).filter(_.length == 2).map(_.mkString(" ")) }
+    def bucket(g: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % 64).toInt
+    }
+    val tCnt = Seq("alpha beta gamma", "alpha beta").flatMap(grams).groupBy(bucket).view.mapValues(_.size).toMap
+    val rawTexts = Seq("alpha beta gamma", "zeta eta theta iota", "alpha zeta", "")
+    val rCnt = rawTexts.flatMap(grams).groupBy(bucket).view.mapValues(_.size).toMap
+    val (tt, rt) = (tCnt.values.sum.toDouble, rCnt.values.sum.toDouble)
+    def lw(t: String): Double = grams(t).map { g =>
+      val b = bucket(g)
+      math.log((tCnt.getOrElse(b, 0) + 1.0) / (tt + 64)) - math.log((rCnt.getOrElse(b, 0) + 1.0) / (rt + 64))
+    }.sum
+    Seq(1L, 2L, 3L).foreach { id =>
+      val expect = lw(rawTexts((id - 1).toInt))
+      assert(math.abs(out(id) - expect) < 1e-9, s"doc $id: ${out(id)} vs local $expect")
+    }
+    assert(out(4L) == 0.0)
+    assert(out(1L) > out(3L) && out(3L) > out(2L), s"ordering violated: $out")
+  }
+
+  test("kmeans replays an independent local Lloyd loop exactly (draw, assignment, rounded means)") {
+    val s = spark; import s.implicits._
+    // two direction clusters in 3D with per-row perturbations
+    val rows: Seq[(Long, Seq[Double])] = (1L to 12L).map { i =>
+      val eps = i * 0.01
+      if (i % 2 == 0) (i, Seq(1.0, eps, 0.0)) else (i, Seq(0.0, eps, 1.0))
+    }
+    val df = rows.toDF("vec_id", "emb")
+    val cents = graft.pipeline.Similarity.kmeansCentroids(df, "vec_id", "emb", k = 3, iters = 2)
+    val got = graft.pipeline.Similarity.kmeansAssign(df, cents, "vec_id", "emb")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // local oracle mirroring the operator's contract step for step
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def round(v: Double, d: Int) = BigDecimal(v).setScale(d, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    var cl: Map[Long, Seq[Double]] = rows.sortBy { case (id, _) => (md5hex(id.toString), id) }
+      .take(3).map { case (id, v) => id -> v }.toMap
+    def assign(c: Map[Long, Seq[Double]]): Map[Long, Long] = rows.map { case (id, v) =>
+      id -> c.toSeq.map { case (cid, cv) => (-round(cos(v, cv), 4), cid) }.min._2
+    }.toMap
+    for (_ <- 0 until 2) {
+      val a = assign(cl)
+      cl = rows.groupBy { case (id, _) => a(id) }.map { case (cid, members) =>
+        cid -> (0 until 3).map(d => round(members.map(_._2(d)).sum / members.size, 6)).toSeq
+      }
+    }
+    assert(got == assign(cl), s"spark $got vs local ${assign(cl)}")
+    // the two direction clusters never share a centroid
+    val even = (2L to 12L by 2).map(got).toSet
+    val odd = (1L to 11L by 2).map(got).toSet
+    assert(even.intersect(odd).isEmpty, s"clusters merged: $got")
+  }
 }
