@@ -9,6 +9,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ContextCleaner only releases broadcast blocks / shuffle state
+      // after their driver-side references are GC'd; the default
+      // periodic-GC interval (30min) is longer than this whole run,
+      // so without this a broadcast-heavy query's blocks linger and
+      // tax every LATER query's memory — measured ~9s of phantom cost
+      // on q_simhash_candidates in-suite vs fresh-JVM
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -32,7 +39,15 @@ object Bench {
         // release operator-internal caches AFTER the action, inside the
         // timed window — cache hygiene is part of each query's cost
         finally SparkEntry.runPendingCleanups()
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // quiesce BETWEEN queries (outside the timed window): dropping
+      // the previous query's broadcast/shuffle references through the
+      // ContextCleaner needs a driver GC, and leaving it to chance
+      // charges one query's cleanup to whichever query runs next —
+      // per-query numbers should measure the query, not its
+      // predecessor's garbage
+      System.gc()
+      name -> (if (ok) elapsed else -1.0)
     }
     SparkEntry.releaseShared()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
