@@ -16,6 +16,7 @@ object Bench {
       // tax every LATER query's memory — measured ~9s of phantom cost
       // on q_simhash_candidates in-suite vs fresh-JVM
       .config("spark.cleaner.periodicGC.interval", "30s")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+import graft.plans.{MinhashSignatureExpr, SimhashBitsExpr}
+
+/** SparkSessionExtensions entry point: exposes the native hash
+  * expressions to the SQL surface as `graft_minhash(arr, n)` and
+  * `graft_simhash(words, bits)`. Enable with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` (or
+  * `builder.withExtensions(new GraftExtensions)`); Column-level use
+  * of the expressions needs no registration.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinhashSignatureExpr].getName, "graft_minhash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_minhash(shingles, numHashes) takes 2 arguments")
+        MinhashSignatureExpr(args.head, intLit(args(1), "numHashes"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimhashBitsExpr].getName, "graft_simhash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_simhash(words, bits) takes 2 arguments")
+        SimhashBitsExpr(args.head, intLit(args(1), "bits"))
+      }))
+  }
+}

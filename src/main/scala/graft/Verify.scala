@@ -15,6 +15,7 @@ object Verify {
       // vectorized parquet reader rejects; read them as raw longs and
       // convert in SparkEntry.eventsTable
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

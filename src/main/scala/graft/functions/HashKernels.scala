@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JVM kernels behind the native Catalyst hash expressions
+  * ([[graft.plans.MinhashSignatureExpr]] /
+  * [[graft.plans.SimhashBitsExpr]]). They operate directly on
+  * Tungsten's `UTF8String`/`ArrayData` — no encoder round-trip to
+  * `Seq[String]` like a Scala UDF pays — and are called by the
+  * generated code of whole-stage codegen (objects compile to static
+  * forwarders, so `graft.functions.MinhashKernel.signature(...)` is a
+  * plain static call in janino's output).
+  *
+  * Semantics are bit-identical to the oracle-mirrored expression
+  * specs ([[graft.pipeline.Dedup.minhashSignature]] /
+  * [[graft.pipeline.Dedup.simhashFromMd5s]]), including their
+  * null-element behavior: `least` skips nulls, so a null shingle is a
+  * no-op lane update; a null word votes -1 on every simhash bit
+  * (when(null).otherwise(-1)).
+  */
+object MinhashKernel {
+
+  private val hexChars = "0123456789abcdef".toCharArray
+  private val mdPool = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** Lexicographic-min lanes over 8-hex-char md5 slices — see
+    * [[graft.pipeline.Dedup.minhashSignature]] for the lane layout
+    * (digest d feeds lanes [4d, 4d+4); "g" is the fold's +infinity).
+    */
+  def signature(shingles: ArrayData, numHashes: Int): ArrayData = {
+    val nDigests = (numHashes + 3) / 4
+    val md = mdPool.get()
+    val mins = Array.fill(numHashes)("g")
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val s = shingles.getUTF8String(i)
+      if (s != null) {
+        val sBytes = s.getBytes
+        var d = 0
+        while (d < nDigests) {
+          md.reset()
+          md.update(sBytes)
+          var j = 0
+          while (j < d) { md.update('#'.toByte); j += 1 }
+          val dig = md.digest()
+          var lane = d * 4
+          val laneEnd = math.min(lane + 4, numHashes)
+          while (lane < laneEnd) {
+            val b0 = (lane % 4) * 4
+            val sb = new java.lang.StringBuilder(8)
+            var b = b0
+            while (b < b0 + 4) {
+              sb.append(hexChars((dig(b) >> 4) & 0xf))
+              sb.append(hexChars(dig(b) & 0xf))
+              b += 1
+            }
+            val hex = sb.toString
+            if (hex.compareTo(mins(lane)) < 0) mins(lane) = hex
+            lane += 1
+          }
+          d += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[AnyRef](numHashes)
+    var k = 0
+    while (k < numHashes) { out(k) = UTF8String.fromString(mins(k)); k += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+object SimhashKernel {
+
+  private val mdPool = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** Per-bit sign of word-hash votes — see
+    * [[graft.pipeline.Dedup.simhashFromMd5s]] for the bit layout
+    * (bit k = high bit of md5 hex nibble k).
+    */
+  def bits(words: ArrayData, nBits: Int): UTF8String = {
+    val md = mdPool.get()
+    val votes = new Array[Int](nBits)
+    val n = words.numElements()
+    var i = 0
+    while (i < n) {
+      val w = words.getUTF8String(i)
+      if (w == null) {
+        // mirror the expression spec: when(substring(null..)).otherwise(-1)
+        var b = 0
+        while (b < nBits) { votes(b) -= 1; b += 1 }
+      } else {
+        md.reset()
+        val dig = md.digest(w.getBytes)
+        var b = 0
+        while (b < nBits) {
+          val by = dig(b >> 1)
+          val hi = if ((b & 1) == 0) (by >> 7) & 1 else (by >> 3) & 1
+          votes(b) += (if (hi == 1) 1 else -1)
+          b += 1
+        }
+      }
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder(nBits)
+    var b = 0
+    while (b < nBits) { sb.append(if (votes(b) >= 0) '1' else '0'); b += 1 }
+    UTF8String.fromString(sb.toString)
+  }
+}

@@ -37,6 +37,18 @@ package object internal {
 
   def toCols(names: Seq[String]): Seq[Column] = names.map(col)
 
+  /** Wrap a native Catalyst Expression as a Column (and back) — via
+    * the one-file sql-package bridge, since Spark 4 made the
+    * conversion private[sql]. Used by the Dedup hot paths to plug
+    * [[graft.plans.MinhashSignatureExpr]]-style expressions into
+    * ordinary DataFrame code on ANY session (no extension needed).
+    */
+  def exprColumn(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(e)
+
+  def columnExpr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.GraftSqlBridge.expression(c)
+
   /** `df.localCheckpoint(eager)` plus a release handle for the
     * checkpoint's cached blocks. Spark has no public API to unpersist
     * a localCheckpoint (the Dataset's own `unpersist` targets the

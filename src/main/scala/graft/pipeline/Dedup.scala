@@ -171,6 +171,26 @@ object Dedup {
       }
     }
 
+  /** [[minhashSignatureUdf]]'s semantics as a NATIVE Catalyst
+    * expression ([[graft.plans.MinhashSignatureExpr]]): same
+    * bit-identical signature, but it runs inside whole-stage codegen
+    * on Tungsten `UTF8String`s directly — no encoder round-trip to
+    * `Seq[String]`, no codegen-span break at a ScalaUDF node. This is
+    * what the hot path uses; the UDF and the expression form remain
+    * as the measured mirror and the oracle spec (all three pinned
+    * equal in PipelineSpec).
+    */
+  def minhashSignatureNative(shingles: Column, numHashes: Int): Column =
+    graft.internal.exprColumn(
+      graft.plans.MinhashSignatureExpr(graft.internal.columnExpr(shingles), numHashes))
+
+  /** [[simhashUdf]]'s semantics as a NATIVE Catalyst expression —
+    * same rationale as [[minhashSignatureNative]].
+    */
+  def simhashNative(words: Column, bits: Int): Column =
+    graft.internal.exprColumn(
+      graft.plans.SimhashBitsExpr(graft.internal.columnExpr(words), bits))
+
   /** Candidate near-duplicate pairs via banded LSH over MinHash
     * signatures. `numHashes` must be divisible by `bands`; docs
     * agreeing on all rows of any band become a candidate pair.
@@ -242,7 +262,7 @@ object Dedup {
     // janino's method limit and every task pays a failed-compile
     // penalty (measured 14.6s -> 0.3s at sf0.001 with the barrier)
     val sig = shingles
-      .select(col("__id__"), minhashSignatureUdf(numHashes)(col("__sg__")).as("__sig__"))
+      .select(col("__id__"), minhashSignatureNative(col("__sg__"), numHashes).as("__sig__"))
     // persist the tiny (id, band, bandsig) frame: it feeds BOTH sides
     // of the self-join plus the bucket-size window, and Catalyst's
     // project-collapsing would otherwise re-inline (and re-execute)
@@ -349,7 +369,7 @@ object Dedup {
       .select(
         col(idCol).as("__id__"),
         split(trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " ")), " ").as("__aw__"))
-      .select(col("__id__"), simhashUdf(bits)(col("__aw__")).as("__sh__"))
+      .select(col("__id__"), simhashNative(col("__aw__"), bits).as("__sh__"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sim.select(
       col("__id__"),

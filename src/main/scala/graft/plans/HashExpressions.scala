@@ -1,0 +1,68 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+private object HashExpressions {
+  def requireStringArray(name: String, child: Expression): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(s"$name needs array<string>, got $other")
+    }
+}
+
+/** Native Catalyst expressions for the dedup hash kernels — the
+  * custom-Expression rung of the extension ladder (SURVEY §4.3):
+  * Spark's lambda higher-order functions (`aggregate`/`transform`)
+  * are never code-generated and a Scala UDF pays an encoder
+  * round-trip per row, so the hot paths use these instead. Both
+  * participate in whole-stage codegen via `doGenCode` (a static call
+  * into the kernel — no virtual dispatch, no boxing of the array),
+  * keep the codegen span unbroken (a ScalaUDF node would split it),
+  * and evaluate bit-identically to the interpreted expression specs
+  * the DuckDB oracle mirrors (pinned in PipelineSpec).
+  *
+  * Registered as SQL functions (`graft_minhash`, `graft_simhash`) by
+  * [[graft.GraftExtensions]]; Column-level callers go through
+  * [[graft.internal.exprColumn]].
+  */
+case class MinhashSignatureExpr(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  require(numHashes > 0, s"numHashes must be positive, got $numHashes")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExpressions.requireStringArray(prettyName, child)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.functions.MinhashKernel.signature(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinhashKernel.signature($c, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSignatureExpr =
+    copy(child = newChild)
+}
+
+case class SimhashBitsExpr(child: Expression, bits: Int)
+    extends UnaryExpression {
+  require(bits > 0 && bits <= 32, "hex-nibble simhash supports 1..32 bits")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExpressions.requireStringArray(prettyName, child)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.functions.SimhashKernel.bits(input.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimhashKernel.bits($c, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashBitsExpr =
+    copy(child = newChild)
+}

@@ -453,6 +453,56 @@ class PipelineSpec extends SparkSuite {
     assert(both.where(col("u") =!= col("e")).count() == 0)
   }
 
+  test("native Catalyst hash expressions: bit-identical to UDF + expression spec, codegen'd, SQL-registered") {
+    val s = spark; import s.implicits._
+    // equality across all THREE forms (native expression / UDF mirror
+    // / interpreted expression spec), including empty and null arrays
+    val aw = split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ")
+    val sh = array_distinct(Dedup.wordShingles(col("text"), 3))
+    val withNull = docs.unionByName(
+      Seq((99L, Option.empty[String])).toDF("doc_id", "text"))
+    val tri = withNull.select(
+      Dedup.minhashSignatureNative(sh, 8).as("n"),
+      Dedup.minhashSignatureUdf(8)(sh).as("u"),
+      Dedup.minhashSignature(sh, 8).as("e"),
+      Dedup.simhashNative(aw, 32).as("sn"),
+      Dedup.simhashUdf(32)(aw).as("su"),
+      Dedup.simhashFromMd5s(transform(aw, w => md5(w)), 32).as("se"))
+    assert(tri.where(not(col("n") <=> col("u")) || not(col("n") <=> col("e"))).count() == 0)
+    // native == UDF everywhere (both return null for null words — the
+    // null-text hardening contract, so null-text docs drop out of the
+    // banded join); the interpreted spec is compared on non-null rows
+    // only, because when(null >= 0).otherwise('0') folds a null vote
+    // to the all-zeros string instead of null there
+    assert(tri.where(not(col("sn") <=> col("su"))).count() == 0)
+    assert(tri.where(col("sn").isNotNull && not(col("sn") <=> col("se"))).count() == 0)
+    // the native form stays inside whole-stage codegen: the signature
+    // projection shows the expression, not a ScalaUDF boundary (a
+    // parquet scan, not the local fixture — Catalyst folds projections
+    // over LocalRelations into the scan, hiding the plan shape)
+    // (fed a plain split() here: the lambda-HOF shingle EXPRESSION is
+    // CodegenFallback and would break the span by itself — the real
+    // hot path stages shingles through the native shingle UDF, which
+    // does codegen)
+    val plan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(Dedup.minhashSignatureNative(split(col("text"), " "), 8).as("sig"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_minhash"), s"native expression missing from plan:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"hot path still plans a ScalaUDF:\n$plan")
+    assert(plan.contains("*(1) Project [graft_minhash"),
+      s"signature projection fell out of whole-stage codegen (no * marker):\n$plan")
+    // SparkSessionExtensions registration exposes the SQL surface
+    val viaSql = spark.sql(
+      "SELECT graft_minhash(array('a b c', 'b c d'), 8) AS sig, graft_simhash(array('a','b'), 16) AS sh")
+      .head()
+    val direct = Seq(Tuple1(Seq("a b c", "b c d"))).toDF("sg")
+      .select(Dedup.minhashSignatureNative(col("sg"), 8).as("sig"),
+        Dedup.simhashNative(array(lit("a"), lit("b")), 16).as("sh"))
+      .head()
+    assert(viaSql.getSeq[String](0) == direct.getSeq[String](0))
+    assert(viaSql.getString(1) == direct.getString(1))
+  }
+
   test("hammingDistance counts differing bit positions") {
     val s = spark; import s.implicits._
     val df = Seq(("1010", "1001")).toDF("a", "b")

@@ -155,6 +155,7 @@ object SparkSuite {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       // bucketed-table specs write through saveAsTable; keep the
       // warehouse out of the repo working tree
