@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.plans.{MinhashSignatureExpr, SimhashBitsExpr}
+import graft.plans.{DotProductExpr, MinhashSignatureExpr, SimhashBitsExpr}
 
 /** SparkSessionExtensions entry point: exposes the native hash
   * expressions to the SQL surface as `graft_minhash(arr, n)` and
@@ -29,6 +29,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_minhash(shingles, numHashes) takes 2 arguments")
         MinhashSignatureExpr(args.head, intLit(args(1), "numHashes"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_dot(a, b) takes 2 arguments")
+        DotProductExpr(args.head, args(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_simhash"),

@@ -73,6 +73,25 @@ object MinhashKernel {
   }
 }
 
+/** Kernel behind [[graft.plans.DotProductExpr]]: left-to-right
+  * double accumulation over the element pairs — the SAME summation
+  * order as the `aggregate(zip_with(a, b, _*_), 0.0, _+_)` expression
+  * spec, so results are bit-identical on valid inputs. Contract:
+  * equal-length arrays with non-null elements (embedding columns);
+  * a length mismatch folds over the shorter prefix rather than
+  * nulling out like the HOF form (unreachable for same-dimension
+  * vector columns, documented for completeness).
+  */
+object VectorKernel {
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+}
+
 object SimhashKernel {
 
   private val mdPool = ThreadLocal.withInitial[java.security.MessageDigest](

@@ -18,8 +18,22 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two float-array columns (double accumulation). */
+  /** Dot product of two double-array columns — the native Catalyst
+    * expression ([[graft.plans.DotProductExpr]]): a codegen'd
+    * primitive loop with the same left-to-right accumulation order as
+    * [[dotExpr]], so results are bit-identical while skipping the
+    * interpreted per-element lambda cost every vector operator was
+    * paying (Spark never codegens HOFs).
+    */
   def dot(a: Column, b: Column): Column =
+    graft.internal.exprColumn(graft.plans.DotProductExpr(
+      graft.internal.columnExpr(a), graft.internal.columnExpr(b)))
+
+  /** The interpreted HOF form of [[dot]] — kept as the spec the
+    * DuckDB oracle mirrors (`list_dot_product` / explicit fold),
+    * pinned bit-identical to the native form in PipelineSpec.
+    */
+  def dotExpr(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))

@@ -48,6 +48,36 @@ case class MinhashSignatureExpr(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Codegen'd dot product of two `array<double>` columns — the vector
+  * hot path shared by every ANN/k-means/semantic-dedup operator.
+  * The `aggregate(zip_with(...))` form it replaces is an interpreted
+  * lambda fold (Spark never codegens HOFs) costing ~microseconds per
+  * element; this is a tight primitive loop with the same left-to-right
+  * accumulation order, so results are bit-identical and the
+  * interpreted form remains the oracle spec (pinned in PipelineSpec).
+  */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(s"graft_dot needs two array<double>, got $other")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    graft.functions.VectorKernel.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernel.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 case class SimhashBitsExpr(child: Expression, bits: Int)
     extends UnaryExpression {
   require(bits > 0 && bits <= 32, "hex-nibble simhash supports 1..32 bits")

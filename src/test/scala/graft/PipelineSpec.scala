@@ -501,6 +501,16 @@ class PipelineSpec extends SparkSuite {
       .head()
     assert(viaSql.getSeq[String](0) == direct.getSeq[String](0))
     assert(viaSql.getString(1) == direct.getString(1))
+    // native dot product: bit-identical to the interpreted HOF fold
+    // (same left-to-right accumulation), null-propagating
+    val vecs = (0 until 50).map(i => (i.toLong, Option(Array.tabulate(16)(d => math.sin(i * 13 + d * 7) * 3))))
+      .toDF("id", "v")
+      .unionByName(Seq((99L, Option.empty[Array[Double]])).toDF("id", "v"))
+    val a = vecs.select(col("v").as("a"))
+    val pair = a.crossJoin(vecs.select(col("v").as("b")).limit(5))
+      .select(Similarity.dot(col("a"), col("b")).as("nd"),
+        Similarity.dotExpr(col("a"), col("b")).as("ed"))
+    assert(pair.where(not(col("nd") <=> col("ed"))).count() == 0)
   }
 
   test("hammingDistance counts differing bit positions") {
