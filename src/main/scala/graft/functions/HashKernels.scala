@@ -71,6 +71,34 @@ object MinhashKernel {
     while (k < numHashes) { out(k) = UTF8String.fromString(mins(k)); k += 1 }
     new GenericArrayData(out)
   }
+
+  /** Banded LSH signatures in ONE kernel call: band `b` is the
+    * `"|"`-join of signature lanes `[b*r, (b+1)*r)` (`r = numHashes /
+    * nBands`) — exactly the band construction of
+    * `Dedup.minhashCandidates`. A single-call form matters wherever a
+    * persist barrier is unavailable (streaming plans): a banding
+    * expression that references a signature COLUMN once per lane gets
+    * projection-collapsed into `numHashes` signature evaluations per
+    * row, re-hashing every shingle each time.
+    */
+  def bands(shingles: ArrayData, numHashes: Int, nBands: Int): ArrayData = {
+    val rows = numHashes / nBands
+    val sig = signature(shingles, numHashes)
+    val out = new Array[AnyRef](nBands)
+    var b = 0
+    while (b < nBands) {
+      val sb = new java.lang.StringBuilder(rows * 9)
+      var r = 0
+      while (r < rows) {
+        if (r > 0) sb.append('|')
+        sb.append(sig.getUTF8String(b * rows + r).toString)
+        r += 1
+      }
+      out(b) = UTF8String.fromString(sb.toString)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Kernel behind [[graft.plans.DotProductExpr]]: left-to-right

@@ -191,6 +191,16 @@ object Dedup {
     graft.internal.exprColumn(
       graft.plans.SimhashBitsExpr(graft.internal.columnExpr(words), bits))
 
+  /** Banded LSH signatures (the band strings of
+    * [[minhashCandidates]]) in ONE native evaluation — for plans that
+    * cannot stage the signature behind a persist barrier (streaming),
+    * where a banding expression over a signature column would be
+    * projection-collapsed into per-lane signature re-evaluations.
+    */
+  def minhashBandsNative(shingles: Column, numHashes: Int, bands: Int): Column =
+    graft.internal.exprColumn(
+      graft.plans.MinhashBandsExpr(graft.internal.columnExpr(shingles), numHashes, bands))
+
   /** Candidate near-duplicate pairs via banded LSH over MinHash
     * signatures. `numHashes` must be divisible by `bands`; docs
     * agreeing on all rows of any band become a candidate pair.

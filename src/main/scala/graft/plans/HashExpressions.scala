@@ -48,6 +48,30 @@ case class MinhashSignatureExpr(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Banded MinHash signatures in one evaluation — see
+  * [[graft.functions.MinhashKernel.bands]] for why single-call
+  * banding matters in plans without a persist barrier (streams).
+  */
+case class MinhashBandsExpr(child: Expression, numHashes: Int, bands: Int)
+    extends UnaryExpression {
+  require(numHashes > 0 && bands > 0 && numHashes % bands == 0,
+    s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExpressions.requireStringArray(prettyName, child)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_minhash_bands"
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.functions.MinhashKernel.bands(input.asInstanceOf[ArrayData], numHashes, bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinhashKernel.bands($c, $numHashes, $bands)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashBandsExpr =
+    copy(child = newChild)
+}
+
 /** Codegen'd dot product of two `array<double>` columns — the vector
   * hot path shared by every ANN/k-means/semantic-dedup operator.
   * The `aggregate(zip_with(...))` form it replaces is an interpreted

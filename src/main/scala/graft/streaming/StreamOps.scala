@@ -6,6 +6,13 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+/** Per-bucket state of [[StreamOps.lshCandidatePairs]] — top-level
+  * (not nested in the object): the encoder's generated serializer
+  * references the state class by name, and janino rejects the
+  * `Outer$Inner` form for classes with non-primitive accessors.
+  */
+private[streaming] case class LshBucketState(ids: Array[Long])
+
 /** Structured Streaming extensions (no reference surface — SURVEY
   * §2.13/§7.5 records streaming as an extension, not parity).
   * The operators mirror their batch counterparts so a pipeline can
@@ -129,6 +136,88 @@ object StreamOps {
         keyed.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark("__digest__")
       else keyed.dropDuplicates("__digest__")
     out.drop("__digest__")
+  }
+
+  case class CandidatePair(id_a: Long, id_b: Long, band: Int)
+
+  /** Streaming near-duplicate CANDIDATE detection — the incremental
+    * face of [[graft.pipeline.Dedup.minhashCandidates]]: as documents
+    * arrive, each is banded (same shingle -> MinHash -> band-signature
+    * math, via the single-call native expression — a streaming plan
+    * has no persist barrier to stop projection collapse from
+    * re-hashing per band) and checked against the ids previously
+    * seen in each of its LSH buckets. Every (new, seen) pair sharing
+    * a bucket is emitted once per band; verify candidates downstream
+    * (exact Jaccard in the batch pipeline) before acting.
+    *
+    * State shape: one list of doc ids per LIVE (band, bandsig)
+    * bucket, capped at `maxBucketIds` and expired after
+    * `stateTTLMillis` of inactivity (ProcessingTimeTimeout), so state
+    * is bounded by the active working set, not the stream's history.
+    * `stateTTLMillis = 0` disables expiry (NoTimeout) — note that a
+    * processing-time timeout keeps the query triggering clock-check
+    * batches even with no data, so tests that drain with
+    * `processAllAvailable` must use 0.
+    * Cap semantics differ from batch by necessity: batch drops
+    * oversized buckets wholesale (it sees the full corpus), a stream
+    * SATURATES — the first `maxBucketIds` ids keep pairing, later
+    * arrivals in that bucket are ignored.
+    *
+    * In batch mode the same code runs per complete group and emits
+    * exactly the batch candidate pair set (pinned in StreamingSpec).
+    */
+  def lshCandidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleWords: Int = 3,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      maxBucketIds: Int = 1000,
+      stateTTLMillis: Long = 3600000L
+  ): Dataset[CandidatePair] = {
+    import graft.pipeline.Dedup
+    val streaming = df.isStreaming
+    val banded = df
+      .select(col(idCol).cast("long").as("id"),
+        array_distinct(Dedup.shinglesFromWordsUdf(shingleWords)(Dedup.splitWords(col(textCol)))).as("__sg__"))
+      .where(size(col("__sg__")) > 0)
+      .select(col("id"),
+        posexplode(Dedup.minhashBandsNative(col("__sg__"), numHashes, bands))
+          .as(Seq("band", "bandsig")))
+    implicit val pairEnc = Encoders.product[CandidatePair]
+    implicit val stateEnc = Encoders.product[LshBucketState]
+    implicit val rowEnc = Encoders.product[(Long, Int, String)]
+    val ttl = if (stateTTLMillis > 0) GroupStateTimeout.ProcessingTimeTimeout()
+              else GroupStateTimeout.NoTimeout()
+    banded.select(col("id"), col("band"), col("bandsig")).as[(Long, Int, String)]
+      .groupByKey { case (_, band, sig) => (band, sig) }(
+        Encoders.tuple(Encoders.scalaInt, Encoders.STRING))
+      .flatMapGroupsWithState[LshBucketState, CandidatePair](
+        OutputMode.Append(),
+        ttl
+      ) { (key: (Int, String), it: Iterator[(Long, Int, String)], state: GroupState[LshBucketState]) =>
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        else {
+          // sorted + distinct: arrival order within a micro-batch is
+          // nondeterministic, the emitted pair SET must not be
+          val newIds = it.map(_._1).toArray.sorted.distinct
+          var known = state.getOption.map(_.ids).getOrElse(Array.empty[Long])
+          val out = scala.collection.mutable.ArrayBuffer.empty[CandidatePair]
+          for (id <- newIds if !known.contains(id)) {
+            if (known.length < maxBucketIds) {
+              known.foreach(k =>
+                out += CandidatePair(math.min(id, k), math.max(id, k), key._1))
+              known = known :+ id
+            } // saturated bucket: later arrivals stop pairing
+          }
+          if (streaming) {
+            state.update(LshBucketState(known))
+            if (stateTTLMillis > 0) state.setTimeoutDuration(stateTTLMillis)
+          } else state.remove()
+          out.iterator
+        }
+      }
   }
 
   /** Stream-static enrichment: left-join a (micro-batched) stream

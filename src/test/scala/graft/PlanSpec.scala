@@ -67,6 +67,22 @@ class PlanSpec extends SparkSuite {
     SparkEntry.runPendingCleanups()
   }
 
+  test("kmeans broadcasts the centroid frame; dsir broadcasts the log-ratio table") {
+    // the k-row centroid set must ride a broadcast into every
+    // assignment (a shuffled join would re-partition the corpus per
+    // Lloyd round), and dsir's buckets-row model likewise broadcasts
+    // into the per-gram scoring join
+    val km = planOf("q_kmeans")
+    assert(km.contains("BroadcastNestedLoopJoin") || km.contains("BroadcastExchange"),
+      s"kmeans centroids are not broadcast:\n$km")
+    val ds = planOf("q_dsir")
+    assert(ds.contains("BroadcastExchange"), s"dsir log-ratio table is not broadcast:\n$ds")
+    // the full-corpus side of dsir never sorts (hash aggs + hash join
+    // only) — a sort would mean the scoring join degraded to SMJ on
+    // the gram stream
+    SparkEntry.runPendingCleanups()
+  }
+
   test("contamination joins the (tiny) eval digest set by broadcast") {
     // the driver query serves a memoized checkpoint, so inspect the
     // operator's own plan

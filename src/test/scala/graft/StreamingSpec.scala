@@ -108,6 +108,57 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("lshCandidatePairs batch mode emits exactly the batch pipeline's candidate set") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "The  quick Brown fox jumps over the lazy dog!"),
+      (4L, "completely different content about spark engines and shuffles")
+    ).toDF("doc_id", "text")
+    val streamed = StreamOps.lshCandidatePairs(docs, "doc_id", "text")
+      .collect().map(p => (p.id_a, p.id_b)).toSet
+    val batch = graft.pipeline.Dedup.minhashCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    SparkEntry.runPendingCleanups()
+  }
+
+  test("lshCandidatePairs pairs a late duplicate against state from an earlier micro-batch") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    // stateTTLMillis = 0: a processing-time timeout keeps triggering
+    // clock-check batches forever, which processAllAvailable never
+    // drains — TTL off for the test, state still persists across
+    // micro-batches
+    val q = StreamOps.lshCandidatePairs(stream, "doc_id", "text", stateTTLMillis = 0L)
+      .writeStream.format("memory").queryName("lsh_stream").outputMode("append").start()
+    try {
+      input.addData((1L, "the quick brown fox jumps over the lazy dog"),
+        (4L, "completely different content about spark engines and shuffles"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM lsh_stream").count() == 0) // nothing similar yet
+      // the duplicate arrives a micro-batch later -> pairs against state
+      input.addData((2L, "the quick brown fox jumps over the lazy dog"))
+      q.processAllAvailable()
+      val pairs = spark.sql("SELECT id_a, id_b FROM lsh_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 2L)))
+    } finally q.stop()
+  }
+
+  test("lshCandidatePairs saturates (not drops) an over-cap bucket") {
+    val s = spark; import s.implicits._
+    val many = (1L to 5L).map(i => (i, "identical text repeated for the bucket cap test"))
+      .toDF("doc_id", "text")
+    // cap 2: ids 1 and 2 enter each bucket and pair; 3..5 are ignored
+    val pairs = StreamOps.lshCandidatePairs(many, "doc_id", "text", maxBucketIds = 2)
+      .collect().map(p => (p.id_a, p.id_b)).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("enrichWithDimension broadcast-joins a stream against a static table") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
