@@ -23,6 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // auto-upgrade user-written HOF dot-product folds to the native
+    // kernel (strictly semantics-preserving — see RewriteDotProduct)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteDotProduct)
     ext.injectFunction((
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinhashSignatureExpr].getName, "graft_minhash"),

@@ -104,19 +104,25 @@ object MinhashKernel {
 /** Kernel behind [[graft.plans.DotProductExpr]]: left-to-right
   * double accumulation over the element pairs — the SAME summation
   * order as the `aggregate(zip_with(a, b, _*_), 0.0, _+_)` expression
-  * spec, so results are bit-identical on valid inputs. Contract:
-  * equal-length arrays with non-null elements (embedding columns);
-  * a length mismatch folds over the shorter prefix rather than
-  * nulling out like the HOF form (unreachable for same-dimension
-  * vector columns, documented for completeness).
+  * spec, so results are bit-identical, INCLUDING the HOF edge cases:
+  * zip_with pads a length mismatch with nulls and `null * x` /
+  * `acc + null` null out the whole fold, so `dotOrNull` returns null
+  * (boxed) exactly when the HOF form would — which is what lets
+  * [[graft.plans.RewriteDotProduct]] substitute it for user-written
+  * folds as a true semantics-preserving optimization.
   */
 object VectorKernel {
-  def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  def dotOrNull(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
-    acc
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
   }
 }
 

@@ -77,7 +77,10 @@ case class MinhashBandsExpr(child: Expression, numHashes: Int, bands: Int)
   * The `aggregate(zip_with(...))` form it replaces is an interpreted
   * lambda fold (Spark never codegens HOFs) costing ~microseconds per
   * element; this is a tight primitive loop with the same left-to-right
-  * accumulation order, so results are bit-identical and the
+  * accumulation order AND the same null semantics (null on length
+  * mismatch or null element, like zip_with's null padding), so
+  * results are identical in every case — which is what makes the
+  * [[RewriteDotProduct]] substitution a sound optimization. The
   * interpreted form remains the oracle spec (pinned in PipelineSpec).
   */
 case class DotProductExpr(left: Expression, right: Expression)
@@ -89,13 +92,20 @@ case class DotProductExpr(left: Expression, right: Expression)
       case other => TypeCheckResult.TypeCheckFailure(s"graft_dot needs two array<double>, got $other")
     }
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    graft.functions.VectorKernel.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    graft.functions.VectorKernel.dotOrNull(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernel.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("dotBoxed")
+      s"""
+         |java.lang.Double $boxed = graft.functions.VectorKernel.dotOrNull($a, $b);
+         |if ($boxed == null) { ${ev.isNull} = true; } else { ${ev.value} = $boxed.doubleValue(); }
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProductExpr =

@@ -513,6 +513,40 @@ class PipelineSpec extends SparkSuite {
     assert(pair.where(not(col("nd") <=> col("ed"))).count() == 0)
   }
 
+  test("RewriteDotProduct upgrades user-written HOF dot folds, preserving every edge case") {
+    val s = spark; import s.implicits._
+    // rows exercising the full contract: normal, length mismatch
+    // (HOF nulls out), null element (HOF nulls out), null array
+    val rows = Seq(
+      (1L, Option(Seq[java.lang.Double](1.0, 2.0, 3.0)), Option(Seq[java.lang.Double](4.0, 5.0, 6.0))),
+      (2L, Option(Seq[java.lang.Double](1.0, 2.0)), Option(Seq[java.lang.Double](4.0, 5.0, 6.0))),
+      (3L, Option(Seq[java.lang.Double](1.0, null, 3.0)), Option(Seq[java.lang.Double](4.0, 5.0, 6.0))),
+      (4L, Option.empty[Seq[java.lang.Double]], Option(Seq[java.lang.Double](4.0)))
+    ).toDF("id", "a", "b")
+    // plan assertion over a parquet scan (ConvertToLocalRelation
+    // eagerly evaluates projections over local data, hiding the plan)
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .selectExpr("CAST(embedding AS array<double>) AS v")
+      .createOrReplaceTempView("dot_vecs")
+    val planned = spark.sql(
+      "SELECT aggregate(zip_with(v, v, (x, y) -> x * y), 0d, (acc, v2) -> acc + v2) AS d FROM dot_vecs")
+    assert(planned.queryExecution.optimizedPlan.toString.contains("graft_dot"),
+      s"HOF fold not rewritten:\n${planned.queryExecution.optimizedPlan}")
+    spark.catalog.dropTempView("dot_vecs")
+    rows.createOrReplaceTempView("dot_rows")
+    val sql = "SELECT id, aggregate(zip_with(a, b, (x, y) -> x * y), 0d, (acc, v) -> acc + v) AS d FROM dot_rows"
+    val df = spark.sql(sql)
+    val got = df.collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got == Map(1L -> Some(32.0), 2L -> None, 3L -> None, 4L -> None), s"got $got")
+    // and the native/API forms agree with the interpreted spec on the
+    // same edge cases (dotExpr is itself rewritten here, so compare
+    // against hand-computed expectations, not each other)
+    val api = rows.select(col("id"), graft.pipeline.Similarity.dot(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(api == got)
+    spark.catalog.dropTempView("dot_rows")
+  }
+
   test("hammingDistance counts differing bit positions") {
     val s = spark; import s.implicits._
     val df = Seq(("1010", "1001")).toDF("a", "b")
