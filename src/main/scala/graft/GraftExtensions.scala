@@ -7,9 +7,11 @@ import org.apache.spark.sql.types.IntegerType
 
 import graft.plans.{DotProductExpr, MinhashSignatureExpr, SimhashBitsExpr}
 
-/** SparkSessionExtensions entry point: exposes the native hash
-  * expressions to the SQL surface as `graft_minhash(arr, n)` and
-  * `graft_simhash(words, bits)`. Enable with
+/** SparkSessionExtensions entry point: exposes the native
+  * expressions to the SQL surface as `graft_minhash(arr, n)`,
+  * `graft_simhash(words, bits)`, and `graft_dot(a, b)`, and injects
+  * the [[graft.plans.RewriteDotProduct]] optimizer rule (HOF
+  * dot-product folds auto-upgrade to the native kernel). Enable with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (or
   * `builder.withExtensions(new GraftExtensions)`); Column-level use
   * of the expressions needs no registration.

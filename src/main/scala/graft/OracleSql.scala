@@ -256,7 +256,9 @@ SELECT vec_id, cent_id FROM afin"""
   /** DSIR importance weights mirroring Sampling.dsirLogWeights:
     * unigram+bigram grams of the (empty-token-filtered) word list,
     * md5-uint32 bucket hash, add-one-smoothed per-side bucket models
-    * over a full bucket spine, per-doc log-ratio sum. Target = the
+    * over a full bucket spine, per-doc score = sum over buckets of
+    * (count x logratio) — the SAME grouped formulation the engine
+    * uses, so the doubles agree pre-rounding. Target = the
     * `doc_id % 37 = 0` eval slice the contamination queries use.
     */
   private def dsirSql(buckets: Int): String = {
@@ -274,7 +276,8 @@ spine AS (SELECT CAST(unnest(range(0, $buckets)) AS INT) AS b),
 lr AS (SELECT spine.b,
   ln((COALESCE(tb.c, 0) + 1.0) / (tt.t + $buckets)) - ln((COALESCE(rb.c, 0) + 1.0) / (rt.t + $buckets)) AS lr
 FROM spine LEFT JOIN tb ON spine.b = tb.b LEFT JOIN rb ON spine.b = rb.b CROSS JOIN tt CROSS JOIN rt),
-sc AS (SELECT rg.doc_id, sum(lr.lr) AS logw FROM rg JOIN lr ON ${bucket("rg.g")} = lr.b GROUP BY 1)
+rdb AS (SELECT doc_id, ${bucket("g")} AS b, count(*) AS c FROM rg GROUP BY 1, 2),
+sc AS (SELECT rdb.doc_id, sum(rdb.c * lr.lr) AS logw FROM rdb JOIN lr ON rdb.b = lr.b GROUP BY 1)
 SELECT d.doc_id, round(COALESCE(sc.logw, 0.0), 6) AS logw
 FROM (SELECT doc_id FROM documents WHERE doc_id % 37 <> 0) d LEFT JOIN sc ON d.doc_id = sc.doc_id"""
   }

@@ -584,10 +584,11 @@ object SparkEntry {
       // importance weights toward the %37 eval-slice distribution —
       // the same target the contamination queries key on
       val d = t(s, dir, "documents")
-      Sampling.dsirLogWeights(
-          d.where(col("doc_id") % 37 =!= 0), d.where(col("doc_id") % 37 === 0),
-          "doc_id", "text", buckets = 256)
-        .select(col("doc_id"), round(col("logw"), 6).as("logw"))
+      val (out, cleanup) = Sampling.dsirLogWeightsWithCleanup(
+        d.where(col("doc_id") % 37 =!= 0), d.where(col("doc_id") % 37 === 0),
+        "doc_id", "text", buckets = 256)
+      deferCleanup(cleanup)
+      out.select(col("doc_id"), round(col("logw"), 6).as("logw"))
     }),
     // ---- pipeline: sampling --------------------------------------
     "q_sample_det" -> ((s, dir) => {

@@ -228,7 +228,27 @@ object Sampling {
       idCol: String,
       textCol: String,
       buckets: Int = 256
-  ): DataFrame = {
+  ): DataFrame =
+    dsirLogWeightsWithCleanup(raw, target, idCol, textCol, buckets)._1
+
+  /** [[dsirLogWeights]] plus a cleanup thunk for the internal
+    * per-(doc, bucket) count cache. The raw corpus feeds BOTH the
+    * bucket model and the scoring pass; without a persist barrier
+    * each consumer would re-run the tokenize + shingle + md5 pass
+    * over the whole corpus (the dominant cost — a self-referencing
+    * plan is recomputed per subtree, ReuseExchange does not apply).
+    * The cached frame is already aggregated to at most
+    * min(`buckets`, distinct grams) rows per document — bounded,
+    * unlike the raw gram stream. Release after the result is
+    * materialized.
+    */
+  def dsirLogWeightsWithCleanup(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 256
+  ): (DataFrame, () => Unit) = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     // unigrams ++ bigrams from ONE materialized word array per doc
     // (same staging rationale as Dedup.shingleFrame: an inline split
@@ -240,13 +260,20 @@ object Sampling {
         concat(col("__ws__"), Dedup.shinglesFromWordsUdf(2)(col("__ws__"))).as("__gs__"))
     def bucketOf(g: Column): Column =
       (conv(substring(md5(g), 1, 8), 16, 10).cast("long") % buckets).cast("int")
-    def bucketCounts(df: DataFrame): DataFrame = withGrams(df)
+    // ONE tokenize pass over the raw corpus: per-(doc, bucket) gram
+    // counts, shared by the model aggregation and the scoring join
+    val rawDocBuckets = withGrams(raw)
+      .select(col("__id__"), explode(col("__gs__")).as("__g__"))
+      .select(col("__id__"), bucketOf(col("__g__")).as("__b__"))
+      .groupBy(col("__id__"), col("__b__"))
+      .agg(count(lit(1)).as("__c__"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tCnt = withGrams(target)
       .select(explode(col("__gs__")).as("__g__"))
       .select(bucketOf(col("__g__")).as("__b__"))
       .groupBy(col("__b__"))
       .agg(count(lit(1)).as("__c__"))
-    val tCnt = bucketCounts(target)
-    val rCnt = bucketCounts(raw)
+    val rCnt = rawDocBuckets.groupBy(col("__b__")).agg(sum(col("__c__")).as("__c__"))
     // totals as broadcast scalar aggs (the tfIdf corpus-size pattern)
     val tTot = broadcast(tCnt.agg(coalesce(sum(col("__c__")), lit(0L)).cast("double").as("__tt__")))
     val rTot = broadcast(rCnt.agg(coalesce(sum(col("__c__")), lit(0L)).cast("double").as("__rt__")))
@@ -260,15 +287,17 @@ object Sampling {
         .select(col("__b__"),
           (log((coalesce(col("__ct__"), lit(0L)) + lit(1.0)) / (col("__tt__") + lit(buckets.toDouble))) -
             log((coalesce(col("__cr__"), lit(0L)) + lit(1.0)) / (col("__rt__") + lit(buckets.toDouble)))).as("__lr__")))
-    val scores = withGrams(raw)
-      .select(col("__id__"), explode(col("__gs__")).as("__g__"))
-      .select(col("__id__"), bucketOf(col("__g__")).as("__b__"))
+    // per-doc score = sum over buckets of count * logratio (grouping
+    // the per-gram sum by bucket first — same value, and the scoring
+    // join probes `buckets`-bounded rows per doc instead of every gram)
+    val scores = rawDocBuckets
       .join(logRatio, Seq("__b__"))
       .groupBy(col("__id__"))
-      .agg(sum(col("__lr__")).as("logw"))
-    raw.select(col(idCol))
+      .agg(sum(col("__c__") * col("__lr__")).as("logw"))
+    val out = raw.select(col(idCol))
       .join(scores.withColumnRenamed("__id__", idCol), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("logw"), lit(0.0)).as("logw"))
+    (out, () => { rawDocBuckets.unpersist(); () })
   }
 
   /** Keep at most `n` rows per group, chosen deterministically by

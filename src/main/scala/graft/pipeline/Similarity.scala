@@ -18,16 +18,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two double-array columns — the native Catalyst
+  /** Dot product of two numeric-array columns — the native Catalyst
     * expression ([[graft.plans.DotProductExpr]]): a codegen'd
     * primitive loop with the same left-to-right accumulation order as
     * [[dotExpr]], so results are bit-identical while skipping the
     * interpreted per-element lambda cost every vector operator was
-    * paying (Spark never codegens HOFs).
+    * paying (Spark never codegens HOFs). Inputs are cast to
+    * `array<double>` up front (the expression takes doubles only;
+    * the cast is a no-op when the column is already double), keeping
+    * the documented float-array acceptance of the HOF form.
     */
   def dot(a: Column, b: Column): Column =
     graft.internal.exprColumn(graft.plans.DotProductExpr(
-      graft.internal.columnExpr(a), graft.internal.columnExpr(b)))
+      graft.internal.columnExpr(a.cast("array<double>")),
+      graft.internal.columnExpr(b.cast("array<double>"))))
 
   /** The interpreted HOF form of [[dot]] — kept as the spec the
     * DuckDB oracle mirrors (`list_dot_product` / explicit fold),

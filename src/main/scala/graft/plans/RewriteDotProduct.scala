@@ -57,8 +57,13 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-    case agg @ ArrayAggregate(zw: ZipWith, Literal(0.0, DoubleType), merge: LambdaFunction, finish: LambdaFunction)
-        if isDoubleArray(zw.left) && isDoubleArray(zw.right) &&
+    case agg @ ArrayAggregate(zw: ZipWith, zero @ Literal(_, DoubleType), merge: LambdaFunction, finish: LambdaFunction)
+        // bit-pattern check, not value equality: a -0.0 zero would
+        // match `== 0.0` but the HOF form returns -0.0 for empty
+        // arrays while the kernel starts from +0.0
+        if zero.value != null &&
+          java.lang.Double.doubleToRawLongBits(zero.value.asInstanceOf[Double]) == 0L &&
+          isDoubleArray(zw.left) && isDoubleArray(zw.right) &&
           (zw.function match {
             case lf: LambdaFunction =>
               isBinOpOfParams(lf) { case m: Multiply => Some((m.left, m.right)); case _ => None }

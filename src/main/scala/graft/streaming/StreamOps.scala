@@ -177,6 +177,15 @@ object StreamOps {
       stateTTLMillis: Long = 3600000L
   ): Dataset[CandidatePair] = {
     import graft.pipeline.Dedup
+    // integral ids only: a silent cast("long") would turn string ids
+    // into nulls that NPE inside the typed pipeline mid-stream
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"lshCandidatePairs needs an integral id column, got $idCol: $other " +
+          "(hash or dense-rank non-numeric ids first)")
+    }
     val streaming = df.isStreaming
     val banded = df
       .select(col(idCol).cast("long").as("id"),

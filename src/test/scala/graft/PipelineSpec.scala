@@ -501,16 +501,25 @@ class PipelineSpec extends SparkSuite {
       .head()
     assert(viaSql.getSeq[String](0) == direct.getSeq[String](0))
     assert(viaSql.getString(1) == direct.getString(1))
-    // native dot product: bit-identical to the interpreted HOF fold
-    // (same left-to-right accumulation), null-propagating
-    val vecs = (0 until 50).map(i => (i.toLong, Option(Array.tabulate(16)(d => math.sin(i * 13 + d * 7) * 3))))
+    // native dot product: bit-identical to an INDEPENDENT local
+    // left-to-right fold (comparing against dotExpr would be vacuous
+    // here — RewriteDotProduct rewrites the HOF form to the same
+    // native expression in this extension-enabled session)
+    val arrs = (0 until 50).map(i => Array.tabulate(16)(d => math.sin(i * 13 + d * 7) * 3))
+    val vecs = arrs.zipWithIndex.map { case (v, i) => (i.toLong, Option(v)) }
       .toDF("id", "v")
       .unionByName(Seq((99L, Option.empty[Array[Double]])).toDF("id", "v"))
-    val a = vecs.select(col("v").as("a"))
-    val pair = a.crossJoin(vecs.select(col("v").as("b")).limit(5))
-      .select(Similarity.dot(col("a"), col("b")).as("nd"),
-        Similarity.dotExpr(col("a"), col("b")).as("ed"))
-    assert(pair.where(not(col("nd") <=> col("ed"))).count() == 0)
+    val got = vecs.crossJoin(vecs.where(col("id") < 5).select(col("id").as("jd"), col("v").as("w")))
+      .select(col("id"), col("jd"), Similarity.dot(col("v"), col("w")).as("nd"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    for (i <- 0 until 50; j <- 0 until 5) {
+      var acc = 0.0
+      for (d <- 0 until 16) acc += arrs(i)(d) * arrs(j)(d)
+      assert(got((i.toLong, j.toLong)) == Some(acc), s"dot($i,$j) mismatch")
+    }
+    (0 until 5).foreach(j => assert(got((99L, j.toLong)) == None))
   }
 
   test("RewriteDotProduct upgrades user-written HOF dot folds, preserving every edge case") {

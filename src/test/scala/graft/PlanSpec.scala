@@ -77,9 +77,12 @@ class PlanSpec extends SparkSuite {
       s"kmeans centroids are not broadcast:\n$km")
     val ds = planOf("q_dsir")
     assert(ds.contains("BroadcastExchange"), s"dsir log-ratio table is not broadcast:\n$ds")
-    // the full-corpus side of dsir never sorts (hash aggs + hash join
-    // only) — a sort would mean the scoring join degraded to SMJ on
-    // the gram stream
+    // the gram stream itself never sorts (hash aggs + broadcast hash
+    // join); the ONLY sorts are the final zero-gram-restoring left
+    // join's SMJ pair over one-row-per-doc frames (AQE may broadcast
+    // it at runtime). Pinned exactly: a third Sort means the scoring
+    // join degraded to sort-merge over per-gram rows.
+    assert("Sort \\[".r.findAllIn(ds).size == 2, s"dsir sort shape changed:\n$ds")
     SparkEntry.runPendingCleanups()
   }
 
