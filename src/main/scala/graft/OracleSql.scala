@@ -235,23 +235,58 @@ SELECT query_id, neighbor_id, score, "rank" FROM r WHERE "rank" <= 5"""
     * dimension order — the iterations are UNROLLED as one CTE pair
     * per round, so the oracle replays the exact training trajectory.
     */
-  private def kmeansSql(k: Int, iters: Int, dims: Int): String = {
-    def assign(out: String, cents: String): String =
-      s"""$out AS (SELECT vec_id, emb, cent_id FROM (
+  /** Rank-1 nearest-centroid assignment CTE — the oracle mirror of
+    * Similarity.ivfAssign(keep = 1), shared by the kmeans and
+    * semdedup oracles.
+    */
+  private def kmeansAssignCte(out: String, cents: String): String =
+    s"""$out AS (SELECT vec_id, emb, cent_id FROM (
 SELECT c.vec_id, c.emb, cent_id,
 row_number() OVER (PARTITION BY c.vec_id ORDER BY round(list_cosine_similarity(c.emb, cemb), 4) DESC, cent_id) AS cr
 FROM c CROSS JOIN $cents) t WHERE cr = 1)"""
+
+  /** Lloyd-training CTE chain mirroring Similarity.kmeansCentroids:
+    * md5-ordered init draw, then per iteration a rank-1 assignment
+    * and per-dimension means rounded to 6 decimals reassembled in
+    * dimension order. Assumes a CTE `c(vec_id, emb)` is in scope;
+    * ends by defining `cents$iters`.
+    */
+  private def kmeansTrainCtes(k: Int, iters: Int, dims: Int): String = {
     val rounds = (0 until iters).map { i =>
-      s"""${assign(s"a$i", s"cents$i")},
+      s"""${kmeansAssignCte(s"a$i", s"cents$i")},
 m$i AS (SELECT cent_id, d, round(avg(emb[d]), 6) AS m FROM a$i CROSS JOIN (SELECT unnest(range(1, ${dims + 1})) AS d) dims GROUP BY cent_id, d),
 cents${i + 1} AS (SELECT cent_id, list(m ORDER BY d) AS cemb FROM m$i GROUP BY cent_id)"""
     }.mkString(",\n")
-    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-cents0 AS (SELECT vec_id AS cent_id, emb AS cemb FROM c ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k),
-$rounds,
-${assign("afin", s"cents$iters")}
-SELECT vec_id, cent_id FROM afin"""
+    s"""cents0 AS (SELECT vec_id AS cent_id, emb AS cemb FROM c ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k),
+$rounds"""
   }
+
+  /** Lloyd k-means mirroring Similarity.kmeansCentroids +
+    * kmeansAssign cell-for-cell — the iterations are UNROLLED as one
+    * CTE pair per round, so the oracle replays the exact training
+    * trajectory.
+    */
+  private def kmeansSql(k: Int, iters: Int, dims: Int): String =
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+${kmeansTrainCtes(k, iters, dims)},
+${kmeansAssignCte("afin", s"cents$iters")}
+SELECT vec_id, cent_id FROM afin"""
+
+  /** SemDeDup mirroring Dedup.semDedup with TRAINED centroids and the
+    * hot-cell cap: kmeans CTE chain for the quantizer, rank-1 cell
+    * assignment, QUALIFY cell-size cap (over-cap cells drop out of
+    * duplicate detection wholesale — their rows all survive, exactly
+    * the engine's rule), lower-id similar row within a kept cell
+    * marks a duplicate.
+    */
+  private def semdedupSql(k: Int, iters: Int, dims: Int, threshold: Double, maxCellSize: Int): String =
+    s"""WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+${kmeansTrainCtes(k, iters, dims)},
+${kmeansAssignCte("cellraw", s"cents$iters")},
+cell AS (SELECT vec_id, emb, cent_id FROM cellraw QUALIFY count(*) OVER (PARTITION BY cent_id) <= $maxCellSize),
+dup AS (SELECT DISTINCT b.vec_id FROM cell a JOIN cell b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.emb, b.emb) >= $threshold)
+SELECT vec_id, label FROM c WHERE vec_id NOT IN (SELECT vec_id FROM dup)"""
 
   /** DSIR importance weights mirroring Sampling.dsirLogWeights:
     * unigram+bigram grams of the (empty-token-filtered) word list,
@@ -759,18 +794,9 @@ round(list_cosine_similarity(a.emb, b.emb), 4) AS cosine
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.emb, b.emb) >= 0.25""",
 
-    // SemDeDup: IVF-cell blocking (same centroid draw as q_ann_ivf),
-    // lower-id similar row within the cell marks a duplicate
-    "q_semdedup" ->
-      """WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-cents AS (SELECT vec_id AS cent_id, emb AS cemb FROM c ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
-cell AS (SELECT vec_id, emb, cent_id FROM (
-SELECT c.vec_id, c.emb, cent_id,
-row_number() OVER (PARTITION BY c.vec_id ORDER BY round(list_cosine_similarity(c.emb, cemb), 4) DESC, cent_id) AS cr
-FROM c CROSS JOIN cents) t WHERE cr = 1),
-dup AS (SELECT DISTINCT b.vec_id FROM cell a JOIN cell b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.emb, b.emb) >= 0.25)
-SELECT vec_id, label FROM c WHERE vec_id NOT IN (SELECT vec_id FROM dup)""",
+    // SemDeDup: trained-quantizer cells + hot-cell cap, mirroring the
+    // engine's kmeansCentroids(k=16, iters=1) + maxCellSize=1000
+    "q_semdedup" -> semdedupSql(k = 16, iters = 1, dims = 64, threshold = 0.25, maxCellSize = 1000),
 
     "q_ann_bruteforce" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

@@ -553,7 +553,13 @@ object SparkEntry {
     }),
     "q_semdedup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").withColumn("emb", col("embedding").cast("array<double>"))
-      val (out, cleanup) = Dedup.semDedupWithCleanup(e, "vec_id", "emb", threshold = 0.25, nlist = 16)
+      // the 100 TB shape: cells from a FITTED quantizer (one Lloyd
+      // round over the 16-centroid md5 draw — balanced cells, unlike
+      // the uniform draw) plus a hot-cell cap bounding the quadratic
+      // stage; both mirrored in the oracle CTE-for-CTE
+      val cents = Similarity.kmeansCentroids(e, "vec_id", "emb", k = 16, iters = 1)
+      val (out, cleanup) = Dedup.semDedupWithCleanup(e, "vec_id", "emb", threshold = 0.25,
+        centroids = Some(cents), maxCellSize = 1000)
       deferCleanup(cleanup)
       out.select(col("vec_id"), col("label"))
     }),

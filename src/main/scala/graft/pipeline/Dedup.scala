@@ -841,13 +841,14 @@ object Dedup {
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication in embedding space. Rows are blocked into IVF
-    * cells — nearest of `nlist` deterministic centroids, the same
-    * md5-ordered draw as [[Similarity.ivfTopK]] so both operators
-    * agree on cells — and within a cell a row is a semantic
-    * duplicate if some lower-id row's cosine similarity reaches
-    * `threshold` (min-id-survives, this repo's deterministic stand-in
-    * for the paper's keep-farthest-from-centroid tie-break). Returns
-    * the surviving rows of `df` unchanged.
+    * cells — nearest centroid from `centroids` when given (use a
+    * fitted [[Similarity.kmeansCentroids]] frame), else the
+    * `nlist`-sized md5-ordered draw of [[Similarity.ivfTopK]] — and
+    * within a cell a row is a semantic duplicate if some lower-id
+    * row's cosine similarity reaches `threshold` (min-id-survives,
+    * this repo's deterministic stand-in for the paper's
+    * keep-farthest-from-centroid tie-break). Returns the surviving
+    * rows of `df` unchanged.
     *
     * Scale shape: the centroid set is tiny and broadcast; assignment
     * is one broadcast nested-loop plus a per-row top-1 window keyed
@@ -855,6 +856,14 @@ object Dedup {
     * (~N/nlist rows — pick `nlist` so a cell's pairs fit a task, the
     * same contract as [[embeddingNearDups]]' blocking key); survivors
     * come back via one left_anti on the id. No all-pairs stage.
+    *
+    * `maxCellSize` bounds the quadratic stage the same way every LSH
+    * operator here bounds its buckets: a cell larger than the cap is
+    * dropped WHOLESALE from duplicate detection (all its rows
+    * survive), so one hot cell — which a skewed corpus will produce —
+    * can never make the within-cell self-join quadratic in the
+    * corpus. Prefer trained `centroids` over the uniform draw for
+    * skewed data: fitted cells are far better balanced.
     */
   def semDedup(
       df: DataFrame,
@@ -862,9 +871,11 @@ object Dedup {
       vecCol: String,
       threshold: Double,
       nlist: Int = 16,
-      scoreDecimals: Int = 4
+      scoreDecimals: Int = 4,
+      centroids: Option[DataFrame] = None,
+      maxCellSize: Int = 100000
   ): DataFrame =
-    semDedupWithCleanup(df, idCol, vecCol, threshold, nlist, scoreDecimals)._1
+    semDedupWithCleanup(df, idCol, vecCol, threshold, nlist, scoreDecimals, centroids, maxCellSize)._1
 
   /** [[semDedup]] plus a cleanup thunk for the internal cell-
     * assignment cache: the assignment frame feeds BOTH sides of the
@@ -879,10 +890,18 @@ object Dedup {
       vecCol: String,
       threshold: Double,
       nlist: Int = 16,
-      scoreDecimals: Int = 4
+      scoreDecimals: Int = 4,
+      centroids: Option[DataFrame] = None,
+      maxCellSize: Int = 100000
   ): (DataFrame, () => Unit) = {
-    val cents = Similarity.ivfCentroids(df, idCol, vecCol, nlist)
+    val cents = centroids.getOrElse(Similarity.ivfCentroids(df, idCol, vecCol, nlist))
+    // hot-cell cap BEFORE the persist: the count window shuffles on
+    // cent_id, the very key the pair join below needs, so the capped
+    // frame arrives at the join already co-partitioned
     val cells = Similarity.ivfAssign(df, cents, idCol, vecCol, "row", keep = 1, scoreDecimals)
+      .withColumn("__cellsize__", count(lit(1)).over(Window.partitionBy(col("cent_id"))))
+      .where(col("__cellsize__") <= maxCellSize)
+      .drop("__cellsize__")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = cells.select(col("cent_id"), col("row_id").as("id_a"),
       col("__rowv__").as("__va__"), col("__rown__").as("__na__"))
