@@ -164,6 +164,30 @@ object Portfolio {
     * contract but would be a serial bottleneck on raw data. PlanSpec
     * pins that the driver query's window input is post-aggregation.
     */
+  /** Rows the single-partition window may legally see — generous for
+    * one task (the contract frame is |byvars-combos| x ngroups, i.e.
+    * tens to thousands) but small enough that a raw row-level frame
+    * at any real scale is rejected instead of silently serialized.
+    */
+  private val MaxLongShortInputRows = 1 << 20
+
+  /** Plans whose top (below projections/filters/sorts/aliases) is an
+    * aggregation or an in-memory literal relation satisfy the
+    * pre-aggregated contract structurally — no job needed.
+    */
+  private def aggregatedTop(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    plan match {
+      case p: Project       => aggregatedTop(p.child)
+      case f: Filter        => aggregatedTop(f.child)
+      case s: Sort          => aggregatedTop(s.child)
+      case a: SubqueryAlias => aggregatedTop(a.child)
+      case _: Aggregate     => true
+      case _: LocalRelation => true
+      case _                => false
+    }
+  }
+
   def longShortPortfolio(
       df: DataFrame,
       portvar: String,
@@ -171,6 +195,19 @@ object Portfolio {
       retvars: Seq[String],
       shortBottom: Boolean = true
   ): DataFrame = {
+    // Runtime contract guard (VERDICT r4 #4 / r5 #3): the
+    // single-partition window below is safe ONLY for the
+    // pre-aggregated portfolio-returns frame. Structurally aggregated
+    // (or provably small) plans pass with no extra work; anything
+    // else (a checkpointed memo, an arbitrary caller frame) gets an
+    // assert_true over count(*) ON THE SAME unpartitioned window
+    // spec, so the check rides the window that is already being
+    // computed — composition stays lazy (no build-time job), and a
+    // caller who feeds raw row-level data fails loudly at execution
+    // instead of silently serializing through one task.
+    val analyzed = df.queryExecution.analyzed
+    val structurallyOk = aggregatedTop(analyzed) ||
+      analyzed.maxRows.exists(_ <= MaxLongShortInputRows)
     // Global max/min portfolio numbers come from an unpartitioned
     // window over the input, so the upstream plan is evaluated
     // exactly ONCE (the previous scalar-agg + crossJoin form ran it
@@ -181,9 +218,21 @@ object Portfolio {
     // (byvars, portfolio) — an already-aggregated frame of
     // |byvars-combos| x ngroups rows, never the raw data.
     val wAll = Window.partitionBy()
-    val withMM = df
+    val base = df
       .withColumn("__mx__", max(col(portvar)).over(wAll))
       .withColumn("__mn__", min(col(portvar)).over(wAll))
+    val withMM =
+      if (structurallyOk) base
+      else base
+        .withColumn("__nrows__", count(lit(1)).over(wAll))
+        .where(assert_true(
+          col("__nrows__") <= lit(MaxLongShortInputRows.toLong),
+          lit(s"longShortPortfolio input must be the pre-aggregated portfolio-returns frame " +
+            s"(one row per (byvars, portfolio) — the first element of portfolioAveragesWithDetail); " +
+            s"got a non-aggregated input larger than $MaxLongShortInputRows rows — " +
+            s"aggregate it first (portfolioAverages) instead of passing row-level data")
+        ).isNull)
+        .drop("__nrows__")
     val (longSel, shortSel) =
       if (shortBottom) (col(portvar) === col("__mx__"), col(portvar) === col("__mn__"))
       else (col(portvar) === col("__mn__"), col(portvar) === col("__mx__"))
