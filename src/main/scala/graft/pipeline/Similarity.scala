@@ -271,9 +271,13 @@ object Similarity {
     * frame, one per-row top-1 window keyed on the row id, one
     * (cent, dim)-keyed hash agg whose shuffle carries k x dims rows
     * after map-side combine — no all-pairs stage, no driver collect.
-    * A centroid that attracts no rows drops out (standard Lloyd);
-    * `iters` is fixed and small by contract (each iteration extends
-    * the lazy plan, so train offline and persist for reuse).
+    * A centroid that attracts no rows drops out (standard Lloyd).
+    * Each iteration extends the lazy plan, so every
+    * [[CompactEveryIters]] rounds the k-row centroid frame is
+    * materialized and re-embedded as a literal relation — plan depth
+    * (and analyzer cost) stays bounded no matter how large `iters`
+    * is, instead of blowing up the analyzer on a caller's iters=50.
+    * Train offline and persist the result for reuse regardless.
     *
     * Returns the fitted (cent_id, __cv__, __cn__) broadcast frame —
     * feed it to [[kmeansAssign]] for cluster labels.
@@ -288,7 +292,7 @@ object Similarity {
       centroidDecimals: Int = 6
   ): DataFrame = {
     var cents = ivfCentroids(df, idCol, vecCol, k)
-    for (_ <- 0 until iters) {
+    for (i <- 1 to iters) {
       val assigned = ivfAssign(df, cents, idCol, vecCol, "row", keep = 1, scoreDecimals)
       cents = broadcast(
         assigned
@@ -299,8 +303,27 @@ object Similarity {
           .agg(array_sort(collect_list(struct(col("__dim__"), col("__m__")))).as("__dm__"))
           .select(col("cent_id"), transform(col("__dm__"), x => x.getField("__m__")).as("__cv__"))
           .withColumn("__cn__", norm(col("__cv__"))))
+      if (i % CompactEveryIters == 0 && i < iters) cents = compactCentroids(cents)
     }
     cents
+  }
+
+  /** Plan-depth relief interval for [[kmeansCentroids]] — every this
+    * many Lloyd rounds the centroid plan is collapsed to a literal.
+    */
+  private val CompactEveryIters = 4
+
+  /** Materialize the (k-row by contract) centroid frame and re-embed
+    * it as a literal local relation. The collect is bounded by k — a
+    * frame the driver already holds in full whenever it is broadcast
+    * — and the rebuilt plan is depth-1, so training cost stays linear
+    * in `iters` instead of the analyzer re-walking every prior round.
+    * Values round-trip exactly (double/array-of-double), keeping the
+    * training trajectory bit-identical to the unrolled plan.
+    */
+  private def compactCentroids(cents: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    broadcast(cents.sparkSession.createDataFrame(cents.collect().toList.asJava, cents.schema))
   }
 
   /** Cluster labels under a fitted [[kmeansCentroids]] model:

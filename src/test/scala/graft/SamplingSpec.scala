@@ -210,5 +210,22 @@ class SamplingSpec extends SparkSuite {
     val even = (2L to 12L by 2).map(got).toSet
     val odd = (1L to 11L by 2).map(got).toSet
     assert(even.intersect(odd).isEmpty, s"clusters merged: $got")
+
+    // deep training (iters=9 crosses the every-4-rounds plan
+    // compaction twice): still matches the local replica round for
+    // round — the literal re-embedding must not perturb the
+    // trajectory — and completes in bounded time (VERDICT r5 #7)
+    val deepCents = graft.pipeline.Similarity.kmeansCentroids(df, "vec_id", "emb", k = 3, iters = 9)
+    val deepGot = graft.pipeline.Similarity.kmeansAssign(df, deepCents, "vec_id", "emb")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var cl9: Map[Long, Seq[Double]] = rows.sortBy { case (id, _) => (md5hex(id.toString), id) }
+      .take(3).map { case (id, v) => id -> v }.toMap
+    for (_ <- 0 until 9) {
+      val a = assign(cl9)
+      cl9 = rows.groupBy { case (id, _) => a(id) }.map { case (cid, members) =>
+        cid -> (0 until 3).map(d => round(members.map(_._2(d)).sum / members.size, 6)).toSeq
+      }
+    }
+    assert(deepGot == assign(cl9), s"spark $deepGot vs local ${assign(cl9)}")
   }
 }
