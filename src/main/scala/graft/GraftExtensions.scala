@@ -18,8 +18,24 @@ import graft.plans.{DotProductExpr, MinhashSignatureExpr, SimhashBitsExpr}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  /** Constant-fold an integral argument: accepts a bare int literal,
+    * any foldable expression evaluating to an integral (so
+    * `CAST(8 AS INT)`, `8L`, `4 + 4` all work — ADVICE r5), rejects
+    * everything else with a clear message.
+    */
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
+    case _ if e.foldable =>
+      (try e.eval() catch {
+        case scala.util.control.NonFatal(_) => null
+      }) match {
+        case i: java.lang.Integer => i.intValue
+        case l: java.lang.Long if l.longValue.isValidInt => l.intValue
+        case s: java.lang.Short => s.intValue
+        case b: java.lang.Byte => b.intValue
+        case other => throw new IllegalArgumentException(
+          s"$what must fold to an integral literal, got $other from $e")
+      }
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
   }

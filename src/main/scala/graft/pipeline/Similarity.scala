@@ -21,12 +21,15 @@ object Similarity {
   /** Dot product of two numeric-array columns — the native Catalyst
     * expression ([[graft.plans.DotProductExpr]]): a codegen'd
     * primitive loop with the same left-to-right accumulation order as
-    * [[dotExpr]], so results are bit-identical while skipping the
-    * interpreted per-element lambda cost every vector operator was
-    * paying (Spark never codegens HOFs). Inputs are cast to
-    * `array<double>` up front (the expression takes doubles only;
-    * the cast is a no-op when the column is already double), keeping
-    * the documented float-array acceptance of the HOF form.
+    * [[dotExpr]], so results are bit-identical FOR `array<double>`
+    * inputs, while skipping the interpreted per-element lambda cost
+    * every vector operator was paying (Spark never codegens HOFs).
+    * Other numeric arrays are cast to `array<double>` up front (a
+    * no-op for double columns), so a float-array input multiplies in
+    * exact double precision here where the HOF form multiplied in
+    * float first — this path can differ from [[dotExpr]] in low-order
+    * bits (every in-repo caller pre-casts to double, where the two
+    * are bit-identical).
     */
   def dot(a: Column, b: Column): Column =
     graft.internal.exprColumn(graft.plans.DotProductExpr(

@@ -56,13 +56,25 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** The zero must be a foldable double evaluating to EXACTLY +0.0 —
+    * a bit-pattern check, not value equality: a -0.0 zero would match
+    * `== 0.0` but the HOF form returns -0.0 for empty arrays while
+    * the kernel starts from +0.0. Foldable (not just bare-literal)
+    * matching covers cast spellings like `CAST(0.0 AS DOUBLE)`
+    * whenever they reach this rule unfolded (ADVICE r5). The BARE
+    * `0.0` spelling is not a concern: its DECIMAL(1,1) accumulator
+    * fails analysis against the double merge lambda, so it never
+    * reaches the optimizer at all (pinned in PipelineSpec).
+    */
+  private def isPlusZeroDouble(zero: Expression): Boolean =
+    zero.dataType == DoubleType && zero.foldable && {
+      val v = try zero.eval() catch { case scala.util.control.NonFatal(_) => null }
+      v != null && java.lang.Double.doubleToRawLongBits(v.asInstanceOf[Double]) == 0L
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-    case agg @ ArrayAggregate(zw: ZipWith, zero @ Literal(_, DoubleType), merge: LambdaFunction, finish: LambdaFunction)
-        // bit-pattern check, not value equality: a -0.0 zero would
-        // match `== 0.0` but the HOF form returns -0.0 for empty
-        // arrays while the kernel starts from +0.0
-        if zero.value != null &&
-          java.lang.Double.doubleToRawLongBits(zero.value.asInstanceOf[Double]) == 0L &&
+    case agg @ ArrayAggregate(zw: ZipWith, zero, merge: LambdaFunction, finish: LambdaFunction)
+        if isPlusZeroDouble(zero) &&
           isDoubleArray(zw.left) && isDoubleArray(zw.right) &&
           (zw.function match {
             case lf: LambdaFunction =>

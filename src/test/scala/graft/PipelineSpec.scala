@@ -520,6 +520,16 @@ class PipelineSpec extends SparkSuite {
     val viaSql = spark.sql(
       "SELECT graft_minhash(array('a b c', 'b c d'), 8) AS sig, graft_simhash(array('a','b'), 16) AS sh")
       .head()
+    // foldable (not just bare-literal) integral args resolve too:
+    // CAST(8 AS INT), a long literal, an arithmetic fold (ADVICE r5)
+    val viaFoldable = spark.sql(
+      "SELECT graft_minhash(array('a b c', 'b c d'), CAST(8 AS INT)) AS s1, " +
+        "graft_minhash(array('a b c', 'b c d'), 8L) AS s2, " +
+        "graft_minhash(array('a b c', 'b c d'), 4 + 4) AS s3")
+      .head()
+    assert(viaFoldable.getSeq[String](0) == viaSql.getSeq[String](0))
+    assert(viaFoldable.getSeq[String](1) == viaSql.getSeq[String](0))
+    assert(viaFoldable.getSeq[String](2) == viaSql.getSeq[String](0))
     val direct = Seq(Tuple1(Seq("a b c", "b c d"))).toDF("sg")
       .select(Dedup.minhashSignatureNative(col("sg"), 8).as("sig"),
         Dedup.simhashNative(array(lit("a"), lit("b")), 16).as("sh"))
@@ -566,6 +576,20 @@ class PipelineSpec extends SparkSuite {
       "SELECT aggregate(zip_with(v, v, (x, y) -> x * y), 0d, (acc, v2) -> acc + v2) AS d FROM dot_vecs")
     assert(planned.queryExecution.optimizedPlan.toString.contains("graft_dot"),
       s"HOF fold not rewritten:\n${planned.queryExecution.optimizedPlan}")
+    // ADVICE r5 follow-up: the bare `0.0` spelling is NOT a silent
+    // slow path — its DECIMAL(1,1) accumulator fails analysis against
+    // the double merge lambda outright (pinned below), so the only
+    // reachable non-0d double-zero spellings go through a cast, which
+    // the foldable-zero matcher now rewrites too
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        "SELECT aggregate(zip_with(v, v, (x, y) -> x * y), 0.0, (acc, v2) -> acc + v2) AS d FROM dot_vecs")
+        .queryExecution.optimizedPlan
+    }
+    val plannedDec = spark.sql(
+      "SELECT aggregate(zip_with(v, v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v2) -> acc + v2) AS d FROM dot_vecs")
+    assert(plannedDec.queryExecution.optimizedPlan.toString.contains("graft_dot"),
+      s"cast-zero HOF fold not rewritten:\n${plannedDec.queryExecution.optimizedPlan}")
     spark.catalog.dropTempView("dot_vecs")
     rows.createOrReplaceTempView("dot_rows")
     val sql = "SELECT id, aggregate(zip_with(a, b, (x, y) -> x * y), 0d, (acc, v) -> acc + v) AS d FROM dot_rows"
