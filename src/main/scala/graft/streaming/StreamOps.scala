@@ -13,6 +13,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 private[streaming] case class LshBucketState(ids: Array[Long])
 
+/** Open-session state of [[StreamOps.sessionize]] — top-level for the
+  * same janino reason as [[LshBucketState]].
+  */
+private[streaming] case class SessionState(start: Long, last: Long, n: Int, total: Double)
+
 /** Structured Streaming extensions (no reference surface — SURVEY
   * §2.13/§7.5 records streaming as an extension, not parity).
   * The operators mirror their batch counterparts so a pipeline can
@@ -59,30 +64,45 @@ object StreamOps {
 
   case class SessionEvent(key: Long, ts: Timestamp, value: Double)
   case class Session(key: Long, start: Timestamp, end: Timestamp, nEvents: Int, totalValue: Double)
-  private case class SessionState(start: Long, last: Long, n: Int, total: Double)
 
-  /** Groups events into sessions separated by >= `gapMillis` of
-    * inactivity. Emits one row per closed session; on a stream the
-    * state times out via ProcessingTimeTimeout, in batch every
-    * group's trailing session is flushed at group end.
+  /** Groups events into sessions separated by MORE THAN `gapMillis`
+    * of inactivity — strict `>`, the same boundary rule as the batch
+    * twin [[graft.operators.GroupOps.sessionize]] (`gap > gapSeconds`),
+    * so a backfilled batch run and a live stream agree on session
+    * splits (parity pinned in StreamingSpec over the events table).
+    * Emits one row per closed session; on a stream the state times
+    * out via ProcessingTimeTimeout, in batch every group's trailing
+    * session is flushed at group end.
+    *
+    * `stateTTLMillis`: processing-time TTL for open-session state;
+    * -1 (default) uses `gapMillis`, 0 disables expiry (NoTimeout) —
+    * note a processing-time timeout keeps the query triggering
+    * clock-check batches even with no data, so tests that drain with
+    * `processAllAvailable` must use 0 (trailing sessions then only
+    * close when a later-than-gap event arrives for the key).
     *
     * State per key is O(1) (start/last/count/sum) — the shape that
     * holds at any key cardinality.
     */
   def sessionize(
       events: Dataset[SessionEvent],
-      gapMillis: Long
+      gapMillis: Long,
+      stateTTLMillis: Long = -1L
   ): Dataset[Session] = {
     implicit val sessEnc = Encoders.product[Session]
     implicit val stateEnc = Encoders.product[SessionState]
     // capture outside the closure: the Dataset itself must not be
     // referenced on executors (its plan is driver-side state)
     val streaming = events.isStreaming
+    val useTimeout = stateTTLMillis != 0
+    val ttlMillis = if (stateTTLMillis > 0) stateTTLMillis else gapMillis
+    val ttl = if (useTimeout) GroupStateTimeout.ProcessingTimeTimeout()
+              else GroupStateTimeout.NoTimeout()
     events
       .groupByKey(_.key)(Encoders.scalaLong)
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append(),
-        GroupStateTimeout.ProcessingTimeTimeout()
+        ttl
       ) { (key: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
         val sorted = it.toSeq.sortBy(_.ts.getTime)
         var cur = state.getOption
@@ -90,7 +110,7 @@ object StreamOps {
         for (e <- sorted) {
           val t = e.ts.getTime
           cur match {
-            case Some(s) if t - s.last >= gapMillis =>
+            case Some(s) if t - s.last > gapMillis =>
               closed += Session(key, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
               cur = Some(SessionState(t, t, 1, e.value))
             case Some(s) =>
@@ -105,7 +125,7 @@ object StreamOps {
           state.remove()
         } else {
           cur.foreach(state.update)
-          state.setTimeoutDuration(gapMillis)
+          if (useTimeout) state.setTimeoutDuration(ttlMillis)
         }
         closed.iterator
       }

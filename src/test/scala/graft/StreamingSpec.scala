@@ -159,6 +159,106 @@ class StreamingSpec extends SparkSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  /** The events table (second-truncated so the streaming ms clock and
+    * the batch us clock agree exactly), as (user_id, ts, value) rows.
+    */
+  private def eventRows(): Seq[(Long, java.sql.Timestamp, Double)] = {
+    val s = spark; import s.implicits._
+    s.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("user_id"),
+        date_trunc("second", timestamp_micros(expr("ts div 1000"))).as("ts"),
+        col("value"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .collect().toSeq.sortBy(_._2.getTime)
+  }
+
+  test("windowedAverages over a live stream of the events table equals the batch run (parity)") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = eventRows()
+    def summarize(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("window_start"), col("window_end"), col("user_id"),
+        round(col("value_avg"), 6).as("a"), col("n_events"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+        .toSet
+    val batch = summarize(StreamOps.windowedAverages(
+      rows.toDF("user_id", "ts", "value"), "ts", Seq("user_id"), "value", "1 hour"))
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val streamDf = input.toDF().toDF("user_id", "ts", "value")
+    // complete mode: the memory sink holds the full aggregation state,
+    // so the final table must equal the batch aggregation even though
+    // events arrive across two micro-batches
+    val q = StreamOps.windowedAverages(streamDf, "ts", Seq("user_id"), "value", "1 hour")
+      .writeStream.format("memory").queryName("wavg_parity").outputMode("complete").start()
+    try {
+      val (first, second) = rows.splitAt(rows.length / 2)
+      input.addData(first); q.processAllAvailable()
+      input.addData(second); q.processAllAvailable()
+      val streamed = summarize(spark.table("wavg_parity"))
+      assert(streamed == batch,
+        s"stream/batch diverge: only-stream=${streamed -- batch}, only-batch=${batch -- streamed}")
+    } finally q.stop()
+  }
+
+  test("sessionize over a live stream of the events table equals the batch twin (parity)") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = eventRows()
+    // batch twin: GroupOps.sessionize session numbers -> per-session
+    // (start, end, n, total) aggregates
+    val batch = graft.operators.GroupOps.sessionize(
+      rows.toDF("user_id", "ts", "value"), Seq("user_id"), "ts", gapSeconds = 3600L)
+      .groupBy(col("user_id"), col("session"))
+      .agg(min(col("ts")).as("start"), max(col("ts")).as("end"),
+        count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2).getTime, r.getTimestamp(3).getTime,
+        r.getLong(4), BigDecimal(r.getDouble(5)).setScale(6, BigDecimal.RoundingMode.HALF_UP)))
+      .toSet
+    val input = MemoryStream[SessionEvent]
+    // TTL=0 (NoTimeout): processAllAvailable drains; trailing sessions
+    // are closed by a far-future flush event per user, whose own
+    // session stays open and is never emitted
+    val q = StreamOps.sessionize(input.toDS(), gapMillis = 3600000L, stateTTLMillis = 0L)
+      .writeStream.format("memory").queryName("sess_parity").outputMode("append").start()
+    try {
+      val (first, second) = rows.splitAt(rows.length / 2)
+      input.addData(first.map(r => SessionEvent(r._1, r._2, r._3)))
+      q.processAllAvailable()
+      input.addData(second.map(r => SessionEvent(r._1, r._2, r._3)))
+      q.processAllAvailable()
+      val flushTs = java.sql.Timestamp.valueOf("2100-01-01 00:00:00")
+      input.addData(rows.map(_._1).distinct.map(uid => SessionEvent(uid, flushTs, 0.0)))
+      q.processAllAvailable()
+      val streamed = spark.table("sess_parity")
+        .as[graft.streaming.StreamOps.Session].collect()
+        .map(x => (x.key, x.start.getTime, x.end.getTime, x.nEvents.toLong,
+          BigDecimal(x.totalValue).setScale(6, BigDecimal.RoundingMode.HALF_UP)))
+        .toSet
+      assert(streamed == batch,
+        s"stream/batch diverge: only-stream=${streamed -- batch}, only-batch=${batch -- streamed}")
+    } finally q.stop()
+  }
+
+  test("lshCandidatePairs batch mode INTENTIONALLY diverges from the batch pipeline on an over-cap bucket") {
+    val s = spark; import s.implicits._
+    // 5 identical docs, cap 2 on both sides: the batch pipeline drops
+    // the over-cap bucket WHOLESALE (it sees the full corpus), while
+    // the streaming operator SATURATES — the first cap ids still pair
+    // (it cannot know the bucket will overflow later). ADVICE r5: pin
+    // the documented divergence, not just the under-cap agreement.
+    val many = (1L to 5L).map(i => (i, "identical text repeated for the bucket cap test"))
+      .toDF("doc_id", "text")
+    val streamed = StreamOps.lshCandidatePairs(many, "doc_id", "text", maxBucketIds = 2)
+      .collect().map(p => (p.id_a, p.id_b)).toSet
+    val batch = graft.pipeline.Dedup.minhashCandidates(many, "doc_id", "text", maxBucketSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == Set((1L, 2L)), s"stream should saturate at the cap: $streamed")
+    assert(batch.isEmpty, s"batch should drop the over-cap bucket wholesale: $batch")
+    SparkEntry.runPendingCleanups()
+  }
+
   test("enrichWithDimension broadcast-joins a stream against a static table") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
