@@ -335,14 +335,17 @@ object SparkEntry {
     "q_load_sas" -> ((s, dir) => {
       // the load_sas path end to end: write the closed-form 500-row
       // fixture (pure function of the row index — the DuckDB oracle
-      // regenerates the same table in SQL) BOTH uncompressed and
-      // RLE-compressed, read each back through the sas7bdat page
-      // parser, and require them to union to 2x identical rows —
-      // putting the RLE decoder behind the hash-compare gate
+      // regenerates the same table in SQL) uncompressed, RLE-
+      // compressed (COMPRESS=CHAR), AND RDC-compressed
+      // (COMPRESS=BINARY), read each back through the sas7bdat page
+      // parser, and require them to union to 3x identical rows —
+      // putting BOTH decompressors behind the hash-compare gate
       val plain = graft.testing.SasFixture.writeToTemp(500)
-      val rle = graft.testing.SasFixture.writeToTemp(500, compress = true)
+      val rle = graft.testing.SasFixture.writeToTemp(500, compression = "rle")
+      val rdc = graft.testing.SasFixture.writeToTemp(500, compression = "rdc")
       graft.sources.ReadFile.readFile(s, plain)
         .unionByName(graft.sources.ReadFile.readFile(s, rle))
+        .unionByName(graft.sources.ReadFile.readFile(s, rdc))
         .select(col("id"), col("ret"),
           date_format(col("evtdate"), "yyyy-MM-dd").as("evtdate"), col("ticker"))
     }),

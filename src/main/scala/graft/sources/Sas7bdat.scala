@@ -8,14 +8,14 @@ import org.apache.spark.sql.types._
 /** Minimal pure-JVM SAS7BDAT reader (the `load_sas` ingestion path,
   * reference: pd_utils/load.py:7-42).
   *
-  * Scope: uncompressed and RLE-compressed (COMPRESS=CHAR /
-  * "SASYZCRL") sas7bdat files, 32- or 64-bit, little- or big-endian,
-  * numeric (possibly truncated-width doubles) and character columns,
-  * with SAS DATE/DATETIME formats optionally converted to date/
-  * timestamp. RDC-compressed ("SASYZCR2") files throw a clear error.
-  * This covers what SAS writes by default and with COMPRESS=CHAR for
-  * the research datasets the reference library targets
-  * (CRSP/Compustat extracts).
+  * Scope: uncompressed, RLE-compressed (COMPRESS=CHAR / "SASYZCRL"),
+  * and RDC-compressed (COMPRESS=BINARY / "SASYZCR2") sas7bdat files,
+  * 32- or 64-bit, little- or big-endian, numeric (possibly
+  * truncated-width doubles) and character columns, with SAS
+  * DATE/DATETIME formats optionally converted to date/timestamp.
+  * This covers everything SAS writes (default, COMPRESS=CHAR, and
+  * COMPRESS=BINARY) for the research datasets the reference library
+  * targets (CRSP/Compustat extracts).
   *
   * Format layout follows the public reverse-engineered specification
   * ("sas7bdat Database Binary Format", Shotwell,
@@ -78,9 +78,10 @@ object Sas7bdat {
   case class SasColumn(name: String, offset: Int, width: Int, isNumeric: Boolean, format: String)
 
   /** Everything a task needs to turn a page buffer into rows.
-    * `rleCompressed` = the file carries the SASYZCRL marker: rows
-    * live in per-row data subheaders, RLE-decompressed when shorter
-    * than `rowLength`.
+    * `rleCompressed` = the file carries the SASYZCRL marker,
+    * `rdcCompressed` = SASYZCR2: rows live in per-row data
+    * subheaders, decompressed (RLE resp. RDC) when shorter than
+    * `rowLength`.
     */
   case class SasMeta(
       u64: Boolean,
@@ -92,7 +93,8 @@ object Sas7bdat {
       rowCount: Long,
       mixPageRowCount: Long,
       columns: Seq[SasColumn],
-      rleCompressed: Boolean = false) {
+      rleCompressed: Boolean = false,
+      rdcCompressed: Boolean = false) {
     def intLen: Int = if (u64) 8 else 4
     def pageBitOffset: Int = if (u64) 32 else 16
     def subheaderPtrLen: Int = if (u64) 24 else 12
@@ -175,7 +177,8 @@ object Sas7bdat {
       val ptrLen = if (u64) 24 else 12
 
       // mutable collection state for the subheader walk
-      var rowLength = 0; var rowCount = 0L; var mixRows = 0L; var colCount = 0; var rle = false
+      var rowLength = 0; var rowCount = 0L; var mixRows = 0L; var colCount = 0
+      var rle = false; var rdc = false
       val textBlocks = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
       val names = scala.collection.mutable.ArrayBuffer.empty[String]
       val offsets = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -226,10 +229,8 @@ object Sas7bdat {
                   val block = page.slice(shOff + intLen, blockSize)
                   if (textBlocks.isEmpty) {
                     val asLatin = new String(block, "ISO-8859-1")
-                    if (asLatin.contains("SASYZCR2"))
-                      throw new UnsupportedOperationException(
-                        s"$path is RDC-compressed; only uncompressed and RLE (SASYZCRL) are supported")
-                    if (asLatin.contains("SASYZCRL")) rle = true
+                    if (asLatin.contains("SASYZCR2")) rdc = true
+                    else if (asLatin.contains("SASYZCRL")) rle = true
                   }
                   textBlocks += block
                 case Some(ColName) =>
@@ -273,7 +274,7 @@ object Sas7bdat {
           if (i < formats.length) formats(i) else "")
       }
       (SasMeta(u64, littleEndian, encoding, headerLength, pageLength,
-        rowLength, rowCount, mixRows, cols, rle), firstDataPage)
+        rowLength, rowCount, mixRows, cols, rle, rdc), firstDataPage)
     } finally in.close()
   }
 
@@ -329,9 +330,65 @@ object Sas7bdat {
     out
   }
 
+  /** RDC (Ross Data Compression) decompression for COMPRESS=BINARY
+    * ("SASYZCR2") row payloads, per the published Shotwell spec as
+    * implemented by the BSD pandas/parso readers. The stream is
+    * groups of a 16-bit big-endian control word followed by 16 items,
+    * one control bit each (MSB first): bit 0 = one literal byte,
+    * bit 1 = a command byte whose high nibble selects
+    *   0x0 fill next byte cnt+3 times (cnt = low nibble)
+    *   0x1 fill next-next byte (cnt | next<<4) + 19 times
+    *   0x2 copy (second-next + 16) back-reference bytes from
+    *       offset (cnt | next<<4) + 3 behind the output cursor
+    *   0x3..0xF copy CMD back-reference bytes from offset
+    *       (cnt | next<<4) + 3
+    * Back-reference copies go byte-by-byte so overlapping references
+    * (offset < length) replicate, LZ-style.
+    */
+  private[graft] def rdcDecompress(src: Array[Byte], from: Int, len: Int, outLen: Int): Array[Byte] = {
+    val out = new Array[Byte](outLen)
+    var i = from; var o = 0
+    val end = from + len
+    var ctrlBits = 0; var ctrlMask = 0
+    while (i < end && o < outLen) {
+      ctrlMask >>= 1
+      if (ctrlMask == 0) {
+        ctrlBits = ((src(i) & 0xff) << 8) | (src(i + 1) & 0xff)
+        i += 2
+        ctrlMask = 0x8000
+      }
+      if ((ctrlBits & ctrlMask) == 0) {
+        out(o) = src(i); o += 1; i += 1
+      } else {
+        val cmd = (src(i) >> 4) & 0x0f
+        val nib = src(i) & 0x0f
+        i += 1
+        cmd match {
+          case 0 =>
+            val n = nib + 3
+            java.util.Arrays.fill(out, o, o + n, src(i)); i += 1; o += n
+          case 1 =>
+            val n = nib + ((src(i) & 0xff) << 4) + 19; i += 1
+            java.util.Arrays.fill(out, o, o + n, src(i)); i += 1; o += n
+          case 2 =>
+            val ofs = nib + 3 + ((src(i) & 0xff) << 4); i += 1
+            val n = (src(i) & 0xff) + 16; i += 1
+            var k = 0
+            while (k < n) { out(o) = out(o - ofs); o += 1; k += 1 }
+          case c =>
+            val ofs = nib + 3 + ((src(i) & 0xff) << 4); i += 1
+            var k = 0
+            while (k < c) { out(o) = out(o - ofs); o += 1; k += 1 }
+        }
+      }
+    }
+    require(o == outLen, s"RDC row decompressed to $o bytes, expected $outLen")
+    out
+  }
+
   /** Rows within one page as (buffer, offset) pairs — offsets into
     * the page itself for uncompressed rows, or into a freshly
-    * decompressed row buffer for RLE subheaders.
+    * decompressed row buffer for RLE/RDC subheaders.
     */
   private def rowsInPage(page: Buf, meta: SasMeta): Seq[(Buf, Int)] = {
     val bitOff = meta.pageBitOffset
@@ -362,11 +419,15 @@ object Sas7bdat {
             SignatureKind.contains(page.hex(shOff, meta.intLen))
           if (isMetaSig || shLen == 0 || compression == 1) None
           else if (shLen == meta.rowLength) Some((page, shOff)) // stored raw
-          else if (meta.rleCompressed && shLen < meta.rowLength)
-            // shorter-than-row payload in a compressed file = RLE row
-            // (the same length test the pandas reader uses)
-            Some((new Buf(rleDecompress(page.bytes, shOff, shLen, meta.rowLength), meta.littleEndian), 0))
-          else None
+          else if ((meta.rleCompressed || meta.rdcCompressed) && shLen < meta.rowLength) {
+            // shorter-than-row payload in a compressed file = a
+            // compressed row (the same length test pandas uses); the
+            // file-level marker picked the codec
+            val decoded =
+              if (meta.rleCompressed) rleDecompress(page.bytes, shOff, shLen, meta.rowLength)
+              else rdcDecompress(page.bytes, shOff, shLen, meta.rowLength)
+            Some((new Buf(decoded, meta.littleEndian), 0))
+          } else None
         }
       case _ => Nil
     }

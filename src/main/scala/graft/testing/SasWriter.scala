@@ -93,17 +93,89 @@ object SasWriter {
     out.toByteArray
   }
 
+  /** Greedy RDC (Ross Data Compression) encoder for COMPRESS=BINARY
+    * rows, inverse of the reader's `rdcDecompress`: 16-bit control
+    * words (one bit per item, MSB first; 0 = literal byte, 1 =
+    * command), short/long byte-run fills, and short/long LZ
+    * back-references (offset 3..4098, length 3..271, searched
+    * greedily). Exercises every RDC command class; cross-validated
+    * against pandas.read_sas's independent decompressor via
+    * scripts/check_sas.py.
+    */
+  private[graft] def rdcCompress(row: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val group = new java.io.ByteArrayOutputStream()
+    var mask = 0; var nItems = 0
+    def flush(): Unit = if (nItems > 0) {
+      val bits = mask << (16 - nItems) // first item = MSB
+      out.write((bits >> 8) & 0xff); out.write(bits & 0xff)
+      group.writeTo(out)
+      group.reset(); mask = 0; nItems = 0
+    }
+    def item(cmdBit: Int, bs: Int*): Unit = {
+      mask = (mask << 1) | cmdBit
+      bs.foreach(b => group.write(b & 0xff))
+      nItems += 1
+      if (nItems == 16) flush()
+    }
+    val n = row.length
+    def runLen(at: Int): Int = {
+      var j = at + 1; while (j < n && row(j) == row(at)) j += 1; j - at
+    }
+    // longest back-reference at `at` (offset 3..4098, length capped
+    // 271); O(window) scan per position — fixture-sized inputs only
+    def bestMatch(at: Int): (Int, Int) = {
+      var bo = 0; var bl = 0
+      val maxOfs = math.min(at, 4098)
+      val cap = math.min(n - at, 271)
+      var ofs = 3
+      while (ofs <= maxOfs) {
+        var l = 0
+        while (l < cap && row(at + l) == row(at - ofs + l)) l += 1
+        if (l > bl) { bl = l; bo = ofs }
+        ofs += 1
+      }
+      (bo, bl)
+    }
+    var i = 0
+    while (i < n) {
+      val r = runLen(i)
+      if (r >= 19) {
+        val take = math.min(r, 15 + (255 << 4) + 19)
+        val c = take - 19
+        item(1, 0x10 | (c & 0xf), (c >> 4) & 0xff, row(i))
+        i += take
+      } else if (r >= 3) {
+        item(1, r - 3, row(i)) // cmd 0: fill nib+3
+        i += r
+      } else {
+        val (ofs, len) = bestMatch(i)
+        if (len >= 3) {
+          val o3 = ofs - 3
+          if (len <= 15) item(1, (len << 4) | (o3 & 0xf), (o3 >> 4) & 0xff)
+          else item(1, 0x20 | (o3 & 0xf), (o3 >> 4) & 0xff, len - 16)
+          i += len
+        } else { item(0, row(i)); i += 1 }
+      }
+    }
+    flush()
+    out.toByteArray
+  }
+
   /** Row values: java.lang.Double / null for numeric (dates as raw SAS
     * day counts), String / null for character columns. `u64 = false`
     * emits the 32-bit layout (4-byte subheader ints, 16-byte page bit
     * offset, 12-byte pointers) so the reader's 32-bit branch is
-    * exercised too. `compress = true` writes COMPRESS=CHAR: the
-    * SASYZCRL marker leads the column text block and every row
-    * becomes an RLE-compressed data subheader (flag 4) on meta-type
-    * pages, exactly how SAS lays out compressed files.
+    * exercised too. `compression` is "none", "rle" (COMPRESS=CHAR /
+    * SASYZCRL), or "rdc" (COMPRESS=BINARY / SASYZCR2): the marker
+    * leads the column text block and every row becomes a compressed
+    * data subheader (flag 4) on meta-type pages, exactly how SAS lays
+    * out compressed files.
     */
   def write(path: String, cols: Seq[Col], rows: Seq[Seq[Any]], u64: Boolean = true,
-      compress: Boolean = false): Unit = {
+      compression: String = "none"): Unit = {
+    require(Set("none", "rle", "rdc")(compression), s"bad compression '$compression'")
+    val compress = compression != "none"
     require(cols.forall(c => !c.isNum || c.width == 8), "numeric cols must be width 8")
     val intLen = if (u64) 8 else 4
     val bitOff = if (u64) 32 else 16
@@ -122,7 +194,8 @@ object SasWriter {
       cursor = (cursor + 7) / 8 * 8
       (at, bytesUtf.length)
     })
-    if (compress) intern("SASYZCRL") // marker must live in the text block
+    if (compression == "rle") intern("SASYZCRL") // marker must live in the text block
+    if (compression == "rdc") intern("SASYZCR2")
     cols.foreach(c => intern(c.name))
     cols.filter(_.format.nonEmpty).foreach(c => intern(c.format))
     val blockSize = (cursor + 7) / 8 * 8
@@ -240,12 +313,14 @@ object SasWriter {
 
     val allPages: Seq[Array[Byte]] =
       if (compress) {
-        // every row is its own subheader: RLE payload when it is
-        // actually shorter, raw otherwise (the same length rule both
-        // the repo reader and pandas use to decide decompression)
+        // every row is its own subheader: compressed payload when it
+        // is actually shorter, raw otherwise (the same length rule
+        // both the repo reader and pandas use to decide decompression)
+        val codec: Array[Byte] => Array[Byte] =
+          if (compression == "rle") rleCompress else rdcCompress
         val rowSubs = rows.map { r =>
           val raw = rowBytes(r)
-          val comp = rleCompress(raw)
+          val comp = codec(raw)
           (if (comp.length < rowLength) comp else raw, true)
         }
         packSubheaderPages(subheaders.map((_, false)) ++ rowSubs)
@@ -315,24 +390,24 @@ object SasFixture {
   }
 
   /** Write the n-row fixture to a fresh temp path and return it. */
-  def writeToTemp(n: Int, compress: Boolean = false): String = {
+  def writeToTemp(n: Int, compression: String = "none"): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-sas").toFile
     dir.deleteOnExit()
     val p = new java.io.File(dir, "fixture.sas7bdat").getAbsolutePath
-    SasWriter.write(p, columns, rows(n), compress = compress)
+    SasWriter.write(p, columns, rows(n), compression = compression)
     p
   }
 }
 
 /** CLI for cross-validation against pandas.read_sas (check_sas.py).
-  * Pass a second arg "32" for the 32-bit layout or "rle" for a
-  * COMPRESS=CHAR (RLE) file.
+  * Pass a second arg "32" for the 32-bit layout, "rle" for a
+  * COMPRESS=CHAR file, or "rdc" for a COMPRESS=BINARY file.
   */
 object SasWriterMain {
   def main(args: Array[String]): Unit = {
     val u64 = !(args.length > 1 && args(1) == "32")
-    val compress = args.length > 1 && args(1) == "rle"
-    SasWriter.write(args(0), SasFixture.columns, SasFixture.rows(500), u64 = u64, compress = compress)
-    println(s"wrote ${args(0)} (u64=$u64, compress=$compress)")
+    val compression = if (args.length > 1 && Set("rle", "rdc")(args(1))) args(1) else "none"
+    SasWriter.write(args(0), SasFixture.columns, SasFixture.rows(500), u64 = u64, compression = compression)
+    println(s"wrote ${args(0)} (u64=$u64, compression=$compression)")
   }
 }

@@ -45,17 +45,45 @@ class Sas7bdatSpec extends SparkSuite {
     }
   }
 
-  test("RLE-compressed (COMPRESS=CHAR) file round-trips identically to uncompressed") {
-    val p = tmpPath("rle.sas7bdat")
-    SasWriter.write(p, cols, sampleRows(500), compress = true) // rows span several subheader pages
-    val df = Sas7bdat.read(spark, p)
-    assert(df.count() == 500)
+  private def assertFixture(df: org.apache.spark.sql.DataFrame, n: Int): Unit = {
+    assert(df.count() == n)
     val rows = df.orderBy("id").collect()
     rows.zipWithIndex.foreach { case (r, i) =>
       assert(r.getDouble(0) == i.toDouble)
       if (i % 7 == 3) assert(r.isNullAt(1)) else assert(math.abs(r.getDouble(1) - (i * 0.25 - 10)) < 1e-12)
       assert(r.getDate(2).toString == java.time.LocalDate.of(2000, 1, 1).plusDays(i).toString)
       if (i % 11 == 5) assert(r.isNullAt(3)) else assert(r.getString(3) == s"T${i % 97}")
+    }
+  }
+
+  test("RLE-compressed (COMPRESS=CHAR) file round-trips identically to uncompressed") {
+    val p = tmpPath("rle.sas7bdat")
+    SasWriter.write(p, cols, sampleRows(500), compression = "rle") // rows span several subheader pages
+    assertFixture(Sas7bdat.read(spark, p), 500)
+  }
+
+  test("RDC-compressed (COMPRESS=BINARY) file round-trips identically to uncompressed") {
+    val p = tmpPath("rdc.sas7bdat")
+    SasWriter.write(p, cols, sampleRows(500), compression = "rdc")
+    assertFixture(Sas7bdat.read(spark, p), 500)
+  }
+
+  test("rdcCompress/rdcDecompress round-trip arbitrary byte rows, including command edges") {
+    val rnd = new scala.util.Random(11)
+    val abc = Array.tabulate[Byte](12)(i => ('a' + i % 3).toByte)
+    val cases = Seq(
+      Array.fill[Byte](100)(0),                          // long run (cmd 1)
+      Array.fill[Byte](10)(7),                           // short run (cmd 0)
+      Array.tabulate[Byte](40)(i => i.toByte),           // pure literals + ctrl-word refills
+      abc ++ abc ++ abc ++ abc,                          // short pattern refs (cmd 3..15)
+      Array.tabulate[Byte](8)(_.toByte) ++ Array.tabulate[Byte](300)(i => (i % 8).toByte), // long pattern (cmd 2, overlapping)
+      Array.fill[Byte](19)(3) ++ Array.tabulate[Byte](5)(_.toByte) ++ Array.fill[Byte](4114)(9) ++ abc, // run-length caps
+      Array.tabulate[Byte](5000)(_ => rnd.nextInt(4).toByte) // random compressible soup
+    )
+    cases.zipWithIndex.foreach { case (row, k) =>
+      val comp = SasWriter.rdcCompress(row)
+      val back = graft.sources.Sas7bdat.rdcDecompress(comp, 0, comp.length, row.length)
+      assert(back.sameElements(row), s"case $k failed round-trip")
     }
   }
 
