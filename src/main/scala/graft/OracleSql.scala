@@ -532,14 +532,15 @@ FROM lineitem GROUP BY 1, 2""",
     // page reader; the oracle regenerates the same rows directly.
     // CASTs keep the arithmetic in DOUBLE (DuckDB's bare 0.25 literal
     // is DECIMAL) and the date math in INT days.
-    // three copies of the closed-form fixture: the engine reads it
-    // uncompressed, RLE-compressed, and RDC-compressed and unions
+    // four copies of the closed-form fixture: uncompressed + RLE +
+    // RDC through the page parser, and the RDC file again through the
+    // DataSourceV2 "sas7bdat" format
     "q_load_sas" ->
       """SELECT CAST(i % 500 AS DOUBLE) AS id,
 CASE WHEN i % 500 % 7 = 3 THEN NULL ELSE CAST(i % 500 AS DOUBLE) * 0.25 - 10 END AS ret,
 strftime(DATE '2000-01-01' + CAST(i % 500 AS INT), '%Y-%m-%d') AS evtdate,
 CASE WHEN i % 500 % 11 = 5 THEN NULL ELSE 'T' || CAST(i % 500 % 97 AS VARCHAR) END AS ticker
-FROM range(0, 1500) t(i)""",
+FROM range(0, 2000) t(i)""",
 
     "q_token_count" ->
       """SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INT) AS n_tok FROM documents""",

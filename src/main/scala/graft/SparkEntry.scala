@@ -338,14 +338,17 @@ object SparkEntry {
       // regenerates the same table in SQL) uncompressed, RLE-
       // compressed (COMPRESS=CHAR), AND RDC-compressed
       // (COMPRESS=BINARY), read each back through the sas7bdat page
-      // parser, and require them to union to 3x identical rows —
-      // putting BOTH decompressors behind the hash-compare gate
+      // parser — plus the RDC file a fourth time through the
+      // DataSourceV2 format ("sas7bdat") — and require them to union
+      // to 4x identical rows: both decompressors AND both read paths
+      // sit behind the hash-compare gate
       val plain = graft.testing.SasFixture.writeToTemp(500)
       val rle = graft.testing.SasFixture.writeToTemp(500, compression = "rle")
       val rdc = graft.testing.SasFixture.writeToTemp(500, compression = "rdc")
       graft.sources.ReadFile.readFile(s, plain)
         .unionByName(graft.sources.ReadFile.readFile(s, rle))
         .unionByName(graft.sources.ReadFile.readFile(s, rdc))
+        .unionByName(s.read.format("sas7bdat").load(rdc))
         .select(col("id"), col("ret"),
           date_format(col("evtdate"), "yyyy-MM-dd").as("evtdate"), col("ticker"))
     }),

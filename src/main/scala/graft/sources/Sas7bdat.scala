@@ -66,11 +66,11 @@ object Sas7bdat {
     "feffffff" -> ColList, "fffffffe" -> ColList,
     "feffffffffffffff" -> ColList, "fffffffffffffffe" -> ColList)
 
-  private val SasDateFormats = Set(
+  private[sources] val SasDateFormats = Set(
     "DATE", "DAY", "DDMMYY", "DOWNAME", "JULDAY", "JULIAN", "MMDDYY", "MMYY",
     "MONNAME", "MONTH", "MONYY", "QTR", "WEEKDATE", "WEEKDAY", "WORDDATE",
     "YEAR", "YYMM", "YYMMDD", "YYMON", "YYQ", "E8601DA", "B8601DA")
-  private val SasDatetimeFormats = Set(
+  private[sources] val SasDatetimeFormats = Set(
     "DATETIME", "B8601DN", "B8601DT", "E8601DN", "E8601DT", "DATEAMPM",
     "DTDATE", "DTMONYY", "DTYEAR", "TOD", "MDYAMPM")
 
@@ -104,7 +104,7 @@ object Sas7bdat {
   // byte-level helpers
   // ---------------------------------------------------------------
 
-  private class Buf(val bytes: Array[Byte], littleEndian: Boolean) {
+  private[sources] class Buf(val bytes: Array[Byte], littleEndian: Boolean) {
     private val order = if (littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
     def uint(off: Int, width: Int): Long = {
       val bb = ByteBuffer.wrap(bytes, off, width).order(order)
@@ -135,13 +135,13 @@ object Sas7bdat {
   // driver-side metadata parse
   // ---------------------------------------------------------------
 
-  private def openAt(path: String): org.apache.hadoop.fs.FSDataInputStream = {
+  private[sources] def openAt(path: String): org.apache.hadoop.fs.FSDataInputStream = {
     val conf = new org.apache.hadoop.conf.Configuration()
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(conf).open(p)
   }
 
-  private def readFully(in: org.apache.hadoop.fs.FSDataInputStream, pos: Long, len: Int): Array[Byte] = {
+  private[sources] def readFully(in: org.apache.hadoop.fs.FSDataInputStream, pos: Long, len: Int): Array[Byte] = {
     val out = new Array[Byte](len)
     in.readFully(pos, out, 0, len)
     out
@@ -390,7 +390,7 @@ object Sas7bdat {
     * the page itself for uncompressed rows, or into a freshly
     * decompressed row buffer for RLE/RDC subheaders.
     */
-  private def rowsInPage(page: Buf, meta: SasMeta): Seq[(Buf, Int)] = {
+  private[sources] def rowsInPage(page: Buf, meta: SasMeta): Seq[(Buf, Int)] = {
     val bitOff = meta.pageBitOffset
     val pageType = (page.uint(bitOff, 2) & 0xff00L).toInt
     pageType match {
@@ -433,8 +433,8 @@ object Sas7bdat {
     }
   }
 
-  private val SasEpochDay = java.time.LocalDate.of(1960, 1, 1)
-  private val SasEpochMillis = -315619200000L // 1960-01-01T00:00:00Z
+  private[sources] val SasEpochDay = java.time.LocalDate.of(1960, 1, 1)
+  private[sources] val SasEpochMillis = -315619200000L // 1960-01-01T00:00:00Z
 
   private def decodeRow(page: Buf, rowOff: Int, meta: SasMeta, convertDates: Boolean): Row = {
     val vals = meta.columns.map { c =>

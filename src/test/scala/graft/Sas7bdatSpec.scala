@@ -106,6 +106,23 @@ class Sas7bdatSpec extends SparkSuite {
     }
   }
 
+  test("DataSourceV2: spark.read.format(\"sas7bdat\") reads all layouts; pruning reaches the scan") {
+    val p = tmpPath("v2.sas7bdat")
+    SasWriter.write(p, cols, sampleRows(500), compression = "rdc")
+    assertFixture(spark.read.format("sas7bdat").load(p), 500)
+    // REAL column pruning: the projection narrows the scan itself
+    // (readSchema/description), not a post-scan Project
+    val pruned = spark.read.format("sas7bdat").load(p).select("id", "ticker")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("[id,ticker]"), s"scan not pruned to [id,ticker]:\n$plan")
+    assert(pruned.count() == 500)
+    assert(pruned.orderBy("id").limit(1).head().getDouble(0) == 0.0)
+    // convertDates=false keeps raw SAS day counts, same as the RDD path
+    val raw = spark.read.format("sas7bdat").option("convertDates", "false").load(p)
+    assert(raw.schema("evtdate").dataType == DoubleType)
+    assert(raw.orderBy("id").select("evtdate").head().getDouble(0) == 14610.0)
+  }
+
   test("32-bit layout round-trips identically (4-byte ints, 16-byte bit offset)") {
     val p = tmpPath("fix32.sas7bdat")
     SasWriter.write(p, cols, sampleRows(300), u64 = false)
