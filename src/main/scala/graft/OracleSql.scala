@@ -115,6 +115,59 @@ round(CASE WHEN toks > 0 THEN CAST($stopHits AS DOUBLE) / toks ELSE 0.0 END, 6) 
 FROM b"""
   }
 
+  /** Overlapping word-window chunks mirroring
+    * TextAnalysis.chunkDocuments(chunkSize, overlap): starts at
+    * multiples of step while `start + overlap < nWords` (start 0
+    * always), chunk_id = start / step (dropped starts are always a
+    * suffix, so positions survive the filter).
+    */
+  private def chunkSql(chunkSize: Int, overlap: Int): String = {
+    val step = chunkSize - overlap
+    s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents WHERE length(trim(text)) > 0),
+sel AS (SELECT doc_id, ws, unnest(list_filter(range(0, CAST(len(ws) AS BIGINT), $step), s -> s = 0 OR s + $overlap < len(ws))) AS s FROM w)
+SELECT doc_id, CAST(s // $step AS INT) AS chunk_id,
+array_to_string(list_slice(ws, CAST(s + 1 AS INT), CAST(s + $chunkSize AS INT)), ' ') AS chunk,
+CAST(least(len(ws) - s, $chunkSize) AS INT) AS n_tokens
+FROM sel"""
+  }
+
+  /** Gopher quality rules mirroring TextAnalysis.gopherQuality —
+    * stopword terms generated from the SAME Scala constant the
+    * operator uses. Every ratio is an exact int/int double division
+    * on both engines, so the unrounded keep comparisons agree.
+    */
+  private def gopherSql(minWords: Int, maxWords: Int): String = {
+    val stopSum = TextAnalysis.gopherStopwords
+      .map(sw => s"CAST(list_contains(lws, '$sw') AS INT)")
+      .mkString(" + ")
+    s"""WITH b AS (SELECT doc_id, text,
+CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS toks,
+regexp_split_to_array(trim(text), '\\s+') AS ws,
+list_transform(regexp_split_to_array(trim(text), '\\s+'), w -> lower(w)) AS lws,
+string_split(text, chr(10)) AS lines
+FROM documents),
+m AS (SELECT doc_id, toks,
+CASE WHEN toks > 0 THEN CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / toks ELSE 0.0 END AS mean_word_len,
+CASE WHEN toks > 0 THEN ((length(text) - length(replace(text, '#', ''))) / 1 + (length(text) - length(replace(text, '...', ''))) / 3) / toks ELSE 0.0 END AS symbol_ratio,
+CAST(len(list_filter(lines, l -> substring(ltrim(l), 1, 1) IN ('•', '-', '*'))) AS DOUBLE) / len(lines) AS bullet_frac,
+CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…'))) AS DOUBLE) / len(lines) AS ellipsis_frac,
+CASE WHEN toks > 0 THEN CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / toks ELSE 0.0 END AS alpha_frac,
+CAST($stopSum AS INT) AS n_stop
+FROM b)
+SELECT doc_id, toks AS n_words,
+round(mean_word_len, 6) AS mean_word_len,
+round(symbol_ratio, 6) AS symbol_ratio,
+round(bullet_frac, 6) AS bullet_frac,
+round(ellipsis_frac, 6) AS ellipsis_frac,
+round(alpha_frac, 6) AS alpha_frac,
+n_stop,
+CAST((toks >= $minWords AND toks <= $maxWords
+  AND mean_word_len >= 3 AND mean_word_len <= 10
+  AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+  AND alpha_frac >= 0.8 AND n_stop >= 2) AS INT) AS keep
+FROM m"""
+  }
+
   private lazy val langIdSql: String = {
     // score columns, then the exact argmax fold of TextAnalysis.langId
     // (first language wins ties, later languages only replace on
@@ -549,6 +602,10 @@ FROM range(0, 2000) t(i)""",
       """SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_tok_re FROM documents""",
 
     "q_quality" -> qualitySql,
+
+    "q_chunk" -> chunkSql(chunkSize = 16, overlap = 4),
+
+    "q_gopher" -> gopherSql(minWords = 20, maxWords = 1000),
 
     "q_lang_id" -> langIdSql,
 

@@ -431,6 +431,20 @@ object SparkEntry {
       GroupOps.sessionize(eventsTable(s, dir), Seq("user_id"), "ts", gapSeconds = 3600L)
         .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"), col("session"))
     }),
+    "q_chunk" -> ((s, dir) => {
+      // context-window chunking: 16-word chunks, 4-word overlap
+      TextAnalysis.chunkDocuments(t(s, dir, "documents"), "doc_id", "text", chunkSize = 16, overlap = 4)
+    }),
+    "q_gopher" -> ((s, dir) => {
+      TextAnalysis.gopherQuality(t(s, dir, "documents"), "doc_id", "text", minWords = 20, maxWords = 1000)
+        .select(col("doc_id"), col("n_words"),
+          round(col("mean_word_len"), 6).as("mean_word_len"),
+          round(col("symbol_ratio"), 6).as("symbol_ratio"),
+          round(col("bullet_frac"), 6).as("bullet_frac"),
+          round(col("ellipsis_frac"), 6).as("ellipsis_frac"),
+          round(col("alpha_frac"), 6).as("alpha_frac"),
+          col("n_stop"), col("keep"))
+    }),
     "q_corpus_stats" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       TextAnalysis.corpusStats(d, Seq("source"), "text")

@@ -396,4 +396,108 @@ object TextAnalysis {
         col("df"),
         (col("tf") * log(col("__n__").cast("double") / col("df"))).as("tfidf"))
   }
+
+  /** Split each document into overlapping word-window chunks — the
+    * context-window/RAG splitting step of a training-data pipeline.
+    * Chunk k starts at word `k * (chunkSize - overlap)`; a start is
+    * emitted while it still contributes words beyond the previous
+    * chunk's overlap (`start + overlap < nWords`, start 0 always), so
+    * no chunk is fully contained in its predecessor. Output one row
+    * per (doc, chunk): (idCol, chunk_id, chunk, n_tokens).
+    *
+    * Scale shape: zero shuffles — split, the start-sequence filter,
+    * posexplode, and the slice/join are all per-row expressions that
+    * pipeline inside the scan stage; output parallelism is input
+    * parallelism.
+    */
+  def chunkDocuments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int,
+      overlap: Int = 0
+  ): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    val step = chunkSize - overlap
+    df.where(length(trim(col(textCol))) > 0)
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__ws__"))
+      .select(col(idCol), col("__ws__"),
+        posexplode(filter(
+          sequence(lit(0), greatest(size(col("__ws__")) - 1, lit(0)), lit(step)),
+          s => (s === 0) || (s + lit(overlap) < size(col("__ws__")))
+        )).as(Seq("chunk_id", "__start__")))
+      .select(
+        col(idCol),
+        col("chunk_id"),
+        array_join(slice(col("__ws__"), col("__start__") + 1, lit(chunkSize)), " ").as("chunk"),
+        least(size(col("__ws__")) - col("__start__"), lit(chunkSize)).cast("int").as("n_tokens"))
+  }
+
+  /** The Gopher stopword-presence list (Rae et al. 2021, arXiv:
+    * 2112.11446, Table A1 quality rules).
+    */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher document-quality rules (Rae et al. 2021): per-document
+    * signals plus the combined keep flag.
+    *
+    *  - word count in [minWords, maxWords]
+    *  - mean word length (non-space chars / words) in [3, 10]
+    *  - symbol-to-word ratio ('#' and '...' occurrences / words) <= 0.1
+    *  - fraction of lines starting with a bullet <= 0.9
+    *  - fraction of lines ending with an ellipsis <= 0.3
+    *  - >= 80% of words contain an alphabetic character
+    *  - >= 2 of the 8 Gopher stopwords present
+    *
+    * Pure column expressions over one pass of the text — pipelines in
+    * the scan stage, no shuffle, no UDF.
+    */
+  def gopherQuality(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Int = 50,
+      maxWords: Int = 100000
+  ): DataFrame = {
+    val t = col(textCol)
+    val toks = tokenCount(t)
+    val ws = split(trim(t), "\\s+")
+    val lws = transform(ws, w => lower(w))
+    val lines = split(t, "\n")
+    val nLines = size(lines)
+    val meanLen = when(toks > 0,
+      length(regexp_replace(t, "\\s+", "")).cast("double") / toks).otherwise(lit(0.0))
+    val symbols = countOccurrences(t, "#") + countOccurrences(t, "...")
+    val symbolRatio = when(toks > 0, symbols.cast("double") / toks).otherwise(lit(0.0))
+    val bulletFrac = when(nLines > 0,
+      size(filter(lines, l => substring(ltrim(l), 1, 1).isin("•", "-", "*")))
+        .cast("double") / nLines).otherwise(lit(0.0))
+    val ellipsisFrac = when(nLines > 0,
+      size(filter(lines, l => rtrim(l).endsWith("...") || rtrim(l).endsWith("…")))
+        .cast("double") / nLines).otherwise(lit(0.0))
+    val alphaFrac = when(toks > 0,
+      size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double") / toks).otherwise(lit(0.0))
+    val nStop = gopherStopwords
+      .map(sw => when(array_contains(lws, sw), 1).otherwise(0))
+      .reduce(_ + _)
+    df.select(
+      col(idCol),
+      toks.as("n_words"),
+      meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"),
+      bulletFrac.as("bullet_frac"),
+      ellipsisFrac.as("ellipsis_frac"),
+      alphaFrac.as("alpha_frac"),
+      nStop.as("n_stop"))
+      .withColumn("keep",
+        (col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= 3 && col("mean_word_len") <= 10 &&
+          col("symbol_ratio") <= 0.1 &&
+          col("bullet_frac") <= 0.9 &&
+          col("ellipsis_frac") <= 0.3 &&
+          col("alpha_frac") >= 0.8 &&
+          col("n_stop") >= 2).cast("int"))
+  }
 }

@@ -299,6 +299,44 @@ class PipelineSpec extends SparkSuite {
     assert(uncapped == Set(1L, 5L), s"got $uncapped")
   }
 
+  test("chunkDocuments emits overlapping word windows; no chunk fully inside its predecessor") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5"),   // 5 words: starts 0 and 2 (start 4 contributes nothing new)
+      (2L, "a b c"),            // exact fit: one chunk only
+      (3L, "  "),               // blank: no chunks
+      (4L, "solo")              // single word
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocuments(docs, "doc_id", "text", chunkSize = 3, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getInt(3))).toMap
+    assert(got == Map(
+      (1L, 0) -> ("w1 w2 w3", 3), (1L, 1) -> ("w3 w4 w5", 3),
+      (2L, 0) -> ("a b c", 3),
+      (4L, 0) -> ("solo", 1)), s"got $got")
+  }
+
+  test("gopherQuality computes the published rules and the combined keep flag") {
+    val s = spark; import s.implicits._
+    val good = "The cat and the dog have gone to the market with great enthusiasm " +
+      "that nobody expected from such small animals on a quiet morning." // 23 words, stopword-rich
+    val docs = Seq(
+      (1L, good),
+      (2L, "short text only"),                              // under minWords
+      (3L, ("# " * 30).trim),                               // symbol soup: no alpha, no stopwords
+      (4L, "- one\n- two\n- three")                         // all bullet lines
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherQuality(docs, "doc_id", "text", minWords = 20, maxWords = 1000)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(6), r.getInt(7), r.getInt(8))).toMap // (n_words, alpha_frac, n_stop, keep)
+    assert(got(1L)._1 == 24 && got(1L)._2 == 1.0 && got(1L)._3 >= 4 && got(1L)._4 == 1, s"good doc: ${got(1L)}")
+    assert(got(2L)._4 == 0) // too short
+    assert(got(3L)._2 == 0.0 && got(3L)._4 == 0) // zero alpha fraction
+    assert(got(4L)._4 == 0) // bullet_frac = 1.0 > 0.9
+    val bulletFrac = TextAnalysis.gopherQuality(docs, "doc_id", "text")
+      .where(col("doc_id") === 4L).select("bullet_frac").head().getDouble(0)
+    assert(bulletFrac == 1.0)
+  }
+
   test("c4Clean applies line filters, doc filters, and the minKeptLines floor") {
     val s = spark; import s.implicits._
     val keepMe = "this line has five words.\nno punct so dropped here\nshort line.\n" +

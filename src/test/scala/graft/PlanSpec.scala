@@ -107,7 +107,13 @@ class PlanSpec extends SparkSuite {
       "q_long_short"         -> 1, // checkpoint + the contract-bounded single-partition window
       "q_asof_join"          -> 4, // events pre-agg + range-join repartition pair + group-limit
       "q_tfidf"              -> 6, // tf agg + df agg + word join + top-3 window (N is broadcast)
-      "q_minhash_candidates" -> 3  // banded persist barrier + bucket join + pair agg
+      "q_minhash_candidates" -> 3, // banded persist barrier + bucket join + pair agg
+      // kmeans training (1 Lloyd round: assign window + 2 tiny
+      // (cent,dim)-keyed aggs) + final assignment window + cell-cap
+      // count window + co-partitioned pair join + distinct; the anti
+      // join rides a broadcast. Only the three per-row windows and
+      // the pair join touch full-corpus data.
+      "q_semdedup"           -> 14
     )
     val shuffleRe = "Exchange (hash|range|Single|rebalance)".r
     expected.foreach { case (name, n) =>
