@@ -46,7 +46,13 @@ object Bench {
     val selected = sys.env.get("SPARK_GRAFT_ORDER") match {
       case Some("reverse") => base.reverse
       case Some(s) if s.startsWith("shuffle:") =>
-        new scala.util.Random(s.stripPrefix("shuffle:").toLong).shuffle(base)
+        // a typo'd seed must not kill the run after warm-up cost is paid
+        s.stripPrefix("shuffle:").toLongOption match {
+          case Some(seed) => new scala.util.Random(seed).shuffle(base)
+          case None =>
+            System.err.println(s"BENCHDBG bad SPARK_GRAFT_ORDER '$s' (not a long seed); using base order")
+            base
+        }
       case _ => base
     }
     val debug = !sys.env.get("SPARK_GRAFT_BENCH_DEBUG").contains("0")

@@ -327,16 +327,16 @@ SELECT vec_id, cent_id FROM afin"""
 
   /** SemDeDup mirroring Dedup.semDedup with TRAINED centroids and the
     * hot-cell cap: kmeans CTE chain for the quantizer, rank-1 cell
-    * assignment, QUALIFY cell-size cap (over-cap cells drop out of
-    * duplicate detection wholesale — their rows all survive, exactly
-    * the engine's rule), lower-id similar row within a kept cell
-    * marks a duplicate.
+    * assignment, QUALIFY saturation cap (only the maxCellSize
+    * lowest-id rows of a cell participate in duplicate detection —
+    * exactly the engine's rule), lower-id similar row within a kept
+    * cell marks a duplicate.
     */
   private def semdedupSql(k: Int, iters: Int, dims: Int, threshold: Double, maxCellSize: Int): String =
     s"""WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 ${kmeansTrainCtes(k, iters, dims)},
 ${kmeansAssignCte("cellraw", s"cents$iters")},
-cell AS (SELECT vec_id, emb, cent_id FROM cellraw QUALIFY count(*) OVER (PARTITION BY cent_id) <= $maxCellSize),
+cell AS (SELECT vec_id, emb, cent_id FROM cellraw QUALIFY row_number() OVER (PARTITION BY cent_id ORDER BY vec_id) <= $maxCellSize),
 dup AS (SELECT DISTINCT b.vec_id FROM cell a JOIN cell b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.emb, b.emb) >= $threshold)
 SELECT vec_id, label FROM c WHERE vec_id NOT IN (SELECT vec_id FROM dup)"""

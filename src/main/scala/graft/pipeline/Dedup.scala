@@ -857,13 +857,19 @@ object Dedup {
     * same contract as [[embeddingNearDups]]' blocking key); survivors
     * come back via one left_anti on the id. No all-pairs stage.
     *
-    * `maxCellSize` bounds the quadratic stage the same way every LSH
-    * operator here bounds its buckets: a cell larger than the cap is
-    * dropped WHOLESALE from duplicate detection (all its rows
-    * survive), so one hot cell — which a skewed corpus will produce —
-    * can never make the within-cell self-join quadratic in the
-    * corpus. Prefer trained `centroids` over the uniform draw for
-    * skewed data: fitted cells are far better balanced.
+    * `maxCellSize` bounds the quadratic stage: in a cell larger than
+    * the cap, only the `maxCellSize` LOWEST-id rows participate in
+    * duplicate detection (deterministic saturation — rows past the
+    * cap all survive), so one hot cell can never make the
+    * within-cell self-join quadratic in the corpus. Saturation, not
+    * the LSH operators' drop-wholesale rule, because the over-cap
+    * regime differs: an over-cap LSH bucket is a degenerate
+    * signature, while EVERY cell goes over this cap when `nlist` is
+    * undersized for the corpus — saturating still dedups each cell's
+    * head instead of silently disabling the operator. Size `nlist`
+    * ~ corpus/expected-cell (the SemDeDup paper uses k in the tens
+    * of thousands at web scale) and prefer trained `centroids` over
+    * the uniform draw: fitted cells are far better balanced.
     */
   def semDedup(
       df: DataFrame,
@@ -895,13 +901,14 @@ object Dedup {
       maxCellSize: Int = 100000
   ): (DataFrame, () => Unit) = {
     val cents = centroids.getOrElse(Similarity.ivfCentroids(df, idCol, vecCol, nlist))
-    // hot-cell cap BEFORE the persist: the count window shuffles on
+    // hot-cell cap BEFORE the persist: the rank window shuffles on
     // cent_id, the very key the pair join below needs, so the capped
     // frame arrives at the join already co-partitioned
     val cells = Similarity.ivfAssign(df, cents, idCol, vecCol, "row", keep = 1, scoreDecimals)
-      .withColumn("__cellsize__", count(lit(1)).over(Window.partitionBy(col("cent_id"))))
-      .where(col("__cellsize__") <= maxCellSize)
-      .drop("__cellsize__")
+      .withColumn("__cellrank__",
+        row_number().over(Window.partitionBy(col("cent_id")).orderBy(col("row_id"))))
+      .where(col("__cellrank__") <= maxCellSize)
+      .drop("__cellrank__")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = cells.select(col("cent_id"), col("row_id").as("id_a"),
       col("__rowv__").as("__va__"), col("__rown__").as("__na__"))

@@ -300,26 +300,34 @@ object Sas7bdat {
     val out = new Array[Byte](outLen)
     var i = from; var o = 0
     val end = from + len
-    def fill(b: Byte, n: Int): Unit = { java.util.Arrays.fill(out, o, o + n, b); o += n }
+    // a truncated/corrupt payload must fail as a diagnosable format
+    // error, not an ArrayIndexOutOfBoundsException from deep inside a
+    // task (same contract as the RDC decoder below)
+    def chk(cond: Boolean): Unit = if (!cond)
+      throw new IllegalStateException(
+        s"corrupt RLE stream (truncated or bad command) at input offset ${i - from} of $len")
+    def fill(b: Byte, n: Int): Unit = { chk(o + n <= outLen); java.util.Arrays.fill(out, o, o + n, b); o += n }
     while (i < end && o < outLen) {
       val ctrl = src(i) & 0xf0
       val nib = src(i) & 0x0f
       i += 1
       ctrl match {
         case 0x00 =>
-          val n = nib * 256 + (src(i) & 0xff) + 64; i += 1
+          chk(i < end); val n = nib * 256 + (src(i) & 0xff) + 64; i += 1
+          chk(i + n <= end && o + n <= outLen)
           System.arraycopy(src, i, out, o, n); i += n; o += n
         case 0x40 =>
-          val n = nib * 16 + (src(i) & 0xff) + 18; i += 1
+          chk(i + 1 < end); val n = nib * 16 + (src(i) & 0xff) + 18; i += 1
           fill(src(i), n); i += 1
         case 0x60 =>
-          val n = nib * 256 + (src(i) & 0xff) + 17; i += 1; fill(0x20, n)
+          chk(i < end); val n = nib * 256 + (src(i) & 0xff) + 17; i += 1; fill(0x20, n)
         case 0x70 =>
-          val n = nib * 256 + (src(i) & 0xff) + 17; i += 1; fill(0x00, n)
+          chk(i < end); val n = nib * 256 + (src(i) & 0xff) + 17; i += 1; fill(0x00, n)
         case 0x80 | 0x90 | 0xa0 | 0xb0 =>
           val n = nib + 1 + ((ctrl - 0x80) >> 4) * 16
+          chk(i + n <= end && o + n <= outLen)
           System.arraycopy(src, i, out, o, n); i += n; o += n
-        case 0xc0 => fill(src(i), nib + 3); i += 1
+        case 0xc0 => chk(i < end); fill(src(i), nib + 3); i += 1
         case 0xd0 => fill(0x40, nib + 2)
         case 0xe0 => fill(0x20, nib + 2)
         case 0xf0 => fill(0x00, nib + 2)
@@ -350,33 +358,47 @@ object Sas7bdat {
     var i = from; var o = 0
     val end = from + len
     var ctrlBits = 0; var ctrlMask = 0
+    // truncated/corrupt payloads fail as a diagnosable format error,
+    // not an ArrayIndexOutOfBoundsException from deep inside a task
+    def chk(cond: Boolean): Unit = if (!cond)
+      throw new IllegalStateException(
+        s"corrupt RDC stream (truncated or bad command) at input offset ${i - from} of $len")
     while (i < end && o < outLen) {
       ctrlMask >>= 1
       if (ctrlMask == 0) {
+        chk(i + 1 < end)
         ctrlBits = ((src(i) & 0xff) << 8) | (src(i + 1) & 0xff)
         i += 2
         ctrlMask = 0x8000
       }
       if ((ctrlBits & ctrlMask) == 0) {
+        chk(i < end)
         out(o) = src(i); o += 1; i += 1
       } else {
+        chk(i < end)
         val cmd = (src(i) >> 4) & 0x0f
         val nib = src(i) & 0x0f
         i += 1
         cmd match {
           case 0 =>
-            val n = nib + 3
+            chk(i < end); val n = nib + 3
+            chk(o + n <= outLen)
             java.util.Arrays.fill(out, o, o + n, src(i)); i += 1; o += n
           case 1 =>
-            val n = nib + ((src(i) & 0xff) << 4) + 19; i += 1
+            chk(i + 1 < end); val n = nib + ((src(i) & 0xff) << 4) + 19; i += 1
+            chk(o + n <= outLen)
             java.util.Arrays.fill(out, o, o + n, src(i)); i += 1; o += n
           case 2 =>
+            chk(i + 1 < end)
             val ofs = nib + 3 + ((src(i) & 0xff) << 4); i += 1
             val n = (src(i) & 0xff) + 16; i += 1
+            chk(ofs <= o && o + n <= outLen)
             var k = 0
             while (k < n) { out(o) = out(o - ofs); o += 1; k += 1 }
           case c =>
+            chk(i < end)
             val ofs = nib + 3 + ((src(i) & 0xff) << 4); i += 1
+            chk(ofs <= o && o + c <= outLen)
             var k = 0
             while (k < c) { out(o) = out(o - ofs); o += 1; k += 1 }
         }
@@ -436,22 +458,39 @@ object Sas7bdat {
   private[sources] val SasEpochDay = java.time.LocalDate.of(1960, 1, 1)
   private[sources] val SasEpochMillis = -315619200000L // 1960-01-01T00:00:00Z
 
+  /** Raw numeric cell: Double or null (SAS missing = NaN). Shared by
+    * the Row and InternalRow (DataSourceV2) decode paths so the
+    * missing-value rule can never drift between them; only the
+    * representation-specific date/timestamp conversion stays with
+    * each caller.
+    */
+  private[sources] def numericCell(page: Buf, rowOff: Int, c: SasColumn): java.lang.Double = {
+    val d = page.double(rowOff + c.offset, c.width)
+    if (d.isNaN) null else java.lang.Double.valueOf(d)
+  }
+
+  /** Raw character cell: trailing-space/NUL-trimmed string, or null
+    * when fully blank. Shared by both decode paths (see
+    * [[numericCell]]).
+    */
+  private[sources] def stringCell(page: Buf, rowOff: Int, c: SasColumn, encoding: String): String = {
+    val raw = page.slice(rowOff + c.offset, c.width)
+    var end = raw.length
+    while (end > 0 && (raw(end - 1) == ' ' || raw(end - 1) == 0)) end -= 1
+    if (end == 0) null else new String(raw, 0, end, encoding)
+  }
+
   private def decodeRow(page: Buf, rowOff: Int, meta: SasMeta, convertDates: Boolean): Row = {
     val vals = meta.columns.map { c =>
       if (c.isNumeric) {
-        val d = page.double(rowOff + c.offset, c.width)
-        if (d.isNaN) null
+        val d = numericCell(page, rowOff, c)
+        if (d == null) null
         else if (convertDates && SasDateFormats.contains(c.format))
           java.sql.Date.valueOf(SasEpochDay.plusDays(d.toLong))
         else if (convertDates && SasDatetimeFormats.contains(c.format))
           new java.sql.Timestamp(SasEpochMillis + math.round(d * 1000.0))
-        else java.lang.Double.valueOf(d)
-      } else {
-        val raw = page.slice(rowOff + c.offset, c.width)
-        var end = raw.length
-        while (end > 0 && (raw(end - 1) == ' ' || raw(end - 1) == 0)) end -= 1
-        if (end == 0) null else new String(raw, 0, end, meta.encoding)
-      }
+        else d
+      } else stringCell(page, rowOff, c, meta.encoding)
     }
     Row.fromSeq(vals)
   }

@@ -2,6 +2,7 @@ package graft.sources
 
 import java.util.{Map => JMap}
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -21,7 +22,8 @@ import Sas7bdat.{Buf, SasColumn, SasMeta}
   *
   * Spark-native scan planning on top of the same page machinery the
   * RDD path uses:
-  *  - one `InputPartition` per ~64-page range — the format's
+  *  - one `InputPartition` per page range (>= 64 pages, capped so the
+  *    partition count stays near cluster parallelism) — the format's
   *    fixed-size pages make a non-splittable binary format fully
   *    parallel, each task seeks straight to its range;
   *  - REAL column pruning (`SupportsPushDownRequiredColumns`): a
@@ -29,6 +31,11 @@ import Sas7bdat.{Buf, SasColumn, SasMeta}
   *    row and `.explain` shows the pruned ReadSchema — on a wide
   *    CRSP/Compustat extract the decode cost drops proportionally,
   *    which the RDD path cannot express.
+  *
+  * The driver-side metadata parse runs once per table (lazily in
+  * [[SasTable]]) and is carried through scan planning; cell decoding
+  * shares [[Sas7bdat.numericCell]]/[[Sas7bdat.stringCell]] with the
+  * RDD path so the missing-value and trimming rules cannot drift.
   */
 class Sas7bdatDataSource extends TableProvider with DataSourceRegister {
 
@@ -57,26 +64,44 @@ class Sas7bdatDataSource extends TableProvider with DataSourceRegister {
 private[sources] class SasTable(path: String, tableSchema: StructType, convertDates: Boolean)
     extends Table with SupportsRead {
 
+  /** One metadata parse per table, shared by every scan planned from
+    * it: (meta, firstDataPage, pageCount).
+    */
+  private lazy val layout: (SasMeta, Int, Int) = {
+    val (meta, firstDataPage) = Sas7bdat.readMeta(path)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fsPath = new org.apache.hadoop.fs.Path(path)
+    val fileLen = fsPath.getFileSystem(conf).getFileStatus(fsPath).getLen
+    (meta, firstDataPage, ((fileLen - meta.headerLength) / meta.pageLength).toInt)
+  }
+
   override def name(): String = s"sas7bdat(`$path`)"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SasScanBuilder(path, tableSchema, convertDates)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val (meta, firstDataPage, pageCount) = layout
+    new SasScanBuilder(path, meta, firstDataPage, pageCount, tableSchema, convertDates)
+  }
 }
 
-private[sources] class SasScanBuilder(path: String, fullSchema: StructType, convertDates: Boolean)
+private[sources] class SasScanBuilder(
+    path: String, meta: SasMeta, firstDataPage: Int, pageCount: Int,
+    fullSchema: StructType, convertDates: Boolean)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
 
   private var required: StructType = fullSchema
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
-  override def build(): Scan = new SasScan(path, required, convertDates)
+  override def build(): Scan =
+    new SasScan(path, meta, firstDataPage, pageCount, required, convertDates)
 }
 
-private[sources] class SasScan(path: String, required: StructType, convertDates: Boolean)
+private[sources] class SasScan(
+    path: String, meta: SasMeta, firstDataPage: Int, pageCount: Int,
+    required: StructType, convertDates: Boolean)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -84,16 +109,15 @@ private[sources] class SasScan(path: String, required: StructType, convertDates:
   override def description(): String = s"sas7bdat $path ${required.fieldNames.mkString("[", ",", "]")}"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val (meta, firstDataPage) = Sas7bdat.readMeta(path)
-    val conf = new org.apache.hadoop.conf.Configuration()
-    val fsPath = new org.apache.hadoop.fs.Path(path)
-    val fileLen = fsPath.getFileSystem(conf).getFileStatus(fsPath).getLen
-    val pageCount = ((fileLen - meta.headerLength) / meta.pageLength).toInt
-    if (pageCount <= firstDataPage || meta.rowCount == 0) Array.empty
+    val dataPages = pageCount - firstDataPage
+    if (dataPages <= 0 || meta.rowCount == 0) Array.empty
     else {
-      // same granularity as the RDD path: ~64 pages (a few hundred KB
-      // to a few MB of rows) per task
-      (firstDataPage until pageCount).grouped(64).map { idxs =>
+      // same granularity floor as the RDD path (~64 pages, a few
+      // hundred KB to a few MB of rows per task), but capped so a
+      // million-page file plans ~parallelism partitions, not ~16k
+      val parallelism = SparkSession.active.sparkContext.defaultParallelism
+      val pagesPerTask = math.max(64, (dataPages + parallelism - 1) / parallelism)
+      (firstDataPage until pageCount).grouped(pagesPerTask).map { idxs =>
         SasPageRange(path, meta, idxs.head, idxs.last + 1, required.fieldNames, convertDates)
           .asInstanceOf[InputPartition]
       }.toArray
@@ -142,7 +166,10 @@ private[sources] class SasPageRangeReader(p: SasPageRange) extends PartitionRead
   override def close(): Unit = in.close()
 
   /** Decode ONLY the pruned columns, straight to Spark internal
-    * representations (UTF8String / epoch days / micros).
+    * representations (UTF8String / epoch days / micros). Cell
+    * extraction is the SAME code as the RDD path
+    * ([[Sas7bdat.numericCell]]/[[Sas7bdat.stringCell]]); only the
+    * internal-format conversion lives here.
     */
   private def decode(page: Buf, rowOff: Int): InternalRow = {
     val vals = new Array[Any](cols.length)
@@ -151,18 +178,16 @@ private[sources] class SasPageRangeReader(p: SasPageRange) extends PartitionRead
       val c = cols(i)
       vals(i) =
         if (c.isNumeric) {
-          val d = page.double(rowOff + c.offset, c.width)
-          if (d.isNaN) null
+          val d = Sas7bdat.numericCell(page, rowOff, c)
+          if (d == null) null
           else if (p.convertDates && Sas7bdat.SasDateFormats.contains(c.format))
             Sas7bdat.SasEpochDay.plusDays(d.toLong).toEpochDay.toInt
           else if (p.convertDates && Sas7bdat.SasDatetimeFormats.contains(c.format))
             (Sas7bdat.SasEpochMillis + math.round(d * 1000.0)) * 1000L
-          else d
+          else d.doubleValue
         } else {
-          val raw = page.slice(rowOff + c.offset, c.width)
-          var end = raw.length
-          while (end > 0 && (raw(end - 1) == ' ' || raw(end - 1) == 0)) end -= 1
-          if (end == 0) null else UTF8String.fromString(new String(raw, 0, end, p.meta.encoding))
+          val s = Sas7bdat.stringCell(page, rowOff, c, p.meta.encoding)
+          if (s == null) null else UTF8String.fromString(s)
         }
       i += 1
     }

@@ -68,8 +68,15 @@ object StreamOps {
   /** Groups events into sessions separated by MORE THAN `gapMillis`
     * of inactivity — strict `>`, the same boundary rule as the batch
     * twin [[graft.operators.GroupOps.sessionize]] (`gap > gapSeconds`),
-    * so a backfilled batch run and a live stream agree on session
-    * splits (parity pinned in StreamingSpec over the events table).
+    * so a backfilled batch run and a live stream agree on EVENT-TIME
+    * session splits (parity pinned in StreamingSpec over the events
+    * table). Caveat: the default state expiry is a PROCESSING-time
+    * timeout — if the stream stalls longer than the TTL while
+    * event-time-contiguous data is still buffered upstream, the open
+    * session closes on the wall clock and the buffered events open a
+    * new one, which a batch backfill would merge. Where that matters,
+    * raise `stateTTLMillis` well above the worst expected stall (or
+    * disable expiry with 0 and accept unbounded open-session state).
     * Emits one row per closed session; on a stream the state times
     * out via ProcessingTimeTimeout, in batch every group's trailing
     * session is flushed at group end.

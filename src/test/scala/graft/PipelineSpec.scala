@@ -274,7 +274,7 @@ class PipelineSpec extends SparkSuite {
     assert(all == Set(1L, 3L, 5L))
   }
 
-  test("semDedup hot-cell cap drops over-cap cells from dup detection wholesale; trained centroids accepted") {
+  test("semDedup hot-cell cap saturates (head of cell still dedups); trained centroids accepted") {
     val s = spark; import s.implicits._
     // cell A: four identical x-axis twins (hot); cell B: two y twins
     val vecs = Seq(
@@ -286,12 +286,13 @@ class PipelineSpec extends SparkSuite {
     // pinned regardless of the md5 init draw)
     val cents = Seq((100L, Array(1.0, 0.0)), (200L, Array(0.0, 1.0))).toDF("cent_id", "__cv__")
       .withColumn("__cn__", graft.pipeline.Similarity.norm(col("__cv__")))
-    // cap=3: the 4-row x cell is over cap -> ALL its rows survive;
-    // the 2-row y cell still dedups (6 drops)
+    // cap=3: only ids 1,2,3 of the hot x cell participate — 2 and 3
+    // dedup against 1, the past-cap 4 survives (saturation, NOT a
+    // silent wholesale drop); the 2-row y cell still dedups (6 drops)
     val capped = graft.pipeline.Dedup.semDedup(vecs, "vec_id", "emb", threshold = 0.9,
       centroids = Some(cents), maxCellSize = 3)
       .select("vec_id").collect().map(_.getLong(0)).toSet
-    assert(capped == Set(1L, 2L, 3L, 4L, 5L), s"got $capped")
+    assert(capped == Set(1L, 4L, 5L), s"got $capped")
     // no cap binding: min-id survives per cell
     val uncapped = graft.pipeline.Dedup.semDedup(vecs, "vec_id", "emb", threshold = 0.9,
       centroids = Some(cents), maxCellSize = 100)
