@@ -166,8 +166,18 @@ package object syntax {
       pipeline.TextAnalysis.tfIdf(df, idCol, textCol, minDocFreq)
 
     def semDedup(idCol: String, vecCol: String, threshold: Double,
-        nlist: Int = 16): DataFrame =
-      pipeline.Dedup.semDedup(df, idCol, vecCol, threshold, nlist)
+        nlist: Int = 16, centroids: Option[DataFrame] = None,
+        maxCellSize: Int = 100000): DataFrame =
+      pipeline.Dedup.semDedup(df, idCol, vecCol, threshold, nlist,
+        centroids = centroids, maxCellSize = maxCellSize)
+
+    def chunkDocuments(idCol: String, textCol: String, chunkSize: Int,
+        overlap: Int = 0): DataFrame =
+      pipeline.TextAnalysis.chunkDocuments(df, idCol, textCol, chunkSize, overlap)
+
+    def gopherQuality(idCol: String, textCol: String, minWords: Int = 50,
+        maxWords: Int = 100000): DataFrame =
+      pipeline.TextAnalysis.gopherQuality(df, idCol, textCol, minWords, maxWords)
 
     def c4Clean(idCol: String, textCol: String, minWordsPerLine: Int = 5,
         minKeptLines: Int = 3): DataFrame =

@@ -66,6 +66,11 @@ class SyntaxSpec extends SparkSuite {
     val sem = Seq((1L, Array(1.0, 0.0)), (2L, Array(1.0, 0.0)), (3L, Array(0.0, 1.0)))
       .toDF("vec_id", "emb").semDedup("vec_id", "emb", threshold = 0.9, nlist = 1)
     assert(sem.select("vec_id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    val chunks = docs.chunkDocuments("doc_id", "text", chunkSize = 2, overlap = 1)
+    assert(chunks.columns.toSeq == Seq("doc_id", "chunk_id", "chunk", "n_tokens"))
+    assert(chunks.count() >= docs.count())
+    val gq = docs.gopherQuality("doc_id", "text", minWords = 1)
+    assert(gq.columns.contains("keep") && gq.count() == docs.count())
   }
 
   test("composing operators triggers no Spark jobs (lazy plans)") {
