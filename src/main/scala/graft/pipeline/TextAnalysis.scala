@@ -280,6 +280,31 @@ object TextAnalysis {
         size(split(l, "\\s+")) >= minWords &&
         !contains(lower(l), lit("javascript")))
 
+  /** One-pass JVM form of [[c4KeptLines]], used by [[c4Clean]]'s hot
+    * path: Spark never code-generates lambda HOFs, so the expression
+    * form pays interpreted per-line transform/filter lambdas — the
+    * same pathology measured and fixed for MinHash/SimHash/LSH. The
+    * expression form stays as the spec the DuckDB oracle mirrors,
+    * pinned bit-identical to this UDF in PipelineSpec. Semantics
+    * mirrored exactly: split keeps trailing empties (Spark split uses
+    * limit -1), trim strips ASCII spaces ONLY (Spark trim), lower via
+    * Locale.ROOT.
+    */
+  def c4KeptLinesUdf(minWords: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      if (text == null) null
+      else text.split("\n", -1).iterator.map { raw =>
+        var s = 0; var e = raw.length
+        while (s < e && raw.charAt(s) == ' ') s += 1
+        while (e > s && raw.charAt(e - 1) == ' ') e -= 1
+        raw.substring(s, e)
+      }.filter { l =>
+        (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") || l.endsWith("\"")) &&
+          l.split("\\s+", -1).length >= minWords &&
+          !l.toLowerCase(java.util.Locale.ROOT).contains("javascript")
+      }.toSeq
+    }
+
   /** C4-style corpus cleaning: document-level drops (any `{` — a
     * code/markup page; any "lorem ipsum" — placeholder boilerplate),
     * then the [[c4KeptLines]] line filters, then drop documents left
@@ -305,7 +330,7 @@ object TextAnalysis {
       minKeptLines: Int = 3
   ): DataFrame =
     df.where(!col(textCol).contains("{") && !lower(col(textCol)).contains("lorem ipsum"))
-      .select(col(idCol), c4KeptLines(col(textCol), minWordsPerLine).as("__kept__"))
+      .select(col(idCol), c4KeptLinesUdf(minWordsPerLine)(col(textCol)).as("__kept__"))
       .where(size(col("__kept__")) >= minKeptLines)
       .select(
         col(idCol),

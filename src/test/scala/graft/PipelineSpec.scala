@@ -338,6 +338,29 @@ class PipelineSpec extends SparkSuite {
     assert(bulletFrac == 1.0)
   }
 
+  test("c4KeptLinesUdf is pinned identical to the expression spec on adversarial inputs") {
+    val s = spark; import s.implicits._
+    // tabs (Spark trim strips SPACES only), runs of spaces, trailing
+    // newline (split keeps the empty), quote/!/? endings, javascript
+    // casing, leading-space words, unicode
+    val texts = Seq(
+      "good line ends with period.\n\tTabbed line with five words.\n  spaced out line here now!  \n",
+      "short.\nJavaScript heavy line should drop here.\nfive words ending in quote\"",
+      "no terminal punctuation on this line\nand a ?   weird    spacing   question   line ?",
+      "héllo wörld ünicode line runs here.\n\n\n",
+      ""
+    )
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val both = df.select(
+      TextAnalysis.c4KeptLines(col("text"), 5).as("expr"),
+      TextAnalysis.c4KeptLinesUdf(5)(col("text")).as("udf"))
+      .collect()
+    both.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"doc $i: expr=${r.getSeq[String](0)} udf=${r.getSeq[String](1)}")
+    }
+  }
+
   test("c4Clean applies line filters, doc filters, and the minKeptLines floor") {
     val s = spark; import s.implicits._
     val keepMe = "this line has five words.\nno punct so dropped here\nshort line.\n" +
