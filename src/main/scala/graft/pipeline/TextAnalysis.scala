@@ -280,6 +280,47 @@ object TextAnalysis {
         size(split(l, "\\s+")) >= minWords &&
         !contains(lower(l), lit("javascript")))
 
+  /** `\s`-class whitespace per Java regex (the class Spark's split
+    * uses), as a branch test — lets the word count below run as a
+    * plain char scan with no regex and no token-array allocation.
+    */
+  private def isRegexSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** `split(l, "\\s+", -1).length` without the regex or the array:
+    * fields = whitespace-run count + 1 (limit -1 keeps leading and
+    * trailing empty fields, so every separator run adds exactly one).
+    */
+  private def wordCountOf(l: String): Int = {
+    var runs = 0; var inRun = false; var i = 0
+    while (i < l.length) {
+      if (isRegexSpace(l.charAt(i))) { if (!inRun) { runs += 1; inRun = true } }
+      else inRun = false
+      i += 1
+    }
+    runs + 1
+  }
+
+  /** Spark's `lower()` semantics (UTF8String.toLowerCase): ASCII fast
+    * path for all-ASCII strings, JVM-default-locale toLowerCase
+    * otherwise — replicated so the UDF cannot diverge from the
+    * expression spec even under a non-English default locale (e.g.
+    * Turkish dotless-i), where Locale.ROOT WOULD diverge.
+    */
+  private def sparkLower(s: String): String = {
+    var i = 0; var ascii = true
+    while (ascii && i < s.length) { if (s.charAt(i) >= 0x80) ascii = false; i += 1 }
+    if (!ascii) s.toLowerCase
+    else {
+      val a = s.toCharArray
+      var j = 0
+      while (j < a.length) {
+        val c = a(j); if (c >= 'A' && c <= 'Z') a(j) = (c + 32).toChar; j += 1
+      }
+      new String(a)
+    }
+  }
+
   /** One-pass JVM form of [[c4KeptLines]], used by [[c4Clean]]'s hot
     * path: Spark never code-generates lambda HOFs, so the expression
     * form pays interpreted per-line transform/filter lambdas — the
@@ -287,8 +328,11 @@ object TextAnalysis {
     * expression form stays as the spec the DuckDB oracle mirrors,
     * pinned bit-identical to this UDF in PipelineSpec. Semantics
     * mirrored exactly: split keeps trailing empties (Spark split uses
-    * limit -1), trim strips ASCII spaces ONLY (Spark trim), lower via
-    * Locale.ROOT.
+    * limit -1; "\n" is a single-char split so String.split takes its
+    * non-regex fast path), trim strips ASCII spaces ONLY (Spark
+    * trim), word count via [[wordCountOf]] (no per-line Pattern
+    * compile), lower via [[sparkLower]] (Spark's ASCII-fast-path +
+    * default-locale fallback, not Locale.ROOT).
     */
   def c4KeptLinesUdf(minWords: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (text: String) =>
@@ -300,8 +344,8 @@ object TextAnalysis {
         raw.substring(s, e)
       }.filter { l =>
         (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") || l.endsWith("\"")) &&
-          l.split("\\s+", -1).length >= minWords &&
-          !l.toLowerCase(java.util.Locale.ROOT).contains("javascript")
+          wordCountOf(l) >= minWords &&
+          !sparkLower(l).contains("javascript")
       }.toSeq
     }
 

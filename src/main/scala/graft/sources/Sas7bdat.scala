@@ -303,34 +303,34 @@ object Sas7bdat {
     // a truncated/corrupt payload must fail as a diagnosable format
     // error, not an ArrayIndexOutOfBoundsException from deep inside a
     // task (same contract as the RDC decoder below)
-    def chk(cond: Boolean): Unit = if (!cond)
+    def chk(cond: Boolean, at: Int): Unit = if (!cond)
       throw new IllegalStateException(
-        s"corrupt RLE stream (truncated or bad command) at input offset ${i - from} of $len")
-    def fill(b: Byte, n: Int): Unit = { chk(o + n <= outLen); java.util.Arrays.fill(out, o, o + n, b); o += n }
+        s"corrupt RLE stream (truncated or bad command) at input offset ${at - from} of $len")
+    def fill(b: Byte, n: Int, at: Int): Unit = { chk(o + n <= outLen, at); java.util.Arrays.fill(out, o, o + n, b); o += n }
     while (i < end && o < outLen) {
       val ctrl = src(i) & 0xf0
       val nib = src(i) & 0x0f
       i += 1
       ctrl match {
         case 0x00 =>
-          chk(i < end); val n = nib * 256 + (src(i) & 0xff) + 64; i += 1
-          chk(i + n <= end && o + n <= outLen)
+          chk(i < end, i); val n = nib * 256 + (src(i) & 0xff) + 64; i += 1
+          chk(i + n <= end && o + n <= outLen, i)
           System.arraycopy(src, i, out, o, n); i += n; o += n
         case 0x40 =>
-          chk(i + 1 < end); val n = nib * 16 + (src(i) & 0xff) + 18; i += 1
-          fill(src(i), n); i += 1
+          chk(i + 1 < end, i); val n = nib * 16 + (src(i) & 0xff) + 18; i += 1
+          fill(src(i), n, i); i += 1
         case 0x60 =>
-          chk(i < end); val n = nib * 256 + (src(i) & 0xff) + 17; i += 1; fill(0x20, n)
+          chk(i < end, i); val n = nib * 256 + (src(i) & 0xff) + 17; i += 1; fill(0x20, n, i)
         case 0x70 =>
-          chk(i < end); val n = nib * 256 + (src(i) & 0xff) + 17; i += 1; fill(0x00, n)
+          chk(i < end, i); val n = nib * 256 + (src(i) & 0xff) + 17; i += 1; fill(0x00, n, i)
         case 0x80 | 0x90 | 0xa0 | 0xb0 =>
           val n = nib + 1 + ((ctrl - 0x80) >> 4) * 16
-          chk(i + n <= end && o + n <= outLen)
+          chk(i + n <= end && o + n <= outLen, i)
           System.arraycopy(src, i, out, o, n); i += n; o += n
-        case 0xc0 => chk(i < end); fill(src(i), nib + 3); i += 1
-        case 0xd0 => fill(0x40, nib + 2)
-        case 0xe0 => fill(0x20, nib + 2)
-        case 0xf0 => fill(0x00, nib + 2)
+        case 0xc0 => chk(i < end, i); fill(src(i), nib + 3, i); i += 1
+        case 0xd0 => fill(0x40, nib + 2, i)
+        case 0xe0 => fill(0x20, nib + 2, i)
+        case 0xf0 => fill(0x00, nib + 2, i)
         case c => throw new IllegalStateException(f"bad RLE control byte 0x$c%02x at $i")
       }
     }
@@ -360,45 +360,45 @@ object Sas7bdat {
     var ctrlBits = 0; var ctrlMask = 0
     // truncated/corrupt payloads fail as a diagnosable format error,
     // not an ArrayIndexOutOfBoundsException from deep inside a task
-    def chk(cond: Boolean): Unit = if (!cond)
+    def chk(cond: Boolean, at: Int): Unit = if (!cond)
       throw new IllegalStateException(
-        s"corrupt RDC stream (truncated or bad command) at input offset ${i - from} of $len")
+        s"corrupt RDC stream (truncated or bad command) at input offset ${at - from} of $len")
     while (i < end && o < outLen) {
       ctrlMask >>= 1
       if (ctrlMask == 0) {
-        chk(i + 1 < end)
+        chk(i + 1 < end, i)
         ctrlBits = ((src(i) & 0xff) << 8) | (src(i + 1) & 0xff)
         i += 2
         ctrlMask = 0x8000
       }
       if ((ctrlBits & ctrlMask) == 0) {
-        chk(i < end)
+        chk(i < end, i)
         out(o) = src(i); o += 1; i += 1
       } else {
-        chk(i < end)
+        chk(i < end, i)
         val cmd = (src(i) >> 4) & 0x0f
         val nib = src(i) & 0x0f
         i += 1
         cmd match {
           case 0 =>
-            chk(i < end); val n = nib + 3
-            chk(o + n <= outLen)
+            chk(i < end, i); val n = nib + 3
+            chk(o + n <= outLen, i)
             java.util.Arrays.fill(out, o, o + n, src(i)); i += 1; o += n
           case 1 =>
-            chk(i + 1 < end); val n = nib + ((src(i) & 0xff) << 4) + 19; i += 1
-            chk(o + n <= outLen)
+            chk(i + 1 < end, i); val n = nib + ((src(i) & 0xff) << 4) + 19; i += 1
+            chk(o + n <= outLen, i)
             java.util.Arrays.fill(out, o, o + n, src(i)); i += 1; o += n
           case 2 =>
-            chk(i + 1 < end)
+            chk(i + 1 < end, i)
             val ofs = nib + 3 + ((src(i) & 0xff) << 4); i += 1
             val n = (src(i) & 0xff) + 16; i += 1
-            chk(ofs <= o && o + n <= outLen)
+            chk(ofs <= o && o + n <= outLen, i)
             var k = 0
             while (k < n) { out(o) = out(o - ofs); o += 1; k += 1 }
           case c =>
-            chk(i < end)
+            chk(i < end, i)
             val ofs = nib + 3 + ((src(i) & 0xff) << 4); i += 1
-            chk(ofs <= o && o + c <= outLen)
+            chk(ofs <= o && o + c <= outLen, i)
             var k = 0
             while (k < c) { out(o) = out(o - ofs); o += 1; k += 1 }
         }

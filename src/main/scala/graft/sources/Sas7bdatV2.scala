@@ -2,7 +2,6 @@ package graft.sources
 
 import java.util.{Map => JMap}
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -112,11 +111,14 @@ private[sources] class SasScan(
     val dataPages = pageCount - firstDataPage
     if (dataPages <= 0 || meta.rowCount == 0) Array.empty
     else {
-      // same granularity floor as the RDD path (~64 pages, a few
-      // hundred KB to a few MB of rows per task), but capped so a
-      // million-page file plans ~parallelism partitions, not ~16k
-      val parallelism = SparkSession.active.sparkContext.defaultParallelism
-      val pagesPerTask = math.max(64, (dataPages + parallelism - 1) / parallelism)
+      // granularity floor of ~64 pages (a few hundred KB to a few MB
+      // of rows per task) with a CONSTANT ceiling on partition count.
+      // Deliberately not sized from defaultParallelism: under dynamic
+      // allocation planInputPartitions can run before executors
+      // register (parallelism=2), and a scan planned then would be
+      // stuck at 2 tasks forever — a fixed cap keeps plans
+      // cluster-state-independent while bounding scheduler overhead
+      val pagesPerTask = math.max(64, (dataPages + MaxScanPartitions - 1) / MaxScanPartitions)
       (firstDataPage until pageCount).grouped(pagesPerTask).map { idxs =>
         SasPageRange(path, meta, idxs.head, idxs.last + 1, required.fieldNames, convertDates)
           .asInstanceOf[InputPartition]
@@ -125,6 +127,12 @@ private[sources] class SasScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory = SasReaderFactory
+
+  /** Upper bound on planned partitions — generous for any realistic
+    * cluster, small enough that a million-page file doesn't flood the
+    * scheduler with ~16k tiny tasks.
+    */
+  private val MaxScanPartitions = 4096
 }
 
 /** One contiguous page range of one file; carries everything the
