@@ -228,4 +228,51 @@ class PropertySpec extends SparkSuite {
       assert(back.sameElements(row), s"RLE round-trip failed for ${row.length}-byte row")
     }
   }
+
+  test("SAS RDC codec round-trips arbitrary byte rows (runs, patterns, noise)") {
+    // soups biased toward the RDC command classes: long byte runs
+    // (short/long RLE), repeated motifs at varying periods (short and
+    // long LZ back-references, incl. overlapping), and random noise
+    // (pure literal + control-word refill paths)
+    val rowGen: Gen[Array[Byte]] = for {
+      n <- Gen.choose(1, 3000)
+      mode <- Gen.choose(0, 3)
+      bytes <- mode match {
+        case 0 => Gen.listOfN(n, Gen.oneOf[Byte](0.toByte, 9.toByte))          // runs
+        case 1 => Gen.choose(1, 12).map(p => List.tabulate(n)(i => (i % p).toByte)) // periodic motifs
+        case 2 => Gen.listOfN(n, Gen.choose(-128, 127).map(_.toByte))          // noise
+        case 3 => Gen.listOfN(n, Gen.oneOf[Byte](0.toByte, 1.toByte, 2.toByte, 3.toByte)) // mixed
+      }
+    } yield bytes.toArray
+    forAllSamples(rowGen, n = 60) { row =>
+      val comp = graft.testing.SasWriter.rdcCompress(row)
+      val back = graft.sources.Sas7bdat.rdcDecompress(comp, 0, comp.length, row.length)
+      assert(back.sameElements(row), s"RDC round-trip failed for ${row.length}-byte row")
+    }
+  }
+
+  test("corrupt compressed payloads fail as diagnosable errors, never AIOOBE") {
+    val rnd = new scala.util.Random(23)
+    val row = Array.tabulate[Byte](200)(i => (i % 7).toByte)
+    val rle = graft.testing.SasWriter.rleCompress(row)
+    val rdc = graft.testing.SasWriter.rdcCompress(row)
+    for (_ <- 0 until 200) {
+      // random truncation and random single-byte corruption of both streams
+      def mangle(src: Array[Byte]): Array[Byte] = {
+        val cut = 1 + rnd.nextInt(src.length)
+        val a = java.util.Arrays.copyOf(src, cut)
+        if (rnd.nextBoolean() && a.nonEmpty) a(rnd.nextInt(a.length)) = rnd.nextInt(256).toByte
+        a
+      }
+      def decodeEither(f: => Array[Byte]): Unit =
+        try { f; () } catch {
+          case _: IllegalStateException | _: IllegalArgumentException => () // diagnosable
+          case e: ArrayIndexOutOfBoundsException => fail(s"raw AIOOBE escaped: $e")
+        }
+      val mRle = mangle(rle)
+      val mRdc = mangle(rdc)
+      decodeEither(graft.sources.Sas7bdat.rleDecompress(mRle, 0, mRle.length, row.length))
+      decodeEither(graft.sources.Sas7bdat.rdcDecompress(mRdc, 0, mRdc.length, row.length))
+    }
+  }
 }
