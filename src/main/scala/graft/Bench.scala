@@ -122,7 +122,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val errStr = errors.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_failed":${errors.size},"errors":$errStr,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_failed":${errors.size},"errors":$errStr,"sf":"$sfDir"}"""
+    println(line)
+    // stdout goes through sbt's "[info] " prefixer, which has broken the
+    // driver's JSON parse every round so far — a plain file is unambiguous
+    val out = java.nio.file.Paths.get("target", "bench.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -946,6 +946,25 @@ grid AS (SELECT d.doc_id, dm.dim FROM (SELECT DISTINCT doc_id FROM documents) d
 CROSS JOIN (SELECT CAST(unnest(range(0, 8)) AS INT) AS dim) dm)
 SELECT grid.doc_id, grid.dim,
 round(CAST(CAST(CASE WHEN agg.c IS NULL THEN 0.0 ELSE agg.s / (255.0 * agg.c) END AS FLOAT) AS DOUBLE), 6) AS value
-FROM grid LEFT JOIN agg ON grid.doc_id = agg.doc_id AND grid.dim = agg.dim"""
+FROM grid LEFT JOIN agg ON grid.doc_id = agg.doc_id AND grid.dim = agg.dim""",
+
+    // closed form of graft.testing.MediaFixture (the q_load_sas
+    // pattern): the engine GENERATES structurally valid PNG/JPEG/GIF/
+    // WAV container bytes whose header fields are pure functions of
+    // the row index, PARSES them back via Multimodal.parseMediaHeader,
+    // and the oracle regenerates the expected fields directly. k is
+    // the per-variant cycle index; `//` keeps all arithmetic in
+    // integer floor division, matching the JVM's Long math exactly.
+    // i % 5 = 4 rows are deliberately corrupt payloads -> 'unknown'.
+    "q_media_dims" ->
+      """SELECT i AS id,
+CASE CAST(i % 5 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif' WHEN 3 THEN 'wav' ELSE 'unknown' END AS format,
+CASE WHEN i % 5 <= 2 THEN CAST(16 + i % 241 AS INT) END AS width,
+CASE WHEN i % 5 <= 2 THEN CAST(16 + i % 181 AS INT) END AS height,
+CASE WHEN i % 5 = 3 THEN CAST(8000 + ((i // 5) % 5) * 2000 AS INT) END AS sample_rate,
+CASE WHEN i % 5 = 3 THEN CAST(1 + (i // 5) % 2 AS INT) END AS channels,
+CASE WHEN i % 5 = 3 THEN CAST(8 * (1 + ((i // 5) // 2) % 2) AS INT) END AS bits_per_sample,
+CASE WHEN i % 5 = 3 THEN (200 + i % 777) * 1000 // ((8000 + ((i // 5) % 5) * 2000) * (1 + (i // 5) % 2) * (1 + ((i // 5) // 2) % 2)) END AS duration_ms
+FROM range(0, 500) t(i)"""
   )
 }

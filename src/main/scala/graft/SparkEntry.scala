@@ -658,6 +658,21 @@ object SparkEntry {
       Multimodal.extractFeatures(d, "doc_id", "payload", dims = 8)
         .select(col("doc_id"), posexplode(col("features")).as(Seq("dim", "value")))
         .select(col("doc_id"), col("dim"), round(col("value").cast("double"), 6).as("value"))
+    }),
+    "q_media_dims" -> ((s, dir) => {
+      // REAL container-header parsing end to end (the q_load_sas
+      // pattern for media): generate structurally valid PNG/JPEG/GIF/
+      // WAV payloads with closed-form header fields (MediaFixture),
+      // distributed across the range — no driver-side materialization
+      // — then parse the bytes back through Multimodal.parseMediaHeader
+      // and hash-compare against the oracle's closed form. Every 5th
+      // payload is deliberate garbage: the parser must classify it
+      // 'unknown' with null fields, not throw.
+      val gen = udf((i: Long) => graft.testing.MediaFixture.payload(i))
+      val df = s.range(0, 500).select(col("id"), gen(col("id")).as("payload"))
+      Multimodal.withMediaMetadata(df, "payload", "application/octet-stream")
+        .select("id", "format", "width", "height",
+          "sample_rate", "channels", "bits_per_sample", "duration_ms")
     })
   )
 

@@ -726,4 +726,58 @@ class PipelineSpec extends SparkSuite {
     assert(feats.columns.contains("text")) // other columns preserved (no rdd round-trip)
     assert(feats.select("features").head().getSeq[Float](0).length == 8)
   }
+
+  test("media header parsers: PNG/JPEG/GIF/WAV dims and audio params from real container bytes") {
+    import graft.pipeline.MediaInfo
+    import graft.testing.MediaFixture
+    // fixture indices: i%5 = 0 png, 1 jpeg, 2 gif, 3 wav, 4 corrupt
+    val png = Multimodal.parseMediaHeader(MediaFixture.payload(10))
+    assert(png == MediaInfo("png", Some(26), Some(26), None, None, None, None))
+    val jpg = Multimodal.parseMediaHeader(MediaFixture.payload(11))
+    assert(jpg == MediaInfo("jpeg", Some(27), Some(27), None, None, None, None))
+    val gif = Multimodal.parseMediaHeader(MediaFixture.payload(12))
+    assert(gif == MediaInfo("gif", Some(28), Some(28), None, None, None, None))
+    // i=13 -> k=2: rate 12000, 1 channel, 2 bytes/sample, data=213 bytes
+    val wav = Multimodal.parseMediaHeader(MediaFixture.payload(13))
+    assert(wav == MediaInfo("wav", None, None, Some(12000), Some(1), Some(16),
+      Some(213L * 1000 / 24000)))
+    // a width only a u32 can hold (not a u16): 70000 x 3
+    val bigPng = {
+      val out = new java.io.ByteArrayOutputStream
+      out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      out.write(Array(0, 0, 0, 13).map(_.toByte)); out.write("IHDR".getBytes("US-ASCII"))
+      out.write(Array(0x00, 0x01, 0x11, 0x70).map(_.toByte)) // width 70000 BE
+      out.write(Array(0x00, 0x00, 0x00, 0x03).map(_.toByte)) // height 3
+      out.write(Array(8, 2, 0, 0, 0).map(_.toByte)); out.write(new Array[Byte](4))
+      out.toByteArray
+    }
+    assert(Multimodal.parseMediaHeader(bigPng) ==
+      MediaInfo("png", Some(70000), Some(3), None, None, None, None))
+  }
+
+  test("media header parsers: garbage, truncation and null never throw") {
+    import graft.testing.MediaFixture
+    assert(Multimodal.parseMediaHeader(null).format == "unknown")
+    assert(Multimodal.parseMediaHeader(Array.emptyByteArray).format == "unknown")
+    assert(Multimodal.parseMediaHeader(MediaFixture.payload(14)).format == "unknown")
+    // every prefix truncation of every valid container must degrade
+    // to 'unknown' or a consistent partial parse — never an exception
+    for (i <- 0L until 4L; cut <- 0 to MediaFixture.payload(i).length) {
+      val m = Multimodal.parseMediaHeader(MediaFixture.payload(i).take(cut))
+      assert(m.format == "unknown" || Set("png", "jpeg", "gif", "wav")(m.format))
+    }
+    // JPEG with a lying segment length that walks past the buffer
+    val lyingJpeg = Array(0xff, 0xd8, 0xff, 0xe0, 0xff, 0xff).map(_.toByte) ++ new Array[Byte](8)
+    assert(Multimodal.parseMediaHeader(lyingJpeg).format == "unknown")
+    // WAV whose data chunk size overflows int addressing
+    val hugeWav = {
+      val out = new java.io.ByteArrayOutputStream
+      out.write("RIFF".getBytes("US-ASCII")); out.write(new Array[Byte](4))
+      out.write("WAVE".getBytes("US-ASCII"))
+      out.write("data".getBytes("US-ASCII"))
+      out.write(Array(0xff, 0xff, 0xff, 0xff).map(_.toByte)) // size = u32 max
+      out.toByteArray
+    }
+    assert(Multimodal.parseMediaHeader(hugeWav).format == "unknown")
+  }
 }
