@@ -347,7 +347,7 @@ object TextAnalysis {
           wordCountOf(l) >= minWords &&
           !sparkLower(l).contains("javascript")
       }.toSeq
-    }
+    }.withName("c4KeptLines")
 
   /** C4-style corpus cleaning: document-level drops (any `{` — a
     * code/markup page; any "lorem ipsum" — placeholder boilerplate),
@@ -360,11 +360,10 @@ object TextAnalysis {
     * the text column so they evaluate before any line work; the rest
     * is per-row array expressions — zero shuffles end to end. The
     * kept-lines array is referenced by both the size filter and the
-    * re-join, and Catalyst's filter pushdown re-inlines it into the
-    * predicate, so the line pass runs twice per surviving doc — the
-    * cost of staying barrier-free; a persist here would trade one
-    * extra in-stage pass for materializing the corpus, a bad deal at
-    * 100 TB.
+    * re-join; the UDF is marked non-deterministic (it isn't, but the
+    * flag is Spark's sanctioned single-evaluation barrier) so filter
+    * pushdown cannot re-inline it into the predicate — one line pass
+    * per document instead of two, with no persist and no shuffle.
     */
   def c4Clean(
       df: DataFrame,
@@ -374,7 +373,8 @@ object TextAnalysis {
       minKeptLines: Int = 3
   ): DataFrame =
     df.where(!col(textCol).contains("{") && !lower(col(textCol)).contains("lorem ipsum"))
-      .select(col(idCol), c4KeptLinesUdf(minWordsPerLine)(col(textCol)).as("__kept__"))
+      .select(col(idCol),
+        c4KeptLinesUdf(minWordsPerLine).asNondeterministic()(col(textCol)).as("__kept__"))
       .where(size(col("__kept__")) >= minKeptLines)
       .select(
         col(idCol),

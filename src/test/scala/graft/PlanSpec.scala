@@ -67,6 +67,17 @@ class PlanSpec extends SparkSuite {
     SparkEntry.runPendingCleanups()
   }
 
+  test("c4Clean evaluates the kept-lines UDF exactly once per document") {
+    // the kept-lines array feeds both the minKeptLines filter and the
+    // output projection; without the non-deterministic barrier,
+    // filter pushdown re-inlines the UDF into the predicate and the
+    // line pass runs twice per surviving doc
+    val plan = planOf("q_c4_clean")
+    val evals = plan.split("\n").count(_.contains("c4KeptLines"))
+    assert(evals == 1, s"kept-lines UDF appears $evals times in the plan (want exactly 1):\n$plan")
+    SparkEntry.runPendingCleanups()
+  }
+
   test("kmeans broadcasts the centroid frame; dsir broadcasts the log-ratio table") {
     // the k-row centroid set must ride a broadcast into every
     // assignment (a shuffled join would re-partition the corpus per
