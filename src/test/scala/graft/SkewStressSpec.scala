@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, Similarity}
+
+/** Skew stress: the hot-bucket / hot-cell caps are the 100 TB safety
+  * property of every candidate generator — ONE boilerplate signature
+  * (or one dense embedding cell) holding half the corpus must not
+  * turn the within-bucket self-join quadratic. Each test feeds a
+  * corpus where a single key owns the majority of rows and pins that
+  * the quadratic stage's input is bounded by the cap, not by the
+  * corpus: the hot key contributes zero (LSH/SimHash drop oversized
+  * buckets) or cap-bounded (SemDedup saturates the cell) pairs.
+  *
+  * Wall-clock ceilings are deliberately loose (they catch only a
+  * quadratic catastrophe); the row-count assertions are the real pin
+  * — uncapped, the hot set alone would emit ~12.5M candidate pairs
+  * per band here instead of 0.
+  */
+class SkewStressSpec extends SparkSuite {
+
+  private val hotDocs = 5000
+  private val uniqueDocs = 500
+
+  /** Half-plus corpus on one text: ids [0, hotDocs) share a single
+    * boilerplate paragraph; the rest are distinct word soups.
+    */
+  private def skewedCorpus = {
+    val s = spark; import s.implicits._
+    val boiler = "all work and no play makes jack a dull boy every single day."
+    val rows = (0 until hotDocs).map(i => (i.toLong, boiler)) ++
+      (0 until uniqueDocs).map { i =>
+        val w = (0 until 12).map(j => s"w${(i * 131 + j * 17) % 9973}x$j").mkString(" ")
+        ((hotDocs + i).toLong, w + ".")
+      }
+    rows.toDF("doc_id", "text")
+  }
+
+  private def timed[T](maxSec: Double, what: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    val r = body
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < maxSec, f"$what took $sec%.1fs — cap did not bound the quadratic stage")
+    r
+  }
+
+  test("minhashCandidates: an oversized LSH bucket is dropped, not self-joined") {
+    val (cand, cleanup) = Dedup.minhashCandidatesWithCleanup(
+      skewedCorpus, "doc_id", "text",
+      shingleWords = 3, numHashes = 16, bands = 4, maxBucketSize = 50)
+    try {
+      val pairs = timed(120.0, "minhash over skewed corpus") {
+        cand.select(col("id_a"), col("id_b")).collect()
+      }
+      // every band bucket of the hot text holds 5000 rows > cap -> the
+      // hot key contributes ZERO pairs (docs this common are caught by
+      // exact dedup, not LSH — standard practice, documented on the op)
+      val hotHot = pairs.count(r => r.getLong(0) < hotDocs && r.getLong(1) < hotDocs)
+      assert(hotHot == 0, s"$hotHot hot-hot pairs leaked past the bucket cap")
+      // distinct word soups may band-collide occasionally; the point
+      // is the total stays bucket-bounded, nowhere near hot^2
+      assert(pairs.length < 1000, s"${pairs.length} candidate pairs from a capped corpus")
+    } finally cleanup()
+  }
+
+  test("simhashCandidates: an oversized SimHash band bucket is dropped, not self-joined") {
+    val (cand, cleanup) = Dedup.simhashCandidatesWithCleanup(
+      skewedCorpus, "doc_id", "text",
+      bits = 32, bands = 4, maxHamming = 3, maxBucketSize = 50)
+    try {
+      val pairs = timed(120.0, "simhash over skewed corpus") {
+        cand.select(col("id_a"), col("id_b")).collect()
+      }
+      val hotHot = pairs.count(r => r.getLong(0) < hotDocs && r.getLong(1) < hotDocs)
+      assert(hotHot == 0, s"$hotHot hot-hot pairs leaked past the bucket cap")
+    } finally cleanup()
+  }
+
+  test("semDedup: a hot embedding cell saturates at maxCellSize instead of going quadratic") {
+    val s = spark; import s.implicits._
+    val dim = 16
+    // 2000 identical vectors (one hot cell) + 500 mutually dissimilar
+    // 3-hot vectors (pairwise cosine <= 2/3, far under the threshold)
+    val hot = (0 until 2000).map(i => (i.toLong, Array.fill(dim)(1.0f)))
+    val combos = (for {
+      a <- 0 until dim; b <- a + 1 until dim; c <- b + 1 until dim
+    } yield (a, b, c)).take(500)
+    val spread = combos.zipWithIndex.map { case ((a, b, c), i) =>
+      val v = new Array[Float](dim); v(a) = 1f; v(b) = 1f; v(c) = 1f
+      ((2000 + i).toLong, v)
+    }
+    val df = (hot ++ spread).toDF("row_id", "emb")
+    val (kept, cleanup) = Dedup.semDedupWithCleanup(
+      df, "row_id", "emb", threshold = 0.9, nlist = 4, maxCellSize = 50)
+    try {
+      val n = timed(120.0, "semDedup over a hot cell")(kept.count())
+      // the 50 cap-participating hot rows dedup to their min-id head
+      // (49 dropped); the 1950 saturated rows and all spread rows pass
+      // through untouched — the pair join saw 50 rows, never 2000
+      assert(n == 2000 + 500 - 49, s"expected saturation semantics, got $n survivors")
+    } finally cleanup()
+  }
+}
