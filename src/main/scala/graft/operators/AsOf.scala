@@ -30,6 +30,18 @@ object AsOf {
     *                  `expr("INTERVAL 30 DAYS")` for timestamps, or
     *                  `lit(2)` for integer year columns).
     *
+    * Scale caveat — `maxOffset = None` over deep right histories: the
+    * range join matches EVERY right row at or before each left date
+    * before the dense_rank keeps only the latest, so the intermediate
+    * fans out as distinct (keys, left date) x right-history depth —
+    * quadratic-ish when one key carries years of history against many
+    * left dates (this is the same blowup the reference's "low_memory"
+    * backend loops around, pd_utils/merge.py:300-356). At scale,
+    * pass a `maxOffset` staleness bound (the typical query only wants
+    * recent history anyway — the bound turns the fan-out into a
+    * constant window) or pre-aggregate the right side to one row per
+    * (keys, date) first; both keep the join linear in its inputs.
+    *
     * Output: all columns of `df`, plus `df2`'s non-key columns; when
     * the two date columns share a name, the right one is suffixed
     * `_y` (pandas suffix convention the goldens pin).

@@ -275,4 +275,79 @@ class PropertySpec extends SparkSuite {
       decodeEither(graft.sources.Sas7bdat.rdcDecompress(mRdc, 0, mRdc.length, row.length))
     }
   }
+
+  /** Degenerate-document generator for the Gopher quality filter:
+    * empty texts, whitespace-only lines, all-bullet / all-ellipsis
+    * docs, symbol soups, and ordinary prose, stacked in random line
+    * mixes — the boundary shapes a 100 TB crawl actually contains.
+    */
+  private val gopherDocGen: Gen[String] = {
+    val lineGen = Gen.oneOf(
+      Gen.const(""),
+      Gen.const("   "),
+      Gen.const("\t \t"),
+      Gen.const("• bullet item one"),
+      Gen.const("- dashed item"),
+      Gen.const("* starred item"),
+      Gen.const("to be continued..."),
+      Gen.const("trailing unicode ellipsis…"),
+      Gen.const("### ## # symbol soup # ..."),
+      Gen.const("12345 67890 11111 22222"),
+      Gen.const("the cat sat on the mat and looked at the dog with interest."),
+      Gen.listOfN(8, Gen.oneOf("alpha", "beta", "gamma", "42", "x")).map(_.mkString(" ")))
+    Gen.frequency(
+      1 -> Gen.const(""),
+      1 -> Gen.const(" \n \n "),
+      8 -> Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, lineGen).map(_.mkString("\n"))))
+  }
+
+  test("gopherQuality invariants hold on degenerate documents (VERDICT r6 #7)") {
+    val s = spark; import s.implicits._
+    forAllSamples(Gen.listOfN(12, gopherDocGen), n = 8) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val out = graft.pipeline.TextAnalysis.gopherQuality(df, "doc_id", "text").collect()
+      assert(out.length == texts.size, "one output row per input row")
+      out.foreach { r =>
+        val text = texts(r.getLong(0).toInt)
+        val nWords = r.getInt(r.fieldIndex("n_words"))
+        val meanLen = r.getDouble(r.fieldIndex("mean_word_len"))
+        val symbol = r.getDouble(r.fieldIndex("symbol_ratio"))
+        val bullet = r.getDouble(r.fieldIndex("bullet_frac"))
+        val ellipsis = r.getDouble(r.fieldIndex("ellipsis_frac"))
+        val alpha = r.getDouble(r.fieldIndex("alpha_frac"))
+        val nStop = r.getInt(r.fieldIndex("n_stop"))
+        val keep = r.getInt(r.fieldIndex("keep"))
+        // ranges: fractions bounded, counts non-negative, keep binary
+        assert(nWords >= 0 && meanLen >= 0 && symbol >= 0 && nStop >= 0)
+        assert(bullet >= 0 && bullet <= 1, s"bullet_frac $bullet out of [0,1]")
+        assert(ellipsis >= 0 && ellipsis <= 1, s"ellipsis_frac $ellipsis out of [0,1]")
+        assert(alpha >= 0 && alpha <= 1 + 1e-9, s"alpha_frac $alpha out of [0,1]")
+        assert(keep == 0 || keep == 1)
+        // empty / whitespace-only documents: all ratios at their
+        // guarded zero, never kept. NOTE n_words may be 1-2, not 0:
+        // Spark's trim strips ASCII spaces ONLY, so tab/newline
+        // padding splits into empty tokens — the DuckDB oracle has
+        // the same trim semantics (q_token_count pins the parity),
+        // and the minWords floor drops such docs regardless
+        if (text.replaceAll("\\s", "").isEmpty) {
+          assert(meanLen == 0.0 && symbol == 0.0 && alpha == 0.0,
+            s"empty doc stats leak: words=$nWords mean=$meanLen sym=$symbol alpha=$alpha")
+          assert(nWords <= 2, s"whitespace-only doc counted $nWords words")
+          assert(keep == 0, "an empty document must never be kept")
+        }
+        // all-bullet documents trip the bullet_frac > 0.9 drop
+        val lines = text.split("\n", -1)
+        if (lines.nonEmpty && lines.forall(l => Set("•", "-", "*").contains(l.trim.take(1)))) {
+          assert(bullet == 1.0 && keep == 0, s"all-bullet doc kept: bullet=$bullet keep=$keep")
+        }
+        // keep == 1 implies every individual threshold actually holds
+        // (the flag is the conjunction, recomputed from the row)
+        if (keep == 1) {
+          assert(nWords >= 50 && nWords <= 100000 && meanLen >= 3 && meanLen <= 10 &&
+            symbol <= 0.1 && bullet <= 0.9 && ellipsis <= 0.3 && alpha >= 0.8 && nStop >= 2,
+            s"keep=1 but a threshold fails: $r")
+        }
+      }
+    }
+  }
 }

@@ -259,6 +259,85 @@ class StreamingSpec extends SparkSuite {
     SparkEntry.runPendingCleanups()
   }
 
+  test("streamingDedup over a live stream equals the batch dedupExact twin (parity)") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // originals arrive in micro-batch 1, duplicates + one new doc in
+    // micro-batch 2: first-arrival (stream) and min-id (batch twin)
+    // then pick the SAME survivors, making the parity exact
+    val first = Seq(
+      (1L, t(1), "The quick brown fox"),
+      (2L, t(2), "something else entirely"),
+      (3L, t(3), "third distinct document"))
+    val second = Seq(
+      (4L, t(4), "the  quick BROWN fox!"), // normalized dup of 1
+      (5L, t(5), "SOMETHING  else entirely"), // normalized dup of 2
+      (6L, t(6), "a genuinely new arrival"))
+    val batchKept = graft.pipeline.Dedup.dedupExact(
+      (first ++ second).toDF("doc_id", "ts", "text"), "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val stream = input.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamOps.streamingDedup(stream, "ts", "text", delay = "1 hour")
+      .writeStream.format("memory").queryName("dedup_parity").outputMode("append").start()
+    try {
+      input.addData(first); q.processAllAvailable()
+      input.addData(second); q.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id FROM dedup_parity")
+        .collect().map(_.getLong(0)).toSet
+      assert(streamed == batchKept,
+        s"stream/batch diverge: only-stream=${streamed -- batchKept}, only-batch=${batchKept -- streamed}")
+    } finally q.stop()
+  }
+
+  test("enrichWithDimension over a live stream equals the batch left join twin (parity)") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val rows = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (1L, 11.0), (4L, 40.0))
+    def summarize(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("user_id"), col("value"), col("tier")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2)))).toSet
+    val batch = summarize(rows.toDF("user_id", "value").join(dim, Seq("user_id"), "left"))
+    val input = MemoryStream[(Long, Double)]
+    val stream = input.toDF().toDF("user_id", "value")
+    val q = StreamOps.enrichWithDimension(stream, dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enrich_parity").outputMode("append").start()
+    try {
+      val (a, b) = rows.splitAt(2)
+      input.addData(a); q.processAllAvailable()
+      input.addData(b); q.processAllAvailable()
+      val streamed = summarize(spark.table("enrich_parity"))
+      assert(streamed == batch,
+        s"stream/batch diverge: only-stream=${streamed -- batch}, only-batch=${batch -- streamed}")
+    } finally q.stop()
+  }
+
+  test("filterAgainstBlocklist over a live stream equals the batch left_anti twin (parity)") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val block = Seq((2L, "contaminated"), (4L, "dup"), (4L, "dup again")).toDF("doc_id", "reason")
+    val rows = Seq((1L, "keep"), (2L, "drop"), (3L, "keep"), (4L, "drop"), (5L, "keep"))
+    def summarize(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = summarize(rows.toDF("doc_id", "text")
+      .join(block.select("doc_id").distinct(), Seq("doc_id"), "left_anti"))
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val q = StreamOps.filterAgainstBlocklist(stream, block, Seq("doc_id"))
+      .writeStream.format("memory").queryName("blocklist_parity").outputMode("append").start()
+    try {
+      val (a, b) = rows.splitAt(2)
+      input.addData(a); q.processAllAvailable()
+      input.addData(b); q.processAllAvailable()
+      val streamed = summarize(spark.table("blocklist_parity"))
+      assert(streamed == batch,
+        s"stream/batch diverge: only-stream=${streamed -- batch}, only-batch=${batch -- streamed}")
+    } finally q.stop()
+  }
+
   test("enrichWithDimension broadcast-joins a stream against a static table") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
