@@ -965,6 +965,45 @@ CASE WHEN i % 5 = 3 THEN CAST(8000 + ((i // 5) % 5) * 2000 AS INT) END AS sample
 CASE WHEN i % 5 = 3 THEN CAST(1 + (i // 5) % 2 AS INT) END AS channels,
 CASE WHEN i % 5 = 3 THEN CAST(8 * (1 + ((i // 5) // 2) % 2) AS INT) END AS bits_per_sample,
 CASE WHEN i % 5 = 3 THEN (200 + i % 777) * 1000 // ((8000 + ((i // 5) % 5) * 2000) * (1 + (i // 5) % 2) * (1 + ((i // 5) // 2) % 2)) END AS duration_ms
-FROM range(0, 500) t(i)"""
+FROM range(0, 500) t(i)""",
+
+    // closed form of the WAV fixtures' DECODED samples: data byte j is
+    // (i*31 + j*7 + 3) % 256, so 8-bit samples are byte - 128 and
+    // 16-bit samples are the signed LE pair; peak and the exact
+    // BIGINT sum-of-squares behind rms replay the JVM decode path
+    // bit-for-bit (single double division + sqrt, IEEE-deterministic)
+    "q_audio_features" ->
+      """WITH w AS (SELECT i, i // 5 AS k, 200 + i % 777 AS nb FROM range(0, 500) t(i) WHERE i % 5 = 3),
+p AS (SELECT i, nb, 1 + (k // 2) % 2 AS bps FROM w),
+e AS (SELECT i, bps, unnest(range(0, nb // bps)) AS j FROM p),
+v AS (SELECT i,
+CASE WHEN bps = 1 THEN ((i*31 + j*7 + 3) % 256) - 128
+ELSE CASE WHEN ((i*31 + (2*j)*7 + 3) % 256) + 256 * ((i*31 + (2*j+1)*7 + 3) % 256) >= 32768
+THEN ((i*31 + (2*j)*7 + 3) % 256) + 256 * ((i*31 + (2*j+1)*7 + 3) % 256) - 65536
+ELSE ((i*31 + (2*j)*7 + 3) % 256) + 256 * ((i*31 + (2*j+1)*7 + 3) % 256) END END AS s
+FROM e)
+SELECT i AS id, CAST(count(*) AS BIGINT) AS n_samples, CAST(max(abs(s)) AS INT) AS peak,
+round(sqrt(CAST(sum(s*s) AS DOUBLE) / count(*)), 6) AS rms
+FROM v GROUP BY 1""",
+
+    // closed form of the PNG fixtures' DECODED pixels: channel c of
+    // pixel (x, y) in image i is (x*7 + y*13 + c*29 + i*31) % 256.
+    // The engine inflates and unfilters real zlib scanlines to get
+    // here; the oracle regenerates the pixels and averages. Exact
+    // BIGINT channel sums + one double division mirror the JVM path.
+    "q_image_features" ->
+      """WITH d AS (SELECT i, 4 + i % 13 AS w, 3 + i % 11 AS h FROM range(0, 200) t(i)),
+gx AS (SELECT i, w, h, unnest(range(0, w)) AS x FROM d),
+g AS (SELECT i, w, h, x, unnest(range(0, h)) AS y FROM gx),
+v AS (SELECT i, w, h,
+(x*7 + y*13 + i*31) % 256 AS r, (x*7 + y*13 + 29 + i*31) % 256 AS gc,
+(x*7 + y*13 + 58 + i*31) % 256 AS b, (x*7 + y*13 + 87 + i*31) % 256 AS a
+FROM g)
+SELECT i AS id, CAST(w * h AS BIGINT) AS n_pixels,
+round(CAST(sum(r) AS DOUBLE) / (w * h), 6) AS mean_r,
+round(CAST(sum(gc) AS DOUBLE) / (w * h), 6) AS mean_g,
+round(CAST(sum(b) AS DOUBLE) / (w * h), 6) AS mean_b,
+round(CAST(sum(a) AS DOUBLE) / (w * h), 6) AS mean_a
+FROM v GROUP BY i, w, h"""
   )
 }

@@ -673,6 +673,31 @@ object SparkEntry {
       Multimodal.withMediaMetadata(df, "payload", "application/octet-stream")
         .select("id", "format", "width", "height",
           "sample_rate", "channels", "bits_per_sample", "duration_ms")
+    }),
+    "q_audio_features" -> ((s, dir) => {
+      // REAL PCM decode end to end: the WAV fixture rows' data bytes
+      // are a closed-form byte stream, so the oracle recomputes every
+      // decoded sample (8-bit centered / 16-bit LE signed), the peak
+      // and the exact-integer sum of squares behind rms, in SQL
+      val gen = udf((i: Long) => graft.testing.MediaFixture.payload(i))
+      val df = s.range(0, 500).where(col("id") % 5 === 3)
+        .select(col("id"), gen(col("id")).as("payload"))
+      Multimodal.withAudioFeatures(df, "payload")
+        .select(col("id"), col("n_samples"), col("peak"),
+          round(col("rms"), 6).as("rms"))
+    }),
+    "q_image_features" -> ((s, dir) => {
+      // REAL PNG decode end to end: zlib-inflate (java.util.zip) +
+      // scanline unfiltering of fixture images whose pixels are a
+      // closed-form function of (image, x, y, channel) — scanlines
+      // cycle through all five PNG filter types, so the oracle's
+      // per-channel means gate the full unfilter math
+      val gen = udf((i: Long) => graft.testing.MediaFixture.imagePayload(i))
+      val df = s.range(0, 200).select(col("id"), gen(col("id")).as("payload"))
+      Multimodal.withImageFeatures(df, "payload")
+        .select(col("id"), col("n_pixels"),
+          round(col("mean_r"), 6).as("mean_r"), round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"), round(col("mean_a"), 6).as("mean_a"))
     })
   )
 

@@ -144,4 +144,78 @@ object MediaFixture {
     b(0) = 0
     b
   }
+
+  // ---- decodable PNG fixtures (real zlib pixel data) --------------
+
+  /** Closed-form pixel value (mirrored by the q_image_features
+    * oracle): channel c of pixel (x, y) in image i.
+    */
+  def pixelByte(i: Long, x: Int, y: Int, c: Int): Int =
+    ((x * 7 + y * 13 + c * 29 + i * 31) % 256).toInt
+
+  /** A fully decodable RGBA PNG: small closed-form dims
+    * (w = 4 + i%13, h = 3 + i%11), real zlib-deflated scanlines, and
+    * scanline y filtered with type (y + i) % 5 — all five PNG filters
+    * (None/Sub/Up/Average/Paeth) appear in the oracle-gated decode
+    * path. The IDAT stream is split across two chunks to exercise
+    * multi-IDAT concatenation.
+    */
+  def imagePayload(i: Long): Array[Byte] =
+    pngWithPixels(4 + (i % 13).toInt, 3 + (i % 11).toInt, i)
+
+  private def pngWithPixels(w: Int, h: Int, i: Long): Array[Byte] = {
+    val bpp = 4
+    val stride = w * bpp
+    val px = Array.tabulate(h * stride) { k =>
+      val y = k / stride; val rem = k % stride
+      pixelByte(i, rem / bpp, y, rem % bpp).toByte
+    }
+    // apply the PNG scanline filters (the decoder must invert these)
+    val raw = new Array[Byte](h * (stride + 1))
+    var y = 0
+    while (y < h) {
+      val f = ((y + i) % 5).toInt
+      raw(y * (stride + 1)) = f.toByte
+      var x = 0
+      while (x < stride) {
+        val cur = px(y * stride + x) & 0xff
+        val left = if (x >= bpp) px(y * stride + x - bpp) & 0xff else 0
+        val up = if (y > 0) px((y - 1) * stride + x) & 0xff else 0
+        val ul = if (y > 0 && x >= bpp) px((y - 1) * stride + x - bpp) & 0xff else 0
+        val enc = f match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case _ =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+            val pred = if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+            cur - pred
+        }
+        raw(y * (stride + 1) + 1 + x) = (enc & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val zOut = new ByteArrayOutputStream
+    val buf = new Array[Byte](4096)
+    while (!defl.finished()) { val n = defl.deflate(buf); zOut.write(buf, 0, n) }
+    defl.end()
+    val z = zOut.toByteArray
+    val out = new ByteArrayOutputStream
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    val ihdr = new ByteArrayOutputStream
+    be32(ihdr, w.toLong); be32(ihdr, h.toLong)
+    ihdr.write(8); ihdr.write(6) // 8-bit RGBA
+    ihdr.write(0); ihdr.write(0); ihdr.write(0)
+    pngChunk(out, "IHDR", ihdr.toByteArray)
+    val split = z.length / 2
+    pngChunk(out, "IDAT", java.util.Arrays.copyOfRange(z, 0, split))
+    pngChunk(out, "IDAT", java.util.Arrays.copyOfRange(z, split, z.length))
+    pngChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
 }

@@ -780,4 +780,67 @@ class PipelineSpec extends SparkSuite {
     }
     assert(Multimodal.parseMediaHeader(hugeWav).format == "unknown")
   }
+
+  test("decodeWavSamples: real PCM decode, 8-bit centered and 16-bit signed LE") {
+    import graft.testing.MediaFixture
+    // fixture i=13: 1 channel, 16-bit, data bytes (i*31 + j*7 + 3) % 256
+    val s16 = Multimodal.decodeWavSamples(MediaFixture.payload(13))
+    val nb = (200 + 13 % 777).toInt
+    assert(s16.length == nb / 2)
+    val b0 = (13 * 31 + 0 * 7 + 3) % 256; val b1 = (13 * 31 + 1 * 7 + 3) % 256
+    val expected0 = { val u = b0 | (b1 << 8); if (u >= 32768) u - 65536 else u }
+    assert(s16(0) == expected0)
+    // fixture i=3 (k=0): 1 channel, 8-bit -> sample = byte - 128
+    val s8 = Multimodal.decodeWavSamples(MediaFixture.payload(3))
+    assert(s8.length == 200 + 3)
+    assert(s8(0) == (3 * 31 + 3) % 256 - 128)
+    // non-PCM format tag refuses to guess
+    val wav = MediaFixture.payload(13)
+    val nonPcm = wav.clone
+    nonPcm(20) = 3 // fmt tag: IEEE float
+    assert(Multimodal.decodeWavSamples(nonPcm) == null)
+    assert(Multimodal.decodeWavSamples("not audio".getBytes) == null)
+    // features: peak/rms match a direct fold over the decoded samples
+    val f = Multimodal.wavAudioFeatures(wav)
+    assert(f.n_samples.get == s16.length.toLong)
+    assert(f.peak.get == s16.map(math.abs).max)
+    val ss = s16.map(v => v.toLong * v).sum
+    assert(f.rms.get == math.sqrt(ss.toDouble / s16.length))
+  }
+
+  test("decodePngPixels: real inflate + unfilter reconstructs closed-form pixels (all 5 filters)") {
+    import graft.testing.MediaFixture
+    // h >= 5 so scanlines (y + i) % 5 sweep every filter type
+    for (i <- Seq(2L, 7L, 30L)) {
+      val (w, h, bpp, px) = Multimodal.decodePngPixels(MediaFixture.imagePayload(i))
+      assert(bpp == 4 && w == 4 + (i % 13).toInt && h == 3 + (i % 11).toInt)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 4)
+        assert((px(y * w * 4 + x * 4 + c) & 0xff) == MediaFixture.pixelByte(i, x, y, c),
+          s"pixel mismatch at i=$i ($x,$y,$c)")
+    }
+    // header-only fixture PNG carries garbage IDAT -> null, not a throw
+    assert(Multimodal.decodePngPixels(MediaFixture.payload(0)) == null)
+    assert(Multimodal.decodePngPixels(Array[Byte](1, 2, 3)) == null)
+  }
+
+  test("decodePngPixels: truncation and corruption fuzz never throws") {
+    import graft.testing.MediaFixture
+    val good = MediaFixture.imagePayload(5)
+    // every truncation: null or a full decode, never an exception
+    for (cut <- 0 to good.length by 7) {
+      Multimodal.decodePngPixels(good.take(cut))
+    }
+    // single-byte corruptions across the whole payload (skip none):
+    // must never throw; zlib/filter damage shows up as null or as
+    // different pixels, both acceptable
+    for (pos <- good.indices) {
+      val bad = good.clone
+      bad(pos) = (bad(pos) ^ 0x5a).toByte
+      Multimodal.decodePngPixels(bad)
+    }
+    // hostile IHDR: dims whose raw buffer would exceed the cap
+    val hostile = good.clone
+    hostile(16) = 0x7f.toByte; hostile(17) = 0xff.toByte // width ~2^31
+    assert(Multimodal.decodePngPixels(hostile) == null)
+  }
 }
