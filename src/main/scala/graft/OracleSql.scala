@@ -1004,6 +1004,22 @@ round(CAST(sum(r) AS DOUBLE) / (w * h), 6) AS mean_r,
 round(CAST(sum(gc) AS DOUBLE) / (w * h), 6) AS mean_g,
 round(CAST(sum(b) AS DOUBLE) / (w * h), 6) AS mean_b,
 round(CAST(sum(a) AS DOUBLE) / (w * h), 6) AS mean_a
+FROM v GROUP BY i, w, h""",
+
+    // closed form of the GIF fixtures' DECODED pixels: palette index
+    // of (x, y) is (x*7 + y*13 + i*31) % 256 and the palette maps
+    // p -> (p, (2p+1) % 256, 255 - p). The engine gets here through a
+    // real LZW variable-width code stream; the oracle composes the
+    // two closed forms.
+    "q_gif_features" ->
+      """WITH d AS (SELECT i, 4 + i % 13 AS w, 3 + i % 11 AS h FROM range(0, 200) t(i)),
+gx AS (SELECT i, w, h, unnest(range(0, w)) AS x FROM d),
+g AS (SELECT i, w, h, x, unnest(range(0, h)) AS y FROM gx),
+v AS (SELECT i, w, h, (x*7 + y*13 + i*31) % 256 AS p FROM g)
+SELECT i AS id, CAST(w * h AS BIGINT) AS n_pixels,
+round(CAST(sum(p) AS DOUBLE) / (w * h), 6) AS mean_r,
+round(CAST(sum((2*p + 1) % 256) AS DOUBLE) / (w * h), 6) AS mean_g,
+round(CAST(sum(255 - p) AS DOUBLE) / (w * h), 6) AS mean_b
 FROM v GROUP BY i, w, h"""
   )
 }

@@ -698,6 +698,17 @@ object SparkEntry {
         .select(col("id"), col("n_pixels"),
           round(col("mean_r"), 6).as("mean_r"), round(col("mean_g"), 6).as("mean_g"),
           round(col("mean_b"), 6).as("mean_b"), round(col("mean_a"), 6).as("mean_a"))
+    }),
+    "q_gif_features" -> ((s, dir) => {
+      // REAL GIF LZW decode end to end: variable-width code stream ->
+      // palette indices -> closed-form RGB; the oracle recomputes the
+      // per-channel means from the index + palette formulas
+      val gen = udf((i: Long) => graft.testing.MediaFixture.gifPayload(i))
+      val df = s.range(0, 200).select(col("id"), gen(col("id")).as("payload"))
+      Multimodal.withImageFeatures(df, "payload")
+        .select(col("id"), col("n_pixels"),
+          round(col("mean_r"), 6).as("mean_r"), round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"))
     })
   )
 

@@ -218,4 +218,80 @@ object MediaFixture {
     pngChunk(out, "IEND", Array.emptyByteArray)
     out.toByteArray
   }
+
+  // ---- decodable GIF fixtures (real LZW code stream) --------------
+
+  /** Closed-form palette index of pixel (x, y) in GIF fixture i, and
+    * the closed-form 256-entry palette (mirrored by the
+    * q_gif_features oracle): palette[p] = (p, (2p+1)%256, 255-p).
+    */
+  def gifPixelIndex(i: Long, x: Int, y: Int): Int =
+    ((x * 7 + y * 13 + i * 31) % 256).toInt
+
+  /** A decodable GIF89a: closed-form dims, 256-color global palette,
+    * and a REAL variable-width LZW code stream — literal codes with a
+    * periodic Clear so the code width stays at 9 bits (the classic
+    * "uncompressed GIF" writer; the decoder still exercises its full
+    * dictionary/width machinery on it). Includes a Graphic Control
+    * Extension so the decoder's extension-skipping path is gated too.
+    */
+  def gifPayload(i: Long): Array[Byte] =
+    gifWithPixels(4 + (i % 13).toInt, 3 + (i % 11).toInt, i)
+
+  /** Size-explicit variant (specs use it to exceed the 250-literal
+    * periodic-Clear threshold, which the small oracle fixtures stay
+    * under).
+    */
+  def gifPayloadSized(w: Int, h: Int, i: Long): Array[Byte] = gifWithPixels(w, h, i)
+
+  private def gifWithPixels(w: Int, h: Int, i: Long): Array[Byte] = {
+    val out = new ByteArrayOutputStream
+    out.write("GIF89a".getBytes("US-ASCII"))
+    le16(out, w); le16(out, h)
+    out.write(0x80 | 0x07) // GCT present, 2^8 entries
+    out.write(0); out.write(0) // bg index, aspect
+    for (p <- 0 until 256) { out.write(p); out.write((2 * p + 1) % 256); out.write(255 - p) }
+    // a Graphic Control Extension the decoder must skip over
+    out.write(0x21); out.write(0xf9); out.write(4)
+    out.write(0); le16(out, 0); out.write(0); out.write(0)
+    out.write(0x2c) // image descriptor
+    le16(out, 0); le16(out, 0); le16(out, w); le16(out, h)
+    out.write(0) // no local table, not interlaced
+    out.write(8) // LZW minimum code size
+    // LSB-first bit writer for 9-bit codes
+    val bits = new ByteArrayOutputStream
+    var acc = 0L; var nBits = 0
+    def put(code: Int): Unit = {
+      acc |= code.toLong << nBits; nBits += 9
+      while (nBits >= 8) { bits.write((acc & 0xff).toInt); acc >>>= 8; nBits -= 8 }
+    }
+    val clear = 256; val eoi = 257
+    put(clear)
+    var sinceClear = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        put(gifPixelIndex(i, x, y))
+        sinceClear += 1
+        // the decoder's table grows one entry per literal; clear well
+        // before entry 512 would widen the codes to 10 bits
+        if (sinceClear == 250) { put(clear); sinceClear = 0 }
+        x += 1
+      }
+      y += 1
+    }
+    put(eoi)
+    if (nBits > 0) bits.write((acc & 0xff).toInt)
+    val z = bits.toByteArray
+    var off = 0
+    while (off < z.length) { // <=255-byte data sub-blocks
+      val n = math.min(255, z.length - off)
+      out.write(n); out.write(z, off, n)
+      off += n
+    }
+    out.write(0) // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
 }

@@ -843,4 +843,49 @@ class PipelineSpec extends SparkSuite {
     hostile(16) = 0x7f.toByte; hostile(17) = 0xff.toByte // width ~2^31
     assert(Multimodal.decodePngPixels(hostile) == null)
   }
+
+  test("decodeGifPixels: real LZW decode reconstructs closed-form palette pixels") {
+    import graft.testing.MediaFixture
+    for (i <- Seq(0L, 9L, 41L)) {
+      val (w, h, bpp, px) = Multimodal.decodeGifPixels(MediaFixture.gifPayload(i))
+      assert(bpp == 3 && w == 4 + (i % 13).toInt && h == 3 + (i % 11).toInt)
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = MediaFixture.gifPixelIndex(i, x, y)
+        val base = (y * w + x) * 3
+        assert((px(base) & 0xff) == p, s"R at ($x,$y) i=$i")
+        assert((px(base + 1) & 0xff) == (2 * p + 1) % 256, s"G at ($x,$y) i=$i")
+        assert((px(base + 2) & 0xff) == 255 - p, s"B at ($x,$y) i=$i")
+      }
+    }
+    // a GIF big enough to force periodic Clear codes mid-stream (600
+    // literals -> two resets) still reconstructs exactly
+    val (bw, bh, _, bpx) = Multimodal.decodeGifPixels(MediaFixture.gifPayloadSized(30, 20, 3))
+    assert(bw == 30 && bh == 20)
+    for (y <- 0 until 20; x <- 0 until 30) {
+      val p = MediaFixture.gifPixelIndex(3, x, y)
+      assert((bpx((y * 30 + x) * 3) & 0xff) == p, s"R at ($x,$y) across Clear resets")
+    }
+    // header-only fixture GIF has no image data -> null, not a throw
+    assert(Multimodal.decodeGifPixels(MediaFixture.payload(2)) == null)
+  }
+
+  test("decodeGifPixels: interlace, truncation and corruption never throw") {
+    import graft.testing.MediaFixture
+    val good = MediaFixture.gifPayload(7)
+    // flip the interlace flag in the image descriptor: out of scope -> null
+    val interlaced = good.clone
+    val imgDesc = {
+      // image descriptor follows header(13) + GCT(768) + GCE(8)
+      13 + 768 + 8
+    }
+    assert((good(imgDesc) & 0xff) == 0x2c, "fixture layout drifted")
+    interlaced(imgDesc + 9) = (interlaced(imgDesc + 9) | 0x40).toByte
+    assert(Multimodal.decodeGifPixels(interlaced) == null)
+    for (cut <- 0 to good.length by 5) Multimodal.decodeGifPixels(good.take(cut))
+    for (pos <- good.indices by 3) {
+      val bad = good.clone
+      bad(pos) = (bad(pos) ^ 0x33).toByte
+      Multimodal.decodeGifPixels(bad)
+    }
+  }
 }
