@@ -1020,6 +1020,20 @@ SELECT i AS id, CAST(w * h AS BIGINT) AS n_pixels,
 round(CAST(sum(p) AS DOUBLE) / (w * h), 6) AS mean_r,
 round(CAST(sum((2*p + 1) % 256) AS DOUBLE) / (w * h), 6) AS mean_g,
 round(CAST(sum(255 - p) AS DOUBLE) / (w * h), 6) AS mean_b
+FROM v GROUP BY i, w, h""",
+
+    // closed form of the JPEG fixtures' decoded pixels: grayscale
+    // constant-per-8x8-block content round-trips the lossy pipeline
+    // exactly (DC-only blocks, uniform quant 8), so pixel (x, y) of
+    // image i is just the block formula at (x//8, y//8). The engine
+    // gets here through a real Huffman + dequant + IDCT decode.
+    "q_jpeg_features" ->
+      """WITH d AS (SELECT i, 9 + i % 16 AS w, 9 + i % 12 AS h FROM range(0, 200) t(i)),
+gx AS (SELECT i, w, h, unnest(range(0, w)) AS x FROM d),
+g AS (SELECT i, w, h, x, unnest(range(0, h)) AS y FROM gx),
+v AS (SELECT i, w, h, ((x // 8) * 37 + (y // 8) * 59 + i * 31) % 256 AS p FROM g)
+SELECT i AS id, CAST(w * h AS BIGINT) AS n_pixels,
+round(CAST(sum(p) AS DOUBLE) / (w * h), 6) AS mean_r
 FROM v GROUP BY i, w, h"""
   )
 }

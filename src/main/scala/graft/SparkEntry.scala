@@ -709,6 +709,16 @@ object SparkEntry {
         .select(col("id"), col("n_pixels"),
           round(col("mean_r"), 6).as("mean_r"), round(col("mean_g"), 6).as("mean_g"),
           round(col("mean_b"), 6).as("mean_b"))
+    }),
+    "q_jpeg_features" -> ((s, dir) => {
+      // REAL baseline JPEG decode end to end: canonical Huffman ->
+      // dequant -> IDCT -> crop. Constant-per-block grayscale is the
+      // one content shape whose lossy round trip is exact, so the
+      // oracle recomputes the mean from the closed-form block values.
+      val gen = udf((i: Long) => graft.testing.MediaFixture.jpegPayload(i))
+      val df = s.range(0, 200).select(col("id"), gen(col("id")).as("payload"))
+      Multimodal.withImageFeatures(df, "payload")
+        .select(col("id"), col("n_pixels"), round(col("mean_r"), 6).as("mean_r"))
     })
   )
 

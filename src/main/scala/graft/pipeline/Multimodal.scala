@@ -29,14 +29,16 @@ case class MediaInfo(
   * sample rate / duration) is REAL: pure-JVM readers for the public
   * PNG, JPEG/JFIF, GIF and WAV/RIFF container formats — the same
   * binary-format craft as `sources/Sas7bdat.scala`. DECODE is real
-  * where the format allows it without a codec library: PNG pixels
-  * (zlib inflate + all five scanline filters, [[decodePngPixels]])
-  * and PCM WAV samples ([[decodeWavSamples]]), each feeding exact
-  * summary features. Only JPEG/GIF entropy decoding (DCT / LZW)
-  * stays out of scope; the generic [[extractFeatures]] embedding
-  * path uses `decodeStub`, a deterministic stand-in to swap for a
-  * real embedding model at deployment. Everything else — schema,
-  * metadata, partitioning, frame sampling — runs for real.
+  * too, with no codec library anywhere: PNG pixels (zlib inflate +
+  * all five scanline filters, [[decodePngPixels]]), GIF pixels (full
+  * variable-width LZW, [[decodeGifPixels]]), baseline JPEG pixels
+  * (Huffman + dequant + IDCT + YCbCr, [[Jpeg.decodePixels]]) and PCM
+  * WAV samples ([[decodeWavSamples]]), each feeding exact summary
+  * features. Out of scope: progressive/subsampled JPEG, interlaced
+  * PNG/GIF, and video codecs; the generic [[extractFeatures]]
+  * embedding path uses `decodeStub`, a deterministic stand-in to
+  * swap for a real embedding model at deployment. Everything else —
+  * schema, metadata, partitioning, frame sampling — runs for real.
   */
 object Multimodal {
 
@@ -528,6 +530,7 @@ object Multimodal {
     val dec = parseMediaHeader(payload).format match {
       case "png" => decodePngPixels(payload)
       case "gif" => decodeGifPixels(payload)
+      case "jpeg" => Jpeg.decodePixels(payload, maxPngRawBytes)
       case _ => null
     }
     if (dec == null) return noImage
@@ -543,16 +546,16 @@ object Multimodal {
     ImageFeatures(
       Some(n),
       Some(sums(0).toDouble / n),
-      Some(sums(1).toDouble / n),
-      Some(sums(2).toDouble / n),
+      if (bpp >= 3) Some(sums(1).toDouble / n) else None,
+      if (bpp >= 3) Some(sums(2).toDouble / n) else None,
       if (bpp == 4) Some(sums(3).toDouble / n) else None)
   }
 
   private val imageFeaturesUdf = udf((payload: Array[Byte]) => imagePixelFeatures(payload))
 
-  /** Column form: attach decoded-pixel features from a PNG or GIF
-    * payload column. Per-row decode, no shuffle; undecodable rows
-    * get nulls.
+  /** Column form: attach decoded-pixel features from a PNG, GIF or
+    * baseline-JPEG payload column. Per-row decode, no shuffle;
+    * undecodable rows get nulls.
     */
   def withImageFeatures(df: DataFrame, payloadCol: String): DataFrame =
     df.withColumn("__if__", imageFeaturesUdf(col(payloadCol).cast("binary")))

@@ -294,4 +294,218 @@ object MediaFixture {
     out.write(0x3b) // trailer
     out.toByteArray
   }
+
+  // ---- decodable JPEG fixtures (real baseline entropy stream) ------
+
+  /** Closed-form value of the 8x8 block at (bx, by) in JPEG fixture i
+    * (mirrored by the q_jpeg_features oracle). Constant-per-block
+    * grayscale content is the one shape whose lossy round trip is
+    * EXACT: each block carries only a DC coefficient, and with a
+    * uniform quant table of 8 the quantized DC is the level-shifted
+    * value itself, so decode reproduces every pixel bit-for-bit while
+    * still driving the full Huffman/dequant/IDCT machinery.
+    */
+  def jpegBlockValue(i: Long, bx: Int, by: Int): Int =
+    ((bx * 37 + by * 59 + i * 31) % 256).toInt
+
+  /** A decodable baseline grayscale JPEG with closed-form dims
+    * (w = 9 + i%16, h = 9 + i%12 — deliberately not multiples of 8,
+    * so edge-block padding and cropping are oracle-gated too) and
+    * constant-per-block pixels, produced by the REAL encoder below.
+    */
+  def jpegPayload(i: Long): Array[Byte] = {
+    val w = 9 + (i % 16).toInt
+    val h = 9 + (i % 12).toInt
+    val px = Array.tabulate(w * h) { k =>
+      jpegBlockValue(i, (k % w) / 8, (k / w) / 8).toByte
+    }
+    jpegEncode(w, h, Array(px), quantVal = 8, restartInterval = 0)
+  }
+
+  /** Fixture Huffman tables: every DC category is a 4-bit code (12
+    * symbols), every AC (run,size) symbol an 8-bit code (EOB, ZRL,
+    * runs 0-15 x sizes 1-10 = 162 symbols). Valid canonical tables —
+    * Kraft-satisfying, all-ones code unassigned — that keep the
+    * writer simple while the decoder still runs its full
+    * variable-length machinery (and foreign Annex-K-style tables are
+    * cross-validated separately via javax.imageio-encoded payloads).
+    */
+  private val jpegDcVals: Array[Int] = (0 to 11).toArray
+  private val jpegAcVals: Array[Int] =
+    Array(0x00, 0xf0) ++ (for (r <- 0 to 15; s <- 1 to 10) yield (r << 4) | s)
+  private val jpegAcCode: Map[Int, Int] = jpegAcVals.zipWithIndex.toMap
+
+  /** MSB-first entropy bit writer with 0xFF00 byte stuffing. */
+  private final class JpegBitWriter(out: ByteArrayOutputStream) {
+    private var acc = 0
+    private var n = 0
+    def put(code: Int, len: Int): Unit = {
+      var k = len - 1
+      while (k >= 0) {
+        acc = (acc << 1) | ((code >> k) & 1)
+        n += 1
+        if (n == 8) {
+          out.write(acc & 0xff)
+          if ((acc & 0xff) == 0xff) out.write(0x00)
+          acc = 0; n = 0
+        }
+        k -= 1
+      }
+    }
+    /** Pad the final partial byte with 1 bits (T.81 convention). */
+    def flush(): Unit = while (n != 0) put(1, 1)
+  }
+
+  private def jpegCat(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+  private def writeDht(out: ByteArrayOutputStream, cls: Int,
+                       counts: Array[Int], vals: Array[Int]): Unit = {
+    out.write(0xff); out.write(0xc4)
+    be16(out, 2 + 1 + 16 + vals.length)
+    out.write(cls << 4)
+    var l = 0
+    while (l < 16) { out.write(counts(l)); l += 1 }
+    vals.foreach(out.write)
+  }
+
+  /** Encode a REAL baseline JPEG — the decoder's full inverse: level
+    * shift, forward DCT (the transpose of [[graft.pipeline.Jpeg.basis]]),
+    * uniform quantization, zigzag run-length + canonical-Huffman
+    * entropy coding with FF stuffing, optional restart markers.
+    * `planes` holds 1 (grayscale) or 3 (YCbCr, 4:4:4) w*h planes;
+    * edge blocks pad by edge replication.
+    */
+  def jpegEncode(w: Int, h: Int, planes: Array[Array[Byte]], quantVal: Int,
+                 restartInterval: Int): Array[Byte] = {
+    import graft.pipeline.Jpeg.{basis, zigzag}
+    val nc = planes.length
+    require(nc == 1 || nc == 3, "grayscale or 4:4:4 YCbCr only")
+    val out = new ByteArrayOutputStream
+    out.write(0xff); out.write(0xd8) // SOI
+    out.write(0xff); out.write(0xe0) // APP0/JFIF (tags 3-comp as YCbCr)
+    be16(out, 16); out.write("JFIF".getBytes("US-ASCII")); out.write(0)
+    out.write(1); out.write(1); out.write(0)
+    be16(out, 1); be16(out, 1); out.write(0); out.write(0)
+    out.write(0xff); out.write(0xdb) // DQT: one uniform 8-bit table
+    be16(out, 67); out.write(0)
+    for (_ <- 0 until 64) out.write(quantVal)
+    if (restartInterval > 0) {
+      out.write(0xff); out.write(0xdd); be16(out, 4); be16(out, restartInterval)
+    }
+    out.write(0xff); out.write(0xc0) // SOF0
+    be16(out, 8 + 3 * nc); out.write(8)
+    be16(out, h); be16(out, w); out.write(nc)
+    for (c <- 0 until nc) { out.write(c + 1); out.write(0x11); out.write(0) }
+    writeDht(out, 0, Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0), jpegDcVals)
+    writeDht(out, 1, Array(0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0), jpegAcVals)
+    out.write(0xff); out.write(0xda) // SOS
+    be16(out, 6 + 2 * nc); out.write(nc)
+    for (c <- 0 until nc) { out.write(c + 1); out.write(0x00) }
+    out.write(0); out.write(63); out.write(0)
+    val bw = new JpegBitWriter(out)
+    val mcusX = (w + 7) / 8
+    val mcusY = (h + 7) / 8
+    val dcPred = new Array[Int](nc)
+    val shifted = new Array[Double](64)
+    val tmp = new Array[Double](64)
+    val qc = new Array[Int](64)
+    var mcu = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.flush()
+          out.write(0xff); out.write(0xd0 + ((mcu / restartInterval - 1) % 8))
+          java.util.Arrays.fill(dcPred, 0)
+        }
+        var c = 0
+        while (c < nc) {
+          val plane = planes(c)
+          var y = 0
+          while (y < 8) {
+            val sy = math.min(my * 8 + y, h - 1)
+            var x = 0
+            while (x < 8) {
+              val sx = math.min(mx * 8 + x, w - 1)
+              shifted(y * 8 + x) = (plane(sy * w + sx) & 0xff) - 128.0
+              x += 1
+            }
+            y += 1
+          }
+          // forward DCT: S_vu = sum_xy basis(u)(x) basis(v)(y) s_yx
+          var v = 0
+          while (v < 8) {
+            var x = 0
+            while (x < 8) {
+              var acc = 0.0
+              var yy = 0
+              while (yy < 8) { acc += basis(v)(yy) * shifted(yy * 8 + x); yy += 1 }
+              tmp(v * 8 + x) = acc
+              x += 1
+            }
+            v += 1
+          }
+          var k = 0
+          while (k < 64) {
+            val vv = k / 8; val u = k % 8
+            var acc = 0.0
+            var x = 0
+            while (x < 8) { acc += basis(u)(x) * tmp(vv * 8 + x); x += 1 }
+            qc(k) = math.round(acc / quantVal).toInt
+            k += 1
+          }
+          // DC diff then zigzag AC run-lengths
+          val diff = qc(0) - dcPred(c)
+          dcPred(c) = qc(0)
+          val s0 = jpegCat(diff)
+          bw.put(s0, 4) // DC code of category s0 is s0 itself
+          if (s0 > 0) bw.put(if (diff >= 0) diff else diff + (1 << s0) - 1, s0)
+          var run = 0
+          k = 1
+          while (k < 64) {
+            val ac = qc(zigzag(k))
+            if (ac == 0) run += 1
+            else {
+              while (run > 15) { bw.put(jpegAcCode(0xf0), 8); run -= 16 }
+              val s = jpegCat(ac)
+              bw.put(jpegAcCode((run << 4) | s), 8)
+              bw.put(if (ac >= 0) ac else ac + (1 << s) - 1, s)
+              run = 0
+            }
+            k += 1
+          }
+          if (run > 0) bw.put(jpegAcCode(0x00), 8) // EOB
+          c += 1
+        }
+        mcu += 1
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flush()
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** RGB bytes (packed, 3 per pixel) -> baseline 4:4:4 color JPEG via
+    * the JFIF forward YCbCr transform (specs decode it back with both
+    * the engine and javax.imageio and compare).
+    */
+  def jpegEncodeRgb(w: Int, h: Int, rgb: Array[Byte], quantVal: Int,
+                    restartInterval: Int = 0): Array[Byte] = {
+    val yP = new Array[Byte](w * h)
+    val cbP = new Array[Byte](w * h)
+    val crP = new Array[Byte](w * h)
+    var p = 0
+    while (p < w * h) {
+      val r = rgb(3 * p) & 0xff; val g = rgb(3 * p + 1) & 0xff; val b = rgb(3 * p + 2) & 0xff
+      def cl(v: Double): Byte = math.max(0, math.min(255, math.round(v))).toByte
+      yP(p) = cl(0.299 * r + 0.587 * g + 0.114 * b)
+      cbP(p) = cl(-0.168736 * r - 0.331264 * g + 0.5 * b + 128)
+      crP(p) = cl(0.5 * r - 0.418688 * g - 0.081312 * b + 128)
+      p += 1
+    }
+    jpegEncode(w, h, Array(yP, cbP, crP), quantVal, restartInterval)
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Contamination, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Contamination, Dedup, Jpeg, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-pipeline operators: dedup, similarity, text analysis,
   * multimodal plumbing. These have no reference goldens — invariants
@@ -867,6 +867,117 @@ class PipelineSpec extends SparkSuite {
     }
     // header-only fixture GIF has no image data -> null, not a throw
     assert(Multimodal.decodeGifPixels(MediaFixture.payload(2)) == null)
+  }
+
+  test("decodeJpegPixels: constant-block grayscale round-trips the lossy pipeline exactly") {
+    import graft.testing.MediaFixture
+    for (i <- Seq(0L, 7L, 42L, 199L)) {
+      val (w, h, bpp, px) = Jpeg.decodePixels(MediaFixture.jpegPayload(i), 64 * 1024 * 1024)
+      assert(bpp == 1 && w == 9 + (i % 16).toInt && h == 9 + (i % 12).toInt)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((px(y * w + x) & 0xff) == MediaFixture.jpegBlockValue(i, x / 8, y / 8),
+          s"pixel ($x,$y) i=$i")
+    }
+  }
+
+  test("decodeJpegPixels matches the JDK decoder on real DCT content") {
+    import graft.testing.MediaFixture
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    def pix(i: Long, x: Int, y: Int, c: Int): Int =
+      ((x * 11 + y * 17 + c * 29 + i * 31 + (x * y) % 37) % 256).toInt
+
+    // grayscale, non-multiple-of-8 dims, through MY encoder: my
+    // decoder and the JDK's must agree within IDCT tolerance
+    val (gw, gh) = (21, 13)
+    val gray = Array.tabulate(gw * gh)(k => pix(1, k % gw, k / gw, 0).toByte)
+    val gBytes = MediaFixture.jpegEncode(gw, gh, Array(gray), quantVal = 16, restartInterval = 0)
+    val (dw, dh, dbpp, dpx) = Jpeg.decodePixels(gBytes, 64 * 1024 * 1024)
+    assert(dw == gw && dh == gh && dbpp == 1)
+    val jdkG = ImageIO.read(new java.io.ByteArrayInputStream(gBytes))
+    assert(jdkG.getWidth == gw && jdkG.getHeight == gh)
+    for (y <- 0 until gh; x <- 0 until gw) {
+      val mine = dpx(y * gw + x) & 0xff
+      val jdk = jdkG.getRaster.getSample(x, y, 0)
+      assert(math.abs(mine - jdk) <= 2, s"gray ($x,$y): mine=$mine jdk=$jdk")
+    }
+
+    // 4:4:4 color through MY encoder: same cross-check per channel
+    val (cw, ch) = (19, 14)
+    val rgb = new Array[Byte](cw * ch * 3)
+    for (y <- 0 until ch; x <- 0 until cw; c <- 0 until 3)
+      rgb((y * cw + x) * 3 + c) = pix(2, x, y, c).toByte
+    val cBytes = MediaFixture.jpegEncodeRgb(cw, ch, rgb, quantVal = 8)
+    val (ew, eh, ebpp, epx) = Jpeg.decodePixels(cBytes, 64 * 1024 * 1024)
+    assert(ew == cw && eh == ch && ebpp == 3)
+    val jdkC = ImageIO.read(new java.io.ByteArrayInputStream(cBytes))
+    for (y <- 0 until ch; x <- 0 until cw) {
+      val argb = jdkC.getRGB(x, y)
+      val o = (y * cw + x) * 3
+      assert(math.abs((epx(o) & 0xff) - ((argb >> 16) & 0xff)) <= 3, s"R ($x,$y)")
+      assert(math.abs((epx(o + 1) & 0xff) - ((argb >> 8) & 0xff)) <= 3, s"G ($x,$y)")
+      assert(math.abs((epx(o + 2) & 0xff) - (argb & 0xff)) <= 3, s"B ($x,$y)")
+    }
+
+    // a JDK-ENCODED grayscale JPEG (foreign Annex-K-style Huffman
+    // tables, its own quant matrices) through MY decoder
+    val img = new BufferedImage(26, 17, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 17; x <- 0 until 26) img.getRaster.setSample(x, y, 0, pix(3, x, y, 0))
+    val fOut = new java.io.ByteArrayOutputStream
+    assert(ImageIO.write(img, "jpeg", fOut))
+    val fBytes = fOut.toByteArray
+    val dec = Jpeg.decodePixels(fBytes, 64 * 1024 * 1024)
+    assert(dec != null, "JDK-encoded grayscale must decode")
+    val (fw, fh, fbpp, fpx) = dec
+    assert(fw == 26 && fh == 17 && fbpp == 1)
+    val jdkF = ImageIO.read(new java.io.ByteArrayInputStream(fBytes))
+    for (y <- 0 until 17; x <- 0 until 26)
+      assert(math.abs((fpx(y * 26 + x) & 0xff) - jdkF.getRaster.getSample(x, y, 0)) <= 2,
+        s"foreign-encoder gray ($x,$y)")
+  }
+
+  test("decodeJpegPixels: restart markers restate DC prediction without changing pixels") {
+    import graft.testing.MediaFixture
+    import javax.imageio.ImageIO
+    val (w, h) = (33, 18) // 5x3 MCUs -> several RST boundaries at interval 2
+    val gray = Array.tabulate(w * h)(k => ((k * 13 + 5) % 256).toByte)
+    val plain = MediaFixture.jpegEncode(w, h, Array(gray), quantVal = 16, restartInterval = 0)
+    val rst = MediaFixture.jpegEncode(w, h, Array(gray), quantVal = 16, restartInterval = 2)
+    assert(rst.length > plain.length, "RST variant must actually contain restart markers")
+    val (_, _, _, a) = Jpeg.decodePixels(plain, 64 * 1024 * 1024)
+    val (_, _, _, b) = Jpeg.decodePixels(rst, 64 * 1024 * 1024)
+    // same quantized coefficients either way -> bit-identical pixels
+    assert(java.util.Arrays.equals(a, b))
+    // and the JDK agrees the restart-marker stream is well-formed
+    val jdk = ImageIO.read(new java.io.ByteArrayInputStream(rst))
+    assert(jdk.getWidth == w && jdk.getHeight == h)
+  }
+
+  test("decodeJpegPixels: truncation and corruption never throw") {
+    import graft.testing.MediaFixture
+    val good = MediaFixture.jpegPayload(11)
+    for (cut <- 0 to good.length by 7) Jpeg.decodePixels(good.take(cut), 64 * 1024 * 1024)
+    for (pos <- good.indices by 3) {
+      val bad = good.clone
+      bad(pos) = (bad(pos) ^ 0x55).toByte
+      Jpeg.decodePixels(bad, 64 * 1024 * 1024)
+    }
+    // header-only fixture JPEG (no scan) -> null, not a throw
+    assert(Jpeg.decodePixels(MediaFixture.payload(1), 64 * 1024 * 1024) == null)
+    // hostile dims: SOF claims a huge frame -> allocation cap -> null
+    val big = good.clone
+    val sof = {
+      var i = 2
+      var at = -1
+      while (at < 0) {
+        if ((big(i) & 0xff) == 0xff && (big(i + 1) & 0xff) == 0xc0) at = i
+        else i += 1
+      }
+      at
+    }
+    big(sof + 5) = 0x7f; big(sof + 6) = 0xff.toByte // height ~32k
+    big(sof + 7) = 0x7f; big(sof + 8) = 0xff.toByte // width ~32k
+    assert(Jpeg.decodePixels(big, 64 * 1024 * 1024) == null)
   }
 
   test("decodeGifPixels: interlace, truncation and corruption never throw") {
