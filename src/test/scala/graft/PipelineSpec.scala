@@ -823,6 +823,38 @@ class PipelineSpec extends SparkSuite {
     assert(Multimodal.decodePngPixels(Array[Byte](1, 2, 3)) == null)
   }
 
+  test("PNG and GIF decoders agree with the JDK decoder bit-for-bit (lossless formats)") {
+    import graft.testing.MediaFixture
+    import javax.imageio.ImageIO
+    for (i <- Seq(1L, 8L, 23L)) {
+      val pngBytes = MediaFixture.imagePayload(i)
+      val (w, h, bpp, px) = Multimodal.decodePngPixels(pngBytes)
+      assert(bpp == 4)
+      val jdk = ImageIO.read(new java.io.ByteArrayInputStream(pngBytes))
+      assert(jdk.getWidth == w && jdk.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val argb = jdk.getRGB(x, y)
+        val o = (y * w + x) * 4
+        assert((px(o) & 0xff) == ((argb >> 16) & 0xff), s"png R ($x,$y) i=$i")
+        assert((px(o + 1) & 0xff) == ((argb >> 8) & 0xff), s"png G ($x,$y) i=$i")
+        assert((px(o + 2) & 0xff) == (argb & 0xff), s"png B ($x,$y) i=$i")
+        assert((px(o + 3) & 0xff) == ((argb >>> 24) & 0xff), s"png A ($x,$y) i=$i")
+      }
+      val gifBytes = MediaFixture.gifPayload(i)
+      val (gw, gh, gbpp, gpx) = Multimodal.decodeGifPixels(gifBytes)
+      assert(gbpp == 3)
+      val jdkG = ImageIO.read(new java.io.ByteArrayInputStream(gifBytes))
+      assert(jdkG.getWidth == gw && jdkG.getHeight == gh)
+      for (y <- 0 until gh; x <- 0 until gw) {
+        val argb = jdkG.getRGB(x, y)
+        val o = (y * gw + x) * 3
+        assert((gpx(o) & 0xff) == ((argb >> 16) & 0xff), s"gif R ($x,$y) i=$i")
+        assert((gpx(o + 1) & 0xff) == ((argb >> 8) & 0xff), s"gif G ($x,$y) i=$i")
+        assert((gpx(o + 2) & 0xff) == (argb & 0xff), s"gif B ($x,$y) i=$i")
+      }
+    }
+  }
+
   test("decodePngPixels: truncation and corruption fuzz never throws") {
     import graft.testing.MediaFixture
     val good = MediaFixture.imagePayload(5)
