@@ -10,10 +10,14 @@ package graft.pipeline
   *
   * Scope: 8-bit baseline sequential, grayscale (1 component, any
   * declared sampling — a single-component scan is never interleaved)
-  * or 4:4:4 YCbCr (3 components, all 1x1 sampling), with restart
-  * markers (DRI/RSTn) and FF00 byte stuffing. Progressive (SOF2),
-  * arithmetic coding, 12-bit precision and subsampled chroma return
-  * null rather than decode wrong; so does any corrupt or truncated
+  * or YCbCr with 1x1 chroma and luma sampling up to 2x2 — i.e.
+  * 4:4:4, 4:2:2, 4:4:0 and the near-universal 4:2:0 — with restart
+  * markers (DRI/RSTn) and FF00 byte stuffing. Subsampled chroma is
+  * reconstructed with the public triangle-filter ("fancy")
+  * upsampling the IJG decoder uses, so output matches libjpeg-based
+  * decoders to IDCT tolerance. Progressive (SOF2), arithmetic
+  * coding, 12-bit precision and exotic sampling grids return null
+  * rather than decode wrong; so does any corrupt or truncated
   * stream — at 100 TB poison payloads are data, not crashes.
   */
 object Jpeg {
@@ -166,6 +170,8 @@ object Jpeg {
       var w = 0; var h = 0; var nComp = 0
       var frameIds: Array[Int] = null // component id -> quant table
       var frameQ: Array[Int] = null
+      var frameH: Array[Int] = null // per-component sampling factors
+      var frameV: Array[Int] = null
       var i = 2
       while (i + 3 < b.length) {
         if ((b(i) & 0xff) != 0xff) return null
@@ -184,13 +190,20 @@ object Jpeg {
           if (w <= 0 || h <= 0 || (nComp != 1 && nComp != 3)) return null
           frameIds = new Array[Int](nComp)
           frameQ = new Array[Int](nComp)
+          frameH = new Array[Int](nComp)
+          frameV = new Array[Int](nComp)
           var c = 0
           while (c < nComp) {
             frameIds(c) = b(j + 9 + 3 * c) & 0xff
             val samp = b(j + 10 + 3 * c) & 0xff
+            frameH(c) = samp >> 4; frameV(c) = samp & 0x0f
             // single-component scans are never interleaved, so the
-            // declared sampling is irrelevant; 3-component needs 4:4:4
-            if (nComp == 3 && samp != 0x11) return null
+            // declared sampling is irrelevant there; 3-component
+            // needs 1x1 chroma and luma factors of 1 or 2
+            if (nComp == 1) { frameH(c) = 1; frameV(c) = 1 }
+            else if (c == 0) {
+              if (frameH(0) < 1 || frameH(0) > 2 || frameV(0) < 1 || frameV(0) > 2) return null
+            } else if (samp != 0x11) return null
             frameQ(c) = b(j + 11 + 3 * c) & 0xff
             if (frameQ(c) > 3) return null
             c += 1
@@ -266,7 +279,7 @@ object Jpeg {
           if ((b(j + 4 + 2 * ns) & 0xff) != 0 || (b(j + 5 + 2 * ns) & 0xff) != 63) return null
           val scanStart = j + 1 + u16be(b, j + 1)
           return decodeScan(b, scanStart, w, h, nComp, compDc, compAc, compQt,
-            restartInterval, maxRawBytes)
+            frameH, frameV, restartInterval, maxRawBytes)
         } else { // APPn / COM / anything else with a length field
           val segLen = u16be(b, j + 1)
           if (segLen < 2) return null
@@ -284,13 +297,20 @@ object Jpeg {
   private def decodeScan(
       b: Array[Byte], scanStart: Int, w: Int, h: Int, nComp: Int,
       compDc: Array[HuffTable], compAc: Array[HuffTable], compQt: Array[Array[Int]],
+      compH: Array[Int], compV: Array[Int],
       restartInterval: Int, maxRawBytes: Int): (Int, Int, Int, Array[Byte]) = {
-    val mcusX = (w + 7) / 8
-    val mcusY = (h + 7) / 8
-    val pw = mcusX * 8
-    val ph = mcusY * 8
-    if (pw.toLong * ph * nComp > maxRawBytes || w.toLong * h * nComp > maxRawBytes) return null
-    val planes = Array.fill(nComp)(new Array[Byte](pw * ph))
+    val maxH = compH(0) // chroma is 1x1, so luma carries the max
+    val maxV = compV(0)
+    val mcusX = (w + 8 * maxH - 1) / (8 * maxH)
+    val mcusY = (h + 8 * maxV - 1) / (8 * maxV)
+    // per-component padded plane dims (component resolution)
+    val pw = Array.tabulate(nComp)(c => mcusX * 8 * compH(c))
+    val ph = Array.tabulate(nComp)(c => mcusY * 8 * compV(c))
+    var planeBytes = 0L
+    var cc = 0
+    while (cc < nComp) { planeBytes += pw(cc).toLong * ph(cc); cc += 1 }
+    if (planeBytes > maxRawBytes || w.toLong * h * nComp > maxRawBytes) return null
+    val planes = Array.tabulate(nComp)(c => new Array[Byte](pw(c) * ph(c)))
     val reader = new BitReader(b, scanStart)
     val dcPred = new Array[Int](nComp)
     val coef = new Array[Int](64) // natural order, dequantized
@@ -306,33 +326,44 @@ object Jpeg {
         }
         var c = 0
         while (c < nComp) {
-          java.util.Arrays.fill(coef, 0)
-          val q = compQt(c)
-          val t = reader.decodeHuff(compDc(c))
-          if (t < 0 || t > 11) return null
-          val db = reader.receive(t)
-          if (db == Int.MinValue) return null
-          dcPred(c) += extend(db, t)
-          coef(0) = dcPred(c) * q(0)
-          var k = 1
-          while (k < 64) {
-            val rs = reader.decodeHuff(compAc(c))
-            if (rs < 0) return null
-            val s = rs & 0x0f
-            if (s == 0) {
-              if (rs == 0x00) k = 64 // EOB
-              else if (rs == 0xf0) k += 16 // ZRL: 16 zeros
-              else return null
-            } else {
-              k += (rs >> 4)
-              if (k > 63) return null
-              val vb = reader.receive(s)
-              if (vb == Int.MinValue) return null
-              coef(zigzag(k)) = extend(vb, s) * q(k)
-              k += 1
+          // T.81 interleave order: all of this component's hi*vi
+          // blocks for the MCU, raster order within the MCU
+          var by = 0
+          while (by < compV(c)) {
+            var bx = 0
+            while (bx < compH(c)) {
+              java.util.Arrays.fill(coef, 0)
+              val q = compQt(c)
+              val t = reader.decodeHuff(compDc(c))
+              if (t < 0 || t > 11) return null
+              val db = reader.receive(t)
+              if (db == Int.MinValue) return null
+              dcPred(c) += extend(db, t)
+              coef(0) = dcPred(c) * q(0)
+              var k = 1
+              while (k < 64) {
+                val rs = reader.decodeHuff(compAc(c))
+                if (rs < 0) return null
+                val s = rs & 0x0f
+                if (s == 0) {
+                  if (rs == 0x00) k = 64 // EOB
+                  else if (rs == 0xf0) k += 16 // ZRL: 16 zeros
+                  else return null
+                } else {
+                  k += (rs >> 4)
+                  if (k > 63) return null
+                  val vb = reader.receive(s)
+                  if (vb == Int.MinValue) return null
+                  coef(zigzag(k)) = extend(vb, s) * q(k)
+                  k += 1
+                }
+              }
+              idctBlock(coef, tmp, planes(c), pw(c),
+                (mx * compH(c) + bx) * 8, (my * compV(c) + by) * 8)
+              bx += 1
             }
+            by += 1
           }
-          idctBlock(coef, tmp, planes(c), pw, mx * 8, my * 8)
           c += 1
         }
         mcu += 1
@@ -345,20 +376,39 @@ object Jpeg {
       val out = new Array[Byte](w * h)
       var y = 0
       while (y < h) {
-        System.arraycopy(planes(0), y * pw, out, y * w, w)
+        System.arraycopy(planes(0), y * pw(0), out, y * w, w)
         y += 1
       }
       (w, h, 1, out)
     } else {
+      // bring chroma to full resolution first
+      val full = new Array[Array[Byte]](3)
+      full(0) = planes(0)
+      val fw = new Array[Int](3)
+      fw(0) = pw(0)
+      var ci = 1
+      while (ci < 3) {
+        val sx = maxH / compH(ci)
+        val sy = maxV / compV(ci)
+        if (sx == 1 && sy == 1) {
+          full(ci) = planes(ci)
+          fw(ci) = pw(ci) // padded stride, indexed directly
+        } else {
+          val sw = (w + sx - 1) / sx // true downsampled dims (crop first,
+          val sh = (h + sy - 1) / sy // exactly as libjpeg does)
+          full(ci) = upsample(planes(ci), pw(ci), sw, sh, sx, sy)
+          fw(ci) = sw * sx
+        }
+        ci += 1
+      }
       val out = new Array[Byte](w * h * 3)
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
-          val p = y * pw + x
-          val yy = planes(0)(p) & 0xff
-          val cb = (planes(1)(p) & 0xff) - 128
-          val cr = (planes(2)(p) & 0xff) - 128
+          val yy = full(0)(y * fw(0) + x) & 0xff
+          val cb = (full(1)(y * fw(1) + x) & 0xff) - 128
+          val cr = (full(2)(y * fw(2) + x) & 0xff) - 128
           val o = (y * w + x) * 3
           out(o) = clamp255(math.round(yy + 1.402 * cr)).toByte
           out(o + 1) = clamp255(math.round(yy - 0.344136 * cb - 0.714136 * cr)).toByte
@@ -368,6 +418,71 @@ object Jpeg {
         y += 1
       }
       (w, h, 3, out)
+    }
+  }
+
+  /** Upsample a chroma plane by (sx, sy) in {1,2}x{1,2}. The plane is
+    * stored padded to `planeW` wide; only the top-left `sw` x `sh`
+    * (the true downsampled dims) participate, exactly as libjpeg
+    * crops before upsampling. 2x paths use the IJG triangle-filter
+    * ("fancy") weights — 3:1 horizontally, 9:3:3:1 for 2x2 — with
+    * the same edge replication and rounding, so output matches
+    * libjpeg-based decoders; vertical-only 2x uses replication, as
+    * libjpeg does for that rare grid.
+    */
+  private def upsample(plane: Array[Byte], planeW: Int, sw: Int, sh: Int,
+                       sx: Int, sy: Int): Array[Byte] = {
+    if (sx == 1 && sy == 1) return plane
+    def at(x: Int, y: Int): Int = {
+      val cx = if (x < 0) 0 else if (x >= sw) sw - 1 else x
+      val cy = if (y < 0) 0 else if (y >= sh) sh - 1 else y
+      plane(cy * planeW + cx) & 0xff
+    }
+    if (sx == 2 && sy == 1) {
+      val out = new Array[Byte](2 * sw * sh)
+      var y = 0
+      while (y < sh) {
+        var x = 0
+        while (x < sw) {
+          val c = at(x, y)
+          out(y * 2 * sw + 2 * x) = ((3 * c + at(x - 1, y) + 1) >> 2).toByte
+          out(y * 2 * sw + 2 * x + 1) = ((3 * c + at(x + 1, y) + 2) >> 2).toByte
+          x += 1
+        }
+        y += 1
+      }
+      out
+    } else if (sx == 1 && sy == 2) {
+      val out = new Array[Byte](sw * 2 * sh)
+      var y = 0
+      while (y < sh) {
+        var x = 0
+        while (x < sw) {
+          val v = at(x, y).toByte
+          out(2 * y * sw + x) = v
+          out((2 * y + 1) * sw + x) = v
+          x += 1
+        }
+        y += 1
+      }
+      out
+    } else { // 2x2: column sums 3:1 vertically, then 3:1 horizontally
+      val out = new Array[Byte](2 * sw * 2 * sh)
+      var oy = 0
+      while (oy < 2 * sh) {
+        val y = oy >> 1
+        val yn = if ((oy & 1) == 0) y - 1 else y + 1 // nearer source row
+        def colsum(x: Int): Int = 3 * at(x, y) + at(x, yn)
+        var x = 0
+        while (x < sw) {
+          val c = colsum(x)
+          out(oy * 2 * sw + 2 * x) = ((3 * c + colsum(x - 1) + 8) >> 4).toByte
+          out(oy * 2 * sw + 2 * x + 1) = ((3 * c + colsum(x + 1) + 7) >> 4).toByte
+          x += 1
+        }
+        oy += 1
+      }
+      out
     }
   }
 

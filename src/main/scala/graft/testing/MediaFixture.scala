@@ -372,14 +372,51 @@ object MediaFixture {
     * shift, forward DCT (the transpose of [[graft.pipeline.Jpeg.basis]]),
     * uniform quantization, zigzag run-length + canonical-Huffman
     * entropy coding with FF stuffing, optional restart markers.
-    * `planes` holds 1 (grayscale) or 3 (YCbCr, 4:4:4) w*h planes;
-    * edge blocks pad by edge replication.
+    * `planes` holds 1 (grayscale) or 3 (YCbCr) w*h planes; edge
+    * blocks pad by edge replication. With `subsample420` the chroma
+    * planes are box-averaged to half resolution and the stream is
+    * written as 4:2:0 (2x2 luma blocks per interleaved MCU) — the
+    * layout nearly every real-world JPEG uses.
     */
   def jpegEncode(w: Int, h: Int, planes: Array[Array[Byte]], quantVal: Int,
-                 restartInterval: Int): Array[Byte] = {
+                 restartInterval: Int, subsample420: Boolean = false): Array[Byte] = {
     import graft.pipeline.Jpeg.{basis, zigzag}
     val nc = planes.length
-    require(nc == 1 || nc == 3, "grayscale or 4:4:4 YCbCr only")
+    require(nc == 1 || nc == 3, "grayscale or YCbCr only")
+    val sub = subsample420 && nc == 3
+    val compH = if (sub) Array(2, 1, 1) else Array.fill(nc)(1)
+    val compV = if (sub) Array(2, 1, 1) else Array.fill(nc)(1)
+    val maxH = compH(0); val maxV = compV(0)
+    // component-resolution planes and dims (box-averaged chroma)
+    val cW = Array.tabulate(nc)(c => if (compH(c) == maxH) w else (w + 1) / 2)
+    val cH = Array.tabulate(nc)(c => if (compV(c) == maxV) h else (h + 1) / 2)
+    val cPlane = Array.tabulate(nc) { c =>
+      if (cW(c) == w && cH(c) == h) planes(c)
+      else {
+        val out = new Array[Byte](cW(c) * cH(c))
+        var y = 0
+        while (y < cH(c)) {
+          var x = 0
+          while (x < cW(c)) {
+            var sum = 0; var n = 0
+            var dy = 0
+            while (dy < 2) {
+              var dx = 0
+              while (dx < 2) {
+                val fx = 2 * x + dx; val fy = 2 * y + dy
+                if (fx < w && fy < h) { sum += planes(c)(fy * w + fx) & 0xff; n += 1 }
+                dx += 1
+              }
+              dy += 1
+            }
+            out(y * cW(c) + x) = ((sum + n / 2) / n).toByte
+            x += 1
+          }
+          y += 1
+        }
+        out
+      }
+    }
     val out = new ByteArrayOutputStream
     out.write(0xff); out.write(0xd8) // SOI
     out.write(0xff); out.write(0xe0) // APP0/JFIF (tags 3-comp as YCbCr)
@@ -395,7 +432,7 @@ object MediaFixture {
     out.write(0xff); out.write(0xc0) // SOF0
     be16(out, 8 + 3 * nc); out.write(8)
     be16(out, h); be16(out, w); out.write(nc)
-    for (c <- 0 until nc) { out.write(c + 1); out.write(0x11); out.write(0) }
+    for (c <- 0 until nc) { out.write(c + 1); out.write((compH(c) << 4) | compV(c)); out.write(0) }
     writeDht(out, 0, Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0), jpegDcVals)
     writeDht(out, 1, Array(0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0), jpegAcVals)
     out.write(0xff); out.write(0xda) // SOS
@@ -403,8 +440,8 @@ object MediaFixture {
     for (c <- 0 until nc) { out.write(c + 1); out.write(0x00) }
     out.write(0); out.write(63); out.write(0)
     val bw = new JpegBitWriter(out)
-    val mcusX = (w + 7) / 8
-    val mcusY = (h + 7) / 8
+    val mcusX = (w + 8 * maxH - 1) / (8 * maxH)
+    val mcusY = (h + 8 * maxV - 1) / (8 * maxV)
     val dcPred = new Array[Int](nc)
     val shifted = new Array[Double](64)
     val tmp = new Array[Double](64)
@@ -421,14 +458,21 @@ object MediaFixture {
         }
         var c = 0
         while (c < nc) {
-          val plane = planes(c)
+          var vby = 0
+          while (vby < compV(c)) {
+          var vbx = 0
+          while (vbx < compH(c)) {
+          val plane = cPlane(c)
+          val pwc = cW(c); val phc = cH(c)
+          val x0 = (mx * compH(c) + vbx) * 8
+          val y0 = (my * compV(c) + vby) * 8
           var y = 0
           while (y < 8) {
-            val sy = math.min(my * 8 + y, h - 1)
+            val sy = math.min(y0 + y, phc - 1)
             var x = 0
             while (x < 8) {
-              val sx = math.min(mx * 8 + x, w - 1)
-              shifted(y * 8 + x) = (plane(sy * w + sx) & 0xff) - 128.0
+              val sx = math.min(x0 + x, pwc - 1)
+              shifted(y * 8 + x) = (plane(sy * pwc + sx) & 0xff) - 128.0
               x += 1
             }
             y += 1
@@ -476,6 +520,10 @@ object MediaFixture {
             k += 1
           }
           if (run > 0) bw.put(jpegAcCode(0x00), 8) // EOB
+          vbx += 1
+          }
+          vby += 1
+          }
           c += 1
         }
         mcu += 1
@@ -493,7 +541,7 @@ object MediaFixture {
     * the engine and javax.imageio and compare).
     */
   def jpegEncodeRgb(w: Int, h: Int, rgb: Array[Byte], quantVal: Int,
-                    restartInterval: Int = 0): Array[Byte] = {
+                    restartInterval: Int = 0, subsample420: Boolean = false): Array[Byte] = {
     val yP = new Array[Byte](w * h)
     val cbP = new Array[Byte](w * h)
     val crP = new Array[Byte](w * h)
@@ -506,6 +554,6 @@ object MediaFixture {
       crP(p) = cl(0.5 * r - 0.418688 * g - 0.081312 * b + 128)
       p += 1
     }
-    jpegEncode(w, h, Array(yP, cbP, crP), quantVal, restartInterval)
+    jpegEncode(w, h, Array(yP, cbP, crP), quantVal, restartInterval, subsample420)
   }
 }

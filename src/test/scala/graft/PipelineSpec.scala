@@ -968,6 +968,62 @@ class PipelineSpec extends SparkSuite {
         s"foreign-encoder gray ($x,$y)")
   }
 
+  test("decodeJpegPixels: 4:2:0 subsampled color matches the JDK decoder") {
+    import graft.testing.MediaFixture
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    def pix(i: Long, x: Int, y: Int, c: Int): Int =
+      ((x * 11 + y * 17 + c * 29 + i * 31 + (x * y) % 37) % 256).toInt
+
+    // MY 4:2:0 encoder (box-averaged chroma, interleaved 2x2 luma
+    // MCUs) through both decoders — the engine's triangle-filter
+    // upsampling mirrors the IJG formula the JDK uses, so the only
+    // slack left is IDCT + color-convert rounding
+    val (cw, ch) = (23, 18) // odd width: exercises ceil'd chroma dims
+    val rgb = new Array[Byte](cw * ch * 3)
+    for (y <- 0 until ch; x <- 0 until cw; c <- 0 until 3)
+      rgb((y * cw + x) * 3 + c) = pix(4, x, y, c).toByte
+    val bytes = MediaFixture.jpegEncodeRgb(cw, ch, rgb, quantVal = 8, subsample420 = true)
+    val dec = Jpeg.decodePixels(bytes, 64 * 1024 * 1024)
+    assert(dec != null, "4:2:0 stream must decode")
+    val (dw, dh, dbpp, dpx) = dec
+    assert(dw == cw && dh == ch && dbpp == 3)
+    val jdk = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(jdk.getWidth == cw && jdk.getHeight == ch)
+    var totalDiff = 0L
+    for (y <- 0 until ch; x <- 0 until cw) {
+      val argb = jdk.getRGB(x, y)
+      val o = (y * cw + x) * 3
+      val dr = math.abs((dpx(o) & 0xff) - ((argb >> 16) & 0xff))
+      val dg = math.abs((dpx(o + 1) & 0xff) - ((argb >> 8) & 0xff))
+      val db = math.abs((dpx(o + 2) & 0xff) - (argb & 0xff))
+      assert(dr <= 4 && dg <= 4 && db <= 4, s"4:2:0 ($x,$y): dr=$dr dg=$dg db=$db")
+      totalDiff += dr + dg + db
+    }
+    assert(totalDiff.toDouble / (cw * ch * 3) < 1.0, "mean channel diff must stay below 1")
+
+    // a JDK-ENCODED color JPEG (the writer defaults to 4:2:0 with
+    // Annex-K-style tables) through MY decoder vs the JDK's own read
+    val img = new BufferedImage(20, 15, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 15; x <- 0 until 20)
+      img.setRGB(x, y, (pix(5, x, y, 0) << 16) | (pix(5, x, y, 1) << 8) | pix(5, x, y, 2))
+    val fOut = new java.io.ByteArrayOutputStream
+    assert(ImageIO.write(img, "jpeg", fOut))
+    val fBytes = fOut.toByteArray
+    val fdec = Jpeg.decodePixels(fBytes, 64 * 1024 * 1024)
+    assert(fdec != null, "JDK-encoded color JPEG must decode")
+    val (fw, fh, fbpp, fpx) = fdec
+    assert(fw == 20 && fh == 15 && fbpp == 3)
+    val jdkF = ImageIO.read(new java.io.ByteArrayInputStream(fBytes))
+    for (y <- 0 until 15; x <- 0 until 20) {
+      val argb = jdkF.getRGB(x, y)
+      val o = (y * 20 + x) * 3
+      assert(math.abs((fpx(o) & 0xff) - ((argb >> 16) & 0xff)) <= 4, s"foreign R ($x,$y)")
+      assert(math.abs((fpx(o + 1) & 0xff) - ((argb >> 8) & 0xff)) <= 4, s"foreign G ($x,$y)")
+      assert(math.abs((fpx(o + 2) & 0xff) - (argb & 0xff)) <= 4, s"foreign B ($x,$y)")
+    }
+  }
+
   test("decodeJpegPixels: restart markers restate DC prediction without changing pixels") {
     import graft.testing.MediaFixture
     import javax.imageio.ImageIO
