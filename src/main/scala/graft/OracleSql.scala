@@ -1034,6 +1034,20 @@ g AS (SELECT i, w, h, x, unnest(range(0, h)) AS y FROM gx),
 v AS (SELECT i, w, h, ((x // 8) * 37 + (y // 8) * 59 + i * 31) % 256 AS p FROM g)
 SELECT i AS id, CAST(w * h AS BIGINT) AS n_pixels,
 round(CAST(sum(p) AS DOUBLE) / (w * h), 6) AS mean_r
-FROM v GROUP BY i, w, h"""
+FROM v GROUP BY i, w, h""",
+
+    // adaptive 2x2 pooling over the PNG fixtures' closed-form pixels:
+    // pixel (x, y) lands in cell (y*2//h, x*2//w); intensity sums the
+    // first three RGBA channels; float32 rounding matches the engine
+    "q_image_embed" ->
+      """WITH d AS (SELECT i, 4 + i % 13 AS w, 3 + i % 11 AS h FROM range(0, 200) t(i)),
+gx AS (SELECT i, w, h, unnest(range(0, w)) AS x FROM d),
+g AS (SELECT i, w, h, x, unnest(range(0, h)) AS y FROM gx),
+v AS (SELECT i, CAST((y * 2 // h) * 2 + (x * 2 // w) AS INT) AS dim,
+(x*7 + y*13 + i*31) % 256 + (x*7 + y*13 + 29 + i*31) % 256
++ (x*7 + y*13 + 58 + i*31) % 256 AS inten FROM g)
+SELECT i AS id, dim,
+round(CAST(CAST(sum(inten) / (765.0 * count(*)) AS FLOAT) AS DOUBLE), 6) AS value
+FROM v GROUP BY i, dim"""
   )
 }

@@ -719,6 +719,16 @@ object SparkEntry {
       val df = s.range(0, 200).select(col("id"), gen(col("id")).as("payload"))
       Multimodal.withImageFeatures(df, "payload")
         .select(col("id"), col("n_pixels"), round(col("mean_r"), 6).as("mean_r"))
+    }),
+    "q_image_embed" -> ((s, dir) => {
+      // REAL decoded-pixel thumbnail embedding: adaptive 2x2 pooling
+      // over the PNG fixtures' zlib-inflated pixels; the oracle pools
+      // the same closed-form channel values in SQL
+      val gen = udf((i: Long) => graft.testing.MediaFixture.imagePayload(i))
+      val df = s.range(0, 200).select(col("id"), gen(col("id")).as("payload"))
+      Multimodal.withImageEmbedding(df, "payload", grid = 2)
+        .select(col("id"), posexplode(col("embedding")).as(Seq("dim", "value")))
+        .select(col("id"), col("dim"), round(col("value").cast("double"), 6).as("value"))
     })
   )
 

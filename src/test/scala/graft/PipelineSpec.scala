@@ -823,6 +823,29 @@ class PipelineSpec extends SparkSuite {
     assert(Multimodal.decodePngPixels(Array[Byte](1, 2, 3)) == null)
   }
 
+  test("imageEmbedding: adaptive pooling over real decoded pixels, every format") {
+    import graft.testing.MediaFixture
+    val e = Multimodal.imageEmbedding(MediaFixture.imagePayload(6), 2)
+    val w = 4 + (6 % 13); val h = 3 + (6 % 11)
+    // expected from the closed-form pixel formula, independent of the decoder
+    val sums = Array.fill(4)(0L); val counts = Array.fill(4)(0L)
+    for (y <- 0 until h; x <- 0 until w) {
+      val cell = (y * 2 / h) * 2 + (x * 2 / w)
+      sums(cell) += (0 until 3).map(c => MediaFixture.pixelByte(6, x, y, c)).sum
+      counts(cell) += 1
+    }
+    for (c <- 0 until 4)
+      assert(e(c) == (sums(c) / (765.0 * counts(c))).toFloat, s"cell $c")
+    // GIF and JPEG payloads embed through their own real decoders
+    val gifE = Multimodal.imageEmbedding(MediaFixture.gifPayload(3), 4)
+    assert(gifE.length == 16 && gifE.forall(v => v >= 0f && v <= 1f))
+    val jpgE = Multimodal.imageEmbedding(MediaFixture.jpegPayload(3), 3)
+    assert(jpgE.length == 9 && jpgE.forall(v => v >= 0f && v <= 1f))
+    // undecodable payloads yield null, not a throw
+    assert(Multimodal.imageEmbedding(MediaFixture.payload(4), 2) == null)
+    assert(Multimodal.imageEmbedding(null, 2) == null)
+  }
+
   test("PNG and GIF decoders agree with the JDK decoder bit-for-bit (lossless formats)") {
     import graft.testing.MediaFixture
     import javax.imageio.ImageIO
