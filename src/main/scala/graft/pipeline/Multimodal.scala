@@ -194,10 +194,12 @@ object Multimodal {
 
   /** Decode PCM samples from a WAV payload — REAL decode, no codec
     * library needed: PCM is the bytes. Supports unsigned 8-bit
-    * (centered: value - 128) and signed little-endian 16-bit, any
-    * channel count (channels pooled — the features below are
-    * channel-agnostic). Returns null for non-WAV, non-PCM
-    * (compressed WAV variants carry format tags != 1), or unsupported
+    * (centered: value - 128) and signed little-endian 16/24/32-bit,
+    * declared either as plain PCM (format tag 1) or as
+    * WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE) with the PCM subformat
+    * GUID; any channel count (channels pooled — the features below
+    * are channel-agnostic). Returns null for non-WAV, compressed
+    * variants (other format tags / subformats), or unsupported
     * widths, rather than guessing.
     */
   def decodeWavSamples(b: Array[Byte]): Array[Int] = {
@@ -213,6 +215,11 @@ object Multimodal {
       if (id == "fmt " && size >= 16 && i + 24 <= b.length) {
         fmtTag = u16le(b, i + 8)
         bits = u16le(b, i + 22)
+        if (fmtTag == 0xfffe) {
+          // extensible: the real coding is the first subformat-GUID
+          // word (fmt data offset 24); PCM's GUID starts 01 00
+          fmtTag = if (size >= 40 && i + 34 <= b.length && u16le(b, i + 32) == 1) 1 else -1
+        }
       } else if (id == "data" && dataOff < 0) {
         dataOff = i + 8
         dataLen = math.min(size, (b.length - dataOff).toLong).toInt
@@ -228,28 +235,52 @@ object Multimodal {
         Array.tabulate(dataLen / 2) { k =>
           ((b(dataOff + 2 * k) & 0xff) | (b(dataOff + 2 * k + 1) << 8)).toShort.toInt
         }
+      case 24 =>
+        Array.tabulate(dataLen / 3) { k =>
+          val o = dataOff + 3 * k
+          val v = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16)
+          (v << 8) >> 8 // sign-extend from 24 bits
+        }
+      case 32 =>
+        Array.tabulate(dataLen / 4) { k =>
+          val o = dataOff + 4 * k
+          (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+            ((b(o + 2) & 0xff) << 16) | (b(o + 3) << 24)
+        }
       case _ => null
     }
   }
 
   /** Summary features over the decoded samples: count, peak |value|,
-    * RMS. The sum of squares is exact Long arithmetic; the single
-    * double division + sqrt is IEEE-deterministic, so an external
-    * engine reproduces `rms` bit-for-bit from the same samples.
+    * RMS. The sum of squares accumulates as an exact unsigned
+    * 128-bit integer in two Longs — a single Long overflows after
+    * only ~2^17 samples of 24-bit or 4 samples of 32-bit audio — and
+    * the final double conversion + division + sqrt is
+    * IEEE-deterministic, so an external engine reproduces `rms`
+    * bit-for-bit from the same samples (for 8/16-bit audio the high
+    * word stays 0 and the math reduces to the exact-Long path).
     */
   def wavAudioFeatures(b: Array[Byte]): AudioFeatures = {
     val s = decodeWavSamples(b)
     if (s == null || s.isEmpty) return noAudio
-    var peak = 0
-    var ss = 0L
+    var peak = 0L
+    var ssHi = 0L; var ssLo = 0L
     var i = 0
     while (i < s.length) {
-      val v = s(i)
+      val v = s(i).toLong
       if (math.abs(v) > peak) peak = math.abs(v)
-      ss += v.toLong * v
+      val sq = v * v // <= 2^62: no overflow per element
+      val nLo = ssLo + sq
+      if (java.lang.Long.compareUnsigned(nLo, ssLo) < 0) ssHi += 1
+      ssLo = nLo
       i += 1
     }
-    AudioFeatures(Some(s.length.toLong), Some(peak), Some(math.sqrt(ss.toDouble / s.length)))
+    val ss =
+      if (ssHi == 0 && ssLo >= 0) ssLo.toDouble
+      else ssHi.toDouble * 1.8446744073709552e19 + // 2^64
+        ((ssLo >>> 1).toDouble * 2.0 + (ssLo & 1L)) // unsigned Long -> double
+    AudioFeatures(Some(s.length.toLong), Some(math.min(peak, Int.MaxValue).toInt),
+      Some(math.sqrt(ss / s.length)))
   }
 
   private val audioFeaturesUdf = udf((payload: Array[Byte]) => wavAudioFeatures(payload))

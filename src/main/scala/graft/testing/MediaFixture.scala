@@ -145,6 +145,63 @@ object MediaFixture {
     b
   }
 
+  // ---- decodable WAV fixtures (real PCM at every width) -----------
+
+  /** Closed-form signed sample k of WAV fixture i at `bytesPerSample`
+    * width: sweeps the full two's-complement range of the width.
+    */
+  def wavSampleValue(i: Long, k: Int, bytesPerSample: Int): Int = {
+    val amp = 1L << (8 * bytesPerSample - 1)
+    (((k * 2654435761L + i * 40503 + 7) % (2 * amp) + 2 * amp) % (2 * amp) - amp).toInt
+  }
+
+  /** A decodable PCM WAV: closed-form samples at 1/2/3/4 bytes per
+    * sample, written either as plain PCM (format tag 1) or as
+    * WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE + the PCM subformat GUID).
+    * 8-bit stores unsigned (value + 128); wider widths store signed
+    * little-endian two's complement.
+    */
+  def wavPcmPayload(i: Long, bytesPerSample: Int, nSamples: Int,
+                    extensible: Boolean = false): Array[Byte] = {
+    val fmtSize = if (extensible) 40 else 16
+    val dataBytes = nSamples * bytesPerSample
+    val out = new ByteArrayOutputStream
+    out.write("RIFF".getBytes("US-ASCII"))
+    le32(out, 4L + (8 + fmtSize) + (8 + dataBytes))
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII"))
+    le32(out, fmtSize.toLong)
+    le16(out, if (extensible) 0xfffe else 1)
+    le16(out, 1) // channels
+    le32(out, 16000L)
+    le32(out, 16000L * bytesPerSample)
+    le16(out, bytesPerSample)
+    le16(out, 8 * bytesPerSample)
+    if (extensible) {
+      le16(out, 22) // cbSize
+      le16(out, 8 * bytesPerSample) // valid bits
+      le32(out, 4L) // channel mask
+      // KSDATAFORMAT_SUBTYPE_PCM GUID, on-disk serialization
+      out.write(Array(0x01, 0x00, 0x00, 0x00, 0x00, 0x00, 0x10, 0x00,
+        0x80, 0x00, 0x00, 0xaa, 0x00, 0x38, 0x9b, 0x71).map(_.toByte))
+    }
+    out.write("data".getBytes("US-ASCII"))
+    le32(out, dataBytes.toLong)
+    var k = 0
+    while (k < nSamples) {
+      val v = wavSampleValue(i, k, bytesPerSample)
+      bytesPerSample match {
+        case 1 => out.write((v + 128) & 0xff)
+        case 2 => le16(out, v & 0xffff)
+        case 3 => out.write(v & 0xff); out.write((v >> 8) & 0xff); out.write((v >> 16) & 0xff)
+        case _ => le32(out, v.toLong & 0xffffffffL)
+      }
+      k += 1
+    }
+    if ((dataBytes & 1) == 1) out.write(0)
+    out.toByteArray
+  }
+
   // ---- decodable PNG fixtures (real zlib pixel data) --------------
 
   /** Closed-form pixel value (mirrored by the q_image_features

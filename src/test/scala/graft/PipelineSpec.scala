@@ -808,6 +808,36 @@ class PipelineSpec extends SparkSuite {
     assert(f.rms.get == math.sqrt(ss.toDouble / s16.length))
   }
 
+  test("decodeWavSamples: 24/32-bit and WAVE_FORMAT_EXTENSIBLE PCM decode exactly") {
+    import graft.testing.MediaFixture
+    for (bps <- 1 to 4; ext <- Seq(false, true)) {
+      val n = 300
+      val s = Multimodal.decodeWavSamples(MediaFixture.wavPcmPayload(9, bps, n, extensible = ext))
+      assert(s != null && s.length == n, s"bps=$bps ext=$ext")
+      for (k <- 0 until n)
+        assert(s(k) == MediaFixture.wavSampleValue(9, k, bps), s"sample $k bps=$bps ext=$ext")
+    }
+    // features stay correct where a Long sum of squares would
+    // overflow: 5000 full-range 32-bit samples need the 128-bit path
+    val f = Multimodal.wavAudioFeatures(MediaFixture.wavPcmPayload(3, 4, 5000))
+    val samples = (0 until 5000).map(k => MediaFixture.wavSampleValue(3, k, 4))
+    assert(f.n_samples.get == 5000L)
+    val maxAbs = samples.map(v => math.abs(v.toLong)).max
+    assert(f.peak.get == math.min(maxAbs, Int.MaxValue.toLong).toInt)
+    val exact = samples.map(v => BigInt(v) * BigInt(v)).sum
+    assert(exact > BigInt(Long.MaxValue), "fixture must actually overflow a Long")
+    val expected = math.sqrt((BigDecimal(exact) / 5000).toDouble)
+    assert(math.abs(f.rms.get - expected) / expected < 1e-12)
+    // extensible with a non-PCM subformat (e.g. IEEE float) -> null
+    val floatWav = MediaFixture.wavPcmPayload(1, 4, 10, extensible = true)
+    assert((floatWav(44) & 0xff) == 0x01, "fixture GUID layout drifted")
+    floatWav(44) = 0x03 // KSDATAFORMAT_SUBTYPE_IEEE_FLOAT starts 03 00
+    assert(Multimodal.decodeWavSamples(floatWav) == null)
+    // truncation fuzz over the widest variant never throws
+    val good = MediaFixture.wavPcmPayload(5, 3, 100, extensible = true)
+    for (cut <- 0 to good.length by 11) Multimodal.decodeWavSamples(good.take(cut))
+  }
+
   test("decodePngPixels: real inflate + unfilter reconstructs closed-form pixels (all 5 filters)") {
     import graft.testing.MediaFixture
     // h >= 5 so scanlines (y + i) % 5 sweep every filter type
