@@ -1036,6 +1036,15 @@ SELECT i AS id, CAST(w * h AS BIGINT) AS n_pixels,
 round(CAST(sum(p) AS DOUBLE) / (w * h), 6) AS mean_r
 FROM v GROUP BY i, w, h""",
 
+    // the 24-bit PCM fixtures' samples are closed-form (full signed
+    // range): v = (k*2654435761 + i*40503 + 7) mod 2^24, centered
+    "q_audio_wide" ->
+      """WITH s AS (SELECT i, unnest(range(0, 400)) AS k FROM range(0, 150) t(i)),
+v AS (SELECT i, ((k * 2654435761 + i * 40503 + 7) % 16777216) - 8388608 AS v FROM s)
+SELECT i AS id, CAST(count(*) AS BIGINT) AS n_samples, CAST(max(abs(v)) AS INT) AS peak,
+round(sqrt(CAST(sum(v*v) AS DOUBLE) / count(*)), 6) AS rms
+FROM v GROUP BY 1""",
+
     // adaptive 2x2 pooling over the PNG fixtures' closed-form pixels:
     // pixel (x, y) lands in cell (y*2//h, x*2//w); intensity sums the
     // first three RGBA channels; float32 rounding matches the engine

@@ -720,6 +720,16 @@ object SparkEntry {
       Multimodal.withImageFeatures(df, "payload")
         .select(col("id"), col("n_pixels"), round(col("mean_r"), 6).as("mean_r"))
     }),
+    "q_audio_wide" -> ((s, dir) => {
+      // the 24-bit signed PCM path + WAVE_FORMAT_EXTENSIBLE framing
+      // (even ids), oracle-gated: the fixtures' full-range samples
+      // are closed-form, so the oracle replays decode + peak + rms
+      val gen = udf((i: Long) =>
+        graft.testing.MediaFixture.wavPcmPayload(i, 3, 400, extensible = i % 2 == 0))
+      val df = s.range(0, 150).select(col("id"), gen(col("id")).as("payload"))
+      Multimodal.withAudioFeatures(df, "payload")
+        .select(col("id"), col("n_samples"), col("peak"), round(col("rms"), 6).as("rms"))
+    }),
     "q_image_embed" -> ((s, dir) => {
       // REAL decoded-pixel thumbnail embedding: adaptive 2x2 pooling
       // over the PNG fixtures' zlib-inflated pixels; the oracle pools
