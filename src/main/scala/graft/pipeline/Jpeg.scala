@@ -1,24 +1,31 @@
 package graft.pipeline
 
-/** Baseline JPEG (SOF0) decoder — REAL entropy decode, pure JVM, no
-  * codec library: canonical Huffman tables from DHT segments,
-  * dequantization from DQT, a double-precision separable IDCT, and
-  * the JFIF YCbCr->RGB transform, all from the public ITU-T T.81 /
-  * JFIF specifications (reference header-parses JPEG but never
-  * decodes it; see /root/reference/pd_utils there is no analog —
-  * this is the training-pipeline extension surface).
+/** JPEG decoder — REAL entropy decode, pure JVM, no codec library:
+  * canonical Huffman tables from DHT segments, dequantization from
+  * DQT, a double-precision separable IDCT, and the JFIF YCbCr->RGB
+  * transform, all from the public ITU-T T.81 / JFIF specifications
+  * (the reference header-parses JPEG but never decodes it; this is
+  * the training-pipeline extension surface).
   *
-  * Scope: 8-bit baseline sequential, grayscale (1 component, any
-  * declared sampling — a single-component scan is never interleaved)
-  * or YCbCr with 1x1 chroma and luma sampling up to 2x2 — i.e.
-  * 4:4:4, 4:2:2, 4:4:0 and the near-universal 4:2:0 — with restart
-  * markers (DRI/RSTn) and FF00 byte stuffing. Subsampled chroma is
-  * reconstructed with the public triangle-filter ("fancy")
-  * upsampling the IJG decoder uses, so output matches libjpeg-based
-  * decoders to IDCT tolerance. Progressive (SOF2), arithmetic
-  * coding, 12-bit precision and exotic sampling grids return null
-  * rather than decode wrong; so does any corrupt or truncated
-  * stream — at 100 TB poison payloads are data, not crashes.
+  * Scope: 8-bit baseline sequential (SOF0) AND progressive (SOF2) —
+  * spectral selection + successive approximation, DC/AC first and
+  * refinement scans, EOB runs — for grayscale (1 component, any
+  * declared sampling: a single-component scan is never interleaved)
+  * or YCbCr with 1x1 chroma and luma sampling up to 2x2, i.e. 4:4:4,
+  * 4:2:2, 4:4:0 and the near-universal 4:2:0. Restart markers
+  * (DRI/RSTn) and FF00 byte stuffing are handled in every scan kind.
+  * Subsampled chroma is reconstructed with the public
+  * triangle-filter ("fancy") upsampling the IJG decoder uses, so
+  * output matches libjpeg-based decoders to IDCT tolerance.
+  * Arithmetic coding, 12-bit precision, hierarchical frames and
+  * exotic sampling grids return null rather than decode wrong; so
+  * does any corrupt or truncated stream — at 100 TB poison payloads
+  * are data, not crashes.
+  *
+  * Decoding stages whole-image coefficients (the structure
+  * progressive scans require; baseline shares it), so peak memory is
+  * ~5x the decoded plane bytes — both are bounded by the caller's
+  * allocation cap.
   */
 object Jpeg {
 
@@ -116,6 +123,7 @@ object Jpeg {
     }
 
     def decodeHuff(t: HuffTable): Int = {
+      if (t == null) return -1
       var code = nextBit()
       if (code < 0) return -1
       var len = 1
@@ -153,10 +161,31 @@ object Jpeg {
   private def clamp255(v: Long): Int =
     if (v < 0) 0 else if (v > 255) 255 else v.toInt
 
-  /** Decode a baseline JPEG to packed pixel bytes: `(width, height,
-    * bpp, bytes)` with bpp 1 (grayscale) or 3 (RGB via the JFIF
-    * YCbCr transform). Null for anything outside the supported
-    * baseline scope, corrupt/truncated streams, or dims past the
+  /** Skip the entropy-coded data that starts at `p`: stuffed 0xFF00
+    * bytes and RST0-7 markers are part of the stream; the first other
+    * marker ends it. Returns the index of that marker's 0xFF (or the
+    * array end on truncation).
+    */
+  private def skipEntropy(b: Array[Byte], p0: Int): Int = {
+    var p = p0
+    while (p + 1 < b.length) {
+      if ((b(p) & 0xff) == 0xff) {
+        val m = b(p + 1) & 0xff
+        if (m == 0x00 || (m >= 0xd0 && m <= 0xd7)) p += 2
+        else if (m == 0xff) p += 1 // fill byte
+        else return p
+      } else p += 1
+    }
+    b.length
+  }
+
+  // Exception-free failure signalling inside the scan decoder: the
+  // methods return Boolean and the caller nulls out.
+
+  /** Decode a baseline or progressive JPEG to packed pixel bytes:
+    * `(width, height, bpp, bytes)` with bpp 1 (grayscale) or 3 (RGB
+    * via the JFIF YCbCr transform). Null for anything outside the
+    * supported scope, corrupt/truncated streams, or dims past the
     * allocation cap.
     */
   def decodePixels(b: Array[Byte], maxRawBytes: Int): (Int, Int, Int, Array[Byte]) = {
@@ -167,13 +196,22 @@ object Jpeg {
       val dcTab = new Array[HuffTable](4)
       val acTab = new Array[HuffTable](4)
       var restartInterval = 0
+      var progressive = false
       var w = 0; var h = 0; var nComp = 0
       var frameIds: Array[Int] = null // component id -> quant table
       var frameQ: Array[Int] = null
       var frameH: Array[Int] = null // per-component sampling factors
       var frameV: Array[Int] = null
+      // whole-image coefficient storage (zigzag order per block),
+      // allocated at the first SOS
+      var coefs: Array[Array[Int]] = null
+      var bw: Array[Int] = null // blocks across, MCU-padded
+      var bh: Array[Int] = null
+      var mcusX = 0; var mcusY = 0
+      var sawScan = false
+
       var i = 2
-      while (i + 3 < b.length) {
+      while (i + 1 < b.length) {
         if ((b(i) & 0xff) != 0xff) return null
         var j = i + 1
         while (j < b.length && (b(j) & 0xff) == 0xff) j += 1
@@ -181,9 +219,13 @@ object Jpeg {
         val marker = b(j) & 0xff
         if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd8)) {
           i = j + 1 // standalone marker, no length
-        } else if (marker == 0xd9) {
-          return null // EOI before any scan
-        } else if (marker == 0xc0) { // SOF0: baseline frame
+        } else if (marker == 0xd9) { // EOI: reconstruct if any scan landed
+          return if (sawScan) {
+            finish(w, h, nComp, coefs, bw, bh, frameH, frameV, frameQ, quant, maxRawBytes)
+          } else null
+        } else if (marker == 0xc0 || marker == 0xc2) { // SOF0 / SOF2
+          if (frameIds != null) return null // second frame: unsupported
+          progressive = marker == 0xc2
           if (b(j + 3) != 8) return null // sample precision
           h = u16be(b, j + 4); w = u16be(b, j + 6)
           nComp = b(j + 8) & 0xff
@@ -210,7 +252,7 @@ object Jpeg {
           }
           i = j + 1 + u16be(b, j + 1)
         } else if (marker >= 0xc1 && marker <= 0xcf && marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
-          return null // progressive / extended / arithmetic: out of scope
+          return null // extended / lossless / arithmetic / hierarchical
         } else if (marker == 0xc4) { // DHT: one or more tables
           val end = j + 1 + u16be(b, j + 1)
           var p = j + 3
@@ -256,37 +298,65 @@ object Jpeg {
         } else if (marker == 0xdd) { // DRI
           restartInterval = u16be(b, j + 3)
           i = j + 1 + u16be(b, j + 1)
-        } else if (marker == 0xda) { // SOS: decode the scan and return
+        } else if (marker == 0xda) { // SOS
           if (frameIds == null) return null
+          if (coefs == null) { // first scan: allocate coefficient storage
+            val maxH = frameH(0); val maxV = frameV(0)
+            mcusX = (w + 8 * maxH - 1) / (8 * maxH)
+            mcusY = (h + 8 * maxV - 1) / (8 * maxV)
+            bw = Array.tabulate(nComp)(c => mcusX * frameH(c))
+            bh = Array.tabulate(nComp)(c => mcusY * frameV(c))
+            var bytes = 0L
+            var c = 0
+            while (c < nComp) { bytes += bw(c).toLong * bh(c) * 64 * 4; c += 1 }
+            if (bytes > 4L * maxRawBytes) return null // = 4x the plane cap
+            coefs = Array.tabulate(nComp)(c => new Array[Int](bw(c) * bh(c) * 64))
+          }
           val ns = b(j + 3) & 0xff
-          if (ns != nComp) return null
-          val compDc = new Array[HuffTable](nComp)
-          val compAc = new Array[HuffTable](nComp)
-          val compQt = new Array[Array[Int]](nComp)
+          if (ns < 1 || ns > nComp) return null
+          val scanComps = new Array[Int](ns)
+          val scanDc = new Array[HuffTable](ns)
+          val scanAc = new Array[HuffTable](ns)
           var k = 0
           while (k < ns) {
             val cs = b(j + 4 + 2 * k) & 0xff
             val c = frameIds.indexOf(cs)
             if (c < 0) return null
+            scanComps(k) = c
             val tt = b(j + 5 + 2 * k) & 0xff
-            compDc(c) = dcTab(tt >> 4)
-            compAc(c) = acTab(tt & 0x0f)
-            compQt(c) = quant(frameQ(c))
-            if (compDc(c) == null || compAc(c) == null || compQt(c) == null) return null
+            scanDc(k) = dcTab(tt >> 4)
+            scanAc(k) = acTab(tt & 0x0f)
             k += 1
           }
-          // baseline spectral selection must be the full 0..63 band
-          if ((b(j + 4 + 2 * ns) & 0xff) != 0 || (b(j + 5 + 2 * ns) & 0xff) != 63) return null
+          val ss = b(j + 4 + 2 * ns) & 0xff
+          val se = b(j + 5 + 2 * ns) & 0xff
+          val ahAl = b(j + 6 + 2 * ns) & 0xff
+          val ah = ahAl >> 4; val al = ahAl & 0x0f
+          if (progressive) {
+            // T.81 G: DC scans are the 0..0 band; AC scans carry one
+            // component only and never mix with DC
+            if (ss == 0 && se != 0) return null
+            if (ss > 0 && (ns != 1 || ss > se || se > 63)) return null
+            if (ah != 0 && ah != al + 1) return null
+            if (al > 13) return null
+          } else {
+            // sequential: full band, no successive approximation;
+            // multi-scan sequential (one subset per scan) is legal
+            if (ss != 0 || se != 63 || ah != 0 || al != 0) return null
+          }
           val scanStart = j + 1 + u16be(b, j + 1)
-          return decodeScan(b, scanStart, w, h, nComp, compDc, compAc, compQt,
-            frameH, frameV, restartInterval, maxRawBytes)
+          if (!decodeScanPass(b, scanStart, w, h, scanComps, scanDc, scanAc, coefs,
+            bw, bh, frameH, frameV, mcusX, mcusY, ss, se, ah, al, restartInterval))
+            return null
+          sawScan = true
+          i = skipEntropy(b, scanStart)
         } else { // APPn / COM / anything else with a length field
           val segLen = u16be(b, j + 1)
           if (segLen < 2) return null
           i = j + 1 + segLen
         }
       }
-      null
+      null // ran out of input before EOI
     } catch {
       case _: IndexOutOfBoundsException => null
       case _: NegativeArraySizeException => null
@@ -294,84 +364,234 @@ object Jpeg {
     }
   }
 
-  private def decodeScan(
-      b: Array[Byte], scanStart: Int, w: Int, h: Int, nComp: Int,
-      compDc: Array[HuffTable], compAc: Array[HuffTable], compQt: Array[Array[Int]],
-      compH: Array[Int], compV: Array[Int],
-      restartInterval: Int, maxRawBytes: Int): (Int, Int, Int, Array[Byte]) = {
-    val maxH = compH(0) // chroma is 1x1, so luma carries the max
-    val maxV = compV(0)
-    val mcusX = (w + 8 * maxH - 1) / (8 * maxH)
-    val mcusY = (h + 8 * maxV - 1) / (8 * maxV)
-    // per-component padded plane dims (component resolution)
-    val pw = Array.tabulate(nComp)(c => mcusX * 8 * compH(c))
-    val ph = Array.tabulate(nComp)(c => mcusY * 8 * compV(c))
-    var planeBytes = 0L
-    var cc = 0
-    while (cc < nComp) { planeBytes += pw(cc).toLong * ph(cc); cc += 1 }
-    if (planeBytes > maxRawBytes || w.toLong * h * nComp > maxRawBytes) return null
-    val planes = Array.tabulate(nComp)(c => new Array[Byte](pw(c) * ph(c)))
+  /** One entropy-coded scan into the coefficient buffers. Handles
+    * every scan kind: sequential full-band, progressive DC/AC first
+    * passes and refinements, interleaved or single-component
+    * geometry, restart markers. False on corrupt input.
+    */
+  private def decodeScanPass(
+      b: Array[Byte], scanStart: Int, w: Int, h: Int,
+      scanComps: Array[Int], scanDc: Array[HuffTable], scanAc: Array[HuffTable],
+      coefs: Array[Array[Int]], bw: Array[Int], bh: Array[Int],
+      frameH: Array[Int], frameV: Array[Int], mcusX: Int, mcusY: Int,
+      ss: Int, se: Int, ah: Int, al: Int, restartInterval: Int): Boolean = {
     val reader = new BitReader(b, scanStart)
-    val dcPred = new Array[Int](nComp)
-    val coef = new Array[Int](64) // natural order, dequantized
-    val tmp = new Array[Double](64)
+    val ns = scanComps.length
+    val dcPred = new Array[Int](ns)
+    var eobrun = 0
     var mcu = 0
-    var my = 0
-    while (my < mcusY) {
-      var mx = 0
-      while (mx < mcusX) {
-        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-          if (!reader.expectRst((mcu / restartInterval - 1) % 8)) return null
-          java.util.Arrays.fill(dcPred, 0)
+
+    def maybeRestart(): Boolean = {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        if (!reader.expectRst((mcu / restartInterval - 1) % 8)) return false
+        java.util.Arrays.fill(dcPred, 0)
+        eobrun = 0
+      }
+      true
+    }
+
+    /** Decode one block's worth of this scan's band into coef(base + k),
+      * k in zigzag positions. `sc` indexes the scan's component list.
+      */
+    def block(sc: Int, coef: Array[Int], base: Int): Boolean = {
+      if (ss == 0) { // DC band
+        if (ah == 0) {
+          val t = reader.decodeHuff(scanDc(sc))
+          if (t < 0 || t > 11) return false
+          val db = reader.receive(t)
+          if (db == Int.MinValue) return false
+          dcPred(sc) += extend(db, t)
+          coef(base) = dcPred(sc) << al
+        } else { // DC refinement: one bit
+          val bit = reader.nextBit()
+          if (bit < 0) return false
+          if (bit == 1) coef(base) |= (1 << al)
         }
-        var c = 0
-        while (c < nComp) {
-          // T.81 interleave order: all of this component's hi*vi
-          // blocks for the MCU, raster order within the MCU
-          var by = 0
-          while (by < compV(c)) {
-            var bx = 0
-            while (bx < compH(c)) {
-              java.util.Arrays.fill(coef, 0)
-              val q = compQt(c)
-              val t = reader.decodeHuff(compDc(c))
-              if (t < 0 || t > 11) return null
-              val db = reader.receive(t)
-              if (db == Int.MinValue) return null
-              dcPred(c) += extend(db, t)
-              coef(0) = dcPred(c) * q(0)
-              var k = 1
-              while (k < 64) {
-                val rs = reader.decodeHuff(compAc(c))
-                if (rs < 0) return null
-                val s = rs & 0x0f
-                if (s == 0) {
-                  if (rs == 0x00) k = 64 // EOB
-                  else if (rs == 0xf0) k += 16 // ZRL: 16 zeros
-                  else return null
-                } else {
-                  k += (rs >> 4)
-                  if (k > 63) return null
-                  val vb = reader.receive(s)
-                  if (vb == Int.MinValue) return null
-                  coef(zigzag(k)) = extend(vb, s) * q(k)
+      }
+      if (se >= 1 && (ss >= 1 || se == 63)) { // AC band (or full-band sequential)
+        val lo = math.max(ss, 1)
+        if (ah == 0) { // first pass
+          if (eobrun > 0) { eobrun -= 1; return true }
+          var k = lo
+          while (k <= se) {
+            val rs = reader.decodeHuff(scanAc(sc))
+            if (rs < 0) return false
+            val r = rs >> 4; val s = rs & 0x0f
+            if (s == 0) {
+              if (r == 15) k += 16 // ZRL
+              else { // EOBn: this block is the first of the run
+                val extra = reader.receive(r)
+                if (extra == Int.MinValue) return false
+                eobrun = (1 << r) - 1 + extra
+                return true
+              }
+            } else {
+              k += r
+              if (k > se) return false
+              val vb = reader.receive(s)
+              if (vb == Int.MinValue) return false
+              coef(base + k) = extend(vb, s) << al
+              k += 1
+            }
+          }
+        } else { // AC refinement (T.81 G.2.2 / the IJG structure)
+          val p1 = 1 << al
+          val m1 = -1 << al
+          def correct(k: Int): Boolean = {
+            val bit = reader.nextBit()
+            if (bit < 0) return false
+            if (bit == 1) {
+              val cur = coef(base + k)
+              if ((cur & p1) == 0)
+                coef(base + k) = if (cur >= 0) cur + p1 else cur + m1
+            }
+            true
+          }
+          var k = lo
+          if (eobrun == 0) {
+            var done = false
+            while (!done && k <= se) {
+              val rs = reader.decodeHuff(scanAc(sc))
+              if (rs < 0) return false
+              var r = rs >> 4
+              val s = rs & 0x0f
+              var insert = 0
+              if (s == 0) {
+                if (r < 15) { // EOBn: run includes this block's tail
+                  val extra = reader.receive(r)
+                  if (extra == Int.MinValue) return false
+                  eobrun = (1 << r) + extra
+                  done = true
+                }
+                // r == 15: skip over 16 zero-history coefficients
+              } else {
+                if (s != 1) return false
+                val bit = reader.nextBit()
+                if (bit < 0) return false
+                insert = if (bit == 1) p1 else m1
+              }
+              if (!done) {
+                // advance over history: nonzero coefs take correction
+                // bits, zero slots count down r; the new coefficient
+                // (if any) lands on the zero slot where r runs out
+                var placed = false
+                while (!placed && k <= se) {
+                  if (coef(base + k) != 0) {
+                    if (!correct(k)) return false
+                  } else {
+                    if (r == 0) {
+                      if (insert != 0) coef(base + k) = insert
+                      placed = true
+                    } else r -= 1
+                  }
                   k += 1
                 }
+                if (!placed && insert != 0) return false // ran off the band
               }
-              idctBlock(coef, tmp, planes(c), pw(c),
-                (mx * compH(c) + bx) * 8, (my * compV(c) + by) * 8)
-              bx += 1
             }
-            by += 1
           }
-          c += 1
+          if (eobrun > 0) { // tail: correction bits only, then consume one
+            while (k <= se) {
+              if (coef(base + k) != 0) { if (!correct(k)) return false }
+              k += 1
+            }
+            eobrun -= 1
+          }
         }
-        mcu += 1
-        mx += 1
       }
-      my += 1
+      true
     }
-    // crop padded planes and color-convert
+
+    if (ns > 1) { // interleaved: MCU geometry over the scan's components
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          if (!maybeRestart()) return false
+          var sc = 0
+          while (sc < ns) {
+            val c = scanComps(sc)
+            var vby = 0
+            while (vby < frameV(c)) {
+              var vbx = 0
+              while (vbx < frameH(c)) {
+                val gx = mx * frameH(c) + vbx
+                val gy = my * frameV(c) + vby
+                if (!block(sc, coefs(c), (gy * bw(c) + gx) * 64)) return false
+                vbx += 1
+              }
+              vby += 1
+            }
+            sc += 1
+          }
+          mcu += 1
+          mx += 1
+        }
+        my += 1
+      }
+    } else { // single component: raster over its true block grid
+      val c = scanComps(0)
+      val maxH = frameH(0); val maxV = frameV(0)
+      val cpw = (w * frameH(c) + maxH - 1) / maxH // component pixel dims
+      val cph = (h * frameV(c) + maxV - 1) / maxV
+      val wBlocks = (cpw + 7) / 8
+      val hBlocks = (cph + 7) / 8
+      var by = 0
+      while (by < hBlocks) {
+        var bx = 0
+        while (bx < wBlocks) {
+          if (!maybeRestart()) return false
+          if (!block(0, coefs(c), (by * bw(c) + bx) * 64)) return false
+          mcu += 1
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    true
+  }
+
+  /** Dequantize + IDCT every block into component planes, then crop,
+    * upsample chroma and color-convert.
+    */
+  private def finish(
+      w: Int, h: Int, nComp: Int, coefs: Array[Array[Int]],
+      bw: Array[Int], bh: Array[Int], frameH: Array[Int], frameV: Array[Int],
+      frameQ: Array[Int], quant: Array[Array[Int]],
+      maxRawBytes: Int): (Int, Int, Int, Array[Byte]) = {
+    if (coefs == null) return null
+    val maxH = frameH(0); val maxV = frameV(0)
+    val pw = Array.tabulate(nComp)(c => bw(c) * 8)
+    val ph = Array.tabulate(nComp)(c => bh(c) * 8)
+    var planeBytes = 0L
+    var c = 0
+    while (c < nComp) {
+      if (quant(frameQ(c)) == null) return null
+      planeBytes += pw(c).toLong * ph(c)
+      c += 1
+    }
+    if (planeBytes > maxRawBytes || w.toLong * h * nComp > maxRawBytes) return null
+    val planes = Array.tabulate(nComp)(c => new Array[Byte](pw(c) * ph(c)))
+    val nat = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    c = 0
+    while (c < nComp) {
+      val q = quant(frameQ(c))
+      val co = coefs(c)
+      var by = 0
+      while (by < bh(c)) {
+        var bx = 0
+        while (bx < bw(c)) {
+          val base = (by * bw(c) + bx) * 64
+          var k = 0
+          while (k < 64) { nat(zigzag(k)) = co(base + k) * q(k); k += 1 }
+          idctBlock(nat, tmp, planes(c), pw(c), bx * 8, by * 8)
+          bx += 1
+        }
+        by += 1
+      }
+      c += 1
+    }
     if (nComp == 1) {
       val out = new Array[Byte](w * h)
       var y = 0
@@ -388,8 +608,8 @@ object Jpeg {
       fw(0) = pw(0)
       var ci = 1
       while (ci < 3) {
-        val sx = maxH / compH(ci)
-        val sy = maxV / compV(ci)
+        val sx = maxH / frameH(ci)
+        val sy = maxV / frameV(ci)
         if (sx == 1 && sy == 1) {
           full(ci) = planes(ci)
           fw(ci) = pw(ci) // padded stride, indexed directly

@@ -1077,6 +1077,69 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("decodeJpegPixels: progressive (SOF2) streams match the JDK decoder") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+    def pix(i: Long, x: Int, y: Int, c: Int): Int =
+      ((x * 11 + y * 17 + c * 29 + i * 31 + (x * y) % 37) % 256).toInt
+    def writeProgressive(img: BufferedImage): Array[Byte] = {
+      val wr = ImageIO.getImageWritersByFormatName("jpeg").next()
+      val p = wr.getDefaultWriteParam
+      p.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
+      val out = new java.io.ByteArrayOutputStream
+      val ios = ImageIO.createImageOutputStream(out)
+      wr.setOutput(ios)
+      wr.write(null, new IIOImage(img, null, null), p)
+      wr.dispose(); ios.close()
+      out.toByteArray
+    }
+    def hasSof2(b: Array[Byte]): Boolean =
+      b.indices.dropRight(1).exists(k => (b(k) & 0xff) == 0xff && (b(k + 1) & 0xff) == 0xc2)
+
+    // grayscale progressive: spectral selection + successive
+    // approximation through DC/AC first + refinement scans
+    val gImg = new BufferedImage(29, 22, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 22; x <- 0 until 29) gImg.getRaster.setSample(x, y, 0, pix(6, x, y, 0))
+    val gBytes = writeProgressive(gImg)
+    assert(hasSof2(gBytes), "JDK must have written a progressive frame")
+    val gDec = Jpeg.decodePixels(gBytes, 64 * 1024 * 1024)
+    assert(gDec != null, "progressive grayscale must decode")
+    val (gw, gh, gbpp, gpx) = gDec
+    assert(gw == 29 && gh == 22 && gbpp == 1)
+    val gJdk = ImageIO.read(new java.io.ByteArrayInputStream(gBytes))
+    for (y <- 0 until 22; x <- 0 until 29)
+      assert(math.abs((gpx(y * 29 + x) & 0xff) - gJdk.getRaster.getSample(x, y, 0)) <= 2,
+        s"progressive gray ($x,$y)")
+
+    // 4:2:0 color progressive: interleaved DC scans + per-component
+    // AC scans over subsampled chroma
+    val cImg = new BufferedImage(25, 19, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 19; x <- 0 until 25)
+      cImg.setRGB(x, y, (pix(7, x, y, 0) << 16) | (pix(7, x, y, 1) << 8) | pix(7, x, y, 2))
+    val cBytes = writeProgressive(cImg)
+    assert(hasSof2(cBytes), "JDK must have written a progressive color frame")
+    val cDec = Jpeg.decodePixels(cBytes, 64 * 1024 * 1024)
+    assert(cDec != null, "progressive color must decode")
+    val (cw, ch, cbpp, cpx) = cDec
+    assert(cw == 25 && ch == 19 && cbpp == 3)
+    val cJdk = ImageIO.read(new java.io.ByteArrayInputStream(cBytes))
+    for (y <- 0 until 19; x <- 0 until 25) {
+      val argb = cJdk.getRGB(x, y)
+      val o = (y * 25 + x) * 3
+      assert(math.abs((cpx(o) & 0xff) - ((argb >> 16) & 0xff)) <= 4, s"prog R ($x,$y)")
+      assert(math.abs((cpx(o + 1) & 0xff) - ((argb >> 8) & 0xff)) <= 4, s"prog G ($x,$y)")
+      assert(math.abs((cpx(o + 2) & 0xff) - (argb & 0xff)) <= 4, s"prog B ($x,$y)")
+    }
+
+    // progressive truncation / corruption fuzz: null or decode, never a throw
+    for (cut <- 0 to cBytes.length by 31) Jpeg.decodePixels(cBytes.take(cut), 64 * 1024 * 1024)
+    for (pos <- cBytes.indices by 13) {
+      val bad = cBytes.clone
+      bad(pos) = (bad(pos) ^ 0x6d).toByte
+      Jpeg.decodePixels(bad, 64 * 1024 * 1024)
+    }
+  }
+
   test("decodeJpegPixels: restart markers restate DC prediction without changing pixels") {
     import graft.testing.MediaFixture
     import javax.imageio.ImageIO
