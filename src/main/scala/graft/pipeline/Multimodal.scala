@@ -31,14 +31,16 @@ case class MediaInfo(
   * binary-format craft as `sources/Sas7bdat.scala`. DECODE is real
   * too, with no codec library anywhere: PNG pixels (zlib inflate +
   * all five scanline filters, [[decodePngPixels]]), GIF pixels (full
-  * variable-width LZW, [[decodeGifPixels]]), baseline JPEG pixels
-  * (Huffman + dequant + IDCT + YCbCr, [[Jpeg.decodePixels]]) and PCM
-  * WAV samples ([[decodeWavSamples]]), each feeding exact summary
-  * features. Out of scope: progressive/subsampled JPEG, interlaced
-  * PNG/GIF, and video codecs; the generic [[extractFeatures]]
-  * embedding path uses `decodeStub`, a deterministic stand-in to
-  * swap for a real embedding model at deployment. Everything else —
-  * schema, metadata, partitioning, frame sampling — runs for real.
+  * variable-width LZW, [[decodeGifPixels]]), JPEG pixels — baseline
+  * AND progressive, subsampled chroma included (Huffman + dequant +
+  * IDCT + YCbCr, [[Jpeg.decodePixels]]) — and PCM WAV samples at
+  * every integer width ([[decodeWavSamples]]), each feeding exact
+  * summary features and the real [[imageEmbedding]]. Out of scope:
+  * interlaced PNG/GIF and video codecs; for those payloads the
+  * generic [[extractFeatures]] path uses `decodeStub`, a
+  * deterministic stand-in to swap for a real embedding model at
+  * deployment. Everything else — schema, metadata, partitioning,
+  * frame sampling — runs for real.
   */
 object Multimodal {
 
