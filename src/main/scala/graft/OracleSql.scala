@@ -1057,6 +1057,41 @@ v AS (SELECT i, CAST((y * 2 // h) * 2 + (x * 2 // w) AS INT) AS dim,
 + (x*7 + y*13 + 58 + i*31) % 256 AS inten FROM g)
 SELECT i AS id, dim,
 round(CAST(CAST(sum(inten) / (765.0 * count(*)) AS FLOAT) AS DOUBLE), 6) AS value
-FROM v GROUP BY i, dim"""
+FROM v GROUP BY i, dim""",
+
+    // closed form of the video fixtures' container headers (see
+    // MediaFixture.videoPayload): i % 3 -> mp4, avi, corrupt. MP4
+    // duration is movie units * 1000 floor-divided by the timescale;
+    // AVI duration is usec-per-frame * frames // 1000. The engine
+    // parses real ISO-BMFF boxes / the avih header to get here.
+    "q_video_metadata" ->
+      """SELECT i AS id,
+CASE CAST(i % 3 AS INT) WHEN 0 THEN 'mp4' WHEN 1 THEN 'avi' ELSE 'unknown' END AS format,
+CASE WHEN i % 3 = 0 THEN CAST(160 + (i % 19) * 16 AS INT) WHEN i % 3 = 1 THEN CAST(320 + (i % 11) * 8 AS INT) END AS width,
+CASE WHEN i % 3 = 0 THEN CAST(120 + (i % 13) * 8 AS INT) WHEN i % 3 = 1 THEN CAST(240 + (i % 9) * 8 AS INT) END AS height,
+CASE WHEN i % 3 = 0 THEN (3000 + i % 4567) * 1000 // (600 * (1 + i % 4)) WHEN i % 3 = 1 THEN (20000 + (i % 7) * 5000) * (40 + i % 321) // 1000 END AS duration_ms,
+CASE WHEN i % 3 = 0 THEN 5 + i % 12 WHEN i % 3 = 1 THEN 40 + i % 321 END AS n_frames
+FROM range(0, 300) t(i)""",
+
+    // closed form of the MP4 fixtures' sample tables: sample j of
+    // fixture i has size 20 + ((i*13 + j*7) % 40) and starts at
+    // 24 + (sum of prior sizes) — ftyp(16) + mdat header(8) precede
+    // the contiguous sample stream, whose byte at stream position k
+    // is (i*31 + k*7 + 3) % 256. The frame digest is md5 over the
+    // UPPERCASE hex of the sample's bytes (matching Spark's hex());
+    // keyframes are the stss entries j % 4 == 0. The engine walks
+    // real stsc/stsz/stco/stss boxes to reproduce this.
+    "q_video_frames" ->
+      """WITH f AS (SELECT i, unnest(range(0, 5 + i % 12)) AS j FROM range(0, 150) t(i)),
+sz AS (SELECT i, j, 20 + ((i*13 + j*7) % 40) AS sz FROM f),
+o AS (SELECT i, j, sz, 24 + coalesce(sum(sz) OVER (PARTITION BY i ORDER BY j ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM sz),
+byts AS (SELECT i, j, off, sz, unnest(range(0, sz)) AS k FROM o),
+hx AS (SELECT i, j, off, sz,
+string_agg(substring('0123456789ABCDEF', CAST(((i*31 + (off - 24 + k)*7 + 3) % 256) // 16 + 1 AS INT), 1)
+|| substring('0123456789ABCDEF', CAST(((i*31 + (off - 24 + k)*7 + 3) % 256) % 16 + 1 AS INT), 1), '' ORDER BY k) AS hexs
+FROM byts GROUP BY i, j, off, sz)
+SELECT i AS id, CAST(j AS INT) AS frame_idx, CAST(off AS BIGINT) AS offset, CAST(sz AS INT) AS n_bytes,
+(j % 4 = 0) AS is_keyframe, md5(hexs) AS frame_digest
+FROM hx"""
   )
 }

@@ -739,6 +739,27 @@ object SparkEntry {
       Multimodal.withImageEmbedding(df, "payload", grid = 2)
         .select(col("id"), posexplode(col("embedding")).as(Seq("dim", "value")))
         .select(col("id"), col("dim"), round(col("value").cast("double"), 6).as("value"))
+    }),
+    "q_video_metadata" -> ((s, dir) => {
+      // REAL video-container parsing: structurally valid MP4 (ISO-
+      // BMFF box walk: mvhd duration, tkhd 16.16 dims, stsz frame
+      // count — both mvhd versions appear) and AVI (avih main header)
+      // fixtures with closed-form fields; every third payload is
+      // garbage the parser must classify 'unknown', never throw
+      val gen = udf((i: Long) => graft.testing.MediaFixture.videoPayload(i))
+      val df = s.range(0, 300).select(col("id"), gen(col("id")).as("payload"))
+      Multimodal.withMediaMetadata(df, "payload", "video/mp4")
+        .select("id", "format", "width", "height", "duration_ms", "n_frames")
+    }),
+    "q_video_frames" -> ((s, dir) => {
+      // REAL MP4 sample-table extraction: stsc/stsz/stco/stss compose
+      // into one row per frame with its absolute byte range + keyframe
+      // flag; the digest is md5 over the hex of the actual mdat bytes,
+      // which the oracle replays from the fixtures' closed-form sample
+      // stream
+      val gen = udf((i: Long) => graft.testing.MediaFixture.mp4Payload(i))
+      val df = s.range(0, 150).select(col("id"), gen(col("id")).as("payload"))
+      Multimodal.videoFrames(df, "id", "payload")
     })
   )
 

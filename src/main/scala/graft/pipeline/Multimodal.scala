@@ -18,7 +18,17 @@ case class MediaInfo(
     sample_rate: Option[Int],
     channels: Option[Int],
     bits_per_sample: Option[Int],
-    duration_ms: Option[Long])
+    duration_ms: Option[Long],
+    n_frames: Option[Long] = None)
+
+/** One sample ("frame") of a video container's sample table: its
+  * index, absolute byte range inside the payload, and whether the
+  * container marks it as a sync sample (keyframe). Extracted WITHOUT
+  * decoding — the sample table is container metadata, which is
+  * exactly what a 100 TB pipeline wants: route/filter/sample frames
+  * by offset, decode only the ones that survive.
+  */
+case class FrameRef(frame_idx: Int, offset: Long, n_bytes: Int, is_keyframe: Boolean)
 
 /** Multimodal-column plumbing: images/audio/video ride through the
   * engine as opaque `binary` columns with typed metadata; decode /
@@ -35,12 +45,17 @@ case class MediaInfo(
   * AND progressive, subsampled chroma included (Huffman + dequant +
   * IDCT + YCbCr, [[Jpeg.decodePixels]]) — and PCM WAV samples at
   * every integer width ([[decodeWavSamples]]), each feeding exact
-  * summary features and the real [[imageEmbedding]]. Out of scope:
-  * interlaced PNG/GIF and video codecs; for those payloads the
-  * generic [[extractFeatures]] path uses `decodeStub`, a
-  * deterministic stand-in to swap for a real embedding model at
-  * deployment. Everything else — schema, metadata, partitioning,
-  * frame sampling — runs for real.
+  * summary features and the real [[imageEmbedding]]. VIDEO
+  * containers parse for real too: MP4/ISO-BMFF (box walk: mvhd
+  * duration, tkhd dims, stsz frame count) and AVI (avih header) for
+  * metadata, and [[mp4SampleTable]] composes stsc/stsz/stco/stss
+  * into the true per-frame byte ranges + keyframe flags — the frame
+  * map a pipeline routes and samples on without decoding. Out of
+  * scope: interlaced PNG/GIF and video CODECS (H.264 etc.); for
+  * payloads the engine cannot decode the generic [[extractFeatures]]
+  * path uses `decodeStub`, a deterministic stand-in to swap for a
+  * real embedding model at deployment. Everything else — schema,
+  * metadata, partitioning, frame sampling — runs for real.
   */
 object Multimodal {
 
@@ -65,6 +80,9 @@ object Multimodal {
     (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) | ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
   private def ascii(b: Array[Byte], i: Int, n: Int): String =
     new String(b, i, n, "US-ASCII")
+
+  private def u64be(b: Array[Byte], i: Int): Long =
+    (u32be(b, i) << 32) | u32be(b, i + 4)
 
   private val unknown = MediaInfo("unknown", None, None, None, None, None, None)
 
@@ -161,6 +179,133 @@ object Multimodal {
     }
   }
 
+  // ---- video containers: MP4 / ISO-BMFF and AVI -------------------
+
+  /** Walk the ISO-BMFF (public ISO 14496-12) box sequence in
+    * b[start, end), calling `f(boxType, payloadStart, payloadEnd)`
+    * per box. Handles the 32-bit size form, the size==1 64-bit
+    * largesize form, and size==0 (box extends to the end of the
+    * enclosing range). A malformed size terminates the walk instead
+    * of throwing — at 100 TB lying headers are data, not exceptions.
+    */
+  private def walkBoxes(b: Array[Byte], start: Int, end: Int)(
+      f: (String, Int, Int) => Unit): Unit = {
+    var i = start
+    var stop = false
+    while (!stop && i + 8 <= end) {
+      val size32 = u32be(b, i)
+      val tag = ascii(b, i + 4, 4)
+      var hdr = 8L
+      var size = size32
+      if (size32 == 1) {
+        if (i + 16 > end) return
+        // an in-memory payload cannot address past Int.MaxValue: a
+        // largesize with a nonzero high word is lying
+        if (u32be(b, i + 8) != 0) return
+        size = u32be(b, i + 12)
+        hdr = 16L
+      } else if (size32 == 0) {
+        size = (end - i).toLong
+      }
+      if (size < hdr || i + size > end) stop = true
+      else {
+        f(tag, (i + hdr).toInt, (i + size).toInt)
+        i += size.toInt
+      }
+    }
+  }
+
+  /** MP4 / ISO-BMFF: `moov/mvhd` gives the movie timescale + duration
+    * (both box versions); the first `trak` whose `mdia/hdlr` handler
+    * is 'vide' (fallback: first trak with nonzero `tkhd` dims)
+    * contributes pixel dims (tkhd's 16.16 fixed-point width/height)
+    * and the frame count (its `stbl/stsz` sample count). Pure header
+    * walk — no codec, no sample data read.
+    */
+  private def parseMp4(b: Array[Byte]): MediaInfo = {
+    var durationMs: Option[Long] = None
+    var width: Option[Int] = None
+    var height: Option[Int] = None
+    var nFrames: Option[Long] = None
+    var trakDone = false
+    walkBoxes(b, 0, b.length) { (tag, s, e) =>
+      if (tag == "moov") walkBoxes(b, s, e) { (t2, s2, e2) =>
+        if (t2 == "mvhd" && durationMs.isEmpty && e2 - s2 >= 20) {
+          val ver = b(s2) & 0xff
+          val (timescale, duration) =
+            if (ver == 1 && e2 - s2 >= 32) (u32be(b, s2 + 20), u64be(b, s2 + 24))
+            else (u32be(b, s2 + 12), u32be(b, s2 + 16))
+          if (timescale > 0 && duration >= 0)
+            durationMs = Some(duration * 1000L / timescale)
+        } else if (t2 == "trak" && !trakDone) {
+          var w = -1; var h = -1; var handler = ""; var frames = -1L
+          walkBoxes(b, s2, e2) { (t3, s3, e3) =>
+            if (t3 == "tkhd" && e3 - s3 >= 84) {
+              val ver = b(s3) & 0xff
+              val wOff = if (ver == 1) s3 + 88 else s3 + 76
+              if (wOff + 8 <= e3) {
+                w = (u32be(b, wOff) >> 16).toInt // 16.16 fixed point
+                h = (u32be(b, wOff + 4) >> 16).toInt
+              }
+            } else if (t3 == "mdia") walkBoxes(b, s3, e3) { (t4, s4, e4) =>
+              if (t4 == "hdlr" && e4 - s4 >= 12) handler = ascii(b, s4 + 8, 4)
+              else if (t4 == "minf") walkBoxes(b, s4, e4) { (t5, s5, e5) =>
+                if (t5 == "stbl") walkBoxes(b, s5, e5) { (t6, s6, e6) =>
+                  if (t6 == "stsz" && e6 - s6 >= 12) frames = u32be(b, s6 + 8)
+                }
+              }
+            }
+          }
+          if (handler == "vide" || (handler != "soun" && w > 0)) {
+            trakDone = true
+            if (w > 0) width = Some(w)
+            if (h > 0) height = Some(h)
+            if (frames >= 0) nFrames = Some(frames)
+          }
+        }
+      }
+    }
+    MediaInfo("mp4", width, height, None, None, None, durationMs, nFrames)
+  }
+
+  /** AVI: RIFF container tagged 'AVI '; the `hdrl` LIST's `avih` main
+    * header carries microseconds-per-frame, total frames, and pixel
+    * dims (all little-endian u32). duration_ms = uspf * frames / 1000.
+    */
+  private def parseAvi(b: Array[Byte]): MediaInfo = {
+    val none = MediaInfo("avi", None, None, None, None, None, None, None)
+    var i = 12
+    while (i + 8 <= b.length) {
+      val id = ascii(b, i, 4)
+      val size = u32le(b, i + 4)
+      if (size > Int.MaxValue - 16) return none
+      if (id == "LIST" && i + 12 <= b.length && ascii(b, i + 8, 4) == "hdrl") {
+        val end = math.min(b.length.toLong, i + 8 + size).toInt
+        var j = i + 12
+        while (j + 8 <= end) {
+          val cid = ascii(b, j, 4)
+          val csize = u32le(b, j + 4)
+          if (cid == "avih" && csize >= 40 && j + 48 <= end) {
+            val uspf = u32le(b, j + 8)
+            val total = u32le(b, j + 24)
+            val w = u32le(b, j + 40)
+            val h = u32le(b, j + 44)
+            return MediaInfo("avi",
+              if (w > 0) Some(w.toInt) else None,
+              if (h > 0) Some(h.toInt) else None,
+              None, None, None,
+              if (uspf > 0 && total > 0) Some(uspf * total / 1000L) else None,
+              Some(total))
+          }
+          if (csize > Int.MaxValue - 16) return none
+          j += 8 + csize.toInt + (csize.toInt & 1)
+        }
+      }
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    none
+  }
+
   /** Sniff the container by magic bytes and parse its header. Null,
     * truncated, or unrecognized payloads come back as
     * `("unknown", nulls...)` — never an exception: at 100 TB some
@@ -175,6 +320,8 @@ object Multimodal {
       else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff) parseJpeg(b)
       else if (ascii(b, 0, 6) == "GIF87a" || ascii(b, 0, 6) == "GIF89a") parseGif(b)
       else if (ascii(b, 0, 4) == "RIFF" && ascii(b, 8, 4) == "WAVE") parseWav(b)
+      else if (ascii(b, 4, 4) == "ftyp") parseMp4(b)
+      else if (ascii(b, 0, 4) == "RIFF" && ascii(b, 8, 4) == "AVI ") parseAvi(b)
       else unknown
     } catch {
       // defensive: a corrupt length field walking past the buffer
@@ -660,6 +807,139 @@ object Multimodal {
     df.withColumn("embedding", embedUdf(col(payloadCol).cast("binary")))
   }
 
+  /** Extract the video trak's sample table from an MP4 payload — the
+    * REAL frame map, no decode: `stsz` (per-sample sizes), `stco` /
+    * `co64` (chunk base offsets), `stsc` (samples-per-chunk runs) and
+    * `stss` (sync samples; absent = every sample is a keyframe)
+    * compose into one `FrameRef` per sample with its absolute byte
+    * range. Samples whose declared range falls outside the payload
+    * are dropped (lying tables are data at 100 TB); non-MP4 or
+    * table-less payloads return null.
+    */
+  def mp4SampleTable(b: Array[Byte]): Array[FrameRef] = {
+    if (b == null || b.length < 12 || ascii(b, 4, 4) != "ftyp") return null
+    try {
+      var sizes: Array[Int] = null
+      var chunkOffs: Array[Long] = null
+      var stscRuns: Array[(Int, Int)] = null // (first_chunk 1-based, samples per chunk)
+      var sync: java.util.HashSet[Int] = null
+      var trakDone = false
+      walkBoxes(b, 0, b.length) { (tag, s, e) =>
+        if (tag == "moov") walkBoxes(b, s, e) { (t2, s2, e2) =>
+          if (t2 == "trak" && !trakDone) {
+            var handler = ""
+            var tSizes: Array[Int] = null
+            var tOffs: Array[Long] = null
+            var tRuns: Array[(Int, Int)] = null
+            var tSync: java.util.HashSet[Int] = null
+            walkBoxes(b, s2, e2) { (t3, s3, e3) =>
+              if (t3 == "mdia") walkBoxes(b, s3, e3) { (t4, s4, e4) =>
+                if (t4 == "hdlr" && e4 - s4 >= 12) handler = ascii(b, s4 + 8, 4)
+                else if (t4 == "minf") walkBoxes(b, s4, e4) { (t5, s5, e5) =>
+                  if (t5 == "stbl") walkBoxes(b, s5, e5) { (t6, s6, e6) =>
+                    // every entry count is validated against the box's
+                    // own extent before allocating: a lying count must
+                    // not drive an allocation
+                    if (t6 == "stsz" && e6 - s6 >= 12) {
+                      val uniform = u32be(b, s6 + 4)
+                      val n = u32be(b, s6 + 8)
+                      if (uniform > 0 && uniform <= Int.MaxValue && n <= ((e6 - s6) * 1024L)) {
+                        // uniform-size form carries no table; bound n
+                        // by the payload (it cannot hold more samples)
+                        val cap = math.min(n, b.length / math.max(uniform, 1L))
+                        tSizes = Array.fill(cap.toInt)(uniform.toInt)
+                      } else if (uniform == 0 && n * 4 <= e6 - s6 - 12)
+                        tSizes = Array.tabulate(n.toInt)(k => u32be(b, s6 + 12 + 4 * k).toInt)
+                    } else if (t6 == "stco" && e6 - s6 >= 8) {
+                      val n = u32be(b, s6 + 4)
+                      if (n * 4 <= e6 - s6 - 8)
+                        tOffs = Array.tabulate(n.toInt)(k => u32be(b, s6 + 8 + 4 * k))
+                    } else if (t6 == "co64" && e6 - s6 >= 8) {
+                      val n = u32be(b, s6 + 4)
+                      if (n * 8 <= e6 - s6 - 8)
+                        tOffs = Array.tabulate(n.toInt)(k => u64be(b, s6 + 8 + 8 * k))
+                    } else if (t6 == "stsc" && e6 - s6 >= 8) {
+                      val n = u32be(b, s6 + 4)
+                      if (n * 12 <= e6 - s6 - 8)
+                        tRuns = Array.tabulate(n.toInt)(k =>
+                          (u32be(b, s6 + 8 + 12 * k).toInt, u32be(b, s6 + 12 + 12 * k).toInt))
+                    } else if (t6 == "stss" && e6 - s6 >= 8) {
+                      val n = u32be(b, s6 + 4)
+                      if (n * 4 <= e6 - s6 - 8) {
+                        tSync = new java.util.HashSet[Int]()
+                        var k = 0
+                        while (k < n) { tSync.add(u32be(b, s6 + 8 + 4 * k).toInt); k += 1 }
+                      }
+                    }
+                  }
+                }
+              }
+            }
+            if (handler == "vide" || (handler != "soun" && tSizes != null)) {
+              trakDone = true
+              sizes = tSizes; chunkOffs = tOffs; stscRuns = tRuns; sync = tSync
+            }
+          }
+        }
+      }
+      if (sizes == null || chunkOffs == null || stscRuns == null ||
+          sizes.isEmpty || chunkOffs.isEmpty || stscRuns.isEmpty) return null
+      val out = Array.newBuilder[FrameRef]
+      var sample = 0
+      var run = 0
+      var chunk = 0 // 0-based
+      while (sample < sizes.length && chunk < chunkOffs.length) {
+        // advance to the stsc run covering this chunk (first_chunk is 1-based)
+        while (run + 1 < stscRuns.length && stscRuns(run + 1)._1 <= chunk + 1) run += 1
+        val spc = math.max(stscRuns(run)._2, 1)
+        var off = chunkOffs(chunk)
+        var k = 0
+        while (k < spc && sample < sizes.length) {
+          val sz = sizes(sample)
+          if (sz >= 0 && off >= 0 && off + sz <= b.length)
+            out += FrameRef(sample, off,
+              sz, sync == null || sync.contains(sample + 1))
+          off += sz
+          sample += 1
+          k += 1
+        }
+        chunk += 1
+      }
+      val refs = out.result()
+      if (refs.isEmpty) null else refs
+    } catch {
+      case _: IndexOutOfBoundsException => null
+      case _: NegativeArraySizeException => null
+      case _: OutOfMemoryError => null
+    }
+  }
+
+  private val sampleTableUdf = udf((payload: Array[Byte]) => mp4SampleTable(payload))
+
+  /** Explode an MP4 payload column into its REAL frame map: one row
+    * per sample with `(frame_idx, offset, n_bytes, is_keyframe,
+    * frame_digest)`. The digest is md5 over the HEX encoding of the
+    * sample's bytes (the [[sampleFrames]] convention: hex is a
+    * faithful byte encoding reproducible in any engine, so the
+    * operator is oracle-checkable end to end), computed by codegen'd
+    * builtins over the exploded table — the UDF only parses the
+    * sample table. Per-row work, no shuffle; non-MP4 rows vanish
+    * (explode of null), which is the filter a mixed-media corpus
+    * wants.
+    */
+  def videoFrames(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    df.select(col(idCol), col(payloadCol).cast("binary").as("__pl__"))
+      .select(col(idCol), col("__pl__"),
+        explode(sampleTableUdf(col("__pl__"))).as("__s__"))
+      .select(
+        col(idCol),
+        col("__s__.frame_idx").as("frame_idx"),
+        col("__s__.offset").as("offset"),
+        col("__s__.n_bytes").as("n_bytes"),
+        col("__s__.is_keyframe").as("is_keyframe"),
+        md5(hex(expr("substring(__pl__, CAST(__s__.offset + 1 AS INT), __s__.n_bytes)")))
+          .as("frame_digest"))
+
   /** Wrap a binary column with extracted metadata: bookkeeping fields
     * (length/digest — codegen'd, no decode) plus the REAL parsed
     * container header (format, dims, audio params) from
@@ -680,6 +960,7 @@ object Multimodal {
       .withColumn("channels", col("__hdr__.channels"))
       .withColumn("bits_per_sample", col("__hdr__.bits_per_sample"))
       .withColumn("duration_ms", col("__hdr__.duration_ms"))
+      .withColumn("n_frames", col("__hdr__.n_frames"))
       .drop("__hdr__")
 
   /** Deterministic fake "decode": feature d is the mean normalized

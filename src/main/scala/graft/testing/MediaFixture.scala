@@ -593,6 +593,184 @@ object MediaFixture {
     out.toByteArray
   }
 
+  // ---- video-container fixtures (MP4 / ISO-BMFF and AVI) ----------
+
+  /** Closed-form video fixture fields (mirrored by the q_video_*
+    * oracles): variant = i % 3 -> mp4, avi, corrupt.
+    * mp4: width = 160 + (i%19)*16, height = 120 + (i%13)*8,
+    * timescale = 600*(1 + i%4), duration units = 3000 + i%4567
+    * (so duration_ms = units * 1000 // timescale), n_frames =
+    * 5 + i%12, sample j's size = 20 + ((i*13 + j*7) % 40), keyframes
+    * at j % 4 == 0, samples packed 3 per chunk, mdat data byte k =
+    * (i*31 + k*7 + 3) % 256, mvhd version = i % 2 (both box versions
+    * oracle-gated).
+    * avi: width = 320 + (i%11)*8, height = 240 + (i%9)*8,
+    * usec/frame = 20000 + (i%7)*5000, total frames = 40 + i%321.
+    */
+  def videoPayload(i: Long): Array[Byte] = (i % 3) match {
+    case 0 => mp4Payload(i)
+    case 1 => aviPayload(i)
+    case _ => corrupt(i)
+  }
+
+  def mp4Width(i: Long): Int = (160 + (i % 19) * 16).toInt
+  def mp4Height(i: Long): Int = (120 + (i % 13) * 8).toInt
+  def mp4FrameCount(i: Long): Int = (5 + (i % 12)).toInt
+  def mp4SampleSize(i: Long, j: Int): Int = (20 + ((i * 13 + j * 7) % 40)).toInt
+  def mp4DurationMs(i: Long): Long = (3000 + i % 4567) * 1000 / (600 * (1 + i % 4))
+
+  private def be64(out: ByteArrayOutputStream, v: Long): Unit = {
+    be32(out, (v >>> 32) & 0xffffffffL); be32(out, v & 0xffffffffL)
+  }
+
+  private def box(tag: String, payload: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream
+    be32(out, payload.length + 8L)
+    out.write(tag.getBytes("US-ASCII"))
+    out.write(payload)
+    out.toByteArray
+  }
+
+  private def fullBox(tag: String, version: Int, flags: Int,
+                      body: ByteArrayOutputStream => Unit): Array[Byte] = {
+    val p = new ByteArrayOutputStream
+    p.write(version); p.write((flags >> 16) & 0xff); p.write((flags >> 8) & 0xff); p.write(flags & 0xff)
+    body(p)
+    box(tag, p.toByteArray)
+  }
+
+  /** The fixture's moov: one 'vide' trak whose sample table packs the
+    * closed-form sample sizes 3 per chunk starting at `mdatStart`.
+    * Box layout follows ISO 14496-12; the identity matrix, dref and
+    * avc1 sample entry are structurally honest so a foreign parser
+    * reads the file too.
+    */
+  private def mp4Moov(i: Long, mdatStart: Long): Array[Byte] = {
+    val w = mp4Width(i); val h = mp4Height(i)
+    val ts = 600L * (1 + (i % 4)); val dur = 3000L + i % 4567
+    val n = mp4FrameCount(i)
+    val ver = (i % 2).toInt
+    val matrix = Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L, 0x40000000L)
+    val mvhd = fullBox("mvhd", ver, 0, p => {
+      if (ver == 1) { be64(p, 0); be64(p, 0); be32(p, ts); be64(p, dur) }
+      else { be32(p, 0); be32(p, 0); be32(p, ts); be32(p, dur) }
+      be32(p, 0x00010000L); be16(p, 0x0100); be16(p, 0) // rate, volume, reserved
+      be64(p, 0) // reserved
+      matrix.foreach(be32(p, _))
+      for (_ <- 0 until 6) be32(p, 0) // pre_defined
+      be32(p, 2) // next track id
+    })
+    val tkhd = fullBox("tkhd", 0, 7, p => {
+      be32(p, 0); be32(p, 0); be32(p, 1); be32(p, 0); be32(p, dur)
+      be64(p, 0); be16(p, 0); be16(p, 0); be16(p, 0); be16(p, 0)
+      matrix.foreach(be32(p, _))
+      be32(p, w.toLong << 16); be32(p, h.toLong << 16) // 16.16 fixed
+    })
+    val mdhd = fullBox("mdhd", 0, 0, p => {
+      be32(p, 0); be32(p, 0); be32(p, ts); be32(p, dur)
+      be16(p, 0x55c4); be16(p, 0) // language 'und', pre_defined
+    })
+    val hdlr = fullBox("hdlr", 0, 0, p => {
+      be32(p, 0); p.write("vide".getBytes("US-ASCII"))
+      be32(p, 0); be32(p, 0); be32(p, 0)
+      p.write(0) // empty name
+    })
+    val vmhd = fullBox("vmhd", 0, 1, p => { be16(p, 0); be16(p, 0); be16(p, 0); be16(p, 0) })
+    val dref = fullBox("dref", 0, 0, p => {
+      be32(p, 1)
+      p.write(fullBox("url ", 0, 1, _ => ())) // self-contained
+    })
+    val dinf = box("dinf", dref)
+    val avc1 = {
+      val p = new ByteArrayOutputStream
+      p.write(new Array[Byte](6)); be16(p, 1) // reserved, data_ref_index
+      be16(p, 0); be16(p, 0); be32(p, 0); be32(p, 0); be32(p, 0) // pre_defined/reserved
+      be16(p, w); be16(p, h)
+      be32(p, 0x00480000L); be32(p, 0x00480000L) // 72 dpi
+      be32(p, 0); be16(p, 1) // reserved, frame_count
+      p.write(new Array[Byte](32)) // compressor name
+      be16(p, 24); be16(p, 0xffff) // depth, pre_defined -1
+      box("avc1", p.toByteArray)
+    }
+    val stsd = fullBox("stsd", 0, 0, p => { be32(p, 1); p.write(avc1) })
+    val stts = fullBox("stts", 0, 0, p => { be32(p, 1); be32(p, n.toLong); be32(p, ts / 30) })
+    val stsc = fullBox("stsc", 0, 0, p => { be32(p, 1); be32(p, 1); be32(p, 3); be32(p, 1) })
+    val stsz = fullBox("stsz", 0, 0, p => {
+      be32(p, 0); be32(p, n.toLong)
+      for (j <- 0 until n) be32(p, mp4SampleSize(i, j).toLong)
+    })
+    val nChunks = (n + 2) / 3
+    val stco = fullBox("stco", 0, 0, p => {
+      be32(p, nChunks.toLong)
+      var off = mdatStart
+      var j = 0
+      for (c <- 0 until nChunks) {
+        be32(p, off)
+        var k = 0
+        while (k < 3 && j < n) { off += mp4SampleSize(i, j); j += 1; k += 1 }
+      }
+    })
+    val syncs = (0 until n).filter(_ % 4 == 0)
+    val stss = fullBox("stss", 0, 0, p => {
+      be32(p, syncs.length.toLong)
+      syncs.foreach(j => be32(p, j + 1L)) // 1-based sample numbers
+    })
+    val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco ++ stss)
+    val minf = box("minf", vmhd ++ dinf ++ stbl)
+    val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+    val trak = box("trak", tkhd ++ mdia)
+    box("moov", mvhd ++ trak)
+  }
+
+  /** A structurally valid MP4: ftyp + mdat (closed-form sample bytes)
+    * + moov — or moov before mdat with `moovFirst` (the streaming
+    * layout; stco offsets are rebuilt for the shifted mdat).
+    */
+  def mp4Payload(i: Long, moovFirst: Boolean = false): Array[Byte] = {
+    val n = mp4FrameCount(i)
+    val total = (0 until n).map(mp4SampleSize(i, _)).sum
+    val ftyp = {
+      val p = new ByteArrayOutputStream
+      p.write("isom".getBytes("US-ASCII")); be32(p, 0)
+      box("ftyp", p.toByteArray)
+    }
+    val mdat = box("mdat", Array.tabulate(total)(k => ((i * 31 + k * 7 + 3) % 256).toByte))
+    if (!moovFirst) ftyp ++ mdat ++ mp4Moov(i, ftyp.length + 8L)
+    else {
+      // moov's length doesn't depend on the offsets' VALUES (fixed-
+      // width fields), so a probe build yields the real length
+      val probeLen = mp4Moov(i, 0).length
+      ftyp ++ mp4Moov(i, ftyp.length + probeLen + 8L) ++ mdat
+    }
+  }
+
+  /** A structurally valid AVI: RIFF('AVI ') with a hdrl LIST carrying
+    * the 56-byte avih main header and an empty movi LIST.
+    */
+  def aviPayload(i: Long): Array[Byte] = {
+    val uspf = (20000 + (i % 7) * 5000).toInt
+    val total = (40 + (i % 321)).toInt
+    val w = (320 + (i % 11) * 8).toInt
+    val h = (240 + (i % 9) * 8).toInt
+    val avih = new ByteArrayOutputStream
+    le32(avih, uspf.toLong); le32(avih, 0); le32(avih, 0); le32(avih, 0x10)
+    le32(avih, total.toLong); le32(avih, 0); le32(avih, 1); le32(avih, 0)
+    le32(avih, w.toLong); le32(avih, h.toLong)
+    for (_ <- 0 until 4) le32(avih, 0) // dwReserved
+    val hdrl = new ByteArrayOutputStream
+    hdrl.write("hdrl".getBytes("US-ASCII"))
+    hdrl.write("avih".getBytes("US-ASCII")); le32(hdrl, 56L); hdrl.write(avih.toByteArray)
+    val movi = new ByteArrayOutputStream
+    movi.write("movi".getBytes("US-ASCII"))
+    val out = new ByteArrayOutputStream
+    out.write("RIFF".getBytes("US-ASCII"))
+    le32(out, 4L + 8 + hdrl.size() + 8 + movi.size())
+    out.write("AVI ".getBytes("US-ASCII"))
+    out.write("LIST".getBytes("US-ASCII")); le32(out, hdrl.size().toLong); out.write(hdrl.toByteArray)
+    out.write("LIST".getBytes("US-ASCII")); le32(out, movi.size().toLong); out.write(movi.toByteArray)
+    out.toByteArray
+  }
+
   /** RGB bytes (packed, 3 per pixel) -> baseline 4:4:4 color JPEG via
     * the JFIF forward YCbCr transform (specs decode it back with both
     * the engine and javax.imageio and compare).

@@ -781,6 +781,104 @@ class PipelineSpec extends SparkSuite {
     assert(Multimodal.parseMediaHeader(hugeWav).format == "unknown")
   }
 
+  test("video containers: MP4 and AVI metadata from real box walks") {
+    import graft.pipeline.MediaInfo
+    import graft.testing.MediaFixture
+    // i=6 -> mvhd version 0; i=3 -> version 1: both box versions parse
+    for (i <- Seq(3L, 6L)) {
+      val m = Multimodal.parseMediaHeader(MediaFixture.mp4Payload(i))
+      assert(m.format == "mp4")
+      assert(m.width.contains(MediaFixture.mp4Width(i)))
+      assert(m.height.contains(MediaFixture.mp4Height(i)))
+      assert(m.duration_ms.contains(MediaFixture.mp4DurationMs(i)))
+      assert(m.n_frames.contains(MediaFixture.mp4FrameCount(i).toLong))
+    }
+    // moov-before-mdat (the streaming layout) parses identically
+    assert(Multimodal.parseMediaHeader(MediaFixture.mp4Payload(6, moovFirst = true)) ==
+      Multimodal.parseMediaHeader(MediaFixture.mp4Payload(6)))
+    // the 64-bit largesize form: rewrap moov with size32 == 1 + u64 size
+    val std = MediaFixture.mp4Payload(6)
+    val moovAt = {
+      var k = -1
+      for (p <- 0 to std.length - 4 if k < 0)
+        if (std(p) == 'm' && std(p + 1) == 'o' && std(p + 2) == 'o' && std(p + 3) == 'v') k = p - 4
+      k
+    }
+    assert(moovAt > 0)
+    val payload = std.drop(moovAt + 8)
+    val big = new java.io.ByteArrayOutputStream
+    big.write(std, 0, moovAt)
+    big.write(Array[Byte](0, 0, 0, 1)); big.write("moov".getBytes("US-ASCII"))
+    val sz = payload.length + 16L
+    for (shift <- 56 to 0 by -8) big.write(((sz >> shift) & 0xff).toInt)
+    big.write(payload)
+    assert(Multimodal.parseMediaHeader(big.toByteArray) ==
+      Multimodal.parseMediaHeader(std))
+    // AVI: avih main-header fields (i=1: 328x248, 25000 us/frame, 41 frames)
+    assert(Multimodal.parseMediaHeader(MediaFixture.aviPayload(1)) ==
+      MediaInfo("avi", Some(328), Some(248), None, None, None, Some(1025L), Some(41L)))
+    // truncation fuzz over both containers: never throws
+    for (pl <- Seq(std, MediaFixture.aviPayload(1)); cut <- 0 to pl.length) {
+      val m = Multimodal.parseMediaHeader(pl.take(cut))
+      assert(Set("unknown", "mp4", "avi")(m.format))
+    }
+  }
+
+  test("mp4SampleTable: real stsc/stsz/stco/stss composition into frame ranges") {
+    import graft.testing.MediaFixture
+    val i = 7L // 12 frames -> 4 chunks of 3: the stsc walk crosses chunks
+    val pl = MediaFixture.mp4Payload(i)
+    val t = Multimodal.mp4SampleTable(pl)
+    val n = MediaFixture.mp4FrameCount(i)
+    assert(t.length == n)
+    var off = 24L // ftyp(16) + mdat header(8)
+    for (j <- 0 until n) {
+      assert(t(j).frame_idx == j)
+      assert(t(j).offset == off)
+      assert(t(j).n_bytes == MediaFixture.mp4SampleSize(i, j))
+      assert(t(j).is_keyframe == (j % 4 == 0))
+      off += MediaFixture.mp4SampleSize(i, j)
+    }
+    // moov-first layout: offsets shift with the mdat but address the
+    // SAME sample bytes
+    val plMf = MediaFixture.mp4Payload(i, moovFirst = true)
+    val mf = Multimodal.mp4SampleTable(plMf)
+    assert(mf.length == n)
+    for (j <- 0 until n) {
+      val a = java.util.Arrays.copyOfRange(pl, t(j).offset.toInt, t(j).offset.toInt + t(j).n_bytes)
+      val b = java.util.Arrays.copyOfRange(plMf, mf(j).offset.toInt, mf(j).offset.toInt + mf(j).n_bytes)
+      assert(java.util.Arrays.equals(a, b))
+    }
+    // truncation fuzz: null or a table whose ranges fit the prefix — never a throw
+    for (cut <- 0 to pl.length) {
+      val r = Multimodal.mp4SampleTable(java.util.Arrays.copyOfRange(pl, 0, cut))
+      assert(r == null || r.forall(f => f.offset + f.n_bytes <= cut))
+    }
+    assert(Multimodal.mp4SampleTable(null) == null)
+    assert(Multimodal.mp4SampleTable(MediaFixture.payload(0)) == null) // PNG: not a video
+  }
+
+  test("videoFrames: digest matches an independent md5 over the sample bytes") {
+    val s = spark; import s.implicits._
+    import graft.testing.MediaFixture
+    val i = 5L
+    val pl = MediaFixture.mp4Payload(i)
+    val df = Seq((i, pl)).toDF("id", "payload")
+    val rows = Multimodal.videoFrames(df, "id", "payload")
+      .orderBy("frame_idx").collect()
+    assert(rows.length == MediaFixture.mp4FrameCount(i))
+    val t = Multimodal.mp4SampleTable(pl)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val slice = java.util.Arrays.copyOfRange(pl, t(0).offset.toInt, t(0).offset.toInt + t(0).n_bytes)
+    val hexs = slice.map(b => f"${b & 0xff}%02X").mkString
+    val expect = md.digest(hexs.getBytes("US-ASCII")).map(b => f"${b & 0xff}%02x").mkString
+    assert(rows(0).getAs[String]("frame_digest") == expect)
+    // a non-MP4 payload contributes no rows (explode of null)
+    val mixed = Seq((1L, pl), (2L, MediaFixture.payload(0))).toDF("id", "payload")
+    assert(Multimodal.videoFrames(mixed, "id", "payload")
+      .select("id").distinct().collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+
   test("decodeWavSamples: real PCM decode, 8-bit centered and 16-bit signed LE") {
     import graft.testing.MediaFixture
     // fixture i=13: 1 channel, 16-bit, data bytes (i*31 + j*7 + 3) % 256
