@@ -292,11 +292,11 @@ SELECT query_id, neighbor_id, score, "rank" FROM r WHERE "rank" <= 5"""
     * Similarity.ivfAssign(keep = 1), shared by the kmeans and
     * semdedup oracles.
     */
-  private def kmeansAssignCte(out: String, cents: String): String =
+  private def kmeansAssignCte(out: String, cents: String, src: String = "c"): String =
     s"""$out AS (SELECT vec_id, emb, cent_id FROM (
-SELECT c.vec_id, c.emb, cent_id,
-row_number() OVER (PARTITION BY c.vec_id ORDER BY round(list_cosine_similarity(c.emb, cemb), 4) DESC, cent_id) AS cr
-FROM c CROSS JOIN $cents) t WHERE cr = 1)"""
+SELECT $src.vec_id, $src.emb, cent_id,
+row_number() OVER (PARTITION BY $src.vec_id ORDER BY round(list_cosine_similarity($src.emb, cemb), 4) DESC, cent_id) AS cr
+FROM $src CROSS JOIN $cents) t WHERE cr = 1)"""
 
   /** Lloyd-training CTE chain mirroring Similarity.kmeansCentroids:
     * md5-ordered init draw, then per iteration a rank-1 assignment
@@ -304,14 +304,69 @@ FROM c CROSS JOIN $cents) t WHERE cr = 1)"""
     * dimension order. Assumes a CTE `c(vec_id, emb)` is in scope;
     * ends by defining `cents$iters`.
     */
-  private def kmeansTrainCtes(k: Int, iters: Int, dims: Int): String = {
+  private def kmeansTrainCtes(k: Int, iters: Int, dims: Int,
+                              src: String = "c", pfx: String = ""): String = {
     val rounds = (0 until iters).map { i =>
-      s"""${kmeansAssignCte(s"a$i", s"cents$i")},
-m$i AS (SELECT cent_id, d, round(avg(emb[d]), 6) AS m FROM a$i CROSS JOIN (SELECT unnest(range(1, ${dims + 1})) AS d) dims GROUP BY cent_id, d),
-cents${i + 1} AS (SELECT cent_id, list(m ORDER BY d) AS cemb FROM m$i GROUP BY cent_id)"""
+      s"""${kmeansAssignCte(s"${pfx}a$i", s"${pfx}cents$i", src)},
+${pfx}m$i AS (SELECT cent_id, d, round(avg(emb[d]), 6) AS m FROM ${pfx}a$i CROSS JOIN (SELECT unnest(range(1, ${dims + 1})) AS d) dims GROUP BY cent_id, d),
+${pfx}cents${i + 1} AS (SELECT cent_id, list(m ORDER BY d) AS cemb FROM ${pfx}m$i GROUP BY cent_id)"""
     }.mkString(",\n")
-    s"""cents0 AS (SELECT vec_id AS cent_id, emb AS cemb FROM c ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k),
+    s"""${pfx}cents0 AS (SELECT vec_id AS cent_id, emb AS cemb FROM $src ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k),
 $rounds"""
+  }
+
+  /** IVF-PQ mirroring Similarity.pqTopK stage-for-stage: the exact
+    * ivf coarse pruning (md5 centroid draw, rank-1 corpus cells,
+    * nprobe query cells), then per-subspace Lloyd trainings (the
+    * kmeansTrainCtes chain, CTE-prefixed per subspace over the
+    * sliced vectors), rank-1 PQ encoding, reconstruction norms from
+    * codeword squared norms, a per-query LUT of partial dot
+    * products, and the ADC score
+    * `sum_s part / (|q| * |x_hat|)` rounded + ranked like every
+    * other ANN oracle.
+    */
+  private def pqSql(k: Int, dims: Int, m: Int, ksub: Int, iters: Int,
+                    nlist: Int, nprobe: Int): String = {
+    val sub = dims / m
+    val subCtes = (0 until m).map { s =>
+      s"""s${s}c AS (SELECT vec_id, emb[${s * sub + 1}:${(s + 1) * sub}] AS emb FROM c),
+${kmeansTrainCtes(ksub, iters, sub, src = s"s${s}c", pfx = s"s$s")},
+${kmeansAssignCte(s"s${s}enc", s"s${s}cents$iters", src = s"s${s}c")}"""
+    }.mkString(",\n")
+    val codesUnion = (0 until m).map(s =>
+      s"SELECT vec_id, $s AS sub_id, cent_id AS code_id FROM s${s}enc").mkString("\nUNION ALL\n")
+    val cbUnion = (0 until m).map(s =>
+      s"SELECT $s AS sub_id, cent_id, cemb FROM s${s}cents$iters").mkString("\nUNION ALL\n")
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+q AS (SELECT vec_id, emb FROM c WHERE vec_id % 50 = 0),
+cents AS (SELECT vec_id AS cent_id, emb AS cemb FROM c ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nlist),
+ca AS (SELECT neighbor_id, cent_id FROM (
+SELECT c.vec_id AS neighbor_id, cent_id,
+row_number() OVER (PARTITION BY c.vec_id ORDER BY round(list_cosine_similarity(c.emb, cemb), 4) DESC, cent_id) AS cr
+FROM c CROSS JOIN cents) t WHERE cr = 1),
+qa AS (SELECT query_id, cent_id FROM (
+SELECT q.vec_id AS query_id, cent_id,
+row_number() OVER (PARTITION BY q.vec_id ORDER BY round(list_cosine_similarity(q.emb, cemb), 4) DESC, cent_id) AS cr
+FROM q CROSS JOIN cents) t WHERE cr <= $nprobe),
+$subCtes,
+codes AS ($codesUnion),
+cb AS ($cbUnion),
+xnorm AS (SELECT codes.vec_id, sqrt(sum(list_sum(list_transform(cemb, x -> x * x)))) AS xn
+FROM codes JOIN cb ON cb.sub_id = codes.sub_id AND cb.cent_id = codes.code_id GROUP BY codes.vec_id),
+qn AS (SELECT vec_id, sqrt(list_sum(list_transform(emb, x -> x * x))) AS qn FROM q),
+lut AS (SELECT q.vec_id AS query_id, cb.sub_id, cb.cent_id AS code_id,
+list_sum(list_transform(range(1, ${sub + 1}), i -> q.emb[cb.sub_id * $sub + i] * cemb[i])) AS part
+FROM q CROSS JOIN cb),
+pairs AS (SELECT qa.query_id, ca.neighbor_id FROM qa JOIN ca USING (cent_id) WHERE qa.query_id <> ca.neighbor_id),
+sc AS (SELECT p.query_id, p.neighbor_id, sum(lut.part) AS num
+FROM pairs p JOIN codes ON codes.vec_id = p.neighbor_id
+JOIN lut ON lut.query_id = p.query_id AND lut.sub_id = codes.sub_id AND lut.code_id = codes.code_id
+GROUP BY 1, 2),
+s AS (SELECT sc.query_id, sc.neighbor_id, round(sc.num / (qn.qn * xnorm.xn), 4) AS score
+FROM sc JOIN qn ON qn.vec_id = sc.query_id JOIN xnorm ON xnorm.vec_id = sc.neighbor_id),
+r AS (SELECT query_id, neighbor_id, score,
+CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS "rank" FROM s)
+SELECT query_id, neighbor_id, score, "rank" FROM r WHERE "rank" <= $k"""
   }
 
   /** Lloyd k-means mirroring Similarity.kmeansCentroids +
@@ -374,6 +429,7 @@ FROM (SELECT doc_id FROM documents WHERE doc_id % 37 <> 0) d LEFT JOIN sc ON d.d
 
   lazy val all: Map[String, String] = Map(
     "q_kmeans" -> kmeansSql(k = 8, iters = 2, dims = 64),
+    "q_ann_pq" -> pqSql(k = 5, dims = 64, m = 4, ksub = 8, iters = 1, nlist = 16, nprobe = 4),
     "q_dsir" -> dsirSql(buckets = 256),
     "q_groupby_merge_max" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
@@ -1058,6 +1114,51 @@ v AS (SELECT i, CAST((y * 2 // h) * 2 + (x * 2 // w) AS INT) AS dim,
 SELECT i AS id, dim,
 round(CAST(CAST(sum(inten) / (765.0 * count(*)) AS FLOAT) AS DOUBLE), 6) AS value
 FROM v GROUP BY i, dim""",
+
+    // inflated text of the gzip fixtures (WebFixture.gzipText);
+    // truncated members (i % 10 = 9) decode to null
+    "q_gunzip" ->
+      """SELECT i AS id,
+CASE WHEN i % 10 = 9 THEN NULL
+ELSE repeat('line' || CAST(i AS VARCHAR) || ';', CAST(3 + i % 7 AS INT)) END AS text
+FROM range(0, 300) t(i)""",
+
+    // closed form of the WARC fixtures' record envelopes: record r of
+    // file i has type response/request by parity, target URI =
+    // UrlFixture.canonical((i*7 + r) % 100), body length
+    // 30 + ((i*11 + r*5) % 50), body byte k =
+    // (i*31 + r*17 + k*7 + 3) % 256 — the digest is md5 over the
+    // UPPERCASE hex of those bytes, the q_video_frames convention
+    "q_warc" ->
+      """WITH f AS (SELECT i, unnest(range(0, 2 + i % 4)) AS r FROM range(0, 200) t(i)),
+e AS (SELECT i, r, (i*7 + r) % 100 AS n, 30 + ((i*11 + r*5) % 50) AS len FROM f),
+byts AS (SELECT i, r, n, len, unnest(range(0, len)) AS k FROM e),
+hx AS (SELECT i, r, n, len,
+string_agg(substring('0123456789ABCDEF', CAST(((i*31 + r*17 + k*7 + 3) % 256) // 16 + 1 AS INT), 1)
+|| substring('0123456789ABCDEF', CAST(((i*31 + r*17 + k*7 + 3) % 256) % 16 + 1 AS INT), 1), '' ORDER BY k) AS hexs
+FROM byts GROUP BY i, r, n, len)
+SELECT i AS id, CAST(r AS INT) AS rec_idx,
+CASE WHEN r % 2 = 0 THEN 'response' ELSE 'request' END AS warc_type,
+'http://host' || CAST(n % 7 AS VARCHAR) || '.example.com/Doc/' || CAST(n AS VARCHAR)
+|| '?a=' || CAST(n % 13 AS VARCHAR) || '&b=' || CAST(n % 7 AS VARCHAR) AS target_uri,
+CAST(len AS BIGINT) AS content_length, md5(hexs) AS body_digest
+FROM hx""",
+
+    // closed form of the URL fixtures' CANONICAL urls (see
+    // UrlFixture): the oracle emits the expected answer for every
+    // messy variant directly — n = i % 100 keys the content class
+    "q_url_canon" ->
+      """SELECT i AS id,
+'http://host' || CAST((i % 100) % 7 AS VARCHAR) || '.example.com/Doc/' || CAST(i % 100 AS VARCHAR)
+|| '?a=' || CAST((i % 100) % 13 AS VARCHAR) || '&b=' || CAST((i % 100) % 7 AS VARCHAR) AS url_canon
+FROM range(0, 500) t(i)""",
+
+    // earliest-crawl-wins: the keeper of class n is its lowest id, n
+    "q_url_dedup" ->
+      """SELECT i AS id,
+'http://host' || CAST(i % 7 AS VARCHAR) || '.example.com/Doc/' || CAST(i AS VARCHAR)
+|| '?a=' || CAST(i % 13 AS VARCHAR) || '&b=' || CAST(i % 7 AS VARCHAR) AS url_canon
+FROM range(0, 100) t(i)""",
 
     // closed form of the video fixtures' container headers (see
     // MediaFixture.videoPayload): i % 3 -> mp4, avi, corrupt. MP4

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators._
 import graft.functions.{Dates, Strings}
-import graft.pipeline.{Contamination, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Contamination, Dedup, Multimodal, Sampling, Similarity, TextAnalysis, UrlOps, WebIngest}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -599,6 +599,15 @@ object SparkEntry {
       val q = e.where(col("vec_id") % 50 === 0)
       Similarity.ivfTopK(e, q, "vec_id", "emb", k = 5, nlist = 16, nprobe = 4)
     }),
+    "q_ann_pq" -> ((s, dir) => {
+      // IVF-PQ: coarse cells prune candidates, fitted per-subspace
+      // codebooks score them in the compressed domain (ADC) — the
+      // memory/compute ANN path at corpus scale, fully oracle-replayed
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val q = e.where(col("vec_id") % 50 === 0)
+      Similarity.pqTopK(e, q, "vec_id", "emb", k = 5, dims = 64,
+        m = 4, ksub = 8, iters = 1, nlist = 16, nprobe = 4)
+    }),
     "q_kmeans" -> ((s, dir) => {
       // trained coarse quantizer: 2 Lloyd rounds over the 8-centroid
       // md5 draw, then final cluster labels under the fitted model
@@ -739,6 +748,37 @@ object SparkEntry {
       Multimodal.withImageEmbedding(df, "payload", grid = 2)
         .select(col("id"), posexplode(col("embedding")).as(Seq("dim", "value")))
         .select(col("id"), col("dim"), round(col("value").cast("double"), 6).as("value"))
+    }),
+    "q_gunzip" -> ((s, dir) => {
+      // real gzip decode (java.util.zip) of closed-form members; every
+      // 10th payload is truncated and must decode to null, not throw
+      val gen = udf((i: Long) => graft.testing.WebFixture.gzipPayload(i))
+      val df = s.range(0, 300).select(col("id"), gen(col("id")).as("payload"))
+      WebIngest.withGunzippedText(df, "payload").select("id", "text")
+    }),
+    "q_warc" -> ((s, dir) => {
+      // WARC record splitting: version line + case-insensitive headers
+      // + Content-Length-framed bodies; the oracle replays the
+      // closed-form envelopes and body digests
+      val gen = udf((i: Long) => graft.testing.WebFixture.warcPayload(i))
+      val df = s.range(0, 200).select(col("id"), gen(col("id")).as("payload"))
+      WebIngest.warcRecords(df, "id", "payload")
+    }),
+    "q_url_canon" -> ((s, dir) => {
+      // crawl-style URL canonicalization over closed-form messy
+      // fixtures (five messiness variants per canonical class); the
+      // oracle emits the expected canonical string directly — the
+      // answer, not a parser reimplementation
+      val gen = udf((i: Long) => graft.testing.UrlFixture.messyUrl(i))
+      val df = s.range(0, 500).select(col("id"), gen(col("id")).as("url"))
+      UrlOps.withCanonicalUrl(df, "url").select("id", "url_canon")
+    }),
+    "q_url_dedup" -> ((s, dir) => {
+      // earliest-crawl-wins dedup on the canonical key: the five
+      // messy variants of class n collapse to the lowest id (= n)
+      val gen = udf((i: Long) => graft.testing.UrlFixture.messyUrl(i))
+      val df = s.range(0, 500).select(col("id"), gen(col("id")).as("url"))
+      UrlOps.dedupByUrl(df, "url", "id").select("id", "url_canon")
     }),
     "q_video_metadata" -> ((s, dir) => {
       // REAL video-container parsing: structurally valid MP4 (ISO-

@@ -343,6 +343,162 @@ object Similarity {
     ivfAssign(df, cents, idCol, vecCol, "row", keep = 1, scoreDecimals)
       .select(col("row_id").as(idCol), col("cent_id"))
 
+  // ---- product quantization (IVF-PQ: the compressed-domain path) --
+
+  /** Product-quantization codebooks: the vector splits into `m`
+    * contiguous subspaces of `dims / m` components, and each subspace
+    * trains its own `ksub`-codeword quantizer with the SAME
+    * deterministic Lloyd machinery as [[kmeansCentroids]] (md5-order
+    * init, rounded-cosine rank-1 assignment, rounded means) — so the
+    * whole fitted model is reproducible in any engine, like every
+    * other fitted model here. Returns a broadcastable
+    * `(sub_id, cent_id, __cbv__, __cbn__, __cbn2__)` frame of
+    * `m * ksub` rows (`__cbn2__` = the codeword's squared norm,
+    * summed once per codeword so reconstruction norms don't
+    * re-derive it per row).
+    *
+    * At 100 TB: train on a deterministic sample
+    * ([[Sampling.deterministicSample]]) — the codebook is a
+    * statistic, not a per-row artifact — then encode the full corpus
+    * with the broadcast result.
+    */
+  def pqCodebooks(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      m: Int,
+      ksub: Int,
+      iters: Int,
+      scoreDecimals: Int = 4,
+      centroidDecimals: Int = 6
+  ): DataFrame = {
+    require(dims % m == 0, s"dims=$dims must split evenly into m=$m subspaces")
+    val sub = dims / m
+    val per = (0 until m).map { s =>
+      val sliced = corpus.select(col(idCol),
+        slice(col(vecCol).cast("array<double>"), s * sub + 1, sub).as("__sv__"))
+      kmeansCentroids(sliced, idCol, "__sv__", ksub, iters, scoreDecimals, centroidDecimals)
+        .select(lit(s).as("sub_id"), col("cent_id"), col("__cv__").as("__cbv__"),
+          col("__cn__").as("__cbn__"))
+    }
+    broadcast(per.reduce(_ unionByName _)
+      .withColumn("__cbn2__", dot(col("__cbv__"), col("__cbv__"))))
+  }
+
+  /** PQ codes: one `(idCol, sub_id, code_id)` row per (vector,
+    * subspace) — the nearest codeword by the deterministic (rounded
+    * cosine desc, cent_id asc) rule shared with [[ivfAssign]]. This
+    * IS the compressed corpus: `m` small ids per vector instead of
+    * `dims` doubles (the 100 TB memory story), joined back by id.
+    */
+  def pqEncode(
+      df: DataFrame,
+      codebook: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      m: Int,
+      scoreDecimals: Int = 4
+  ): DataFrame = {
+    val sub = dims / m
+    val subsArr = array((0 until m).map(s =>
+      slice(col(vecCol).cast("array<double>"), s * sub + 1, sub)): _*)
+    val exploded = df
+      .select(col(idCol), posexplode(subsArr).as(Seq("sub_id", "__sv__")))
+      .withColumn("__svn__", norm(col("__sv__")))
+    val w = Window.partitionBy(col(idCol), col("sub_id"))
+      .orderBy(col("__psim__").desc, col("cent_id").asc)
+    exploded
+      .join(codebook, Seq("sub_id"))
+      .withColumn("__psim__",
+        round(dot(col("__sv__"), col("__cbv__")) / (col("__svn__") * col("__cbn__")), scoreDecimals))
+      .withColumn("__pr__", row_number().over(w))
+      .where(col("__pr__") === 1)
+      .select(col(idCol), col("sub_id"), col("cent_id").as("code_id"))
+  }
+
+  /** IVF-PQ cosine top-k — the compressed-domain ANN scale path:
+    * the [[ivfTopK]] coarse quantizer prunes each query to its
+    * `nprobe` cells (~nprobe/nlist of the corpus), and the fine stage
+    * scores candidates by ASYMMETRIC DISTANCE COMPUTATION over the PQ
+    * codes instead of exact dot products: per query a lookup table of
+    * `m * ksub` partial dot products (query subvector x codeword) is
+    * computed ONCE, and each candidate pair then costs `m` table
+    * lookups + adds — no vector math per pair, and candidates travel
+    * as `m`-id code rows, not `dims`-double vectors. The approximate
+    * score is `sum_s <q_s, cw(x, s)> / (|q| * |x_hat|)` with
+    * `|x_hat|` the reconstruction norm from the codeword squared
+    * norms.
+    *
+    * Everything downstream of the fitted codebooks is deterministic
+    * and engine-portable (rounded scores, id tiebreaks), so the whole
+    * operator is oracle-checkable like [[ivfTopK]].
+    *
+    * Scale shape: codebooks and the per-query LUT rows broadcast; the
+    * candidate join shuffles (query_id, neighbor_id, m code rows)
+    * only for pairs sharing a probed cell; one hash agg sums the `m`
+    * partials per pair with map-side combine; the final top-k is a
+    * per-query window over candidates. No stage touches corpus
+    * vectors after encode.
+    */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dims: Int,
+      m: Int = 4,
+      ksub: Int = 8,
+      iters: Int = 1,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      scoreDecimals: Int = 4
+  ): DataFrame = {
+    val sub = dims / m
+    // coarse stage: prune to probed cells (exact-vector assignment,
+    // the same cells ivfTopK uses)
+    val cents = ivfCentroids(corpus, idCol, vecCol, nlist)
+    val corpusCells = ivfAssign(corpus, cents, idCol, vecCol, "neighbor", keep = 1, scoreDecimals)
+      .select(col("neighbor_id"), col("cent_id"))
+    val queryCells = ivfAssign(queries, cents, idCol, vecCol, "query", keep = nprobe, scoreDecimals)
+      .select(col("query_id"), col("cent_id"))
+    // fine stage: fitted codebooks, compressed corpus, per-query LUT
+    val cb = pqCodebooks(corpus, idCol, vecCol, dims, m, ksub, iters, scoreDecimals)
+    val codes = pqEncode(corpus, cb, idCol, vecCol, dims, m, scoreDecimals)
+      .withColumnRenamed(idCol, "neighbor_id")
+    val xnorm = codes
+      .join(cb.select(col("sub_id"), col("cent_id").as("code_id"), col("__cbn2__")),
+        Seq("sub_id", "code_id"))
+      .groupBy(col("neighbor_id"))
+      .agg(sqrt(sum(col("__cbn2__"))).as("__xn__"))
+    val subsArr = array((0 until m).map(s =>
+      slice(col(vecCol).cast("array<double>"), s * sub + 1, sub)): _*)
+    val lut = queries
+      .select(col(idCol).as("query_id"),
+        norm(col(vecCol).cast("array<double>")).as("__qn__"),
+        posexplode(subsArr).as(Seq("sub_id", "__qsv__")))
+      .join(cb, Seq("sub_id"))
+      .select(col("query_id"), col("__qn__"), col("sub_id"),
+        col("cent_id").as("code_id"), dot(col("__qsv__"), col("__cbv__")).as("__part__"))
+    val pairs = queryCells
+      .join(corpusCells, Seq("cent_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
+    pairs
+      .join(codes, Seq("neighbor_id"))
+      .join(lut, Seq("query_id", "sub_id", "code_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("__part__")).as("__num__"), first(col("__qn__")).as("__qn__"))
+      .join(xnorm, Seq("neighbor_id"))
+      .withColumn("score", round(col("__num__") / (col("__qn__") * col("__xn__")), scoreDecimals))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+
   /** Nearest `keep` centroids per row (norms staged per row/centroid;
     * ties on rounded similarity rank by centroid id so assignment is
     * exact across engines): (pfx_id, __pfxv__, __pfxn__, cent_id).

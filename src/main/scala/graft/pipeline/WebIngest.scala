@@ -1,0 +1,171 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Web-crawl ingestion plumbing: gzip payload decode and WARC (ISO
+  * 28500) record splitting — the first two steps of turning a raw
+  * crawl dump into a document table. Both are pure per-row work that
+  * pipelines with the scan (no shuffle), and both treat malformed
+  * input as data: a corrupt stream yields null / fewer records, never
+  * an exception — at crawl scale broken members and truncated files
+  * are routine.
+  */
+object WebIngest {
+
+  /** Cap on inflated output: a 40-byte gzip bomb can declare
+    * gigabytes; past the cap the decode returns null instead of
+    * allocating executor memory for it.
+    */
+  private val maxInflatedBytes: Int = 256 * 1024 * 1024
+
+  /** Decode a gzip payload (multi-member streams included — WARC
+    * files are per-record gzip members concatenated) to its raw
+    * bytes via `java.util.zip.GZIPInputStream`. Null for non-gzip,
+    * corrupt, truncated, or cap-exceeding input.
+    */
+  def gunzip(b: Array[Byte]): Array[Byte] = {
+    if (b == null || b.length < 18 || (b(0) & 0xff) != 0x1f || (b(1) & 0xff) != 0x8b) return null
+    try {
+      val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(b))
+      val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 20))
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (out.size() + n > maxInflatedBytes) { in.close(); return null }
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      in.close()
+      out.toByteArray
+    } catch {
+      case _: java.io.IOException => null
+      case _: OutOfMemoryError => null
+    }
+  }
+
+  private val gunzipUdf = udf((payload: Array[Byte]) => gunzip(payload))
+
+  /** Attach `text` decoded from a gzip payload column (UTF-8, with
+    * replacement for invalid sequences — crawl payloads lie about
+    * encodings). Undecodable rows get null.
+    */
+  def withGunzippedText(df: DataFrame, payloadCol: String): DataFrame =
+    df.withColumn("text",
+      gunzipUdf(col(payloadCol).cast("binary")).cast("string"))
+
+  /** One WARC record's envelope: position in the file payload, the
+    * three headers a pipeline routes on, and the body's byte range.
+    * The body itself stays IN the payload — like
+    * [[Multimodal.mp4SampleTable]], the splitter emits ranges so
+    * downstream chooses what to materialize.
+    */
+  case class WarcRecord(
+      rec_idx: Int,
+      warc_type: String,
+      target_uri: String,
+      content_length: Long,
+      body_offset: Long)
+
+  /** Split a WARC file payload into its records: each starts with a
+    * `WARC/x.y` version line, then `Name: value` header lines up to a
+    * blank line, then exactly `Content-Length` body bytes, then the
+    * `\r\n\r\n` record separator. Header names match
+    * case-insensitively (the spec allows any case). Parsing stops at
+    * the first malformed record — truncated files yield the records
+    * that ARE well-formed. Null for payloads that don't start with a
+    * WARC version line.
+    */
+  def warcSplit(b: Array[Byte]): Array[WarcRecord] = {
+    if (b == null || b.length < 9 || !asciiAt(b, 0, "WARC/")) return null
+    try {
+      val out = Array.newBuilder[WarcRecord]
+      var i = 0
+      var idx = 0
+      while (i < b.length && asciiAt(b, i, "WARC/")) {
+        var warcType: String = null
+        var uri: String = null
+        var len = -1L
+        // version line + header lines, each \r\n-terminated
+        var lineStart = i
+        var headersDone = false
+        var ok = true
+        while (!headersDone && ok) {
+          val eol = indexOfCrlf(b, lineStart)
+          if (eol < 0) ok = false
+          else if (eol == lineStart) { headersDone = true; lineStart = eol + 2 }
+          else {
+            val line = new String(b, lineStart, eol - lineStart, "ISO-8859-1")
+            val colon = line.indexOf(':')
+            if (colon > 0) {
+              val name = line.substring(0, colon).trim.toLowerCase
+              val value = line.substring(colon + 1).trim
+              if (name == "warc-type") warcType = value
+              else if (name == "warc-target-uri") uri = value
+              else if (name == "content-length") len = value.toLong
+            }
+            lineStart = eol + 2
+          }
+        }
+        if (!ok || len < 0 || lineStart + len > b.length) return result(out)
+        out += WarcRecord(idx, warcType, uri, len, lineStart.toLong)
+        idx += 1
+        i = (lineStart + len).toInt
+        // the record separator: two CRLFs
+        if (i + 4 <= b.length && b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' && b(i + 3) == '\n')
+          i += 4
+        else return result(out)
+      }
+      result(out)
+    } catch {
+      case _: NumberFormatException => null
+      case _: IndexOutOfBoundsException => null
+    }
+  }
+
+  private def result(out: scala.collection.mutable.Builder[WarcRecord, Array[WarcRecord]]): Array[WarcRecord] = {
+    val r = out.result()
+    if (r.isEmpty) null else r
+  }
+
+  private def asciiAt(b: Array[Byte], i: Int, s: String): Boolean = {
+    if (i + s.length > b.length) return false
+    var k = 0
+    while (k < s.length) {
+      if (b(i + k) != s.charAt(k)) return false
+      k += 1
+    }
+    true
+  }
+
+  private def indexOfCrlf(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + 1 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
+  private val warcSplitUdf = udf((payload: Array[Byte]) => warcSplit(payload))
+
+  /** Explode a WARC file payload column into one row per record with
+    * its envelope headers and a body digest — md5 over the HEX of the
+    * body bytes (the [[Multimodal.videoFrames]] convention: faithful,
+    * engine-portable, so the operator is oracle-checkable end to
+    * end). The digest runs in codegen'd builtins over the exploded
+    * ranges; only the envelope parse is a UDF. Per-row work, no
+    * shuffle; non-WARC rows vanish.
+    */
+  def warcRecords(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    df.select(col(idCol), col(payloadCol).cast("binary").as("__pl__"))
+      .select(col(idCol), col("__pl__"), explode(warcSplitUdf(col("__pl__"))).as("__r__"))
+      .select(
+        col(idCol),
+        col("__r__.rec_idx").as("rec_idx"),
+        col("__r__.warc_type").as("warc_type"),
+        col("__r__.target_uri").as("target_uri"),
+        col("__r__.content_length").as("content_length"),
+        md5(hex(expr("substring(__pl__, CAST(__r__.body_offset + 1 AS INT), CAST(__r__.content_length AS INT))")))
+          .as("body_digest"))
+}

@@ -1,0 +1,33 @@
+package graft.testing
+
+/** Closed-form messy-URL fixtures for [[graft.pipeline.UrlOps]]: the
+  * canonical content of row i is keyed on n = i % 100 (so five rows
+  * share each canonical URL), and the messiness variant cycles with
+  * i / 100 — reversed param order, uppercase scheme/host + default
+  * port + fragment, `www.` + utm_* params, trailing slashes, and
+  * gclid/fbclid trackers. Every variant canonicalizes to
+  * [[canonical]](n), which the DuckDB oracle emits directly — the
+  * strongest possible check: the oracle states the ANSWER, not a
+  * reimplementation of the parser.
+  */
+object UrlFixture {
+
+  /** The canonical URL of content class n (mirrored in oracle SQL).
+    * The path keeps a capital letter: canonicalization must preserve
+    * path case while lowering scheme and host.
+    */
+  def canonical(n: Long): String =
+    s"http://host${n % 7}.example.com/Doc/$n?a=${n % 13}&b=${n % 7}"
+
+  def messyUrl(i: Long): String = {
+    val n = i % 100
+    val h = n % 7; val x = n % 13; val y = n % 7
+    (i / 100) % 5 match {
+      case 0 => s"http://host$h.example.com/Doc/$n?b=$y&a=$x"
+      case 1 => s"HTTP://Host$h.Example.COM:80/Doc/$n?b=$y&a=$x#sec$i"
+      case 2 => s"http://www.host$h.example.com/Doc/$n?utm_source=feed&a=$x&b=$y&utm_campaign=c$i"
+      case 3 => s"http://host$h.example.com/Doc/$n//?a=$x&b=$y"
+      case _ => s"http://host$h.example.com/Doc/$n?gclid=g$i&b=$y&fbclid=f$i&a=$x#x"
+    }
+  }
+}

@@ -1,0 +1,56 @@
+package graft.testing
+
+import java.io.ByteArrayOutputStream
+
+/** Closed-form web-ingest fixtures for [[graft.pipeline.WebIngest]]:
+  * gzip members whose inflated text is a pure function of the row
+  * index, and structurally honest WARC files (version line, headers,
+  * Content-Length-framed bodies, CRLF separators) whose record
+  * envelopes and body bytes the DuckDB oracle replays closed-form.
+  */
+object WebFixture {
+
+  /** The inflated text of gzip fixture i (mirrored by the oracle):
+    * "line{i};" repeated 3 + i%7 times. Every 10th row (i % 10 == 9)
+    * is a truncated stream the decoder must return null for.
+    */
+  def gzipText(i: Long): String = ("line" + i + ";") * (3 + (i % 7).toInt)
+
+  def gzipPayload(i: Long): Array[Byte] = {
+    val out = new ByteArrayOutputStream
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(gzipText(i).getBytes("UTF-8"))
+    gz.close()
+    val b = out.toByteArray
+    if (i % 10 == 9) java.util.Arrays.copyOfRange(b, 0, math.min(12, b.length)) else b
+  }
+
+  /** WARC fixture closed forms (mirrored by the q_warc oracle):
+    * nRec = 2 + i%4 records; record r has type response/request by
+    * parity, target URI = [[UrlFixture.canonical]]((i*7 + r) % 100),
+    * body length 30 + ((i*11 + r*5) % 50), body byte k =
+    * (i*31 + r*17 + k*7 + 3) % 256.
+    */
+  def warcRecordCount(i: Long): Int = (2 + i % 4).toInt
+  def warcBodyLen(i: Long, r: Int): Int = (30 + ((i * 11 + r * 5) % 50)).toInt
+  def warcBodyByte(i: Long, r: Int, k: Int): Int = ((i * 31 + r * 17 + k * 7 + 3) % 256).toInt
+
+  def warcPayload(i: Long): Array[Byte] = {
+    val out = new ByteArrayOutputStream
+    for (r <- 0 until warcRecordCount(i)) {
+      val len = warcBodyLen(i, r)
+      val uri = UrlFixture.canonical((i * 7 + r) % 100)
+      val tpe = if (r % 2 == 0) "response" else "request"
+      val hdr = "WARC/1.0\r\n" +
+        s"WARC-Type: $tpe\r\n" +
+        s"WARC-Record-ID: <urn:uuid:$i-$r>\r\n" + // an envelope header the splitter skips
+        s"WARC-Target-URI: $uri\r\n" +
+        s"Content-Length: $len\r\n" +
+        "\r\n"
+      out.write(hdr.getBytes("US-ASCII"))
+      for (k <- 0 until len) out.write(warcBodyByte(i, r, k))
+      out.write("\r\n\r\n".getBytes("US-ASCII"))
+    }
+    out.toByteArray
+  }
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Contamination, Dedup, Jpeg, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Contamination, Dedup, Jpeg, Multimodal, Similarity, TextAnalysis, UrlOps}
 
 /** LLM-pipeline operators: dedup, similarity, text analysis,
   * multimodal plumbing. These have no reference goldens — invariants
@@ -515,6 +515,52 @@ class PipelineSpec extends SparkSuite {
     assert(recall >= 0.6, f"IVF recall@5 fell to $recall%.3f (bar 0.6)")
   }
 
+  test("IVF-PQ: ADC scores reproduce from codes + codebooks, recall above the PQ bar") {
+    val s = spark; import s.implicits._
+    val corpus = (0 until 200).map { i =>
+      val c = i % 8
+      (i.toLong, Array.tabulate(16)(d => math.sin(c * 37 + d) + 0.2 * math.sin(i * 13 + d * 7)))
+    }.toDF("id", "v")
+    val queries = corpus.where(col("id") % 10 === 0)
+    val out = Similarity.pqTopK(corpus, queries, "id", "v", k = 5, dims = 16,
+      m = 4, ksub = 8, iters = 1, nlist = 8, nprobe = 3)
+    // ADC reproduction: recompute one query's top score from the
+    // collected codebooks + codes — pins the LUT/xnorm composition
+    val cbDf = Similarity.pqCodebooks(corpus, "id", "v", dims = 16, m = 4, ksub = 8, iters = 1)
+    val cb = cbDf.collect().map { r =>
+      (r.getInt(r.fieldIndex("sub_id")), r.getLong(r.fieldIndex("cent_id"))) ->
+        (r.getSeq[Double](r.fieldIndex("__cbv__")).toArray, r.getDouble(r.fieldIndex("__cbn2__")))
+    }.toMap
+    val codes = Similarity.pqEncode(corpus, cbDf, "id", "v", dims = 16, m = 4).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.map(r => r.getInt(r.fieldIndex("sub_id")) -> r.getLong(r.fieldIndex("code_id"))).toMap
+      }
+    val top = out.where(col("query_id") === 0L && col("rank") === 1).head()
+    val nId = top.getLong(top.fieldIndex("neighbor_id"))
+    val qv = Array.tabulate(16)(d => math.sin(0 * 37 + d) + 0.2 * math.sin(0 * 13 + d * 7))
+    val qn = math.sqrt(qv.map(x => x * x).sum)
+    var num = 0.0; var xn2 = 0.0
+    for (sId <- 0 until 4) {
+      val (cw, cbn2) = cb((sId, codes(nId)(sId)))
+      var dot = 0.0
+      for (d <- 0 until 4) dot += qv(sId * 4 + d) * cw(d)
+      num += dot; xn2 += cbn2
+    }
+    val expect = BigDecimal(num / (qn * math.sqrt(xn2)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(top.getDouble(top.fieldIndex("score")) - expect) < 1e-9)
+    // recall vs brute force: PQ quantizes, so the bar is below IVF's
+    def topSets(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("query_id").agg(collect_set(col("neighbor_id")).as("nb"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val bf = topSets(Similarity.bruteForceTopK(corpus, queries, "id", "v", k = 5))
+    val pq = topSets(out)
+    val recalls = bf.map { case (q, nbs) => pq.getOrElse(q, Set.empty).intersect(nbs).size.toDouble / nbs.size }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.4, f"IVF-PQ recall@5 fell to $recall%.3f (bar 0.4)")
+  }
+
   test("simhash candidates: exact dups collide at hamming 0, unrelated text is pruned") {
     val out = Dedup.simhashCandidates(docs, "doc_id", "text", bits = 32, bands = 4, maxHamming = 3)
       .collect()
@@ -779,6 +825,78 @@ class PipelineSpec extends SparkSuite {
       out.toByteArray
     }
     assert(Multimodal.parseMediaHeader(hugeWav).format == "unknown")
+  }
+
+  test("gunzip: real decode, multi-member streams, corrupt input never throws") {
+    import graft.pipeline.WebIngest
+    import graft.testing.WebFixture
+    assert(new String(WebIngest.gunzip(WebFixture.gzipPayload(3)), "UTF-8") == WebFixture.gzipText(3))
+    // WARC-style concatenated members decode to the concatenation
+    val two = WebFixture.gzipPayload(1) ++ WebFixture.gzipPayload(2)
+    assert(new String(WebIngest.gunzip(two), "UTF-8") == WebFixture.gzipText(1) + WebFixture.gzipText(2))
+    assert(WebIngest.gunzip(WebFixture.gzipPayload(9)) == null) // truncated fixture row
+    assert(WebIngest.gunzip(null) == null)
+    assert(WebIngest.gunzip("plainly not gzip at all".getBytes("UTF-8")) == null)
+    // a bit flip mid-stream must degrade (null or partial-CRC fail), never throw
+    val bad = WebFixture.gzipPayload(4).clone
+    bad(bad.length / 2) = (bad(bad.length / 2) ^ 0x55).toByte
+    WebIngest.gunzip(bad)
+  }
+
+  test("warcSplit: record envelopes, case-insensitive headers, truncation") {
+    import graft.pipeline.WebIngest
+    import graft.testing.WebFixture
+    val i = 5L
+    val pl = WebFixture.warcPayload(i)
+    val recs = WebIngest.warcSplit(pl)
+    assert(recs.length == WebFixture.warcRecordCount(i))
+    for (r <- recs.indices) {
+      assert(recs(r).rec_idx == r)
+      assert(recs(r).warc_type == (if (r % 2 == 0) "response" else "request"))
+      assert(recs(r).target_uri == graft.testing.UrlFixture.canonical((i * 7 + r) % 100))
+      assert(recs(r).content_length == WebFixture.warcBodyLen(i, r))
+      for (k <- 0 until 5)
+        assert((pl(recs(r).body_offset.toInt + k) & 0xff) == WebFixture.warcBodyByte(i, r, k))
+    }
+    // the spec allows any header-name case
+    val lower = new String(pl, "ISO-8859-1")
+      .replace("WARC-Type", "warc-type").replace("Content-Length", "CONTENT-LENGTH")
+      .getBytes("ISO-8859-1")
+    assert(WebIngest.warcSplit(lower).length == recs.length)
+    // truncation yields only fully-framed records, never a throw
+    for (cut <- 0 to pl.length) {
+      val r = WebIngest.warcSplit(java.util.Arrays.copyOfRange(pl, 0, cut))
+      assert(r == null || r.forall(x => x.body_offset + x.content_length <= cut))
+    }
+    assert(WebIngest.warcSplit("HTTP/1.1 200 OK\r\n\r\n".getBytes("US-ASCII")) == null)
+  }
+
+  test("urlCanonical: port/path/query edge rules and non-URL passthrough") {
+    val s = spark; import s.implicits._
+    val cases = Seq(
+      ("https://Example.com:443/", "https://example.com/"),
+      ("https://example.com:8443/x", "https://example.com:8443/x"), // non-default port kept
+      ("http://example.com", "http://example.com/"), // empty path -> root
+      ("http://example.com/?utm_source=a&utm_medium=b", "http://example.com/"), // tracking-only -> no '?'
+      ("http://example.com/A/B?z=1&y=2", "http://example.com/A/B?y=2&z=1"), // path case kept, params sorted
+      ("  not a url at all  ", "not a url at all"), // trimmed passthrough
+      ("ftp://Files.example.com:21/pub/", "ftp://files.example.com:21/pub") // unknown scheme: port kept
+    )
+    val df = cases.zipWithIndex.map { case ((in, _), i) => (i, in) }.toDF("id", "url")
+    val got = UrlOps.withCanonicalUrl(df, "url").orderBy("id").collect()
+      .map(r => r.getString(r.fieldIndex("url_canon")))
+    for (((in, want), g) <- cases.zip(got)) assert(g == want, s"canon($in) = $g, want $want")
+    // null never throws
+    assert(UrlOps.withCanonicalUrl(Seq((1, null: String)).toDF("id", "url"), "url")
+      .head().isNullAt(2))
+  }
+
+  test("dedupByUrl: messy variants collapse to the earliest id") {
+    val s = spark; import s.implicits._
+    import graft.testing.UrlFixture
+    val df = (0L until 500L).map(i => (i, UrlFixture.messyUrl(i))).toDF("id", "url")
+    val kept = UrlOps.dedupByUrl(df, "url", "id").select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == (0L until 100L).toSet)
   }
 
   test("video containers: MP4 and AVI metadata from real box walks") {
