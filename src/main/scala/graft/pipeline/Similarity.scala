@@ -375,15 +375,46 @@ object Similarity {
   ): DataFrame = {
     require(dims % m == 0, s"dims=$dims must split evenly into m=$m subspaces")
     val sub = dims / m
-    val per = (0 until m).map { s =>
-      val sliced = corpus.select(col(idCol),
-        slice(col(vecCol).cast("array<double>"), s * sub + 1, sub).as("__sv__"))
-      kmeansCentroids(sliced, idCol, "__sv__", ksub, iters, scoreDecimals, centroidDecimals)
-        .select(lit(s).as("sub_id"), col("cent_id"), col("__cv__").as("__cbv__"),
-          col("__cn__").as("__cbn__"))
+    // all m subspaces train JOINTLY over one exploded (row, sub_id,
+    // subvector) frame: assignment and means are independent per
+    // subspace, so the trajectory is bit-identical to m separate
+    // Lloyd runs — but every iteration is ONE corpus scan instead of
+    // m (the scan count must not grow with m at 100 TB)
+    val subsArr = array((0 until m).map(s =>
+      slice(col(vecCol).cast("array<double>"), s * sub + 1, sub)): _*)
+    val ex = corpus.select(col(idCol), posexplode(subsArr).as(Seq("sub_id", "__sv__")))
+    // the init draw: the md5-lowest ksub ids (the ivfCentroids rule —
+    // the same ids seed every subspace, as slicing doesn't change ids)
+    val initIds = broadcast(corpus
+      .select(col(idCol).as("cent_id"), md5(col(idCol).cast("string")).as("__h__"))
+      .orderBy(col("__h__"), col("cent_id"))
+      .limit(ksub)
+      .drop("__h__"))
+    var cents = broadcast(ex
+      .join(initIds, ex(idCol) === initIds("cent_id"))
+      .select(col("sub_id"), col("cent_id"), col("__sv__").as("__cbv__"))
+      .withColumn("__cbn__", norm(col("__cbv__"))))
+    val w = Window.partitionBy(col(idCol), col("sub_id"))
+      .orderBy(col("__psim__").desc, col("cent_id").asc)
+    for (i <- 1 to iters) {
+      val assigned = ex
+        .withColumn("__svn__", norm(col("__sv__")))
+        .join(cents, Seq("sub_id"))
+        .withColumn("__psim__",
+          round(dot(col("__sv__"), col("__cbv__")) / (col("__svn__") * col("__cbn__")), scoreDecimals))
+        .withColumn("__pr__", row_number().over(w))
+        .where(col("__pr__") === 1)
+      cents = broadcast(assigned
+        .select(col("sub_id"), col("cent_id"), posexplode(col("__sv__")).as(Seq("__dim__", "__v__")))
+        .groupBy(col("sub_id"), col("cent_id"), col("__dim__"))
+        .agg(round(avg(col("__v__")), centroidDecimals).as("__m__"))
+        .groupBy(col("sub_id"), col("cent_id"))
+        .agg(array_sort(collect_list(struct(col("__dim__"), col("__m__")))).as("__dm__"))
+        .select(col("sub_id"), col("cent_id"), transform(col("__dm__"), x => x.getField("__m__")).as("__cbv__"))
+        .withColumn("__cbn__", norm(col("__cbv__"))))
+      if (i % CompactEveryIters == 0 && i < iters) cents = compactCentroids(cents)
     }
-    broadcast(per.reduce(_ unionByName _)
-      .withColumn("__cbn2__", dot(col("__cbv__"), col("__cbv__"))))
+    broadcast(cents.withColumn("__cbn2__", dot(col("__cbv__"), col("__cbv__"))))
   }
 
   /** PQ codes: one `(idCol, sub_id, code_id)` row per (vector,

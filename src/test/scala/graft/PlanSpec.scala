@@ -67,6 +67,25 @@ class PlanSpec extends SparkSuite {
     SparkEntry.runPendingCleanups()
   }
 
+  test("round-8 per-row ingest queries pipeline with zero shuffles") {
+    val shuffleRe = "Exchange (hash|range|Single|rebalance)".r
+    // container parsing, frame/record explode, URL canonicalization and
+    // gzip decode are all pure per-row work: nothing may shuffle
+    Seq("q_url_canon", "q_gunzip", "q_warc", "q_video_frames", "q_video_metadata").foreach { q =>
+      val plan = planOf(q)
+      assert(shuffleRe.findFirstIn(plan).isEmpty, s"$q should not shuffle:\n$plan")
+    }
+  }
+
+  test("IVF-PQ joins its small frames by broadcast; corpus vectors stay out of the ADC joins") {
+    val plan = planOf("q_ann_pq")
+    assert(plan.contains("BroadcastExchange"), s"PQ codebook/centroid joins are not broadcast:\n$plan")
+    // the per-pair ADC aggregation must consume code ids + LUT partials,
+    // never embedding arrays: no exchange may carry the vector column
+    val badExchange = plan.linesIterator.exists(l => l.contains("Exchange hashpartitioning") && l.contains("emb#"))
+    assert(!badExchange, s"an ADC-stage shuffle carries embedding vectors:\n$plan")
+  }
+
   test("c4Clean evaluates the kept-lines UDF exactly once per document") {
     // the kept-lines array feeds both the minKeptLines filter and the
     // output projection; without the non-deterministic barrier,
