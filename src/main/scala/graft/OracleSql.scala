@@ -1115,6 +1115,14 @@ SELECT i AS id, dim,
 round(CAST(CAST(sum(inten) / (765.0 * count(*)) AS FLOAT) AS DOUBLE), 6) AS value
 FROM v GROUP BY i, dim""",
 
+    // expected EXTRACTED text of the HTML fixtures (WebFixture
+    // .htmlPayload): title twice (title tag + h1), then the
+    // paragraphs with their entity decoded and inline tags spaced out
+    "q_html_text" ->
+      """WITH p AS (SELECT i, unnest(range(0, 2 + i % 3)) AS p FROM range(0, 300) t(i)),
+a AS (SELECT i, string_agg('Paragraph ' || CAST(p AS VARCHAR) || ' of doc ' || CAST(i AS VARCHAR) || ' with 5 & bold words.', ' ' ORDER BY p) AS body FROM p GROUP BY i)
+SELECT i AS id, 'Title ' || CAST(i AS VARCHAR) || ' Title ' || CAST(i AS VARCHAR) || ' ' || body AS text FROM a""",
+
     // inflated text of the gzip fixtures (WebFixture.gzipText);
     // truncated members (i % 10 = 9) decode to null
     "q_gunzip" ->

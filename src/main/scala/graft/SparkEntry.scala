@@ -764,6 +764,15 @@ object SparkEntry {
       val df = s.range(0, 200).select(col("id"), gen(col("id")).as("payload"))
       WebIngest.warcRecords(df, "id", "payload")
     }),
+    "q_html_text" -> ((s, dir) => {
+      // HTML -> visible text: style/script/comment blocks dropped
+      // whole (the script body even contains < and > operators),
+      // entities decoded, whitespace collapsed; the oracle emits the
+      // expected text closed-form
+      val gen = udf((i: Long) => graft.testing.WebFixture.htmlPayload(i))
+      val df = s.range(0, 300).select(col("id"), gen(col("id")).as("html"))
+      WebIngest.withHtmlText(df, "html").select("id", "text")
+    }),
     "q_url_canon" -> ((s, dir) => {
       // crawl-style URL canonicalization over closed-form messy
       // fixtures (five messiness variants per canonical class); the

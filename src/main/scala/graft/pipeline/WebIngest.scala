@@ -54,6 +54,39 @@ object WebIngest {
     df.withColumn("text",
       gunzipUdf(col(payloadCol).cast("binary")).cast("string"))
 
+  /** HTML -> visible text, the step between WARC payloads and the
+    * text-analysis operators: drops comments, `<script>`/`<style>`
+    * blocks (case-insensitive, contents included), and every
+    * remaining tag; decodes the six entities that dominate real
+    * markup (`&lt; &gt; &quot; &#39;/&apos; &nbsp; &amp;` — `&amp;`
+    * LAST, the single-pass-safe order); collapses all whitespace to
+    * single spaces and trims. A chain of codegen'd `regexp_replace`
+    * expressions — no UDF, no DOM parse (a DOM is quadratic-ish on
+    * the pathological markup a crawl is full of; boilerplate removal
+    * beyond tag stripping is [[TextAnalysis.c4Clean]]'s job
+    * downstream). Known limit, shared with every regex stripper: a
+    * literal `>` inside a quoted attribute value ends the tag early.
+    */
+  def htmlToText(html: Column): Column = {
+    val noComments = regexp_replace(html, "(?s)<!--.*?-->", " ")
+    val noScript = regexp_replace(noComments, "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    val entities = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    val decoded = entities.foldLeft(noTags) { case (c, (pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Attach `text` extracted from an HTML column. Per-row codegen'd
+    * work — pipelines with the scan, no shuffle.
+    */
+  def withHtmlText(df: DataFrame, htmlCol: String): DataFrame =
+    df.withColumn("text", htmlToText(col(htmlCol)))
+
   /** One WARC record's envelope: position in the file payload, the
     * three headers a pipeline routes on, and the body's byte range.
     * The body itself stays IN the payload — like

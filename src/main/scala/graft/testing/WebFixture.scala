@@ -35,6 +35,23 @@ object WebFixture {
   def warcBodyLen(i: Long, r: Int): Int = (30 + ((i * 11 + r * 5) % 50)).toInt
   def warcBodyByte(i: Long, r: Int, k: Int): Int = ((i * 31 + r * 17 + k * 7 + 3) % 256).toInt
 
+  /** HTML fixture (mirrored by the q_html_text oracle): head noise
+    * (style + script + comment the extractor must drop whole), the
+    * title text twice (title tag + h1), and 2 + i%3 paragraphs with
+    * an `&amp;` entity and an inline tag each. The oracle emits the
+    * EXPECTED extracted text closed-form.
+    */
+  def htmlParagraphCount(i: Long): Int = (2 + i % 3).toInt
+
+  def htmlPayload(i: Long): String = {
+    val paras = (0 until htmlParagraphCount(i)).map(p =>
+      s"<p>Paragraph $p of doc $i with 5 &amp; <b>bold</b> words.</p>").mkString
+    s"<!DOCTYPE html><html><head><title>Title $i</title>" +
+      s"<style>body{color:#${i % 10}${i % 10}f}</style>" +
+      s"<SCRIPT type='text/javascript'>var x = $i < 7 && $i > 2;</SCRIPT></head>" +
+      s"<body><!-- comment $i --><h1>Title $i</h1>$paras</body></html>"
+  }
+
   def warcPayload(i: Long): Array[Byte] = {
     val out = new ByteArrayOutputStream
     for (r <- 0 until warcRecordCount(i)) {

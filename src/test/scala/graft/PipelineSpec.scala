@@ -871,6 +871,24 @@ class PipelineSpec extends SparkSuite {
     assert(WebIngest.warcSplit("HTTP/1.1 200 OK\r\n\r\n".getBytes("US-ASCII")) == null)
   }
 
+  test("htmlToText: script/style/comment blocks, entity decode, whitespace collapse") {
+    val s = spark; import s.implicits._
+    import graft.pipeline.WebIngest
+    val cases = Seq(
+      ("<p>a</p><script>if (x<1 && y>2) {}</script><p>b</p>", "a b"), // script body with < > operators
+      ("<STYLE>a{b}</STYLE>text", "text"), // case-insensitive block tags
+      ("<!-- <p>no</p> -->yes", "yes"), // commented-out markup dropped whole
+      ("x &amp;lt; y", "x &lt; y"), // double-encoded decodes exactly once
+      ("a&nbsp;b &#39;c&#39; &quot;d&quot;", "a b 'c' \"d\""),
+      ("<a href='u'>link</a>.", "link ."), // tags become spaces, then collapse
+      ("no markup at all", "no markup at all")
+    )
+    val df = cases.zipWithIndex.map { case ((in, _), i) => (i, in) }.toDF("id", "html")
+    val got = WebIngest.withHtmlText(df, "html").orderBy("id").collect()
+      .map(r => r.getString(r.fieldIndex("text")))
+    for (((in, want), g) <- cases.zip(got)) assert(g == want, s"extract($in) = '$g', want '$want'")
+  }
+
   test("urlCanonical: port/path/query edge rules and non-URL passthrough") {
     val s = spark; import s.implicits._
     val cases = Seq(
