@@ -222,50 +222,82 @@ object Multimodal {
     * and the frame count (its `stbl/stsz` sample count). Pure header
     * walk — no codec, no sample data read.
     */
+  /** Visit the first trak the video-selection rule claims — hdlr
+    * 'vide', or (fallback for hdlr-less files) any non-'soun' trak
+    * for which the caller's collectors gathered data (`hasData`).
+    * `begin` resets the caller's per-trak state; `onTkhd` /
+    * `onStblChild` receive box payload bounds. The selection rule
+    * lives HERE, once — [[parseMp4]] and [[mp4SampleTable]] share it.
+    * Returns true when a trak was claimed (the collectors then hold
+    * that trak's data; later traks are not visited).
+    */
+  private def visitVideoTrak(b: Array[Byte])(
+      begin: () => Unit,
+      onTkhd: (Int, Int) => Unit,
+      onStblChild: (String, Int, Int) => Unit,
+      hasData: () => Boolean): Boolean = {
+    var claimed = false
+    walkBoxes(b, 0, b.length) { (tag, s, e) =>
+      if (tag == "moov") walkBoxes(b, s, e) { (t2, s2, e2) =>
+        if (t2 == "trak" && !claimed) {
+          var handler = ""
+          begin()
+          walkBoxes(b, s2, e2) { (t3, s3, e3) =>
+            if (t3 == "tkhd") onTkhd(s3, e3)
+            else if (t3 == "mdia") walkBoxes(b, s3, e3) { (t4, s4, e4) =>
+              if (t4 == "hdlr" && e4 - s4 >= 12) handler = ascii(b, s4 + 8, 4)
+              else if (t4 == "minf") walkBoxes(b, s4, e4) { (t5, s5, e5) =>
+                if (t5 == "stbl") walkBoxes(b, s5, e5)(onStblChild)
+              }
+            }
+          }
+          if (handler == "vide" || (handler != "soun" && hasData())) claimed = true
+        }
+      }
+    }
+    claimed
+  }
+
   private def parseMp4(b: Array[Byte]): MediaInfo = {
     var durationMs: Option[Long] = None
-    var width: Option[Int] = None
-    var height: Option[Int] = None
-    var nFrames: Option[Long] = None
-    var trakDone = false
     walkBoxes(b, 0, b.length) { (tag, s, e) =>
       if (tag == "moov") walkBoxes(b, s, e) { (t2, s2, e2) =>
         if (t2 == "mvhd" && durationMs.isEmpty && e2 - s2 >= 20) {
           val ver = b(s2) & 0xff
+          // a version-1 box too short for the v1 layout is lying —
+          // reading the v0 offsets would misparse timestamps as
+          // timescale/duration, so report nothing instead
           val (timescale, duration) =
-            if (ver == 1 && e2 - s2 >= 32) (u32be(b, s2 + 20), u64be(b, s2 + 24))
-            else (u32be(b, s2 + 12), u32be(b, s2 + 16))
+            if (ver == 1) {
+              if (e2 - s2 >= 32) (u32be(b, s2 + 20), u64be(b, s2 + 24)) else (-1L, -1L)
+            } else (u32be(b, s2 + 12), u32be(b, s2 + 16))
           if (timescale > 0 && duration >= 0)
             durationMs = Some(duration * 1000L / timescale)
-        } else if (t2 == "trak" && !trakDone) {
-          var w = -1; var h = -1; var handler = ""; var frames = -1L
-          walkBoxes(b, s2, e2) { (t3, s3, e3) =>
-            if (t3 == "tkhd" && e3 - s3 >= 84) {
-              val ver = b(s3) & 0xff
-              val wOff = if (ver == 1) s3 + 88 else s3 + 76
-              if (wOff + 8 <= e3) {
-                w = (u32be(b, wOff) >> 16).toInt // 16.16 fixed point
-                h = (u32be(b, wOff + 4) >> 16).toInt
-              }
-            } else if (t3 == "mdia") walkBoxes(b, s3, e3) { (t4, s4, e4) =>
-              if (t4 == "hdlr" && e4 - s4 >= 12) handler = ascii(b, s4 + 8, 4)
-              else if (t4 == "minf") walkBoxes(b, s4, e4) { (t5, s5, e5) =>
-                if (t5 == "stbl") walkBoxes(b, s5, e5) { (t6, s6, e6) =>
-                  if (t6 == "stsz" && e6 - s6 >= 12) frames = u32be(b, s6 + 8)
-                }
-              }
-            }
-          }
-          if (handler == "vide" || (handler != "soun" && w > 0)) {
-            trakDone = true
-            if (w > 0) width = Some(w)
-            if (h > 0) height = Some(h)
-            if (frames >= 0) nFrames = Some(frames)
-          }
         }
       }
     }
-    MediaInfo("mp4", width, height, None, None, None, durationMs, nFrames)
+    var w = -1; var h = -1; var frames = -1L
+    val claimed = visitVideoTrak(b)(
+      begin = () => { w = -1; h = -1; frames = -1L },
+      onTkhd = (s3, e3) =>
+        if (e3 - s3 >= 84) {
+          val ver = b(s3) & 0xff
+          val wOff = if (ver == 1) s3 + 88 else s3 + 76
+          if (wOff + 8 <= e3) {
+            w = (u32be(b, wOff) >> 16).toInt // 16.16 fixed point
+            h = (u32be(b, wOff + 4) >> 16).toInt
+          }
+        },
+      onStblChild = (t6, s6, e6) =>
+        if (t6 == "stsz" && e6 - s6 >= 12) frames = u32be(b, s6 + 8),
+      hasData = () => w > 0)
+    if (claimed)
+      MediaInfo("mp4",
+        if (w > 0) Some(w) else None,
+        if (h > 0) Some(h) else None,
+        None, None, None, durationMs,
+        if (frames >= 0) Some(frames) else None)
+    else MediaInfo("mp4", None, None, None, None, None, durationMs, None)
   }
 
   /** AVI: RIFF container tagged 'AVI '; the `hdrl` LIST's `avih` main
@@ -290,11 +322,16 @@ object Multimodal {
             val total = u32le(b, j + 24)
             val w = u32le(b, j + 40)
             val h = u32le(b, j + 44)
+            // two lying u32-max fields can overflow the Long product:
+            // guard like every other lying-header field, report None
+            val dur =
+              if (uspf > 0 && total > 0 && total <= Long.MaxValue / uspf)
+                Some(uspf * total / 1000L)
+              else None
             return MediaInfo("avi",
               if (w > 0) Some(w.toInt) else None,
               if (h > 0) Some(h.toInt) else None,
-              None, None, None,
-              if (uspf > 0 && total > 0) Some(uspf * total / 1000L) else None,
+              None, None, None, dur,
               Some(total))
           }
           if (csize > Int.MaxValue - 16) return none
@@ -816,6 +853,14 @@ object Multimodal {
     * are dropped (lying tables are data at 100 TB); non-MP4 or
     * table-less payloads return null.
     */
+  /** Hard cap on sample-table length per payload: the uniform-stsz
+    * form carries no table bytes, so a 12-byte header could otherwise
+    * declare a count whose Array allocation OOMs the executor before
+    * any catch fires. 4M frames ≈ 46 h of 24 fps video in one
+    * in-memory payload — anything above is a lying header.
+    */
+  private val maxSamplesPerPayload: Int = 4 * 1024 * 1024
+
   def mp4SampleTable(b: Array[Byte]): Array[FrameRef] = {
     if (b == null || b.length < 12 || ascii(b, 4, 4) != "ftyp") return null
     try {
@@ -823,66 +868,48 @@ object Multimodal {
       var chunkOffs: Array[Long] = null
       var stscRuns: Array[(Int, Int)] = null // (first_chunk 1-based, samples per chunk)
       var sync: java.util.HashSet[Int] = null
-      var trakDone = false
-      walkBoxes(b, 0, b.length) { (tag, s, e) =>
-        if (tag == "moov") walkBoxes(b, s, e) { (t2, s2, e2) =>
-          if (t2 == "trak" && !trakDone) {
-            var handler = ""
-            var tSizes: Array[Int] = null
-            var tOffs: Array[Long] = null
-            var tRuns: Array[(Int, Int)] = null
-            var tSync: java.util.HashSet[Int] = null
-            walkBoxes(b, s2, e2) { (t3, s3, e3) =>
-              if (t3 == "mdia") walkBoxes(b, s3, e3) { (t4, s4, e4) =>
-                if (t4 == "hdlr" && e4 - s4 >= 12) handler = ascii(b, s4 + 8, 4)
-                else if (t4 == "minf") walkBoxes(b, s4, e4) { (t5, s5, e5) =>
-                  if (t5 == "stbl") walkBoxes(b, s5, e5) { (t6, s6, e6) =>
-                    // every entry count is validated against the box's
-                    // own extent before allocating: a lying count must
-                    // not drive an allocation
-                    if (t6 == "stsz" && e6 - s6 >= 12) {
-                      val uniform = u32be(b, s6 + 4)
-                      val n = u32be(b, s6 + 8)
-                      if (uniform > 0 && uniform <= Int.MaxValue && n <= ((e6 - s6) * 1024L)) {
-                        // uniform-size form carries no table; bound n
-                        // by the payload (it cannot hold more samples)
-                        val cap = math.min(n, b.length / math.max(uniform, 1L))
-                        tSizes = Array.fill(cap.toInt)(uniform.toInt)
-                      } else if (uniform == 0 && n * 4 <= e6 - s6 - 12)
-                        tSizes = Array.tabulate(n.toInt)(k => u32be(b, s6 + 12 + 4 * k).toInt)
-                    } else if (t6 == "stco" && e6 - s6 >= 8) {
-                      val n = u32be(b, s6 + 4)
-                      if (n * 4 <= e6 - s6 - 8)
-                        tOffs = Array.tabulate(n.toInt)(k => u32be(b, s6 + 8 + 4 * k))
-                    } else if (t6 == "co64" && e6 - s6 >= 8) {
-                      val n = u32be(b, s6 + 4)
-                      if (n * 8 <= e6 - s6 - 8)
-                        tOffs = Array.tabulate(n.toInt)(k => u64be(b, s6 + 8 + 8 * k))
-                    } else if (t6 == "stsc" && e6 - s6 >= 8) {
-                      val n = u32be(b, s6 + 4)
-                      if (n * 12 <= e6 - s6 - 8)
-                        tRuns = Array.tabulate(n.toInt)(k =>
-                          (u32be(b, s6 + 8 + 12 * k).toInt, u32be(b, s6 + 12 + 12 * k).toInt))
-                    } else if (t6 == "stss" && e6 - s6 >= 8) {
-                      val n = u32be(b, s6 + 4)
-                      if (n * 4 <= e6 - s6 - 8) {
-                        tSync = new java.util.HashSet[Int]()
-                        var k = 0
-                        while (k < n) { tSync.add(u32be(b, s6 + 8 + 4 * k).toInt); k += 1 }
-                      }
-                    }
-                  }
-                }
-              }
-            }
-            if (handler == "vide" || (handler != "soun" && tSizes != null)) {
-              trakDone = true
-              sizes = tSizes; chunkOffs = tOffs; stscRuns = tRuns; sync = tSync
+      val claimed = visitVideoTrak(b)(
+        begin = () => { sizes = null; chunkOffs = null; stscRuns = null; sync = null },
+        onTkhd = (_, _) => (),
+        onStblChild = (t6, s6, e6) => {
+          // every entry count is validated against the box's own
+          // extent (and the global sample cap) before allocating: a
+          // lying count must not drive an allocation
+          if (t6 == "stsz" && e6 - s6 >= 12) {
+            val uniform = u32be(b, s6 + 4)
+            val n = u32be(b, s6 + 8)
+            if (uniform > 0 && uniform <= Int.MaxValue) {
+              // uniform-size form carries no table; bound n by the
+              // payload (it cannot hold more samples) AND the cap
+              val cap = math.min(math.min(n, b.length / math.max(uniform, 1L)),
+                maxSamplesPerPayload.toLong)
+              sizes = Array.fill(cap.toInt)(uniform.toInt)
+            } else if (uniform == 0 && n * 4 <= e6 - s6 - 12 && n <= maxSamplesPerPayload)
+              sizes = Array.tabulate(n.toInt)(k => u32be(b, s6 + 12 + 4 * k).toInt)
+          } else if (t6 == "stco" && e6 - s6 >= 8) {
+            val n = u32be(b, s6 + 4)
+            if (n * 4 <= e6 - s6 - 8)
+              chunkOffs = Array.tabulate(n.toInt)(k => u32be(b, s6 + 8 + 4 * k))
+          } else if (t6 == "co64" && e6 - s6 >= 8) {
+            val n = u32be(b, s6 + 4)
+            if (n * 8 <= e6 - s6 - 8)
+              chunkOffs = Array.tabulate(n.toInt)(k => u64be(b, s6 + 8 + 8 * k))
+          } else if (t6 == "stsc" && e6 - s6 >= 8) {
+            val n = u32be(b, s6 + 4)
+            if (n * 12 <= e6 - s6 - 8)
+              stscRuns = Array.tabulate(n.toInt)(k =>
+                (u32be(b, s6 + 8 + 12 * k).toInt, u32be(b, s6 + 12 + 12 * k).toInt))
+          } else if (t6 == "stss" && e6 - s6 >= 8) {
+            val n = u32be(b, s6 + 4)
+            if (n * 4 <= e6 - s6 - 8) {
+              sync = new java.util.HashSet[Int]()
+              var k = 0
+              while (k < n) { sync.add(u32be(b, s6 + 8 + 4 * k).toInt); k += 1 }
             }
           }
-        }
-      }
-      if (sizes == null || chunkOffs == null || stscRuns == null ||
+        },
+        hasData = () => sizes != null)
+      if (!claimed || sizes == null || chunkOffs == null || stscRuns == null ||
           sizes.isEmpty || chunkOffs.isEmpty || stscRuns.isEmpty) return null
       val out = Array.newBuilder[FrameRef]
       var sample = 0

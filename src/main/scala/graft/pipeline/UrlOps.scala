@@ -66,13 +66,20 @@ object UrlOps {
     * "earliest crawl wins" rule; pass a different preference column
     * for recency-wins). One hash-aggregate shuffle keyed on the
     * canonical string, the [[Dedup.dedupExact]] shape.
+    *
+    * Rows whose url column is NULL pass through untouched: a missing
+    * URL is the absence of a key, not a shared key — grouping nulls
+    * together would silently collapse every url-less document into
+    * one survivor.
     */
   def dedupByUrl(df: DataFrame, urlCol: String, idCol: String): DataFrame = {
     val withCanon = withCanonicalUrl(df, urlCol)
-    val keepers = withCanon
+    val keyed = withCanon.where(col("url_canon").isNotNull)
+    val keepers = keyed
       .groupBy(col("url_canon"))
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
-    withCanon.join(keepers, Seq(idCol), "left_semi")
+    keyed.join(keepers, Seq(idCol), "left_semi")
+      .unionByName(withCanon.where(col("url_canon").isNull))
   }
 }

@@ -28,7 +28,8 @@ object WebIngest {
     if (b == null || b.length < 18 || (b(0) & 0xff) != 0x1f || (b(1) & 0xff) != 0x8b) return null
     try {
       val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(b))
-      val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 20))
+      // long arithmetic: b.length * 4 overflows Int past 512 MiB
+      val out = new java.io.ByteArrayOutputStream(math.min(b.length.toLong * 4, 1L << 20).toInt)
       val buf = new Array[Byte](64 * 1024)
       var n = in.read(buf)
       while (n >= 0) {
@@ -131,11 +132,16 @@ object WebIngest {
             val line = new String(b, lineStart, eol - lineStart, "ISO-8859-1")
             val colon = line.indexOf(':')
             if (colon > 0) {
-              val name = line.substring(0, colon).trim.toLowerCase
+              // Locale.ROOT: the default locale's casing rules (e.g.
+              // Turkish dotless i) must not change header matching
+              val name = line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
               val value = line.substring(colon + 1).trim
               if (name == "warc-type") warcType = value
               else if (name == "warc-target-uri") uri = value
-              else if (name == "content-length") len = value.toLong
+              // a malformed length leaves len at -1: this record is
+              // unframeable, and the loop below returns the records
+              // accumulated so far instead of nulling the whole file
+              else if (name == "content-length") len = value.toLongOption.getOrElse(-1L)
             }
             lineStart = eol + 2
           }
@@ -151,7 +157,6 @@ object WebIngest {
       }
       result(out)
     } catch {
-      case _: NumberFormatException => null
       case _: IndexOutOfBoundsException => null
     }
   }

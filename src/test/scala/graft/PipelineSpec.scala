@@ -869,6 +869,13 @@ class PipelineSpec extends SparkSuite {
       assert(r == null || r.forall(x => x.body_offset + x.content_length <= cut))
     }
     assert(WebIngest.warcSplit("HTTP/1.1 200 OK\r\n\r\n".getBytes("US-ASCII")) == null)
+    // a malformed Content-Length ends parsing but KEEPS the earlier
+    // well-formed records (review finding: .toLong threw and nulled
+    // the whole file)
+    val broken = (new String(pl, "ISO-8859-1") +
+      "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: notanumber\r\n\r\n")
+      .getBytes("ISO-8859-1")
+    assert(WebIngest.warcSplit(broken).length == recs.length)
   }
 
   test("htmlToText: script/style/comment blocks, entity decode, whitespace collapse") {
@@ -915,6 +922,12 @@ class PipelineSpec extends SparkSuite {
     val df = (0L until 500L).map(i => (i, UrlFixture.messyUrl(i))).toDF("id", "url")
     val kept = UrlOps.dedupByUrl(df, "url", "id").select("id").collect().map(_.getLong(0)).toSet
     assert(kept == (0L until 100L).toSet)
+    // null urls are the ABSENCE of a key: url-less rows all pass
+    // through (review finding: the null group collapsed them to one)
+    val withNulls = Seq((1L, null: String), (2L, null: String), (3L, "http://a.com/x"))
+      .toDF("id", "url")
+    assert(UrlOps.dedupByUrl(withNulls, "url", "id").select("id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
   }
 
   test("video containers: MP4 and AVI metadata from real box walks") {
@@ -958,6 +971,26 @@ class PipelineSpec extends SparkSuite {
       val m = Multimodal.parseMediaHeader(pl.take(cut))
       assert(Set("unknown", "mp4", "avi")(m.format))
     }
+    // an avih whose u32-max uspf * frames would overflow the Long
+    // product reports duration None, not a wrapped negative number
+    val hugeAvi = {
+      val out = new java.io.ByteArrayOutputStream
+      def le32(v: Long): Unit = for (s <- 0 to 24 by 8) out.write(((v >> s) & 0xff).toInt)
+      out.write("RIFF".getBytes("US-ASCII")); le32(4 + 8 + 4 + 8 + 56)
+      out.write("AVI ".getBytes("US-ASCII"))
+      out.write("LIST".getBytes("US-ASCII")); le32(4 + 8 + 56)
+      out.write("hdrl".getBytes("US-ASCII"))
+      out.write("avih".getBytes("US-ASCII")); le32(56)
+      le32(0xffffffffL) // dwMicroSecPerFrame = u32 max
+      le32(0); le32(0); le32(0)
+      le32(0xffffffffL) // dwTotalFrames = u32 max
+      le32(0); le32(1); le32(0)
+      le32(640); le32(480)
+      for (_ <- 0 until 4) le32(0)
+      out.toByteArray
+    }
+    val ha = Multimodal.parseMediaHeader(hugeAvi)
+    assert(ha.format == "avi" && ha.duration_ms.isEmpty && ha.n_frames.contains(0xffffffffL))
   }
 
   test("mp4SampleTable: real stsc/stsz/stco/stss composition into frame ranges") {
