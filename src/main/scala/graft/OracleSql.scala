@@ -1115,6 +1115,18 @@ SELECT i AS id, dim,
 round(CAST(CAST(sum(inten) / (765.0 * count(*)) AS FLOAT) AS DOUBLE), 6) AS value
 FROM v GROUP BY i, dim""",
 
+    // linear-classifier inference mirroring TextAnalysis
+    // .scoreLinearModel: the dsir gram/bucket machinery (unigrams +
+    // bigrams, md5-uint32 buckets), the closed-form weight vector
+    // w[b] = ((b*37 + 11) % 201 - 100)/100, bias 0.1, sigmoid
+    "q_quality_model" ->
+      s"""WITH gr AS (SELECT doc_id, unnest(list_concat(ws, list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]))) AS g
+FROM (SELECT doc_id, list_filter($wordsSql, w -> w <> '') AS ws FROM documents) t),
+db AS (SELECT doc_id, CAST(('0x' || substring(md5(g), 1, 8))::BIGINT % 64 AS INT) AS b, count(*) AS c FROM gr GROUP BY 1, 2),
+sc AS (SELECT doc_id, sum(c * (((b * 37 + 11) % 201 - 100) / 100.0)) AS s FROM db GROUP BY 1)
+SELECT d.doc_id, round(1.0 / (1.0 + exp(-(0.1 + coalesce(sc.s, 0.0)))), 6) AS score
+FROM documents d LEFT JOIN sc USING (doc_id)""",
+
     // expected EXTRACTED text of the HTML fixtures (WebFixture
     // .htmlPayload): title twice (title tag + h1), then the
     // paragraphs with their entity decoded and inline tags spaced out

@@ -764,6 +764,15 @@ object SparkEntry {
       val df = s.range(0, 200).select(col("id"), gen(col("id")).as("payload"))
       WebIngest.warcRecords(df, "id", "payload")
     }),
+    "q_quality_model" -> ((s, dir) => {
+      // fastText-style linear classifier inference: a deterministic
+      // "trained" weight vector over 64 hashed n-gram buckets,
+      // broadcast into the plan; the oracle refits nothing — it
+      // replays the same buckets, weights and sigmoid
+      val d = t(s, dir, "documents")
+      val weights = Array.tabulate(64)(b => ((b * 37 + 11) % 201 - 100) / 100.0)
+      TextAnalysis.scoreLinearModel(d, "doc_id", "text", weights, bias = 0.1)
+    }),
     "q_html_text" -> ((s, dir) => {
       // HTML -> visible text: style/script/comment blocks dropped
       // whole (the script body even contains < and > operators),

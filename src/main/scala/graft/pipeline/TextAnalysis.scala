@@ -569,4 +569,64 @@ object TextAnalysis {
           col("alpha_frac") >= 0.8 &&
           col("n_stop") >= 2).cast("int"))
   }
+
+  /** Linear text-classifier INFERENCE over hashed n-gram features —
+    * the fastText-style quality/domain classifier a pipeline trains
+    * offline and applies to the whole corpus (the pattern behind the
+    * CCNet/"Wikipedia-like" quality filters). Features are the
+    * unigram+bigram md5 buckets [[Sampling.dsirLogWeights]] uses
+    * (uint32 of the first 8 md5 hex chars mod `weights.length` —
+    * engine-portable); the score is
+    *
+    *   sigmoid(bias + sum over grams g of weights(bucket(g)))
+    *
+    * counting each occurrence (bag-of-buckets, count-weighted like
+    * DSIR). The model rides into the plan as a broadcast literal
+    * table of `weights.length` rows; scoring is one map-side-combined
+    * (doc, bucket) hash agg + a broadcast join + one per-doc agg — no
+    * model server, no driver collect, scan-bound at 100 TB. Empty or
+    * null documents score sigmoid(bias). Scores round to
+    * `scoreDecimals` so the distributed sum's ulp-level order
+    * sensitivity cannot flip a hash compare.
+    */
+  def scoreLinearModel(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      weights: Seq[Double],
+      bias: Double,
+      scoreDecimals: Int = 6
+  ): DataFrame = {
+    val buckets = weights.length
+    require(buckets > 0, "weights must be non-empty")
+    val s = df.sparkSession
+    import scala.jdk.CollectionConverters._
+    val wTable = broadcast(s.createDataFrame(
+      weights.zipWithIndex.map { case (w, b) =>
+        org.apache.spark.sql.Row(b, w)
+      }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__b__", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("__w__", org.apache.spark.sql.types.DoubleType)))))
+    val grams = df
+      .select(col(idCol).as("__id__"),
+        array_remove(Dedup.splitWords(col(textCol)), "").as("__ws__"))
+      .select(col("__id__"),
+        concat(col("__ws__"), Dedup.shinglesFromWordsUdf(2)(col("__ws__"))).as("__gs__"))
+      .select(col("__id__"), explode(col("__gs__")).as("__g__"))
+    val docBuckets = grams
+      .select(col("__id__"),
+        (conv(substring(md5(col("__g__")), 1, 8), 16, 10).cast("long") % buckets).cast("int").as("__b__"))
+      .groupBy(col("__id__"), col("__b__"))
+      .agg(count(lit(1)).as("__c__"))
+    val docScore = docBuckets
+      .join(wTable, Seq("__b__"))
+      .groupBy(col("__id__"))
+      .agg(sum(col("__c__") * col("__w__")).as("__s__"))
+    df.select(col(idCol))
+      .join(docScore, df(idCol) === docScore("__id__"), "left")
+      .select(col(idCol),
+        round(lit(1.0) / (lit(1.0) + exp(-(lit(bias) + coalesce(col("__s__"), lit(0.0))))),
+          scoreDecimals).as("score"))
+  }
 }

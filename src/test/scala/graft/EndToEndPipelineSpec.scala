@@ -76,4 +76,41 @@ class EndToEndPipelineSpec extends SparkSuite {
     // 6. nothing stays cached once the per-query cleanups run
     SparkEntry.runPendingCleanups()
   }
+
+  test("crawl ingest chain composes: WARC -> records -> HTML -> text -> URL dedup") {
+    val s = spark; import s.implicits._
+    import graft.pipeline.{UrlOps, WebIngest}
+    import graft.testing.WebFixture
+    // WARC files whose response bodies are the HTML fixtures — the
+    // chain a real crawl ingest runs, stitched from this round's
+    // operators (html bytes in place of the byte-filler bodies)
+    val files = (0L until 40L).map { i =>
+      val html = WebFixture.htmlPayload(i).getBytes("UTF-8")
+      val uri = graft.testing.UrlFixture.messyUrl(i)
+      val rec = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Target-URI: $uri\r\nContent-Length: ${html.length}\r\n\r\n").getBytes("US-ASCII") ++
+        html ++ "\r\n\r\n".getBytes("US-ASCII")
+      (i, rec)
+    }.toDF("file_id", "payload")
+    // 1. split records; every file contributes its one response
+    val records = WebIngest.warcRecords(files, "file_id", "payload")
+    assert(records.count() == 40)
+    assert(records.where(col("warc_type") === "response").count() == 40)
+    // 2. body bytes -> HTML -> visible text (slice by the record's
+    //    range, the same pattern the digest column uses)
+    val splitUdf = udf((b: Array[Byte]) => WebIngest.warcSplit(b).map(r =>
+      new String(b, r.body_offset.toInt, r.content_length.toInt, "UTF-8")))
+    val bodies = files.select(col("file_id"), explode(splitUdf(col("payload"))).as("html"))
+    val texts = WebIngest.withHtmlText(bodies, "html").select(col("file_id"), col("text"))
+    val t0 = texts.where(col("text").contains("Paragraph 0")).count()
+    assert(t0 == 40, s"every page yields its first paragraph, got $t0")
+    assert(texts.where(col("text").contains("<") || col("text").contains("var x")).count() == 0)
+    // 3. URL dedup on the records' target URIs: ids 0..39 share
+    //    canonical classes with period 100 -> all distinct here, but
+    //    the canonicalizer still normalizes every messy variant
+    val withUri = records.select(col("file_id"), col("target_uri"))
+    val deduped = UrlOps.dedupByUrl(withUri, "target_uri", "file_id")
+    assert(deduped.count() == 40)
+    assert(deduped.where(col("url_canon").startsWith("http://host")).count() == 40)
+  }
 }

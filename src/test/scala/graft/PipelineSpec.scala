@@ -827,6 +827,28 @@ class PipelineSpec extends SparkSuite {
     assert(Multimodal.parseMediaHeader(hugeWav).format == "unknown")
   }
 
+  test("scoreLinearModel: hand-computed score, empty/null docs score sigmoid(bias)") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "alpha beta"), (2L, ""), (3L, null: String)).toDF("doc_id", "text")
+    val w = Array.tabulate(8)(b => (b - 4) / 4.0)
+    val out = TextAnalysis.scoreLinearModel(df, "doc_id", "text", w, bias = 0.25)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sigmoidBias = 1.0 / (1.0 + math.exp(-0.25))
+    assert(math.abs(out(2L) - sigmoidBias) < 1e-6)
+    assert(math.abs(out(3L) - sigmoidBias) < 1e-6)
+    // doc 1's grams are alpha, beta, "alpha beta": recompute the
+    // buckets + sigmoid independently
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(g: String): Int = {
+      val hex = md.digest(g.getBytes("UTF-8")).take(4).map(b => f"${b & 0xff}%02x").mkString
+      (java.lang.Long.parseLong(hex, 16) % 8).toInt
+    }
+    val sSum = Seq("alpha", "beta", "alpha beta").map(g => w(bucket(g))).sum
+    val want = BigDecimal(1.0 / (1.0 + math.exp(-(0.25 + sSum))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(out(1L) - want) < 1e-9, s"got ${out(1L)}, want $want")
+  }
+
   test("gunzip: real decode, multi-member streams, corrupt input never throws") {
     import graft.pipeline.WebIngest
     import graft.testing.WebFixture
