@@ -1115,6 +1115,13 @@ SELECT i AS id, dim,
 round(CAST(CAST(sum(inten) / (765.0 * count(*)) AS FLOAT) AS DOUBLE), 6) AS value
 FROM v GROUP BY i, dim""",
 
+    // closed-form final BPE token counts of the TokenFixture texts:
+    // hello->1, helz->2, xyz->2, abc->3 under the fixture merges
+    "q_bpe_count" ->
+      """SELECT i AS id,
+CAST((1 + i % 4) + (i % 3) * 2 + (1 + i % 5) * 2 + (i % 2) * 3 AS BIGINT) AS n_bpe
+FROM range(0, 400) t(i)""",
+
     // linear-classifier inference mirroring TextAnalysis
     // .scoreLinearModel: the dsir gram/bucket machinery (unigrams +
     // bigrams, md5-uint32 buckets), the closed-form weight vector

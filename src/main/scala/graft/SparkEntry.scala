@@ -764,6 +764,14 @@ object SparkEntry {
       val df = s.range(0, 200).select(col("id"), gen(col("id")).as("payload"))
       WebIngest.warcRecords(df, "id", "payload")
     }),
+    "q_bpe_count" -> ((s, dir) => {
+      // real greedy BPE under a fixture merge table: the engine runs
+      // the merge loop, the oracle emits the closed-form final count
+      val gen = udf((i: Long) => graft.testing.TokenFixture.text(i))
+      val df = s.range(0, 400).select(col("id"), gen(col("id")).as("text"))
+      TextAnalysis.withBpeTokenCount(df, "text", graft.testing.TokenFixture.merges)
+        .select("id", "n_bpe")
+    }),
     "q_quality_model" -> ((s, dir) => {
       // fastText-style linear classifier inference: a deterministic
       // "trained" weight vector over 64 hashed n-gram buckets,

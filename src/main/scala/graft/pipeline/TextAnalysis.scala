@@ -570,6 +570,55 @@ object TextAnalysis {
           col("n_stop") >= 2).cast("int"))
   }
 
+  /** REAL byte-pair-encoding tokenization under a trained merge
+    * table — token counts that match the tokenizer a model will
+    * actually use, where [[tokenCount]] / [[regexTokenCount]] are
+    * estimates. `merges` is the ordered merge list (position =
+    * priority, lower merges first — the artifact BPE training
+    * produces); each whitespace word starts as its character
+    * sequence and the lowest-rank adjacent pair merges repeatedly
+    * until none applies (greedy BPE, Sennrich et al. 2016; leftmost
+    * wins rank ties, the reference-implementation rule). The rank
+    * table travels in the UDF closure (broadcast with the task
+    * binary, like the LSH plane matrices) — per-row work, no
+    * shuffle, no vocab service. Null text -> null.
+    */
+  def bpeTokensUdf(merges: Seq[(String, String)]): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val rank = merges.zipWithIndex.map { case ((a, b), r) => (a, b) -> r }.toMap
+    udf { (text: String) =>
+      if (text == null) null
+      else text.split("\\s+").filter(_.nonEmpty).flatMap { w =>
+        val toks = scala.collection.mutable.ArrayBuffer[String](w.map(_.toString): _*)
+        var done = toks.length < 2
+        while (!done) {
+          var best = -1
+          var bestRank = Int.MaxValue
+          var i = 0
+          while (i < toks.length - 1) {
+            val r = rank.getOrElse((toks(i), toks(i + 1)), Int.MaxValue)
+            if (r < bestRank) { bestRank = r; best = i }
+            i += 1
+          }
+          if (best < 0) done = true
+          else {
+            toks(best) = toks(best) + toks(best + 1)
+            toks.remove(best + 1)
+            done = toks.length < 2
+          }
+        }
+        toks
+      }
+    }
+  }
+
+  /** Attach `n_bpe`: the document's token count under the trained
+    * merge table — the number sequence packing should budget with.
+    */
+  def withBpeTokenCount(df: DataFrame, textCol: String,
+                        merges: Seq[(String, String)]): DataFrame =
+    df.withColumn("n_bpe",
+      coalesce(size(bpeTokensUdf(merges)(col(textCol))), lit(0)).cast("long"))
+
   /** Linear text-classifier INFERENCE over hashed n-gram features —
     * the fastText-style quality/domain classifier a pipeline trains
     * offline and applies to the whole corpus (the pattern behind the

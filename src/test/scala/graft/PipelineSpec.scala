@@ -827,6 +827,33 @@ class PipelineSpec extends SparkSuite {
     assert(Multimodal.parseMediaHeader(hugeWav).format == "unknown")
   }
 
+  test("bpeTokensUdf: greedy merge order, rank ties leftmost, degenerate inputs") {
+    val s = spark; import s.implicits._
+    val merges = graft.testing.TokenFixture.merges
+    val df = Seq(
+      (1L, "hello"), (2L, "helz"), (3L, "xyz"), (4L, "abc"),
+      (5L, "hello helz xyz"), (6L, ""), (7L, null: String),
+      (8L, "ohell") // same chars, wrong order: o+h never merges
+    ).toDF("id", "text")
+    val out = TextAnalysis.bpeTokensUdf(merges)(col("text"))
+    val got = df.select(col("id"), out.as("toks")).collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[String](1)).map(_.toList)).toMap
+    assert(got(1L).contains(List("hello")))
+    assert(got(2L).contains(List("hel", "z")))
+    assert(got(3L).contains(List("xy", "z")))
+    assert(got(4L).contains(List("a", "b", "c")))
+    assert(got(5L).contains(List("hello", "hel", "z", "xy", "z")))
+    assert(got(6L).contains(Nil))
+    assert(got(7L).isEmpty) // null text -> null tokens
+    // o h e l l: (h,e) merges first -> o he l l -> o hel l -> o hell
+    assert(got(8L).contains(List("o", "hell")))
+    // rank-tie leftmost: with merges ((a,a)) the word "aaa" must
+    // become [aa, a], not [a, aa]
+    val tie = TextAnalysis.bpeTokensUdf(Seq("a" -> "a"))
+    assert(Seq((1L, "aaa")).toDF("id", "text").select(tie(col("text"))).head()
+      .getSeq[String](0).toList == List("aa", "a"))
+  }
+
   test("scoreLinearModel: hand-computed score, empty/null docs score sigmoid(bias)") {
     val s = spark; import s.implicits._
     val df = Seq((1L, "alpha beta"), (2L, ""), (3L, null: String)).toDF("doc_id", "text")

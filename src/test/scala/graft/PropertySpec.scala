@@ -350,4 +350,31 @@ class PropertySpec extends SparkSuite {
       }
     }
   }
+
+  test("urlCanonical is idempotent: canon(canon(u)) == canon(u)") {
+    val s = spark; import s.implicits._
+    import org.scalacheck.Gen
+    // generated URLs spanning the rule space (plus raw garbage, which
+    // passes through trimmed and must also be a fixed point)
+    val urlGen: Gen[String] = for {
+      scheme <- Gen.oneOf("http", "HTTP", "https", "ftp", "")
+      www <- Gen.oneOf("", "www.", "WWW.")
+      host <- Gen.oneOf("Example.com", "a.B.c", "host7.example.COM")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      path <- Gen.oneOf("", "/", "/A/b", "/A/b/", "/x//")
+      query <- Gen.oneOf("", "?b=2&a=1", "?utm_source=x", "?a=1&utm_medium=m&b=2", "?&&a=1")
+      frag <- Gen.oneOf("", "#f", "#a=b")
+      sep <- Gen.oneOf("://", "")
+    } yield if (scheme.isEmpty || sep.isEmpty) s"$host$path$query$frag"
+            else s"$scheme$sep$www$host$port$path$query$frag"
+    forAllSamples(Gen.listOfN(60, urlGen)) { urls =>
+      val df = urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("id", "url")
+      val once = graft.pipeline.UrlOps.withCanonicalUrl(df, "url")
+        .select(col("id"), col("url_canon").as("url"))
+      val twice = graft.pipeline.UrlOps.withCanonicalUrl(once, "url")
+      val bad = twice.where(col("url") =!= col("url_canon"))
+        .select("url", "url_canon").collect()
+      assert(bad.isEmpty, s"not a fixed point: ${bad.take(3).mkString(", ")}")
+    }
+  }
 }
