@@ -1171,6 +1171,28 @@ CASE WHEN r % 2 = 0 THEN 'response' ELSE 'request' END AS warc_type,
 CAST(len AS BIGINT) AS content_length, md5(hexs) AS body_digest
 FROM hx""",
 
+    // the HTTP layer of the WebFixture.warcHttpPayload records:
+    // status/media type by record parity, digest over the closed-form
+    // ENTITY bytes (i*13 + r*11 + k*5 + 7) % 256 of length
+    // 20 + ((i*7 + r*3) % 30) — identical for request records, whose
+    // raw body IS those bytes
+    "q_warc_http" ->
+      """WITH f AS (SELECT i, unnest(range(0, 2 + i % 4)) AS r FROM range(0, 200) t(i)),
+e AS (SELECT i, r, (i*7 + r) % 100 AS n, 20 + ((i*7 + r*3) % 30) AS len FROM f),
+byts AS (SELECT i, r, n, len, unnest(range(0, len)) AS k FROM e),
+hx AS (SELECT i, r, n, len,
+string_agg(substring('0123456789ABCDEF', CAST(((i*13 + r*11 + k*5 + 7) % 256) // 16 + 1 AS INT), 1)
+|| substring('0123456789ABCDEF', CAST(((i*13 + r*11 + k*5 + 7) % 256) % 16 + 1 AS INT), 1), '' ORDER BY k) AS hexs
+FROM byts GROUP BY i, r, n, len)
+SELECT i AS id, CAST(r AS INT) AS rec_idx,
+CASE WHEN r % 2 = 0 THEN 'response' ELSE 'request' END AS warc_type,
+'http://host' || CAST(n % 7 AS VARCHAR) || '.example.com/Doc/' || CAST(n AS VARCHAR)
+|| '?a=' || CAST(n % 13 AS VARCHAR) || '&b=' || CAST(n % 7 AS VARCHAR) AS target_uri,
+CASE WHEN r % 2 = 0 THEN CASE WHEN (r // 2) % 2 = 0 THEN 200 ELSE 404 END END AS status,
+CASE WHEN r % 2 = 0 THEN CASE WHEN (r // 2) % 2 = 0 THEN 'text/html' ELSE 'application/json' END END AS content_type,
+md5(hexs) AS body_digest
+FROM hx""",
+
     // closed form of the URL fixtures' CANONICAL urls (see
     // UrlFixture): the oracle emits the expected answer for every
     // messy variant directly — n = i % 100 keys the content class

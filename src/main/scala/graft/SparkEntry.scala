@@ -790,6 +790,15 @@ object SparkEntry {
       val df = s.range(0, 300).select(col("id"), gen(col("id")).as("html"))
       WebIngest.withHtmlText(df, "html").select("id", "text")
     }),
+    "q_warc_http" -> ((s, dir) => {
+      // the HTTP layer inside WARC response records: status line +
+      // case-insensitive headers parsed for status/media type, digest
+      // over the ENTITY body (requests keep their raw range); the
+      // oracle replays envelopes and inner bytes closed-form
+      val gen = udf((i: Long) => graft.testing.WebFixture.warcHttpPayload(i))
+      val df = s.range(0, 200).select(col("id"), gen(col("id")).as("payload"))
+      WebIngest.warcHttpRecords(df, "id", "payload")
+    }),
     "q_url_canon" -> ((s, dir) => {
       // crawl-style URL canonicalization over closed-form messy
       // fixtures (five messiness variants per canonical class); the

@@ -187,6 +187,98 @@ object WebIngest {
 
   private val warcSplitUdf = udf((payload: Array[Byte]) => warcSplit(payload))
 
+  /** The HTTP envelope inside a WARC response body: status code,
+    * media type (the Content-Type value before any `;charset`
+    * parameter, trimmed + lowercased), and the entity body's byte
+    * range. Null when the range doesn't start with a status line.
+    */
+  case class HttpParts(status: Int, content_type: String, body_offset: Long, body_len: Long)
+
+  /** Parse the HTTP response envelope in b[off, off+len): status
+    * line, case-insensitive headers to the blank line, body = the
+    * rest of the range. Same malformed-input stance as
+    * [[warcSplit]]: null, never a throw.
+    */
+  def httpParse(b: Array[Byte], off: Int, len: Int): HttpParts = {
+    val end = math.min(off.toLong + len, b.length.toLong).toInt
+    if (off < 0 || !asciiAt(b, off, "HTTP/")) return null
+    try {
+      val eol = indexOfCrlf(b, off)
+      if (eol < 0 || eol >= end) return null
+      val statusLine = new String(b, off, eol - off, "ISO-8859-1")
+      val parts = statusLine.split(" ")
+      if (parts.length < 2) return null
+      val status = parts(1).toIntOption.getOrElse(return null)
+      var contentType: String = null
+      var lineStart = eol + 2
+      while (lineStart < end) {
+        val e2 = indexOfCrlf(b, lineStart)
+        if (e2 < 0 || e2 > end) return null
+        if (e2 == lineStart) { // blank line: body follows
+          val bodyOff = lineStart + 2
+          return HttpParts(status, contentType, bodyOff.toLong, math.max(0, end - bodyOff).toLong)
+        }
+        val line = new String(b, lineStart, e2 - lineStart, "ISO-8859-1")
+        val colon = line.indexOf(':')
+        if (colon > 0 &&
+            line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT) == "content-type") {
+          contentType = line.substring(colon + 1).split(";")(0).trim
+            .toLowerCase(java.util.Locale.ROOT)
+        }
+        lineStart = e2 + 2
+      }
+      null // no blank line inside the range: envelope is truncated
+    } catch {
+      case _: IndexOutOfBoundsException => null
+    }
+  }
+
+  private case class WarcHttpRecord(
+      rec_idx: Int,
+      warc_type: String,
+      target_uri: String,
+      status: Option[Int],
+      content_type: Option[String],
+      body_offset: Long,
+      body_len: Long)
+
+  private val warcHttpUdf = udf { (payload: Array[Byte]) =>
+    val recs = warcSplit(payload)
+    if (recs == null) null
+    else recs.map { r =>
+      val http =
+        if (r.warc_type == "response") httpParse(payload, r.body_offset.toInt, r.content_length.toInt)
+        else null
+      if (http != null)
+        WarcHttpRecord(r.rec_idx, r.warc_type, r.target_uri,
+          Some(http.status), Option(http.content_type), http.body_offset, http.body_len)
+      else
+        WarcHttpRecord(r.rec_idx, r.warc_type, r.target_uri,
+          None, None, r.body_offset, r.content_length)
+    }
+  }
+
+  /** [[warcRecords]] plus the HTTP layer: response records'
+    * status + media type, and the digest computed over the HTTP
+    * ENTITY BODY (what the text pipeline actually consumes), not the
+    * raw record body. Non-HTTP or non-response records keep the raw
+    * range. The chain a real crawl ingest runs:
+    * `warcHttpRecords` -> filter status 200 + text/html ->
+    * [[htmlToText]] -> the text operators.
+    */
+  def warcHttpRecords(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    df.select(col(idCol), col(payloadCol).cast("binary").as("__pl__"))
+      .select(col(idCol), col("__pl__"), explode(warcHttpUdf(col("__pl__"))).as("__r__"))
+      .select(
+        col(idCol),
+        col("__r__.rec_idx").as("rec_idx"),
+        col("__r__.warc_type").as("warc_type"),
+        col("__r__.target_uri").as("target_uri"),
+        col("__r__.status").as("status"),
+        col("__r__.content_type").as("content_type"),
+        md5(hex(expr("substring(__pl__, CAST(__r__.body_offset + 1 AS INT), CAST(__r__.body_len AS INT))")))
+          .as("body_digest"))
+
   /** Explode a WARC file payload column into one row per record with
     * its envelope headers and a body digest — md5 over the HEX of the
     * body bytes (the [[Multimodal.videoFrames]] convention: faithful,

@@ -52,6 +52,47 @@ object WebFixture {
       s"<body><!-- comment $i --><h1>Title $i</h1>$paras</body></html>"
   }
 
+  /** HTTP-layer WARC fixture closed forms (mirrored by the
+    * q_warc_http oracle): record structure as [[warcPayload]], but
+    * response records (even r) wrap their body in a real HTTP
+    * envelope — status 200/404 by (r/2) parity, Content-Type
+    * text/html;charset vs application/json — around an inner entity
+    * body of length 20 + ((i*7 + r*3) % 30) (always two digits, so
+    * the envelope length is constant per arm) whose byte k is
+    * (i*13 + r*11 + k*5 + 7) % 256. Request records (odd r) carry the
+    * SAME closed-form bytes raw — so the oracle's digest formula is
+    * one expression for every record.
+    */
+  def httpInnerLen(i: Long, r: Int): Int = (20 + ((i * 7 + r * 3) % 30)).toInt
+  def httpInnerByte(i: Long, r: Int, k: Int): Int = ((i * 13 + r * 11 + k * 5 + 7) % 256).toInt
+
+  def warcHttpPayload(i: Long): Array[Byte] = {
+    val out = new ByteArrayOutputStream
+    for (r <- 0 until warcRecordCount(i)) {
+      val ibl = httpInnerLen(i, r)
+      val inner = Array.tabulate(ibl)(k => httpInnerByte(i, r, k).toByte)
+      val body =
+        if (r % 2 == 0) {
+          val ok = (r / 2) % 2 == 0
+          val status = if (ok) "200 OK" else "404 Not Found"
+          val ctype = if (ok) "text/html; charset=utf-8" else "application/json"
+          (s"HTTP/1.1 $status\r\nContent-Type: $ctype\r\n" +
+            s"Content-Length: $ibl\r\n\r\n").getBytes("US-ASCII") ++ inner
+        } else inner
+      val uri = UrlFixture.canonical((i * 7 + r) % 100)
+      val tpe = if (r % 2 == 0) "response" else "request"
+      val hdr = "WARC/1.0\r\n" +
+        s"WARC-Type: $tpe\r\n" +
+        s"WARC-Target-URI: $uri\r\n" +
+        s"Content-Length: ${body.length}\r\n" +
+        "\r\n"
+      out.write(hdr.getBytes("US-ASCII"))
+      out.write(body)
+      out.write("\r\n\r\n".getBytes("US-ASCII"))
+    }
+    out.toByteArray
+  }
+
   def warcPayload(i: Long): Array[Byte] = {
     val out = new ByteArrayOutputStream
     for (r <- 0 until warcRecordCount(i)) {

@@ -945,6 +945,24 @@ class PipelineSpec extends SparkSuite {
     for (((in, want), g) <- cases.zip(got)) assert(g == want, s"extract($in) = '$g', want '$want'")
   }
 
+  test("httpParse: status line, content-type parameter strip, truncation never throws") {
+    import graft.pipeline.WebIngest
+    val env = "HTTP/1.1 301 Moved\r\nLocation: /x\r\nCONTENT-TYPE: Text/HTML; charset=latin1\r\n\r\nBODY"
+    val b = env.getBytes("ISO-8859-1")
+    val p = WebIngest.httpParse(b, 0, b.length)
+    assert(p.status == 301 && p.content_type == "text/html")
+    assert(new String(b, p.body_offset.toInt, p.body_len.toInt, "US-ASCII") == "BODY")
+    // the envelope cut before its blank line is truncated -> null
+    assert(WebIngest.httpParse(b, 0, env.indexOf("\r\n\r\n")) == null)
+    assert(WebIngest.httpParse("hello there".getBytes("US-ASCII"), 0, 11) == null)
+    val bad = "HTTP/1.1 abc\r\n\r\n".getBytes("US-ASCII")
+    assert(WebIngest.httpParse(bad, 0, bad.length) == null)
+    // headerless response: blank line immediately after the status line
+    val bare = "HTTP/1.0 204 No Content\r\n\r\n".getBytes("US-ASCII")
+    val pb = WebIngest.httpParse(bare, 0, bare.length)
+    assert(pb.status == 204 && pb.content_type == null && pb.body_len == 0)
+  }
+
   test("urlCanonical: port/path/query edge rules and non-URL passthrough") {
     val s = spark; import s.implicits._
     val cases = Seq(
