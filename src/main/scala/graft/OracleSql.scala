@@ -1171,6 +1171,13 @@ CASE WHEN r % 2 = 0 THEN 'response' ELSE 'request' END AS warc_type,
 CAST(len AS BIGINT) AS content_length, md5(hexs) AS body_digest
 FROM hx""",
 
+    // expected dechunked text of the chunked fixtures: the pieces
+    // concatenated in order; truncated rows (i % 10 = 9) decode null
+    "q_dechunk" ->
+      """WITH p AS (SELECT i, unnest(range(0, 2 + i % 4)) AS j FROM range(0, 300) t(i)),
+a AS (SELECT i, string_agg('seg' || CAST(j AS VARCHAR) || '-' || CAST(i AS VARCHAR) || ';', '' ORDER BY j) AS txt FROM p GROUP BY i)
+SELECT i AS id, CASE WHEN i % 10 = 9 THEN NULL ELSE txt END AS text FROM a""",
+
     // the HTTP layer of the WebFixture.warcHttpPayload records:
     // status/media type by record parity, digest over the closed-form
     // ENTITY bytes (i*13 + r*11 + k*5 + 7) % 256 of length

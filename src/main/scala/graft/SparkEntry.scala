@@ -790,6 +790,13 @@ object SparkEntry {
       val df = s.range(0, 300).select(col("id"), gen(col("id")).as("html"))
       WebIngest.withHtmlText(df, "html").select("id", "text")
     }),
+    "q_dechunk" -> ((s, dir) => {
+      // HTTP/1.1 chunked-framing decode: hex sizes, chunk extensions,
+      // trailers; every 10th payload truncates mid-chunk -> null
+      val gen = udf((i: Long) => graft.testing.WebFixture.chunkedPayload(i))
+      val df = s.range(0, 300).select(col("id"), gen(col("id")).as("payload"))
+      WebIngest.withDechunkedText(df, "payload").select("id", "text")
+    }),
     "q_warc_http" -> ((s, dir) => {
       // the HTTP layer inside WARC response records: status line +
       // case-insensitive headers parsed for status/media type, digest

@@ -233,6 +233,48 @@ object WebIngest {
     }
   }
 
+  /** Decode an HTTP/1.1 chunked transfer-encoding body (RFC 9112
+    * §7.1): hex-size line (chunk extensions after `;` ignored) CRLF,
+    * chunk bytes, CRLF — repeated until the zero-size last chunk
+    * (trailers ignored). The OTHER body framing crawls contain
+    * besides Content-Length. Null for malformed framing — sizes that
+    * aren't hex, chunks running past the buffer — never a throw.
+    */
+  def dechunk(b: Array[Byte]): Array[Byte] = {
+    if (b == null || b.length == 0) return null
+    try {
+      val out = new java.io.ByteArrayOutputStream
+      var i = 0
+      while (true) {
+        val eol = indexOfCrlf(b, i)
+        if (eol < 0) return null
+        val line = new String(b, i, eol - i, "ISO-8859-1")
+        val sizeStr = line.split(";")(0).trim
+        if (sizeStr.isEmpty || !sizeStr.forall(c => Character.digit(c, 16) >= 0)) return null
+        val size = java.lang.Long.parseLong(sizeStr, 16)
+        if (size == 0) return out.toByteArray // trailers ignored
+        if (size > maxInflatedBytes - out.size()) return null
+        val dataStart = eol + 2
+        if (dataStart + size + 2 > b.length) return null
+        out.write(b, dataStart, size.toInt)
+        if (b(dataStart + size.toInt) != '\r' || b(dataStart + size.toInt + 1) != '\n') return null
+        i = dataStart + size.toInt + 2
+      }
+      null // unreachable
+    } catch {
+      case _: NumberFormatException => null
+      case _: IndexOutOfBoundsException => null
+    }
+  }
+
+  private val dechunkUdf = udf((payload: Array[Byte]) => dechunk(payload))
+
+  /** Attach `text` decoded from a chunked-transfer-encoded body
+    * column (UTF-8 with replacement). Malformed framing -> null.
+    */
+  def withDechunkedText(df: DataFrame, payloadCol: String): DataFrame =
+    df.withColumn("text", dechunkUdf(col(payloadCol).cast("binary")).cast("string"))
+
   private case class WarcHttpRecord(
       rec_idx: Int,
       warc_type: String,

@@ -25,6 +25,31 @@ object WebFixture {
     if (i % 10 == 9) java.util.Arrays.copyOfRange(b, 0, math.min(12, b.length)) else b
   }
 
+  /** Chunked transfer-encoding fixture (mirrored by the q_dechunk
+    * oracle): piece j of row i is "seg{j}-{i};", one chunk per piece
+    * (lowercase hex sizes; the first chunk carries a chunk extension
+    * the decoder must ignore), zero-chunk terminator with a trailer
+    * line. Every 10th row truncates mid-chunk and must decode null.
+    */
+  def chunkedPieceCount(i: Long): Int = (2 + i % 4).toInt
+
+  def chunkedText(i: Long): String =
+    (0 until chunkedPieceCount(i)).map(j => s"seg$j-$i;").mkString
+
+  def chunkedPayload(i: Long): Array[Byte] = {
+    val out = new ByteArrayOutputStream
+    for (j <- 0 until chunkedPieceCount(i)) {
+      val piece = s"seg$j-$i;".getBytes("US-ASCII")
+      val ext = if (j == 0) ";x=1" else ""
+      out.write(s"${piece.length.toHexString}$ext\r\n".getBytes("US-ASCII"))
+      out.write(piece)
+      out.write("\r\n".getBytes("US-ASCII"))
+    }
+    out.write("0\r\nX-Trailer: t\r\n\r\n".getBytes("US-ASCII"))
+    val b = out.toByteArray
+    if (i % 10 == 9) java.util.Arrays.copyOfRange(b, 0, b.length / 2) else b
+  }
+
   /** WARC fixture closed forms (mirrored by the q_warc oracle):
     * nRec = 2 + i%4 records; record r has type response/request by
     * parity, target URI = [[UrlFixture.canonical]]((i*7 + r) % 100),

@@ -945,6 +945,30 @@ class PipelineSpec extends SparkSuite {
     for (((in, want), g) <- cases.zip(got)) assert(g == want, s"extract($in) = '$g', want '$want'")
   }
 
+  test("dechunk: hex sizes, extensions, trailers, malformed framing never throws") {
+    import graft.pipeline.WebIngest
+    import graft.testing.WebFixture
+    assert(new String(WebIngest.dechunk(WebFixture.chunkedPayload(3)), "US-ASCII") ==
+      WebFixture.chunkedText(3))
+    assert(WebIngest.dechunk(WebFixture.chunkedPayload(9)) == null) // truncated fixture row
+    assert(WebIngest.dechunk(null) == null)
+    assert(WebIngest.dechunk("not chunked".getBytes("US-ASCII")) == null)
+    // missing CRLF after a chunk's data is malformed, not recoverable
+    assert(WebIngest.dechunk("3\r\nabcXX0\r\n\r\n".getBytes("US-ASCII")) == null)
+    // uppercase hex sizes are valid per RFC 9112
+    assert(new String(WebIngest.dechunk("A\r\n0123456789\r\n0\r\n\r\n".getBytes("US-ASCII")),
+      "US-ASCII") == "0123456789")
+    // prefix fuzz: a cut before the zero-size line is malformed ->
+    // null; a cut at/after it is a COMPLETE stream (trailers are
+    // optional) and must decode to the full text — never a throw,
+    // never a partial result
+    val pl = WebFixture.chunkedPayload(7)
+    for (cut <- 0 until pl.length) {
+      val r = WebIngest.dechunk(java.util.Arrays.copyOfRange(pl, 0, cut))
+      assert(r == null || new String(r, "US-ASCII") == WebFixture.chunkedText(7))
+    }
+  }
+
   test("httpParse: status line, content-type parameter strip, truncation never throws") {
     import graft.pipeline.WebIngest
     val env = "HTTP/1.1 301 Moved\r\nLocation: /x\r\nCONTENT-TYPE: Text/HTML; charset=latin1\r\n\r\nBODY"
