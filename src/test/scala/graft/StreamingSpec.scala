@@ -64,6 +64,33 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("crawl ingest operators (URL canon, HTML text, BPE count, quality score UDFs) stream") {
+    // the round-8 ingest surface is per-row work (expressions + scalar
+    // UDFs), so the SAME code must run over readStream unchanged —
+    // live ingestion of a crawl feed is the deployment shape
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val df = input.toDF().toDF("id", "url", "html")
+    val out = graft.pipeline.UrlOps.withCanonicalUrl(
+      graft.pipeline.WebIngest.withHtmlText(df, "html"), "url")
+      .withColumn("n_bpe", size(graft.pipeline.TextAnalysis.bpeTokensUdf(
+        graft.testing.TokenFixture.merges)(col("text"))))
+      .select("id", "url_canon", "text", "n_bpe")
+    val q = out.writeStream.format("memory").queryName("ingest_stream").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "HTTP://Example.com:80/A?b=2&a=1#f", "<p>hello</p><script>x<1</script>"),
+        (2L, "http://www.example.com/A?a=1&b=2", "xyz abc"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT id, url_canon, text, n_bpe FROM ingest_stream").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3))).toSet
+      assert(rows == Set(
+        (1L, "http://example.com/A?a=1&b=2", "hello", 1),
+        (2L, "http://example.com/A?a=1&b=2", "xyz abc", 5)))
+    } finally q.stop()
+  }
+
   test("sessionize splits on inactivity gaps (batch parity)") {
     val s = spark; import s.implicits._
     val events = Seq(
