@@ -250,16 +250,10 @@ object Sampling {
       buckets: Int = 256
   ): (DataFrame, () => Unit) = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    // unigrams ++ bigrams from ONE materialized word array per doc
-    // (same staging rationale as Dedup.shingleFrame: an inline split
-    // would re-run the regex once per consumer)
-    def withGrams(df: DataFrame): DataFrame = df
-      .select(col(idCol).as("__id__"),
-        array_remove(Dedup.splitWords(col(textCol)), "").as("__ws__"))
-      .select(col("__id__"),
-        concat(col("__ws__"), Dedup.shinglesFromWordsUdf(2)(col("__ws__"))).as("__gs__"))
-    def bucketOf(g: Column): Column =
-      (conv(substring(md5(g), 1, 8), 16, 10).cast("long") % buckets).cast("int")
+    // the shared hashed-n-gram feature space (one definition for DSIR
+    // and the linear classifier — see Features)
+    def withGrams(df: DataFrame): DataFrame = Features.withGrams(df, idCol, textCol)
+    def bucketOf(g: Column): Column = Features.bucketOf(g, buckets)
     // ONE tokenize pass over the raw corpus: per-(doc, bucket) gram
     // counts, shared by the model aggregation and the scoring join
     val rawDocBuckets = withGrams(raw)

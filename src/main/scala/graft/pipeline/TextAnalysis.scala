@@ -584,7 +584,10 @@ object TextAnalysis {
     * shuffle, no vocab service. Null text -> null.
     */
   def bpeTokensUdf(merges: Seq[(String, String)]): org.apache.spark.sql.expressions.UserDefinedFunction = {
-    val rank = merges.zipWithIndex.map { case ((a, b), r) => (a, b) -> r }.toMap
+    // reversed before toMap so a duplicated pair keeps its FIRST
+    // (lowest) rank — the reference rule; last-wins would silently
+    // shift merge priorities on a merge table with an accidental dup
+    val rank = merges.zipWithIndex.reverse.map { case ((a, b), r) => (a, b) -> r }.toMap
     udf { (text: String) =>
       if (text == null) null
       else text.split("\\s+").filter(_.nonEmpty).flatMap { w =>
@@ -657,15 +660,10 @@ object TextAnalysis {
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("__b__", org.apache.spark.sql.types.IntegerType),
         org.apache.spark.sql.types.StructField("__w__", org.apache.spark.sql.types.DoubleType)))))
-    val grams = df
-      .select(col(idCol).as("__id__"),
-        array_remove(Dedup.splitWords(col(textCol)), "").as("__ws__"))
-      .select(col("__id__"),
-        concat(col("__ws__"), Dedup.shinglesFromWordsUdf(2)(col("__ws__"))).as("__gs__"))
+    val grams = Features.withGrams(df, idCol, textCol)
       .select(col("__id__"), explode(col("__gs__")).as("__g__"))
     val docBuckets = grams
-      .select(col("__id__"),
-        (conv(substring(md5(col("__g__")), 1, 8), 16, 10).cast("long") % buckets).cast("int").as("__b__"))
+      .select(col("__id__"), Features.bucketOf(col("__g__"), buckets).as("__b__"))
       .groupBy(col("__id__"), col("__b__"))
       .agg(count(lit(1)).as("__c__"))
     val docScore = docBuckets

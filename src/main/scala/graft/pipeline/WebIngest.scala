@@ -187,6 +187,14 @@ object WebIngest {
 
   private val warcSplitUdf = udf((payload: Array[Byte]) => warcSplit(payload))
 
+  /** The one digest convention for exploded byte ranges (md5 over the
+    * UPPERCASE hex of `__pl__[off, off+len)`, computed by codegen'd
+    * builtins) — shared by [[warcRecords]] and [[warcHttpRecords]] so
+    * the convention cannot drift between them.
+    */
+  private def rangeDigest(offExpr: String, lenExpr: String): Column =
+    md5(hex(expr(s"substring(__pl__, CAST($offExpr + 1 AS INT), CAST($lenExpr AS INT))")))
+
   /** The HTTP envelope inside a WARC response body: status code,
     * media type (the Content-Type value before any `;charset`
     * parameter, trimmed + lowercased), and the entity body's byte
@@ -203,8 +211,12 @@ object WebIngest {
     val end = math.min(off.toLong + len, b.length.toLong).toInt
     if (off < 0 || !asciiAt(b, off, "HTTP/")) return null
     try {
+      // every line's CRLF must lie INSIDE the declared range: a pair
+      // found straddling `end` belongs to the bytes after the
+      // envelope, and treating it as ours parses truncated envelopes
+      // as complete ones
       val eol = indexOfCrlf(b, off)
-      if (eol < 0 || eol >= end) return null
+      if (eol < 0 || eol + 2 > end) return null
       val statusLine = new String(b, off, eol - off, "ISO-8859-1")
       val parts = statusLine.split(" ")
       if (parts.length < 2) return null
@@ -213,7 +225,7 @@ object WebIngest {
       var lineStart = eol + 2
       while (lineStart < end) {
         val e2 = indexOfCrlf(b, lineStart)
-        if (e2 < 0 || e2 > end) return null
+        if (e2 < 0 || e2 + 2 > end) return null
         if (e2 == lineStart) { // blank line: body follows
           val bodyOff = lineStart + 2
           return HttpParts(status, contentType, bodyOff.toLong, math.max(0, end - bodyOff).toLong)
@@ -222,8 +234,13 @@ object WebIngest {
         val colon = line.indexOf(':')
         if (colon > 0 &&
             line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT) == "content-type") {
-          contentType = line.substring(colon + 1).split(";")(0).trim
-            .toLowerCase(java.util.Locale.ROOT)
+          // manual ';' slice: a value of ONLY semicolons makes
+          // String.split return an EMPTY array, and (0) would abort
+          // the whole parse through the catch below
+          val value = line.substring(colon + 1)
+          val semi = value.indexOf(';')
+          contentType = (if (semi >= 0) value.substring(0, semi) else value)
+            .trim.toLowerCase(java.util.Locale.ROOT)
         }
         lineStart = e2 + 2
       }
@@ -249,7 +266,9 @@ object WebIngest {
         val eol = indexOfCrlf(b, i)
         if (eol < 0) return null
         val line = new String(b, i, eol - i, "ISO-8859-1")
-        val sizeStr = line.split(";")(0).trim
+        // manual ';' slice (not split): ";".split(";") is an EMPTY array
+        val semi = line.indexOf(';')
+        val sizeStr = (if (semi >= 0) line.substring(0, semi) else line).trim
         if (sizeStr.isEmpty || !sizeStr.forall(c => Character.digit(c, 16) >= 0)) return null
         val size = java.lang.Long.parseLong(sizeStr, 16)
         if (size == 0) return out.toByteArray // trailers ignored
@@ -318,8 +337,7 @@ object WebIngest {
         col("__r__.target_uri").as("target_uri"),
         col("__r__.status").as("status"),
         col("__r__.content_type").as("content_type"),
-        md5(hex(expr("substring(__pl__, CAST(__r__.body_offset + 1 AS INT), CAST(__r__.body_len AS INT))")))
-          .as("body_digest"))
+        rangeDigest("__r__.body_offset", "__r__.body_len").as("body_digest"))
 
   /** Explode a WARC file payload column into one row per record with
     * its envelope headers and a body digest — md5 over the HEX of the
@@ -338,6 +356,5 @@ object WebIngest {
         col("__r__.warc_type").as("warc_type"),
         col("__r__.target_uri").as("target_uri"),
         col("__r__.content_length").as("content_length"),
-        md5(hex(expr("substring(__pl__, CAST(__r__.body_offset + 1 AS INT), CAST(__r__.content_length AS INT))")))
-          .as("body_digest"))
+        rangeDigest("__r__.body_offset", "__r__.content_length").as("body_digest"))
 }

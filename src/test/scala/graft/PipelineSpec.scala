@@ -852,6 +852,11 @@ class PipelineSpec extends SparkSuite {
     val tie = TextAnalysis.bpeTokensUdf(Seq("a" -> "a"))
     assert(Seq((1L, "aaa")).toDF("id", "text").select(tie(col("text"))).head()
       .getSeq[String](0).toList == List("aa", "a"))
+    // a duplicated pair keeps its FIRST rank (review finding: toMap
+    // was last-wins): (b,c) at rank 0 merges before (a,b)
+    val dup = TextAnalysis.bpeTokensUdf(Seq("b" -> "c", "a" -> "b", "b" -> "c"))
+    assert(Seq((1L, "abc")).toDF("id", "text").select(dup(col("text"))).head()
+      .getSeq[String](0).toList == List("a", "bc"))
   }
 
   test("scoreLinearModel: hand-computed score, empty/null docs score sigmoid(bias)") {
@@ -985,6 +990,15 @@ class PipelineSpec extends SparkSuite {
     val bare = "HTTP/1.0 204 No Content\r\n\r\n".getBytes("US-ASCII")
     val pb = WebIngest.httpParse(bare, 0, bare.length)
     assert(pb.status == 204 && pb.content_type == null && pb.body_len == 0)
+    // a garbage Content-Type of only semicolons must not abort the
+    // whole parse (review finding: ';'.split made an empty array)
+    val semis = "HTTP/1.1 200 OK\r\nContent-Type:;\r\n\r\nBB".getBytes("US-ASCII")
+    val ps = WebIngest.httpParse(semis, 0, semis.length)
+    assert(ps.status == 200 && ps.content_type == "" && ps.body_len == 2)
+    // a range cutting between the blank line's CR and LF is truncated,
+    // even though the LF exists just past the range (review finding)
+    val cut = "HTTP/1.1 200 OK\r\n\r\nB".getBytes("US-ASCII")
+    assert(WebIngest.httpParse(cut, 0, "HTTP/1.1 200 OK\r\n\r".length) == null)
   }
 
   test("urlCanonical: port/path/query edge rules and non-URL passthrough") {
