@@ -369,6 +369,32 @@ CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) 
 SELECT query_id, neighbor_id, score, "rank" FROM r WHERE "rank" <= $k"""
   }
 
+  /** PageRank mirroring Graph.pageRank round-for-round over the
+    * closed-form fixture graph: per iteration a dangling-mass scalar,
+    * an edge-contribution agg, and the rounded damped update — the
+    * kmeans unrolled-CTE recipe applied to link analysis. The
+    * (1 - damping) subtraction is left to the engine on BOTH sides so
+    * the IEEE result is identical by construction.
+    */
+  private def pageRankSql(iters: Int, damping: Double, decimals: Int): String = {
+    val rounds = (1 to iters).map { t =>
+      s"""d$t AS (SELECT coalesce(sum(rank), 0.0) AS dm FROM r${t - 1} WHERE deg = 0),
+c$t AS (SELECT e.dst AS node, sum(r.rank / r.deg) AS inp FROM e JOIN r${t - 1} r ON r.node = e.src GROUP BY 1),
+r$t AS (SELECT b.node, b.deg, round((1 - $damping) / n.n + $damping * (coalesce(c.inp, 0.0) + d.dm / n.n), $decimals) AS rank
+FROM base b CROSS JOIN n CROSS JOIN d$t d LEFT JOIN c$t c ON b.node = c.node)"""
+    }.mkString(",\n")
+    s"""WITH s AS (SELECT i FROM range(0, 100) t(i) WHERE i % 10 <> 7),
+e AS (SELECT CAST(i AS VARCHAR) AS src, CAST((i * 3 + 1) % 100 AS VARCHAR) AS dst FROM s
+UNION ALL SELECT CAST(i AS VARCHAR), CAST((i * 7 + 2) % 100 AS VARCHAR) FROM s),
+nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e) t2),
+deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+base AS (SELECT nodes.node, coalesce(deg.deg, 0) AS deg FROM nodes LEFT JOIN deg USING (node)),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM base),
+r0 AS (SELECT b.node, b.deg, round(1.0 / n.n, $decimals) AS rank FROM base b CROSS JOIN n),
+$rounds
+SELECT node, rank FROM r$iters"""
+  }
+
   /** Lloyd k-means mirroring Similarity.kmeansCentroids +
     * kmeansAssign cell-for-cell — the iterations are UNROLLED as one
     * CTE pair per round, so the oracle replays the exact training
@@ -430,6 +456,7 @@ FROM (SELECT doc_id FROM documents WHERE doc_id % 37 <> 0) d LEFT JOIN sc ON d.d
   lazy val all: Map[String, String] = Map(
     "q_kmeans" -> kmeansSql(k = 8, iters = 2, dims = 64),
     "q_ann_pq" -> pqSql(k = 5, dims = 64, m = 4, ksub = 8, iters = 1, nlist = 16, nprobe = 4),
+    "q_pagerank" -> pageRankSql(iters = 3, damping = 0.85, decimals = 6),
     "q_dsir" -> dsirSql(buckets = 256),
     "q_groupby_merge_max" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
@@ -1199,6 +1226,19 @@ CASE WHEN r % 2 = 0 THEN CASE WHEN (r // 2) % 2 = 0 THEN 200 ELSE 404 END END AS
 CASE WHEN r % 2 = 0 THEN CASE WHEN (r // 2) % 2 = 0 THEN 'text/html' ELSE 'application/json' END END AS content_type,
 md5(hexs) AS body_digest
 FROM hx""",
+
+    // expected resolved + canonicalized outlinks of the page
+    // fixtures: one struct per surviving href (the javascript: and
+    // pure-fragment links are dropped, so their indices are absent)
+    "q_outlinks" ->
+      """WITH l AS (SELECT i, unnest([
+{'j': 0, 'u': 'https://other.com/Abs' || CAST(i AS VARCHAR)},
+{'j': 1, 'u': 'http://cdn.example.org/lib' || CAST(i AS VARCHAR) || '.js'},
+{'j': 2, 'u': 'http://example.com/root/p' || CAST(i AS VARCHAR) || '?x=1'},
+{'j': 3, 'u': 'http://example.com/a/b/sub/page' || CAST(i AS VARCHAR)},
+{'j': 4, 'u': 'http://example.com/a/up' || CAST(i AS VARCHAR)}]) AS s
+FROM range(0, 300) t(i))
+SELECT i AS id, CAST(s.j AS INT) AS link_idx, s.u AS outlink FROM l""",
 
     // closed form of the URL fixtures' CANONICAL urls (see
     // UrlFixture): the oracle emits the expected answer for every

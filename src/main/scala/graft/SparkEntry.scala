@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators._
 import graft.functions.{Dates, Strings}
-import graft.pipeline.{Contamination, Dedup, Multimodal, Sampling, Similarity, TextAnalysis, UrlOps, WebIngest}
+import graft.pipeline.{Contamination, Dedup, Graph, Multimodal, Sampling, Similarity, TextAnalysis, UrlOps, WebIngest}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -805,6 +805,27 @@ object SparkEntry {
       val gen = udf((i: Long) => graft.testing.WebFixture.warcHttpPayload(i))
       val df = s.range(0, 200).select(col("id"), gen(col("id")).as("payload"))
       WebIngest.warcHttpRecords(df, "id", "payload")
+    }),
+    "q_pagerank" -> ((s, dir) => {
+      // PageRank over a closed-form web graph (every 10th node
+      // dangling, two outlinks otherwise); the oracle replays the
+      // power iteration with unrolled CTEs, dangling mass included
+      val src = s.range(0, 100).where(col("id") % 10 =!= 7)
+      val e = src.select(col("id").as("src"), ((col("id") * 3 + 1) % 100).as("dst"))
+        .unionByName(src.select(col("id").as("src"), ((col("id") * 7 + 2) % 100).as("dst")))
+      val (out, cleanup) = Graph.pageRankWithCleanup(e, "src", "dst", iters = 3)
+      deferCleanup(cleanup)
+      out
+    }),
+    "q_outlinks" -> ((s, dir) => {
+      // outlink extraction + RFC 3986 reference resolution +
+      // canonicalization: one fixture href per resolution rule; the
+      // oracle emits the expected resolved URLs directly
+      val genUrl = udf((i: Long) => graft.testing.UrlFixture.pageUrl(i))
+      val genHtml = udf((i: Long) => graft.testing.UrlFixture.pageHtml(i))
+      val df = s.range(0, 300).select(col("id"),
+        genUrl(col("id")).as("url"), genHtml(col("id")).as("html"))
+      UrlOps.outlinks(df, "id", "url", "html")
     }),
     "q_url_canon" -> ((s, dir) => {
       // crawl-style URL canonicalization over closed-form messy

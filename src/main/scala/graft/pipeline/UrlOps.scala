@@ -62,6 +62,84 @@ object UrlOps {
   def withCanonicalUrl(df: DataFrame, urlCol: String): DataFrame =
     df.withColumn("url_canon", urlCanonical(col(urlCol)))
 
+  // ---- outlink extraction (the web-graph primitive) ---------------
+
+  private val baseRe = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*).*$".r
+
+  /** RFC 3986 dot-segment removal over a path (no query/fragment).
+    * "." segments drop, ".." pops (never past the root). The
+    * trailing-slash-after-dot-segment nuance is normalized away —
+    * [[urlCanonical]] collapses trailing slashes downstream anyway.
+    */
+  private def removeDotSegments(p: String): String = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    for (seg <- p.split("/", -1)) seg match {
+      case "." => ()
+      case ".." => if (out.nonEmpty) out.remove(out.length - 1)
+      case s => out += s
+    }
+    val joined = out.filter(_.nonEmpty).mkString("/")
+    "/" + joined
+  }
+
+  /** Resolve an href against its page URL (RFC 3986 §5 reference
+    * resolution, the subset a crawl needs): absolute URLs pass
+    * through; `//host/...` inherits the base scheme; `/path` is
+    * root-relative; anything else resolves against the base path's
+    * directory with dot segments removed. Non-navigational schemes
+    * (javascript/mailto/data/tel) and un-parseable bases return null.
+    * Pure string work — no java.net (URI throws on crawl-grade
+    * garbage).
+    */
+  def resolveHref(base: String, href: String): String = {
+    if (base == null || href == null) return null
+    val h = href.trim
+    if (h.isEmpty) return null
+    val lower = h.toLowerCase(java.util.Locale.ROOT)
+    if (lower.startsWith("javascript:") || lower.startsWith("mailto:") ||
+        lower.startsWith("data:") || lower.startsWith("tel:")) return null
+    if (h.matches("^[A-Za-z][A-Za-z0-9+.-]*://.*")) return h
+    base match {
+      case baseRe(scheme, auth, basePath) =>
+        if (h.startsWith("//")) scheme + ":" + h
+        else {
+          // split the reference's own path from its query
+          val q = h.indexOf('?')
+          val (refPath, refQuery) = if (q >= 0) (h.substring(0, q), h.substring(q)) else (h, "")
+          val merged =
+            if (refPath.startsWith("/")) refPath
+            else {
+              val dir = basePath.lastIndexOf('/') match {
+                case -1 => "/"
+                case k => basePath.substring(0, k + 1)
+              }
+              dir + refPath
+            }
+          scheme + "://" + auth + removeDotSegments(merged) + refQuery
+        }
+      case _ => null
+    }
+  }
+
+  private val resolveHrefUdf = udf((base: String, href: String) => resolveHref(base, href))
+
+  /** Extract a page's outlinks: `href` values of `<a>` tags (single-
+    * or double-quoted; pure-fragment links skipped), resolved against
+    * the page URL and canonicalized — one `(idCol, link_idx,
+    * outlink)` row per surviving link. The edge list of the web
+    * graph, ready for link-analysis scoring. Extraction is a
+    * codegen'd `regexp_extract_all`; only the resolver is a scalar
+    * UDF. Per-row work, no shuffle.
+    */
+  def outlinks(df: DataFrame, idCol: String, urlCol: String, htmlCol: String): DataFrame =
+    df.select(col(idCol), col(urlCol).as("__base__"),
+        posexplode(regexp_extract_all(col(htmlCol),
+          lit("(?i)<a\\b[^>]*\\bhref\\s*=\\s*['\"]([^'\"#]+)"), lit(1)))
+          .as(Seq("link_idx", "__href__")))
+      .withColumn("outlink", urlCanonical(resolveHrefUdf(col("__base__"), col("__href__"))))
+      .where(col("outlink").isNotNull)
+      .select(col(idCol), col("link_idx"), col("outlink"))
+
   /** Keep one row per canonical URL — the lowest `idCol` (the usual
     * "earliest crawl wins" rule; pass a different preference column
     * for recency-wins). One hash-aggregate shuffle keyed on the

@@ -19,6 +19,24 @@ object UrlFixture {
   def canonical(n: Long): String =
     s"http://host${n % 7}.example.com/Doc/$n?a=${n % 13}&b=${n % 7}"
 
+  /** Outlink fixtures (mirrored by the q_outlinks oracle): a page at
+    * /a/b/ depth with one href per resolution rule — absolute,
+    * scheme-relative, root-relative, path-relative, dot-segment, and
+    * two non-navigational links the extractor must drop.
+    */
+  def pageUrl(i: Long): String = s"http://www.Example.com/a/b/page$i.html"
+
+  def pageHtml(i: Long): String =
+    s"""<html><body>
+       |<a href="HTTPS://Other.com/Abs$i">x</a>
+       |<a href='//cdn.example.org/lib$i.js'>y</a>
+       |<a href="/root/p$i?x=1">z</a>
+       |<a href="sub/page$i">w</a>
+       |<a href="../up$i">v</a>
+       |<a href="javascript:void(0)">j</a>
+       |<a href="#frag">f</a>
+       |</body></html>""".stripMargin
+
   def messyUrl(i: Long): String = {
     val n = i % 100
     val h = n % 7; val x = n % 13; val y = n % 7

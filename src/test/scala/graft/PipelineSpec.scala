@@ -1001,6 +1001,47 @@ class PipelineSpec extends SparkSuite {
     assert(WebIngest.httpParse(cut, 0, "HTTP/1.1 200 OK\r\n\r".length) == null)
   }
 
+  test("resolveHref: RFC 3986 reference resolution rules") {
+    import graft.pipeline.UrlOps
+    val base = "http://h.example/a/b/page.html?q=1"
+    assert(UrlOps.resolveHref(base, "https://x.y/z") == "https://x.y/z")
+    assert(UrlOps.resolveHref(base, "//cdn.x/l.js") == "http://cdn.x/l.js")
+    assert(UrlOps.resolveHref(base, "/root?y=2") == "http://h.example/root?y=2")
+    assert(UrlOps.resolveHref(base, "c/d") == "http://h.example/a/b/c/d")
+    assert(UrlOps.resolveHref(base, "../up") == "http://h.example/a/up")
+    assert(UrlOps.resolveHref(base, "../../../over") == "http://h.example/over") // never past root
+    assert(UrlOps.resolveHref(base, "javascript:void(0)") == null)
+    assert(UrlOps.resolveHref(base, "  ") == null)
+    assert(UrlOps.resolveHref("no scheme here", "x") == null)
+    assert(UrlOps.resolveHref(null, "x") == null)
+  }
+
+  test("pageRank: hand-computed one-iteration update with dangling mass, rank conserves") {
+    val s = spark; import s.implicits._
+    import graft.pipeline.Graph
+    // nodes A(out: B, C), B(out: A), C dangling
+    // p0 = round(1/3, 6) = 0.333333; dangling mass dm = p(C)
+    // p1(A) = 0.15/3 + 0.85*(p(B)/1 + dm/3) = 0.05 + 0.85*(0.333333 + 0.111111) = 0.427777
+    // p1(B) = 0.05 + 0.85*(p(A)/2 + dm/3) = 0.05 + 0.85*(0.1666665 + 0.111111) = 0.286111
+    // p1(C) = same inbound as B (A's other target) = 0.286111
+    val e2 = Seq(("A", "B"), ("B", "A"), ("A", "C")).toDF("src", "dst")
+    val (out, cleanup) = Graph.pageRankWithCleanup(e2, "src", "dst", iters = 1)
+    val got = out.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    cleanup()
+    assert(math.abs(got("A") - 0.427777) < 1e-9, s"A = ${got("A")}")
+    assert(math.abs(got("B") - 0.286111) < 1e-9, s"B = ${got("B")}")
+    assert(math.abs(got("C") - 0.286111) < 1e-9, s"C = ${got("C")}")
+    // rank is conserved (within rounding) over more iterations on the
+    // fixture graph
+    val src = s.range(0, 100).where(col("id") % 10 =!= 7)
+    val eg = src.select(col("id").as("src"), ((col("id") * 3 + 1) % 100).as("dst"))
+      .unionByName(src.select(col("id").as("src"), ((col("id") * 7 + 2) % 100).as("dst")))
+    val (pr, cl2) = Graph.pageRankWithCleanup(eg, "src", "dst", iters = 3)
+    val total = pr.agg(sum("rank")).head().getDouble(0)
+    cl2()
+    assert(math.abs(total - 1.0) < 1e-3, s"total rank drifted to $total")
+  }
+
   test("urlCanonical: port/path/query edge rules and non-URL passthrough") {
     val s = spark; import s.implicits._
     val cases = Seq(
