@@ -64,10 +64,17 @@ object Graph {
       .select(col("node"), coalesce(col("__deg__"), lit(0L)).as("__deg__"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nDf = broadcast(base.agg(count(lit(1)).cast("double").as("__n__")))
+    // each round reads the previous ranks TWICE (dangling mass +
+    // contributions): persisted, every level materializes once and
+    // serves both references from cache — unpersisted, the lazy plan
+    // doubles per round and recompute goes exponential in `iters`
+    val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
     var ranks = base.crossJoin(nDf)
       .select(col("node"), col("__deg__"), col("__n__"),
         round(lit(1.0) / col("__n__"), decimals).as("rank"))
     for (_ <- 1 to iters) {
+      ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+      persisted += ranks
       val dangling = broadcast(ranks.where(col("__deg__") === 0)
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm__")))
       val contribs = e
@@ -83,6 +90,7 @@ object Graph {
             lit(damping) * (coalesce(col("__in__"), lit(0.0)) + col("__dm__") / col("__n__")),
             decimals).as("rank"))
     }
-    (ranks.select(col("node"), col("rank")), () => { e.unpersist(); base.unpersist() })
+    (ranks.select(col("node"), col("rank")),
+      () => { e.unpersist(); base.unpersist(); persisted.foreach(_.unpersist()) })
   }
 }
