@@ -1227,6 +1227,15 @@ CASE WHEN r % 2 = 0 THEN CASE WHEN (r // 2) % 2 = 0 THEN 'text/html' ELSE 'appli
 md5(hexs) AS body_digest
 FROM hx""",
 
+    // expected robots.txt verdicts of the UrlFixture robots fixtures:
+    // even ids crawl as graftbot (blocked on the anchored /only$ and
+    // wildcard /img*jpg paths), odd ids fall back to the '*' group
+    // (blocked on the /private prefix, rescued by the longer Allow)
+    "q_robots" ->
+      """SELECT i AS id,
+CASE WHEN i % 2 = 0 THEN i % 6 NOT IN (3, 5) ELSE i % 6 <> 1 END AS allowed
+FROM range(0, 600) t(i)""",
+
     // expected resolved + canonicalized outlinks of the page
     // fixtures: one struct per surviving href (the javascript: and
     // pure-fragment links are dropped, so their indices are absent)

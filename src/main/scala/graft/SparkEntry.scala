@@ -806,6 +806,17 @@ object SparkEntry {
       val df = s.range(0, 200).select(col("id"), gen(col("id")).as("payload"))
       WebIngest.warcHttpRecords(df, "id", "payload")
     }),
+    "q_robots" -> ((s, dir) => {
+      // RFC 9309 robots.txt evaluation: longest-UA group selection,
+      // longest-pattern decision with Allow tie-wins, anchored and
+      // wildcard patterns; the oracle emits the expected verdicts
+      val genR = udf((i: Long) => graft.testing.UrlFixture.robotsTxt(i))
+      val genU = udf((i: Long) => graft.testing.UrlFixture.robotsUa(i))
+      val genP = udf((i: Long) => graft.testing.UrlFixture.robotsPath(i))
+      val df = s.range(0, 600).select(col("id"),
+        genR(col("id")).as("robots"), genU(col("id")).as("ua"), genP(col("id")).as("path"))
+      UrlOps.withRobotsDecision(df, "robots", "ua", "path").select("id", "allowed")
+    }),
     "q_pagerank" -> ((s, dir) => {
       // PageRank over a closed-form web graph (every 10th node
       // dangling, two outlinks otherwise); the oracle replays the

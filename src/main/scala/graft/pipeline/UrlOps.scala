@@ -140,6 +140,129 @@ object UrlOps {
       .where(col("outlink").isNotNull)
       .select(col(idCol), col("link_idx"), col("outlink"))
 
+  // ---- robots.txt (RFC 9309) evaluation ---------------------------
+
+  /** One parsed robots.txt rule: allow/disallow + its path pattern
+    * (RFC 9309 syntax: literal prefix, `*` wildcards, `$` end
+    * anchor).
+    */
+  private final case class RobotsRule(allow: Boolean, pattern: String)
+
+  /** Does `pattern` match `path` under RFC 9309 rules? `*` matches
+    * any span, a trailing `$` anchors the end, otherwise the pattern
+    * is a prefix match. Iterative greedy matcher — no regex
+    * compilation per row.
+    */
+  private def robotsMatches(pattern: String, path: String): Boolean = {
+    val anchored = pattern.endsWith("$")
+    val p = if (anchored) pattern.substring(0, pattern.length - 1) else pattern
+    // greedy segment match: split on '*', find segments left to right
+    val segs = p.split("\\*", -1)
+    var pos = 0
+    var first = true
+    for (seg <- segs.dropRight(1)) {
+      if (first) {
+        if (!path.startsWith(seg, pos)) return false
+        pos += seg.length
+        first = false
+      } else if (seg.nonEmpty) {
+        val k = path.indexOf(seg, pos)
+        if (k < 0) return false
+        pos = k + seg.length
+      }
+    }
+    val last = segs.last
+    if (segs.length == 1) {
+      // no wildcard: plain prefix (or exact with anchor)
+      if (anchored) path == p else path.startsWith(p)
+    } else if (anchored) {
+      path.endsWith(last) && path.length - last.length >= pos
+    } else {
+      if (last.isEmpty) true else path.indexOf(last, pos) >= 0
+    }
+  }
+
+  /** Evaluate robots.txt for (userAgent, path) — RFC 9309: groups
+    * select by the LONGEST user-agent token contained
+    * case-insensitively in the crawler's UA (`*` is the fallback and
+    * matches all); all groups with that winning token merge; the
+    * decision is the longest-pattern-match among the merged rules,
+    * Allow winning length ties; no matching rule (or no matching
+    * group, or unparseable input) means allowed — robots.txt is
+    * advisory-restrictive, so absence of a rule is permission.
+    */
+  def robotsAllowed(robots: String, userAgent: String, path: String): Boolean = {
+    if (robots == null || path == null) return true
+    val ua = if (userAgent == null) "" else userAgent.toLowerCase(java.util.Locale.ROOT)
+    // parse into (uaTokens, rules) groups
+    val groups = scala.collection.mutable.ArrayBuffer.empty[(List[String], scala.collection.mutable.ArrayBuffer[RobotsRule])]
+    var curUas: List[String] = Nil
+    var curRules: scala.collection.mutable.ArrayBuffer[RobotsRule] = null
+    var uaRun = false // consecutive UA lines share one group
+    for (raw <- robots.split("\n", -1)) {
+      val line = { val h = raw.indexOf('#'); if (h >= 0) raw.substring(0, h) else raw }.trim
+      val colon = line.indexOf(':')
+      if (colon > 0) {
+        val field = line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
+        val value = line.substring(colon + 1).trim
+        field match {
+          case "user-agent" =>
+            if (!uaRun) { curUas = Nil; curRules = null }
+            curUas = value.toLowerCase(java.util.Locale.ROOT) :: curUas
+            uaRun = true
+          case "allow" | "disallow" =>
+            uaRun = false
+            if (curUas.nonEmpty) {
+              if (curRules == null) {
+                curRules = scala.collection.mutable.ArrayBuffer.empty[RobotsRule]
+                groups += ((curUas, curRules))
+              }
+              // an empty Disallow value means "allow everything":
+              // representable as no rule at all
+              if (value.nonEmpty) curRules += RobotsRule(field == "allow", value)
+            }
+          case _ => uaRun = false // sitemap, crawl-delay, unknown fields
+        }
+      }
+    }
+    // group selection: longest UA token contained in the crawler UA
+    var bestLen = -1
+    for ((uas, _) <- groups; tok <- uas)
+      if (tok == "*" || (tok.nonEmpty && ua.contains(tok))) {
+        val l = if (tok == "*") 0 else tok.length
+        if (l > bestLen) bestLen = l
+      }
+    if (bestLen < 0) return true
+    val selected = groups.filter { case (uas, _) =>
+      uas.exists(tok =>
+        (if (tok == "*") 0 else tok.length) == bestLen &&
+          (tok == "*" || ua.contains(tok)))
+    }
+    // decision: longest matching pattern wins, Allow wins ties
+    var decision = true
+    var matchLen = -1
+    for ((_, rules) <- selected; r <- rules if robotsMatches(r.pattern, path)) {
+      if (r.pattern.length > matchLen ||
+          (r.pattern.length == matchLen && r.allow && !decision)) {
+        matchLen = r.pattern.length
+        decision = r.allow
+      }
+    }
+    decision
+  }
+
+  private val robotsUdf = udf((robots: String, ua: String, path: String) =>
+    robotsAllowed(robots, ua, path))
+
+  /** Attach `allowed`: the robots.txt verdict for each (robots, ua,
+    * path) row. Per-row work, no shuffle — join the host's robots
+    * payload onto its pages first (a broadcast join for any real
+    * host count).
+    */
+  def withRobotsDecision(df: DataFrame, robotsCol: String, uaCol: String,
+                         pathCol: String): DataFrame =
+    df.withColumn("allowed", robotsUdf(col(robotsCol), col(uaCol), col(pathCol)))
+
   /** Keep one row per canonical URL — the lowest `idCol` (the usual
     * "earliest crawl wins" rule; pass a different preference column
     * for recency-wins). One hash-aggregate shuffle keyed on the

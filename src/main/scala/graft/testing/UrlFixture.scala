@@ -37,6 +37,38 @@ object UrlFixture {
        |<a href="#frag">f</a>
        |</body></html>""".stripMargin
 
+  /** robots.txt fixtures (mirrored by the q_robots oracle): a `*`
+    * group (prefix Disallow overridden by a longer Allow) and a
+    * `graftbot` group (anchored + wildcard Disallows, a Crawl-delay
+    * line the parser must skip). Even ids crawl as GraftBot (the
+    * specific group wins), odd as OtherBot (falls back to `*`).
+    * Expected verdicts: GraftBot blocked on paths 3 (`/only$` exact)
+    * and 5 (`/img*jpg`); OtherBot blocked on path 1 (`/private`
+    * prefix, path 2 rescued by the longer Allow).
+    */
+  def robotsTxt(i: Long): String =
+    s"""# fixture $i
+       |User-agent: *
+       |Disallow: /private
+       |Allow: /private/ok
+       |
+       |User-agent: graftbot
+       |Disallow: /only$$
+       |Disallow: /img*jpg
+       |Crawl-delay: 5
+       |""".stripMargin
+
+  def robotsUa(i: Long): String = if (i % 2 == 0) "GraftBot/1.0" else "OtherBot/2.0"
+
+  def robotsPath(i: Long): String = (i % 6) match {
+    case 0 => s"/public/x$i"
+    case 1 => s"/private/x$i"
+    case 2 => s"/private/ok/x$i"
+    case 3 => "/only"
+    case 4 => s"/only/sub$i"
+    case _ => s"/img$i.jpg"
+  }
+
   def messyUrl(i: Long): String = {
     val n = i % 100
     val h = n % 7; val x = n % 13; val y = n % 7

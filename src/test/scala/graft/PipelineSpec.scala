@@ -1001,6 +1001,37 @@ class PipelineSpec extends SparkSuite {
     assert(WebIngest.httpParse(cut, 0, "HTTP/1.1 200 OK\r\n\r".length) == null)
   }
 
+  test("robotsAllowed: group selection, longest-match decision, wildcards and anchors") {
+    import graft.pipeline.UrlOps.robotsAllowed
+    val robots =
+      """User-agent: *
+        |Disallow: /a
+        |Allow: /a/b
+        |
+        |User-agent: MegaBot
+        |User-agent: GraftBot
+        |DISALLOW: /x*z$
+        |Crawl-delay: 5
+        |""".stripMargin
+    // unknown bot falls to '*'
+    assert(!robotsAllowed(robots, "NoBot/1.0", "/a/q"))
+    assert(robotsAllowed(robots, "NoBot/1.0", "/a/b/q")) // longer Allow wins
+    assert(robotsAllowed(robots, "NoBot/1.0", "/c"))
+    // the specific group SHADOWS '*': /a is not blocked for graftbot
+    assert(robotsAllowed(robots, "graftbot/2.0", "/a/q"))
+    assert(!robotsAllowed(robots, "graftbot/2.0", "/xyz")) // wildcard + anchor
+    assert(robotsAllowed(robots, "graftbot/2.0", "/xyz0")) // anchor fails
+    // consecutive UA lines share one group
+    assert(!robotsAllowed(robots, "MegaBot", "/xQQz"))
+    // equal-length tie: Allow wins
+    assert(robotsAllowed("User-agent: *\nDisallow: /ab\nAllow: /ab\n", "x", "/abc"))
+    // degenerate inputs: permissive, never a throw
+    assert(robotsAllowed(null, "x", "/a"))
+    assert(robotsAllowed("Disallow: /a\n", "x", "/a/b")) // rules before any UA line ignored
+    assert(robotsAllowed("User-agent: *\nDisallow:\n", "x", "/anything")) // empty Disallow = allow all
+    assert(robotsAllowed("%% not robots at all %%", "x", "/a"))
+  }
+
   test("resolveHref: RFC 3986 reference resolution rules") {
     import graft.pipeline.UrlOps
     val base = "http://h.example/a/b/page.html?q=1"

@@ -351,6 +351,48 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("random byte corruption of container payloads never throws (poison safety)") {
+    import org.scalacheck.Gen
+    import graft.pipeline.{Multimodal, WebIngest}
+    import graft.testing.{MediaFixture, WebFixture}
+    // EVERY parser runs over EVERY (possibly corrupted) payload kind —
+    // at 100 TB a JPEG will reach the WARC splitter and vice versa,
+    // and a poison row must degrade to null/unknown, never kill a task
+    val caseGen = for {
+      kind <- Gen.choose(0, 5)
+      i <- Gen.choose(0L, 40L)
+      nFlips <- Gen.choose(1, 8)
+      seed <- Gen.choose(0, Int.MaxValue)
+    } yield (kind, i, nFlips, seed)
+    forAllSamples(Gen.listOfN(40, caseGen), n = 3) { cases =>
+      for ((kind, i, nFlips, seed) <- cases) {
+        val base = kind match {
+          case 0 => MediaFixture.payload(i)
+          case 1 => MediaFixture.mp4Payload(i)
+          case 2 => WebFixture.warcHttpPayload(i)
+          case 3 => WebFixture.chunkedPayload(i)
+          case 4 => MediaFixture.imagePayload(i)
+          case _ => WebFixture.gzipPayload(i)
+        }
+        val rnd = new scala.util.Random(seed)
+        val b = base.clone()
+        for (_ <- 0 until nFlips if b.nonEmpty) {
+          val p = rnd.nextInt(b.length)
+          b(p) = (b(p) ^ (1 << rnd.nextInt(8))).toByte
+        }
+        Multimodal.parseMediaHeader(b)
+        Multimodal.mp4SampleTable(b)
+        Multimodal.decodeImage(b)
+        Multimodal.decodeWavSamples(b)
+        Multimodal.wavAudioFeatures(b)
+        WebIngest.warcSplit(b)
+        WebIngest.dechunk(b)
+        WebIngest.gunzip(b)
+        WebIngest.httpParse(b, 0, b.length)
+      }
+    }
+  }
+
   test("urlCanonical is idempotent: canon(canon(u)) == canon(u)") {
     val s = spark; import s.implicits._
     import org.scalacheck.Gen
