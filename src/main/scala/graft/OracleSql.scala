@@ -1233,7 +1233,7 @@ FROM hx""",
     // (blocked on the /private prefix, rescued by the longer Allow)
     "q_robots" ->
       """SELECT i AS id,
-CASE WHEN i % 2 = 0 THEN i % 6 NOT IN (3, 5) ELSE i % 6 <> 1 END AS allowed
+CASE WHEN i % 2 = 0 THEN (i // 2) % 6 NOT IN (3, 5) ELSE (i // 2) % 6 <> 1 END AS allowed
 FROM range(0, 600) t(i)""",
 
     // expected resolved + canonicalized outlinks of the page

@@ -78,7 +78,11 @@ object Graph {
       val dangling = broadcast(ranks.where(col("__deg__") === 0)
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm__")))
       val contribs = e
-        .join(ranks.select(col("node").as("src"), (col("rank") / col("__deg__")).as("__c__")),
+        // dangling rows can't join (no outgoing edges) — filtering
+        // them first keeps the join input minimal and avoids even
+        // producing the IEEE-infinite rank/0.0 rows
+        .join(ranks.where(col("__deg__") > 0)
+          .select(col("node").as("src"), (col("rank") / col("__deg__")).as("__c__")),
           Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("__c__")).as("__in__"))

@@ -95,10 +95,14 @@ object UrlOps {
     if (base == null || href == null) return null
     val h = href.trim
     if (h.isEmpty) return null
-    val lower = h.toLowerCase(java.util.Locale.ROOT)
-    if (lower.startsWith("javascript:") || lower.startsWith("mailto:") ||
-        lower.startsWith("data:") || lower.startsWith("tel:")) return null
     if (h.matches("^[A-Za-z][A-Za-z0-9+.-]*://.*")) return h
+    // ANY other scheme'd reference (javascript:, mailto:, about:,
+    // sms:, news:...) is absolute per RFC 3986 but not a web
+    // document — drop it rather than merge it with the base path
+    // into a phantom edge. (A relative first segment containing ':'
+    // must be written './a:b' per the RFC, so this is the spec rule,
+    // not a heuristic.)
+    if (h.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*")) return null
     base match {
       case baseRe(scheme, auth, basePath) =>
         if (h.startsWith("//")) scheme + ":" + h
@@ -107,7 +111,8 @@ object UrlOps {
           val q = h.indexOf('?')
           val (refPath, refQuery) = if (q >= 0) (h.substring(0, q), h.substring(q)) else (h, "")
           val merged =
-            if (refPath.startsWith("/")) refPath
+            if (refPath.isEmpty) basePath // query-only ref: RFC 3986 §5.3 keeps the base path
+            else if (refPath.startsWith("/")) refPath
             else {
               val dir = basePath.lastIndexOf('/') match {
                 case -1 => "/"
@@ -133,8 +138,11 @@ object UrlOps {
     */
   def outlinks(df: DataFrame, idCol: String, urlCol: String, htmlCol: String): DataFrame =
     df.select(col(idCol), col(urlCol).as("__base__"),
+        // href must follow whitespace or a quote: \bhref would also
+        // match data-href (the hyphen is a word boundary), and the
+        // greedy [^>]* could then backtrack onto the WRONG attribute
         posexplode(regexp_extract_all(col(htmlCol),
-          lit("(?i)<a\\b[^>]*\\bhref\\s*=\\s*['\"]([^'\"#]+)"), lit(1)))
+          lit("(?i)<a\\b[^>]*[\\s'\"]href\\s*=\\s*['\"]([^'\"#]+)"), lit(1)))
           .as(Seq("link_idx", "__href__")))
       .withColumn("outlink", urlCanonical(resolveHrefUdf(col("__base__"), col("__href__"))))
       .where(col("outlink").isNotNull)
@@ -199,6 +207,17 @@ object UrlOps {
     var curUas: List[String] = Nil
     var curRules: scala.collection.mutable.ArrayBuffer[RobotsRule] = null
     var uaRun = false // consecutive UA lines share one group
+    // a group REGISTERS as soon as its UA run ends on ANY field —
+    // a group holding only Crawl-delay (no allow/disallow) must
+    // still exist, because an empty specific group SHADOWS '*' and
+    // means fully allowed (RFC 9309)
+    def closeUaRun(): Unit = {
+      uaRun = false
+      if (curUas.nonEmpty && curRules == null) {
+        curRules = scala.collection.mutable.ArrayBuffer.empty[RobotsRule]
+        groups += ((curUas, curRules))
+      }
+    }
     for (raw <- robots.split("\n", -1)) {
       val line = { val h = raw.indexOf('#'); if (h >= 0) raw.substring(0, h) else raw }.trim
       val colon = line.indexOf(':')
@@ -211,20 +230,16 @@ object UrlOps {
             curUas = value.toLowerCase(java.util.Locale.ROOT) :: curUas
             uaRun = true
           case "allow" | "disallow" =>
-            uaRun = false
-            if (curUas.nonEmpty) {
-              if (curRules == null) {
-                curRules = scala.collection.mutable.ArrayBuffer.empty[RobotsRule]
-                groups += ((curUas, curRules))
-              }
-              // an empty Disallow value means "allow everything":
-              // representable as no rule at all
-              if (value.nonEmpty) curRules += RobotsRule(field == "allow", value)
-            }
-          case _ => uaRun = false // sitemap, crawl-delay, unknown fields
+            closeUaRun()
+            // an empty Disallow value means "allow everything":
+            // representable as no rule at all
+            if (curRules != null && value.nonEmpty)
+              curRules += RobotsRule(field == "allow", value)
+          case _ => closeUaRun() // sitemap, crawl-delay, unknown fields
         }
       }
     }
+    closeUaRun() // a file ending inside a UA run still defines the group
     // group selection: longest UA token contained in the crawler UA
     var bestLen = -1
     for ((uas, _) <- groups; tok <- uas)
@@ -236,7 +251,10 @@ object UrlOps {
     val selected = groups.filter { case (uas, _) =>
       uas.exists(tok =>
         (if (tok == "*") 0 else tok.length) == bestLen &&
-          (tok == "*" || ua.contains(tok)))
+          // an EMPTY token matches nothing (mirroring the scoring
+          // pass): ua.contains("") is vacuously true and would merge
+          // a group the selector already rejected
+          (tok == "*" || (tok.nonEmpty && ua.contains(tok))))
     }
     // decision: longest matching pattern wins, Allow wins ties
     var decision = true

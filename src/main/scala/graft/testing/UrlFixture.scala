@@ -60,7 +60,13 @@ object UrlFixture {
 
   def robotsUa(i: Long): String = if (i % 2 == 0) "GraftBot/1.0" else "OtherBot/2.0"
 
-  def robotsPath(i: Long): String = (i % 6) match {
+  /** Path keyed on (i / 2) % 6 — DECORRELATED from the i % 2 UA
+    * choice (i % 6 would share the factor 2 and leave half the
+    * (ua, path) combinations untested — both bots must see every
+    * path shape for the oracle to gate the anchored, wildcard and
+    * Allow-rescue rules).
+    */
+  def robotsPath(i: Long): String = ((i / 2) % 6) match {
     case 0 => s"/public/x$i"
     case 1 => s"/private/x$i"
     case 2 => s"/private/ok/x$i"

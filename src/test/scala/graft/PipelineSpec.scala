@@ -1030,6 +1030,19 @@ class PipelineSpec extends SparkSuite {
     assert(robotsAllowed("Disallow: /a\n", "x", "/a/b")) // rules before any UA line ignored
     assert(robotsAllowed("User-agent: *\nDisallow:\n", "x", "/anything")) // empty Disallow = allow all
     assert(robotsAllowed("%% not robots at all %%", "x", "/a"))
+    // a specific group holding only Crawl-delay (or nothing) still
+    // SHADOWS '*' — review finding: it never registered, so the '*'
+    // Disallow wrongly applied
+    val shadowOnly = "User-agent: graftbot\nCrawl-delay: 5\n\nUser-agent: *\nDisallow: /\n"
+    assert(robotsAllowed(shadowOnly, "GraftBot", "/x"))
+    assert(!robotsAllowed(shadowOnly, "other", "/x"))
+    val shadowEof = "User-agent: *\nDisallow: /\n\nUser-agent: graftbot\n"
+    assert(robotsAllowed(shadowEof, "GraftBot", "/x")) // group defined at EOF
+    // an empty User-agent token matches NOTHING — review finding:
+    // ua.contains("") merged its rules whenever '*' also matched
+    val emptyTok = "User-agent:\nDisallow: /secret\n\nUser-agent: *\nDisallow: /other\n"
+    assert(robotsAllowed(emptyTok, "anybot", "/secret/x"))
+    assert(!robotsAllowed(emptyTok, "anybot", "/other/x"))
   }
 
   test("resolveHref: RFC 3986 reference resolution rules") {
@@ -1045,6 +1058,26 @@ class PipelineSpec extends SparkSuite {
     assert(UrlOps.resolveHref(base, "  ") == null)
     assert(UrlOps.resolveHref("no scheme here", "x") == null)
     assert(UrlOps.resolveHref(null, "x") == null)
+    // query-only ref keeps the FULL base path (RFC 3986 §5.3) —
+    // review finding: it resolved against the directory
+    assert(UrlOps.resolveHref(base, "?page=2") == "http://h.example/a/b/page.html?page=2")
+    // any other scheme'd ref is absolute-but-not-a-document: dropped,
+    // not merged into a phantom path (review finding)
+    assert(UrlOps.resolveHref(base, "about:blank") == null)
+    assert(UrlOps.resolveHref(base, "sms:+15551234") == null)
+  }
+
+  test("outlinks: data-href is not href; the right attribute wins") {
+    val s = spark; import s.implicits._
+    import graft.pipeline.UrlOps
+    val df = Seq(
+      (1L, "http://h.example/", """<a data-href="/tracked" class="x">t</a>"""),
+      (2L, "http://h.example/", """<a href="/real" data-href="/fake">r</a>""")
+    ).toDF("id", "url", "html")
+    val got = UrlOps.outlinks(df, "id", "url", "html").collect()
+      .map(r => r.getLong(0) -> r.getString(r.fieldIndex("outlink"))).toMap
+    assert(!got.contains(1L)) // no real href at all
+    assert(got(2L) == "http://h.example/real")
   }
 
   test("pageRank: hand-computed one-iteration update with dangling mass, rank conserves") {
