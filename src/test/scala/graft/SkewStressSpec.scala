@@ -101,4 +101,40 @@ class SkewStressSpec extends SparkSuite {
       assert(n == 2000 + 500 - 49, s"expected saturation semantics, got $n survivors")
     } finally cleanup()
   }
+
+  test("dedupByUrl: one hot canonical URL is a map-side-combined agg, not a hot join") {
+    val s = spark; import s.implicits._
+    // 50k rows of ONE url + 5k distinct: the groupBy(min) combines
+    // map-side, so the hot key ships one row per task, and the
+    // left_semi keeps exactly one survivor of the hot class
+    val rows = (0 until 50000).map(i => (i.toLong, "http://hot.example/same")) ++
+      (0 until 5000).map(i => ((50000 + i).toLong, s"http://cold.example/p$i"))
+    val df = rows.toDF("id", "url")
+    val n = timed(120.0, "url dedup over a hot key") {
+      graft.pipeline.UrlOps.dedupByUrl(df, "url", "id").count()
+    }
+    assert(n == 1 + 5000, s"expected one hot survivor + all cold rows, got $n")
+  }
+
+  test("pageRank: a universally-linked hub node stays a map-side-combined agg") {
+    val s = spark; import s.implicits._
+    // 20k nodes all linking to node 0 (plus a chain so nothing
+    // dangles): the per-dst contribution agg combines map-side, so
+    // the hub receives one partial per task, not 20k rows in one
+    // reducer
+    val hub = (1 until 20000).map(i => (i.toLong, 0L))
+    val chain = (0 until 20000).map(i => (i.toLong, ((i + 1) % 20000).toLong))
+    val e = (hub ++ chain).toDF("src", "dst")
+    // ONE iteration: after it the hub holds ~d/2 of all mass (at two
+    // iterations the hub's mass legitimately sloshes down its single
+    // chain edge to node 1 — rank oscillates on this graph)
+    val (pr, cleanup) = graft.pipeline.Graph.pageRankWithCleanup(e, "src", "dst", iters = 1)
+    try {
+      val rows = timed(120.0, "pageRank over a hub graph")(pr.collect())
+      assert(rows.length == 20000)
+      val hubRank = rows.find(_.getString(0) == "0").get.getDouble(1)
+      val restMax = rows.filter(_.getString(0) != "0").map(_.getDouble(1)).max
+      assert(hubRank > 100 * restMax, s"the hub must dominate: hub=$hubRank restMax=$restMax")
+    } finally cleanup()
+  }
 }
