@@ -1227,6 +1227,19 @@ CASE WHEN r % 2 = 0 THEN CASE WHEN (r // 2) % 2 = 0 THEN 'text/html' ELSE 'appli
 md5(hexs) AS body_digest
 FROM hx""",
 
+    // KMV distinct sketch mirroring Sketch.kmvDistinctByGroup: per
+    // source the 32 smallest md5(text) hashes; estimate = 31 / frac
+    // of the 32nd (15 hex chars / 16^15), exact count when a source
+    // holds fewer than 32 distinct texts
+    "q_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT source, md5(text) AS h FROM documents),
+r AS (SELECT source, h FROM h QUALIFY row_number() OVER (PARTITION BY source ORDER BY h) <= 32),
+a AS (SELECT source, count(*) AS n, max(h) AS kth FROM r GROUP BY 1)
+SELECT source,
+CASE WHEN n < 32 THEN CAST(n AS DOUBLE)
+ELSE round(31 / (('0x' || substring(kth, 1, 15))::BIGINT / 1152921504606846976.0), 4) END AS distinct_est
+FROM a""",
+
     // expected robots.txt verdicts of the UrlFixture robots fixtures:
     // even ids crawl as graftbot (blocked on the anchored /only$ and
     // wildcard /img*jpg paths), odd ids fall back to the '*' group

@@ -806,6 +806,13 @@ object SparkEntry {
       val df = s.range(0, 200).select(col("id"), gen(col("id")).as("payload"))
       WebIngest.warcHttpRecords(df, "id", "payload")
     }),
+    "q_kmv_distinct" -> ((s, dir) => {
+      // KMV distinct sketch per source over the documents: the k
+      // smallest md5 hashes are a pure order, so the oracle replays
+      // the estimate exactly — the engine-portable alternative to HLL
+      val d = t(s, dir, "documents")
+      graft.pipeline.Sketch.kmvDistinctByGroup(d, Seq("source"), "text", k = 32)
+    }),
     "q_robots" -> ((s, dir) => {
       // RFC 9309 robots.txt evaluation: longest-UA group selection,
       // longest-pattern decision with Allow tie-wins, anchored and

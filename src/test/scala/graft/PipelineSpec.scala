@@ -1001,6 +1001,27 @@ class PipelineSpec extends SparkSuite {
     assert(WebIngest.httpParse(cut, 0, "HTTP/1.1 200 OK\r\n\r".length) == null)
   }
 
+  test("kmvDistinct: estimate within KMV error bounds, exact under k, duplicate-invariant") {
+    val s = spark; import s.implicits._
+    import graft.pipeline.Sketch
+    val n = 20000
+    val distinct = (0 until n).map(i => (1L, s"value-$i"))
+    val withDups = distinct ++ (0 until 5000).map(i => (1L, s"value-${i % 100}"))
+    val est = Sketch.kmvDistinct(withDups.toDF("g", "v"), "v", k = 256)
+      .head().getDouble(0)
+    // relative standard error ~ 1/sqrt(k-2) ~ 6.3%; allow 4 sigma
+    assert(math.abs(est - n) / n < 0.25, s"KMV estimate $est too far from $n")
+    // duplicates must not move the sketch at all (same distinct hash set)
+    val estNoDups = Sketch.kmvDistinct(distinct.toDF("g", "v"), "v", k = 256)
+      .head().getDouble(0)
+    assert(est == estNoDups)
+    // under k distinct values the count is exact
+    val small = (0 until 17).map(i => (if (i % 2 == 0) "a" else "b", s"x$i")).toDF("g", "v")
+    val exact = Sketch.kmvDistinctByGroup(small, Seq("g"), "v", k = 32)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(exact == Map("a" -> 9.0, "b" -> 8.0))
+  }
+
   test("robotsAllowed: group selection, longest-match decision, wildcards and anchors") {
     import graft.pipeline.UrlOps.robotsAllowed
     val robots =
