@@ -129,6 +129,15 @@ object Bench {
     val out = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    // The driver captures only the last ~2000 chars of stdout, and the
+    // full line above outgrew that window at ~100 queries (its head —
+    // metric/value — is what gets cut, so the parse fails). Print a
+    // SHORT self-contained summary as the final line: total, failure
+    // count, the slowest queries inline, and a pointer to the complete
+    // per-query dict on disk. This line always fits the tail whole.
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${errors.size},"errors":$errStr,"sf":"$sfDir","slowest":$slowest,"queries_file":"target/bench.json"}""")
     spark.stop()
   }
 }

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.internal._
@@ -11,11 +10,12 @@ import graft.internal._
   *
   * Reference: left_merge_latest, pd_utils/merge.py:194-443 (three
   * backends — pandas many-to-many, low-memory loop, SQLite). All
-  * collapse to one Spark plan: equi+range join, keep latest right date
-  * per left row via a dense_rank window (dense_rank, not row_number,
-  * so ties on the max right date all survive — the reference's
-  * groupby-max + merge-back keeps ties, pd_utils/merge.py:271-277),
-  * then left join back so unmatched left rows are preserved.
+  * collapse to one Spark plan: a DATE-ONLY equi+range join feeding a
+  * max(right date) aggregate per (keys, left date), the payload then
+  * equi-joined back on that winning date (equality, so ties on the
+  * max right date all survive — the reference's groupby-max +
+  * merge-back keeps ties, pd_utils/merge.py:271-277), then a left
+  * join so unmatched left rows are preserved.
   *
   * Scale: the range predicate joins on the equi keys first (hash
   * shuffle or broadcast if `df2` is small); the many-to-many blowup
@@ -30,17 +30,18 @@ object AsOf {
     *                  `expr("INTERVAL 30 DAYS")` for timestamps, or
     *                  `lit(2)` for integer year columns).
     *
-    * Scale caveat — `maxOffset = None` over deep right histories: the
-    * range join matches EVERY right row at or before each left date
-    * before the dense_rank keeps only the latest, so the intermediate
-    * fans out as distinct (keys, left date) x right-history depth —
-    * quadratic-ish when one key carries years of history against many
-    * left dates (this is the same blowup the reference's "low_memory"
-    * backend loops around, pd_utils/merge.py:300-356). At scale,
-    * pass a `maxOffset` staleness bound (the typical query only wants
-    * recent history anyway — the bound turns the fan-out into a
-    * constant window) or pre-aggregate the right side to one row per
-    * (keys, date) first; both keep the join linear in its inputs.
+    * Deep-history guard: the range join is computed over the right
+    * side's (keys, date) pairs ONLY — never its payload columns — and
+    * immediately aggregated to max(right date) per (keys, left date)
+    * before the payload joins back by date equality. The (left dates
+    * x right-history depth) fan-out the reference's "low_memory"
+    * backend loops around (pd_utils/merge.py:300-356) therefore
+    * materializes as a two-column frame feeding a map-side-combined
+    * max, not as wide rows; the payload join is equi-only and linear
+    * in its inputs. A `maxOffset` staleness bound additionally
+    * shrinks the narrow fan-out itself to a constant window per left
+    * date — still worth passing when one key carries years of
+    * history.
     *
     * Output: all columns of `df`, plus `df2`'s non-key columns; when
     * the two date columns share a name, the right one is suffixed
@@ -73,14 +74,19 @@ object AsOf {
       case Some(off) => col(rightDateOut) <= col(leftDatevar) && col(rightDateOut) >= col(leftDatevar) - off
       case None      => col(rightDateOut) <= col(leftDatevar)
     }
-    val cand = leftKeys.join(rside, on, "inner").where(rangeCond)
-    val w = Window
-      .partitionBy((on :+ leftDatevar).map(col): _*)
-      .orderBy(col(rightDateOut).desc)
-    val latest = cand
-      .withColumn("__rk__", dense_rank().over(w))
-      .where(col("__rk__") === 1)
-      .drop("__rk__")
+    // Narrow pass: right (keys, date) pairs only — the fan-out frame
+    // is two-ish columns wide and collapses through a map-side-
+    // combined max before any payload column is touched.
+    val rDates = rside.select((on :+ rightDateOut).map(col): _*).distinct()
+    val latestDate = leftKeys.join(rDates, on, "inner")
+      .where(rangeCond)
+      .groupBy((on :+ leftDatevar).map(col): _*)
+      .agg(max(col(rightDateOut)).as(rightDateOut))
+    // Payload pass: equi join back on the winning date; ties on the
+    // max right date all survive (the reference's groupby-max +
+    // merge-back tie rule) because the join is by date EQUALITY, not
+    // a rank filter.
+    val latest = latestDate.join(rside, on :+ rightDateOut, "inner")
     df.join(latest, on :+ leftDatevar, "left")
   }
 }

@@ -65,16 +65,18 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nDf = broadcast(base.agg(count(lit(1)).cast("double").as("__n__")))
     // each round reads the previous ranks TWICE (dangling mass +
-    // contributions): persisted, every level materializes once and
-    // serves both references from cache — unpersisted, the lazy plan
-    // doubles per round and recompute goes exponential in `iters`
-    val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
-    var ranks = base.crossJoin(nDf)
-      .select(col("node"), col("__deg__"), col("__n__"),
-        round(lit(1.0) / col("__n__"), decimals).as("rank"))
+    // contributions), so every round must materialize — but only the
+    // CURRENT round's blocks are live input. Eager localCheckpoint +
+    // immediate release of round N-1 (the connectedComponents
+    // pattern, Dedup.scala) keeps at most two rounds cached at any
+    // instant instead of O(iters) frames held to the cleanup thunk,
+    // and truncates lineage so recompute can't go exponential.
+    var (ranks, releaseRanks) = graft.internal.localCheckpointTracked(
+      base.crossJoin(nDf)
+        .select(col("node"), col("__deg__"), col("__n__"),
+          round(lit(1.0) / col("__n__"), decimals).as("rank")),
+      eager = true)
     for (_ <- 1 to iters) {
-      ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
-      persisted += ranks
       val dangling = broadcast(ranks.where(col("__deg__") === 0)
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm__")))
       val contribs = e
@@ -86,15 +88,20 @@ object Graph {
           Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("__c__")).as("__in__"))
-      ranks = base.crossJoin(nDf)
-        .join(contribs, Seq("node"), "left")
-        .crossJoin(dangling)
-        .select(col("node"), col("__deg__"), col("__n__"),
-          round((lit(1.0) - lit(damping)) / col("__n__") +
-            lit(damping) * (coalesce(col("__in__"), lit(0.0)) + col("__dm__") / col("__n__")),
-            decimals).as("rank"))
+      val (updated, releaseUpdated) = graft.internal.localCheckpointTracked(
+        base.crossJoin(nDf)
+          .join(contribs, Seq("node"), "left")
+          .crossJoin(dangling)
+          .select(col("node"), col("__deg__"), col("__n__"),
+            round((lit(1.0) - lit(damping)) / col("__n__") +
+              lit(damping) * (coalesce(col("__in__"), lit(0.0)) + col("__dm__") / col("__n__")),
+              decimals).as("rank")),
+        eager = true)
+      releaseRanks() // round N-1's blocks are superseded by round N
+      ranks = updated
+      releaseRanks = releaseUpdated
     }
     (ranks.select(col("node"), col("rank")),
-      () => { e.unpersist(); base.unpersist(); persisted.foreach(_.unpersist()) })
+      () => { e.unpersist(); base.unpersist(); releaseRanks() })
   }
 }

@@ -191,9 +191,15 @@ object UrlOps {
   }
 
   /** Evaluate robots.txt for (userAgent, path) — RFC 9309: groups
-    * select by the LONGEST user-agent token contained
-    * case-insensitively in the crawler's UA (`*` is the fallback and
-    * matches all); all groups with that winning token merge; the
+    * select by case-insensitive match of their user-agent token
+    * against the crawler's PRODUCT TOKEN — the leading
+    * letters/underscores/hyphens run of the UA string, i.e.
+    * `GraftBot/1.0 (+http://…)` matches as `graftbot` (RFC 9309
+    * §2.2.1; substring matching over the full UA would let a generic
+    * token like `bot` capture every crawler whose comment mentions
+    * one). `*` is the fallback matching all. All groups with the
+    * winning token merge (the longest matching token wins when
+    * several match, e.g. a prefix token vs the exact one); the
     * decision is the longest-pattern-match among the merged rules,
     * Allow winning length ties; no matching rule (or no matching
     * group, or unparseable input) means allowed — robots.txt is
@@ -201,7 +207,11 @@ object UrlOps {
     */
   def robotsAllowed(robots: String, userAgent: String, path: String): Boolean = {
     if (robots == null || path == null) return true
-    val ua = if (userAgent == null) "" else userAgent.toLowerCase(java.util.Locale.ROOT)
+    val uaFull = if (userAgent == null) "" else userAgent.toLowerCase(java.util.Locale.ROOT)
+    // RFC 9309 product token: letters, underscores, hyphens only —
+    // extraction stops at the version separator, a space, or any
+    // other character outside the set
+    val ua = uaFull.takeWhile(c => (c >= 'a' && c <= 'z') || c == '_' || c == '-')
     // parse into (uaTokens, rules) groups
     val groups = scala.collection.mutable.ArrayBuffer.empty[(List[String], scala.collection.mutable.ArrayBuffer[RobotsRule])]
     var curUas: List[String] = Nil
@@ -240,10 +250,13 @@ object UrlOps {
       }
     }
     closeUaRun() // a file ending inside a UA run still defines the group
-    // group selection: longest UA token contained in the crawler UA
+    // group selection: longest UA token that prefixes the crawler's
+    // product token (prefix, not equality, so a `graftbot` group
+    // still captures a `graftbot-news` crawler — the RFC 9309
+    // most-specific-group convention)
     var bestLen = -1
     for ((uas, _) <- groups; tok <- uas)
-      if (tok == "*" || (tok.nonEmpty && ua.contains(tok))) {
+      if (tok == "*" || (tok.nonEmpty && ua.startsWith(tok))) {
         val l = if (tok == "*") 0 else tok.length
         if (l > bestLen) bestLen = l
       }
@@ -252,9 +265,9 @@ object UrlOps {
       uas.exists(tok =>
         (if (tok == "*") 0 else tok.length) == bestLen &&
           // an EMPTY token matches nothing (mirroring the scoring
-          // pass): ua.contains("") is vacuously true and would merge
-          // a group the selector already rejected
-          (tok == "*" || (tok.nonEmpty && ua.contains(tok))))
+          // pass): ua.startsWith("") is vacuously true and would
+          // merge a group the selector already rejected
+          (tok == "*" || (tok.nonEmpty && ua.startsWith(tok))))
     }
     // decision: longest matching pattern wins, Allow wins ties
     var decision = true
@@ -297,8 +310,10 @@ object UrlOps {
     val keepers = keyed
       .groupBy(col("url_canon"))
       .agg(min(col(idCol)).as(idCol))
-      .select(col(idCol))
-    keyed.join(keepers, Seq(idCol), "left_semi")
+    // semi-join on BOTH (url_canon, id): keying on id alone would
+    // assume globally unique ids — a duplicated id that wins one
+    // canonical class would also keep its rows in classes it lost
+    keyed.join(keepers, Seq("url_canon", idCol), "left_semi")
       .unionByName(withCanon.where(col("url_canon").isNull))
   }
 }

@@ -21,28 +21,93 @@ object WebIngest {
 
   /** Decode a gzip payload (multi-member streams included — WARC
     * files are per-record gzip members concatenated) to its raw
-    * bytes via `java.util.zip.GZIPInputStream`. Null for non-gzip,
-    * corrupt, truncated, or cap-exceeding input.
+    * bytes. Null for non-gzip, corrupt, truncated, or cap-exceeding
+    * input IN ANY MEMBER: the members are walked from spec (RFC
+    * 1952) with per-member CRC32 + ISIZE verification, because
+    * `GZIPInputStream` treats a corrupt or truncated second member
+    * as ordinary end-of-stream and would silently return the
+    * earlier members' partial bytes instead of failing.
     */
   def gunzip(b: Array[Byte]): Array[Byte] = {
     if (b == null || b.length < 18 || (b(0) & 0xff) != 0x1f || (b(1) & 0xff) != 0x8b) return null
     try {
-      val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(b))
       // long arithmetic: b.length * 4 overflows Int past 512 MiB
       val out = new java.io.ByteArrayOutputStream(math.min(b.length.toLong * 4, 1L << 20).toInt)
-      val buf = new Array[Byte](64 * 1024)
-      var n = in.read(buf)
-      while (n >= 0) {
-        if (out.size() + n > maxInflatedBytes) { in.close(); return null }
-        out.write(buf, 0, n)
-        n = in.read(buf)
+      var pos = 0
+      while (pos < b.length) {
+        pos = inflateMember(b, pos, out)
+        if (pos < 0) return null
       }
-      in.close()
       out.toByteArray
     } catch {
       case _: java.io.IOException => null
       case _: OutOfMemoryError => null
     }
+  }
+
+  /** Decode ONE gzip member (RFC 1952) starting at `start` into
+    * `out`: fixed 10-byte header, optional FEXTRA / FNAME / FCOMMENT
+    * / FHCRC fields (FHCRC verified), raw-deflate body, then the
+    * 8-byte trailer whose CRC32 and ISIZE are both checked against
+    * the inflated bytes. Returns the offset just past the trailer,
+    * or -1 on any malformation (reserved flag bits, truncation,
+    * deflate error, CRC/length mismatch, inflated-size cap).
+    */
+  private def inflateMember(b: Array[Byte], start: Int, out: java.io.ByteArrayOutputStream): Int = {
+    def u8(i: Int): Int = b(i) & 0xff
+    var p = start
+    if (b.length - p < 10 || u8(p) != 0x1f || u8(p + 1) != 0x8b || u8(p + 2) != 8) return -1
+    val flg = u8(p + 3)
+    if ((flg & 0xe0) != 0) return -1 // reserved bits must be zero
+    p += 10
+    if ((flg & 4) != 0) { // FEXTRA: 2-byte little-endian length + payload
+      if (b.length - p < 2) return -1
+      p += 2 + (u8(p) | (u8(p + 1) << 8))
+      if (p > b.length) return -1
+    }
+    if ((flg & 8) != 0) { // FNAME: NUL-terminated
+      while (p < b.length && b(p) != 0) p += 1
+      if (p >= b.length) return -1
+      p += 1
+    }
+    if ((flg & 16) != 0) { // FCOMMENT: NUL-terminated
+      while (p < b.length && b(p) != 0) p += 1
+      if (p >= b.length) return -1
+      p += 1
+    }
+    if ((flg & 2) != 0) { // FHCRC: low 16 bits of the header's CRC32
+      if (b.length - p < 2) return -1
+      val hc = new java.util.zip.CRC32
+      hc.update(b, start, p - start)
+      if ((hc.getValue & 0xffffL) != (u8(p) | (u8(p + 1) << 8))) return -1
+      p += 2
+    }
+    val inf = new java.util.zip.Inflater(true)
+    try {
+      inf.setInput(b, p, b.length - p)
+      val crc = new java.util.zip.CRC32
+      val buf = new Array[Byte](64 * 1024)
+      var total = 0L
+      while (!inf.finished()) {
+        val n =
+          try inf.inflate(buf)
+          catch { case _: java.util.zip.DataFormatException => return -1 }
+        // 0 without finished = needs input we don't have (truncated)
+        // or a preset dictionary (not gzip): malformed either way
+        if (n == 0 && !inf.finished()) return -1
+        if (out.size().toLong + n > maxInflatedBytes) return -1
+        crc.update(buf, 0, n)
+        out.write(buf, 0, n)
+        total += n
+      }
+      val end = p + inf.getBytesRead.toInt
+      if (b.length - end < 8) return -1
+      def u32(i: Int): Long =
+        u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+      if (u32(end) != crc.getValue) return -1
+      if (u32(end + 4) != (total & 0xffffffffL)) return -1
+      end + 8
+    } finally inf.end()
   }
 
   private val gunzipUdf = udf((payload: Array[Byte]) => gunzip(payload))
