@@ -1230,14 +1230,43 @@ FROM hx""",
     // KMV distinct sketch mirroring Sketch.kmvDistinctByGroup: per
     // source the 32 smallest md5(text) hashes; estimate = 31 / frac
     // of the 32nd (15 hex chars / 16^15), exact count when a source
-    // holds fewer than 32 distinct texts
+    // holds fewer than 32 distinct texts. Null texts hash to null
+    // and are dropped on both sides (engines order nulls
+    // differently, so a surviving null would poison the kth hash).
     "q_kmv_distinct" ->
-      """WITH h AS (SELECT DISTINCT source, md5(text) AS h FROM documents),
+      """WITH h AS (SELECT DISTINCT source, md5(text) AS h FROM documents WHERE text IS NOT NULL),
 r AS (SELECT source, h FROM h QUALIFY row_number() OVER (PARTITION BY source ORDER BY h) <= 32),
 a AS (SELECT source, count(*) AS n, max(h) AS kth FROM r GROUP BY 1)
 SELECT source,
 CASE WHEN n < 32 THEN CAST(n AS DOUBLE)
 ELSE round(31 / (('0x' || substring(kth, 1, 15))::BIGINT / 1152921504606846976.0), 4) END AS distinct_est
+FROM a""",
+
+    // KMV set algebra (Sketch.kmvOverlapByGroup): per source pair,
+    // merge the two 16-minimum-value word sketches (the k smallest of
+    // the union of the hash sets), then union_est = 15/frac(kth),
+    // jaccard = shared fraction of the merged sketch, inter_est =
+    // nboth * union_est / n (multiplied before dividing, exact when
+    // the merged sketch is exhaustive) — every double op rounded to
+    // 4 decimals in the same order as the Spark side
+    "q_kmv_overlap" ->
+      """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents WHERE text IS NOT NULL),
+h AS (SELECT DISTINCT source, md5(word) AS h FROM w),
+r AS (SELECT source, h FROM h QUALIFY row_number() OVER (PARTITION BY source ORDER BY h) <= 16),
+g AS (SELECT DISTINCT source FROM r),
+p AS (SELECT a.source AS ga, b.source AS gb FROM g a JOIN g b ON a.source < b.source),
+u0 AS (SELECT p.ga, p.gb, r.h, 1 AS ina, 0 AS inb FROM p JOIN r ON r.source = p.ga
+UNION ALL SELECT p.ga, p.gb, r.h, 0 AS ina, 1 AS inb FROM p JOIN r ON r.source = p.gb),
+u AS (SELECT ga, gb, h, max(ina) AS ina, max(inb) AS inb FROM u0 GROUP BY 1, 2, 3),
+m AS (SELECT ga, gb, h, ina, inb FROM u QUALIFY row_number() OVER (PARTITION BY ga, gb ORDER BY h) <= 16),
+a AS (SELECT ga, gb, count(*) AS n, max(h) AS kth,
+sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END) AS nboth FROM m GROUP BY 1, 2)
+SELECT ga AS group_a, gb AS group_b,
+CASE WHEN n < 16 THEN CAST(n AS DOUBLE)
+ELSE round(15 / (('0x' || substring(kth, 1, 15))::BIGINT / 1152921504606846976.0), 4) END AS union_est,
+round(nboth * (CASE WHEN n < 16 THEN CAST(n AS DOUBLE)
+ELSE round(15 / (('0x' || substring(kth, 1, 15))::BIGINT / 1152921504606846976.0), 4) END) / CAST(n AS DOUBLE), 4) AS inter_est,
+round(nboth / CAST(n AS DOUBLE), 4) AS jaccard
 FROM a""",
 
     // expected robots.txt verdicts of the UrlFixture robots fixtures:

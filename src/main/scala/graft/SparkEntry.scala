@@ -813,6 +813,17 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       graft.pipeline.Sketch.kmvDistinctByGroup(d, Seq("source"), "text", k = 32)
     }),
+    "q_kmv_overlap" -> ((s, dir) => {
+      // KMV set algebra between corpus slices: union / intersection /
+      // Jaccard per source pair from the merged k-minimum-values
+      // states — over the word vocabulary, where slices genuinely
+      // overlap (whole texts never repeat across sources). k=16 <
+      // per-source vocab keeps the ESTIMATION branch live
+      val d = t(s, dir, "documents")
+      val words = d.where(col("text").isNotNull)
+        .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      graft.pipeline.Sketch.kmvOverlapByGroup(words, "source", "word", k = 16)
+    }),
     "q_robots" -> ((s, dir) => {
       // RFC 9309 robots.txt evaluation: longest-UA group selection,
       // longest-pattern decision with Allow tie-wins, anchored and

@@ -27,7 +27,11 @@ object Sketch {
     *
     * where frac maps the first 15 hex chars to [0, 1). Groups with
     * FEWER than k distinct values report the exact count (the sketch
-    * holds every hash). Standard error ~ 1/sqrt(k-2).
+    * holds every hash). Standard error ~ 1/sqrt(k-2). NULL values
+    * are excluded from the count (a null hashes to a null md5, which
+    * Spark's ASC window order would slot FIRST while DuckDB slots it
+    * last — dropping it keeps the sketch engine-portable and matches
+    * COUNT(DISTINCT)'s null stance).
     *
     * Scale shape: one (group, hash)-keyed distinct (map-side
     * combined), one per-group window rank that WindowGroupLimit
@@ -48,6 +52,7 @@ object Sketch {
     val gcols = groupCols.map(col)
     val hashes = df
       .select(gcols :+ md5(col(valueCol).cast("string")).as("__h__"): _*)
+      .where(col("__h__").isNotNull)
       .distinct()
     val w = Window.partitionBy(gcols: _*).orderBy(col("__h__").asc)
     hashes
@@ -67,4 +72,81 @@ object Sketch {
   def kmvDistinct(df: DataFrame, valueCol: String, k: Int, decimals: Int = 4): DataFrame =
     kmvDistinctByGroup(df.withColumn("__g__", lit(1)), Seq("__g__"), valueCol, k, decimals)
       .drop("__g__")
+
+  /** KMV set algebra: union / intersection / Jaccard estimates for
+    * every PAIR of `groupCol` slices, from the slices' mergeable KMV
+    * states alone — the corpus is touched once (the per-slice
+    * sketches), and everything after is sketch-sized (k rows per
+    * slice) regardless of corpus size.
+    *
+    * Merging two KMV sketches = the k smallest hashes of their hash-
+    * set union, which is itself the valid KMV sketch of the slice
+    * union (the k smallest hashes of A union B are all necessarily
+    * held in A's or B's own k smallest). Over that merged sketch:
+    *
+    *   union_est ~= (k - 1) / frac(kth)       (exact count when < k)
+    *   jaccard   ~= |{h in merged-k : h in A and h in B}| / |merged-k|
+    *   inter_est  = jaccard * union_est
+    *
+    * (Beyer et al., SIGMOD 2007 — KMV synopses for distinct-value
+    * queries under multiset operations.) Deterministic and engine-
+    * portable like [[kmvDistinctByGroup]], where theta/HLL sketches
+    * are not: the oracle replays every estimate bit-for-bit.
+    *
+    * Scale shape: one corpus-wide distinct + WindowGroupLimit-pruned
+    * rank builds the slice sketches (k rows per slice survive
+    * map-side); the pair scaffold, membership union, merged rank and
+    * final agg all run over O(pairs x k) rows — broadcast-sized
+    * frames even at thousands of slices.
+    *
+    * Output: `(group_a, group_b, union_est, inter_est, jaccard)`,
+    * one row per unordered pair with `group_a < group_b`.
+    */
+  def kmvOverlapByGroup(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      k: Int,
+      decimals: Int = 4
+  ): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val sk = df
+      .select(col(groupCol).as("__g__"), md5(col(valueCol).cast("string")).as("__h__"))
+      .where(col("__h__").isNotNull)
+      .distinct()
+      .withColumn("__r__", row_number().over(Window.partitionBy(col("__g__")).orderBy(col("__h__").asc)))
+      .where(col("__r__") <= k)
+      .select(col("__g__"), col("__h__"))
+    val groups = sk.select(col("__g__")).distinct()
+    val pairs = groups.select(col("__g__").as("group_a"))
+      .join(groups.select(col("__g__").as("group_b")), col("group_a") < col("group_b"))
+    // membership-tagged union of the two slice sketches, equi-joined
+    // per side (never an OR-join: each side broadcasts cleanly)
+    val ua = pairs.join(sk.withColumnRenamed("__g__", "group_a"), Seq("group_a"))
+      .select(col("group_a"), col("group_b"), col("__h__"), lit(1).as("__ina__"), lit(0).as("__inb__"))
+    val ub = pairs.join(sk.withColumnRenamed("__g__", "group_b"), Seq("group_b"))
+      .select(col("group_a"), col("group_b"), col("__h__"), lit(0).as("__ina__"), lit(1).as("__inb__"))
+    val merged = ua.unionByName(ub)
+      .groupBy(col("group_a"), col("group_b"), col("__h__"))
+      .agg(max(col("__ina__")).as("__ina__"), max(col("__inb__")).as("__inb__"))
+      .withColumn("__r__", row_number().over(
+        Window.partitionBy(col("group_a"), col("group_b")).orderBy(col("__h__").asc)))
+      .where(col("__r__") <= k)
+    val agg = merged
+      .groupBy(col("group_a"), col("group_b"))
+      .agg(count(lit(1)).as("__n__"), max(col("__h__")).as("__kth__"),
+        sum(when(col("__ina__") === 1 && col("__inb__") === 1, 1).otherwise(0)).as("__both__"))
+    val unionEst = when(col("__n__") < k, col("__n__").cast("double"))
+      .otherwise(round(lit(k - 1) /
+        (conv(substring(col("__kth__"), 1, 15), 16, 10).cast("long") / lit(HexDenom)),
+        decimals))
+    // inter = both * union / n, multiplied BEFORE dividing: when the
+    // merged sketch is exhaustive (n < k) this cancels exactly
+    // (5 * 15 / 15 = 5), where jaccard_rounded * union would smear
+    // the exact answer (0.3333 * 15 = 4.9995)
+    agg.select(col("group_a"), col("group_b"),
+      unionEst.as("union_est"),
+      round(col("__both__") * unionEst / col("__n__").cast("double"), decimals).as("inter_est"),
+      round(col("__both__") / col("__n__").cast("double"), decimals).as("jaccard"))
+  }
 }

@@ -891,6 +891,14 @@ class PipelineSpec extends SparkSuite {
     assert(WebIngest.gunzip(WebFixture.gzipPayload(9)) == null) // truncated fixture row
     assert(WebIngest.gunzip(null) == null)
     assert(WebIngest.gunzip("plainly not gzip at all".getBytes("UTF-8")) == null)
+    // a truncated or corrupt SECOND member nulls the whole row —
+    // GZIPInputStream would silently return member 1's text alone
+    assert(WebIngest.gunzip(WebFixture.gzipPayload(1) ++ WebFixture.gzipPayload(2).dropRight(4)) == null)
+    val flip2 = WebFixture.gzipPayload(1) ++ WebFixture.gzipPayload(2)
+    flip2(WebFixture.gzipPayload(1).length + 14) = (flip2(WebFixture.gzipPayload(1).length + 14) ^ 0x20).toByte
+    assert(WebIngest.gunzip(flip2) == null)
+    // trailing non-gzip garbage after a valid member is malformed too
+    assert(WebIngest.gunzip(WebFixture.gzipPayload(1) ++ Array[Byte](1, 2, 3)) == null)
     // a bit flip mid-stream must degrade (null or partial-CRC fail), never throw
     val bad = WebFixture.gzipPayload(4).clone
     bad(bad.length / 2) = (bad(bad.length / 2) ^ 0x55).toByte
@@ -1022,6 +1030,40 @@ class PipelineSpec extends SparkSuite {
     assert(exact == Map("a" -> 9.0, "b" -> 8.0))
   }
 
+  test("kmvOverlap: exact under k; estimates within bounds; disjoint slices read zero") {
+    val s = spark; import s.implicits._
+    import graft.pipeline.Sketch
+    // small slices (< k distinct each, merged < k): every figure exact.
+    // a = {x0..x9}, b = {x5..x14} -> union 15, inter 5, J = 1/3
+    val small = ((0 until 10).map(i => ("a", s"x$i")) ++ (5 until 15).map(i => ("b", s"x$i")))
+      .toDF("g", "v")
+    val ex = Sketch.kmvOverlapByGroup(small, "g", "v", k = 32).head()
+    assert((ex.getString(0), ex.getString(1)) == ("a", "b"))
+    assert(ex.getDouble(2) == 15.0 && ex.getDouble(3) == 5.0)
+    assert(math.abs(ex.getDouble(4) - 0.3333) < 1e-9) // 5/15 rounded to 4dp
+    // large slices with known 50% overlap: estimates within 4 sigma
+    // of truth (union RSE ~ 1/sqrt(k-2); jaccard adds binomial noise)
+    val n = 8000
+    val big = ((0 until n).map(i => ("a", s"v$i")) ++ (n / 2 until n + n / 2).map(i => ("b", s"v$i")))
+      .toDF("g", "v")
+    val est = Sketch.kmvOverlapByGroup(big, "g", "v", k = 256).head()
+    val trueUnion = 1.5 * n
+    assert(math.abs(est.getDouble(2) - trueUnion) / trueUnion < 0.25,
+      s"union_est ${est.getDouble(2)} vs $trueUnion")
+    assert(math.abs(est.getDouble(4) - 1.0 / 3) < 0.15, s"jaccard ${est.getDouble(4)} vs 1/3")
+    // disjoint slices: jaccard and intersection exactly zero however
+    // the union is estimated
+    val dj = ((0 until 5000).map(i => ("a", s"l$i")) ++ (0 until 5000).map(i => ("b", s"r$i")))
+      .toDF("g", "v")
+    val z = Sketch.kmvOverlapByGroup(dj, "g", "v", k = 64).head()
+    assert(z.getDouble(3) == 0.0 && z.getDouble(4) == 0.0)
+    // three slices -> all three unordered pairs, a<b ordering
+    val tri = Seq(("a", "x"), ("b", "x"), ("c", "y")).toDF("g", "v")
+    val ps = Sketch.kmvOverlapByGroup(tri, "g", "v", k = 8)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(ps == Set(("a", "b"), ("a", "c"), ("b", "c")))
+  }
+
   test("robotsAllowed: group selection, longest-match decision, wildcards and anchors") {
     import graft.pipeline.UrlOps.robotsAllowed
     val robots =
@@ -1044,6 +1086,14 @@ class PipelineSpec extends SparkSuite {
     assert(robotsAllowed(robots, "graftbot/2.0", "/xyz0")) // anchor fails
     // consecutive UA lines share one group
     assert(!robotsAllowed(robots, "MegaBot", "/xQQz"))
+    // PRODUCT-token matching (RFC 9309 §2.2.1): a UA whose comment
+    // merely MENTIONS a token is not that crawler — 'mozilla' is the
+    // product token here, so this falls to '*', not the GraftBot group
+    assert(robotsAllowed(robots, "Mozilla/5.0 (compatible; GraftBot/1.0)", "/xyz"))
+    assert(!robotsAllowed(robots, "Mozilla/5.0 (compatible; GraftBot/1.0)", "/a/q"))
+    // ...while a group token that PREFIXES the product token captures
+    // suffixed crawler variants (graftbot-news follows graftbot rules)
+    assert(!robotsAllowed(robots, "GraftBot-News/1.0", "/xyz"))
     // equal-length tie: Allow wins
     assert(robotsAllowed("User-agent: *\nDisallow: /ab\nAllow: /ab\n", "x", "/abc"))
     // degenerate inputs: permissive, never a throw
@@ -1125,6 +1175,29 @@ class PipelineSpec extends SparkSuite {
     val total = pr.agg(sum("rank")).head().getDouble(0)
     cl2()
     assert(math.abs(total - 1.0) < 1e-3, s"total rank drifted to $total")
+  }
+
+  test("pageRank: superseded rounds release their blocks (never O(iters) cached)") {
+    val s = spark; import s.implicits._
+    import graft.pipeline.Graph
+    val sc = s.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val src = s.range(0, 50)
+    val eg = src.select(col("id").as("src"), ((col("id") * 3 + 1) % 50).as("dst"))
+    // eager rounds materialize inside the call, so the census after
+    // return is exact: persisted edge + node frames (lazy, so they
+    // may or may not have registered yet) plus AT MOST the final
+    // round's checkpoint blocks — round N-1 is released as soon as
+    // round N exists. The old per-round persist accumulation would
+    // leave ~iters extra entries here.
+    val (pr, cleanup) = Graph.pageRankWithCleanup(eg, "src", "dst", iters = 8)
+    val afterCall = sc.getPersistentRDDs.keySet -- before
+    assert(afterCall.size <= 3,
+      s"expected <=3 live cached frames (edges, nodes, final round), got ${afterCall.size}")
+    assert(pr.count() == 50)
+    cleanup()
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"cleanup left ${leaked.size} cached RDDs")
   }
 
   test("urlCanonical: port/path/query edge rules and non-URL passthrough") {
