@@ -487,44 +487,132 @@ object Similarity {
       nprobe: Int = 4,
       scoreDecimals: Int = 4
   ): DataFrame = {
-    val sub = dims / m
-    // coarse stage: prune to probed cells (exact-vector assignment,
-    // the same cells ivfTopK uses)
-    val cents = ivfCentroids(corpus, idCol, vecCol, nlist)
-    val corpusCells = ivfAssign(corpus, cents, idCol, vecCol, "neighbor", keep = 1, scoreDecimals)
-      .select(col("neighbor_id"), col("cent_id"))
-    val queryCells = ivfAssign(queries, cents, idCol, vecCol, "query", keep = nprobe, scoreDecimals)
-      .select(col("query_id"), col("cent_id"))
-    // fine stage: fitted codebooks, compressed corpus, per-query LUT
-    val cb = pqCodebooks(corpus, idCol, vecCol, dims, m, ksub, iters, scoreDecimals)
-    val codes = pqEncode(corpus, cb, idCol, vecCol, dims, m, scoreDecimals)
+    // single-query form (the oracle replays fit + search as one
+    // plan): no persistence, the model frames inline into the search
+    val model = pqFit(corpus, idCol, vecCol, dims, m, ksub, iters, nlist, nprobe,
+      scoreDecimals, persist = false)
+    pqSearch(model, queries, idCol, vecCol, k)
+  }
+
+  /** A fitted IVF-PQ index: the coarse-quantizer centroids, the
+    * trained codebooks, and the ENCODED corpus (codes, cell
+    * assignments, reconstruction norms). Fitting is the expensive,
+    * corpus-scanning part; everything a search needs afterwards is
+    * here, so serving reuses one fit across arbitrarily many query
+    * batches without retraining. `release()` drops the persisted
+    * corpus-side frames when the index retires.
+    */
+  final case class PqModel private[pipeline] (
+      centroids: DataFrame,
+      codebooks: DataFrame,
+      codes: DataFrame,
+      cells: DataFrame,
+      norms: DataFrame,
+      dims: Int,
+      m: Int,
+      nprobe: Int,
+      scoreDecimals: Int,
+      private val releaseThunk: () => Unit) {
+    def release(): Unit = releaseThunk()
+  }
+
+  /** Fit the IVF-PQ index of [[pqTopK]] once: coarse centroids,
+    * jointly-trained codebooks, and the three corpus-side frames a
+    * search consumes (codes, cells, reconstruction norms). With
+    * `persist` (the serving default) those frames materialize to
+    * MEMORY_AND_DISK so each query batch reads the encoded corpus
+    * from cache instead of re-running encode; `persist = false`
+    * keeps the model fully lazy for single-shot plans (and for the
+    * oracle, which must replay the whole fit).
+    *
+    * At 100 TB: fit on the full corpus (encode is one scan; training
+    * can subsample via [[Sampling.deterministicSample]] upstream),
+    * then serve every downstream query batch from the ~`m` bytes/row
+    * compressed frames — the raw vectors are never touched again.
+    */
+  def pqFit(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      m: Int = 4,
+      ksub: Int = 8,
+      iters: Int = 1,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      scoreDecimals: Int = 4,
+      persist: Boolean = true
+  ): PqModel = {
+    import org.apache.spark.storage.StorageLevel
+    // the model frames (nlist + m*ksub rows) persist too in serving
+    // mode: the LUT of EVERY search joins the codebook frame, whose
+    // lineage is the whole iterative Lloyd training — uncached, each
+    // query batch would silently retrain
+    var cents = ivfCentroids(corpus, idCol, vecCol, nlist)
+    var cb = pqCodebooks(corpus, idCol, vecCol, dims, m, ksub, iters, scoreDecimals)
+    if (persist) {
+      cents = cents.persist(StorageLevel.MEMORY_AND_DISK)
+      cb = cb.persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    var codes = pqEncode(corpus, cb, idCol, vecCol, dims, m, scoreDecimals)
       .withColumnRenamed(idCol, "neighbor_id")
-    val xnorm = codes
+    var cells = ivfAssign(corpus, cents, idCol, vecCol, "neighbor", keep = 1, scoreDecimals)
+      .select(col("neighbor_id"), col("cent_id"))
+    if (persist) {
+      codes = codes.persist(StorageLevel.MEMORY_AND_DISK)
+      cells = cells.persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    // built AFTER codes persists so the norm scan reads the cache
+    var xnorm = codes
       .join(cb.select(col("sub_id"), col("cent_id").as("code_id"), col("__cbn2__")),
         Seq("sub_id", "code_id"))
       .groupBy(col("neighbor_id"))
       .agg(sqrt(sum(col("__cbn2__"))).as("__xn__"))
-    val subsArr = array((0 until m).map(s =>
+    if (persist) xnorm = xnorm.persist(StorageLevel.MEMORY_AND_DISK)
+    val persisted = if (persist) Seq(cents, cb, codes, cells, xnorm) else Nil
+    PqModel(cents, cb, codes, cells, xnorm, dims, m, nprobe, scoreDecimals,
+      () => persisted.foreach(_.unpersist()))
+  }
+
+  /** Search a fitted [[PqModel]]: coarse-prune each query to its
+    * `nprobe` cells, score candidates by asymmetric distance
+    * computation over the PQ codes (per-query LUT of m x ksub
+    * partial dot products, broadcast), keep the top `k`. Touches
+    * only the model's compressed frames — never a corpus vector —
+    * so serving cost is per-query-batch, not per-corpus.
+    */
+  def pqSearch(
+      model: PqModel,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    val sub = model.dims / model.m
+    val queryCells = ivfAssign(queries, model.centroids, idCol, vecCol, "query",
+      keep = model.nprobe, model.scoreDecimals)
+      .select(col("query_id"), col("cent_id"))
+    val subsArr = array((0 until model.m).map(s =>
       slice(col(vecCol).cast("array<double>"), s * sub + 1, sub)): _*)
     val lut = queries
       .select(col(idCol).as("query_id"),
         norm(col(vecCol).cast("array<double>")).as("__qn__"),
         posexplode(subsArr).as(Seq("sub_id", "__qsv__")))
-      .join(cb, Seq("sub_id"))
+      .join(model.codebooks, Seq("sub_id"))
       .select(col("query_id"), col("__qn__"), col("sub_id"),
         col("cent_id").as("code_id"), dot(col("__qsv__"), col("__cbv__")).as("__part__"))
     val pairs = queryCells
-      .join(corpusCells, Seq("cent_id"))
+      .join(model.cells, Seq("cent_id"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
     pairs
-      .join(codes, Seq("neighbor_id"))
+      .join(model.codes, Seq("neighbor_id"))
       .join(lut, Seq("query_id", "sub_id", "code_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("__part__")).as("__num__"), first(col("__qn__")).as("__qn__"))
-      .join(xnorm, Seq("neighbor_id"))
-      .withColumn("score", round(col("__num__") / (col("__qn__") * col("__xn__")), scoreDecimals))
+      .join(model.norms, Seq("neighbor_id"))
+      .withColumn("score", round(col("__num__") / (col("__qn__") * col("__xn__")), model.scoreDecimals))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))

@@ -561,6 +561,37 @@ class PipelineSpec extends SparkSuite {
     assert(recall >= 0.4, f"IVF-PQ recall@5 fell to $recall%.3f (bar 0.4)")
   }
 
+  test("pqFit/pqSearch: one fit serves many query batches from cache, release drops it") {
+    val s = spark; import s.implicits._
+    val sc = s.sparkContext
+    val corpus = (0 until 200).map { i =>
+      val c = i % 8
+      (i.toLong, Array.tabulate(16)(d => math.sin(c * 37 + d) + 0.2 * math.sin(i * 13 + d * 7)))
+    }.toDF("id", "v")
+    val qa = corpus.where(col("id") % 10 === 0)
+    val qb = corpus.where(col("id") % 10 === 3) // a batch the fit never saw
+    val before = sc.getPersistentRDDs.keySet
+    val model = Similarity.pqFit(corpus, "id", "v", dims = 16, m = 4, ksub = 8,
+      iters = 1, nlist = 8, nprobe = 3)
+    // both batches reproduce the single-shot form exactly — the fit
+    // is the same deterministic model, reused
+    assertSame(Similarity.pqSearch(model, qa, "id", "v", k = 5),
+      Similarity.pqTopK(corpus, qa, "id", "v", k = 5, dims = 16, m = 4, ksub = 8,
+        iters = 1, nlist = 8, nprobe = 3))
+    assertSame(Similarity.pqSearch(model, qb, "id", "v", k = 5),
+      Similarity.pqTopK(corpus, qb, "id", "v", k = 5, dims = 16, m = 4, ksub = 8,
+        iters = 1, nlist = 8, nprobe = 3))
+    // no-retraining pin: the serving plan reads the fitted frames
+    // from cache — codebook lineage (Lloyd training) is NOT in it
+    val servePlan = Similarity.pqSearch(model, qb, "id", "v", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(servePlan.contains("InMemoryTableScan"),
+      s"pqSearch over a persisted model does not read the cache:\n$servePlan")
+    model.release()
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty,
+      "release() left model frames cached")
+  }
+
   test("simhash candidates: exact dups collide at hamming 0, unrelated text is pruned") {
     val out = Dedup.simhashCandidates(docs, "doc_id", "text", bits = 32, bands = 4, maxHamming = 3)
       .collect()
