@@ -419,4 +419,100 @@ class PropertySpec extends SparkSuite {
       assert(bad.isEmpty, s"not a fixed point: ${bad.take(3).mkString(", ")}")
     }
   }
+
+  /** Independent RFC 9309 evaluator for the robots property test:
+    * regex pattern matching (quoted segments joined by `.*`,
+    * lookingAt for prefix semantics) and a functional group fold —
+    * deliberately nothing in common with UrlOps' iterative greedy
+    * matcher beyond the spec itself.
+    */
+  private def refRobotsEval(robots: String, userAgent: String, path: String): Boolean = {
+    import java.util.regex.Pattern
+    val prod = userAgent.toLowerCase(java.util.Locale.ROOT)
+      .takeWhile(c => (c >= 'a' && c <= 'z') || c == '_' || c == '-')
+    final case class PG(toks: List[String], rules: scala.collection.mutable.Buffer[(Boolean, String)])
+    val gs = scala.collection.mutable.Buffer.empty[PG]
+    var pendingToks = List.empty[String]
+    var active: PG = null
+    var prevWasUa = false
+    for (raw <- robots.split("\n", -1)) {
+      val line = { val h = raw.indexOf('#'); if (h >= 0) raw.substring(0, h) else raw }.trim
+      val c = line.indexOf(':')
+      if (c > 0) {
+        val f = line.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
+        val v = line.substring(c + 1).trim
+        if (f == "user-agent") {
+          if (!prevWasUa) { pendingToks = Nil; active = null }
+          pendingToks = v.toLowerCase(java.util.Locale.ROOT) :: pendingToks
+          prevWasUa = true
+        } else {
+          if (prevWasUa && pendingToks.nonEmpty && active == null) {
+            active = PG(pendingToks, scala.collection.mutable.Buffer.empty)
+            gs += active
+          }
+          prevWasUa = false
+          if ((f == "allow" || f == "disallow") && v.nonEmpty && active != null)
+            active.rules += ((f == "allow", v))
+        }
+      }
+    }
+    if (prevWasUa && pendingToks.nonEmpty && active == null)
+      gs += PG(pendingToks, scala.collection.mutable.Buffer.empty)
+    def tokMatches(t: String): Boolean = t == "*" || (t.nonEmpty && prod.startsWith(t))
+    def tokLen(t: String): Int = if (t == "*") 0 else t.length
+    def patMatches(pat: String, p: String): Boolean = {
+      val anchored = pat.endsWith("$")
+      val body = (if (anchored) pat.dropRight(1) else pat)
+        .split("\\*", -1).map(Pattern.quote).mkString(".*")
+      val m = Pattern.compile("^" + body + (if (anchored) "$" else "")).matcher(p)
+      if (anchored) m.matches() else m.lookingAt()
+    }
+    val lens = for (g <- gs; t <- g.toks if tokMatches(t)) yield tokLen(t)
+    if (lens.isEmpty) return true
+    val best = lens.max
+    val merged = gs.filter(_.toks.exists(t => tokLen(t) == best && tokMatches(t))).flatMap(_.rules)
+    val hits = merged.filter { case (_, pat) => patMatches(pat, path) }
+    if (hits.isEmpty) true
+    else {
+      val maxLen = hits.map(_._2.length).max
+      hits.filter(_._2.length == maxLen).exists(_._1) // Allow wins ties
+    }
+  }
+
+  test("robotsAllowed matches an independent regex evaluator on random corpora (VERDICT r8 #8)") {
+    import graft.pipeline.UrlOps.robotsAllowed
+    val patGen: Gen[String] = for {
+      n <- Gen.choose(0, 4)
+      parts <- Gen.listOfN(n, Gen.oneOf("a", "b", "ab", "*", "/", "x", "$"))
+      anchor <- Gen.oneOf("", "", "$")
+    } yield "/" + parts.mkString + anchor
+    val groupTextGen: Gen[String] = for {
+      nua <- Gen.choose(1, 3)
+      toks <- Gen.listOfN(nua, Gen.oneOf("*", "graftbot", "graft", "bot", "mega", "megabot", "graftbot-news"))
+      uaCase <- Gen.oneOf("User-agent", "user-agent", "USER-AGENT", "User-Agent")
+      // between the UA run and the rules: nothing, a field that closes
+      // the run (crawl-delay), or lines the parser must no-op through
+      extra <- Gen.oneOf(List.empty[String], List("Crawl-delay: 5"), List("# comment"), List(""))
+      nrules <- Gen.choose(0, 4)
+      rules <- Gen.listOfN(nrules, for {
+        kind <- Gen.oneOf("Allow", "Disallow", "allow", "DISALLOW")
+        pat <- Gen.frequency(9 -> patGen, 1 -> Gen.const("")) // empty value = no rule
+      } yield s"$kind: $pat")
+    } yield (toks.map(t => s"$uaCase: $t") ++ extra ++ rules).mkString("\n")
+    val caseGen: Gen[(String, String, String)] = for {
+      ngroups <- Gen.choose(1, 4)
+      groups <- Gen.listOfN(ngroups, groupTextGen)
+      ua <- Gen.oneOf("GraftBot/1.0 (+http://example.com/bot)",
+        "Mozilla/5.0 (compatible; GraftBot/1.0)", "graftbot-news/2",
+        "MegaBot", "mega", "Bot/0.1", "unknown-agent/9", "")
+      nseg <- Gen.choose(0, 6)
+      segs <- Gen.listOfN(nseg, Gen.oneOf("a", "b", "x", "/"))
+    } yield (groups.mkString("\n\n"), ua, "/" + segs.mkString)
+    forAllSamples(caseGen, n = 200) { case (robots, ua, path) =>
+      val got = robotsAllowed(robots, ua, path)
+      val want = refRobotsEval(robots, ua, path)
+      assert(got == want,
+        s"robotsAllowed=$got, reference=$want for ua='$ua' path='$path' robots:\n$robots")
+    }
+  }
 }
