@@ -50,8 +50,9 @@ case class FrameRef(frame_idx: Int, offset: Long, n_bytes: Int, is_keyframe: Boo
   * duration, tkhd dims, stsz frame count) and AVI (avih header) for
   * metadata, and [[mp4SampleTable]] composes stsc/stsz/stco/stss
   * into the true per-frame byte ranges + keyframe flags — the frame
-  * map a pipeline routes and samples on without decoding. Out of
-  * scope: interlaced PNG/GIF and video CODECS (H.264 etc.); for
+  * map a pipeline routes and samples on without decoding. PNG
+  * decode covers Adam7 interlacing, GIF decode the 4-pass interlaced
+  * row order. Out of scope: video CODECS (H.264 etc.); for
   * payloads the engine cannot decode the generic [[extractFeatures]]
   * path uses `decodeStub`, a deterministic stand-in to swap for a
   * real embedding model at deployment. Everything else — schema,
@@ -491,15 +492,27 @@ object Multimodal {
     */
   private val maxPngRawBytes: Int = 64 * 1024 * 1024
 
-  /** Decode a non-interlaced 8-bit-depth PNG (color type 2 = RGB or
-    * 6 = RGBA) to its raw channel bytes, row-major, `bpp` bytes per
-    * pixel — REAL decode with no codec library: zlib is
-    * `java.util.zip.Inflater`, and the five scanline filters (None /
-    * Sub / Up / Average / Paeth) are public-spec byte arithmetic.
-    * Returns (width, height, bpp, bytes), or null for non-PNG input,
-    * unsupported layouts (interlaced, paletted, 16-bit), corrupt
-    * zlib streams, or dimensions past the allocation cap — a poison
-    * row yields a null, never an executor OOM or exception.
+  /** Adam7 pass geometry (PNG spec §8.2): start offsets and steps of
+    * each of the 7 interlace passes over the full image grid.
+    */
+  private val Adam7X0 = Array(0, 4, 0, 2, 0, 1, 0)
+  private val Adam7Y0 = Array(0, 0, 4, 0, 2, 0, 1)
+  private val Adam7Dx = Array(8, 8, 4, 4, 2, 2, 1)
+  private val Adam7Dy = Array(8, 8, 8, 4, 4, 2, 2)
+
+  /** Decode an 8-bit-depth PNG (color type 2 = RGB or 6 = RGBA),
+    * sequential OR Adam7-interlaced, to its raw channel bytes,
+    * row-major, `bpp` bytes per pixel — REAL decode with no codec
+    * library: zlib is `java.util.zip.Inflater`, and the five
+    * scanline filters (None / Sub / Up / Average / Paeth) are
+    * public-spec byte arithmetic. An interlaced stream carries each
+    * pass as its own sub-image (pass-local filtering, empty passes
+    * absent), whose reconstructed pixels scatter onto the full grid
+    * at the pass's offsets/steps. Returns (width, height, bpp,
+    * bytes), or null for non-PNG input, unsupported layouts
+    * (paletted, 16-bit), corrupt zlib streams, or dimensions past
+    * the allocation cap — a poison row yields a null, never an
+    * executor OOM or exception.
     */
   def decodePngPixels(b: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
     val hdr = parseMediaHeader(b)
@@ -507,9 +520,24 @@ object Multimodal {
     val w = hdr.width.get; val h = hdr.height.get
     val bitDepth = b(24) & 0xff; val colorType = b(25) & 0xff
     val interlace = b(28) & 0xff
-    if (bitDepth != 8 || interlace != 0) return null
+    if (bitDepth != 8 || interlace > 1) return null
     val bpp = colorType match { case 2 => 3; case 6 => 4; case _ => return null }
     if (w.toLong * h * bpp + h > maxPngRawBytes) return null
+    // pass table: sequential = one full-grid pass; Adam7 = seven
+    val nPasses = if (interlace == 1) 7 else 1
+    def passDims(p: Int): (Int, Int, Int, Int, Int, Int) = {
+      val (x0, y0, dx, dy) =
+        if (interlace == 1) (Adam7X0(p), Adam7Y0(p), Adam7Dx(p), Adam7Dy(p)) else (0, 0, 1, 1)
+      val wp = if (w > x0) (w - x0 + dx - 1) / dx else 0
+      val hp = if (h > y0) (h - y0 + dy - 1) / dy else 0
+      (x0, y0, dx, dy, wp, hp)
+    }
+    var rawLen = 0L
+    for (p <- 0 until nPasses) {
+      val (_, _, _, _, wp, hp) = passDims(p)
+      if (wp > 0 && hp > 0) rawLen += hp.toLong * (1 + wp.toLong * bpp)
+    }
+    if (rawLen > maxPngRawBytes) return null
     // gather IDAT chunk payloads (possibly split across chunks)
     val idat = new java.io.ByteArrayOutputStream
     var i = 8
@@ -523,7 +551,7 @@ object Multimodal {
         if (tag == "IEND") stop = true
         i += 12 + len.toInt // len + tag + data + crc
       }
-      val raw = new Array[Byte](h * (1 + w * bpp))
+      val raw = new Array[Byte](rawLen.toInt)
       val inf = new java.util.zip.Inflater()
       inf.setInput(idat.toByteArray)
       var off = 0
@@ -534,37 +562,57 @@ object Multimodal {
       }
       inf.end()
       if (off < raw.length) return null // truncated stream
-      // unfilter in place into a packed pixel buffer
-      val stride = w * bpp
-      val out = new Array[Byte](h * stride)
-      var y = 0
-      while (y < h) {
-        val f = raw(y * (stride + 1)) & 0xff
-        val rowIn = y * (stride + 1) + 1
-        val rowOut = y * stride
-        var x = 0
-        while (x < stride) {
-          val cur = raw(rowIn + x) & 0xff
-          val left = if (x >= bpp) out(rowOut + x - bpp) & 0xff else 0
-          val up = if (y > 0) out(rowOut - stride + x) & 0xff else 0
-          val upLeft = if (y > 0 && x >= bpp) out(rowOut - stride + x - bpp) & 0xff else 0
-          val recon = f match {
-            case 0 => cur
-            case 1 => cur + left
-            case 2 => cur + up
-            case 3 => cur + (left + up) / 2
-            case 4 =>
-              // Paeth predictor: nearest of left/up/upLeft to their sum
-              val p = left + up - upLeft
-              val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - upLeft)
-              val pred = if (pa <= pb && pa <= pc) left else if (pb <= pc) up else upLeft
-              cur + pred
-            case _ => return null // invalid filter byte
+      // unfilter pass by pass (each pass is its own sub-image: Up /
+      // Paeth reference the previous row OF THE PASS), scattering
+      // reconstructed pixels onto the full grid
+      val out = new Array[Byte](h * w * bpp)
+      var rawOff = 0
+      var pass = 0
+      while (pass < nPasses) {
+        val (x0, y0, dx, dy, wp, hp) = passDims(pass)
+        if (wp > 0 && hp > 0) {
+          val pStride = wp * bpp
+          var prev = new Array[Byte](pStride)
+          var cur = new Array[Byte](pStride)
+          var j = 0
+          while (j < hp) {
+            val f = raw(rawOff) & 0xff
+            val rowIn = rawOff + 1
+            var x = 0
+            while (x < pStride) {
+              val c = raw(rowIn + x) & 0xff
+              val left = if (x >= bpp) cur(x - bpp) & 0xff else 0
+              val up = if (j > 0) prev(x) & 0xff else 0
+              val upLeft = if (j > 0 && x >= bpp) prev(x - bpp) & 0xff else 0
+              val recon = f match {
+                case 0 => c
+                case 1 => c + left
+                case 2 => c + up
+                case 3 => c + (left + up) / 2
+                case 4 =>
+                  // Paeth predictor: nearest of left/up/upLeft to their sum
+                  val p = left + up - upLeft
+                  val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - upLeft)
+                  val pred = if (pa <= pb && pa <= pc) left else if (pb <= pc) up else upLeft
+                  c + pred
+                case _ => return null // invalid filter byte
+              }
+              cur(x) = (recon & 0xff).toByte
+              x += 1
+            }
+            var sx = 0
+            while (sx < wp) {
+              val outPos = ((y0 + j * dy) * w + (x0 + sx * dx)) * bpp
+              var cc = 0
+              while (cc < bpp) { out(outPos + cc) = cur(sx * bpp + cc); cc += 1 }
+              sx += 1
+            }
+            rawOff += 1 + pStride
+            val t = prev; prev = cur; cur = t
+            j += 1
           }
-          out(rowOut + x) = (recon & 0xff).toByte
-          x += 1
         }
-        y += 1
+        pass += 1
       }
       (w, h, bpp, out)
     } catch {
@@ -577,14 +625,15 @@ object Multimodal {
 
   // ---- REAL image decode: GIF (LZW, 8-bit palette) ----------------
 
-  /** Decode the first image of a non-interlaced GIF to packed RGB
-    * bytes — REAL decode: the LZW variable-width code stream is
-    * public-spec bit twiddling, no codec library involved. Walks the
-    * block chain (extensions skipped by their sub-block lengths),
-    * reads the global or local color table, inflates the LZW indices
-    * and maps them through the palette. Returns (width, height, 3,
-    * rgb bytes) using the IMAGE descriptor's dims, or null for
-    * non-GIF input, interlaced images, missing palettes, corrupt or
+  /** Decode the first image of a GIF (sequential or interlaced) to
+    * packed RGB bytes — REAL decode: the LZW variable-width code
+    * stream is public-spec bit twiddling, no codec library involved.
+    * Walks the block chain (extensions skipped by their sub-block
+    * lengths), reads the global or local color table, inflates the
+    * LZW indices and maps them through the palette; an interlaced
+    * image's rows are de-permuted through the 4-pass order. Returns
+    * (width, height, 3, rgb bytes) using the IMAGE descriptor's
+    * dims, or null for non-GIF input, missing palettes, corrupt or
     * truncated code streams, or dims past the allocation cap.
     */
   def decodeGifPixels(b: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
@@ -609,7 +658,7 @@ object Multimodal {
           case 0x2c => // image descriptor
             val w = u16le(b, i + 5); val h = u16le(b, i + 7)
             val ipack = b(i + 9) & 0xff
-            if ((ipack & 0x40) != 0) return null // interlaced: out of scope
+            val interlaced = (ipack & 0x40) != 0
             i += 10
             if ((ipack & 0x80) != 0) { // local color table wins
               val n = 3 * (1 << ((ipack & 0x07) + 1))
@@ -620,12 +669,28 @@ object Multimodal {
             if (w.toLong * h * 3 > maxPngRawBytes) return null
             val idx = gifLzwDecode(b, i, w * h)
             if (idx == null) return null
+            // interlaced GIF (GIF89a appendix E): the code stream
+            // carries the SAME indices, rows ordered in 4 passes
+            // (0,8,16,… then 4,12,… then 2,6,… then odd rows) — map
+            // stream row r to its target row, identity when not
+            // interlaced
+            val rowMap = new Array[Int](h)
+            if (interlaced) {
+              var r = 0
+              for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2)); y <- start until h by step) {
+                rowMap(r) = y; r += 1
+              }
+            } else {
+              var y = 0
+              while (y < h) { rowMap(y) = y; y += 1 }
+            }
             val out = new Array[Byte](w * h * 3)
             var p = 0
             while (p < w * h) {
               val off = 3 * (idx(p) & 0xff)
               if (off + 2 >= pal.length) return null // index past the palette
-              out(3 * p) = pal(off); out(3 * p + 1) = pal(off + 1); out(3 * p + 2) = pal(off + 2)
+              val q = rowMap(p / w) * w + p % w
+              out(3 * q) = pal(off); out(3 * q + 1) = pal(off + 1); out(3 * q + 2) = pal(off + 2)
               p += 1
             }
             return (w, h, 3, out)

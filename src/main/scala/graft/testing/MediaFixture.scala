@@ -212,49 +212,72 @@ object MediaFixture {
 
   /** A fully decodable RGBA PNG: small closed-form dims
     * (w = 4 + i%13, h = 3 + i%11), real zlib-deflated scanlines, and
-    * scanline y filtered with type (y + i) % 5 — all five PNG filters
-    * (None/Sub/Up/Average/Paeth) appear in the oracle-gated decode
-    * path. The IDAT stream is split across two chunks to exercise
-    * multi-IDAT concatenation.
+    * scanlines cycling through all five PNG filter types
+    * (None/Sub/Up/Average/Paeth) in the oracle-gated decode path.
+    * Every i % 4 == 2 image is ADAM7 INTERLACED — same closed-form
+    * pixels, seven pass-local sub-images in the IDAT stream — so the
+    * oracle also gates the interlaced reconstruction. The IDAT
+    * stream is split across two chunks to exercise multi-IDAT
+    * concatenation.
     */
   def imagePayload(i: Long): Array[Byte] =
-    pngWithPixels(4 + (i % 13).toInt, 3 + (i % 11).toInt, i)
+    pngWithPixels(4 + (i % 13).toInt, 3 + (i % 11).toInt, i, interlaced = i % 4 == 2)
 
-  private def pngWithPixels(w: Int, h: Int, i: Long): Array[Byte] = {
+  private def pngWithPixels(w: Int, h: Int, i: Long, interlaced: Boolean = false): Array[Byte] = {
     val bpp = 4
     val stride = w * bpp
     val px = Array.tabulate(h * stride) { k =>
       val y = k / stride; val rem = k % stride
       pixelByte(i, rem / bpp, y, rem % bpp).toByte
     }
-    // apply the PNG scanline filters (the decoder must invert these)
-    val raw = new Array[Byte](h * (stride + 1))
-    var y = 0
-    while (y < h) {
-      val f = ((y + i) % 5).toInt
-      raw(y * (stride + 1)) = f.toByte
-      var x = 0
-      while (x < stride) {
-        val cur = px(y * stride + x) & 0xff
-        val left = if (x >= bpp) px(y * stride + x - bpp) & 0xff else 0
-        val up = if (y > 0) px((y - 1) * stride + x) & 0xff else 0
-        val ul = if (y > 0 && x >= bpp) px((y - 1) * stride + x - bpp) & 0xff else 0
-        val enc = f match {
-          case 0 => cur
-          case 1 => cur - left
-          case 2 => cur - up
-          case 3 => cur - (left + up) / 2
-          case _ =>
-            val p = left + up - ul
-            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
-            val pred = if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
-            cur - pred
+    // serialize as one full-grid pass, or the seven Adam7 passes
+    // (each an independent sub-image: pass-local scanline filtering,
+    // empty passes contribute nothing)
+    val passes =
+      if (interlaced)
+        Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+      else Seq((0, 0, 1, 1))
+    val rawOut = new ByteArrayOutputStream
+    var rowCounter = 0 // filter type cycles across ALL emitted rows
+    for ((x0, y0, dx, dy) <- passes) {
+      val wp = if (w > x0) (w - x0 + dx - 1) / dx else 0
+      val hp = if (h > y0) (h - y0 + dy - 1) / dy else 0
+      if (wp > 0 && hp > 0) {
+        val pStride = wp * bpp
+        val sub = new Array[Byte](hp * pStride)
+        for (j <- 0 until hp; sx <- 0 until wp; c <- 0 until bpp)
+          sub(j * pStride + sx * bpp + c) = px((y0 + j * dy) * stride + (x0 + sx * dx) * bpp + c)
+        // apply the PNG scanline filters (the decoder must invert these)
+        var j = 0
+        while (j < hp) {
+          val f = ((rowCounter + i) % 5).toInt
+          rowCounter += 1
+          rawOut.write(f)
+          var x = 0
+          while (x < pStride) {
+            val cur = sub(j * pStride + x) & 0xff
+            val left = if (x >= bpp) sub(j * pStride + x - bpp) & 0xff else 0
+            val up = if (j > 0) sub((j - 1) * pStride + x) & 0xff else 0
+            val ul = if (j > 0 && x >= bpp) sub((j - 1) * pStride + x - bpp) & 0xff else 0
+            val enc = f match {
+              case 0 => cur
+              case 1 => cur - left
+              case 2 => cur - up
+              case 3 => cur - (left + up) / 2
+              case _ =>
+                val p = left + up - ul
+                val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+                val pred = if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+                cur - pred
+            }
+            rawOut.write(enc & 0xff)
+            x += 1
+          }
+          j += 1
         }
-        raw(y * (stride + 1) + 1 + x) = (enc & 0xff).toByte
-        x += 1
       }
-      y += 1
     }
+    val raw = rawOut.toByteArray
     val defl = new java.util.zip.Deflater()
     defl.setInput(raw); defl.finish()
     val zOut = new ByteArrayOutputStream
@@ -267,7 +290,8 @@ object MediaFixture {
     val ihdr = new ByteArrayOutputStream
     be32(ihdr, w.toLong); be32(ihdr, h.toLong)
     ihdr.write(8); ihdr.write(6) // 8-bit RGBA
-    ihdr.write(0); ihdr.write(0); ihdr.write(0)
+    ihdr.write(0); ihdr.write(0) // deflate, adaptive
+    ihdr.write(if (interlaced) 1 else 0)
     pngChunk(out, "IHDR", ihdr.toByteArray)
     val split = z.length / 2
     pngChunk(out, "IDAT", java.util.Arrays.copyOfRange(z, 0, split))
@@ -291,17 +315,21 @@ object MediaFixture {
     * "uncompressed GIF" writer; the decoder still exercises its full
     * dictionary/width machinery on it). Includes a Graphic Control
     * Extension so the decoder's extension-skipping path is gated too.
+    * Every i % 3 == 1 image is INTERLACED — same closed-form pixels,
+    * rows serialized in the 4-pass order with the descriptor flag set
+    * — so the oracle also gates the row de-permutation.
     */
   def gifPayload(i: Long): Array[Byte] =
-    gifWithPixels(4 + (i % 13).toInt, 3 + (i % 11).toInt, i)
+    gifWithPixels(4 + (i % 13).toInt, 3 + (i % 11).toInt, i, interlaced = i % 3 == 1)
 
   /** Size-explicit variant (specs use it to exceed the 250-literal
     * periodic-Clear threshold, which the small oracle fixtures stay
     * under).
     */
-  def gifPayloadSized(w: Int, h: Int, i: Long): Array[Byte] = gifWithPixels(w, h, i)
+  def gifPayloadSized(w: Int, h: Int, i: Long, interlaced: Boolean = false): Array[Byte] =
+    gifWithPixels(w, h, i, interlaced)
 
-  private def gifWithPixels(w: Int, h: Int, i: Long): Array[Byte] = {
+  private def gifWithPixels(w: Int, h: Int, i: Long, interlaced: Boolean = false): Array[Byte] = {
     val out = new ByteArrayOutputStream
     out.write("GIF89a".getBytes("US-ASCII"))
     le16(out, w); le16(out, h)
@@ -313,7 +341,7 @@ object MediaFixture {
     out.write(0); le16(out, 0); out.write(0); out.write(0)
     out.write(0x2c) // image descriptor
     le16(out, 0); le16(out, 0); le16(out, w); le16(out, h)
-    out.write(0) // no local table, not interlaced
+    out.write(if (interlaced) 0x40 else 0) // no local table; interlace flag
     out.write(8) // LZW minimum code size
     // LSB-first bit writer for 9-bit codes
     val bits = new ByteArrayOutputStream
@@ -325,8 +353,12 @@ object MediaFixture {
     val clear = 256; val eoi = 257
     put(clear)
     var sinceClear = 0
-    var y = 0
-    while (y < h) {
+    // row serialization order: top-to-bottom, or the GIF89a 4-pass
+    // interlace permutation (0,8,16,… / 4,12,… / 2,6,… / odd rows)
+    val rowOrder =
+      if (interlaced) Seq((0, 8), (4, 8), (2, 4), (1, 2)).flatMap { case (s, st) => s until h by st }
+      else 0 until h
+    for (y <- rowOrder) {
       var x = 0
       while (x < w) {
         put(gifPixelIndex(i, x, y))
@@ -336,7 +368,6 @@ object MediaFixture {
         if (sinceClear == 250) { put(clear); sinceClear = 0 }
         x += 1
       }
-      y += 1
     }
     put(eoi)
     if (nBits > 0) bits.write((acc & 0xff).toInt)
