@@ -1321,25 +1321,44 @@ CASE WHEN i % 3 = 0 THEN (3000 + i % 4567) * 1000 // (600 * (1 + i % 4)) WHEN i 
 CASE WHEN i % 3 = 0 THEN 5 + i % 12 WHEN i % 3 = 1 THEN 40 + i % 321 END AS n_frames
 FROM range(0, 300) t(i)""",
 
-    // closed form of the MP4 fixtures' sample tables: sample j of
-    // fixture i has size 20 + ((i*13 + j*7) % 40) and starts at
-    // 24 + (sum of prior sizes) — ftyp(16) + mdat header(8) precede
-    // the contiguous sample stream, whose byte at stream position k
-    // is (i*31 + k*7 + 3) % 256. The frame digest is md5 over the
-    // UPPERCASE hex of the sample's bytes (matching Spark's hex());
-    // keyframes are the stss entries j % 4 == 0. The engine walks
-    // real stsc/stsz/stco/stss boxes to reproduce this.
+    // closed form of BOTH containers' frame maps over the mixed
+    // videoPayload fixtures (i%3=0 mp4, i%3=1 avi, i%3=2 corrupt ->
+    // no rows). MP4: sample j of fixture i has size
+    // 20 + ((i*13 + j*7) % 40) and starts at 24 + (sum of prior
+    // sizes) — ftyp(16) + mdat header(8) precede the contiguous
+    // sample stream, whose byte at stream position k is
+    // (i*31 + k*7 + 3) % 256; keyframes are the stss entries
+    // j % 4 == 0 (the engine walks real stsc/stsz/stco/stss boxes).
+    // AVI: chunk j has size 16 + 2*((i*11 + j*5) % 16), its DATA
+    // starts at 108 + 8*j + (sum of prior sizes) — movi chunk 0's
+    // header sits at the fixed offset 100 and each chunk adds an
+    // 8-byte header — byte k of chunk j is (i*17 + j*3 + k*7 + 1)
+    // % 256, keyframes at j % 3 == 0 (the engine walks the real
+    // idx1, under both offset conventions). Digests are md5 over
+    // UPPERCASE hex of the bytes (matching Spark's hex()).
     "q_video_frames" ->
-      """WITH f AS (SELECT i, unnest(range(0, 5 + i % 12)) AS j FROM range(0, 150) t(i)),
+      """WITH f AS (SELECT i, unnest(range(0, 5 + i % 12)) AS j FROM range(0, 300) t(i) WHERE i % 3 = 0),
 sz AS (SELECT i, j, 20 + ((i*13 + j*7) % 40) AS sz FROM f),
 o AS (SELECT i, j, sz, 24 + coalesce(sum(sz) OVER (PARTITION BY i ORDER BY j ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM sz),
 byts AS (SELECT i, j, off, sz, unnest(range(0, sz)) AS k FROM o),
 hx AS (SELECT i, j, off, sz,
 string_agg(substring('0123456789ABCDEF', CAST(((i*31 + (off - 24 + k)*7 + 3) % 256) // 16 + 1 AS INT), 1)
 || substring('0123456789ABCDEF', CAST(((i*31 + (off - 24 + k)*7 + 3) % 256) % 16 + 1 AS INT), 1), '' ORDER BY k) AS hexs
-FROM byts GROUP BY i, j, off, sz)
+FROM byts GROUP BY i, j, off, sz),
+af AS (SELECT i, unnest(range(0, 4 + i % 9)) AS j FROM range(0, 300) t(i) WHERE i % 3 = 1),
+asz AS (SELECT i, j, 16 + 2*((i*11 + j*5) % 16) AS sz FROM af),
+ao AS (SELECT i, j, sz, 108 + 8*j + coalesce(sum(sz) OVER (PARTITION BY i ORDER BY j ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM asz),
+abyts AS (SELECT i, j, off, sz, unnest(range(0, sz)) AS k FROM ao),
+ahx AS (SELECT i, j, off, sz,
+string_agg(substring('0123456789ABCDEF', CAST(((i*17 + j*3 + k*7 + 1) % 256) // 16 + 1 AS INT), 1)
+|| substring('0123456789ABCDEF', CAST(((i*17 + j*3 + k*7 + 1) % 256) % 16 + 1 AS INT), 1), '' ORDER BY k) AS hexs
+FROM abyts GROUP BY i, j, off, sz)
 SELECT i AS id, CAST(j AS INT) AS frame_idx, CAST(off AS BIGINT) AS offset, CAST(sz AS INT) AS n_bytes,
 (j % 4 = 0) AS is_keyframe, md5(hexs) AS frame_digest
-FROM hx"""
+FROM hx
+UNION ALL
+SELECT i AS id, CAST(j AS INT) AS frame_idx, CAST(off AS BIGINT) AS offset, CAST(sz AS INT) AS n_bytes,
+(j % 3 = 0) AS is_keyframe, md5(hexs) AS frame_digest
+FROM ahx"""
   )
 }

@@ -884,13 +884,14 @@ object SparkEntry {
         .select("id", "format", "width", "height", "duration_ms", "n_frames")
     }),
     "q_video_frames" -> ((s, dir) => {
-      // REAL MP4 sample-table extraction: stsc/stsz/stco/stss compose
-      // into one row per frame with its absolute byte range + keyframe
-      // flag; the digest is md5 over the hex of the actual mdat bytes,
-      // which the oracle replays from the fixtures' closed-form sample
-      // stream
-      val gen = udf((i: Long) => graft.testing.MediaFixture.mp4Payload(i))
-      val df = s.range(0, 150).select(col("id"), gen(col("id")).as("payload"))
+      // REAL frame-map extraction for BOTH containers: MP4 composes
+      // stsc/stsz/stco/stss into per-sample byte ranges, AVI walks
+      // the idx1 index (movi-relative AND absolute offset
+      // conventions both appear); corrupt payloads vanish. The
+      // digest is md5 over the hex of the actual payload bytes,
+      // which the oracle replays from the fixtures' closed forms
+      val gen = udf((i: Long) => graft.testing.MediaFixture.videoPayload(i))
+      val df = s.range(0, 300).select(col("id"), gen(col("id")).as("payload"))
       Multimodal.videoFrames(df, "id", "payload")
     })
   )

@@ -1006,18 +1006,106 @@ object Multimodal {
     }
   }
 
-  private val sampleTableUdf = udf((payload: Array[Byte]) => mp4SampleTable(payload))
+  /** The AVI twin of [[mp4SampleTable]]: parse the `idx1` index
+    * (AVI 1.0, the OpenDML-less form real CommonCrawl-era files
+    * carry) into one `FrameRef` per VIDEO chunk — entries whose
+    * FOURCC is `##dc`/`##db` (compressed/uncompressed video data).
+    * Each 16-byte entry is (ckid, flags, offset, length); keyframes
+    * carry AVIIF_KEYFRAME (0x10). The offset field has two
+    * conventions in the wild — relative to the `movi` list's fourcc
+    * (classic) or absolute from file start — disambiguated the way
+    * every real demuxer does: whichever interpretation lands on this
+    * entry's own chunk FOURCC. Entries whose resolved byte range
+    * falls outside the payload are dropped without renumbering
+    * (lying indexes are data at 100 TB); non-AVI or index-less
+    * payloads return null.
+    */
+  def aviSampleTable(b: Array[Byte]): Array[FrameRef] = {
+    if (b == null || b.length < 12 || ascii(b, 0, 4) != "RIFF" || ascii(b, 8, 4) != "AVI ")
+      return null
+    try {
+      var moviPos = -1L // position of the 'movi' fourcc
+      var idxStart = -1; var idxEnd = -1
+      var i = 12
+      while (i + 8 <= b.length) {
+        val id = ascii(b, i, 4)
+        val size = u32le(b, i + 4)
+        if (size > Int.MaxValue - 16) return null
+        if (id == "LIST" && i + 12 <= b.length && ascii(b, i + 8, 4) == "movi") moviPos = i + 8
+        if (id == "idx1" && idxStart < 0) {
+          idxStart = i + 8
+          idxEnd = math.min(b.length.toLong, i + 8 + size).toInt
+        }
+        i += 8 + size.toInt + (size.toInt & 1)
+      }
+      if (idxStart < 0 || (idxEnd - idxStart) / 16 > maxSamplesPerPayload) return null
+      def isVideoId(ckid: String): Boolean = ckid.length == 4 &&
+        ckid(0) >= '0' && ckid(0) <= '9' && ckid(1) >= '0' && ckid(1) <= '9' &&
+        (ckid.endsWith("dc") || ckid.endsWith("db"))
+      // decide the offset convention ONCE, from the first video
+      // entry (the way real demuxers do): per-entry guessing would
+      // mix conventions when a late absolute offset happens to land
+      // on one of the idx1 region's own literal fourccs
+      var relative = false
+      var e = idxStart
+      var decided = false
+      while (!decided && e + 16 <= idxEnd) {
+        val ckid = ascii(b, e, 4)
+        if (isVideoId(ckid)) {
+          val off = u32le(b, e + 8)
+          relative = moviPos >= 0 && moviPos + off + 8 <= b.length &&
+            ascii(b, (moviPos + off).toInt, 4) == ckid
+          decided = true
+        }
+        e += 16
+      }
+      val out = Array.newBuilder[FrameRef]
+      var fi = 0
+      e = idxStart
+      while (e + 16 <= idxEnd) {
+        val ckid = ascii(b, e, 4)
+        if (isVideoId(ckid)) {
+          val flags = u32le(b, e + 4)
+          val off = u32le(b, e + 8)
+          val len = u32le(b, e + 12)
+          val hdr = if (relative) moviPos + off else off
+          if (hdr >= 0 && hdr + 8 <= b.length && ascii(b, hdr.toInt, 4) == ckid &&
+              len <= Int.MaxValue - 16 && hdr + 8 + len <= b.length)
+            out += FrameRef(fi, hdr + 8, len.toInt, (flags & 0x10) != 0)
+          fi += 1
+        }
+        e += 16
+      }
+      val refs = out.result()
+      if (refs.isEmpty) null else refs
+    } catch {
+      case _: IndexOutOfBoundsException => null
+      case _: NegativeArraySizeException => null
+      case _: OutOfMemoryError => null
+    }
+  }
 
-  /** Explode an MP4 payload column into its REAL frame map: one row
-    * per sample with `(frame_idx, offset, n_bytes, is_keyframe,
-    * frame_digest)`. The digest is md5 over the HEX encoding of the
-    * sample's bytes (the [[sampleFrames]] convention: hex is a
-    * faithful byte encoding reproducible in any engine, so the
-    * operator is oracle-checkable end to end), computed by codegen'd
-    * builtins over the exploded table — the UDF only parses the
-    * sample table. Per-row work, no shuffle; non-MP4 rows vanish
-    * (explode of null), which is the filter a mixed-media corpus
-    * wants.
+  /** Container-dispatching frame map: MP4 via the sample tables, AVI
+    * via idx1, anything else null.
+    */
+  def videoSampleTable(b: Array[Byte]): Array[FrameRef] =
+    if (b == null || b.length < 12) null
+    else if (ascii(b, 4, 4) == "ftyp") mp4SampleTable(b)
+    else if (ascii(b, 0, 4) == "RIFF" && ascii(b, 8, 4) == "AVI ") aviSampleTable(b)
+    else null
+
+  private val sampleTableUdf = udf((payload: Array[Byte]) => videoSampleTable(payload))
+
+  /** Explode a video payload column (MP4 sample tables or AVI idx1)
+    * into its REAL frame map: one row per sample with `(frame_idx,
+    * offset, n_bytes, is_keyframe, frame_digest)`. The digest is md5
+    * over the HEX encoding of the sample's bytes (the
+    * [[sampleFrames]] convention: hex is a faithful byte encoding
+    * reproducible in any engine, so the operator is oracle-checkable
+    * end to end), computed by codegen'd builtins over the exploded
+    * table — the UDF only parses the index. Per-row work, no
+    * shuffle; non-video rows vanish (explode of null), which is the
+    * filter a mixed-media corpus wants.
     */
   def videoFrames(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
     df.select(col(idCol), col(payloadCol).cast("binary").as("__pl__"))

@@ -775,8 +775,28 @@ object MediaFixture {
     }
   }
 
+  /** Closed-form AVI frame-map fields (mirrored by the q_video_frames
+    * oracle's AVI branch): nf = 4 + i%9 `00dc` chunks in the movi
+    * LIST; chunk j's data is aviFrameSize bytes (always even — no
+    * RIFF padding — so offsets stay closed-form), byte k of chunk j
+    * is aviFrameByte; keyframes at j % 3 == 0 (AVIIF_KEYFRAME in
+    * idx1). The fixed header layout puts the movi LIST at 88, its
+    * fourcc at 96 and chunk 0's header at 100.
+    */
+  def aviFrameCount(i: Long): Int = (4 + (i % 9)).toInt
+  def aviFrameSize(i: Long, j: Int): Int = (16 + 2 * ((i * 11 + j * 5) % 16)).toInt
+  def aviFrameByte(i: Long, j: Int, k: Int): Int = ((i * 17 + j * 3 + k * 7 + 1) % 256).toInt
+
   /** A structurally valid AVI: RIFF('AVI ') with a hdrl LIST carrying
-    * the 56-byte avih main header and an empty movi LIST.
+    * the 56-byte avih main header, a movi LIST of closed-form `00dc`
+    * video chunks, and the idx1 index over them. Index offsets use
+    * BOTH wild conventions — movi-relative when i % 6 == 1, absolute
+    * when i % 6 == 4 — so the parser's disambiguation is oracle-
+    * gated. The avih dwTotalFrames stays the DECLARED closed form
+    * (40 + i%321) pinned by q_video_metadata, deliberately different
+    * from the idx1 chunk count: header-vs-index disagreement is a
+    * real corpus phenomenon, and metadata reads the header while the
+    * frame map trusts the index.
     */
   def aviPayload(i: Long): Array[Byte] = {
     val uspf = (20000 + (i % 7) * 5000).toInt
@@ -791,14 +811,32 @@ object MediaFixture {
     val hdrl = new ByteArrayOutputStream
     hdrl.write("hdrl".getBytes("US-ASCII"))
     hdrl.write("avih".getBytes("US-ASCII")); le32(hdrl, 56L); hdrl.write(avih.toByteArray)
+    val nf = aviFrameCount(i)
     val movi = new ByteArrayOutputStream
     movi.write("movi".getBytes("US-ASCII"))
+    val chunkHdrPos = new Array[Int](nf) // absolute file position of chunk j's header
+    for (j <- 0 until nf) {
+      chunkHdrPos(j) = 88 + 8 + 4 + (movi.size() - 4) // RIFF(12)+hdrl LIST(76) -> movi LIST at 88
+      movi.write("00dc".getBytes("US-ASCII"))
+      val sz = aviFrameSize(i, j)
+      le32(movi, sz.toLong)
+      for (k <- 0 until sz) movi.write(aviFrameByte(i, j, k))
+    }
+    val idx = new ByteArrayOutputStream
+    val relative = i % 6 == 1
+    for (j <- 0 until nf) {
+      idx.write("00dc".getBytes("US-ASCII"))
+      le32(idx, if (j % 3 == 0) 0x10L else 0L) // AVIIF_KEYFRAME
+      le32(idx, if (relative) chunkHdrPos(j) - 96L else chunkHdrPos(j).toLong)
+      le32(idx, aviFrameSize(i, j).toLong)
+    }
     val out = new ByteArrayOutputStream
     out.write("RIFF".getBytes("US-ASCII"))
-    le32(out, 4L + 8 + hdrl.size() + 8 + movi.size())
+    le32(out, 4L + 8 + hdrl.size() + 8 + movi.size() + 8 + idx.size())
     out.write("AVI ".getBytes("US-ASCII"))
     out.write("LIST".getBytes("US-ASCII")); le32(out, hdrl.size().toLong); out.write(hdrl.toByteArray)
     out.write("LIST".getBytes("US-ASCII")); le32(out, movi.size().toLong); out.write(movi.toByteArray)
+    out.write("idx1".getBytes("US-ASCII")); le32(out, idx.size().toLong); out.write(idx.toByteArray)
     out.toByteArray
   }
 

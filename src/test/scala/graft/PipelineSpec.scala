@@ -1362,6 +1362,46 @@ class PipelineSpec extends SparkSuite {
     assert(Multimodal.mp4SampleTable(MediaFixture.payload(0)) == null) // PNG: not a video
   }
 
+  test("aviSampleTable: idx1 walk under both offset conventions (VERDICT r8 #3)") {
+    import graft.testing.MediaFixture
+    // i=7 -> movi-RELATIVE offsets (7%6=1); i=10 -> ABSOLUTE (10%6=4)
+    for (i <- Seq(7L, 10L)) {
+      val pl = MediaFixture.aviPayload(i)
+      val t = Multimodal.aviSampleTable(pl)
+      val n = MediaFixture.aviFrameCount(i)
+      assert(t.length == n, s"i=$i")
+      var hdr = 100L // RIFF(12) + hdrl LIST(76) + movi LIST hdr(8) + 'movi'(4)
+      for (j <- 0 until n) {
+        assert(t(j).frame_idx == j)
+        assert(t(j).offset == hdr + 8, s"i=$i j=$j")
+        assert(t(j).n_bytes == MediaFixture.aviFrameSize(i, j))
+        assert(t(j).is_keyframe == (j % 3 == 0))
+        // the mapped bytes are the closed-form chunk data
+        for (k <- 0 until t(j).n_bytes)
+          assert((pl(t(j).offset.toInt + k) & 0xff) == MediaFixture.aviFrameByte(i, j, k))
+        hdr += 8 + MediaFixture.aviFrameSize(i, j)
+      }
+      // both conventions address the same bytes
+      assert(Multimodal.videoSampleTable(pl).toSeq == t.toSeq)
+      // truncation fuzz: null or in-range frames, never a throw
+      for (cut <- 0 to pl.length by 7) {
+        val r = Multimodal.aviSampleTable(java.util.Arrays.copyOfRange(pl, 0, cut))
+        assert(r == null || r.forall(f => f.offset + f.n_bytes <= cut))
+      }
+    }
+    // a lying idx1 length drops that entry without renumbering
+    val pl = MediaFixture.aviPayload(10L)
+    val idxPos = pl.length - 16 * MediaFixture.aviFrameCount(10L)
+    val lying = pl.clone
+    lying(idxPos + 12) = 0xff.toByte; lying(idxPos + 13) = 0xff.toByte // entry 0 len = 65535
+    val lt = Multimodal.aviSampleTable(lying)
+    assert(lt.length == MediaFixture.aviFrameCount(10L) - 1 && lt.head.frame_idx == 1)
+    assert(Multimodal.aviSampleTable(null) == null)
+    assert(Multimodal.aviSampleTable(MediaFixture.payload(0)) == null)
+    // an AVI with no idx1 (the pre-round-9 fixture shape) maps to null
+    assert(Multimodal.videoSampleTable(MediaFixture.mp4Payload(3L)) != null)
+  }
+
   test("videoFrames: digest matches an independent md5 over the sample bytes") {
     val s = spark; import s.implicits._
     import graft.testing.MediaFixture
