@@ -1242,6 +1242,22 @@ CASE WHEN n < 32 THEN CAST(n AS DOUBLE)
 ELSE round(31 / (('0x' || substring(kth, 1, 15))::BIGINT / 1152921504606846976.0), 4) END AS distinct_est
 FROM a""",
 
+    // count-min sketch (Sketch.countMinSketch/cmsLookup): bucket of
+    // word v in hash row r is the first 8 md5("r:v") hex chars mod
+    // 64; the per-(row, bucket) counts are exact sums and the
+    // estimate is the min over the 4 rows — deterministic md5
+    // bucketing, so the whole fitted state replays in SQL
+    "q_cms_counts" ->
+      """WITH wds AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents WHERE text IS NOT NULL),
+rs AS (SELECT unnest(range(0, 4)) AS r),
+b AS (SELECT r, ('0x' || substring(md5(CAST(r AS VARCHAR) || ':' || word), 1, 8))::BIGINT % 64 AS bucket,
+count(*) AS cnt FROM wds, rs GROUP BY 1, 2),
+cand AS (SELECT DISTINCT word FROM wds),
+probe AS (SELECT word, r, ('0x' || substring(md5(CAST(r AS VARCHAR) || ':' || word), 1, 8))::BIGINT % 64 AS bucket FROM cand, rs),
+est AS (SELECT p.word, min(coalesce(b.cnt, 0)) AS cms_count FROM probe p LEFT JOIN b ON b.r = p.r AND b.bucket = p.bucket GROUP BY 1),
+ex AS (SELECT word, count(*) AS exact_count FROM wds GROUP BY 1)
+SELECT e.word, e.cms_count, x.exact_count FROM est e JOIN ex x ON e.word = x.word""",
+
     // KMV set algebra (Sketch.kmvOverlapByGroup): per source pair,
     // merge the two 16-minimum-value word sketches (the k smallest of
     // the union of the hash sets), then union_est = 15/frac(kth),

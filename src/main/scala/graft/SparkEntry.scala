@@ -813,6 +813,20 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       graft.pipeline.Sketch.kmvDistinctByGroup(d, Seq("source"), "text", k = 32)
     }),
+    "q_cms_counts" -> ((s, dir) => {
+      // count-min sketch frequencies: 4x64 deterministic md5-bucket
+      // state over the word stream (small w, so collisions are real
+      // and the min-over-rows matters), probed for the full
+      // vocabulary and joined with exact counts — the oracle replays
+      // both and the estimate over-counts only
+      val d = t(s, dir, "documents")
+      val words = d.where(col("text").isNotNull)
+        .select(explode(split(col("text"), " ")).as("word"))
+      val sk = graft.pipeline.Sketch.countMinSketch(words, "word", d = 4, w = 64)
+      val est = graft.pipeline.Sketch.cmsLookup(sk, words, "word", d = 4, w = 64)
+      val exact = words.groupBy(col("word")).agg(count(lit(1)).as("exact_count"))
+      est.join(exact, Seq("word")).select(col("word"), col("cms_count"), col("exact_count"))
+    }),
     "q_kmv_overlap" -> ((s, dir) => {
       // KMV set algebra between corpus slices: union / intersection /
       // Jaccard per source pair from the merged k-minimum-values

@@ -102,6 +102,58 @@ object Sketch {
     * Output: `(group_a, group_b, union_est, inter_est, jaccard)`,
     * one row per unordered pair with `group_a < group_b`.
     */
+  /** Deterministic count-min sketch of `valueCol` frequencies:
+    * `d` hash rows x `w` buckets, the bucket of value v in row r
+    * being the first 8 hex chars of md5("r:v") mod w — engine-
+    * portable bucketing, no RNG state, the same fitted-result rule
+    * as every sketch here. The state is AT MOST d*w rows however
+    * large the corpus (one map-side-combined hash aggregate builds
+    * it), it merges bucket-wise by +, and lookups over-count only:
+    * est(v) = min over rows of v's bucket count >= true count, with
+    * err <= e/w * N at probability 1 - (1/e)^d (Cormode & Muthu,
+    * 2005). Where [[kmvDistinctByGroup]] answers "how many
+    * distinct", this answers "how often does THIS value occur"
+    * without holding the distinct domain anywhere.
+    */
+  def countMinSketch(df: DataFrame, valueCol: String, d: Int, w: Int): DataFrame = {
+    require(d >= 1 && w >= 2, s"need d >= 1 hash rows and w >= 2 buckets, got d=$d w=$w")
+    val rows = explode(array((0 until d).map(r =>
+      struct(lit(r).as("__r__"), cmsBucket(r, col(valueCol), w).as("__b__"))): _*))
+    df.where(col(valueCol).isNotNull)
+      .select(rows.as("__rb__"))
+      .groupBy(col("__rb__.__r__").as("row_id"), col("__rb__.__b__").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  private def cmsBucket(r: Int, v: Column, w: Int): Column =
+    conv(substring(md5(concat(lit(s"$r:"), v.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % w
+
+  /** Point lookups against a [[countMinSketch]]: the estimate for
+    * each (non-null, distinct) value of `candidates(valueCol)` is
+    * the MIN over the d rows of its bucket's count; values whose
+    * buckets were never touched read 0. The candidate frame drives
+    * the cost — the sketch side is d*w rows and broadcasts.
+    */
+  def cmsLookup(
+      sketch: DataFrame,
+      candidates: DataFrame,
+      valueCol: String,
+      d: Int,
+      w: Int
+  ): DataFrame = {
+    val cand = candidates.select(col(valueCol).cast("string").as(valueCol))
+      .where(col(valueCol).isNotNull)
+      .distinct()
+    val probes = cand.select(col(valueCol), explode(array((0 until d).map(r =>
+      struct(lit(r).as("row_id"), cmsBucket(r, col(valueCol), w).as("bucket"))): _*)).as("__p__"))
+      .select(col(valueCol), col("__p__.row_id").as("row_id"), col("__p__.bucket").as("bucket"))
+    probes
+      .join(broadcast(sketch), Seq("row_id", "bucket"), "left")
+      .groupBy(col(valueCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_count"))
+  }
+
   def kmvOverlapByGroup(
       df: DataFrame,
       groupCol: String,

@@ -1061,6 +1061,32 @@ class PipelineSpec extends SparkSuite {
     assert(exact == Map("a" -> 9.0, "b" -> 8.0))
   }
 
+  test("countMinSketch: over-counts only, exact when collision-free, merges bucket-wise") {
+    val s = spark; import s.implicits._
+    import graft.pipeline.Sketch
+    val words = (0 until 3000).map(i => s"w${i % 50}").map(Tuple1(_)).toDF("v")
+    val exact = words.groupBy("v").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // tight sketch: collisions certain at w=16, estimate must never under-count
+    val tight = Sketch.cmsLookup(Sketch.countMinSketch(words, "v", d = 3, w = 16), words, "v", d = 3, w = 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.forall { case (v, c) => tight(v) >= c }, "CMS under-counted")
+    // roomy sketch: 50 values in 4x4096 buckets collide with prob ~tiny -> exact
+    val roomy = Sketch.cmsLookup(Sketch.countMinSketch(words, "v", d = 4, w = 4096), words, "v", d = 4, w = 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(roomy == exact, "collision-free CMS should be exact")
+    // mergeability: sketch(A ++ B) == bucket-wise sum of the halves
+    val (a, b) = (words.where(col("v") < "w3"), words.where(col("v") >= "w3"))
+    val merged = Sketch.countMinSketch(a, "v", d = 3, w = 16)
+      .unionByName(Sketch.countMinSketch(b, "v", d = 3, w = 16))
+      .groupBy("row_id", "bucket").agg(sum("cnt").as("cnt"))
+    assertSame(merged, Sketch.countMinSketch(words, "v", d = 3, w = 16))
+    // unseen values read 0; nulls are ignored
+    val probe = Seq("w0", "never-seen").map(Tuple1(_)).toDF("v")
+    val zs = Sketch.cmsLookup(Sketch.countMinSketch(words, "v", d = 4, w = 4096), probe, "v", d = 4, w = 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(zs("never-seen") == 0L && zs("w0") == exact("w0"))
+  }
+
   test("kmvOverlap: exact under k; estimates within bounds; disjoint slices read zero") {
     val s = spark; import s.implicits._
     import graft.pipeline.Sketch
