@@ -365,6 +365,31 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("countMinSketch runs unchanged as a streaming aggregation (batch parity)") {
+    // the CMS plan is one explode + groupBy-count, which Structured
+    // Streaming aggregates incrementally in complete mode — the
+    // mergeable-sketch story needs no streaming twin, the SAME
+    // operator IS the twin. Final streamed state == batch sketch.
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.pipeline.Sketch
+    val input = MemoryStream[String]
+    val stream = input.toDF().toDF("v")
+    val q = Sketch.countMinSketch(stream, "v", d = 3, w = 16)
+      .writeStream.format("memory").queryName("cms_stream").outputMode("complete").start()
+    try {
+      input.addData((0 until 400).map(i => s"w${i % 7}"): _*)
+      q.processAllAvailable()
+      input.addData((0 until 300).map(i => s"w${i % 11}"): _*) // second micro-batch updates counts
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT row_id, bucket, cnt FROM cms_stream")
+      val batch = Sketch.countMinSketch(
+        ((0 until 400).map(i => s"w${i % 7}") ++ (0 until 300).map(i => s"w${i % 11}"))
+          .map(Tuple1(_)).toDF("v"), "v", d = 3, w = 16)
+      assertSame(streamed, batch)
+    } finally q.stop()
+  }
+
   test("enrichWithDimension broadcast-joins a stream against a static table") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
