@@ -143,7 +143,14 @@ class PlanSpec extends SparkSuite {
       // count window + co-partitioned pair join + distinct; the anti
       // join rides a broadcast. Only the three per-row windows and
       // the pair join touch full-corpus data.
-      "q_semdedup"           -> 14
+      "q_semdedup"           -> 14,
+      // corpus-wide distinct + WindowGroupLimit rank build the slice
+      // sketches; everything after runs over O(pairs x k) rows
+      "q_kmv_overlap"        -> 12,
+      // one map-side-combined (row, bucket) agg builds the d x w
+      // state (sketch side rides a broadcast into the probe join);
+      // probe-min + exact-count aggs account for the other two
+      "q_cms_counts"         -> 3
     )
     val shuffleRe = "Exchange (hash|range|Single|rebalance)".r
     expected.foreach { case (name, n) =>
