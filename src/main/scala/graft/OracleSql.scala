@@ -1242,6 +1242,22 @@ CASE WHEN n < 32 THEN CAST(n AS DOUBLE)
 ELSE round(31 / (('0x' || substring(kth, 1, 15))::BIGINT / 1152921504606846976.0), 4) END AS distinct_est
 FROM a""",
 
+    // exact-substring spans (Dedup.repeatedSubstringSpans): windows
+    // of 40 chars at every offset, kept when the WHOLE corpus holds
+    // the same string more than once, merged gaps-and-islands style
+    // (a new span wherever the next duplicated offset no longer
+    // overlaps the previous window)
+    "q_repeated_spans" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND length(text) >= 40),
+ws AS (SELECT doc_id, unnest(range(0, length(text) - 40 + 1)) AS o, text FROM d),
+wn AS (SELECT doc_id, o, substring(text, CAST(o + 1 AS INT), 40) AS win FROM ws),
+dup AS (SELECT win FROM wn GROUP BY win HAVING count(*) > 1),
+c AS (SELECT doc_id, o FROM wn JOIN dup USING (win)),
+s AS (SELECT doc_id, o, CASE WHEN o - lag(o) OVER (PARTITION BY doc_id ORDER BY o) <= 40 THEN 0 ELSE 1 END AS brk FROM c),
+g AS (SELECT doc_id, o, sum(brk) OVER (PARTITION BY doc_id ORDER BY o ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM s)
+SELECT doc_id, CAST(min(o) AS BIGINT) AS span_start, CAST(max(o) + 40 AS BIGINT) AS span_end
+FROM g GROUP BY doc_id, grp""",
+
     // count-min sketch (Sketch.countMinSketch/cmsLookup): bucket of
     // word v in hash row r is the first 8 md5("r:v") hex chars mod
     // 64; the per-(row, bucket) counts are exact sums and the

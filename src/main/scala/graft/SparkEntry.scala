@@ -813,6 +813,14 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       graft.pipeline.Sketch.kmvDistinctByGroup(d, Seq("source"), "text", k = 32)
     }),
+    "q_repeated_spans" -> ((s, dir) => {
+      // ExactSubstr self-dedup (Lee et al. 2021), distributed: every
+      // maximal region whose 40-char windows occur more than once in
+      // the corpus, as excisable character spans. stride=1, so the
+      // suffix-array guarantee holds: any >=40-char repeat is caught
+      val d = t(s, dir, "documents")
+      graft.pipeline.Dedup.repeatedSubstringSpans(d, "doc_id", "text", window = 40)
+    }),
     "q_cms_counts" -> ((s, dir) => {
       // count-min sketch frequencies: 4x64 deterministic md5-bucket
       // state over the word stream (small w, so collisions are real

@@ -921,4 +921,110 @@ object Dedup {
       .distinct()
     (df.join(dups, Seq(idCol), "left_anti"), () => { cells.unpersist(); () })
   }
+
+  // ---- exact-substring self-dedup (Lee et al. 2021) ---------------
+
+  /** Cross-document repeated-substring spans — the distributed form
+    * of ExactSubstr dedup ("Deduplicating Training Data Makes
+    * Language Models Better", Lee et al. 2021): every maximal region
+    * whose `window`-char substrings occur MORE THAN ONCE in the
+    * whole corpus (any doc, including the same one) is reported as
+    * an excisable `(id, span_start, span_end)` character span,
+    * 0-based, end exclusive.
+    *
+    * Where the paper builds a single-node suffix array, the
+    * distributed equivalent is a grid of overlapping windows: at
+    * `stride = 1` (the default) every offset is a window, so any
+    * repeated substring of length >= `window` is caught exactly —
+    * same guarantee, shuffle-shaped. A larger stride trades recall
+    * for cost: only repeats whose occurrences align on the grid are
+    * seen.
+    *
+    * Scale shape: the corpus-wide duplicate test groups by an 8-byte
+    * xxhash64 of each window (map-side combined — the wide window
+    * STRINGS never shuffle); the surviving duplicate-hash set is
+    * tiny and AQE broadcasts it back, so candidate filtering adds no
+    * full-data shuffle; candidates (bounded by true duplication) are
+    * then re-grouped by the actual string, so a hash collision can
+    * never fabricate a span. Span assembly is one per-doc window
+    * over candidate offsets (gaps-and-islands: a new span starts
+    * where the next duplicated offset no longer overlaps
+    * [o, o + window)). Docs shorter than `window` cannot carry a
+    * qualifying span and are skipped at the scan.
+    */
+  def repeatedSubstringSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 50,
+      stride: Int = 1
+  ): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    val staged = df
+      .where(col(textCol).isNotNull && length(col(textCol)) >= window)
+      .select(col(idCol), col(textCol).as("__t__"))
+    val winRows = staged.select(col(idCol),
+      explode(transform(
+        sequence(lit(0), length(col("__t__")) - window, lit(stride)),
+        o => struct(o.as("__o__"), col("__t__").substr(o + 1, lit(window)).as("__w__")))).as("__ow__"))
+      .select(col(idCol), col("__ow__.__o__").as("__o__"), col("__ow__.__w__").as("__w__"))
+      .withColumn("__h__", xxhash64(col("__w__")))
+    val dupHashes = winRows.groupBy(col("__h__"))
+      .agg(count(lit(1)).as("__c__")).where(col("__c__") > 1).select(col("__h__"))
+    val cand = winRows.join(dupHashes, Seq("__h__"))
+    val dupWins = cand.groupBy(col("__w__"))
+      .agg(count(lit(1)).as("__c__")).where(col("__c__") > 1).select(col("__w__"))
+    val confirmed = cand.join(dupWins, Seq("__w__")).select(col(idCol), col("__o__"))
+    val wnd = Window.partitionBy(col(idCol)).orderBy(col("__o__"))
+    confirmed
+      .withColumn("__brk__",
+        when(col("__o__") - lag(col("__o__"), 1).over(wnd) <= window, 0).otherwise(1))
+      .withColumn("__grp__", sum(col("__brk__")).over(
+        wnd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__grp__"))
+      .agg(min(col("__o__")).cast("long").as("span_start"),
+        (max(col("__o__")) + window).cast("long").as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"))
+  }
+
+  private val exciseUdf = udf((text: String, spans: Seq[org.apache.spark.sql.Row]) => {
+    if (text == null) null
+    else if (spans == null || spans.isEmpty) text
+    else {
+      // java.lang.StringBuilder: the (CharSequence, from, to) append
+      // exists there — Scala's would auto-tuple the 3 args into one
+      val sb = new java.lang.StringBuilder
+      var pos = 0
+      for (r <- spans) {
+        val s = math.min(math.max(r.getLong(0).toInt, pos), text.length)
+        val e = math.min(math.max(r.getLong(1).toInt, s), text.length)
+        sb.append(text, pos, s)
+        pos = e
+      }
+      sb.append(text, pos, text.length)
+      sb.toString
+    }
+  })
+
+  /** The corpus with every [[repeatedSubstringSpans]] region excised
+    * from `textCol` (appended as `<textCol>_clean`): the Lee et al.
+    * remove-the-duplicated-bytes policy. Spans are disjoint and
+    * sorted by construction; excision is a scalar per-row splice (no
+    * Catalyst builtin exists for multi-span string surgery — same
+    * argument as the robots/href UDFs).
+    */
+  def stripRepeatedSubstrings(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 50,
+      stride: Int = 1
+  ): DataFrame = {
+    val spans = repeatedSubstringSpans(df, idCol, textCol, window, stride)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("span_start"), col("span_end")))).as("__spans__"))
+    df.join(spans, Seq(idCol), "left")
+      .withColumn(s"${textCol}_clean", exciseUdf(col(textCol), col("__spans__")))
+      .drop("__spans__")
+  }
 }

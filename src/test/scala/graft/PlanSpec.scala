@@ -150,7 +150,11 @@ class PlanSpec extends SparkSuite {
       // one map-side-combined (row, bucket) agg builds the d x w
       // state (sketch side rides a broadcast into the probe join);
       // probe-min + exact-count aggs account for the other two
-      "q_cms_counts"         -> 3
+      "q_cms_counts"         -> 3,
+      // hash agg + candidate joins + string-verify agg + per-doc
+      // islands window; the duplicate-hash/window sets are tiny and
+      // AQE converts their joins to broadcast at runtime
+      "q_repeated_spans"     -> 4
     )
     val shuffleRe = "Exchange (hash|range|Single|rebalance)".r
     expected.foreach { case (name, n) =>
