@@ -1242,6 +1242,42 @@ CASE WHEN n < 32 THEN CAST(n AS DOUBLE)
 ELSE round(31 / (('0x' || substring(kth, 1, 15))::BIGINT / 1152921504606846976.0), 4) END AS distinct_est
 FROM a""",
 
+    // the tar fixtures' member table: member j of payload i is
+    // "dir{i}/file{j}.txt", length 30 + ((i*7 + j*13) % 50), body
+    // byte k = (i*19 + j*11 + k*3 + 5) % 256; truncated payloads
+    // (i % 7 = 6) lose exactly their last member. Digest = md5 over
+    // UPPERCASE hex (the shared convention)
+    "q_tar_members" ->
+      """WITH f AS (SELECT i, unnest(range(0, 2 + i % 4 - CASE WHEN i % 7 = 6 THEN 1 ELSE 0 END)) AS j FROM range(0, 200) t(i)),
+e AS (SELECT i, j, 30 + ((i*7 + j*13) % 50) AS len FROM f),
+byts AS (SELECT i, j, len, unnest(range(0, len)) AS k FROM e),
+hx AS (SELECT i, j, len,
+string_agg(substring('0123456789ABCDEF', CAST(((i*19 + j*11 + k*3 + 5) % 256) // 16 + 1 AS INT), 1)
+|| substring('0123456789ABCDEF', CAST(((i*19 + j*11 + k*3 + 5) % 256) % 16 + 1 AS INT), 1), '' ORDER BY k) AS hexs
+FROM byts GROUP BY i, j, len)
+SELECT i AS id, CAST(j AS INT) AS member_idx,
+'dir' || CAST(i AS VARCHAR) || '/file' || CAST(j AS VARCHAR) || '.txt' AS name,
+CAST(len AS BIGINT) AS n_bytes, md5(hexs) AS body_digest
+FROM hx""",
+
+    // the zip fixtures' member table: member j of payload i is
+    // "z{i}/m{j}.bin", length 25 + ((i*5 + j*17) % 60), decoded body
+    // byte k = (i*23 + j*13 + k*11 + 9) % 256 — identical for the
+    // STORED (even j) and DEFLATEd (odd j) members, which is the
+    // point; corrupt-EOCD payloads (i % 9 = 8) contribute no rows
+    "q_zip_members" ->
+      """WITH f AS (SELECT i, unnest(range(0, 2 + i % 3)) AS j FROM range(0, 200) t(i) WHERE i % 9 <> 8),
+e AS (SELECT i, j, 25 + ((i*5 + j*17) % 60) AS len FROM f),
+byts AS (SELECT i, j, len, unnest(range(0, len)) AS k FROM e),
+hx AS (SELECT i, j, len,
+string_agg(substring('0123456789ABCDEF', CAST(((i*23 + j*13 + k*11 + 9) % 256) // 16 + 1 AS INT), 1)
+|| substring('0123456789ABCDEF', CAST(((i*23 + j*13 + k*11 + 9) % 256) % 16 + 1 AS INT), 1), '' ORDER BY k) AS hexs
+FROM byts GROUP BY i, j, len)
+SELECT i AS id, CAST(j AS INT) AS member_idx,
+'z' || CAST(i AS VARCHAR) || '/m' || CAST(j AS VARCHAR) || '.bin' AS name,
+CAST(len AS BIGINT) AS n_bytes, md5(hexs) AS body_digest
+FROM hx""",
+
     // exact-substring spans (Dedup.repeatedSubstringSpans): windows
     // of 40 chars at every offset, kept when the WHOLE corpus holds
     // the same string more than once, merged gaps-and-islands style

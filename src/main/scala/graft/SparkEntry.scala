@@ -813,6 +813,23 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       graft.pipeline.Sketch.kmvDistinctByGroup(d, Seq("source"), "text", k = 32)
     }),
+    "q_tar_members" -> ((s, dir) => {
+      // USTAR archive walk: 512-byte headers with VERIFIED checksums,
+      // octal sizes, block-aligned bodies; digests over the member
+      // ranges by codegen'd builtins. Every 7th payload truncates
+      // after the last header and must yield exactly nm-1 members
+      val gen = udf((i: Long) => graft.testing.WebFixture.tarPayload(i))
+      val df = s.range(0, 200).select(col("id"), gen(col("id")).as("payload"))
+      WebIngest.tarMemberRows(df, "id", "payload")
+    }),
+    "q_zip_members" -> ((s, dir) => {
+      // zip central-directory walk: STORED and DEFLATE members both
+      // decode (digests are method-independent), CRC32 verified per
+      // member; every 9th payload has a corrupt EOCD and vanishes
+      val gen = udf((i: Long) => graft.testing.WebFixture.zipPayload(i))
+      val df = s.range(0, 200).select(col("id"), gen(col("id")).as("payload"))
+      WebIngest.zipMemberRows(df, "id", "payload")
+    }),
     "q_repeated_spans" -> ((s, dir) => {
       // ExactSubstr self-dedup (Lee et al. 2021), distributed: every
       // maximal region whose 40-char windows occur more than once in

@@ -422,4 +422,234 @@ object WebIngest {
         col("__r__.target_uri").as("target_uri"),
         col("__r__.content_length").as("content_length"),
         rangeDigest("__r__.body_offset", "__r__.content_length").as("body_digest"))
+
+  // ---- archive member extraction (tar / zip) ----------------------
+
+  /** One regular-file member of a tar archive: name, size, and the
+    * absolute offset of its data (tar stores bodies uncompressed, so
+    * a member is a byte RANGE — digested by builtins, like WARC).
+    */
+  case class TarMember(member_idx: Int, name: String, n_bytes: Long, body_offset: Long)
+
+  /** Walk a USTAR/POSIX tar payload into its regular-file members:
+    * 512-byte headers (checksum VERIFIED — the unsigned byte sum
+    * with the checksum field read as spaces), octal sizes, data
+    * rounded up to block boundaries, USTAR `prefix` joined onto
+    * long names, and the two-zero-block trailer (or EOF) ending the
+    * walk. Non-file entries (directories, links, PAX/GNU extension
+    * blocks) are skipped but framed over. Same malformed-input
+    * stance as [[warcSplit]]: a truncated or corrupt tail yields
+    * the members that ARE well-formed; a payload with none is null.
+    */
+  def tarMembers(b: Array[Byte]): Array[TarMember] = {
+    if (b == null || b.length < 512) return null
+    try {
+      val out = Array.newBuilder[TarMember]
+      var i = 0
+      var idx = 0
+      var done = false
+      while (!done && i + 512 <= b.length) {
+        var allZero = true
+        var k = 0
+        while (allZero && k < 512) { if (b(i + k) != 0) allZero = false; k += 1 }
+        if (allZero) done = true
+        else {
+          val stored = tarOctal(b, i + 148, 8)
+          var sum = 0L
+          k = 0
+          while (k < 512) {
+            sum += (if (k >= 148 && k < 156) ' '.toInt else b(i + k) & 0xff)
+            k += 1
+          }
+          val size = tarOctal(b, i + 124, 12)
+          if (stored < 0 || sum != stored || size < 0) done = true // corrupt header: stop
+          else {
+            val dataStart = i + 512L
+            if (dataStart + size > b.length) done = true // truncated data: stop
+            else {
+              val typeflag = b(i + 156)
+              if (typeflag == '0' || typeflag == 0) {
+                val base = tarString(b, i, 100)
+                val prefix =
+                  if (asciiAt(b, i + 257, "ustar")) tarString(b, i + 345, 155) else ""
+                val name = if (prefix.isEmpty) base else prefix + "/" + base
+                out += TarMember(idx, name, size, dataStart)
+                idx += 1
+              }
+              i = (dataStart + ((size + 511) / 512) * 512).toInt
+            }
+          }
+        }
+      }
+      val r = out.result()
+      if (r.isEmpty) null else r
+    } catch {
+      case _: IndexOutOfBoundsException => null
+    }
+  }
+
+  /** Octal field parse: digits up to the first NUL/space, -1 for
+    * anything else (a corrupt header must not frame the walk).
+    */
+  private def tarOctal(b: Array[Byte], off: Int, len: Int): Long = {
+    var v = 0L
+    var k = 0
+    var started = false
+    while (k < len) {
+      val c = b(off + k) & 0xff
+      if (c == 0 || c == ' ') { if (started) return v }
+      else if (c >= '0' && c <= '7') { started = true; v = v * 8 + (c - '0') }
+      else return -1L
+      k += 1
+    }
+    if (started) v else -1L
+  }
+
+  private def tarString(b: Array[Byte], off: Int, max: Int): String = {
+    var n = 0
+    while (n < max && b(off + n) != 0) n += 1
+    new String(b, off, n, "ISO-8859-1")
+  }
+
+  private val tarUdf = udf((payload: Array[Byte]) => tarMembers(payload))
+
+  /** Explode a tar payload column into one row per regular-file
+    * member with a digest over its data range — the [[warcRecords]]
+    * convention (md5 over hex, codegen'd; only the header walk is a
+    * UDF). Per-row work, no shuffle; non-tar rows vanish.
+    */
+  def tarMemberRows(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    df.select(col(idCol), col(payloadCol).cast("binary").as("__pl__"))
+      .select(col(idCol), col("__pl__"), explode(tarUdf(col("__pl__"))).as("__m__"))
+      .select(
+        col(idCol),
+        col("__m__.member_idx").as("member_idx"),
+        col("__m__.name").as("name"),
+        col("__m__.n_bytes").as("n_bytes"),
+        rangeDigest("__m__.body_offset", "__m__.n_bytes").as("body_digest"))
+
+  /** One decoded zip member: unlike tar, a deflated body is not a
+    * byte range of the payload, so the decoded bytes travel in the
+    * row (bounded by the same inflation cap as [[gunzip]]).
+    */
+  case class ZipMember(member_idx: Int, name: String, n_bytes: Long, bytes: Array[Byte])
+
+  /** Decode a zip payload via its CENTRAL DIRECTORY (the correct
+    * walk: streaming local headers breaks on data-descriptor
+    * entries): locate the end-of-central-directory record from the
+    * tail, walk the directory entries, and decode each member from
+    * its local header — STORED (method 0) copied, DEFLATE (method 8)
+    * inflated raw — verifying the recorded CRC32 against the decoded
+    * bytes. Directories (trailing '/') are skipped. Null for
+    * non-zip payloads or a corrupt/out-of-range directory; a member
+    * that fails its own decode or CRC is dropped (lying members are
+    * data), keeping the rest.
+    */
+  def zipMembers(b: Array[Byte]): Array[ZipMember] = {
+    if (b == null || b.length < 22) return null
+    try {
+      def u16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+      def u32(i: Int): Long =
+        (b(i) & 0xff).toLong | ((b(i + 1) & 0xff).toLong << 8) |
+          ((b(i + 2) & 0xff).toLong << 16) | ((b(i + 3) & 0xff).toLong << 24)
+      // EOCD: last occurrence of PK\x05\x06 within the final 64KB+22
+      var eocd = -1
+      var p = b.length - 22
+      val floor = math.max(0, b.length - 22 - 65535)
+      while (eocd < 0 && p >= floor) {
+        if (b(p) == 'P' && b(p + 1) == 'K' && b(p + 2) == 5 && b(p + 3) == 6) eocd = p
+        p -= 1
+      }
+      if (eocd < 0) return null
+      val nEntries = u16(eocd + 10)
+      val cdOff = u32(eocd + 16)
+      if (cdOff > b.length) return null
+      val out = Array.newBuilder[ZipMember]
+      var e = cdOff.toInt
+      var idx = 0
+      var total = 0L
+      var n = 0
+      while (n < nEntries) {
+        if (e + 46 > b.length || b(e) != 'P' || b(e + 1) != 'K' || b(e + 2) != 1 || b(e + 3) != 2)
+          return result46(out)
+        val method = u16(e + 10)
+        val crc = u32(e + 16)
+        val csize = u32(e + 20)
+        val usize = u32(e + 24)
+        val nameLen = u16(e + 28)
+        val extraLen = u16(e + 30)
+        val commentLen = u16(e + 32)
+        val localOff = u32(e + 42)
+        val name = new String(b, e + 46, nameLen, "UTF-8")
+        e += 46 + nameLen + extraLen + commentLen
+        n += 1
+        if (!name.endsWith("/") && usize <= maxInflatedBytes && total + usize <= maxInflatedBytes &&
+            localOff + 30 <= b.length) {
+          val lo = localOff.toInt
+          if (b(lo) == 'P' && b(lo + 1) == 'K' && b(lo + 2) == 3 && b(lo + 3) == 4) {
+            val dataOff = lo + 30 + u16(lo + 26) + u16(lo + 28)
+            if (dataOff + csize <= b.length) {
+              val decoded: Array[Byte] =
+                if (method == 0 && csize == usize)
+                  java.util.Arrays.copyOfRange(b, dataOff, dataOff + csize.toInt)
+                else if (method == 8) {
+                  val inf = new java.util.zip.Inflater(true)
+                  try {
+                    inf.setInput(b, dataOff, csize.toInt)
+                    val buf = new Array[Byte](usize.toInt)
+                    var off = 0
+                    var bad = false
+                    while (!bad && off < buf.length && !inf.finished()) {
+                      val got =
+                        try inf.inflate(buf, off, buf.length - off)
+                        catch { case _: java.util.zip.DataFormatException => bad = true; 0 }
+                      if (got == 0 && !inf.finished()) bad = true
+                      off += got
+                    }
+                    if (bad || off != buf.length) null else buf
+                  } finally inf.end()
+                } else null
+              if (decoded != null) {
+                val c = new java.util.zip.CRC32
+                c.update(decoded)
+                if (c.getValue == crc) {
+                  out += ZipMember(idx, name, usize, decoded)
+                  idx += 1
+                  total += usize
+                }
+              }
+            }
+          }
+        }
+      }
+      result46(out)
+    } catch {
+      case _: IndexOutOfBoundsException => null
+      case _: NegativeArraySizeException => null
+      case _: OutOfMemoryError => null
+    }
+  }
+
+  private def result46(out: scala.collection.mutable.Builder[ZipMember, Array[ZipMember]]): Array[ZipMember] = {
+    val r = out.result()
+    if (r.isEmpty) null else r
+  }
+
+  private val zipUdf = udf((payload: Array[Byte]) => zipMembers(payload))
+
+  /** Explode a zip payload column into one row per decoded member,
+    * digest over the DECODED bytes (md5 over hex — the shared
+    * convention, but computed on the inflated member since a
+    * deflated body is not a payload range). Per-row work, no
+    * shuffle; non-zip rows vanish.
+    */
+  def zipMemberRows(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    df.select(col(idCol), col(payloadCol).cast("binary").as("__pl__"))
+      .select(col(idCol), explode(zipUdf(col("__pl__"))).as("__m__"))
+      .select(
+        col(idCol),
+        col("__m__.member_idx").as("member_idx"),
+        col("__m__.name").as("name"),
+        col("__m__.n_bytes").as("n_bytes"),
+        md5(hex(col("__m__.bytes"))).as("body_digest"))
 }

@@ -136,4 +136,116 @@ object WebFixture {
     }
     out.toByteArray
   }
+
+  // ---- archive fixtures (tar / zip) -------------------------------
+
+  /** Closed-form tar fixture fields (mirrored by the q_tar_members
+    * oracle): 2 + i%4 regular files, member j named
+    * "dir{i}/file{j}.txt" with body byte k = (i*19 + j*11 + k*3 + 5)
+    * % 256 of length 30 + ((i*7 + j*13) % 50). Bodies stay under one
+    * block, so member j's header sits at 1024*j. Every i % 7 == 6
+    * payload is truncated after the LAST member's header — its data
+    * is gone, so exactly the first nm-1 members survive the walk.
+    */
+  def tarMemberCount(i: Long): Int = (2 + i % 4).toInt
+  def tarBodyLen(i: Long, j: Int): Int = (30 + ((i * 7 + j * 13) % 50)).toInt
+  def tarBodyByte(i: Long, j: Int, k: Int): Int = ((i * 19 + j * 11 + k * 3 + 5) % 256).toInt
+
+  def tarPayload(i: Long): Array[Byte] = {
+    val out = new ByteArrayOutputStream
+    for (j <- 0 until tarMemberCount(i)) {
+      val hdr = new Array[Byte](512)
+      def putAscii(off: Int, s: String): Unit = {
+        val bs = s.getBytes("US-ASCII")
+        System.arraycopy(bs, 0, hdr, off, bs.length)
+      }
+      val len = tarBodyLen(i, j)
+      putAscii(0, s"dir$i/file$j.txt")
+      putAscii(100, "0000644")
+      putAscii(108, "0000000")
+      putAscii(116, "0000000")
+      putAscii(124, f"$len%011o")
+      putAscii(136, "00000000000")
+      hdr(156) = '0' // regular file
+      putAscii(257, "ustar")
+      putAscii(263, "00")
+      // checksum over the header with its own field as spaces
+      java.util.Arrays.fill(hdr, 148, 156, ' '.toByte)
+      var sum = 0L
+      for (k <- 0 until 512) sum += hdr(k) & 0xff
+      putAscii(148, f"$sum%06o")
+      hdr(154) = 0; hdr(155) = ' '
+      out.write(hdr)
+      val block = new Array[Byte](512)
+      for (k <- 0 until len) block(k) = tarBodyByte(i, j, k).toByte
+      out.write(block)
+    }
+    out.write(new Array[Byte](1024)) // end-of-archive trailer
+    val b = out.toByteArray
+    if (i % 7 == 6) java.util.Arrays.copyOfRange(b, 0, 1024 * (tarMemberCount(i) - 1) + 512)
+    else b
+  }
+
+  /** Closed-form zip fixture fields (mirrored by the q_zip_members
+    * oracle): 2 + i%3 members, member j named "z{i}/m{j}.bin" with
+    * body byte k = (i*23 + j*13 + k*11 + 9) % 256 of length
+    * 25 + ((i*5 + j*17) % 60); even members STORED, odd members
+    * DEFLATEd (the decoded bytes — and so the digests — are method-
+    * independent). Every i % 9 == 8 payload has its end-of-central-
+    * directory signature corrupted and must decode to null.
+    */
+  def zipMemberCount(i: Long): Int = (2 + i % 3).toInt
+  def zipBodyLen(i: Long, j: Int): Int = (25 + ((i * 5 + j * 17) % 60)).toInt
+  def zipBodyByte(i: Long, j: Int, k: Int): Int = ((i * 23 + j * 13 + k * 11 + 9) % 256).toInt
+
+  def zipPayload(i: Long): Array[Byte] = {
+    val out = new ByteArrayOutputStream
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    val nm = zipMemberCount(i)
+    val names = (0 until nm).map(j => s"z$i/m$j.bin".getBytes("UTF-8"))
+    val bodies = (0 until nm).map(j =>
+      Array.tabulate(zipBodyLen(i, j))(k => zipBodyByte(i, j, k).toByte))
+    val crcs = bodies.map { d => val c = new java.util.zip.CRC32; c.update(d); c.getValue }
+    val stored = (0 until nm).map { j =>
+      if (j % 2 == 0) bodies(j)
+      else {
+        val defl = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+        defl.setInput(bodies(j)); defl.finish()
+        val tmp = new ByteArrayOutputStream
+        val buf = new Array[Byte](1024)
+        while (!defl.finished()) { val n = defl.deflate(buf); tmp.write(buf, 0, n) }
+        defl.end()
+        tmp.toByteArray
+      }
+    }
+    val localOffs = new Array[Long](nm)
+    for (j <- 0 until nm) {
+      localOffs(j) = out.size().toLong
+      out.write('P'); out.write('K'); out.write(3); out.write(4)
+      le16(20); le16(0); le16(if (j % 2 == 0) 0 else 8); le16(0); le16(0)
+      le32(crcs(j)); le32(stored(j).length.toLong); le32(bodies(j).length.toLong)
+      le16(names(j).length); le16(0)
+      out.write(names(j)); out.write(stored(j))
+    }
+    val cdStart = out.size().toLong
+    for (j <- 0 until nm) {
+      out.write('P'); out.write('K'); out.write(1); out.write(2)
+      le16(20); le16(20); le16(0); le16(if (j % 2 == 0) 0 else 8); le16(0); le16(0)
+      le32(crcs(j)); le32(stored(j).length.toLong); le32(bodies(j).length.toLong)
+      le16(names(j).length); le16(0); le16(0); le16(0); le16(0); le32(0L)
+      le32(localOffs(j))
+      out.write(names(j))
+    }
+    val cdSize = out.size() - cdStart
+    out.write('P'); out.write('K'); out.write(5); out.write(6)
+    le16(0); le16(0); le16(nm); le16(nm)
+    le32(cdSize); le32(cdStart); le16(0)
+    val b = out.toByteArray
+    if (i % 9 == 8) b(b.length - 22) = 'Q'.toByte // corrupt the EOCD signature
+    b
+  }
 }

@@ -1061,6 +1061,78 @@ class PipelineSpec extends SparkSuite {
     assert(exact == Map("a" -> 9.0, "b" -> 8.0))
   }
 
+  test("tarMembers: USTAR walk with verified checksums; truncation drops only the torn tail") {
+    import graft.pipeline.WebIngest
+    import graft.testing.WebFixture
+    val i = 11L // 2 + 11%4 = 5 members... (2 + 3) wait: 2 + (11 % 4) = 5
+    val pl = WebFixture.tarPayload(i)
+    val t = WebIngest.tarMembers(pl)
+    assert(t.length == WebFixture.tarMemberCount(i))
+    for (j <- t.indices) {
+      assert(t(j).member_idx == j)
+      assert(t(j).name == s"dir$i/file$j.txt")
+      assert(t(j).n_bytes == WebFixture.tarBodyLen(i, j))
+      for (k <- 0 until t(j).n_bytes.toInt)
+        assert((pl(t(j).body_offset.toInt + k) & 0xff) == WebFixture.tarBodyByte(i, j, k))
+    }
+    // the truncated fixture yields exactly nm-1 members
+    val trunc = WebFixture.tarPayload(6L) // 6 % 7 == 6
+    assert(WebIngest.tarMembers(trunc).length == WebFixture.tarMemberCount(6L) - 1)
+    // a corrupted checksum stops the walk at that header
+    val bad = pl.clone
+    bad(1024 + 148) = '7' // member 1's checksum field
+    assert(WebIngest.tarMembers(bad).length == 1)
+    // fuzz: cuts and bit flips never throw
+    for (cut <- 0 to pl.length by 97) WebIngest.tarMembers(java.util.Arrays.copyOfRange(pl, 0, cut))
+    for (pos <- pl.indices by 131) {
+      val fl = pl.clone; fl(pos) = (fl(pos) ^ 0x44).toByte
+      WebIngest.tarMembers(fl)
+    }
+    assert(WebIngest.tarMembers(null) == null)
+  }
+
+  test("zipMembers: central-directory decode agrees with the JDK ZipInputStream") {
+    import graft.pipeline.WebIngest
+    import graft.testing.WebFixture
+    for (i <- Seq(0L, 4L, 13L)) { // stored-only, mixed, mixed
+      val pl = WebFixture.zipPayload(i)
+      val got = WebIngest.zipMembers(pl)
+      val jdk = {
+        val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(pl))
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Byte])]
+        var e = zin.getNextEntry
+        while (e != null) {
+          val bos = new java.io.ByteArrayOutputStream
+          val tmp = new Array[Byte](4096)
+          var n = zin.read(tmp)
+          while (n >= 0) { bos.write(tmp, 0, n); n = zin.read(tmp) }
+          buf += ((e.getName, bos.toByteArray.toSeq))
+          e = zin.getNextEntry
+        }
+        zin.close(); buf.toSeq
+      }
+      assert(got.map(m => (m.name, m.bytes.toSeq)).toSeq == jdk, s"i=$i")
+      assert(got.map(_.n_bytes.toInt).toSeq == got.map(_.bytes.length).toSeq)
+    }
+    // corrupt EOCD -> null; a flipped body byte fails that member's
+    // CRC and drops it alone, keeping the rest
+    assert(WebIngest.zipMembers(WebFixture.zipPayload(8L)) == null)
+    val pl = WebFixture.zipPayload(4L)
+    val bodyPos = 30 + "z4/m0.bin".length // member 0 is STORED: its first body byte
+    val bad = pl.clone
+    bad(bodyPos) = (bad(bodyPos) ^ 0x55).toByte
+    val after = WebIngest.zipMembers(bad)
+    assert(after.length == WebFixture.zipMemberCount(4L) - 1 &&
+      !after.exists(_.name == "z4/m0.bin"), "CRC-failed member not dropped")
+    // fuzz: cuts and flips never throw
+    for (cut <- 0 to pl.length by 89) WebIngest.zipMembers(java.util.Arrays.copyOfRange(pl, 0, cut))
+    for (pos <- pl.indices by 61) {
+      val fl = pl.clone; fl(pos) = (fl(pos) ^ 0x2a).toByte
+      WebIngest.zipMembers(fl)
+    }
+    assert(WebIngest.zipMembers(null) == null)
+  }
+
   test("repeatedSubstringSpans: ExactSubstr spans across and within docs, excision splices") {
     val s = spark; import s.implicits._
     val shared = "The quick brown fox jumps over the lazy dog once again today." // 62 chars
