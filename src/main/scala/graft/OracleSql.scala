@@ -1242,6 +1242,19 @@ CASE WHEN n < 32 THEN CAST(n AS DOUBLE)
 ELSE round(31 / (('0x' || substring(kth, 1, 15))::BIGINT / 1152921504606846976.0), 4) END AS distinct_est
 FROM a""",
 
+    // expected entries of the sitemap fixtures, closed-form: even i
+    // urlsets (entity-decoded locs), odd i sitemapindexes, i % 11 =
+    // 10 non-sitemaps vanish; lastmod only on even entries
+    "q_sitemap" ->
+      """WITH f AS (SELECT i, unnest(range(0, 2 + i % 5)) AS j FROM range(0, 300) t(i) WHERE i % 11 <> 10)
+SELECT i AS id,
+CASE WHEN i % 2 = 0 THEN 'url' ELSE 'sitemap' END AS kind,
+CAST(j AS INT) AS entry_idx,
+CASE WHEN i % 2 = 0 THEN 'https://ex' || CAST(i AS VARCHAR) || '.example.com/p/' || CAST(j AS VARCHAR) || '?a=' || CAST(j % 3 AS VARCHAR) || '&b=' || CAST(i AS VARCHAR)
+ELSE 'https://ex' || CAST(i AS VARCHAR) || '.example.com/sitemap' || CAST(j AS VARCHAR) || '.xml.gz' END AS loc,
+CASE WHEN j % 2 = 0 THEN '20' || CAST(10 + i % 15 AS VARCHAR) || '-0' || CAST(1 + j % 9 AS VARCHAR) || '-15' END AS lastmod
+FROM f""",
+
     // the tar fixtures' member table: member j of payload i is
     // "dir{i}/file{j}.txt", length 30 + ((i*7 + j*13) % 50), body
     // byte k = (i*19 + j*11 + k*3 + 5) % 256; truncated payloads

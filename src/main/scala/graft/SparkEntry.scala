@@ -813,6 +813,15 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       graft.pipeline.Sketch.kmvDistinctByGroup(d, Seq("source"), "text", k = 32)
     }),
+    "q_sitemap" -> ((s, dir) => {
+      // sitemap.xml discovery surface: urlset pages and sitemapindex
+      // children in one frame, entity-decoded whitespace-trimmed
+      // locs, optional lastmod — all codegen'd regex builtins, zero
+      // UDFs; non-sitemap payloads contribute no rows
+      val gen = udf((i: Long) => graft.testing.UrlFixture.sitemapXml(i))
+      val df = s.range(0, 300).select(col("id"), gen(col("id")).as("xml"))
+      UrlOps.sitemapEntries(df, "id", "xml")
+    }),
     "q_tar_members" -> ((s, dir) => {
       // USTAR archive walk: 512-byte headers with VERIFIED checksums,
       // octal sizes, block-aligned bodies; digests over the member

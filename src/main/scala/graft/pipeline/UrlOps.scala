@@ -316,4 +316,46 @@ object UrlOps {
     keyed.join(keepers, Seq("url_canon", idCol), "left_semi")
       .unionByName(withCanon.where(col("url_canon").isNull))
   }
+
+  // ---- sitemap.xml parsing ----------------------------------------
+
+  /** Decode the five predefined XML entities (the ones the sitemap
+    * protocol requires escaping in `<loc>`). Numeric character
+    * references are passed through untouched — a rarity in sitemap
+    * URLs, and keeping the chain pure builtins keeps the whole
+    * parse codegen'd.
+    */
+  private def xmlUnescape(c: Column): Column = {
+    val steps = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&apos;" -> "'", "&amp;" -> "&") // &amp; LAST: "&amp;lt;" means literal "&lt;"
+    steps.foldLeft(c) { case (acc, (from, to)) => replace(acc, lit(from), lit(to)) }
+  }
+
+  /** Explode sitemap XML into its entries — `<urlset>` page URLs and
+    * `<sitemapindex>` child sitemaps in one frame, distinguished by
+    * `kind` ('url' / 'sitemap'), with the entity-decoded `loc` and
+    * the optional `lastmod` (null when absent). The whole parse is
+    * codegen'd builtins (block + field extraction via
+    * `regexp_extract_all` with DOTALL, crawl-tolerant of attributes,
+    * whitespace and namespace noise — the lenient stance every real
+    * crawler takes, since feed XML is routinely malformed); rows
+    * that aren't sitemaps simply contribute no entries. Per-row
+    * work, no shuffle.
+    */
+  def sitemapEntries(df: DataFrame, idCol: String, xmlCol: String): DataFrame = {
+    def family(kind: String, block: String): DataFrame =
+      df.select(col(idCol),
+          posexplode(regexp_extract_all(col(xmlCol),
+            lit(s"(?is)<$block(?:\\s[^>]*)?>(.*?)</$block\\s*>"), lit(1)))
+            .as(Seq("entry_idx", "__blk__")))
+        .select(col(idCol), lit(kind).as("kind"), col("entry_idx"),
+          xmlUnescape(nullif(regexp_extract(col("__blk__"),
+            "(?is)<loc(?:\\s[^>]*)?>\\s*(.*?)\\s*</loc\\s*>", 1), lit(""))).as("loc"),
+          nullif(regexp_extract(col("__blk__"),
+            "(?is)<lastmod(?:\\s[^>]*)?>\\s*(.*?)\\s*</lastmod\\s*>", 1), lit("")).as("lastmod"))
+        .where(col("loc").isNotNull)
+    // <url> blocks never nest in <sitemap> blocks (disjoint roots),
+    // so the union is a disjoint partition of the entries
+    family("url", "url").unionByName(family("sitemap", "sitemap"))
+  }
 }

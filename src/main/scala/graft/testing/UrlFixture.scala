@@ -86,4 +86,43 @@ object UrlFixture {
       case _ => s"http://host$h.example.com/Doc/$n?gclid=g$i&b=$y&fbclid=f$i&a=$x#x"
     }
   }
+
+  /** Closed-form sitemap fixtures (mirrored by the q_sitemap
+    * oracle): even i a `<urlset>` of 2 + i%5 page urls (locs carry
+    * an `&amp;` entity the parser must decode and whitespace it must
+    * trim; even entries carry a lastmod, odd ones none), odd i a
+    * `<sitemapindex>` of 2 + i%5 child sitemaps; every i % 11 == 10
+    * payload is not a sitemap at all and yields no entries. The
+    * urlset root carries the protocol xmlns, blocks carry stray
+    * attributes and the XML is deliberately whitespace-noisy — the
+    * lenient-crawler surface.
+    */
+  def sitemapEntryCount(i: Long): Int = (2 + i % 5).toInt
+
+  def sitemapLoc(i: Long, j: Int): String =
+    if (i % 2 == 0) s"https://ex$i.example.com/p/$j?a=${j % 3}&b=$i"
+    else s"https://ex$i.example.com/sitemap$j.xml.gz"
+
+  def sitemapLastmod(i: Long, j: Int): String = s"20${10 + i % 15}-0${1 + j % 9}-15"
+
+  def sitemapXml(i: Long): String = {
+    if (i % 11 == 10) return s"<html><body>not a sitemap $i</body></html>"
+    val n = sitemapEntryCount(i)
+    if (i % 2 == 0) {
+      val urls = (0 until n).map { j =>
+        val loc = sitemapLoc(i, j).replace("&", "&amp;")
+        val lm = if (j % 2 == 0) s"\n    <lastmod> ${sitemapLastmod(i, j)} </lastmod>" else ""
+        s"""  <url data-extra="x$j">\n    <loc>\n      $loc\n    </loc>$lm\n  </url>"""
+      }
+      "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+        "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+        urls.mkString("\n") + "\n</urlset>\n"
+    } else {
+      val maps = (0 until n).map { j =>
+        val lm = if (j % 2 == 0) s"<lastmod>${sitemapLastmod(i, j)}</lastmod>" else ""
+        s"<sitemap><loc> ${sitemapLoc(i, j)} </loc>$lm</sitemap>"
+      }
+      "<?xml version=\"1.0\"?><sitemapindex>" + maps.mkString + "</sitemapindex>"
+    }
+  }
 }

@@ -1061,6 +1061,34 @@ class PipelineSpec extends SparkSuite {
     assert(exact == Map("a" -> 9.0, "b" -> 8.0))
   }
 
+  test("sitemapEntries: urlset + sitemapindex, entity decode, lenient noise tolerance") {
+    val s = spark; import s.implicits._
+    import graft.pipeline.UrlOps
+    val xml =
+      """<?xml version="1.0"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <url><loc> https://a.example.com/x?p=1&amp;q=2 </loc>
+        |    <lastmod>2023-04-05</lastmod></url>
+        |  <url data-x="1"><loc>https://a.example.com/&lt;odd&gt;</loc></url>
+        |  <url><priority>0.5</priority></url><!-- no loc: dropped -->
+        |</urlset>""".stripMargin
+    val rows = UrlOps.sitemapEntries(Seq((1L, xml)).toDF("id", "xml"), "id", "xml")
+      .orderBy("entry_idx").collect()
+      .map(r => (r.getString(1), r.getInt(2), r.getString(3), Option(r.getString(4))))
+    assert(rows.toSeq == Seq(
+      ("url", 0, "https://a.example.com/x?p=1&q=2", Some("2023-04-05")),
+      ("url", 1, "https://a.example.com/<odd>", None)))
+    // a sitemapindex payload yields 'sitemap' rows; <sitemapindex>
+    // itself must not match the <sitemap> block regex
+    val idx = "<sitemapindex><sitemap><loc>https://a.example.com/s1.xml</loc></sitemap></sitemapindex>"
+    val irows = UrlOps.sitemapEntries(Seq((2L, idx)).toDF("id", "xml"), "id", "xml").collect()
+    assert(irows.length == 1 && irows.head.getString(1) == "sitemap" &&
+      irows.head.getString(3) == "https://a.example.com/s1.xml")
+    // non-sitemap and null payloads contribute nothing, never throw
+    val junk = Seq((3L, "<html>nope</html>"), (4L, null.asInstanceOf[String])).toDF("id", "xml")
+    assert(UrlOps.sitemapEntries(junk, "id", "xml").count() == 0)
+  }
+
   test("tarMembers: USTAR walk with verified checksums; truncation drops only the torn tail") {
     import graft.pipeline.WebIngest
     import graft.testing.WebFixture
