@@ -1242,6 +1242,21 @@ CASE WHEN n < 32 THEN CAST(n AS DOUBLE)
 ELSE round(31 / (('0x' || substring(kth, 1, 15))::BIGINT / 1152921504606846976.0), 4) END AS distinct_est
 FROM a""",
 
+    // expected charset verdict + decoded text of the charset
+    // fixtures, closed-form per detection path (i % 6)
+    "q_charset" ->
+      """SELECT i AS id,
+CASE CAST(i % 6 AS INT) WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16le' WHEN 2 THEN 'iso-8859-1'
+WHEN 3 THEN 'windows-1252' WHEN 4 THEN 'utf-8' ELSE 'windows-1252' END AS charset,
+CASE CAST(i % 6 AS INT)
+WHEN 0 THEN 'bom utf8 doc ' || CAST(i AS VARCHAR) || ' café'
+WHEN 1 THEN 'utf16 doc ' || CAST(i AS VARCHAR) || ' é'
+WHEN 2 THEN 'latin doc ' || CAST(i AS VARCHAR) || ' café'
+WHEN 3 THEN '<html><head><meta charset="windows-1252"></head><body>euro € doc ' || CAST(i AS VARCHAR) || '</body></html>'
+WHEN 4 THEN 'plain utf8 doc ' || CAST(i AS VARCHAR) || ' é—ok'
+ELSE 'fallback doc ' || CAST(i AS VARCHAR) || ' café' END AS text
+FROM range(0, 300) t(i)""",
+
     // expected entries of the sitemap fixtures, closed-form: even i
     // urlsets (entity-decoded locs), odd i sitemapindexes, i % 11 =
     // 10 non-sitemaps vanish; lastmod only on even entries

@@ -813,6 +813,17 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       graft.pipeline.Sketch.kmvDistinctByGroup(d, Seq("source"), "text", k = 32)
     }),
+    "q_charset" -> ((s, dir) => {
+      // charset sniffing + decode over raw crawl bytes: BOMs,
+      // Content-Type charset params, HTML meta declarations, strict
+      // UTF-8 validation, windows-1252 terminal fallback — the step
+      // between the HTTP envelope and every text operator
+      val genP = udf((i: Long) => graft.testing.WebFixture.charsetPayload(i))
+      val genD = udf((i: Long) => graft.testing.WebFixture.charsetDeclared(i))
+      val df = s.range(0, 300).select(col("id"),
+        genP(col("id")).as("payload"), genD(col("id")).as("ctype"))
+      WebIngest.withDecodedText(df, "payload", "ctype").select("id", "charset", "text")
+    }),
     "q_sitemap" -> ((s, dir) => {
       // sitemap.xml discovery surface: urlset pages and sitemapindex
       // children in one frame, entity-decoded whitespace-trimmed

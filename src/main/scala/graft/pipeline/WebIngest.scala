@@ -652,4 +652,125 @@ object WebIngest {
         col("__m__.name").as("name"),
         col("__m__.n_bytes").as("n_bytes"),
         md5(hex(col("__m__.bytes"))).as("body_digest"))
+
+  // ---- charset detection + decode ---------------------------------
+
+  /** Strict UTF-8 validation of b[from, to): continuation structure,
+    * overlong forms, surrogate range and the U+10FFFF ceiling all
+    * rejected — a permissive check would classify most of Latin-1 as
+    * UTF-8 and mojibake the corpus.
+    */
+  def utf8Valid(b: Array[Byte], from: Int, to: Int): Boolean = {
+    var i = from
+    while (i < to) {
+      val c = b(i) & 0xff
+      if (c < 0x80) i += 1
+      else {
+        val (n, min, max) =
+          if (c >= 0xc2 && c <= 0xdf) (1, 0x80, 0x7ff)
+          else if (c >= 0xe0 && c <= 0xef) (2, 0x800, 0xffff)
+          else if (c >= 0xf0 && c <= 0xf4) (3, 0x10000, 0x10ffff)
+          else return false // 0x80-0xC1 lead (continuation/overlong) or 0xF5+
+        if (i + n >= to) return false
+        var cp = c & (0x3f >> n)
+        var k = 1
+        while (k <= n) {
+          val cc = b(i + k) & 0xff
+          if ((cc & 0xc0) != 0x80) return false
+          cp = (cp << 6) | (cc & 0x3f)
+          k += 1
+        }
+        if (cp < min || cp > max || (cp >= 0xd800 && cp <= 0xdfff)) return false
+        i += n + 1
+      }
+    }
+    true
+  }
+
+  /** Detect a text payload's charset the way crawl pipelines do, in
+    * priority order: byte-order mark; `charset=` parameter of the
+    * declared Content-Type; an HTML `<meta charset>` /
+    * `http-equiv` declaration in the first 1024 bytes; strict
+    * UTF-8 validation of the whole body; windows-1252 as the
+    * terminal fallback (the de-facto reading of undeclared 8-bit
+    * web bytes — it decodes every byte, so the fallback never
+    * fails). Returns a lowercase canonical name.
+    */
+  def detectCharset(b: Array[Byte], declaredContentType: String): String = {
+    if (b == null) return null
+    if (b.length >= 3 && (b(0) & 0xff) == 0xef && (b(1) & 0xff) == 0xbb && (b(2) & 0xff) == 0xbf)
+      return "utf-8"
+    if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xfe) return "utf-16le"
+    if (b.length >= 2 && (b(0) & 0xff) == 0xfe && (b(1) & 0xff) == 0xff) return "utf-16be"
+    def fromParam(s: String): String = {
+      if (s == null) return null
+      val m = java.util.regex.Pattern.compile("(?i)charset\\s*=\\s*[\"']?([A-Za-z0-9._:-]+)")
+        .matcher(s)
+      if (m.find()) canonicalCharset(m.group(1)) else null
+    }
+    val declared = fromParam(declaredContentType)
+    if (declared != null) return declared
+    // meta scan over the ASCII shadow of the head (spec: 1024 bytes)
+    val head = new String(b, 0, math.min(b.length, 1024), "ISO-8859-1")
+    val meta = java.util.regex.Pattern.compile("(?is)<meta\\s[^>]*>").matcher(head)
+    while (meta.find()) {
+      val tag = meta.group()
+      val cs = java.util.regex.Pattern.compile("(?i)charset\\s*=\\s*[\"']?([A-Za-z0-9._:-]+)")
+        .matcher(tag)
+      if (cs.find()) return canonicalCharset(cs.group(1))
+    }
+    if (utf8Valid(b, 0, b.length)) "utf-8" else "windows-1252"
+  }
+
+  /** Canonical lowercase charset names for the aliases crawl data
+    * actually carries; unknown names fall to windows-1252 (decoding
+    * must never fail on a label).
+    */
+  private def canonicalCharset(name: String): String =
+    name.toLowerCase(java.util.Locale.ROOT) match {
+      case "utf8" | "utf-8"                      => "utf-8"
+      case "utf-16le" | "utf16le"                => "utf-16le"
+      case "utf-16be" | "utf16be" | "utf-16"     => "utf-16be"
+      case "latin1" | "latin-1" | "iso-8859-1" | "iso8859-1" => "iso-8859-1"
+      case "us-ascii" | "ascii"                  => "us-ascii"
+      case "windows-1252" | "cp1252" | "win-1252" => "windows-1252"
+      case _                                      => "windows-1252"
+    }
+
+  /** Decode `b` under a [[detectCharset]] verdict, stripping the BOM
+    * when present. Never throws: every supported charset decodes
+    * every byte sequence (malformed UTF-8 inputs never reach here —
+    * detection already demoted them to windows-1252).
+    */
+  def decodeText(b: Array[Byte], charset: String): String = {
+    if (b == null || charset == null) return null
+    val (from, cs) = charset match {
+      case "utf-8" =>
+        (if (b.length >= 3 && (b(0) & 0xff) == 0xef && (b(1) & 0xff) == 0xbb && (b(2) & 0xff) == 0xbf) 3 else 0,
+          java.nio.charset.StandardCharsets.UTF_8)
+      case "utf-16le" =>
+        (if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xfe) 2 else 0,
+          java.nio.charset.StandardCharsets.UTF_16LE)
+      case "utf-16be" =>
+        (if (b.length >= 2 && (b(0) & 0xff) == 0xfe && (b(1) & 0xff) == 0xff) 2 else 0,
+          java.nio.charset.StandardCharsets.UTF_16BE)
+      case "iso-8859-1" => (0, java.nio.charset.StandardCharsets.ISO_8859_1)
+      case "us-ascii"   => (0, java.nio.charset.StandardCharsets.ISO_8859_1) // superset-safe
+      case _            => (0, java.nio.charset.Charset.forName("windows-1252"))
+    }
+    new String(b, from, b.length - from, cs)
+  }
+
+  private val charsetUdf = udf((b: Array[Byte], declared: String) => detectCharset(b, declared))
+  private val decodeTextUdf = udf((b: Array[Byte], cs: String) => decodeText(b, cs))
+
+  /** Attach `charset` (detected) and `text` (decoded, BOM-stripped)
+    * to a raw byte-payload column, given the transport's declared
+    * Content-Type column (pass a null literal column when absent).
+    * Per-row work, no shuffle — the step between the HTTP envelope
+    * and every downstream text operator.
+    */
+  def withDecodedText(df: DataFrame, payloadCol: String, contentTypeCol: String): DataFrame =
+    df.withColumn("charset", charsetUdf(col(payloadCol).cast("binary"), col(contentTypeCol)))
+      .withColumn("text", decodeTextUdf(col(payloadCol).cast("binary"), col("charset")))
 }

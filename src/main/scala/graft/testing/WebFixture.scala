@@ -137,6 +137,45 @@ object WebFixture {
     out.toByteArray
   }
 
+  // ---- charset fixtures -------------------------------------------
+
+  /** Closed-form charset fixtures (mirrored by the q_charset
+    * oracle), one detection path per i % 6: BOM'd UTF-8, BOM'd
+    * UTF-16LE, Content-Type-declared ISO-8859-1, meta-declared
+    * windows-1252 (with a byte only cp1252 maps: the euro at 0x80),
+    * plain UTF-8 proven by strict validation, and a lone 0xE9 that
+    * fails UTF-8 validation and falls back to windows-1252.
+    */
+  def charsetName(i: Long): String = (i % 6) match {
+    case 0 => "utf-8"
+    case 1 => "utf-16le"
+    case 2 => "iso-8859-1"
+    case 3 => "windows-1252"
+    case 4 => "utf-8"
+    case _ => "windows-1252"
+  }
+
+  def charsetText(i: Long): String = (i % 6) match {
+    case 0 => s"bom utf8 doc $i café"
+    case 1 => s"utf16 doc $i é"
+    case 2 => s"latin doc $i café"
+    case 3 => s"""<html><head><meta charset="windows-1252"></head><body>euro € doc $i</body></html>"""
+    case 4 => s"plain utf8 doc $i é—ok"
+    case _ => s"fallback doc $i café"
+  }
+
+  def charsetDeclared(i: Long): String =
+    if (i % 6 == 2) "text/html; charset=ISO-8859-1" else null
+
+  def charsetPayload(i: Long): Array[Byte] = (i % 6) match {
+    case 0 => Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++ charsetText(i).getBytes("UTF-8")
+    case 1 => Array[Byte](0xff.toByte, 0xfe.toByte) ++ charsetText(i).getBytes("UTF-16LE")
+    case 2 => charsetText(i).getBytes("ISO-8859-1")
+    case 3 => charsetText(i).getBytes("windows-1252")
+    case 4 => charsetText(i).getBytes("UTF-8")
+    case _ => charsetText(i).getBytes("windows-1252")
+  }
+
   // ---- archive fixtures (tar / zip) -------------------------------
 
   /** Closed-form tar fixture fields (mirrored by the q_tar_members

@@ -1061,6 +1061,34 @@ class PipelineSpec extends SparkSuite {
     assert(exact == Map("a" -> 9.0, "b" -> 8.0))
   }
 
+  test("detectCharset/decodeText: BOM > declaration > meta > validation > cp1252") {
+    import graft.pipeline.WebIngest._
+    // strict UTF-8 validation: overlongs, surrogates, bare continuations
+    assert(utf8Valid("plain ascii".getBytes("UTF-8"), 0, 11))
+    assert(utf8Valid("café — é".getBytes("UTF-8"), 0, "café — é".getBytes("UTF-8").length))
+    assert(!utf8Valid(Array(0xc0.toByte, 0xaf.toByte), 0, 2)) // overlong '/'
+    assert(!utf8Valid(Array(0xed.toByte, 0xa0.toByte, 0x80.toByte), 0, 3)) // surrogate D800
+    assert(!utf8Valid(Array(0x80.toByte), 0, 1)) // bare continuation
+    assert(!utf8Valid(Array(0xf5.toByte, 0x80.toByte, 0x80.toByte, 0x80.toByte), 0, 4)) // > U+10FFFF lead
+    assert(!utf8Valid("café".getBytes("ISO-8859-1"), 0, 4)) // lone 0xE9
+    // precedence: a BOM beats a lying declaration
+    val bommed = Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++ "x".getBytes("UTF-8")
+    assert(detectCharset(bommed, "text/html; charset=ISO-8859-1") == "utf-8")
+    // declaration beats meta; quoted + aliased labels canonicalize
+    val metaDoc = """<html><meta http-equiv="Content-Type" content="text/html; charset='latin1'"></html>"""
+    assert(detectCharset(metaDoc.getBytes("ISO-8859-1"), "text/plain; CHARSET=UTF8") == "utf-8")
+    assert(detectCharset(metaDoc.getBytes("ISO-8859-1"), null) == "iso-8859-1")
+    // unknown labels never fail the pipeline
+    assert(detectCharset("x".getBytes, "text/html; charset=KOI8-R") == "windows-1252")
+    // decode round trips, BOM stripped; cp1252's 0x80 is the euro
+    assert(decodeText(bommed, "utf-8") == "x")
+    assert(decodeText(Array(0x80.toByte), "windows-1252") == "€")
+    assert(decodeText(null, "utf-8") == null)
+    // utf-16be via BOM
+    val be = Array[Byte](0xfe.toByte, 0xff.toByte) ++ "hi".getBytes("UTF-16BE")
+    assert(detectCharset(be, null) == "utf-16be" && decodeText(be, "utf-16be") == "hi")
+  }
+
   test("sitemapEntries: urlset + sitemapindex, entity decode, lenient noise tolerance") {
     val s = spark; import s.implicits._
     import graft.pipeline.UrlOps
