@@ -1242,6 +1242,15 @@ CASE WHEN n < 32 THEN CAST(n AS DOUBLE)
 ELSE round(31 / (('0x' || substring(kth, 1, 15))::BIGINT / 1152921504606846976.0), 4) END AS distinct_est
 FROM a""",
 
+    // expected robots metadata: even ids crawl as graftbot (its
+    // group declares Crawl-delay 5), odd ids fall to '*' whose delay
+    // is 2 + i%5; the two Sitemap lines are file-global either way
+    "q_robots_meta" ->
+      """SELECT i AS id,
+CASE WHEN i % 2 = 0 THEN 5.0 ELSE CAST(2 + i % 5 AS DOUBLE) END AS crawl_delay,
+'https://ex' || CAST(i AS VARCHAR) || '.example.com/sitemap0.xml,https://ex' || CAST(i AS VARCHAR) || '.example.com/sitemap1.xml.gz' AS sitemaps
+FROM range(0, 600) t(i)""",
+
     // expected charset verdict + decoded text of the charset
     // fixtures, closed-form per detection path (i % 6)
     "q_charset" ->

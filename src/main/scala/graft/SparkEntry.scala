@@ -813,6 +813,17 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       graft.pipeline.Sketch.kmvDistinctByGroup(d, Seq("source"), "text", k = 32)
     }),
+    "q_robots_meta" -> ((s, dir) => {
+      // the politeness/discovery half of robots.txt: the selected
+      // group's Crawl-delay per UA and the file-global Sitemap list
+      val genR = udf((i: Long) => graft.testing.UrlFixture.robotsTxt(i))
+      val genU = udf((i: Long) => graft.testing.UrlFixture.robotsUa(i))
+      val df = s.range(0, 600).select(col("id"),
+        genR(col("id")).as("robots"), genU(col("id")).as("ua"))
+      UrlOps.withRobotsMeta(df, "robots", "ua")
+        .select(col("id"), col("crawl_delay"),
+          array_join(col("sitemaps"), ",").as("sitemaps"))
+    }),
     "q_charset" -> ((s, dir) => {
       // charset sniffing + decode over raw crawl bytes: BOMs,
       // Content-Type charset params, HTML meta declarations, strict

@@ -205,17 +205,32 @@ object UrlOps {
     * group, or unparseable input) means allowed — robots.txt is
     * advisory-restrictive, so absence of a rule is permission.
     */
-  def robotsAllowed(robots: String, userAgent: String, path: String): Boolean = {
-    if (robots == null || path == null) return true
+  /** One parsed robots.txt group: its UA tokens, rules, and the
+    * first parseable non-negative Crawl-delay seen in it (-1 when
+    * absent — Crawl-delay is de-facto, not RFC 9309, but every
+    * polite crawler honors it).
+    */
+  private final class RobotsGroup(val uas: List[String]) {
+    val rules = scala.collection.mutable.ArrayBuffer.empty[RobotsRule]
+    var crawlDelay: Double = -1
+  }
+
+  /** The RFC 9309 product token of a crawler UA string: its leading
+    * letters/underscores/hyphens run, lowercased.
+    */
+  private def productToken(userAgent: String): String = {
     val uaFull = if (userAgent == null) "" else userAgent.toLowerCase(java.util.Locale.ROOT)
-    // RFC 9309 product token: letters, underscores, hyphens only —
-    // extraction stops at the version separator, a space, or any
-    // other character outside the set
-    val ua = uaFull.takeWhile(c => (c >= 'a' && c <= 'z') || c == '_' || c == '-')
-    // parse into (uaTokens, rules) groups
-    val groups = scala.collection.mutable.ArrayBuffer.empty[(List[String], scala.collection.mutable.ArrayBuffer[RobotsRule])]
+    uaFull.takeWhile(c => (c >= 'a' && c <= 'z') || c == '_' || c == '-')
+  }
+
+  /** Parse robots.txt into its groups plus the file-global `Sitemap:`
+    * values (RFC 9309 §2.2.4: sitemaps are not group-scoped).
+    */
+  private def parseRobots(robots: String): (Seq[RobotsGroup], Seq[String]) = {
+    val groups = scala.collection.mutable.ArrayBuffer.empty[RobotsGroup]
+    val sitemaps = scala.collection.mutable.ArrayBuffer.empty[String]
     var curUas: List[String] = Nil
-    var curRules: scala.collection.mutable.ArrayBuffer[RobotsRule] = null
+    var cur: RobotsGroup = null
     var uaRun = false // consecutive UA lines share one group
     // a group REGISTERS as soon as its UA run ends on ANY field —
     // a group holding only Crawl-delay (no allow/disallow) must
@@ -223,9 +238,9 @@ object UrlOps {
     // means fully allowed (RFC 9309)
     def closeUaRun(): Unit = {
       uaRun = false
-      if (curUas.nonEmpty && curRules == null) {
-        curRules = scala.collection.mutable.ArrayBuffer.empty[RobotsRule]
-        groups += ((curUas, curRules))
+      if (curUas.nonEmpty && cur == null) {
+        cur = new RobotsGroup(curUas)
+        groups += cur
       }
     }
     for (raw <- robots.split("\n", -1)) {
@@ -236,43 +251,61 @@ object UrlOps {
         val value = line.substring(colon + 1).trim
         field match {
           case "user-agent" =>
-            if (!uaRun) { curUas = Nil; curRules = null }
+            if (!uaRun) { curUas = Nil; cur = null }
             curUas = value.toLowerCase(java.util.Locale.ROOT) :: curUas
             uaRun = true
           case "allow" | "disallow" =>
             closeUaRun()
             // an empty Disallow value means "allow everything":
             // representable as no rule at all
-            if (curRules != null && value.nonEmpty)
-              curRules += RobotsRule(field == "allow", value)
-          case _ => closeUaRun() // sitemap, crawl-delay, unknown fields
+            if (cur != null && value.nonEmpty)
+              cur.rules += RobotsRule(field == "allow", value)
+          case "crawl-delay" =>
+            closeUaRun()
+            if (cur != null && cur.crawlDelay < 0)
+              value.toDoubleOption.filter(_ >= 0).foreach(cur.crawlDelay = _)
+          case "sitemap" =>
+            closeUaRun()
+            if (value.nonEmpty) sitemaps += value
+          case _ => closeUaRun() // unknown fields
         }
       }
     }
     closeUaRun() // a file ending inside a UA run still defines the group
-    // group selection: longest UA token that prefixes the crawler's
-    // product token (prefix, not equality, so a `graftbot` group
-    // still captures a `graftbot-news` crawler — the RFC 9309
-    // most-specific-group convention)
+    (groups.toSeq, sitemaps.toSeq)
+  }
+
+  /** The groups a crawler obeys: the ones carrying the longest UA
+    * token that prefixes the crawler's product token (prefix, not
+    * equality, so a `graftbot` group still captures a
+    * `graftbot-news` crawler — the RFC 9309 most-specific-group
+    * convention); `*` is the length-0 fallback. Empty when nothing
+    * matches (not even `*`).
+    */
+  private def selectGroups(groups: Seq[RobotsGroup], ua: String): Seq[RobotsGroup] = {
     var bestLen = -1
-    for ((uas, _) <- groups; tok <- uas)
+    for (g <- groups; tok <- g.uas)
       if (tok == "*" || (tok.nonEmpty && ua.startsWith(tok))) {
         val l = if (tok == "*") 0 else tok.length
         if (l > bestLen) bestLen = l
       }
-    if (bestLen < 0) return true
-    val selected = groups.filter { case (uas, _) =>
-      uas.exists(tok =>
-        (if (tok == "*") 0 else tok.length) == bestLen &&
-          // an EMPTY token matches nothing (mirroring the scoring
-          // pass): ua.startsWith("") is vacuously true and would
-          // merge a group the selector already rejected
-          (tok == "*" || (tok.nonEmpty && ua.startsWith(tok))))
-    }
+    if (bestLen < 0) Nil
+    else groups.filter(_.uas.exists(tok =>
+      (if (tok == "*") 0 else tok.length) == bestLen &&
+        // an EMPTY token matches nothing (mirroring the scoring
+        // pass): ua.startsWith("") is vacuously true and would
+        // merge a group the selector already rejected
+        (tok == "*" || (tok.nonEmpty && ua.startsWith(tok)))))
+  }
+
+  def robotsAllowed(robots: String, userAgent: String, path: String): Boolean = {
+    if (robots == null || path == null) return true
+    val selected = selectGroups(parseRobots(robots)._1, productToken(userAgent))
+    if (selected.isEmpty) return true
     // decision: longest matching pattern wins, Allow wins ties
     var decision = true
     var matchLen = -1
-    for ((_, rules) <- selected; r <- rules if robotsMatches(r.pattern, path)) {
+    for (g <- selected; r <- g.rules if robotsMatches(r.pattern, path)) {
       if (r.pattern.length > matchLen ||
           (r.pattern.length == matchLen && r.allow && !decision)) {
         matchLen = r.pattern.length
@@ -281,6 +314,24 @@ object UrlOps {
     }
     decision
   }
+
+  /** The Crawl-delay the crawler should honor: the MINIMUM delay
+    * among its selected groups that declare one (merged groups could
+    * disagree; the conservative read is the polite one). -1 when no
+    * selected group declares a delay, or no group matches.
+    */
+  def robotsCrawlDelay(robots: String, userAgent: String): Double = {
+    if (robots == null) return -1
+    val withDelay = selectGroups(parseRobots(robots)._1, productToken(userAgent))
+      .filter(_.crawlDelay >= 0)
+    if (withDelay.isEmpty) -1 else withDelay.map(_.crawlDelay).min
+  }
+
+  /** Every `Sitemap:` value in the file, in order — group-agnostic
+    * per RFC 9309 §2.2.4. Empty for null input.
+    */
+  def robotsSitemaps(robots: String): Seq[String] =
+    if (robots == null) Nil else parseRobots(robots)._2
 
   private val robotsUdf = udf((robots: String, ua: String, path: String) =>
     robotsAllowed(robots, ua, path))
@@ -293,6 +344,18 @@ object UrlOps {
   def withRobotsDecision(df: DataFrame, robotsCol: String, uaCol: String,
                          pathCol: String): DataFrame =
     df.withColumn("allowed", robotsUdf(col(robotsCol), col(uaCol), col(pathCol)))
+
+  private val crawlDelayUdf = udf((robots: String, ua: String) => robotsCrawlDelay(robots, ua))
+  private val sitemapsUdf = udf((robots: String) => robotsSitemaps(robots))
+
+  /** Attach `crawl_delay` (the UA's selected-group minimum, -1 when
+    * undeclared) and `sitemaps` (the file's Sitemap values, group-
+    * agnostic) — the politeness/discovery half of the robots
+    * surface, feeding the host scheduler and [[sitemapEntries]].
+    */
+  def withRobotsMeta(df: DataFrame, robotsCol: String, uaCol: String): DataFrame =
+    df.withColumn("crawl_delay", crawlDelayUdf(col(robotsCol), col(uaCol)))
+      .withColumn("sitemaps", sitemapsUdf(col(robotsCol)))
 
   /** Keep one row per canonical URL — the lowest `idCol` (the usual
     * "earliest crawl wins" rule; pass a different preference column

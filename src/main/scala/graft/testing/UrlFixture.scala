@@ -46,16 +46,24 @@ object UrlFixture {
     * and 5 (`/img*jpg`); OtherBot blocked on path 1 (`/private`
     * prefix, path 2 rescued by the longer Allow).
     */
+  /** The fallback group carries a closed-form Crawl-delay (2 + i%5)
+    * and the file two Sitemap lines — the metadata q_robots_meta
+    * reads; both are verdict-neutral for q_robots (they close no UA
+    * run that allow/disallow lines would not).
+    */
   def robotsTxt(i: Long): String =
     s"""# fixture $i
+       |Sitemap: https://ex$i.example.com/sitemap0.xml
        |User-agent: *
        |Disallow: /private
        |Allow: /private/ok
+       |Crawl-delay: ${2 + i % 5}
        |
        |User-agent: graftbot
        |Disallow: /only$$
        |Disallow: /img*jpg
        |Crawl-delay: 5
+       |Sitemap: https://ex$i.example.com/sitemap1.xml.gz
        |""".stripMargin
 
   def robotsUa(i: Long): String = if (i % 2 == 0) "GraftBot/1.0" else "OtherBot/2.0"

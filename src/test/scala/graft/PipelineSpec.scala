@@ -1322,6 +1322,17 @@ class PipelineSpec extends SparkSuite {
     assert(!robotsAllowed(robots, "GraftBot-News/1.0", "/xyz"))
     // equal-length tie: Allow wins
     assert(robotsAllowed("User-agent: *\nDisallow: /ab\nAllow: /ab\n", "x", "/abc"))
+    // Crawl-delay: per selected group; merged groups read the MIN;
+    // Sitemap lines are file-global, whatever group they sit in
+    import graft.pipeline.UrlOps.{robotsCrawlDelay, robotsSitemaps}
+    assert(robotsCrawlDelay(robots, "graftbot/2.0") == 5.0)
+    assert(robotsCrawlDelay(robots, "NoBot/1.0") == -1) // '*' group has none here
+    val merged = "User-agent: a\nCrawl-delay: 9\n\nUser-agent: a\nCrawl-delay: 3\nSitemap: https://x/s.xml\n"
+    assert(robotsCrawlDelay(merged, "a/1.0") == 3.0)
+    assert(robotsCrawlDelay(merged, "unrelated") == -1) // no matching group at all
+    assert(robotsCrawlDelay("User-agent: *\nCrawl-delay: nonsense\n", "x") == -1)
+    assert(robotsSitemaps(merged) == Seq("https://x/s.xml"))
+    assert(robotsSitemaps(null) == Nil)
     // degenerate inputs: permissive, never a throw
     assert(robotsAllowed(null, "x", "/a"))
     assert(robotsAllowed("Disallow: /a\n", "x", "/a/b")) // rules before any UA line ignored
