@@ -67,11 +67,13 @@ class PlanSpec extends SparkSuite {
     SparkEntry.runPendingCleanups()
   }
 
-  test("round-8 per-row ingest queries pipeline with zero shuffles") {
+  test("per-row ingest queries pipeline with zero shuffles (rounds 8-9)") {
     val shuffleRe = "Exchange (hash|range|Single|rebalance)".r
-    // container parsing, frame/record explode, URL canonicalization and
-    // gzip decode are all pure per-row work: nothing may shuffle
-    Seq("q_url_canon", "q_gunzip", "q_warc", "q_video_frames", "q_video_metadata").foreach { q =>
+    // container parsing, frame/record/member explode, URL
+    // canonicalization, gzip decode, sitemap parse, charset sniff and
+    // robots metadata are all pure per-row work: nothing may shuffle
+    Seq("q_url_canon", "q_gunzip", "q_warc", "q_video_frames", "q_video_metadata",
+      "q_tar_members", "q_zip_members", "q_sitemap", "q_charset", "q_robots_meta").foreach { q =>
       val plan = planOf(q)
       assert(shuffleRe.findFirstIn(plan).isEmpty, s"$q should not shuffle:\n$plan")
     }
