@@ -867,7 +867,10 @@ object SparkEntry {
       // the corpus, as excisable character spans. stride=1, so the
       // suffix-array guarantee holds: any >=40-char repeat is caught
       val d = t(s, dir, "documents")
-      graft.pipeline.Dedup.repeatedSubstringSpans(d, "doc_id", "text", window = 40)
+      val (out, cleanup) = graft.pipeline.Dedup
+        .repeatedSubstringSpansWithCleanup(d, "doc_id", "text", window = 40)
+      deferCleanup(cleanup)
+      out
     }),
     "q_cms_counts" -> ((s, dir) => {
       // count-min sketch frequencies: 4x64 deterministic md5-bucket

@@ -165,3 +165,54 @@ object SimhashKernel {
     UTF8String.fromString(sb.toString)
   }
 }
+
+/** One-pass sliding-window xxhash64 kernel behind
+  * [[graft.plans.WindowHashesExpr]] — the ExactSubstr grid hot path.
+  * `substr(o+1, window)` in a loop is quadratic on UTF8String (every
+  * call scans from byte 0 to find its codepoint offset) and the
+  * struct-lambda `transform` form is an interpreted codegen barrier;
+  * this computes the char→byte offset table once and hashes each
+  * window's byte range in place. Hashes equal Spark's
+  * `xxhash64(substr(text, o+1, window))` EXACTLY (same bytes, same
+  * seed-42 XXH64), pinned in PipelineSpec.
+  */
+object WindowHashKernel {
+
+  /** xxhash64 of every `stride`-spaced `window`-char window of
+    * `text`, in offset order; empty array when the text is shorter
+    * than the window.
+    */
+  def hashes(text: UTF8String, window: Int, stride: Int): ArrayData = {
+    val bytes = text.getBytes // materializes at most once (heap copy if off-heap slice)
+    val n = bytes.length
+    // char-start byte offsets (ASCII fast path: offsets are identity)
+    var nChars = 0
+    var i = 0
+    while (i < n) {
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+      nChars += 1
+    }
+    if (nChars < window) return new GenericArrayData(Array.emptyLongArray)
+    val starts = new Array[Int](nChars + 1)
+    var c = 0
+    i = 0
+    while (i < n) {
+      starts(c) = i
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+      c += 1
+    }
+    starts(nChars) = n
+    val nWin = (nChars - window) / stride + 1
+    val out = new Array[Long](nWin)
+    var w = 0
+    while (w < nWin) {
+      val o = w * stride
+      val from = starts(o)
+      val until = starts(o + window)
+      out(w) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from, until - from, 42L)
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+}

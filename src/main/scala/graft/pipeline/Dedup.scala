@@ -958,23 +958,60 @@ object Dedup {
       textCol: String,
       window: Int = 50,
       stride: Int = 1
-  ): DataFrame = {
+  ): DataFrame =
+    spansFromWindows(df, windowGrid(df, idCol, textCol, window, stride), idCol, textCol, window)
+
+  /** [[repeatedSubstringSpans]] with the window grid persisted for
+    * the run: the grid feeds BOTH the duplicate-hash aggregate and
+    * the candidate filter, and at stride 1 it is ~window x the
+    * corpus text — recomputing it (and re-materializing every
+    * window substring) doubles the dominant cost. Call the thunk
+    * after the consuming action.
+    */
+  def repeatedSubstringSpansWithCleanup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 50,
+      stride: Int = 1
+  ): (DataFrame, () => Unit) = {
+    val grid = windowGrid(df, idCol, textCol, window, stride)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (spansFromWindows(df, grid, idCol, textCol, window), () => { grid.unpersist(); () })
+  }
+
+  /** The hash grid: one `(id, offset, hash)` row per window, via the
+    * codegen'd one-pass [[graft.plans.WindowHashesExpr]] kernel —
+    * the `transform(sequence, substr(...))` form it replaces paid an
+    * interpreted lambda AND a quadratic UTF8String scan (every
+    * `substr(o+1, w)` call re-walks the codepoints from byte 0). No
+    * window STRING exists anywhere in this frame: strings
+    * materialize later, for candidates only.
+    */
+  private def windowGrid(
+      df: DataFrame, idCol: String, textCol: String, window: Int, stride: Int): DataFrame = {
     require(window > 0 && stride > 0, "window and stride must be positive")
-    val staged = df
-      .where(col(textCol).isNotNull && length(col(textCol)) >= window)
-      .select(col(idCol), col(textCol).as("__t__"))
-    val winRows = staged.select(col(idCol),
-      explode(transform(
-        sequence(lit(0), length(col("__t__")) - window, lit(stride)),
-        o => struct(o.as("__o__"), col("__t__").substr(o + 1, lit(window)).as("__w__")))).as("__ow__"))
-      .select(col(idCol), col("__ow__.__o__").as("__o__"), col("__ow__.__w__").as("__w__"))
-      .withColumn("__h__", xxhash64(col("__w__")))
+    df.where(col(textCol).isNotNull && length(col(textCol)) >= window)
+      .select(col(idCol),
+        posexplode(graft.internal.exprColumn(graft.plans.WindowHashesExpr(
+          graft.internal.columnExpr(col(textCol)), window, stride))).as(Seq("__i__", "__h__")))
+      .select(col(idCol), (col("__i__") * stride).as("__o__"), col("__h__"))
+  }
+
+  private def spansFromWindows(
+      df: DataFrame, winRows: DataFrame, idCol: String, textCol: String, window: Int): DataFrame = {
     val dupHashes = winRows.groupBy(col("__h__"))
       .agg(count(lit(1)).as("__c__")).where(col("__c__") > 1).select(col("__h__"))
-    val cand = winRows.join(dupHashes, Seq("__h__"))
-    val dupWins = cand.groupBy(col("__w__"))
+    val cand = winRows.join(dupHashes, Seq("__h__")).select(col(idCol), col("__o__"))
+    // exact verify: materialize the candidate windows' STRINGS (and
+    // only theirs) by fetching each candidate's text from the corpus
+    // — a hash collision can never fabricate a span
+    val withW = cand
+      .join(df.select(col(idCol), col(textCol).as("__t__")), Seq(idCol))
+      .select(col(idCol), col("__o__"), col("__t__").substr(col("__o__") + 1, lit(window)).as("__w__"))
+    val dupWins = withW.groupBy(col("__w__"))
       .agg(count(lit(1)).as("__c__")).where(col("__c__") > 1).select(col("__w__"))
-    val confirmed = cand.join(dupWins, Seq("__w__")).select(col(idCol), col("__o__"))
+    val confirmed = withW.join(dupWins, Seq("__w__")).select(col(idCol), col("__o__"))
     val wnd = Window.partitionBy(col(idCol)).orderBy(col("__o__"))
     confirmed
       .withColumn("__brk__",

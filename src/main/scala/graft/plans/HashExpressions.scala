@@ -130,3 +130,32 @@ case class SimhashBitsExpr(child: Expression, bits: Int)
   override protected def withNewChildInternal(newChild: Expression): SimhashBitsExpr =
     copy(child = newChild)
 }
+
+/** Codegen'd sliding-window xxhash64 array — see
+  * [[graft.functions.WindowHashKernel.hashes]] for why the
+  * `transform(sequence, substr)` form it replaces is quadratic and
+  * interpreted. Used by the ExactSubstr grid
+  * ([[graft.pipeline.Dedup.repeatedSubstringSpans]]).
+  */
+case class WindowHashesExpr(child: Expression, window: Int, stride: Int)
+    extends UnaryExpression {
+  require(window > 0 && stride > 0, s"window/stride must be positive, got $window/$stride")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(s"$prettyName needs string, got $other")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_window_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.functions.WindowHashKernel.hashes(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], window, stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WindowHashKernel.hashes($c, $window, $stride)")
+
+  override protected def withNewChildInternal(newChild: Expression): WindowHashesExpr =
+    copy(child = newChild)
+}

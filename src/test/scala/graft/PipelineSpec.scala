@@ -1189,6 +1189,26 @@ class PipelineSpec extends SparkSuite {
     assert(WebIngest.zipMembers(null) == null)
   }
 
+  test("WindowHashKernel equals xxhash64(substr) window for window, multibyte included") {
+    val s = spark; import s.implicits._
+    val texts = Seq(
+      "plain ascii text with several words in it",
+      "café déjà-vu — naïve 中文 mixed ascii κόσμε tail",
+      "ab", // shorter than the window: empty array
+      "exactly-ten") // boundary-ish
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    for ((window, stride) <- Seq((10, 1), (10, 3), (5, 2))) {
+      val kernel = df.select(col("id"),
+          posexplode(graft.internal.exprColumn(graft.plans.WindowHashesExpr(
+            graft.internal.columnExpr(col("t")), window, stride))).as(Seq("i", "h")))
+        .select(col("id"), (col("i") * stride).as("o"), col("h"))
+      val spec = df.where(length(col("t")) >= window)
+        .select(col("id"), col("t"), explode(sequence(lit(0), length(col("t")) - window, lit(stride))).as("o"))
+        .select(col("id"), col("o"), xxhash64(col("t").substr(col("o") + 1, lit(window))).as("h"))
+      assertSame(kernel, spec)
+    }
+  }
+
   test("repeatedSubstringSpans: ExactSubstr spans across and within docs, excision splices") {
     val s = spark; import s.implicits._
     val shared = "The quick brown fox jumps over the lazy dog once again today." // 62 chars
