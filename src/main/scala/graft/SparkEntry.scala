@@ -99,13 +99,27 @@ object SparkEntry {
     sharedMemos.clear()
   }
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects; with spark.sql.legacy.parquet.nanosAsLong the
-    * column arrives as a raw nano count — convert via integer
-    * division (a double division would lose precision at 1e18).
+  /** events.parquet's `ts` column has shipped in two layouts:
+    * TIMESTAMP(NANOS) (which Spark's parquet reader rejects; with
+    * spark.sql.legacy.parquet.nanosAsLong it arrives as a raw nano
+    * count needing integer division — a double division would lose
+    * precision at 1e18) and plain TIMESTAMP(MICROS), which Spark reads
+    * natively. Dispatch on the dtype actually read so both layouts
+    * work.
     */
-  private def eventsTable(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  private[graft] def eventsTable(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // normalize to TimestampType so unix_micros/date arithmetic
+        // resolve; all graft sessions run spark.sql.session.timeZone
+        // UTC, so the cast is value-preserving
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -1009,9 +1009,16 @@ object Dedup {
     val withW = cand
       .join(df.select(col(idCol), col(textCol).as("__t__")), Seq(idCol))
       .select(col(idCol), col("__o__"), col("__t__").substr(col("__o__") + 1, lit(window)).as("__w__"))
-    val dupWins = withW.groupBy(col("__w__"))
-      .agg(count(lit(1)).as("__c__")).where(col("__c__") > 1).select(col("__w__"))
-    val confirmed = withW.join(dupWins, Seq("__w__")).select(col(idCol), col("__o__"))
+    // one count-over-window on the string replaces an aggregate +
+    // self-join: the join form planned the whole candidate branch
+    // (grid scan + duplicate-hash aggregate) TWICE — once per
+    // consumer. Counting inside the candidate set is exact: a string
+    // duplicated anywhere in the corpus has equal hashes, so every
+    // occurrence is already a candidate.
+    val confirmed = withW
+      .withColumn("__wc__", count(lit(1)).over(Window.partitionBy(col("__w__"))))
+      .where(col("__wc__") > 1)
+      .select(col(idCol), col("__o__"))
     val wnd = Window.partitionBy(col(idCol)).orderBy(col("__o__"))
     confirmed
       .withColumn("__brk__",

@@ -153,10 +153,12 @@ class PlanSpec extends SparkSuite {
       // state (sketch side rides a broadcast into the probe join);
       // probe-min + exact-count aggs account for the other two
       "q_cms_counts"         -> 3,
-      // hash agg + candidate joins + string-verify agg + per-doc
-      // islands window; the duplicate-hash/window sets are tiny and
-      // AQE converts their joins to broadcast at runtime
-      "q_repeated_spans"     -> 4
+      // duplicate-hash agg over the grid + string-verify
+      // count-over-window (partition by window string) + per-doc
+      // islands window; the duplicate-hash set rides a broadcast
+      // back, and string verification is a window count, not a
+      // self-join — the candidate branch plans exactly once
+      "q_repeated_spans"     -> 3
     )
     val shuffleRe = "Exchange (hash|range|Single|rebalance)".r
     expected.foreach { case (name, n) =>

@@ -191,10 +191,8 @@ class StreamingSpec extends SparkSuite {
     */
   private def eventRows(): Seq[(Long, java.sql.Timestamp, Double)] = {
     val s = spark; import s.implicits._
-    s.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .select(col("user_id"),
-        date_trunc("second", timestamp_micros(expr("ts div 1000"))).as("ts"),
-        col("value"))
+    SparkEntry.eventsTable(s, "/root/testdata/sf0.001")
+      .select(col("user_id"), date_trunc("second", col("ts")).as("ts"), col("value"))
       .as[(Long, java.sql.Timestamp, Double)]
       .collect().toSeq.sortBy(_._2.getTime)
   }
