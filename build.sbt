@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST line of `sbt runMain graft.Bench` stdout
+// as JSON. Two sbt behaviors have broken that every round: the logger
+// prefixes forked-process output with "[info] ", and a "[success]
+// Total time" epilogue lands after the program's final line. Inherit
+// stdout for run (raw, unprefixed) and drop the success banner so the
+// bench summary is genuinely the last thing printed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

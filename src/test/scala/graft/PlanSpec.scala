@@ -7,13 +7,44 @@ package graft
 class PlanSpec extends SparkSuite {
   private val dir = "/root/testdata/sf0.001"
 
+  /** Every driver query's physical plan, captured once. Analysis /
+    * planning failures are held as Lefts and reported by exactly ONE
+    * test ("every driver query analyzes"), so a schema break in one
+    * query reads as one failure — not as phantom failures of every
+    * suite-wide plan assertion that happens to iterate it
+    * (VERDICT r9 #7).
+    */
+  private lazy val allPlans: Map[String, Either[Throwable, String]] = {
+    val plans = SparkEntry.queries.map { case (name, fn) =>
+      name -> (try Right(fn(spark, dir).queryExecution.executedPlan.toString)
+               catch { case e: Throwable => Left(e) })
+    }
+    SparkEntry.runPendingCleanups()
+    plans
+  }
+
+  /** The captured plan for a pinned query; cancels (not fails) the
+    * calling test when the query itself doesn't analyze — that
+    * failure belongs to the dedicated analyzes test alone.
+    */
   private def planOf(name: String): String =
-    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+    allPlans(name) match {
+      case Right(p) => p
+      case Left(e)  => assume(false, s"$name fails analysis (reported separately): $e"); ""
+    }
+
+  test("every driver query analyzes and plans") {
+    val broken = allPlans.collect { case (n, Left(e)) =>
+      s"$n: ${Option(e.getMessage).getOrElse(e.toString).linesIterator.next()}"
+    }
+    assert(broken.isEmpty, s"queries failing analysis/planning:\n${broken.mkString("\n")}")
+  }
 
   test("no driver query plans a CartesianProduct") {
-    SparkEntry.queries.keys.foreach { name =>
-      val plan = planOf(name)
-      assert(!plan.contains("CartesianProduct"), s"$name plans a CartesianProduct join")
+    allPlans.foreach {
+      case (name, Right(plan)) =>
+        assert(!plan.contains("CartesianProduct"), s"$name plans a CartesianProduct join")
+      case _ => () // analysis failure: reported by its own test
     }
   }
 
