@@ -663,6 +663,13 @@ FROM lineitem GROUP BY 1, 2""",
     "q_read_file" ->
       """SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY 1""",
 
+    // the engine side writes documents through the partitioned sink
+    // and reads the layout back; the oracle is the source table —
+    // any row lost, duplicated, or mangled by the write/read cycle
+    // breaks the hash
+    "q_sink_roundtrip" ->
+      """SELECT doc_id, text, n_chars, lang, source FROM documents""",
+
     // closed form of graft.testing.SasFixture: the engine writes this
     // table as a real sas7bdat file and parses it back through the
     // page reader; the oracle regenerates the same rows directly.

@@ -342,6 +342,27 @@ object SparkEntry {
         .select("o_orderkey", "ym")
     }),
     // ---- §2.1 sources --------------------------------------------
+    "q_sink_roundtrip" -> ((s, dir) => {
+      // the partitioned sink end to end: write documents partitioned
+      // by (lang, source) with in-file doc_id order and a 100-row
+      // file cap, then read the layout back — the oracle compares
+      // the re-read rows against the source table, so directory
+      // reconstruction of the partition columns, file rolling, and
+      // payload round-tripping all sit behind the hash gate
+      val d = t(s, dir, "documents")
+      // per-SF path, cleared first: dynamic partition overwrite only
+      // replaces partitions PRESENT in the input, so a stale layout
+      // from other data would survive and fail the exact-match oracle
+      // (partition-scoped incremental behavior is spec'd in SinkSpec)
+      val path = new java.io.File(
+        s"target/graft-sink/${new java.io.File(dir).getName}/documents_by_lang").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      graft.sources.Sink.writePartitioned(
+        d, path, partitionCols = Seq("lang", "source"),
+        sortCols = Seq("doc_id"), maxRecordsPerFile = 100L)
+      graft.sources.Sink.readPartitioned(s, path)
+        .select("doc_id", "text", "n_chars", "lang", "source")
+    }),
     "q_read_file" -> ((s, dir) => {
       val li = graft.sources.ReadFile.readFile(s, s"$dir/lineitem.parquet")
       li.groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
