@@ -936,9 +936,29 @@ object Dedup {
     * distributed equivalent is a grid of overlapping windows: at
     * `stride = 1` (the default) every offset is a window, so any
     * repeated substring of length >= `window` is caught exactly —
-    * same guarantee, shuffle-shaped. A larger stride trades recall
-    * for cost: only repeats whose occurrences align on the grid are
-    * seen.
+    * same guarantee, shuffle-shaped.
+    *
+    * ==Stride guarantee (the 100 TB knob)==
+    * At `stride = s`, a repeated substring is DETECTED whenever (a)
+    * its length is at least `window + s - 1` — within any `s`
+    * consecutive offsets a grid start exists, so a full window fits
+    * inside every occurrence — and (b) its occurrences' start
+    * offsets are congruent mod `s`, so those in-repeat windows land
+    * on the grid in BOTH copies (self-dedup slides the same grid
+    * over both sides; contrast
+    * [[Contamination.charWindowContaminatedIds]], whose eval side
+    * enumerates every offset and therefore needs no congruence).
+    * At `s = 1` both conditions are vacuous: every repeat >=
+    * `window` is caught. Both bounds are pinned in PipelineSpec.
+    * False positives never happen at any stride: candidates are
+    * re-verified on the actual strings.
+    *
+    * Cost scales as 1/s: the grid is ~`window/s` x the corpus text
+    * through one hash-shuffle. The 100 TB operating profile is
+    * `window = 50, stride in [4, 8]` — detection of every
+    * congruent repeat >= ~57 chars at 1/4-1/8 the stride-1 grid —
+    * with `stride = 1` reserved for corpora that fit the budget or
+    * for a second confirm pass over suspect documents.
     *
     * Scale shape: the corpus-wide duplicate test groups by an 8-byte
     * xxhash64 of each window (map-side combined — the wide window

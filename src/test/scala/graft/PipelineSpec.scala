@@ -1250,6 +1250,36 @@ class PipelineSpec extends SparkSuite {
     assert(!strided.contains(3L))
   }
 
+  test("ExactSubstr stride contract: window+stride-1 congruent repeats always detected") {
+    // the documented guarantee, pinned at its exact boundary: at
+    // stride s a repeat is caught iff (a) length >= window+s-1 and
+    // (b) occurrence offsets are congruent mod s. window=10, s=3 →
+    // a 12-char repeat at offsets 1 and 4 (both ≡ 1 mod 3) must be
+    // found; the same repeat at offsets 1 and 5 (non-congruent) is
+    // the documented miss; stride 1 catches it regardless.
+    val s = spark; import s.implicits._
+    val rep = "QRSTUVWXYZAB" // 12 = window + stride - 1
+    val congruent = Seq(
+      (10L, "a" + rep + "cdefghikmn"),
+      (11L, "bcde" + rep + "opwxyzuv")).toDF("doc_id", "text")
+    val hit = graft.pipeline.Dedup
+      .repeatedSubstringSpans(congruent, "doc_id", "text", window = 10, stride = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(hit == Set(10L, 11L), s"congruent window+stride-1 repeat missed: $hit")
+    val skewed = Seq(
+      (12L, "a" + rep + "cdefghikmn"),
+      (13L, "bcdef" + rep + "opwxyzu")).toDF("doc_id", "text")
+    val strided = graft.pipeline.Dedup
+      .repeatedSubstringSpans(skewed, "doc_id", "text", window = 10, stride = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(strided.isEmpty,
+      s"non-congruent offsets unexpectedly detected (contract now stronger than documented): $strided")
+    val full = graft.pipeline.Dedup
+      .repeatedSubstringSpans(skewed, "doc_id", "text", window = 10, stride = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(full == Set(12L, 13L), s"stride-1 exhaustive grid missed the repeat: $full")
+  }
+
   test("countMinSketch: over-counts only, exact when collision-free, merges bucket-wise") {
     val s = spark; import s.implicits._
     import graft.pipeline.Sketch
