@@ -1291,6 +1291,23 @@ FROM f""",
     // byte k = (i*19 + j*11 + k*3 + 5) % 256; truncated payloads
     // (i % 7 = 6) lose exactly their last member. Digest = md5 over
     // UPPERCASE hex (the shared convention)
+    // the binary chain: member (i, j) of the media tar holds
+    // MediaFixture.payload(i*3+j), so the oracle is the q_media_dims
+    // closed form at m = i*3+j plus the archive's name/index layout
+    "q_media_chain" ->
+      """WITH f AS (SELECT i, unnest([0, 1, 2]) AS j FROM range(0, 150) t(i)),
+mm AS (SELECT i, j, i*3 + j AS m FROM f)
+SELECT i AS id, CAST(j AS INT) AS member_idx,
+'media' || CAST(i AS VARCHAR) || '/f' || CAST(j AS VARCHAR) || '.bin' AS name,
+CASE CAST(m % 5 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif' WHEN 3 THEN 'wav' ELSE 'unknown' END AS format,
+CASE WHEN m % 5 <= 2 THEN CAST(16 + m % 241 AS INT) END AS width,
+CASE WHEN m % 5 <= 2 THEN CAST(16 + m % 181 AS INT) END AS height,
+CASE WHEN m % 5 = 3 THEN CAST(8000 + ((m // 5) % 5) * 2000 AS INT) END AS sample_rate,
+CASE WHEN m % 5 = 3 THEN CAST(1 + (m // 5) % 2 AS INT) END AS channels,
+CASE WHEN m % 5 = 3 THEN CAST(8 * (1 + ((m // 5) // 2) % 2) AS INT) END AS bits_per_sample,
+CASE WHEN m % 5 = 3 THEN (200 + m % 777) * 1000 // ((8000 + ((m // 5) % 5) * 2000) * (1 + (m // 5) % 2) * (1 + ((m // 5) // 2) % 2)) END AS duration_ms
+FROM mm""",
+
     "q_tar_members" ->
       """WITH f AS (SELECT i, unnest(range(0, 2 + i % 4 - CASE WHEN i % 7 = 6 THEN 1 ELSE 0 END)) AS j FROM range(0, 200) t(i)),
 e AS (SELECT i, j, 30 + ((i*7 + j*13) % 50) AS len FROM f),

@@ -879,6 +879,21 @@ object SparkEntry {
       val df = s.range(0, 300).select(col("id"), gen(col("id")).as("xml"))
       UrlOps.sitemapEntries(df, "id", "xml")
     }),
+    "q_media_chain" -> ((s, dir) => {
+      // the BINARY end-to-end chain (text twin: EndToEndPipelineSpec):
+      // tar archives of media payloads → USTAR walk → codegen'd
+      // member byte slices → media-header dispatch, one composed
+      // per-row pipeline whose oracle replays the archive layout AND
+      // the media fields closed-form at index i*3+j (every 5th
+      // member is garbage the parser must classify 'unknown')
+      val gen = udf((i: Long) => graft.testing.WebFixture.mediaTarPayload(i))
+      val df = s.range(0, 150).select(col("id"), gen(col("id")).as("payload"))
+      val members = WebIngest.tarMemberBytesRows(df, "id", "payload")
+      Multimodal.withMediaMetadata(
+          members.withColumnRenamed("bytes", "payload"), "payload", "application/octet-stream")
+        .select("id", "member_idx", "name", "format", "width", "height",
+          "sample_rate", "channels", "bits_per_sample", "duration_ms")
+    }),
     "q_tar_members" -> ((s, dir) => {
       // USTAR archive walk: 512-byte headers with VERIFIED checksums,
       // octal sizes, block-aligned bodies; digests over the member

@@ -528,6 +528,22 @@ object WebIngest {
         col("__m__.n_bytes").as("n_bytes"),
         rangeDigest("__m__.body_offset", "__m__.n_bytes").as("body_digest"))
 
+  /** [[tarMemberRows]] carrying the member BYTES instead of a digest
+    * — the feed for downstream binary dispatch (charset sniff, media
+    * decode). A tar body is a contiguous range of the payload, so
+    * the slice is a codegen'd `substring` on the binary column; only
+    * the header walk is a UDF. Per-row, no shuffle.
+    */
+  def tarMemberBytesRows(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    df.select(col(idCol), col(payloadCol).cast("binary").as("__pl__"))
+      .select(col(idCol), col("__pl__"), explode(tarUdf(col("__pl__"))).as("__m__"))
+      .select(
+        col(idCol),
+        col("__m__.member_idx").as("member_idx"),
+        col("__m__.name").as("name"),
+        col("__m__.n_bytes").as("n_bytes"),
+        expr("substring(__pl__, __m__.body_offset + 1, __m__.n_bytes)").as("bytes"))
+
   /** One decoded zip member: unlike tar, a deflated body is not a
     * byte range of the payload, so the decoded bytes travel in the
     * row (bounded by the same inflation cap as [[gunzip]]).

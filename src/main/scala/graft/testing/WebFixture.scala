@@ -190,39 +190,58 @@ object WebFixture {
   def tarBodyLen(i: Long, j: Int): Int = (30 + ((i * 7 + j * 13) % 50)).toInt
   def tarBodyByte(i: Long, j: Int, k: Int): Int = ((i * 19 + j * 11 + k * 3 + 5) % 256).toInt
 
+  /** One USTAR entry: header block + body padded to 512-byte blocks. */
+  private def writeTarEntry(out: ByteArrayOutputStream, name: String, body: Array[Byte]): Unit = {
+    val hdr = new Array[Byte](512)
+    def putAscii(off: Int, s: String): Unit = {
+      val bs = s.getBytes("US-ASCII")
+      System.arraycopy(bs, 0, hdr, off, bs.length)
+    }
+    putAscii(0, name)
+    putAscii(100, "0000644")
+    putAscii(108, "0000000")
+    putAscii(116, "0000000")
+    putAscii(124, f"${body.length}%011o")
+    putAscii(136, "00000000000")
+    hdr(156) = '0' // regular file
+    putAscii(257, "ustar")
+    putAscii(263, "00")
+    // checksum over the header with its own field as spaces
+    java.util.Arrays.fill(hdr, 148, 156, ' '.toByte)
+    var sum = 0L
+    for (k <- 0 until 512) sum += hdr(k) & 0xff
+    putAscii(148, f"$sum%06o")
+    hdr(154) = 0; hdr(155) = ' '
+    out.write(hdr)
+    out.write(body)
+    val pad = (512 - body.length % 512) % 512
+    out.write(new Array[Byte](pad))
+  }
+
   def tarPayload(i: Long): Array[Byte] = {
     val out = new ByteArrayOutputStream
-    for (j <- 0 until tarMemberCount(i)) {
-      val hdr = new Array[Byte](512)
-      def putAscii(off: Int, s: String): Unit = {
-        val bs = s.getBytes("US-ASCII")
-        System.arraycopy(bs, 0, hdr, off, bs.length)
-      }
-      val len = tarBodyLen(i, j)
-      putAscii(0, s"dir$i/file$j.txt")
-      putAscii(100, "0000644")
-      putAscii(108, "0000000")
-      putAscii(116, "0000000")
-      putAscii(124, f"$len%011o")
-      putAscii(136, "00000000000")
-      hdr(156) = '0' // regular file
-      putAscii(257, "ustar")
-      putAscii(263, "00")
-      // checksum over the header with its own field as spaces
-      java.util.Arrays.fill(hdr, 148, 156, ' '.toByte)
-      var sum = 0L
-      for (k <- 0 until 512) sum += hdr(k) & 0xff
-      putAscii(148, f"$sum%06o")
-      hdr(154) = 0; hdr(155) = ' '
-      out.write(hdr)
-      val block = new Array[Byte](512)
-      for (k <- 0 until len) block(k) = tarBodyByte(i, j, k).toByte
-      out.write(block)
-    }
+    for (j <- 0 until tarMemberCount(i))
+      writeTarEntry(out, s"dir$i/file$j.txt",
+        Array.tabulate(tarBodyLen(i, j))(k => tarBodyByte(i, j, k).toByte))
     out.write(new Array[Byte](1024)) // end-of-archive trailer
     val b = out.toByteArray
     if (i % 7 == 6) java.util.Arrays.copyOfRange(b, 0, 1024 * (tarMemberCount(i) - 1) + 512)
     else b
+  }
+
+  /** A tar archive of MEDIA members (the binary end-to-end chain
+    * fixture): 3 members "media{i}/f{j}.bin" whose bodies are
+    * [[MediaFixture.payload]](i*3 + j) — so the chain tar-walk →
+    * member bytes → media-header parse has a closed-form oracle
+    * (the q_media_dims formulas at index i*3+j, including the
+    * every-5th corrupt payload the parser must classify 'unknown').
+    */
+  def mediaTarPayload(i: Long): Array[Byte] = {
+    val out = new ByteArrayOutputStream
+    for (j <- 0 until 3)
+      writeTarEntry(out, s"media$i/f$j.bin", MediaFixture.payload(i * 3 + j))
+    out.write(new Array[Byte](1024))
+    out.toByteArray
   }
 
   /** Closed-form zip fixture fields (mirrored by the q_zip_members
