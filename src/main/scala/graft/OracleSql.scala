@@ -702,6 +702,40 @@ FROM range(0, 2000) t(i)""",
     "q_fingerprint" ->
       s"""SELECT doc_id, md5($fpNorm) AS fp FROM documents""",
 
+    // winnowing replayed in SQL: the same normalization + base-31
+    // mod-prime gram hash as q_rolling_hash, then per-window-start
+    // min with the rightmost tie rule (max j among h = min), distinct
+    // by selected position — the kernel's deque computes exactly this
+    "q_winnow" ->
+      s"""WITH norm AS (
+  SELECT doc_id, regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+', ' ', 'g') AS t
+  FROM documents),
+cs AS (
+  SELECT doc_id, list_transform(string_split(t, ''), ch -> CAST(ascii(ch) AS BIGINT)) AS c
+  FROM norm WHERE len(t) >= 5),
+gh0 AS (SELECT doc_id, unnest(range(0, len(c) - 4)) AS j, c FROM cs),
+gh AS (
+  SELECT doc_id, j,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), c[j+1:j+5]), (acc, x) -> (acc * 31 + x) % ${TextAnalysis.rollingHashMod}) AS h
+  FROM gh0),
+ng AS (SELECT doc_id, count(*) AS n FROM gh GROUP BY 1),
+st AS (SELECT doc_id, unnest(range(0, greatest(n - 4, 0) + 1)) AS t, n FROM ng),
+wj AS (
+  SELECT s.doc_id, s.t, s.t + o.o AS j
+  FROM st s CROSS JOIN range(0, 4) o(o)
+  WHERE s.t + o.o <= s.n - 1),
+wm AS (
+  SELECT w.doc_id, w.t, min(g.h) AS mh
+  FROM wj w JOIN gh g ON g.doc_id = w.doc_id AND g.j = w.j
+  GROUP BY 1, 2),
+sel AS (
+  SELECT m.doc_id, m.t, max(w.j) AS pos, m.mh AS h
+  FROM wm m JOIN wj w ON w.doc_id = m.doc_id AND w.t = m.t
+  JOIN gh g ON g.doc_id = w.doc_id AND g.j = w.j
+  WHERE g.h = m.mh
+  GROUP BY 1, 2, 4)
+SELECT DISTINCT doc_id, CAST(pos AS INT) AS pos, h AS gram_hash FROM sel""",
+
     "q_rolling_hash" ->
       s"""SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+', ' ', 'g'), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % ${TextAnalysis.rollingHashMod}) AS rhash FROM documents""",
 

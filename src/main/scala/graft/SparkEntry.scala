@@ -414,6 +414,13 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       d.select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))
     }),
+    "q_winnow" -> ((s, dir) => {
+      // winnowed fingerprints (Schleimer et al. 2003): rightmost-min
+      // selection over k=5-gram mod-prime hashes in w=4 windows, via
+      // the one-pass codegen'd kernel; the oracle replays gram
+      // hashing AND window selection in SQL
+      TextAnalysis.winnowFingerprintRows(t(s, dir, "documents"), "doc_id", "text", k = 5, w = 4)
+    }),
     "q_rolling_hash" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       d.select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rhash"))

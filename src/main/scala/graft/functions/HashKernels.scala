@@ -216,3 +216,74 @@ object WindowHashKernel {
     new GenericArrayData(out)
   }
 }
+
+object WinnowKernel {
+
+  private val Mod = 1000000007L
+  private val Base = 31L
+
+  /** Winnowed fingerprints (Schleimer et al. 2003, the MOSS
+    * algorithm) of ALREADY-NORMALIZED ASCII text: polynomial k-gram
+    * hashes (base 31 mod 1e9+7 — the [[graft.pipeline.TextAnalysis]]
+    * rolling-hash arithmetic, replayable in any exact-integer SQL
+    * engine), then the RIGHTMOST minimum of every window of `w`
+    * consecutive grams, deduplicated by gram position. Returns
+    * array<struct<pos:int, hash:long>> in position order; fewer than
+    * `w` grams select the single rightmost minimum; fewer than `k`
+    * chars select nothing.
+    *
+    * Guarantee (mirrors the ExactSubstr stride contract): at least
+    * one gram of every `w` consecutive is fingerprinted, so any two
+    * documents sharing a normalized substring of length >=
+    * `w + k - 1` share at least one fingerprint HASH. O(n) via a
+    * rolling hash and a monotonic deque (pop `>=` so ties keep the
+    * newer index — the rightmost-min rule that makes the selection
+    * position-stable under prefix edits).
+    */
+  def fingerprints(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    val ng = n - k + 1
+    if (ng <= 0) return new GenericArrayData(Array.empty[Any])
+    // precompute Base^(k-1) mod Mod for the rolling drop term
+    var powK = 1L
+    var t = 0
+    while (t < k - 1) { powK = powK * Base % Mod; t += 1 }
+    val hashes = new Array[Long](ng)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = (h * Base + (bytes(i) & 0xffL)) % Mod; i += 1 }
+    hashes(0) = h
+    var j = 1
+    while (j < ng) {
+      val drop = (bytes(j - 1) & 0xffL) * powK % Mod
+      h = ((h - drop + Mod) % Mod * Base + (bytes(j + k - 1) & 0xffL)) % Mod
+      hashes(j) = h
+      j += 1
+    }
+    // monotonic deque of gram indices, hashes strictly increasing
+    // front->back; popping >= keeps the NEWER equal hash (rightmost)
+    val deque = new Array[Int](ng)
+    var head = 0
+    var tail = 0 // exclusive
+    val out = new scala.collection.mutable.ArrayBuffer[Any]
+    var lastSel = -1
+    val firstWindowEnd = math.min(w, ng) - 1
+    var g = 0
+    while (g < ng) {
+      while (tail > head && hashes(deque(tail - 1)) >= hashes(g)) tail -= 1
+      deque(tail) = g; tail += 1
+      val windowStart = g - w + 1
+      while (deque(head) < windowStart) head += 1
+      // a window completes at each g >= firstWindowEnd; record its
+      // (rightmost) minimum once per distinct selected position
+      if (g >= firstWindowEnd && deque(head) != lastSel) {
+        lastSel = deque(head)
+        out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](lastSel, hashes(lastSel)))
+      }
+      g += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}

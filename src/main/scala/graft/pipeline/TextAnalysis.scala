@@ -171,6 +171,37 @@ object TextAnalysis {
     )
   }
 
+  /** Winnowed document fingerprints (Schleimer et al. 2003 — the
+    * MOSS local algorithm): normalize like [[rollingHash]], hash
+    * every k-gram with the same base-31 mod-1e9+7 polynomial, and
+    * keep the RIGHTMOST minimum of every window of `w` consecutive
+    * gram hashes — one row `(idCol, pos, gram_hash)` per selected
+    * gram.
+    *
+    * Why this beats whole-doc digests for near-dup work: the
+    * selection is LOCAL (a window's choice depends only on its own w
+    * grams), so two documents sharing any normalized substring of
+    * length >= `w + k - 1` chars share a fingerprint hash —
+    * guaranteed, position-independent — while storing ~2/(w+1) of
+    * the gram stream. Joining on `gram_hash` yields near-dup
+    * candidates the same way the MinHash band join does, with an
+    * exact containment guarantee instead of a probabilistic one.
+    *
+    * Scale shape: one pass per row through the codegen'd
+    * [[graft.plans.WinnowExpr]] kernel (O(n) rolling hash +
+    * monotonic deque — no per-gram rows exist before selection),
+    * then an explode of the sparse selected set. Zero shuffles.
+    */
+  def winnowFingerprintRows(
+      df: DataFrame, idCol: String, textCol: String, k: Int = 5, w: Int = 4): DataFrame = {
+    val norm = regexp_replace(
+      trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " ")), "\\s+", " ")
+    df.select(col(idCol),
+        explode(graft.internal.exprColumn(graft.plans.WinnowExpr(
+          graft.internal.columnExpr(norm), k, w))).as("__fp__"))
+      .select(col(idCol), col("__fp__.pos").as("pos"), col("__fp__.hash").as("gram_hash"))
+  }
+
   // ---- repetition signals (Gopher-style, Rae et al. 2021) ---------
 
   /** Fraction of non-blank lines that are repeats of an earlier line:

@@ -159,3 +159,37 @@ case class WindowHashesExpr(child: Expression, window: Int, stride: Int)
   override protected def withNewChildInternal(newChild: Expression): WindowHashesExpr =
     copy(child = newChild)
 }
+
+/** Codegen'd winnowing fingerprint selection — see
+  * [[graft.functions.WinnowKernel.fingerprints]] (Schleimer et al.
+  * 2003): O(n) rolling k-gram hash + monotonic-deque window minima
+  * in one pass; no per-gram rows exist until the (sparse) selected
+  * set explodes. Used by
+  * [[graft.pipeline.TextAnalysis.winnowedFingerprints]].
+  */
+case class WinnowExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k > 0 && w > 0, s"k/w must be positive, got $k/$w")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(s"$prettyName needs string, got $other")
+    }
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("hash", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_winnow"
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.functions.WinnowKernel.fingerprints(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WinnowKernel.fingerprints($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowExpr =
+    copy(child = newChild)
+}

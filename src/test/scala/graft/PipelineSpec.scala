@@ -1280,6 +1280,47 @@ class PipelineSpec extends SparkSuite {
     assert(full == Set(12L, 13L), s"stride-1 exhaustive grid missed the repeat: $full")
   }
 
+  test("winnowing: kernel matches a naive reference; w+k-1 guarantee; rightmost tie rule") {
+    val s = spark; import s.implicits._
+    // naive reference: all gram hashes, then per-window rightmost min
+    def naive(text: String, k: Int, w: Int): Set[(Int, Long)] = {
+      val t = text.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim.replaceAll("\\s+", " ")
+      if (t.length < k) return Set.empty
+      val hs = (0 to t.length - k).map { j =>
+        t.substring(j, j + k).foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+      }
+      val starts = 0 to math.max(hs.length - w, 0)
+      starts.map { st =>
+        val win = hs.zipWithIndex.slice(st, math.min(st + w, hs.length))
+        val mh = win.map(_._1).min
+        val pos = win.filter(_._1 == mh).map(_._2).max // rightmost tie
+        (pos, mh)
+      }.toSet
+    }
+    val docs = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog! 1234 again and again and again"),
+      (2L, "aaaaaaaaaaaaaaaa"), // all-equal hashes: rightmost rule everywhere
+      (3L, "short"), (4L, "tiny"), (5L, ""),
+      (6L, "Punct.,;!?   spacing\n\nand MIXED case NORMALIZATION check 99")
+    ).toDF("doc_id", "text")
+    val got = graft.pipeline.TextAnalysis.winnowFingerprintRows(docs, "doc_id", "text", k = 5, w = 4)
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2)))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    docs.collect().foreach { row =>
+      val id = row.getLong(0); val text = row.getString(1)
+      assert(got.getOrElse(id, Set.empty) == naive(text, 5, 4), s"doc $id mismatch")
+    }
+    // guarantee: sharing a normalized run of w+k-1 = 8 chars shares a hash
+    val a = "completely unrelated preamble SHAREDRUN12 and tail one"
+    val b = "other text here SHAREDRUN12 different ending entirely"
+    val pair = Seq((10L, a), (11L, b)).toDF("doc_id", "text")
+    val fps = graft.pipeline.TextAnalysis.winnowFingerprintRows(pair, "doc_id", "text", k = 5, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert((fps(10L) & fps(11L)).nonEmpty,
+      "documents sharing an 11-char normalized run share no fingerprint")
+  }
+
   test("countMinSketch: over-counts only, exact when collision-free, merges bucket-wise") {
     val s = spark; import s.implicits._
     import graft.pipeline.Sketch

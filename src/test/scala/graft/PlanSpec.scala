@@ -105,7 +105,7 @@ class PlanSpec extends SparkSuite {
     // robots metadata are all pure per-row work: nothing may shuffle
     Seq("q_url_canon", "q_gunzip", "q_warc", "q_video_frames", "q_video_metadata",
       "q_tar_members", "q_zip_members", "q_sitemap", "q_charset", "q_robots_meta",
-      "q_media_chain").foreach { q =>
+      "q_media_chain", "q_winnow").foreach { q =>
       val plan = planOf(q)
       assert(shuffleRe.findFirstIn(plan).isEmpty, s"$q should not shuffle:\n$plan")
     }
