@@ -41,6 +41,40 @@ td AS (SELECT ord0 AS ord, day FROM cal2 WHERE istd)"""
     * mirroring Contamination.charDigests' arithmetic (grid windows at
     * `stride`, tail window flush with the end, short texts whole).
     */
+  /** The winnowing replay CTE chain ending in
+    * `sel(doc_id, t, pos, h)` — gram hashes (base-31 mod-prime over
+    * the q_rolling_hash normalization) and the per-window-start
+    * rightmost-min selection, parameterized on (k, w).
+    */
+  private def winnowCtes(k: Int, w: Int): String =
+    s"""norm AS (
+  SELECT doc_id, regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+', ' ', 'g') AS t
+  FROM documents),
+cs AS (
+  SELECT doc_id, list_transform(string_split(t, ''), ch -> CAST(ascii(ch) AS BIGINT)) AS c
+  FROM norm WHERE len(t) >= $k),
+gh0 AS (SELECT doc_id, unnest(range(0, len(c) - ${k - 1})) AS j, c FROM cs),
+gh AS (
+  SELECT doc_id, j,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), c[j+1:j+$k]), (acc, x) -> (acc * 31 + x) % ${TextAnalysis.rollingHashMod}) AS h
+  FROM gh0),
+ng AS (SELECT doc_id, count(*) AS n FROM gh GROUP BY 1),
+st AS (SELECT doc_id, unnest(range(0, greatest(n - $w, 0) + 1)) AS t, n FROM ng),
+wj AS (
+  SELECT s.doc_id, s.t, s.t + o.o AS j
+  FROM st s CROSS JOIN range(0, $w) o(o)
+  WHERE s.t + o.o <= s.n - 1),
+wm AS (
+  SELECT w.doc_id, w.t, min(g.h) AS mh
+  FROM wj w JOIN gh g ON g.doc_id = w.doc_id AND g.j = w.j
+  GROUP BY 1, 2),
+sel AS (
+  SELECT m.doc_id, m.t, max(w.j) AS pos, m.mh AS h
+  FROM wm m JOIN wj w ON w.doc_id = m.doc_id AND w.t = m.t
+  JOIN gh g ON g.doc_id = w.doc_id AND g.j = w.j
+  WHERE g.h = m.mh
+  GROUP BY 1, 2, 4)"""
+
   private def charWindowsSql(window: Int, stride: Int): String =
     s"""CASE
   WHEN length(t) = 0 THEN []
@@ -707,34 +741,22 @@ FROM range(0, 2000) t(i)""",
     // min with the rightmost tie rule (max j among h = min), distinct
     // by selected position — the kernel's deque computes exactly this
     "q_winnow" ->
-      s"""WITH norm AS (
-  SELECT doc_id, regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+', ' ', 'g') AS t
-  FROM documents),
-cs AS (
-  SELECT doc_id, list_transform(string_split(t, ''), ch -> CAST(ascii(ch) AS BIGINT)) AS c
-  FROM norm WHERE len(t) >= 5),
-gh0 AS (SELECT doc_id, unnest(range(0, len(c) - 4)) AS j, c FROM cs),
-gh AS (
-  SELECT doc_id, j,
-         list_reduce(list_prepend(CAST(0 AS BIGINT), c[j+1:j+5]), (acc, x) -> (acc * 31 + x) % ${TextAnalysis.rollingHashMod}) AS h
-  FROM gh0),
-ng AS (SELECT doc_id, count(*) AS n FROM gh GROUP BY 1),
-st AS (SELECT doc_id, unnest(range(0, greatest(n - 4, 0) + 1)) AS t, n FROM ng),
-wj AS (
-  SELECT s.doc_id, s.t, s.t + o.o AS j
-  FROM st s CROSS JOIN range(0, 4) o(o)
-  WHERE s.t + o.o <= s.n - 1),
-wm AS (
-  SELECT w.doc_id, w.t, min(g.h) AS mh
-  FROM wj w JOIN gh g ON g.doc_id = w.doc_id AND g.j = w.j
-  GROUP BY 1, 2),
-sel AS (
-  SELECT m.doc_id, m.t, max(w.j) AS pos, m.mh AS h
-  FROM wm m JOIN wj w ON w.doc_id = m.doc_id AND w.t = m.t
-  JOIN gh g ON g.doc_id = w.doc_id AND g.j = w.j
-  WHERE g.h = m.mh
-  GROUP BY 1, 2, 4)
+      s"""WITH ${winnowCtes(5, 4)}
 SELECT DISTINCT doc_id, CAST(pos AS INT) AS pos, h AS gram_hash FROM sel""",
+
+    // the MOSS candidate join on the same replay at near-dup scale
+    // (k=20, w=16): distinct fingerprint hashes per doc, hashes held
+    // by more than 100 docs dropped whole, pairs by shared-hash
+    // count >= 2 — mirrors Dedup.winnowCandidatesWithCleanup exactly
+    "q_winnow_candidates" ->
+      s"""WITH ${winnowCtes(20, 16)},
+fp AS (SELECT DISTINCT doc_id, h FROM sel),
+ok AS (SELECT h FROM fp GROUP BY 1 HAVING count(*) <= 100),
+fpc AS (SELECT fp.doc_id, fp.h FROM fp JOIN ok USING (h))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM fpc a JOIN fpc b USING (h)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2""",
 
     "q_rolling_hash" ->
       s"""SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+', ' ', 'g'), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % ${TextAnalysis.rollingHashMod}) AS rhash FROM documents""",

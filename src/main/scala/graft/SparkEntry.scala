@@ -421,6 +421,17 @@ object SparkEntry {
       // hashing AND window selection in SQL
       TextAnalysis.winnowFingerprintRows(t(s, dir, "documents"), "doc_id", "text", k = 5, w = 4)
     }),
+    "q_winnow_candidates" -> ((s, dir) => {
+      // the MOSS candidate join at near-dup scale: shared winnowed
+      // 20-gram fingerprints (>= 2, hot hashes > 100 docs dropped
+      // whole) — winnowing's containment guarantee makes candidacy
+      // EXACT for overlaps >= w+k-1 = 35 normalized chars
+      val (pairs, cleanup) = graft.pipeline.Dedup.winnowCandidatesWithCleanup(
+        t(s, dir, "documents"), "doc_id", "text", k = 20, w = 16,
+        minShared = 2L, maxHashDocs = 100)
+      deferCleanup(cleanup)
+      pairs
+    }),
     "q_rolling_hash" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       d.select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rhash"))

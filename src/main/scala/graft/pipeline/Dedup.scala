@@ -306,6 +306,54 @@ object Dedup {
     (result, () => { banded.unpersist(); () })
   }
 
+  /** Near-dup candidate pairs from winnowed fingerprints (Schleimer
+    * et al. 2003): documents sharing >= `minShared` selected gram
+    * hashes, with the shared count. Winnowing's containment
+    * guarantee makes this EXACT for long overlaps — any shared
+    * normalized run of `w + k - 1` chars WILL share a fingerprint —
+    * where MinHash bands only hit with probability; the flip side is
+    * sensitivity to k (short grams pair everything that shares a
+    * phrase, so near-dup work wants k ~ 20+).
+    *
+    * Scale shape mirrors [[minhashCandidatesWithCleanup]]: the
+    * distinct (id, hash) frame is persisted (it feeds both join
+    * sides and the hot-hash cap), hashes held by more than
+    * `maxHashDocs` documents are dropped whole (boilerplate grams —
+    * real overlaps still pair through their other fingerprints), and
+    * the cap window shares the join's partitioning key so it adds no
+    * extra shuffle. Call the thunk after the consuming action.
+    */
+  def winnowCandidatesWithCleanup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 20,
+      w: Int = 16,
+      minShared: Long = 2L,
+      maxHashDocs: Int = 100
+  ): (DataFrame, () => Unit) = {
+    val fps = TextAnalysis.winnowFingerprintRows(df, idCol, textCol, k, w)
+      .select(col(idCol).as("__id__"), col("gram_hash"))
+      .distinct()
+    val wHash = Window.partitionBy(col("gram_hash"))
+    // persist AFTER the cap: the window then computes once, and the
+    // cached frame's gram_hash partitioning feeds BOTH join sides
+    // co-located — the self-join plans no exchange of its own
+    val capped = fps
+      .withColumn("__hsize__", count(lit(1)).over(wHash))
+      .where(col("__hsize__") <= maxHashDocs)
+      .drop("__hsize__")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = capped.select(col("gram_hash"), col("__id__").as("id_a"))
+    val b = capped.select(col("gram_hash"), col("__id__").as("id_b"))
+    val pairs = a.join(b, Seq("gram_hash"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+    (pairs, () => { capped.unpersist(); () })
+  }
+
   /** SimHash over word features: for each of `bits` bit positions,
     * the sign of the sum over words of (+1 if bit set in md5(word)
     * else -1). Uses the high bit of each hex nibble of the digest —

@@ -190,7 +190,11 @@ class PlanSpec extends SparkSuite {
       // islands window; the duplicate-hash set rides a broadcast
       // back, and string verification is a window count, not a
       // self-join — the candidate branch plans exactly once
-      "q_repeated_spans"     -> 3
+      "q_repeated_spans"     -> 3,
+      // distinct + cap window live INSIDE the persisted frame's build
+      // (displayed once per join side → 4 in text, 2 at runtime);
+      // the pair agg is the only post-cache exchange
+      "q_winnow_candidates"  -> 5
     )
     val shuffleRe = "Exchange (hash|range|Single|rebalance)".r
     expected.foreach { case (name, n) =>
