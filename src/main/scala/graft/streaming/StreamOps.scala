@@ -279,6 +279,32 @@ object StreamOps {
     * micro-batch is a map-side probe, no stream shuffle, no state,
     * and an in-place-refreshed blocklist is picked up per batch.
     */
+  /** The streaming face of [[graft.sources.Sink.writePartitioned]]:
+    * continuous partitioned-parquet output with exactly-once file
+    * commits (the file sink's write-ahead log under `checkpoint`
+    * records committed files; a restart resumes without duplicating
+    * or losing a batch). Same layout discipline as the batch sink —
+    * low-cardinality `partitionCols` only; downstream batch readers
+    * use `Sink.readPartitioned` unchanged, so a pipeline can serve
+    * backfill (batch write) and live tail (this) from one directory
+    * tree. Returns the started query; the caller owns its lifecycle.
+    */
+  def writePartitionedStream(
+      df: DataFrame,
+      path: String,
+      checkpoint: String,
+      partitionCols: Seq[String]
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(partitionCols.nonEmpty, "partitionCols must be non-empty")
+    df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy(partitionCols: _*)
+      .outputMode(OutputMode.Append)
+      .start()
+  }
+
   def filterAgainstBlocklist(
       stream: DataFrame,
       blocklist: DataFrame,
