@@ -697,6 +697,16 @@ FROM lineitem GROUP BY 1, 2""",
     "q_read_file" ->
       """SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY 1""",
 
+    // the range join's semantic spec is the plain BETWEEN join —
+    // DuckDB plans it however it likes; the engine side must produce
+    // identical pairs through the bucketized equi join
+    "q_range_join" ->
+      """SELECT a.o_orderkey, b.o_orderkey AS window_orderkey
+FROM orders a JOIN orders b
+ON a.o_custkey = b.o_custkey AND b.o_orderkey % 97 = 0
+AND a.o_orderdate >= b.o_orderdate
+AND a.o_orderdate <= b.o_orderdate + INTERVAL 14 DAY""",
+
     // the engine side writes documents through the partitioned sink
     // and reads the layout back; the oracle is the source table —
     // any row lost, duplicated, or mangled by the write/read cycle

@@ -363,6 +363,22 @@ object SparkEntry {
       graft.sources.Sink.readPartitioned(s, path)
         .select("doc_id", "text", "n_chars", "lang", "source")
     }),
+    "q_range_join" -> ((s, dir) => {
+      // bucketized point-in-interval range join: every order whose
+      // date falls in a 14-day window opened by the same customer's
+      // sampled (orderkey % 97 = 0) orders. Catalyst would plan the
+      // raw BETWEEN predicate as a nested loop; the operator's cell
+      // explode turns it into an equi join on (custkey, cell)
+      val o = t(s, dir, "orders")
+      val epochDays = datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+      val points = o.select(col("o_orderkey"), col("o_custkey"), epochDays.as("__d__"))
+      val windows = o.where(col("o_orderkey") % 97 === 0)
+        .select(col("o_custkey"), col("o_orderkey").as("window_orderkey"),
+          epochDays.as("__s__"), (epochDays + 14L).as("__e__"))
+      operators.RangeJoin.pointInInterval(
+          points, windows, "__d__", "__s__", "__e__", Seq("o_custkey"), bucketWidth = 7L)
+        .select("o_orderkey", "window_orderkey")
+    }),
     "q_read_file" -> ((s, dir) => {
       val li = graft.sources.ReadFile.readFile(s, s"$dir/lineitem.parquet")
       li.groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval range join — the second of the two join shapes
+  * the reference's merge family implies but Spark lacks natively
+  * (the first, as-of, lives in [[AsOf]]; reference analog for both:
+  * the date-conditioned merges of `pd_utils/merge.py`).
+  *
+  * For a pure range predicate (`start <= point <= end`) Catalyst
+  * plans BroadcastNestedLoopJoin — quadratic work and a broadcast of
+  * a whole side, neither of which survives 100 TB. This operator
+  * makes the join linear: the numeric axis is cut into
+  * `bucketWidth`-sized cells, each interval EXPLODES into the cells
+  * it covers, each point maps to its single cell, and the join
+  * becomes an equi join on (equiKeys, cell) followed by the exact
+  * range refine. Each matching pair meets in exactly one cell (the
+  * point's), so no dedup pass is needed.
+  *
+  * `bucketWidth` trades explode fan-out against cell selectivity:
+  * ~the median interval length is the usual sweet spot (fan-out ~2,
+  * cells hold few intervals). Degenerate long intervals fan out as
+  * `span/bucketWidth` rows — cap interval length upstream, or size
+  * the bucket to the p99 span.
+  *
+  * Axis columns must be numeric (cast dates to day counts,
+  * timestamps through `unix_micros`). Bounds are INCLUSIVE on both
+  * ends. Null points/bounds match nothing (inner-join semantics).
+  */
+object RangeJoin {
+
+  def pointInInterval(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointCol: String,
+      startCol: String,
+      endCol: String,
+      equiKeys: Seq[String] = Nil,
+      bucketWidth: Long = 1L
+  ): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    // floor over a double division: exact for |axis| < 2^52 (any
+    // realistic day/micro count) and, unlike integral `div`,
+    // floor-consistent for negative axis values
+    def cell(c: org.apache.spark.sql.Column) =
+      floor(c.cast("double") / bucketWidth).cast("long")
+    val lb = points.withColumn("__cell__", cell(col(pointCol)))
+    val rb = intervals.withColumn(
+      "__cell__", explode(sequence(cell(col(startCol)), cell(col(endCol)))))
+    lb.join(rb, equiKeys :+ "__cell__")
+      .where(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("__cell__")
+  }
+}
