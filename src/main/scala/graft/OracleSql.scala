@@ -1426,6 +1426,18 @@ FROM g GROUP BY doc_id, grp""",
     // 64; the per-(row, bucket) counts are exact sums and the
     // estimate is the min over the 4 rows — deterministic md5
     // bucketing, so the whole fitted state replays in SQL
+    // bloom replay: the SET of md5 bit positions stands in for the
+    // engine's packed (word, bits) rows — membership is position
+    // membership, so the packing is invisible to the oracle
+    "q_bloom" ->
+      """WITH wds AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS v FROM documents WHERE text IS NOT NULL),
+hs AS (SELECT unnest(range(0, 4)) AS j),
+bset AS (SELECT DISTINCT ('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || v), 1, 8))::BIGINT % 65536 AS p FROM wds, hs),
+probes AS (SELECT v FROM wds WHERE v LIKE 'a%' UNION SELECT 'probe' || CAST(i AS VARCHAR) FROM range(0, 500) t(i)),
+pp AS (SELECT v, ('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || v), 1, 8))::BIGINT % 65536 AS p FROM probes, hs)
+SELECT pp.v AS word, bool_and(bset.p IS NOT NULL) AS maybe_seen
+FROM pp LEFT JOIN bset ON bset.p = pp.p GROUP BY 1""",
+
     "q_cms_counts" ->
       """WITH wds AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents WHERE text IS NOT NULL),
 rs AS (SELECT unnest(range(0, 4)) AS r),

@@ -956,6 +956,22 @@ object SparkEntry {
       deferCleanup(cleanup)
       out
     }),
+    "q_bloom" -> ((s, dir) => {
+      // deterministic Bloom filter (crawl-frontier seen-set): build
+      // over the corpus vocabulary, probe known words (must all read
+      // true — no false negatives) plus 500 synthetic unseen probes
+      // (mostly false; the deterministic md5 bit pattern makes the
+      // false POSITIVES replayable too, so the oracle matches
+      // exactly rather than statistically)
+      val d = t(s, dir, "documents")
+      val vocab = d.where(col("text").isNotNull)
+        .select(explode(split(col("text"), " ")).as("v")).distinct()
+      val bloom = graft.pipeline.Sketch.bloomBuild(vocab, "v", mBits = 65536, hashes = 4)
+      val seen = vocab.where(col("v").startsWith("a"))
+      val unseen = s.range(0, 500).select(concat(lit("probe"), col("id")).as("v"))
+      graft.pipeline.Sketch.bloomProbe(bloom, seen.unionByName(unseen), "v", mBits = 65536, hashes = 4)
+        .select(col("v").as("word"), col("maybe_seen"))
+    }),
     "q_cms_counts" -> ((s, dir) => {
       // count-min sketch frequencies: 4x64 deterministic md5-bucket
       // state over the word stream (small w, so collisions are real

@@ -154,6 +154,59 @@ object Sketch {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_count"))
   }
 
+  /** Deterministic Bloom filter over `valueCol` (Bloom 1970 — the
+    * crawl-frontier / seen-set primitive): value v sets the `hashes`
+    * bit positions md5("j:v") mod `mBits`, packed 64 bits per word
+    * into AT MOST mBits/64 `(word, bits)` rows by one bit_or hash
+    * aggregate. Same engine-portable md5 bucketing as
+    * [[countMinSketch]] — no RNG, so an external engine replays the
+    * exact bit pattern. Merge filters of equal (mBits, hashes) by
+    * unioning and re-OR-ing. NO FALSE NEGATIVES by construction;
+    * false-positive rate ~ (1 - e^(-kn/m))^k.
+    */
+  def bloomBuild(df: DataFrame, valueCol: String, mBits: Int, hashes: Int): DataFrame = {
+    require(mBits >= 64 && mBits % 64 == 0, s"mBits must be a positive multiple of 64, got $mBits")
+    require(hashes >= 1, s"need at least one hash, got $hashes")
+    df.where(col(valueCol).isNotNull)
+      .select(explode(array((0 until hashes).map(j =>
+        bloomPos(j, col(valueCol), mBits)): _*)).as("__p__"))
+      .select((col("__p__") / 64).cast("long").as("word"),
+        expr("shiftleft(1L, CAST(__p__ % 64 AS INT))").as("__m__"))
+      .groupBy(col("word"))
+      .agg(expr("bit_or(__m__)").as("bits"))
+  }
+
+  private def bloomPos(j: Int, v: Column, mBits: Int): Column =
+    conv(substring(md5(concat(lit(s"$j:"), v.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % mBits
+
+  /** Membership probes against a [[bloomBuild]] filter: `maybe_seen`
+    * is true iff ALL `hashes` bit positions of the value are set.
+    * Inserted values always read true; an unseen value reads true
+    * only on a full k-fold collision. The probe frame drives the
+    * cost — the filter side is <= mBits/64 rows and broadcasts.
+    */
+  def bloomProbe(
+      bloom: DataFrame,
+      probes: DataFrame,
+      valueCol: String,
+      mBits: Int,
+      hashes: Int
+  ): DataFrame = {
+    val cand = probes.select(col(valueCol).cast("string").as(valueCol))
+      .where(col(valueCol).isNotNull)
+      .distinct()
+    cand
+      .select(col(valueCol), explode(array((0 until hashes).map(j =>
+        bloomPos(j, col(valueCol), mBits)): _*)).as("__p__"))
+      .select(col(valueCol), (col("__p__") / 64).cast("long").as("word"),
+        expr("shiftleft(1L, CAST(__p__ % 64 AS INT))").as("__m__"))
+      .join(broadcast(bloom), Seq("word"), "left")
+      .groupBy(col(valueCol))
+      .agg(min(coalesce(col("bits").bitwiseAND(col("__m__")) =!= 0L, lit(false)))
+        .as("maybe_seen"))
+  }
+
   def kmvOverlapByGroup(
       df: DataFrame,
       groupCol: String,

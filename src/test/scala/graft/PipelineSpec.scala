@@ -1321,6 +1321,30 @@ class PipelineSpec extends SparkSuite {
       "documents sharing an 11-char normalized run share no fingerprint")
   }
 
+  test("bloom: no false negatives ever; merge = union re-OR; FP rate near theory") {
+    val s = spark; import s.implicits._
+    import graft.pipeline.Sketch
+    val m = 4096; val k = 3
+    val a = (0 until 150).map(i => s"a$i").map(Tuple1(_)).toDF("v")
+    val b = (0 until 150).map(i => s"b$i").map(Tuple1(_)).toDF("v")
+    val bloomA = Sketch.bloomBuild(a, "v", m, k)
+    // every inserted value reads true — the structural guarantee
+    val selfProbe = Sketch.bloomProbe(bloomA, a, "v", m, k).collect()
+    assert(selfProbe.forall(_.getBoolean(1)), "a false negative — bloom invariant broken")
+    // merging by union + re-OR equals building over the union
+    val merged = bloomA.unionByName(Sketch.bloomBuild(b, "v", m, k))
+      .groupBy("word").agg(org.apache.spark.sql.functions.expr("bit_or(bits)").as("bits"))
+    val direct = Sketch.bloomBuild(a.unionByName(b), "v", m, k)
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty,
+      "merged filter differs from the directly-built one")
+    // ~300 inserts into 4096 bits with k=3: FP rate ~ (1-e^-0.22)^3 ~ 0.8%;
+    // 1000 unseen probes should read mostly false (generous 5% bound)
+    val unseen = (0 until 1000).map(i => s"zz$i").map(Tuple1(_)).toDF("v")
+    val fp = Sketch.bloomProbe(merged, unseen, "v", m, k)
+      .where($"maybe_seen").count()
+    assert(fp <= 50, s"false-positive rate implausibly high: $fp / 1000")
+  }
+
   test("countMinSketch: over-counts only, exact when collision-free, merges bucket-wise") {
     val s = spark; import s.implicits._
     import graft.pipeline.Sketch
