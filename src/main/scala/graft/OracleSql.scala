@@ -697,6 +697,13 @@ FROM lineitem GROUP BY 1, 2""",
     "q_read_file" ->
       """SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY 1""",
 
+    "q_interval_overlap" ->
+      """SELECT a.o_orderkey AS a_orderkey, b.o_orderkey AS b_orderkey
+FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey
+AND a.o_orderkey % 13 = 0 AND b.o_orderkey % 17 = 0
+AND a.o_orderdate <= b.o_orderdate + INTERVAL 10 DAY
+AND b.o_orderdate <= a.o_orderdate + INTERVAL 10 DAY""",
+
     // the range join's semantic spec is the plain BETWEEN join —
     // DuckDB plans it however it likes; the engine side must produce
     // identical pairs through the bucketized equi join

@@ -379,6 +379,21 @@ object SparkEntry {
           points, windows, "__d__", "__s__", "__e__", Seq("o_custkey"), bucketWidth = 7L)
         .select("o_orderkey", "window_orderkey")
     }),
+    "q_interval_overlap" -> ((s, dir) => {
+      // interval-overlap range join: 10-day windows from two
+      // different order samples of the same customer that intersect;
+      // the pair is claimed only in the later window's start cell,
+      // so the cell explode needs no dedup pass
+      val o = t(s, dir, "orders")
+      val epochDays = datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+      def windows(mod: Int, pfx: String) = o.where(col("o_orderkey") % mod === 0)
+        .select(col("o_custkey"), col("o_orderkey").as(s"${pfx}_orderkey"),
+          epochDays.as(s"__${pfx}s__"), (epochDays + 10L).as(s"__${pfx}e__"))
+      operators.RangeJoin.intervalOverlap(
+          windows(13, "a"), windows(17, "b"), "__as__", "__ae__", "__bs__", "__be__",
+          Seq("o_custkey"), bucketWidth = 7L)
+        .select("a_orderkey", "b_orderkey")
+    }),
     "q_read_file" -> ((s, dir) => {
       val li = graft.sources.ReadFile.readFile(s, s"$dir/lineitem.parquet")
       li.groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))

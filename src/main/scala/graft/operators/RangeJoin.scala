@@ -52,4 +52,36 @@ object RangeJoin {
       .where(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__cell__")
   }
+
+  /** Interval-overlap join: pairs whose `[start, end]` ranges
+    * intersect (inclusive ends — `aStart <= bEnd && bStart <= aEnd`).
+    * Same cell explode on BOTH sides; an overlapping pair shares
+    * every cell their intersection covers, so to avoid a dedup pass
+    * the pair is claimed only in the LATER interval's start cell
+    * (`cell == greatest(cellA_start, cellB_start)`, which any
+    * overlapping pair shares exactly once). Left columns must not
+    * collide with right columns — rename first.
+    */
+  def intervalOverlap(
+      left: DataFrame,
+      right: DataFrame,
+      leftStart: String,
+      leftEnd: String,
+      rightStart: String,
+      rightEnd: String,
+      equiKeys: Seq[String] = Nil,
+      bucketWidth: Long = 1L
+  ): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    def cell(c: org.apache.spark.sql.Column) =
+      floor(c.cast("double") / bucketWidth).cast("long")
+    val lb = left.withColumn(
+      "__cell__", explode(sequence(cell(col(leftStart)), cell(col(leftEnd)))))
+    val rb = right.withColumn(
+      "__cell__", explode(sequence(cell(col(rightStart)), cell(col(rightEnd)))))
+    lb.join(rb, equiKeys :+ "__cell__")
+      .where(col(leftStart) <= col(rightEnd) && col(rightStart) <= col(leftEnd))
+      .where(col("__cell__") === greatest(cell(col(leftStart)), cell(col(rightStart))))
+      .drop("__cell__")
+  }
 }

@@ -47,6 +47,26 @@ class RangeJoinSpec extends SparkSuite {
     assert(got == Set((1L, 100L), (2L, 100L), (4L, 100L)))
   }
 
+  test("intervalOverlap matches the naive overlap join, each pair exactly once") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(11)
+    def ivs(pfx: String, n: Int) = (1 to n).map { i =>
+      val st = rnd.between(-40L, 120L)
+      (s"$pfx$i", st, st + rnd.between(0L, 30L), rnd.nextInt(2).toLong)
+    }
+    val a = ivs("a", 80).toDF("aid", "as", "ae", "k")
+    val b = ivs("b", 80).toDF("bid", "bs", "be", "k")
+    val naive = a.join(b, Seq("k")).where(col("as") <= col("be") && col("bs") <= col("ae"))
+      .select("aid", "bid").collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(naive.distinct.size == naive.size)
+    for (bw <- Seq(1L, 8L, 50L)) {
+      val got = RangeJoin.intervalOverlap(a, b, "as", "ae", "bs", "be", Seq("k"), bw)
+        .select("aid", "bid").collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(got.distinct.size == got.size, s"bw=$bw emits duplicate pairs")
+      assert(got.toSet == naive.toSet, s"bw=$bw diverges from the naive overlap join")
+    }
+  }
+
   test("plans an equi join on the cell — no nested loop, no cartesian") {
     val s = spark; import s.implicits._
     val pts = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("pid", "p")
