@@ -205,5 +205,20 @@ package object syntax {
     def packSequences(idCol: String, lengthCol: String, capacity: Long,
         salt: String = ""): DataFrame =
       pipeline.Sampling.packSequences(df, idCol, lengthCol, capacity, salt)
+
+    def winnowFingerprints(idCol: String, textCol: String,
+        k: Int = 5, w: Int = 4): DataFrame =
+      pipeline.TextAnalysis.winnowFingerprintRows(df, idCol, textCol, k, w)
+
+    def pointInInterval(intervals: DataFrame, pointCol: String, startCol: String,
+        endCol: String, equiKeys: Seq[String] = Nil, bucketWidth: Long = 1L): DataFrame =
+      operators.RangeJoin.pointInInterval(
+        df, intervals, pointCol, startCol, endCol, equiKeys, bucketWidth)
+
+    def writePartitioned(path: String, partitionCols: Seq[String],
+        sortCols: Seq[String] = Nil, maxRecordsPerFile: Long = 0L,
+        filesPerPartition: Int = 1): Unit =
+      sources.Sink.writePartitioned(
+        df, path, partitionCols, sortCols, maxRecordsPerFile, filesPerPartition)
   }
 }

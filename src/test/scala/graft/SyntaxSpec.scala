@@ -73,6 +73,24 @@ class SyntaxSpec extends SparkSuite {
     assert(gq.columns.contains("keep") && gq.count() == docs.count())
   }
 
+  test("fluent round-10 ops: winnow -> range join -> partitioned write round-trip") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox naps under the warm sun")
+    ).toDF("doc_id", "text")
+    val fps = docs.winnowFingerprints("doc_id", "text")
+    assert(fps.columns.toSeq == Seq("doc_id", "pos", "gram_hash") && fps.count() > 0)
+    val pts = Seq((1L, 5L), (2L, 25L)).toDF("pid", "p")
+    val ivs = Seq((10L, 0L, 10L)).toDF("iid", "s", "e")
+    val joined = pts.pointInInterval(ivs, "p", "s", "e", Nil, 4L)
+    assert(joined.select("pid").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    val out = java.nio.file.Files.createTempDirectory("graft-syntax-sink")
+    docs.withColumn("b", col("doc_id") % 2).writePartitioned(
+      out.toString, Seq("b"), sortCols = Seq("doc_id"))
+    assert(spark.read.parquet(out.toString).count() == 2)
+  }
+
   test("composing operators triggers no Spark jobs (lazy plans)") {
     val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
     val composed = fixtureDf
