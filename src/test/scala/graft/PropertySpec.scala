@@ -515,4 +515,37 @@ class PropertySpec extends SparkSuite {
         s"robotsAllowed=$got, reference=$want for ua='$ua' path='$path' robots:\n$robots")
     }
   }
+
+  test("winnow kernel == naive reference over random texts, all (k, w)") {
+    val s = spark; import s.implicits._
+    // an independent naive evaluator (same spec as PipelineSpec's,
+    // here swept over random texts and parameter pairs)
+    def naive(text: String, k: Int, w: Int): Set[(Int, Long)] = {
+      val t = text.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim.replaceAll("\\s+", " ")
+      if (t.length < k) return Set.empty
+      val hs = (0 to t.length - k).map { j =>
+        t.substring(j, j + k).foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+      }
+      (0 to math.max(hs.length - w, 0)).map { st =>
+        val win = hs.zipWithIndex.slice(st, math.min(st + w, hs.length))
+        val mh = win.map(_._1).min
+        (win.filter(_._1 == mh).map(_._2).max, mh)
+      }.toSet
+    }
+    val textGen = for {
+      n <- Gen.choose(0, 60)
+      cs <- Gen.listOfN(n, Gen.frequency(
+        (6, Gen.alphaLowerChar), (2, Gen.numChar), (1, Gen.const(' ')),
+        (1, Gen.oneOf('!', '.', 'X', 'é'))))
+      k <- Gen.choose(1, 8)
+      w <- Gen.choose(1, 6)
+    } yield (cs.mkString, k, w)
+    forAllSamples(textGen, n = 120) { case (text, k, w) =>
+      val got = graft.pipeline.TextAnalysis
+        .winnowFingerprintRows(Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text", k, w)
+        .collect().map(r => (r.getInt(1), r.getLong(2))).toSet
+      assert(got == naive(text, k, w),
+        s"winnow mismatch for k=$k w=$w text='$text': got $got want ${naive(text, k, w)}")
+    }
+  }
 }

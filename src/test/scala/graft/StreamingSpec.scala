@@ -91,6 +91,25 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("bloomBuild over a stream (complete mode) equals the batch filter") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val vals = (0 until 200).map(i => s"u$i")
+    val batch = graft.pipeline.Sketch.bloomBuild(vals.map(Tuple1(_)).toDF("v"), "v", 1024, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val input = MemoryStream[String]
+    val q = graft.pipeline.Sketch.bloomBuild(input.toDF().toDF("v"), "v", 1024, 3)
+      .writeStream.format("memory").queryName("bloom_parity").outputMode("complete").start()
+    try {
+      val (a, b) = vals.splitAt(120)
+      input.addData(a: _*); q.processAllAvailable()
+      input.addData(b: _*); q.processAllAvailable()
+      val streamed = spark.sql("SELECT word, bits FROM bloom_parity").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch, "streamed bloom state diverges from the batch build")
+    } finally q.stop()
+  }
+
   test("writePartitionedStream: exactly-once partitioned files, batch-readable, restart-safe") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
