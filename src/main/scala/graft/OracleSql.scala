@@ -1019,6 +1019,23 @@ WHERE list_cosine_similarity(a.emb, b.emb) >= 0.25""",
     // engine's kmeansCentroids(k=16, iters=1) + maxCellSize=1000
     "q_semdedup" -> semdedupSql(k = 16, iters = 1, dims = 64, threshold = 0.25, maxCellSize = 1000),
 
+    // int8 quantization replay: codes as DOUBLE lists (integer-exact
+    // sums), scales cancel in the cosine ratio
+    "q_ann_int8" ->
+      """WITH c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+z AS (SELECT vec_id, list_max(list_transform(emb, x -> abs(x))) / 127.0 AS s, emb FROM c0),
+cz AS (SELECT vec_id,
+  CASE WHEN s = 0 THEN list_transform(emb, x -> 0.0)
+       ELSE list_transform(emb, x -> round(x / s)) END AS q FROM z),
+qq AS (SELECT vec_id, q FROM cz WHERE vec_id % 50 = 0),
+sc AS (SELECT qq.vec_id AS query_id, cz.vec_id AS neighbor_id,
+  round(list_dot_product(qq.q, cz.q) /
+        (sqrt(list_dot_product(qq.q, qq.q)) * sqrt(list_dot_product(cz.q, cz.q))), 4) AS score
+  FROM qq CROSS JOIN cz WHERE qq.vec_id <> cz.vec_id),
+r AS (SELECT query_id, neighbor_id, score,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS INT) AS "rank" FROM sc)
+SELECT query_id, neighbor_id, score, "rank" FROM r WHERE "rank" <= 5""",
+
     "q_ann_bruteforce" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 q AS (SELECT vec_id, emb FROM c WHERE vec_id % 50 = 0),

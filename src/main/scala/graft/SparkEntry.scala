@@ -668,6 +668,15 @@ object SparkEntry {
       out.select(col("vec_id"), col("label"))
     }),
     // ---- pipeline: similarity ------------------------------------
+    "q_ann_int8" -> ((s, dir) => {
+      // int8-quantized brute-force cosine: the 4x-compressed serving
+      // path. Scales cancel out of the cosine ratio, so scoring is
+      // integer dot products; the oracle replays the quantization
+      // (round(x / (max|x|/127))) and the integer-exact scoring
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("emb"))
+      val q = e.where(col("vec_id") % 50 === 0)
+      Similarity.int8TopK(e, q, "vec_id", "emb", k = 5)
+    }),
     "q_ann_bruteforce" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       val q = e.where(col("vec_id") % 50 === 0)

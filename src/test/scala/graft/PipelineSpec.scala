@@ -1321,6 +1321,37 @@ class PipelineSpec extends SparkSuite {
       "documents sharing an 11-char normalized run share no fingerprint")
   }
 
+  test("int8 quantization: codes in [-127,127], error <= scale/2, zero vectors, recall") {
+    val s = spark; import s.implicits._
+    import graft.pipeline.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").as("emb"))
+    val qz = Similarity.quantizeInt8(e, "emb")
+    val rows = qz.select(col("emb").cast("array<double>"), col("codes"), col("scale")).collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Double](0); val c = r.getSeq[Int](1); val sc = r.getDouble(2)
+      assert(c.forall(x => x >= -127 && x <= 127), "code out of int8 range")
+      if (sc > 0) v.zip(c).foreach { case (x, q) =>
+        assert(math.abs(x - q * sc) <= sc / 2 + 1e-12, s"dequant error above scale/2: $x vs ${q * sc}")
+      }
+    }
+    // zero vector: scale 0, all-zero codes
+    val z = Similarity.quantizeInt8(
+      Seq((1L, Seq(0f, 0f, 0f))).toDF("vec_id", "emb"), "emb").collect().head
+    assert(z.getDouble(z.fieldIndex("scale")) == 0.0)
+    assert(z.getSeq[Int](z.fieldIndex("codes")).forall(_ == 0))
+    // quantized top-5 keeps most of the exact top-5 (recall floor)
+    val q = e.where(col("vec_id") % 50 === 0)
+    val exact = Similarity.bruteForceTopK(
+        e.select(col("vec_id"), col("emb").cast("array<double>").as("emb")),
+        q.select(col("vec_id"), col("emb").cast("array<double>").as("emb")), "vec_id", "emb", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.int8TopK(e, q, "vec_id", "emb", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.8, s"int8 recall vs exact top-5 too low: $recall")
+  }
+
   test("bloom: no false negatives ever; merge = union re-OR; FP rate near theory") {
     val s = spark; import s.implicits._
     import graft.pipeline.Sketch
