@@ -102,6 +102,24 @@ class SkewStressSpec extends SparkSuite {
     } finally cleanup()
   }
 
+  test("winnowCandidates: a corpus of identical docs caps out instead of going quadratic") {
+    val s = spark; import s.implicits._
+    // 5000 byte-identical documents: every fingerprint hash is held
+    // by all 5000 docs, far past maxHashDocs — each hot hash drops
+    // WHOLE (the minhash cap rule), so the self-join never sees the
+    // quadratic bucket and the result is empty. High-multiplicity
+    // exact duplicates are exact-dedup's job (digest groupBy),
+    // which runs before near-dup candidates in the pipeline order.
+    val text = "an identical document repeated verbatim across the whole corpus many times over"
+    val docs = (1L to 5000L).map(i => (i, text)).toDF("doc_id", "text")
+    val (pairs, cleanup) = graft.pipeline.Dedup.winnowCandidatesWithCleanup(
+      docs, "doc_id", "text", k = 20, w = 16, minShared = 2L, maxHashDocs = 100)
+    try {
+      val n = timed(120.0, "winnow candidates over identical docs")(pairs.count())
+      assert(n == 0, s"hot hashes must drop whole, got $n pairs")
+    } finally cleanup()
+  }
+
   test("dedupByUrl: one hot canonical URL is a map-side-combined agg, not a hot join") {
     val s = spark; import s.implicits._
     // 50k rows of ONE url + 5k distinct: the groupBy(min) combines
