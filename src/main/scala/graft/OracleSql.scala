@@ -931,6 +931,10 @@ SELECT doc_id, source, unnest(range(copies)) AS copy FROM c WHERE copies > 0""",
 
     // concat-and-chunk packing: the oracle is the naive single
     // global cumsum the operator's distributed prefix sum must equal
+    "q_shuffle_rank" ->
+      """WITH b AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || chr(1) || 'epoch1') AS ok FROM documents)
+SELECT doc_id, CAST(row_number() OVER (ORDER BY ok, doc_id) - 1 AS BIGINT) AS shuffle_rank FROM b""",
+
     "q_pack" ->
       s"""WITH b AS (SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR) || chr(1) || 'p1') AS ok FROM documents),
 c AS (SELECT doc_id, n_chars,

@@ -582,6 +582,16 @@ object SparkEntry {
         keyCols = Seq("doc_id"), salt = "m1")
         .select(col("doc_id"), col("source"), col("copy"))
     }),
+    "q_shuffle_rank" -> ((s, dir) => {
+      // deterministic global permutation rank (epoch shuffle for
+      // training export): md5 order, computed by the packSequences
+      // distributed prefix sum — no global sort funnel. The oracle
+      // replays it with a plain global window (its engine, its
+      // choice); the values must match exactly
+      Sampling.shuffleRank(
+          t(s, dir, "documents").select("doc_id"), Seq("doc_id"), salt = "epoch1")
+        .select("doc_id", "shuffle_rank")
+    }),
     "q_pack" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       Sampling.packSequences(d, "doc_id", "n_chars", capacity = 2048L, salt = "p1")

@@ -195,6 +195,41 @@ object Sampling {
         (col("__start__") % capacity).as("pack_offset"))
   }
 
+  /** Deterministic global shuffle rank — the reproducible corpus
+    * permutation a training-data export needs (fixed read order
+    * across runs/engines/retries; a different `salt` = a different
+    * epoch's permutation): rank in [0, n) by the md5 order of
+    * (keys, salt), the [[deterministicSample]]/[[assignSplit]] hash
+    * family.
+    *
+    * Scale shape: NOT a global sort funnel — the [[packSequences]]
+    * distributed prefix sum with unit lengths: 256 digest-prefix
+    * buckets (hash-uniform by construction), a per-bucket window
+    * rank, and a 256-row exclusive bucket-offset sum broadcast back.
+    * The corpus never routes through one task; the plan is
+    * bucket-partitioned end to end.
+    */
+  def shuffleRank(
+      df: DataFrame,
+      keyCols: Seq[String],
+      salt: String = "",
+      outCol: String = "shuffle_rank"
+  ): DataFrame = {
+    val keyed = df.withColumn("__ok__", keyDigest(keyCols, salt))
+      .withColumn("__bkt__", substring(col("__ok__"), 1, 2))
+    val w = Window.partitionBy(col("__bkt__"))
+      .orderBy((col("__ok__").asc +: keyCols.map(col(_).asc)): _*)
+    val local = keyed.withColumn("__r__", row_number().over(w))
+    val wb = Window.orderBy(col("__bkt__").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = keyed.groupBy(col("__bkt__")).agg(count(lit(1)).as("__btot__"))
+      .withColumn("__boff__", sum(col("__btot__")).over(wb) - col("__btot__"))
+      .select(col("__bkt__"), col("__boff__"))
+    local.join(broadcast(offsets), Seq("__bkt__"))
+      .withColumn(outCol, (col("__boff__") + col("__r__") - 1).cast("long"))
+      .drop("__ok__", "__bkt__", "__r__", "__boff__")
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling",
     * arXiv:2302.03169): score raw-corpus documents by how target-like

@@ -137,6 +137,32 @@ class SamplingSpec extends SparkSuite {
     assert(plan.contains("BroadcastExchange"), s"bucket offsets not broadcast:\n$plan")
   }
 
+  test("shuffleRank is the md5-order permutation, epoch-sensitive, never a global funnel") {
+    val s = spark; import s.implicits._
+    val docs = (0 until 400).map(i => Tuple1(i.toLong)).toDF("id")
+    def dg(id: Long, salt: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${id}\u0001$salt".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = Sampling.shuffleRank(docs, Seq("id"), salt = "e1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // a permutation of [0, n) matching the explicit global md5 order
+    assert(got.values.toSeq.sorted == (0L until 400L).toSeq)
+    (0 until 400).map(_.toLong).sortBy(i => (dg(i, "e1"), i)).zipWithIndex.foreach {
+      case (id, r) => assert(got(id) == r.toLong, s"id $id: rank ${got(id)} vs $r")
+    }
+    // a different epoch salt is a (virtually certainly) different permutation
+    val e2 = Sampling.shuffleRank(docs, Seq("id"), salt = "e2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(e2.values.toSeq.sorted == (0L until 400L).toSeq)
+    assert(got != e2, "epoch salt did not change the permutation")
+    // scale guard: data windows shuffle on the bucket key; only the
+    // 256-row offset frame crosses a broadcast
+    val plan = Sampling.shuffleRank(docs, Seq("id"), "e1")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(__bkt__"), s"rank window not bucket-partitioned:\n$plan")
+    assert(plan.contains("BroadcastExchange"), s"bucket offsets not broadcast:\n$plan")
+  }
+
   test("dsirLogWeights matches an independent local computation and scores target-like docs higher") {
     val s = spark; import s.implicits._
     val target = Seq((100L, "alpha beta gamma"), (101L, "alpha beta")).toDF("doc_id", "text")
