@@ -1023,6 +1023,35 @@ WHERE list_cosine_similarity(a.emb, b.emb) >= 0.25""",
     // engine's kmeansCentroids(k=16, iters=1) + maxCellSize=1000
     "q_semdedup" -> semdedupSql(k = 16, iters = 1, dims = 64, threshold = 0.25, maxCellSize = 1000),
 
+    // compressed IVF: float cell routing (the q_ann_ivf CTEs), int8
+    // scoring — same quantization replay as q_ann_int8
+    "q_ann_ivf_int8" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, emb AS cemb FROM c ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+ca AS (SELECT neighbor_id, cent_id FROM (
+SELECT c.vec_id AS neighbor_id, cent_id,
+row_number() OVER (PARTITION BY c.vec_id ORDER BY round(list_cosine_similarity(c.emb, cemb), 4) DESC, cent_id) AS cr
+FROM c CROSS JOIN cents) t WHERE cr = 1),
+q AS (SELECT vec_id, emb FROM c WHERE vec_id % 50 = 0),
+qa AS (SELECT query_id, cent_id FROM (
+SELECT q.vec_id AS query_id, cent_id,
+row_number() OVER (PARTITION BY q.vec_id ORDER BY round(list_cosine_similarity(q.emb, cemb), 4) DESC, cent_id) AS cr
+FROM q CROSS JOIN cents) t WHERE cr <= 4),
+cz AS (SELECT vec_id,
+  CASE WHEN s = 0 THEN list_transform(emb, x -> 0.0)
+       ELSE list_transform(emb, x -> round(x / s)) END AS qv
+  FROM (SELECT vec_id, list_max(list_transform(emb, x -> abs(x))) / 127.0 AS s, emb FROM c) t),
+s2 AS (SELECT qa.query_id, ca.neighbor_id,
+  round(list_dot_product(zq.qv, zn.qv) /
+        (sqrt(list_dot_product(zq.qv, zq.qv)) * sqrt(list_dot_product(zn.qv, zn.qv))), 4) AS score
+  FROM qa JOIN ca USING (cent_id)
+  JOIN cz zq ON zq.vec_id = qa.query_id
+  JOIN cz zn ON zn.vec_id = ca.neighbor_id
+  WHERE qa.query_id <> ca.neighbor_id),
+r AS (SELECT query_id, neighbor_id, score,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS INT) AS "rank" FROM s2)
+SELECT query_id, neighbor_id, score, "rank" FROM r WHERE "rank" <= 5""",
+
     // int8 quantization replay: codes as DOUBLE lists (integer-exact
     // sums), scales cancel in the cosine ratio
     "q_ann_int8" ->

@@ -678,6 +678,14 @@ object SparkEntry {
       out.select(col("vec_id"), col("label"))
     }),
     // ---- pipeline: similarity ------------------------------------
+    "q_ann_ivf_int8" -> ((s, dir) => {
+      // compressed IVF serving: float cell routing (broadcast
+      // centroids), int8-code scoring inside the probed cells — the
+      // joins that carry corpus volume move 4x fewer bytes
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("emb"))
+      val q = e.where(col("vec_id") % 50 === 0)
+      Similarity.ivfInt8TopK(e, q, "vec_id", "emb", k = 5)
+    }),
     "q_ann_int8" -> ((s, dir) => {
       // int8-quantized brute-force cosine: the 4x-compressed serving
       // path. Scales cancel out of the cosine ratio, so scoring is

@@ -292,6 +292,46 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
   }
 
+  /** [[ivfTopK]] serving from int8 CODES — the standard compressed
+    * ANN shape at 100 TB: cell routing stays float (the centroid set
+    * is broadcast and tiny), but the per-cell scoring joins carry
+    * 4x-smaller quantized vectors, which is where the volume lives.
+    * Scores are quantized cosine (scales cancel, integer-exact
+    * sums); ranking keeps the (rounded score desc, id asc) contract.
+    */
+  def ivfInt8TopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      scoreDecimals: Int = 4
+  ): DataFrame = {
+    val cents = ivfCentroids(corpus, idCol, vecCol, nlist)
+    def codesOf(df: DataFrame, id: String, cv: String) =
+      quantizeInt8(df.select(col(idCol).as(id), col(vecCol)), vecCol, cv, "__s__")
+        .select(col(id), col(cv).cast("array<double>").as(cv))
+    val corpusCells = ivfAssign(corpus, cents, idCol, vecCol, "neighbor", keep = 1, scoreDecimals)
+      .select("cent_id", "neighbor_id")
+      .join(codesOf(corpus, "neighbor_id", "__nq__"), Seq("neighbor_id"))
+      .withColumn("__nn__", norm(col("__nq__")))
+    val queryCells = ivfAssign(queries, cents, idCol, vecCol, "query", keep = nprobe, scoreDecimals)
+      .select("cent_id", "query_id")
+      .join(broadcast(codesOf(queries, "query_id", "__qq__")), Seq("query_id"))
+      .withColumn("__qn__", norm(col("__qq__")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
+    queryCells
+      .join(corpusCells, Seq("cent_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        round(dot(col("__qq__"), col("__nq__")) / (col("__qn__") * col("__nn__")), scoreDecimals))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+
   /** The `nlist` deterministic IVF centroids of [[ivfTopK]]: the
     * corpus vectors whose md5(id) sorts lowest, broadcast as
     * (cent_id, __cv__, __cn__). Shared with [[Dedup.semDedup]] so
