@@ -761,6 +761,24 @@ FROM range(0, 2000) t(i)""",
       s"""WITH ${winnowCtes(5, 4)}
 SELECT DISTINCT doc_id, CAST(pos AS INT) AS pos, h AS gram_hash FROM sel""",
 
+    // the winnow family composed with the q_ngram_jaccard verify
+    // tail: candidates from shared fingerprints, exact word-shingle
+    // Jaccard on the candidate pairs only
+    "q_winnow_verified" ->
+      s"""WITH ${winnowCtes(20, 16)},
+fp AS (SELECT DISTINCT doc_id, h FROM sel),
+ok AS (SELECT h FROM fp GROUP BY 1 HAVING count(*) <= 100),
+fpc AS (SELECT fp.doc_id, fp.h FROM fp JOIN ok USING (h)),
+cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+  FROM fpc a JOIN fpc b USING (h) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+shd AS (SELECT doc_id, list_distinct($shingles3) AS sg FROM documents)
+SELECT c.id_a, c.id_b, c.n_shared,
+round(CASE WHEN len(list_distinct(list_concat(a.sg, b.sg))) > 0
+THEN CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sg, b.sg))) AS DOUBLE)
+ELSE 0.0 END, 6) AS jac
+FROM cand c JOIN shd a ON c.id_a = a.doc_id JOIN shd b ON c.id_b = b.doc_id""",
+
     // the MOSS candidate join on the same replay at near-dup scale
     // (k=20, w=16): distinct fingerprint hashes per doc, hashes held
     // by more than 100 docs dropped whole, pairs by shared-hash

@@ -452,6 +452,16 @@ object SparkEntry {
       // hashing AND window selection in SQL
       TextAnalysis.winnowFingerprintRows(t(s, dir, "documents"), "doc_id", "text", k = 5, w = 4)
     }),
+    "q_winnow_verified" -> ((s, dir) => {
+      // the winnow family composed end to end: exact-containment
+      // candidates from shared fingerprints, verified with the same
+      // word-shingle Jaccard tail as the MinHash family — no
+      // all-pairs stage anywhere
+      val (out, cleanup) = graft.pipeline.Dedup.winnowVerifiedWithCleanup(
+        t(s, dir, "documents"), "doc_id", "text")
+      deferCleanup(cleanup)
+      out.select(col("id_a"), col("id_b"), col("n_shared"), round(col("jac"), 6).as("jac"))
+    }),
     "q_winnow_candidates" -> ((s, dir) => {
       // the MOSS candidate join at near-dup scale: shared winnowed
       // 20-gram fingerprints (>= 2, hot hashes > 100 docs dropped

@@ -354,6 +354,37 @@ object Dedup {
     (pairs, () => { capped.unpersist(); () })
   }
 
+  /** [[winnowCandidatesWithCleanup]] with the exact n-gram Jaccard
+    * verify attached (the [[jaccardCandidatesWithCleanup]] pattern):
+    * candidates come from shared winnowed fingerprints — no
+    * all-pairs stage — and the word-shingle Jaccard is computed only
+    * for the candidate pairs, each document shingled once. The two
+    * candidate generators compose with the SAME verify tail, so a
+    * pipeline can run either (or both) and filter on `jac` with
+    * identical semantics.
+    */
+  def winnowVerifiedWithCleanup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 20,
+      w: Int = 16,
+      minShared: Long = 2L,
+      maxHashDocs: Int = 100,
+      shingleWords: Int = 3
+  ): (DataFrame, () => Unit) = {
+    val (cand, cleanCand) =
+      winnowCandidatesWithCleanup(df, idCol, textCol, k, w, minShared, maxHashDocs)
+    val sh = shingleFrame(df, idCol, textCol, shingleWords)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = cand
+      .join(sh.select(col("__id__").as("id_a"), col("__sg__").as("__sga__")), Seq("id_a"))
+      .join(sh.select(col("__id__").as("id_b"), col("__sg__").as("__sgb__")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        jaccardOfShingleArrays(col("__sga__"), col("__sgb__")).as("jac"))
+    (out, () => { cleanCand(); sh.unpersist(); () })
+  }
+
   /** SimHash over word features: for each of `bits` bit positions,
     * the sign of the sum over words of (+1 if bit set in md5(word)
     * else -1). Uses the high bit of each hex nibble of the digest —
