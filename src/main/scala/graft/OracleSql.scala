@@ -308,7 +308,7 @@ SELECT id_a, id_b, n_band_matches FROM cand"""
 FROM (SELECT vec_id, emb, ${bucketExpr(seed)} AS b FROM e WHERE vec_id % 50 = 0) q
 JOIN (SELECT vec_id, emb, ${bucketExpr(seed)} AS b FROM e) c ON q.b = c.b AND q.vec_id <> c.vec_id"""
     }.mkString("\nUNION\n")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
 allp AS ($probes),
 r AS (SELECT query_id, neighbor_id, score,
 CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS INT) AS "rank" FROM allp)
@@ -371,7 +371,7 @@ ${kmeansAssignCte(s"s${s}enc", s"s${s}cents$iters", src = s"s${s}c")}"""
       s"SELECT vec_id, $s AS sub_id, cent_id AS code_id FROM s${s}enc").mkString("\nUNION ALL\n")
     val cbUnion = (0 until m).map(s =>
       s"SELECT $s AS sub_id, cent_id, cemb FROM s${s}cents$iters").mkString("\nUNION ALL\n")
-    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
 q AS (SELECT vec_id, emb FROM c WHERE vec_id % 50 = 0),
 cents AS (SELECT vec_id AS cent_id, emb AS cemb FROM c ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nlist),
 ca AS (SELECT neighbor_id, cent_id FROM (
@@ -1044,7 +1044,7 @@ WHERE list_cosine_similarity(a.emb, b.emb) >= 0.25""",
     // compressed IVF: float cell routing (the q_ann_ivf CTEs), int8
     // scoring — same quantization replay as q_ann_int8
     "q_ann_ivf_int8" ->
-      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
 cents AS (SELECT vec_id AS cent_id, emb AS cemb FROM c ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
 ca AS (SELECT neighbor_id, cent_id FROM (
 SELECT c.vec_id AS neighbor_id, cent_id,
@@ -1073,7 +1073,7 @@ SELECT query_id, neighbor_id, score, "rank" FROM r WHERE "rank" <= 5""",
     // int8 quantization replay: codes as DOUBLE lists (integer-exact
     // sums), scales cancel in the cosine ratio
     "q_ann_int8" ->
-      """WITH c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      """WITH c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
 z AS (SELECT vec_id, list_max(list_transform(emb, x -> abs(x))) / 127.0 AS s, emb FROM c0),
 cz AS (SELECT vec_id,
   CASE WHEN s = 0 THEN list_transform(emb, x -> 0.0)
@@ -1088,7 +1088,7 @@ r AS (SELECT query_id, neighbor_id, score,
 SELECT query_id, neighbor_id, score, "rank" FROM r WHERE "rank" <= 5""",
 
     "q_ann_bruteforce" ->
-      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
 q AS (SELECT vec_id, emb FROM c WHERE vec_id % 50 = 0),
 s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, round(list_cosine_similarity(q.emb, c.emb), 4) AS score FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id),
 r AS (SELECT query_id, neighbor_id, score, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS INT) AS "rank" FROM s)
@@ -1099,7 +1099,7 @@ SELECT query_id, neighbor_id, score, "rank" FROM r WHERE "rank" <= 5""",
     // IVF mirrors the engine cell-for-cell: md5-ordered centroid draw,
     // rank-1 corpus assignment, nprobe query probing, global re-rank
     "q_ann_ivf" ->
-      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
 cents AS (SELECT vec_id AS cent_id, emb AS cemb FROM c ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
 ca AS (SELECT neighbor_id, emb, cent_id FROM (
 SELECT c.vec_id AS neighbor_id, c.emb, cent_id,

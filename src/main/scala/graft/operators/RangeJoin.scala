@@ -46,8 +46,14 @@ object RangeJoin {
     def cell(c: org.apache.spark.sql.Column) =
       floor(c.cast("double") / bucketWidth).cast("long")
     val lb = points.withColumn("__cell__", cell(col(pointCol)))
-    val rb = intervals.withColumn(
-      "__cell__", explode(sequence(cell(col(startCol)), cell(col(endCol)))))
+    // inverted intervals (start > end) match nothing, but Spark's
+    // sequence(hi, lo) is DESCENDING — an inverted/corrupt interval
+    // would explode ~span/bucketWidth junk cells of wasted join work
+    // before the refine filters them, so drop such rows up front
+    val rb = intervals
+      .where(col(startCol) <= col(endCol))
+      .withColumn(
+        "__cell__", explode(sequence(cell(col(startCol)), cell(col(endCol)))))
     lb.join(rb, equiKeys :+ "__cell__")
       .where(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__cell__")
@@ -75,10 +81,16 @@ object RangeJoin {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
     def cell(c: org.apache.spark.sql.Column) =
       floor(c.cast("double") / bucketWidth).cast("long")
-    val lb = left.withColumn(
-      "__cell__", explode(sequence(cell(col(leftStart)), cell(col(leftEnd)))))
-    val rb = right.withColumn(
-      "__cell__", explode(sequence(cell(col(rightStart)), cell(col(rightEnd)))))
+    // inverted intervals overlap nothing; pre-filter to keep the
+    // descending-sequence explode from fanning out junk cells
+    val lb = left
+      .where(col(leftStart) <= col(leftEnd))
+      .withColumn(
+        "__cell__", explode(sequence(cell(col(leftStart)), cell(col(leftEnd)))))
+    val rb = right
+      .where(col(rightStart) <= col(rightEnd))
+      .withColumn(
+        "__cell__", explode(sequence(cell(col(rightStart)), cell(col(rightEnd)))))
     lb.join(rb, equiKeys :+ "__cell__")
       .where(col(leftStart) <= col(rightEnd) && col(rightStart) <= col(leftEnd))
       .where(col("__cell__") === greatest(cell(col(leftStart)), cell(col(rightStart))))

@@ -257,36 +257,57 @@ object Dedup {
     * [[shingleFrame]] — lets callers that also need the shingles
     * (exact-Jaccard verify) tokenize each document exactly once.
     */
+  /** The exploded (\_\_id\_\_, \_\_band\_\_, \_\_bandsig\_\_) banded-MinHash
+    * frame — the unit [[minhashCandidatesFromShingles]] self-joins
+    * and an incremental pipeline persists as its fingerprint store
+    * ([[IncrementalDedup]]). Unpersisted; callers own caching.
+    */
+  private[pipeline] def bandedFromShingles(
+      shingles: DataFrame,
+      numHashes: Int,
+      bands: Int
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+    shingles
+      .select(col("__id__"), minhashSignatureNative(col("__sg__"), numHashes).as("__sig__"))
+      .select(
+        col("__id__"),
+        posexplode(
+          array((0 until bands).map { b =>
+            concat_ws("|", (0 until rowsPerBand).map(r => col("__sig__").getItem(b * rowsPerBand + r)): _*)
+          }: _*)
+        ).as(Seq("__band__", "__bandsig__")))
+  }
+
+  /** [[bandedFromShingles]] from raw documents, with output columns
+    * renamed for external persistence: (idCol, band, bandsig).
+    */
+  def bandedFingerprints(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleWords: Int = 3,
+      numHashes: Int = 8,
+      bands: Int = 4
+  ): DataFrame =
+    bandedFromShingles(shingleFrame(df, idCol, textCol, shingleWords), numHashes, bands)
+      .select(col("__id__").as(idCol), col("__band__").as("band"), col("__bandsig__").as("bandsig"))
+
   private[pipeline] def minhashCandidatesFromShingles(
       shingles: DataFrame,
       numHashes: Int,
       bands: Int,
       maxBucketSize: Int
   ): (DataFrame, () => Unit) = {
-    require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val rowsPerBand = numHashes / bands
-    // persist the signature frame: the filter + band extraction below
-    // reference __sig__ many times, and with everything in one stage
-    // the collapsed projection duplicates the 8-lane minhash
-    // expression per reference — the generated code then exceeds
-    // janino's method limit and every task pays a failed-compile
-    // penalty (measured 14.6s -> 0.3s at sf0.001 with the barrier)
-    val sig = shingles
-      .select(col("__id__"), minhashSignatureNative(col("__sg__"), numHashes).as("__sig__"))
     // persist the tiny (id, band, bandsig) frame: it feeds BOTH sides
     // of the self-join plus the bucket-size window, and Catalyst's
     // project-collapsing would otherwise re-inline (and re-execute)
     // the full signature expression into every consumer — measured
     // ~25x slower without the barrier. Size is ~bands rows per doc of
     // short strings, negligible next to the corpus at any scale.
-    val banded = sig.select(
-      col("__id__"),
-      posexplode(
-        array((0 until bands).map { b =>
-          concat_ws("|", (0 until rowsPerBand).map(r => col("__sig__").getItem(b * rowsPerBand + r)): _*)
-        }: _*)
-      ).as(Seq("__band__", "__bandsig__"))
-    ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = bandedFromShingles(shingles, numHashes, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Hot-bucket cap: one boilerplate-heavy band signature would make
     // the within-bucket self-join quadratic. Buckets larger than
     // `maxBucketSize` are dropped (standard LSH practice — such docs
@@ -315,13 +336,13 @@ object Dedup {
     * sensitivity to k (short grams pair everything that shares a
     * phrase, so near-dup work wants k ~ 20+).
     *
-    * Scale shape mirrors [[minhashCandidatesWithCleanup]]: the
-    * distinct (id, hash) frame is persisted (it feeds both join
-    * sides and the hot-hash cap), hashes held by more than
-    * `maxHashDocs` documents are dropped whole (boilerplate grams —
-    * real overlaps still pair through their other fingerprints), and
-    * the cap window shares the join's partitioning key so it adds no
-    * extra shuffle. Call the thunk after the consuming action.
+    * Scale shape mirrors [[minhashCandidatesWithCleanup]]: hashes
+    * held by more than `maxHashDocs` documents are dropped whole
+    * (boilerplate grams — real overlaps still pair through their
+    * other fingerprints), the CAPPED frame is then persisted so it
+    * feeds both self-join sides from one computation, and the cap
+    * window shares the join's partitioning key so it adds no extra
+    * shuffle. Call the thunk after the consuming action.
     */
   def winnowCandidatesWithCleanup(
       df: DataFrame,
@@ -377,11 +398,18 @@ object Dedup {
       winnowCandidatesWithCleanup(df, idCol, textCol, k, w, minShared, maxHashDocs)
     val sh = shingleFrame(df, idCol, textCol, shingleWords)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // LEFT joins: winnow candidacy is char-gram based (k chars), so a
+    // doc with >= w+k-1 normalized chars but < shingleWords words can
+    // be a candidate yet have NO word shingles — shingleFrame drops
+    // it. An inner join would silently drop such pairs; the verify
+    // contract is that every candidate pair gets a jac (0.0 when a
+    // side has no shingles), matching the SQL oracle.
+    val emptySg = array().cast("array<string>")
     val out = cand
-      .join(sh.select(col("__id__").as("id_a"), col("__sg__").as("__sga__")), Seq("id_a"))
-      .join(sh.select(col("__id__").as("id_b"), col("__sg__").as("__sgb__")), Seq("id_b"))
+      .join(sh.select(col("__id__").as("id_a"), col("__sg__").as("__sga__")), Seq("id_a"), "left")
+      .join(sh.select(col("__id__").as("id_b"), col("__sg__").as("__sgb__")), Seq("id_b"), "left")
       .select(col("id_a"), col("id_b"), col("n_shared"),
-        jaccardOfShingleArrays(col("__sga__"), col("__sgb__")).as("jac"))
+        jaccardOfShingleArrays(coalesce(col("__sga__"), emptySg), coalesce(col("__sgb__"), emptySg)).as("jac"))
     (out, () => { cleanCand(); sh.unpersist(); () })
   }
 

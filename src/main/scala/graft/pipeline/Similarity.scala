@@ -36,6 +36,20 @@ object Similarity {
       graft.internal.columnExpr(a.cast("array<double>")),
       graft.internal.columnExpr(b.cast("array<double>"))))
 
+  /** Drops rows whose vector has zero norm. Cosine is undefined for
+    * the zero vector: Spark's double divide-by-zero yields null,
+    * DuckDB's IEEE division yields NaN, and either can occupy top-k
+    * slots when candidates are scarce — so every top-k entry point
+    * excludes zero vectors from BOTH sides up front, and the oracle
+    * SQL applies the same filter. (An all-zero embedding is a
+    * degenerate/corrupt row in any real corpus; dropping it is the
+    * defined contract, not a silent repair.)
+    */
+  private[pipeline] def dropZeroVectors(df: DataFrame, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    df.where(dot(v, v) > 0.0d)
+  }
+
   /** The interpreted HOF form of [[dot]] — kept as the spec the
     * DuckDB oracle mirrors (`list_dot_product` / explicit fold),
     * pinned bit-identical to the native form in PipelineSpec.
@@ -63,10 +77,10 @@ object Similarity {
   ): DataFrame = {
     // norms staged per row, not per (query, corpus) pair
     val q = broadcast(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv__"),
+      dropZeroVectors(queries, vecCol).select(col(idCol).as("query_id"), col(vecCol).as("__qv__"),
         norm(col(vecCol)).as("__qn__"))
     )
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv__"),
+    val c = dropZeroVectors(corpus, vecCol).select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv__"),
       norm(col(vecCol)).as("__cn__"))
     val scored = q
       .crossJoin(c)
@@ -120,7 +134,7 @@ object Similarity {
       scoreDecimals: Int = 4
   ): DataFrame = {
     def codes(df: DataFrame, id: String, cv: String) =
-      quantizeInt8(df.select(col(idCol).as(id), col(vecCol)), vecCol, cv, "__s__")
+      quantizeInt8(dropZeroVectors(df, vecCol).select(col(idCol).as(id), col(vecCol)), vecCol, cv, "__s__")
         .select(col(id), col(cv).cast("array<double>").as(cv))
     val q = broadcast(
       codes(queries, "query_id", "__qv__").withColumn("__qn__", norm(col("__qv__"))))
@@ -220,16 +234,18 @@ object Similarity {
       probes: Int = 2,
       scoreDecimals: Int = 4
   ): DataFrame = {
+    val corpusNz = dropZeroVectors(corpus, vecCol)
+    val queriesNz = dropZeroVectors(queries, vecCol)
     val per = (0 until probes).map { probe =>
       val seed = 42 + probe
       val bucketUdf = lshBucketUdf(planes, dims, seed)
-      val c = corpus.select(
+      val c = corpusNz.select(
         col(idCol).as("neighbor_id"),
         col(vecCol).as("__cv__"),
         norm(col(vecCol)).as("__cn__"),
         bucketUdf(col(vecCol)).as("__bucket__")
       )
-      val q = queries.select(
+      val q = queriesNz.select(
         col(idCol).as("query_id"),
         col(vecCol).as("__qv__"),
         norm(col(vecCol)).as("__qn__"),
@@ -275,9 +291,11 @@ object Similarity {
       nprobe: Int = 4,
       scoreDecimals: Int = 4
   ): DataFrame = {
-    val cents = ivfCentroids(corpus, idCol, vecCol, nlist)
-    val corpusCells = ivfAssign(corpus, cents, idCol, vecCol, "neighbor", keep = 1, scoreDecimals)
-    val queryCells = ivfAssign(queries, cents, idCol, vecCol, "query", keep = nprobe, scoreDecimals)
+    val corpusNz = dropZeroVectors(corpus, vecCol)
+    val queriesNz = dropZeroVectors(queries, vecCol)
+    val cents = ivfCentroids(corpusNz, idCol, vecCol, nlist)
+    val corpusCells = ivfAssign(corpusNz, cents, idCol, vecCol, "neighbor", keep = 1, scoreDecimals)
+    val queryCells = ivfAssign(queriesNz, cents, idCol, vecCol, "query", keep = nprobe, scoreDecimals)
     // a corpus row lives in exactly ONE cell and a query probes
     // DISTINCT cells, so each (query, neighbor) pair appears at most
     // once — no dedup stage needed before the global re-rank
@@ -309,17 +327,19 @@ object Similarity {
       nprobe: Int = 4,
       scoreDecimals: Int = 4
   ): DataFrame = {
-    val cents = ivfCentroids(corpus, idCol, vecCol, nlist)
+    val corpusNz = dropZeroVectors(corpus, vecCol)
+    val queriesNz = dropZeroVectors(queries, vecCol)
+    val cents = ivfCentroids(corpusNz, idCol, vecCol, nlist)
     def codesOf(df: DataFrame, id: String, cv: String) =
       quantizeInt8(df.select(col(idCol).as(id), col(vecCol)), vecCol, cv, "__s__")
         .select(col(id), col(cv).cast("array<double>").as(cv))
-    val corpusCells = ivfAssign(corpus, cents, idCol, vecCol, "neighbor", keep = 1, scoreDecimals)
+    val corpusCells = ivfAssign(corpusNz, cents, idCol, vecCol, "neighbor", keep = 1, scoreDecimals)
       .select("cent_id", "neighbor_id")
-      .join(codesOf(corpus, "neighbor_id", "__nq__"), Seq("neighbor_id"))
+      .join(codesOf(corpusNz, "neighbor_id", "__nq__"), Seq("neighbor_id"))
       .withColumn("__nn__", norm(col("__nq__")))
-    val queryCells = ivfAssign(queries, cents, idCol, vecCol, "query", keep = nprobe, scoreDecimals)
+    val queryCells = ivfAssign(queriesNz, cents, idCol, vecCol, "query", keep = nprobe, scoreDecimals)
       .select("cent_id", "query_id")
-      .join(broadcast(codesOf(queries, "query_id", "__qq__")), Seq("query_id"))
+      .join(broadcast(codesOf(queriesNz, "query_id", "__qq__")), Seq("query_id"))
       .withColumn("__qn__", norm(col("__qq__")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
     queryCells
@@ -640,19 +660,20 @@ object Similarity {
       persist: Boolean = true
   ): PqModel = {
     import org.apache.spark.storage.StorageLevel
+    val corpusNz = dropZeroVectors(corpus, vecCol)
     // the model frames (nlist + m*ksub rows) persist too in serving
     // mode: the LUT of EVERY search joins the codebook frame, whose
     // lineage is the whole iterative Lloyd training — uncached, each
     // query batch would silently retrain
-    var cents = ivfCentroids(corpus, idCol, vecCol, nlist)
-    var cb = pqCodebooks(corpus, idCol, vecCol, dims, m, ksub, iters, scoreDecimals)
+    var cents = ivfCentroids(corpusNz, idCol, vecCol, nlist)
+    var cb = pqCodebooks(corpusNz, idCol, vecCol, dims, m, ksub, iters, scoreDecimals)
     if (persist) {
       cents = cents.persist(StorageLevel.MEMORY_AND_DISK)
       cb = cb.persist(StorageLevel.MEMORY_AND_DISK)
     }
-    var codes = pqEncode(corpus, cb, idCol, vecCol, dims, m, scoreDecimals)
+    var codes = pqEncode(corpusNz, cb, idCol, vecCol, dims, m, scoreDecimals)
       .withColumnRenamed(idCol, "neighbor_id")
-    var cells = ivfAssign(corpus, cents, idCol, vecCol, "neighbor", keep = 1, scoreDecimals)
+    var cells = ivfAssign(corpusNz, cents, idCol, vecCol, "neighbor", keep = 1, scoreDecimals)
       .select(col("neighbor_id"), col("cent_id"))
     if (persist) {
       codes = codes.persist(StorageLevel.MEMORY_AND_DISK)

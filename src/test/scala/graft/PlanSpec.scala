@@ -214,6 +214,70 @@ class PlanSpec extends SparkSuite {
     SparkEntry.releaseShared()
   }
 
+  /** Count of `Window` physical nodes with an EMPTY partition spec in
+    * a plan string. WindowExec prints the non-empty of
+    * `[exprs], [partitionSpec], [orderSpec]` — so 3 groups is always
+    * partitioned, 1 group (exprs only) is always global, and the
+    * 2-group case is global exactly when the trailing group is an
+    * orderSpec (SortOrder always prints a direction token, partition
+    * expressions never do). Bracket depth is tracked so brackets
+    * nested inside window expressions don't miscount.
+    */
+  private def unpartitionedWindowCount(plan: String): Int =
+    plan.linesIterator.count { line =>
+      val i = line.indexOf("Window [")
+      i >= 0 && !line.substring(0, i).contains("GroupLimit") && {
+        val groups = scala.collection.mutable.ArrayBuffer.empty[StringBuilder]
+        var depth = 0
+        var j = i + "Window ".length
+        while (j < line.length) {
+          val ch = line.charAt(j)
+          if (ch == '[') { if (depth == 0) groups += new StringBuilder; depth += 1 }
+          if (depth > 0) groups.last.append(ch)
+          if (ch == ']') depth -= 1
+          j += 1
+        }
+        val dir = " (ASC|DESC) ".r
+        groups.size == 1 ||
+          (groups.size == 2 && dir.findFirstIn(groups.last.toString).isDefined)
+      }
+    }
+
+  test("unpartitioned-window census: only the known contract-guarded sites run global windows") {
+    // An unpartitioned window funnels ALL rows through one task — a
+    // 100 TB death sentence unless the input is contractually tiny.
+    // The only sanctioned sites (each guarded at the operator):
+    //   - Portfolio.longShortPortfolio (input: one row per
+    //     (byvars, portfolio), asserted structurally) -> q_long_short
+    //   - Sampling's 256-row bucket-offset prefix-sum frames
+    //     (packSequences / shuffleRank, Sampling.scala:179,223) ->
+    //     q_pack, q_shuffle_rank
+    // Anything new failing this census is either a bug or needs its
+    // own documented contract + allowlist entry.
+    val allowed = Set("q_long_short", "q_shuffle_rank", "q_pack")
+    val offenders = allPlans.collect {
+      case (name, Right(plan)) if unpartitionedWindowCount(plan) > 0 => name
+    }.toSet
+    assert(offenders.subsetOf(allowed),
+      s"NEW unpartitioned windows in: ${(offenders -- allowed).toSeq.sorted.mkString(", ")} — " +
+        "a global window funnels everything through one task; partition it or document the contract")
+    // detection self-test: a synthetic global window MUST trip the census
+    val synthetic = spark.range(10).toDF("x")
+      .withColumn("r", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(org.apache.spark.sql.functions.col("x"))))
+      .queryExecution.executedPlan.toString
+    assert(unpartitionedWindowCount(synthetic) == 1,
+      s"census failed to detect a synthetic global window:\n$synthetic")
+    // and a partitioned window must NOT
+    val part = spark.range(10).toDF("x")
+      .withColumn("r", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(org.apache.spark.sql.functions.col("x"))
+          .orderBy(org.apache.spark.sql.functions.col("x"))))
+      .queryExecution.executedPlan.toString
+    assert(unpartitionedWindowCount(part) == 0,
+      s"census false-positives on a partitioned window:\n$part")
+  }
+
   test("long_short's single-partition window sees only the post-aggregation frame") {
     // longShortPortfolio funnels through an unpartitioned window BY
     // CONTRACT (input = one row per (byvars, portfolio)); this pins
