@@ -977,6 +977,11 @@ QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, df ASC, word AS
 
     "q_minhash_candidates" -> minhashSql,
 
+    // incremental dedup parity: batch-A-store + batch-B == one shot.
+    // The oracle is deliberately the SAME full-corpus minhash replay —
+    // the engine's store round-trip must be invisible in the result
+    "q_dedup_incremental" -> minhashSql,
+
     "q_simhash" -> simhashSql,
 
     // Jaccard verified on LSH candidate pairs only — mirrors the

@@ -635,6 +635,28 @@ object SparkEntry {
       deferCleanup(cleanup)
       out
     }),
+    "q_dedup_incremental" -> ((s, dir) => {
+      // the rolling-crawl shape: batch A's fingerprints go through
+      // the PERSISTED parquet store (never re-tokenized), batch B is
+      // MinHashed fresh and joined against the store — and the result
+      // must equal the one-shot minhash candidates over A ∪ B bit for
+      // bit (the oracle is the plain full-corpus minhash CTE), which
+      // pins the store round-trip, the union, and the combined-size
+      // hot-bucket cap all at once
+      val d = t(s, dir, "documents")
+      val batchA = d.where(col("doc_id") % 2 === 0)
+      val batchB = d.where(col("doc_id") % 2 =!= 0)
+      val path = new java.io.File(
+        s"target/graft-sink/${new java.io.File(dir).getName}/minhash_store").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      graft.pipeline.IncrementalDedup.writeBatchFingerprints(
+        batchA, "doc_id", "text", path, batchLabel = "a")
+      val store = graft.pipeline.IncrementalDedup.readStore(s, path, "doc_id")
+      val (out, cleanup) = graft.pipeline.IncrementalDedup.candidatesWithStoreCleanup(
+        store, batchB, "doc_id", "text", newPairsOnly = false)
+      deferCleanup(cleanup)
+      out
+    }),
     "q_simhash" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       d.select(col("doc_id"),

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, IncrementalDedup}
+
+/** Incremental dedup vs the persisted fingerprint store: the
+  * decomposition contracts that make batch processing equal one-shot
+  * processing (the q_dedup_incremental oracle pins full parity; these
+  * pin the production `newPairsOnly` mode and store maintenance).
+  */
+class IncrementalDedupSpec extends SparkSuite {
+
+  private def docs: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  private def pairsSet(df: DataFrame): Set[(Long, Long, Long)] =
+    df.select("id_a", "id_b", "n_band_matches").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  private lazy val oneShot: Set[(Long, Long, Long)] = {
+    val (out, cleanup) = Dedup.minhashCandidatesWithCleanup(docs, "doc_id", "text")
+    val s = pairsSet(out); cleanup(); s
+  }
+
+  private def tempStore(name: String): String = {
+    val path = java.nio.file.Files.createTempDirectory(s"graft-incr-$name").toString
+    path
+  }
+
+  test("full mode reproduces the one-shot candidates through the store round-trip") {
+    val store = tempStore("full")
+    val a = docs.where(col("doc_id") % 2 === 0)
+    val b = docs.where(col("doc_id") % 2 =!= 0)
+    IncrementalDedup.writeBatchFingerprints(a, "doc_id", "text", store, "a")
+    val (out, cleanup) = IncrementalDedup.candidatesWithStoreCleanup(
+      IncrementalDedup.readStore(spark, store, "doc_id"), b, "doc_id", "text",
+      newPairsOnly = false)
+    val got = pairsSet(out); cleanup()
+    assert(got == oneShot, s"store+batch != one-shot: ${(got diff oneShot).take(3)} extra, ${(oneShot diff got).take(3)} missing")
+  }
+
+  test("newPairsOnly = one-shot minus the store-internal pairs, exactly") {
+    val store = tempStore("newonly")
+    val a = docs.where(col("doc_id") % 2 === 0)
+    val b = docs.where(col("doc_id") % 2 =!= 0)
+    IncrementalDedup.writeBatchFingerprints(a, "doc_id", "text", store, "a")
+    val (out, cleanup) = IncrementalDedup.candidatesWithStoreCleanup(
+      IncrementalDedup.readStore(spark, store, "doc_id"), b, "doc_id", "text",
+      newPairsOnly = true)
+    val got = pairsSet(out); cleanup()
+    // A-internal pairs (both ids even) were batch A's output; every
+    // pair touching batch B must appear, with identical band counts
+    val expected = oneShot.filterNot { case (ia, ib, _) => ia % 2 == 0 && ib % 2 == 0 }
+    assert(got == expected,
+      s"newPairsOnly drift: ${(got diff expected).take(3)} extra, ${(expected diff got).take(3)} missing")
+    assert(expected.nonEmpty, "corpus must actually produce cross/new pairs for this pin to bite")
+  }
+
+  test("three-batch chaining via processBatch converges to the same pair universe") {
+    val store = tempStore("chain")
+    val parts = (0 until 3).map(i => docs.where(col("doc_id") % 3 === i))
+    var all = Set.empty[(Long, Long, Long)]
+    parts.zipWithIndex.foreach { case (batch, i) =>
+      val (out, cleanup) = IncrementalDedup.processBatch(
+        spark, batch, "doc_id", "text", store, batchLabel = s"b$i")
+      all ++= pairsSet(out); cleanup()
+    }
+    assert(all == oneShot,
+      s"chained batches != one-shot: ${(all diff oneShot).take(3)} extra, ${(oneShot diff all).take(3)} missing")
+  }
+
+  test("re-writing a batch label is idempotent: store content unchanged") {
+    val store = tempStore("idem")
+    val a = docs.where(col("doc_id") % 2 === 0)
+    IncrementalDedup.writeBatchFingerprints(a, "doc_id", "text", store, "a")
+    val first = IncrementalDedup.readStore(spark, store, "doc_id")
+      .collect().map(_.toString).sorted
+    IncrementalDedup.writeBatchFingerprints(a, "doc_id", "text", store, "a")
+    val second = IncrementalDedup.readStore(spark, store, "doc_id")
+      .collect().map(_.toString).sorted
+    assert(first.sameElements(second), "batch re-run must replace, not duplicate, its fingerprints")
+  }
+}
