@@ -88,4 +88,90 @@ object Sink {
     */
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Small-file maintenance for a [[writePartitioned]] layout: every
+    * partition whose parquet file count exceeds `targetFiles` is
+    * rewritten down to at most `targetFiles` files (same content,
+    * `sortCols` in-file order restored), all other partitions are
+    * left byte-for-byte untouched. Returns the relative paths of the
+    * partitions it rewrote.
+    *
+    * This is the aging pass a long-lived incremental sink needs:
+    * dynamic partition overwrite keeps RE-RUNS clean, but a partition
+    * that keeps RECEIVING small appends (hourly crawl batches into a
+    * daily partition) accretes files until open/seek overhead — not
+    * bytes — dominates scan cost. Compaction touches only the
+    * overfull partitions, so its cost is proportional to the data
+    * actually fragmented, never to the table.
+    *
+    * Mechanics: overfull leaf directories are discovered with one
+    * driver-side listing (cheap by the low-cardinality partition
+    * contract), their rows are read with the root as `basePath` (so
+    * partition values survive), rewritten through the same
+    * deterministic placement as [[writePartitioned]] into a hidden
+    * staging dir under the root (dot-prefixed — invisible to any
+    * concurrent reader), and swapped in with per-partition
+    * delete + rename. Readers racing the swap see either the old or
+    * the new file set, both of which hold the full partition content.
+    * Writing in place instead would trip Spark's
+    * cannot-overwrite-a-read-path guard and, worse, delete inputs
+    * before outputs commit.
+    */
+  def compactPartitions(
+      spark: SparkSession,
+      path: String,
+      partitionCols: Seq[String],
+      sortCols: Seq[String] = Nil,
+      targetFiles: Int = 1,
+      maxRecordsPerFile: Long = 0L
+  ): Seq[String] = {
+    require(partitionCols.nonEmpty, "partitionCols must be non-empty")
+    require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // qualified so relativization below works: listStatus returns
+    // scheme-qualified paths, and a string-prefix mismatch would make
+    // the staging path silently resolve back to the source partition
+    val root = fs.makeQualified(new Path(path))
+    if (!fs.exists(root)) return Nil
+
+    def isHidden(p: Path): Boolean =
+      p.getName.startsWith("_") || p.getName.startsWith(".")
+    // leaf partition dirs sit exactly partitionCols.length below root
+    def leaves(dir: Path, depth: Int): Seq[Path] =
+      if (depth == 0) Seq(dir)
+      else fs.listStatus(dir).toSeq
+        .filter(st => st.isDirectory && !isHidden(st.getPath))
+        .flatMap(st => leaves(st.getPath, depth - 1))
+    def dataFiles(dir: Path): Seq[Path] =
+      fs.listStatus(dir).toSeq
+        .filter(st => st.isFile && !isHidden(st.getPath) && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath)
+
+    val overfull = leaves(root, partitionCols.length)
+      .filter(d => dataFiles(d).size > targetFiles)
+    if (overfull.isEmpty) return Nil
+
+    val staging = new Path(root, s".compact-${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      val rows = spark.read.option("basePath", path)
+        .parquet(overfull.map(_.toString): _*)
+      writePartitioned(rows, staging.toString, partitionCols, sortCols,
+        maxRecordsPerFile, filesPerPartition = targetFiles)
+      overfull.map { dir =>
+        val rel = root.toUri.relativize(dir.toUri).getPath.stripSuffix("/")
+        require(rel.nonEmpty && !rel.startsWith("/") && !rel.contains(":"),
+          s"partition dir $dir did not relativize under $root (got '$rel')")
+        val stagedDir = new Path(staging, rel)
+        val staged = dataFiles(stagedDir)
+        require(staged.nonEmpty, s"compaction produced no files for $rel")
+        dataFiles(dir).foreach(f => fs.delete(f, false))
+        staged.foreach(f => fs.rename(f, new Path(dir, f.getName)))
+        rel
+      }
+    } finally {
+      fs.delete(staging, true)
+      ()
+    }
+  }
 }

@@ -97,6 +97,58 @@ class SinkSpec extends SparkSuite {
       "an untouched partition was clobbered by the partial re-run")
   }
 
+  test("compaction rewrites only overfull partitions down to the target, content intact") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val out = tmp()
+    // fragment: salt each lang partition across 4 files
+    Sink.writePartitioned(d, out.toString, Seq("lang"),
+      sortCols = Seq("doc_id"), filesPerPartition = 4)
+    val before = layout(out)
+    assert(before.values.exists(_ > 1), "fixture must start fragmented")
+    val content = Sink.readPartitioned(spark, out.toString)
+      .select(d.columns.map(col).toSeq: _*)
+    val beforeHash = content.orderBy(col("doc_id")).collect().map(_.toString).mkString("\n")
+
+    val compacted = Sink.compactPartitions(
+      spark, out.toString, Seq("lang"), sortCols = Seq("doc_id"), targetFiles = 1)
+    assert(compacted.nonEmpty, "fragmented partitions must be reported as compacted")
+    val after = layout(out)
+    assert(after.values.forall(_ <= 1), s"file counts above target after compaction: $after")
+    val afterHash = Sink.readPartitioned(spark, out.toString)
+      .select(d.columns.map(col).toSeq: _*)
+      .orderBy(col("doc_id")).collect().map(_.toString).mkString("\n")
+    assert(afterHash == beforeHash, "compaction must not change dataset content")
+    // already-compact layout: second pass is a no-op
+    assert(Sink.compactPartitions(spark, out.toString, Seq("lang"),
+      sortCols = Seq("doc_id"), targetFiles = 1).isEmpty,
+      "compaction of a compact layout must be a no-op")
+    // no staging residue
+    assert(layout(out).keySet.forall(k => !k.contains(".compact-")),
+      "staging directory must be cleaned up")
+  }
+
+  test("compaction leaves partitions at-or-under the target byte-for-byte untouched") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val out = tmp()
+    Sink.writePartitioned(d, out.toString, Seq("lang"), sortCols = Seq("doc_id"))
+    // fragment ONE partition by re-writing just its rows salted
+    val hot = d.where(col("lang") === "en")
+    Sink.writePartitioned(hot, out.toString, Seq("lang"),
+      sortCols = Seq("doc_id"), filesPerPartition = 4)
+    import java.nio.file.Files
+    val untouched = Files.walk(out).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && !p.toString.contains("lang=en"))
+      .map(p => p.toString -> Files.getLastModifiedTime(p))
+      .toMap
+    val compacted = Sink.compactPartitions(
+      spark, out.toString, Seq("lang"), sortCols = Seq("doc_id"), targetFiles = 1)
+    assert(compacted == Seq("lang=en"), s"only the fragmented partition may be rewritten: $compacted")
+    untouched.foreach { case (p, mtime) =>
+      assert(Files.getLastModifiedTime(java.nio.file.Paths.get(p)) == mtime,
+        s"compaction touched a compact partition's file: $p")
+    }
+  }
+
   test("partition-value filters prune the re-read to the matching directories") {
     val d = spark.read.parquet(s"$dir/documents.parquet")
     val out = tmp()
