@@ -410,16 +410,26 @@ SELECT query_id, neighbor_id, score, "rank" FROM r WHERE "rank" <= $k"""
     * (1 - damping) subtraction is left to the engine on BOTH sides so
     * the IEEE result is identical by construction.
     */
-  private def pageRankSql(iters: Int, damping: Double, decimals: Int): String = {
+  private def pageRankSql(iters: Int, damping: Double, decimals: Int): String =
+    pageRankSqlOver(
+      """s AS (SELECT i FROM range(0, 100) t(i) WHERE i % 10 <> 7),
+e AS (SELECT CAST(i AS VARCHAR) AS src, CAST((i * 3 + 1) % 100 AS VARCHAR) AS dst FROM s
+UNION ALL SELECT CAST(i AS VARCHAR), CAST((i * 7 + 2) % 100 AS VARCHAR) FROM s)""",
+      iters, damping, decimals)
+
+  /** [[pageRankSql]] generalized over a caller-supplied CTE block
+    * that must define `e(src, dst)` — the same power iteration then
+    * replays over any fixture graph (page-level, host-level).
+    */
+  private def pageRankSqlOver(edgesCtes: String, iters: Int, damping: Double,
+                              decimals: Int): String = {
     val rounds = (1 to iters).map { t =>
       s"""d$t AS (SELECT coalesce(sum(rank), 0.0) AS dm FROM r${t - 1} WHERE deg = 0),
 c$t AS (SELECT e.dst AS node, sum(r.rank / r.deg) AS inp FROM e JOIN r${t - 1} r ON r.node = e.src GROUP BY 1),
 r$t AS (SELECT b.node, b.deg, round((1 - $damping) / n.n + $damping * (coalesce(c.inp, 0.0) + d.dm / n.n), $decimals) AS rank
 FROM base b CROSS JOIN n CROSS JOIN d$t d LEFT JOIN c$t c ON b.node = c.node)"""
     }.mkString(",\n")
-    s"""WITH s AS (SELECT i FROM range(0, 100) t(i) WHERE i % 10 <> 7),
-e AS (SELECT CAST(i AS VARCHAR) AS src, CAST((i * 3 + 1) % 100 AS VARCHAR) AS dst FROM s
-UNION ALL SELECT CAST(i AS VARCHAR), CAST((i * 7 + 2) % 100 AS VARCHAR) FROM s),
+    s"""WITH $edgesCtes,
 nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e) t2),
 deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
 base AS (SELECT nodes.node, coalesce(deg.deg, 0) AS deg FROM nodes LEFT JOIN deg USING (node)),
@@ -427,6 +437,49 @@ n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM base),
 r0 AS (SELECT b.node, b.deg, round(1.0 / n.n, $decimals) AS rank FROM base b CROSS JOIN n),
 $rounds
 SELECT node, rank FROM r$iters"""
+  }
+
+  /** Host-graph PageRank: the q_pagerank fixture pages re-labeled
+    * with URLs on 12 hosts, collapsed to the distinct inter-host edge
+    * list (Graph.hostEdges), then the same unrolled power iteration.
+    */
+  private def pageRankHostSql(iters: Int, damping: Double, decimals: Int): String =
+    pageRankSqlOver(
+      """s AS (SELECT i FROM range(0, 100) t(i) WHERE i % 10 <> 7),
+hp AS (SELECT i % 12 AS hs, ((i * 3 + 1) % 100) % 12 AS hd FROM s
+UNION ALL SELECT i % 12, ((i * 7 + 2) % 100) % 12 FROM s),
+e AS (SELECT DISTINCT 'host' || CAST(hs AS VARCHAR) || '.example.com' AS src,
+'host' || CAST(hd AS VARCHAR) || '.example.com' AS dst FROM hp WHERE hs <> hd)""",
+      iters, damping, decimals)
+
+  /** Unrolled-CTE replay of TextAnalysis.logisticQualityScores: the
+    * 3-feature frame, `steps` full-batch GD steps from w=0 with the
+    * per-step gradient rounded to `gradDecimals` (lr 1.0 so the
+    * update is an exact subtraction), then the fitted sigmoid scores.
+    * Feature arithmetic and the margin's association order mirror the
+    * engine expression tree term for term, so the IEEE trajectory is
+    * identical by construction.
+    */
+  private def logisticFitSql(steps: Int, gradDecimals: Int, scoreDecimals: Int): String = {
+    val rounds = (1 to steps).map { t =>
+      s"""s$t AS (SELECT min(q.b) - round(avg(q.p - q.y), $gradDecimals) AS b,
+min(q.w1) - round(avg((q.p - q.y) * q.x1), $gradDecimals) AS w1,
+min(q.w2) - round(avg((q.p - q.y) * q.x2), $gradDecimals) AS w2,
+min(q.w3) - round(avg((q.p - q.y) * q.x3), $gradDecimals) AS w3
+FROM (SELECT f.*, w.b, w.w1, w.w2, w.w3,
+1.0 / (1.0 + exp(-(w.b + f.x1 * w.w1 + f.x2 * w.w2 + f.x3 * w.w3))) AS p
+FROM f CROSS JOIN s${t - 1} w) q)"""
+    }.mkString(",\n")
+    s"""WITH f AS (SELECT doc_id,
+len(ws) / 100.0 AS x1,
+length(text) / 300.0 AS x2,
+CASE WHEN len(ws) = 0 THEN 0.0 ELSE len(list_filter(ws, w -> w IN ('the', 'a'))) / CAST(len(ws) AS DOUBLE) END AS x3,
+CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+FROM (SELECT doc_id, text, lang, list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents) t0),
+s0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+$rounds
+SELECT f.doc_id, round(1.0 / (1.0 + exp(-(w.b + f.x1 * w.w1 + f.x2 * w.w2 + f.x3 * w.w3))), $scoreDecimals) AS score
+FROM f CROSS JOIN s$steps w"""
   }
 
   /** Lloyd k-means mirroring Similarity.kmeansCentroids +
@@ -491,6 +544,8 @@ FROM (SELECT doc_id FROM documents WHERE doc_id % 37 <> 0) d LEFT JOIN sc ON d.d
     "q_kmeans" -> kmeansSql(k = 8, iters = 2, dims = 64),
     "q_ann_pq" -> pqSql(k = 5, dims = 64, m = 4, ksub = 8, iters = 1, nlist = 16, nprobe = 4),
     "q_pagerank" -> pageRankSql(iters = 3, damping = 0.85, decimals = 6),
+    "q_pagerank_host" -> pageRankHostSql(iters = 3, damping = 0.85, decimals = 6),
+    "q_quality_fit" -> logisticFitSql(steps = 5, gradDecimals = 9, scoreDecimals = 6),
     "q_dsir" -> dsirSql(buckets = 256),
     "q_groupby_merge_max" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,

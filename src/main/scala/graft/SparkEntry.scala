@@ -924,6 +924,16 @@ object SparkEntry {
       val weights = Array.tabulate(64)(b => ((b * 37 + 11) % 201 - 100) / 100.0)
       TextAnalysis.scoreLinearModel(d, "doc_id", "text", weights, bias = 0.1)
     }),
+    "q_quality_fit" -> ((s, dir) => {
+      // TRAIN the quality classifier in-engine and score with it:
+      // 5 full-batch GD steps (one distributed moment-agg each, the
+      // RegBy recipe) against a weak "is English" label, per-step
+      // gradients rounded so the oracle replays the exact trajectory
+      // with unrolled CTEs, then fitted sigmoid scores for every doc
+      val d = t(s, dir, "documents")
+      TextAnalysis.logisticQualityScores(
+        d, "doc_id", "text", label = col("lang") === "en", steps = 5)
+    }),
     "q_html_text" -> ((s, dir) => {
       // HTML -> visible text: style/script/comment blocks dropped
       // whole (the script body even contains < and > operators),
@@ -1090,6 +1100,22 @@ object SparkEntry {
       val e = src.select(col("id").as("src"), ((col("id") * 3 + 1) % 100).as("dst"))
         .unionByName(src.select(col("id").as("src"), ((col("id") * 7 + 2) % 100).as("dst")))
       val (out, cleanup) = Graph.pageRankWithCleanup(e, "src", "dst", iters = 3)
+      deferCleanup(cleanup)
+      out
+    }),
+    "q_pagerank_host" -> ((s, dir) => {
+      // domain-level centrality: the same fixture pages labeled with
+      // URLs on 12 hosts (mixed case + www. to exercise host
+      // canonicalization), collapsed to the distinct inter-host edge
+      // list, then the same power iteration — the crawl-prioritizer's
+      // which-DOMAINS-matter view
+      val src = s.range(0, 100).where(col("id") % 10 =!= 7)
+      def url(c: Column): Column =
+        concat(lit("https://WWW.Host"), c % 12, lit(".example.com/p/"), c)
+      val e = src.select(url(col("id")).as("src_url"), url((col("id") * 3 + 1) % 100).as("dst_url"))
+        .unionByName(src.select(url(col("id")).as("src_url"), url((col("id") * 7 + 2) % 100).as("dst_url")))
+      val (out, cleanup) = Graph.pageRankWithCleanup(
+        Graph.hostEdges(e, "src_url", "dst_url"), "host_src", "host_dst", iters = 3)
       deferCleanup(cleanup)
       out
     }),

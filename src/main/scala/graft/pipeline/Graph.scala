@@ -104,4 +104,27 @@ object Graph {
     (ranks.select(col("node"), col("rank")),
       () => { e.unpersist(); base.unpersist(); releaseRanks() })
   }
+
+  /** Collapse a URL-level edge list to the HOST graph: both endpoints
+    * map through [[UrlOps.urlHost]], intra-host edges (the vast
+    * majority of a real crawl's links — nav bars, pagination) drop,
+    * and parallel edges dedup to one `(host_src, host_dst)` pair.
+    * Feeding the result to [[pageRank]] gives domain-level centrality
+    * — the crawl-prioritization view (which DOMAINS matter) rather
+    * than the page view.
+    *
+    * Scale shape: the host map is per-row codegen'd expressions that
+    * pipeline with the scan; the only shuffle is the distinct on the
+    * collapsed pairs, whose cardinality is |hosts|² -bounded and in
+    * practice orders of magnitude below the URL edge count — the
+    * whole point of aggregating before iterating.
+    */
+  def hostEdges(edges: DataFrame, srcUrlCol: String, dstUrlCol: String): DataFrame =
+    edges
+      .select(
+        UrlOps.urlHost(col(srcUrlCol)).as("host_src"),
+        UrlOps.urlHost(col(dstUrlCol)).as("host_dst"))
+      .where(col("host_src") =!= "" && col("host_dst") =!= "" &&
+        col("host_src") =!= col("host_dst"))
+      .distinct()
 }

@@ -707,4 +707,89 @@ object TextAnalysis {
         round(lit(1.0) / (lit(1.0) + exp(-(lit(bias) + coalesce(col("__s__"), lit(0.0))))),
           scoreDecimals).as("score"))
   }
+
+  /** Full-batch logistic-regression TRAINING in-engine — the other
+    * half of [[scoreLinearModel]]'s inference: fit the quality
+    * classifier on the corpus itself instead of importing weights.
+    * Plain gradient descent from w=0, each step ONE distributed
+    * aggregation (map-side-combined partial sums of the d+1 gradient
+    * moments — the [[graft.operators.RegBy]] moment recipe) followed
+    * by a d+1-double driver update: exactly the treeAggregate shape
+    * every distributed LR trainer uses, with no per-row driver
+    * traffic. The feature frame is persisted across steps so `steps`
+    * epochs cost `steps` cached scans, not `steps` source scans.
+    *
+    * Each step's averaged gradient rounds to `gradDecimals` (the
+    * kmeans/PageRank recipe), so with a finite-decimal `lr` the
+    * weight trajectory is bit-portable across engines and an oracle
+    * can replay the fit with unrolled CTEs.
+    *
+    * Returns bias +: weights (length `featureCols.size + 1`).
+    */
+  def fitLogistic(
+      features: DataFrame,
+      featureCols: Seq[String],
+      labelCol: String,
+      steps: Int,
+      lr: Double = 1.0,
+      gradDecimals: Int = 9
+  ): Seq[Double] = {
+    require(steps >= 0, s"steps must be >= 0, got $steps")
+    require(featureCols.nonEmpty, "featureCols must be non-empty")
+    var w = Array.fill(featureCols.length + 1)(0.0)
+    val cached = features.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      for (_ <- 1 to steps) {
+        val margin = featureCols.zipWithIndex
+          .foldLeft(lit(w(0)): Column) { case (m, (c, i)) => m + col(c) * lit(w(i + 1)) }
+        val err = lit(1.0) / (lit(1.0) + exp(-margin)) - col(labelCol)
+        val aggCols = (err +: featureCols.map(c => err * col(c))).zipWithIndex
+          .map { case (g, i) => round(avg(g), gradDecimals).as(s"__g${i}__") }
+        val grad = cached.agg(aggCols.head, aggCols.tail: _*).head()
+        w = Array.tabulate(w.length)(i => w(i) - lr * grad.getDouble(i))
+      }
+    } finally cached.unpersist()
+    w.toSeq
+  }
+
+  /** Fit-then-score composition over a document frame: train a
+    * 3-feature logistic quality model (token count, char count,
+    * stopword-ratio — each scaled to O(1)) against a caller-supplied
+    * boolean `label` column expression, then score every document
+    * with the fitted weights. Output: (idCol, score) with the score
+    * rounded to `scoreDecimals`.
+    *
+    * The label is whatever weak supervision the pipeline has —
+    * "looks like English", "came from a curated source", a prior
+    * classifier's verdict. Features are pure codegen'd expressions;
+    * training is [[fitLogistic]]'s steps × one-aggregation loop;
+    * scoring pipelines with the scan. Zero-token documents take
+    * stopword ratio 0 rather than NaN-poisoning the gradient.
+    */
+  def logisticQualityScores(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      label: Column,
+      steps: Int = 5,
+      lr: Double = 1.0,
+      scoreDecimals: Int = 6
+  ): DataFrame = {
+    val ws = filter(split(col(textCol), " "), w => w =!= "")
+    val nW = size(ws).cast("double")
+    val feats = df.select(
+      col(idCol),
+      (nW / lit(100.0)).as("__xw__"),
+      (length(col(textCol)).cast("double") / lit(300.0)).as("__xc__"),
+      when(nW === 0, lit(0.0))
+        .otherwise(size(filter(ws, w => w.isin(defaultStopwords.take(2): _*)))
+          .cast("double") / nW).as("__xs__"),
+      when(label, lit(1.0)).otherwise(lit(0.0)).as("__y__"))
+    val w = fitLogistic(feats, Seq("__xw__", "__xc__", "__xs__"), "__y__", steps, lr)
+    val margin = lit(w(0)) + col("__xw__") * lit(w(1)) +
+      col("__xc__") * lit(w(2)) + col("__xs__") * lit(w(3))
+    feats.select(
+      col(idCol),
+      round(lit(1.0) / (lit(1.0) + exp(-margin)), scoreDecimals).as("score"))
+  }
 }

@@ -62,6 +62,24 @@ object UrlOps {
   def withCanonicalUrl(df: DataFrame, urlCol: String): DataFrame =
     df.withColumn("url_canon", urlCanonical(col(urlCol)))
 
+  /** The canonical HOST of a URL column (the [[urlCanonical]] host
+    * rules alone: lowercase, default port stripped, `www.` prefix
+    * dropped) — the grouping key for host-level aggregation (per-host
+    * crawl budgets, [[Graph.hostEdges]] domain centrality). Strings
+    * without a `scheme://` yield the empty string: poison rows
+    * degrade, never throw.
+    */
+  def urlHost(u: Column): Column = {
+    val noFrag = regexp_replace(trim(u), "#.*", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostLower = lower(regexp_extract(rest, "^([^/?]*)", 1))
+    val hostNoPort = when(scheme === "http", regexp_replace(hostLower, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostLower, ":443$", ""))
+      .otherwise(hostLower)
+    when(scheme === "", lit("")).otherwise(regexp_replace(hostNoPort, "^www\\.", ""))
+  }
+
   // ---- outlink extraction (the web-graph primitive) ---------------
 
   private val baseRe = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*).*$".r

@@ -2224,4 +2224,79 @@ class PipelineSpec extends SparkSuite {
       Multimodal.decodeGifPixels(bad)
     }
   }
+
+  // ---- urlHost / hostEdges (domain-level graph) --------------------
+
+  test("urlHost canonicalizes case, www., default ports; schemeless -> empty") {
+    val s = spark; import s.implicits._
+    val out = Seq(
+      "https://WWW.Example.COM/path?q=1#frag",
+      "http://example.com:80/a",
+      "https://example.com:443/",
+      "http://example.com:8080/a", // non-default port KEPT
+      "https://sub.example.com/x",
+      "not a url",
+      "/relative/only").toDF("u")
+      .select(graft.pipeline.UrlOps.urlHost(col("u")).as("h"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("example.com", "example.com", "example.com",
+      "example.com:8080", "sub.example.com", "", ""))
+  }
+
+  test("hostEdges collapses to distinct inter-host pairs, drops intra-host and unparseable") {
+    val s = spark; import s.implicits._
+    val e = Seq(
+      ("https://a.com/1", "https://B.COM/x"),
+      ("https://WWW.a.com/2", "https://b.com/y"), // same host pair after canon
+      ("https://a.com/3", "https://a.com/4"), // intra-host: dropped
+      ("garbage", "https://b.com/z") // unparseable src: dropped
+    ).toDF("src_url", "dst_url")
+    val out = graft.pipeline.Graph.hostEdges(e, "src_url", "dst_url")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(out == Seq(("a.com", "b.com")))
+  }
+
+  // ---- in-engine logistic-regression training ----------------------
+
+  test("fitLogistic: one GD step from w=0 matches the hand-computed gradient") {
+    val s = spark; import s.implicits._
+    // At w=0 every prediction is 0.5, so grad_b = avg(0.5 - y) and
+    // grad_j = avg((0.5 - y) * x_j).
+    val f = Seq((1.0, 1.0), (2.0, 1.0), (-1.0, 0.0), (-2.0, 0.0))
+      .toDF("x", "y")
+    val w = TextAnalysis.fitLogistic(f, Seq("x"), "y", steps = 1, lr = 1.0)
+    assert(w.size == 2)
+    assert(math.abs(w(0) - 0.0) < 1e-12) // avg(0.5-y) = 0 (balanced)
+    // avg((0.5-y)*x) = ((-0.5)(1) + (-0.5)(2) + (0.5)(-1) + (0.5)(-2)) / 4 = -0.75
+    assert(math.abs(w(1) - 0.75) < 1e-12) // w1 = 0 - 1.0 * (-0.75)
+  }
+
+  test("fitLogistic separates a linearly separable frame; steps=0 returns zeros") {
+    val s = spark; import s.implicits._
+    val f = Seq((1.5, 1.0), (2.5, 1.0), (3.0, 1.0), (-1.5, 0.0), (-2.0, 0.0), (-3.5, 0.0))
+      .toDF("x", "y")
+    val w0 = TextAnalysis.fitLogistic(f, Seq("x"), "y", steps = 0)
+    assert(w0 == Seq(0.0, 0.0))
+    val w = TextAnalysis.fitLogistic(f, Seq("x"), "y", steps = 10)
+    assert(w(1) > 0.5) // positive slope separates the classes
+    // determinism: same inputs, same trajectory, bit-identical
+    assert(TextAnalysis.fitLogistic(f, Seq("x"), "y", steps = 10) == w)
+  }
+
+  test("logisticQualityScores: fitted scores track the weak label") {
+    val s = spark; import s.implicits._
+    val d = Seq(
+      (1L, "the cat sat on the mat with the hat", "en"),
+      (2L, "the dog ran to the park with the ball", "en"),
+      (3L, "xyzzy plugh quux frobozz", "zz"),
+      (4L, "blorp glorp snorp", "zz"),
+      (5L, "the bird flew over the lake near the hill", "en"),
+      (6L, "wibble wobble wubble flob", "zz")).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.logisticQualityScores(
+      d, "doc_id", "text", label = col("lang") === "en", steps = 25)
+    val m = out.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val en = Seq(1L, 2L, 5L).map(m); val zz = Seq(3L, 4L, 6L).map(m)
+    assert(en.min > zz.max, s"en=$en zz=$zz")
+    assert(out.columns.toSeq == Seq("doc_id", "score"))
+  }
 }
