@@ -10,6 +10,23 @@ object Bench {
     (beans.map(_.getCollectionTime).sum, beans.map(_.getCollectionCount).sum)
   }
 
+  /** Fully materialize a query's OUTPUT, not just its row count.
+    * `df.count()` lets Catalyst prune everything the row count does
+    * not depend on — an unused-output broadcast join (and the whole
+    * aggregation feeding it) is optimized AWAY, so q_portfolio_by /
+    * q_winsorize_* style queries measured a fraction of their real
+    * work (discovered in the r11 sf1 scale runs: 0.5 s "benched" vs
+    * ~10 s actually computing cuts). `toRdd.count()` executes the
+    * physical plan with the query's full schema required — every
+    * UnsafeRow is produced with all columns — while still shipping
+    * nothing to the driver. This is what the driver's Verify pass
+    * (parquet write) pays, so bench and correctness now measure the
+    * same plan.
+    */
+  private def materialize(df: org.apache.spark.sql.DataFrame): Unit = {
+    df.queryExecution.toRdd.count(); ()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -33,7 +50,7 @@ object Bench {
     // One warm-up run of the first query absorbs JVM/codegen start-up
     // cost so per-query numbers reflect execution, not class loading.
     SparkEntry.queries.headOption.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
       finally SparkEntry.runPendingCleanups()
     }
     // optional args = query names to run (default: all)
@@ -62,7 +79,7 @@ object Bench {
       val t0 = System.nanoTime()
       // a crashing query must NOT masquerade as a fast one: record -1
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        try { materialize(fn(spark, sfDir)); true }
         catch {
           case e: Throwable =>
             if (logError) errors += s"$name: ${e.getClass.getSimpleName}"

@@ -75,8 +75,10 @@ object SparkEntry {
   private def portfolioAveragesFrame(s: SparkSession, dir: String): DataFrame =
     sharedFrame(s"pavg:$dir") {
       val li = t(s, dir, "lineitem")
-      (Portfolio.portfolioAverages(li, "l_extendedprice", Seq("l_quantity"),
-        ngroups = 5, byvars = Seq("l_returnflag")), () => ())
+      val (avgs, _, cleanup) = Portfolio.portfolioAveragesDetailCleanup(
+        li, "l_extendedprice", Seq("l_quantity"),
+        ngroups = 5, byvars = Seq("l_returnflag"))
+      (avgs, cleanup)
     }
 
   /** (doc_id, n_overlap) of corpus docs (doc_id % 37 <> 0) sharing
@@ -191,21 +193,27 @@ object SparkEntry {
     // ---- §2.7 winsorize / portfolio ------------------------------
     "q_winsorize_by" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
-      Winsorize.winsorize(li, (0.05, 0.05), Seq("l_extendedprice"), Seq("l_returnflag"))
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-          round(col("l_extendedprice"), 4).as("price_w"))
+      val (w, cleanup) =
+        Winsorize.winsorizeWithCleanup(li, (0.05, 0.05), Seq("l_extendedprice"), Seq("l_returnflag"))
+      deferCleanup(cleanup)
+      w.select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        round(col("l_extendedprice"), 4).as("price_w"))
     }),
     "q_winsorize_all" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-      Winsorize.winsorize(li, (0.01, 0.01), Seq("l_quantity", "l_extendedprice"), Nil)
-        .select(col("l_orderkey"), col("l_linenumber"),
-          round(col("l_quantity"), 6).as("qty_w"),
-          round(col("l_extendedprice"), 4).as("price_w"))
+      val (w, cleanup) =
+        Winsorize.winsorizeWithCleanup(li, (0.01, 0.01), Seq("l_quantity", "l_extendedprice"), Nil)
+      deferCleanup(cleanup)
+      w.select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_quantity"), 6).as("qty_w"),
+        round(col("l_extendedprice"), 4).as("price_w"))
     }),
     "q_portfolio_by" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
-      Portfolio.portfolio(li, "l_extendedprice", ngroups = 5, byvars = Seq("l_returnflag"))
-        .select("l_orderkey", "l_linenumber", "l_returnflag", "portfolio")
+      val (p, cleanup) =
+        Portfolio.portfolioWithCleanup(li, "l_extendedprice", ngroups = 5, byvars = Seq("l_returnflag"))
+      deferCleanup(cleanup)
+      p.select("l_orderkey", "l_linenumber", "l_returnflag", "portfolio")
     }),
     "q_portfolio_hard" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")

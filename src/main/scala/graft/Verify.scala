@@ -22,6 +22,11 @@ object Verify {
       // convert in SparkEntry.eventsTable
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // correctness must gate the SCALE path: force the distributed
+      // exact-percentile plan (size-adaptive default would route the
+      // small correctness SFs to the builtin aggregate, leaving the
+      // 100TB-shaped plan oracle-untested)
+      .config("graft.percentiles.distributedThresholdBytes", "0")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -54,7 +54,24 @@ object Portfolio {
       quantCutoffs: Seq[Double] = Nil,
       cutDf: Option[DataFrame] = None,
       portvar: String = "portfolio"
-  ): DataFrame = {
+  ): DataFrame =
+    portfolioWithCleanup(df, groupvar, ngroups, byvars, cutoffs, quantCutoffs, cutDf, portvar)._1
+
+  /** [[portfolio]] plus the release handle for the exact-percentile
+    * pipeline's internal persist ([[Percentiles.cutsWithCleanup]]) —
+    * a no-op thunk on the hard-cutoff path. Call after the consuming
+    * action.
+    */
+  def portfolioWithCleanup(
+      df: DataFrame,
+      groupvar: String,
+      ngroups: Int = 10,
+      byvars: Seq[String] = Nil,
+      cutoffs: Seq[Double] = Nil,
+      quantCutoffs: Seq[Double] = Nil,
+      cutDf: Option[DataFrame] = None,
+      portvar: String = "portfolio"
+  ): (DataFrame, () => Unit) = {
     val x = col(groupvar)
     if (cutoffs.nonEmpty) {
       // hard-cutoff whole-frame path: extend with global min/max, then
@@ -69,9 +86,9 @@ object Portfolio {
       val count = sorted.map(c => (x >= lit(c)).cast("int")).reduce(_ + _)
       val port = when(badValue(x) || x < loB || x > hiB, lit(0))
         .otherwise(lit(1) + count)
-      df.crossJoin(broadcast(mm))
+      (df.crossJoin(broadcast(mm))
         .withColumn(portvar, port)
-        .drop("__mn__", "__mx__")
+        .drop("__mn__", "__mx__"), () => ())
     } else {
       val ps: Seq[Double] =
         if (quantCutoffs.nonEmpty) (0.0 +: quantCutoffs.sorted) :+ 1.0
@@ -84,30 +101,33 @@ object Portfolio {
       if (byvars.nonEmpty) {
         // per-group path: FIRST match (lower bucket) on boundary ties,
         // replicating _portfolio_match (pd_utils/port.py:312-315).
-        val cuts = src
-          .groupBy(toCols(byvars): _*)
-          .agg(percentile(clean, lit(interiorPs.toArray)).as("__cuts__"))
+        // Cuts via the distributed exact-percentile plan — bit-equal
+        // to the builtin aggregate without its per-group value-map
+        // buffer (Percentiles scaladoc).
+        val (cuts, cleanup) =
+          Percentiles.cutsWithCleanup(src, clean, byvars, interiorPs, "__cuts__")
         val joined = df.join(broadcast(cuts), byvars, "left")
         val count = interiorPs.indices
           .map(i => (x > element_at(col("__cuts__"), i + 1)).cast("int"))
           .reduceOption(_ + _)
           .getOrElse(lit(0))
-        joined
+        (joined
           .withColumn(portvar, when(badValue(x), lit(0)).otherwise(lit(1) + count))
-          .drop("__cuts__")
+          .drop("__cuts__"), cleanup)
       } else {
         // whole-frame path: _sort_into_ports overwrites low→high, so a
         // value equal to a shared boundary lands in the HIGHER bucket
         // (pd_utils/port.py:263-268) — hence >=, unlike the per-group
         // path above. Lazy scalar agg, broadcast back into the plan.
-        val cuts = src.agg(percentile(clean, lit(interiorPs.toArray)).as("__cuts__"))
+        val (cuts, cleanup) =
+          Percentiles.cutsWithCleanup(src, clean, Nil, interiorPs, "__cuts__")
         val count = interiorPs.indices
           .map(i => (x >= element_at(col("__cuts__"), i + 1)).cast("int"))
           .reduceOption(_ + _)
           .getOrElse(lit(0))
-        df.crossJoin(broadcast(cuts))
+        (df.crossJoin(broadcast(cuts))
           .withColumn(portvar, when(badValue(x), lit(0)).otherwise(lit(1) + count))
-          .drop("__cuts__")
+          .drop("__cuts__"), cleanup)
       }
     }
   }
@@ -146,9 +166,29 @@ object Portfolio {
       count: Option[String] = None,
       portvar: String = "portfolio"
   ): (DataFrame, DataFrame) = {
-    val ports = portfolio(df, groupvar, ngroups, byvars, cutDf = cutDf, portvar = portvar)
-    val avgs = GroupOps.averages(ports, avgvars, byvars :+ portvar, wtvar, count)
+    val (avgs, ports, _) =
+      portfolioAveragesDetailCleanup(df, groupvar, avgvars, ngroups, byvars, cutDf, wtvar, count, portvar)
     (avgs, ports)
+  }
+
+  /** [[portfolioAveragesWithDetail]] plus the [[portfolioWithCleanup]]
+    * release handle for the exact-percentile persist.
+    */
+  def portfolioAveragesDetailCleanup(
+      df: DataFrame,
+      groupvar: String,
+      avgvars: Seq[String],
+      ngroups: Int = 10,
+      byvars: Seq[String] = Nil,
+      cutDf: Option[DataFrame] = None,
+      wtvar: Option[String] = None,
+      count: Option[String] = None,
+      portvar: String = "portfolio"
+  ): (DataFrame, DataFrame, () => Unit) = {
+    val (ports, cleanup) =
+      portfolioWithCleanup(df, groupvar, ngroups, byvars, cutDf = cutDf, portvar = portvar)
+    val avgs = GroupOps.averages(ports, avgvars, byvars :+ portvar, wtvar, count)
+    (avgs, ports, cleanup)
   }
 
   /** Long top portfolio minus short bottom portfolio, aligned on

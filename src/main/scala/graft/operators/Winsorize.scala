@@ -37,7 +37,20 @@ object Winsorize {
       byvars: Seq[String] = Nil,
       bot: Boolean = true,
       top: Boolean = true
-  ): DataFrame = {
+  ): DataFrame = winsorizeWithCleanup(df, pct, subset, byvars, bot, top)._1
+
+  /** [[winsorize]] plus the release handle for the per-column
+    * exact-percentile persists ([[Percentiles.cutWithCleanup]]) —
+    * call after the consuming action.
+    */
+  def winsorizeWithCleanup(
+      df: DataFrame,
+      pct: (Double, Double),
+      subset: Seq[String] = Nil,
+      byvars: Seq[String] = Nil,
+      bot: Boolean = true,
+      top: Boolean = true
+  ): (DataFrame, () => Unit) = {
     require(bot || top, "must winsorize at least one tail")
     val botPct = pct._1
     val topPct = 1 - pct._2
@@ -65,29 +78,34 @@ object Winsorize {
     }
     val tmpCols = cols.flatMap(c => Seq(s"__hi_$c", s"__lo_$c")).toSeq
 
-    val withBounds = if (byvars.nonEmpty) {
-      val w = Window.partitionBy(toCols(byvars): _*)
-      val withHi =
-        if (top) cols.foldLeft(df)((d, c) => d.withColumn(s"__hi_$c", percentile(cleanOf(c), lit(topPct)).over(w)))
-        else df
-      if (bot) cols.foldLeft(withHi)((d, c) => d.withColumn(s"__lo_$c", percentile(topClamped(c), lit(botPct)).over(w)))
+    // Bounds come from the distributed exact-percentile plan
+    // (operators/Percentiles — bit-equal to the builtin aggregate
+    // without its whole-multiset aggregation buffer), one tiny cuts
+    // frame per column per active tail, broadcast back. Per-group
+    // joins are NULL-SAFE so rows with null byvars clamp within the
+    // null group, exactly like the former percentile-over-window
+    // form. Two passes because the bottom quantile depends on the
+    // top clamp.
+    val cleanups = scala.collection.mutable.ListBuffer.empty[() => Unit]
+    def attach(d: DataFrame, boundOf: String => (DataFrame, () => Unit)): DataFrame =
+      cols.foldLeft(d) { (acc, c) =>
+        val (bound, cleanup) = boundOf(c)
+        cleanups += cleanup
+        val b = broadcast(bound)
+        if (byvars.isEmpty) acc.crossJoin(b)
+        else byvars.foldLeft(
+          acc.join(b, byvars.map(k => acc(k) <=> b(k)).reduce(_ && _), "left"))(
+          (j, k) => j.drop(b(k)))
+      }
+    val withHi =
+      if (top) attach(df, c => Percentiles.cutWithCleanup(df, cleanOf(c), byvars, topPct, s"__hi_$c"))
+      else df
+    val withBounds =
+      if (bot) attach(withHi, c => Percentiles.cutWithCleanup(withHi, topClamped(c), byvars, botPct, s"__lo_$c"))
       else withHi
-    } else {
-      // No byvars: an empty-partition Window would funnel the whole
-      // dataset through ONE task. Scalar aggregations broadcast-cross-
-      // joined back keep the plan distributed at any scale (two
-      // passes because the bottom quantile depends on the top clamp).
-      val withHi = if (top) {
-        val aggs = cols.map(c => percentile(cleanOf(c), lit(topPct)).as(s"__hi_$c"))
-        df.crossJoin(broadcast(df.agg(aggs.head, aggs.tail: _*)))
-      } else df
-      if (bot) {
-        val aggs = cols.map(c => percentile(topClamped(c), lit(botPct)).as(s"__lo_$c"))
-        withHi.crossJoin(broadcast(withHi.agg(aggs.head, aggs.tail: _*)))
-      } else withHi
-    }
     val clamped = cols.foldLeft(withBounds)(applyClamp)
-    clamped.drop(tmpCols.filter(clamped.columns.contains): _*)
+    (clamped.drop(tmpCols.filter(clamped.columns.contains): _*),
+      () => cleanups.foreach(f => f()))
   }
 
   def winsorize(

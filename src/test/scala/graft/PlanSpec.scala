@@ -205,11 +205,24 @@ class PlanSpec extends SparkSuite {
     // through the q_ plans): percentile agg + averages agg, cutoffs
     // ride a broadcast
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
-    val pipeline = graft.operators.Portfolio
+    def pavgPlan = graft.operators.Portfolio
       .portfolioAverages(li, "l_extendedprice", Seq("l_quantity"), ngroups = 5, byvars = Seq("l_returnflag"))
       .queryExecution.executedPlan.toString
-    val pGot = shuffleRe.findAllIn(pipeline).size
-    assert(pGot == 2, s"portfolioAverages pipeline plans $pGot shuffles, expected 2:\n$pipeline")
+    // Percentiles is size-adaptive: below the threshold the builtin
+    // aggregate keeps the original 2-shuffle plan; above it the
+    // distributed exact-percentile plan spends 9 exchanges, all over
+    // DISTINCT-value-sized or (numPartitions x groups)-sized frames
+    // (cnt hash-agg pair, range repartition, offsets agg + its tiny
+    // windows, the candidate agg, the broadcast back) — the price of
+    // never funneling a group's whole value multiset into one
+    // aggregation buffer (12-18 s + an OOM cliff at sf1).
+    val pGot = shuffleRe.findAllIn(pavgPlan).size
+    assert(pGot == 2, s"portfolioAverages small-input pipeline plans $pGot shuffles, expected 2:\n$pavgPlan")
+    spark.conf.set("graft.percentiles.distributedThresholdBytes", "0")
+    try {
+      val pBig = shuffleRe.findAllIn(pavgPlan).size
+      assert(pBig == 9, s"portfolioAverages distributed pipeline plans $pBig shuffles, expected 9:\n$pavgPlan")
+    } finally spark.conf.unset("graft.percentiles.distributedThresholdBytes")
     SparkEntry.runPendingCleanups()
     SparkEntry.releaseShared()
   }
@@ -252,9 +265,13 @@ class PlanSpec extends SparkSuite {
     //   - Sampling's 256-row bucket-offset prefix-sum frames
     //     (packSequences / shuffleRank, Sampling.scala:179,223) ->
     //     q_pack, q_shuffle_rank
+    //   - Percentiles' partition-offset prefix sum with EMPTY byvars
+    //     (input: one row per range partition, <= numPartitions rows
+    //     by construction; Percentiles.scala wOff/wTot) ->
+    //     q_winsorize_all
     // Anything new failing this census is either a bug or needs its
     // own documented contract + allowlist entry.
-    val allowed = Set("q_long_short", "q_shuffle_rank", "q_pack")
+    val allowed = Set("q_long_short", "q_shuffle_rank", "q_pack", "q_winsorize_all")
     val offenders = allPlans.collect {
       case (name, Right(plan)) if unpartitionedWindowCount(plan) > 0 => name
     }.toSet

@@ -25,15 +25,28 @@ class WinsorizeSpec extends SparkSuite {
 
   test("winsorize without byvars keeps a distributed plan and clamps whole-frame") {
     val s = spark; import s.implicits._
+    // force the distributed percentile path (the size-adaptive default
+    // would route this 100-row frame to the builtin aggregate)
+    s.conf.set("graft.percentiles.distributedThresholdBytes", "0")
+    try {
     val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "x")
     val out = Winsorize.winsorize(df, (0.05, 0.05), Seq("x"), Nil)
     val xs = out.select("x").collect().map(_.getDouble(0))
     // q0.95 of 1..100 (linear) = 95.05; q0.05 of the top-clamped data
     assert(xs.max <= 95.0500001)
     assert(xs.min >= 5.9499999 - 1e-6)
-    // no single-partition Window in the plan
+    // the data-sized stages stay distributed: the only windows are the
+    // Percentiles rank windows partitioned by __pid__ and the
+    // global prefix/total windows over the (numPartitions x groups)-row
+    // per-partition-totals aggregate — never the raw rows
     val plan = out.queryExecution.executedPlan.toString
-    assert(!plan.contains("Window ["), s"unexpected Window in plan:\n$plan")
+    val windowLines = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    val unpart = windowLines.filterNot(_.contains("], [__pid__"))
+    assert(unpart.forall(_.contains("__pc__")),
+      s"global window over something other than the tiny offsets frame:\n$plan")
+    assert(plan.contains("HashAggregate(keys=[__pid__"),
+      s"offsets windows not fed by the per-partition-totals aggregate:\n$plan")
+    } finally s.conf.unset("graft.percentiles.distributedThresholdBytes")
   }
 
   test("single-tail winsorize leaves the other tail untouched") {
