@@ -103,9 +103,14 @@ object Percentiles {
     if (est < threshold) {
       val agg = percentile(col("__v__"), lit(ps.toArray)).as(cutsCol)
       val out =
-        if (byvars.isEmpty) vals.agg(agg)
-        else vals.groupBy(keys: _*).agg(agg)
-      return (out, () => ())
+        (if (byvars.isEmpty) vals.agg(agg) else vals.groupBy(keys: _*).agg(agg))
+          // the cuts frame is 1 row per group but referenced from
+          // several plan sites (winsorize's bottom pass embeds the top
+          // pass; the clamp joins read it again) — the lazy persist
+          // makes the aggregation compute once per action, not once
+          // per reference
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      return (out, () => { out.unpersist(); () })
     }
     val cnt = vals.groupBy((keys :+ col("__v__")): _*).agg(count(lit(1)).as("__c__"))
     val parts = cnt
@@ -171,8 +176,12 @@ object Percentiles {
         .when(col(s"__lo${i}__") === col(s"__hi${i}__"), col(s"__lo${i}__"))
         .otherwise((hi - p) * col(s"__lo${i}__") + (p - lo) * col(s"__hi${i}__"))
     }
-    (agged.select((keys :+ array(cutExprs: _*).as(cutsCol)): _*),
-      () => { parts.unpersist(); () })
+    // the cuts frame is tiny (one row per group) but may be read from
+    // several plan sites — cache it so the rank pipeline runs once
+    // per action
+    val out = agged.select((keys :+ array(cutExprs: _*).as(cutsCol)): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (out, () => { out.unpersist(); parts.unpersist(); () })
   }
 
   /** [[cuts]] for a single percentile, unwrapped to a scalar column
