@@ -11,6 +11,7 @@ import datetime
 import glob
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -57,7 +58,10 @@ def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):  # Spark directory layout (generated SFs)
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):

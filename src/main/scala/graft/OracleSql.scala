@@ -95,6 +95,31 @@ sel AS (
   private val alnumWords =
     "string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')"
 
+  /** Replay of ZOrder.withZBucket over events (value, user_id): exact
+    * equi-depth quantile cuts per column rounded to 6 dp, bucket =
+    * #cuts <= v, bit-interleaved z, then exact z-quantile file
+    * buckets — the deterministic row->file mapping of
+    * Sink.writeZOrdered, cell for cell.
+    */
+  private def zorderSql(bits: Int, nBuckets: Int): String = {
+    val n = 1 << bits
+    val ps0 = (1 until n).map(i => s"$i.0/$n").mkString(", ")
+    val psf = (1 until nBuckets).map(i => s"$i.0/$nBuckets").mkString(", ")
+    val inter = (0 until bits).flatMap(j => Seq(
+      s"(((b0 >> $j) & 1) << ${2 * j})", s"(((b1 >> $j) & 1) << ${2 * j + 1})"))
+      .mkString(" | ")
+    s"""WITH c0 AS (SELECT list_transform(quantile_cont(value, [$ps0]), c -> round(c, 6)) AS cuts FROM events),
+c1 AS (SELECT list_transform(quantile_cont(CAST(user_id AS DOUBLE), [$ps0]), c -> round(c, 6)) AS cuts FROM events),
+b AS (SELECT event_id,
+len(list_filter(c0.cuts, c -> c <= value)) AS b0,
+len(list_filter(c1.cuts, c -> c <= CAST(user_id AS DOUBLE))) AS b1
+FROM events CROSS JOIN c0 CROSS JOIN c1),
+z AS (SELECT event_id, $inter AS zvalue FROM b),
+zc AS (SELECT list_transform(quantile_cont(CAST(zvalue AS DOUBLE), [$psf]), c -> round(c, 6)) AS cuts FROM z)
+SELECT z.event_id, z.zvalue, len(list_filter(zc.cuts, c -> c <= CAST(z.zvalue AS DOUBLE))) AS zbucket
+FROM z CROSS JOIN zc"""
+  }
+
   private val portfolioCuts5 =
     """c AS (SELECT l_returnflag,
 quantile_cont(l_extendedprice, 0.2) AS c1, quantile_cont(l_extendedprice, 0.4) AS c2,
@@ -545,6 +570,7 @@ FROM (SELECT doc_id FROM documents WHERE doc_id % 37 <> 0) d LEFT JOIN sc ON d.d
     "q_ann_pq" -> pqSql(k = 5, dims = 64, m = 4, ksub = 8, iters = 1, nlist = 16, nprobe = 4),
     "q_pagerank" -> pageRankSql(iters = 3, damping = 0.85, decimals = 6),
     "q_pagerank_host" -> pageRankHostSql(iters = 3, damping = 0.85, decimals = 6),
+    "q_zorder" -> zorderSql(bits = 4, nBuckets = 8),
     "q_quality_fit" -> logisticFitSql(steps = 5, gradDecimals = 9, scoreDecimals = 6),
     "q_dsir" -> dsirSql(buckets = 256),
     "q_groupby_merge_max" ->

@@ -371,6 +371,18 @@ object SparkEntry {
       graft.sources.Sink.readPartitioned(s, path)
         .select("doc_id", "text", "n_chars", "lang", "source")
     }),
+    "q_zorder" -> ((s, dir) => {
+      // the deterministic z-order assignment behind Sink.writeZOrdered:
+      // exact-quantile rank buckets per column (4 bits each), bit-
+      // interleaved z-value, exact z-quantile file bucket — the whole
+      // row->file mapping replays in SQL, so the multi-column
+      // clustering layout itself sits behind the hash gate (layout
+      // determinism + pruning quality are spec'd in ZOrderSpec)
+      val e = eventsTable(s, dir).select(col("event_id"), col("value"), col("user_id"))
+      val (out, cleanup) = ZOrder.withZBucket(e, Seq("value", "user_id"), bits = 4, nBuckets = 8)
+      deferCleanup(cleanup)
+      out.select(col("event_id"), col("zvalue"), col("zbucket"))
+    }),
     "q_range_join" -> ((s, dir) => {
       // bucketized point-in-interval range join: every order whose
       // date falls in a 14-day window opened by the same customer's

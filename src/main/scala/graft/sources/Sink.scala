@@ -174,4 +174,37 @@ object Sink {
       ()
     }
   }
+
+  /** Z-order clustered write ([[graft.operators.ZOrder]]): rows
+    * cluster by the Morton curve over `zCols`, land in `nBuckets`
+    * equal-sized `zbucket=` partitions (exact z-quantile assignment —
+    * deterministic, no sampling), and sort by z within each file, so
+    * parquet min/max stats prune reads filtered on ANY of the
+    * clustered columns. The `zbucket` directory column is layout
+    * metadata; `readPartitioned` surfaces it like any partition
+    * column and [[compactPartitions]] maintains it like any layout.
+    *
+    * `tiebreakCols` pins a total in-file row order (z-values
+    * collide by construction — they are coarse rank buckets), keeping
+    * re-runs byte-stable like the rest of the sink.
+    */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      zCols: Seq[String],
+      tiebreakCols: Seq[String],
+      bits: Int = 6,
+      nBuckets: Int = 64,
+      maxRecordsPerFile: Long = 0L
+  ): Unit = {
+    require(tiebreakCols.nonEmpty, "tiebreakCols must pin a total order")
+    val (withB, cleanup) = graft.operators.ZOrder.withZBucket(df, zCols, bits, nBuckets)
+    // zvalue rides along into the files (in-file rows sort by it, so
+    // row-group stats inside large files stay z-tight too; readers
+    // get the curve position for free)
+    try writePartitioned(
+      withB, path, partitionCols = Seq("zbucket"),
+      sortCols = "zvalue" +: tiebreakCols, maxRecordsPerFile = maxRecordsPerFile)
+    finally cleanup()
+  }
 }
