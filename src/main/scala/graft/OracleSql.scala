@@ -616,14 +616,14 @@ FROM orders""",
 row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) - 1 AS rn FROM orders),
 w AS (SELECT *, CASE WHEN rn <= 0 THEN 0 WHEN rn <= 2 THEN 1 ELSE 2 END AS wid FROM base)
 SELECT o_orderkey, o_custkey,
-round(product(1 + ret) OVER (PARTITION BY o_custkey, wid ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1, 6) AS cum_ret
+round(product(1 + ret) OVER (PARTITION BY o_custkey, wid ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 - 1e-9, 4) + 0.0 AS cum_ret
 FROM w""",
 
     "q_cumulate_first" ->
       """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice / 1000000.0 AS ret,
 CASE WHEN o_orderkey = (SELECT min(o_orderkey) FROM orders) THEN 0 ELSE 1 END AS wid FROM orders)
 SELECT o_orderkey, o_custkey,
-round(product(1 + ret) OVER (PARTITION BY o_custkey, wid ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1, 6) AS cum_ret
+round(product(1 + ret) OVER (PARTITION BY o_custkey, wid ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 - 1e-9, 4) + 0.0 AS cum_ret
 FROM base""",
 
     "q_winsorize_by" ->
@@ -739,7 +739,7 @@ SELECT user_id, strftime(day, '%Y-%m-%d') AS day, CASE WHEN mval IS NOT NULL THE
 
     "q_fillna_groups" ->
       """WITH b AS (SELECT user_id, event_id, CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v FROM events)
-SELECT user_id, event_id, round(coalesce(v, avg(v) OVER (PARTITION BY user_id)), 6) AS v FROM b""",
+SELECT user_id, event_id, round(coalesce(v, avg(v) OVER (PARTITION BY user_id)) - 1e-9, 4) + 0.0 AS v FROM b""",
 
     "q_drop_missing_rows" ->
       """SELECT user_id, event_id, CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v

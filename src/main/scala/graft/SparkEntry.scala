@@ -182,13 +182,20 @@ object SparkEntry {
         (col("o_totalprice") / 1000000.0).as("ret"))
       Cumulate.cumulate(o, Seq("ret"), "between", "o_orderkey", Seq("o_custkey"),
           time = Seq(1, 3), grossify = true)
-        .select(col("o_orderkey"), col("o_custkey"), round(col("cum_ret"), 6).as("cum_ret"))
+        // products/means of 2-decimal inputs TERMINATE on the round-
+        // half grid, where engine ulp noise is a coin flip (~50/1.5M
+        // rows at sf1); the 1e-9 shift moves the rounding boundary
+        // off that attractor on both engines — tie-break-stable
+        // cross-engine rounding (same shift in the oracle SQL)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("cum_ret") - 1e-9, 4).as("cum_ret"))
     }),
     "q_cumulate_first" -> ((s, dir) => {
       val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
         (col("o_totalprice") / 1000000.0).as("ret"))
       Cumulate.cumulate(o, Seq("ret"), "first", "o_orderkey", Seq("o_custkey"), grossify = true)
-        .select(col("o_orderkey"), col("o_custkey"), round(col("cum_ret"), 6).as("cum_ret"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("cum_ret") - 1e-9, 4).as("cum_ret"))
     }),
     // ---- §2.7 winsorize / portfolio ------------------------------
     "q_winsorize_by" -> ((s, dir) => {
@@ -295,7 +302,10 @@ object SparkEntry {
       val base = e.select(col("user_id"), col("event_id"),
         when(col("event_type") === "error", lit(null)).otherwise(col("value")).as("v"))
       Fill.fillnaByGroups(base, Seq("user_id"), Seq("event_id"))
-        .select(col("user_id"), col("event_id"), round(col("v"), 6).as("v"))
+        // tie-break-stable rounding (see q_cumulate_between): group
+        // means of 2-decimal values terminate on round-half
+        // boundaries where engine ulp noise flips coins
+        .select(col("user_id"), col("event_id"), round(col("v") - 1e-9, 4).as("v"))
     }),
     "q_drop_missing_rows" -> ((s, dir) => {
       val e = eventsTable(s, dir)
