@@ -571,6 +571,12 @@ FROM (SELECT doc_id FROM documents WHERE doc_id % 37 <> 0) d LEFT JOIN sc ON d.d
     "q_pagerank" -> pageRankSql(iters = 3, damping = 0.85, decimals = 6),
     "q_pagerank_host" -> pageRankHostSql(iters = 3, damping = 0.85, decimals = 6),
     "q_zorder" -> zorderSql(bits = 4, nBuckets = 8),
+    "q_upsert" ->
+      """SELECT doc_id, lang,
+CASE WHEN doc_id % 2 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+FROM documents WHERE doc_id % 3 <> 2 OR doc_id % 2 = 0""",
+    "q_delete_keys" ->
+      "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 5 <> 0",
     "q_quality_fit" -> logisticFitSql(steps = 5, gradDecimals = 9, scoreDecimals = 6),
     "q_dsir" -> dsirSql(buckets = 256),
     "q_groupby_merge_max" ->

@@ -381,6 +381,35 @@ object SparkEntry {
       graft.sources.Sink.readPartitioned(s, path)
         .select("doc_id", "text", "n_chars", "lang", "source")
     }),
+    "q_upsert" -> ((s, dir) => {
+      // MERGE INTO at the layout level: two batches upsert into a
+      // lang-partitioned table (batch 2 replaces every even doc and
+      // re-inserts some already-present keys), then the latest state
+      // reads back — key replacement, insertion, and partition-scoped
+      // rewrite all sit behind the hash gate
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      val path = new java.io.File(
+        s"target/graft-sink/${new java.io.File(dir).getName}/upsert").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      val b1 = d.where(col("doc_id") % 3 =!= 2)
+      val b2 = d.where(col("doc_id") % 2 === 0).withColumn("n_chars", col("n_chars") + 1000)
+      graft.sources.Sink.upsertPartitioned(s, path, b1, Seq("doc_id"), Seq("lang"), Seq("doc_id"))
+      graft.sources.Sink.upsertPartitioned(s, path, b2, Seq("doc_id"), Seq("lang"), Seq("doc_id"))
+      graft.sources.Sink.readPartitioned(s, path).select("doc_id", "lang", "n_chars")
+    }),
+    "q_delete_keys" -> ((s, dir) => {
+      // the right-to-be-forgotten pass: write the corpus, tombstone
+      // every doc_id % 5 == 0 key, read the surviving state back
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      val path = new java.io.File(
+        s"target/graft-sink/${new java.io.File(dir).getName}/delete").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      graft.sources.Sink.writePartitioned(d, path, Seq("lang"), Seq("doc_id"))
+      graft.sources.Sink.deleteKeys(s, path,
+        d.where(col("doc_id") % 5 === 0).select("doc_id", "lang"),
+        Seq("doc_id"), Seq("lang"), Seq("doc_id"))
+      graft.sources.Sink.readPartitioned(s, path).select("doc_id", "lang", "n_chars")
+    }),
     "q_zorder" -> ((s, dir) => {
       // the deterministic z-order assignment behind Sink.writeZOrdered:
       // exact-quantile rank buckets per column (4 bits each), bit-

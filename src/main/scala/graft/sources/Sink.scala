@@ -175,6 +175,188 @@ object Sink {
     }
   }
 
+  // ---- key-level maintenance (MERGE / tombstones) -----------------
+
+  /** Hive-style leaf dir for one partition-value tuple — MUST match
+    * what Spark's partitionBy writer produces byte for byte (the
+    * existing-partition lookup and the staged-swap rels both key on
+    * it), so the escaping is Spark's own.
+    */
+  private def partitionRel(values: Seq[(String, Any)]): String = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+    values.map { case (c, v) =>
+      require(v != null, s"null partition value for '$c' — the upsert/delete " +
+        "contract requires concrete partition values")
+      s"${escapePathName(c)}=${escapePathName(v.toString)}"
+    }.mkString("/")
+  }
+
+  /** MERGE INTO for a [[writePartitioned]] layout: every `batch` row
+    * replaces the existing row with the same key (or inserts), and
+    * only the partitions PRESENT IN THE BATCH are rewritten — cost
+    * scales with the batch's partition footprint, never the table.
+    *
+    * CONTRACT (documented, spec-pinned): partition values must be a
+    * pure function of the key columns — a key lives in exactly one
+    * partition forever. Without that, a key whose partition value
+    * changed would leave its stale row alive in the old partition
+    * (finding it would take a full-table scan, which is exactly what
+    * this operation exists to avoid). `batch` must be key-unique
+    * (pre-aggregate latest-wins upstream; [[graft.operators.Fill]]
+    * keep-one-per-group is the standard reducer).
+    *
+    * Mechanics: the affected leaf dirs are derived from the batch's
+    * distinct partition tuples (a driver-side collect bounded by the
+    * low-cardinality partition contract), their current rows are
+    * anti-joined against the batch keys, survivors + batch rewrite
+    * through the deterministic [[writePartitioned]] placement into a
+    * hidden staging dir, and files swap in per partition (the
+    * [[compactPartitions]] pattern — readers racing the swap see old
+    * or new, never half). Returns the rewritten partition rels.
+    */
+  def upsertPartitioned(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      keyCols: Seq[String],
+      partitionCols: Seq[String],
+      sortCols: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 0L,
+      filesPerPartition: Int = 1
+  ): Seq[String] = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(partitionCols.nonEmpty, "partitionCols must be non-empty")
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new Path(path))
+    if (!fs.exists(root)) {
+      writePartitioned(batch, path, partitionCols, sortCols, maxRecordsPerFile, filesPerPartition)
+      return batch.select(partitionCols.map(col): _*).distinct().collect()
+        .map(r => partitionRel(partitionCols.zipWithIndex.map { case (c, i) => c -> r.get(i) }))
+        .toSeq.sorted
+    }
+    val touched = batch.select(partitionCols.map(col): _*).distinct().collect()
+      .map(r => partitionRel(partitionCols.zipWithIndex.map { case (c, i) => c -> r.get(i) }))
+      .toSeq.sorted
+    val existingDirs = touched.map(rel => new Path(root, rel)).filter(fs.exists)
+    val survivors =
+      if (existingDirs.isEmpty) batch.limit(0)
+      else spark.read.option("basePath", path).parquet(existingDirs.map(_.toString): _*)
+        .join(batch.select(keyCols.map(col): _*), keyCols, "left_anti")
+        .select(batch.columns.map(col).toSeq: _*)
+    rewriteVia(spark, fs, root, s".upsert", partitionCols,
+      survivors.unionByName(batch), sortCols, maxRecordsPerFile, filesPerPartition,
+      alsoClear = existingDirs)
+  }
+
+  /** Key tombstones for a [[writePartitioned]] layout (the
+    * right-to-be-forgotten pass): every row whose key appears in
+    * `keys` is removed; only the partitions named by the keys are
+    * rewritten. `keys` must carry `partitionCols` too — under the
+    * stable-partition contract (see [[upsertPartitioned]]) deriving
+    * them is the caller's one-liner, and requiring them keeps this
+    * operation partition-scoped instead of full-scan. A partition
+    * whose rows are all deleted is removed from the layout. Returns
+    * the rewritten partition rels.
+    */
+  def deleteKeys(
+      spark: SparkSession,
+      path: String,
+      keys: DataFrame,
+      keyCols: Seq[String],
+      partitionCols: Seq[String],
+      sortCols: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 0L,
+      filesPerPartition: Int = 1
+  ): Seq[String] = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(partitionCols.nonEmpty, "partitionCols must be non-empty")
+    require(partitionCols.forall(keys.columns.contains),
+      s"keys frame must carry the partition columns $partitionCols (stable-partition contract)")
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new Path(path))
+    if (!fs.exists(root)) return Nil
+    val touched = keys.select(partitionCols.map(col): _*).distinct().collect()
+      .map(r => partitionRel(partitionCols.zipWithIndex.map { case (c, i) => c -> r.get(i) }))
+      .toSeq.sorted
+    val existingDirs = touched.map(rel => new Path(root, rel)).filter(fs.exists)
+    if (existingDirs.isEmpty) return Nil
+    val survivors = spark.read.option("basePath", path)
+      .parquet(existingDirs.map(_.toString): _*)
+      .join(keys.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+    rewriteVia(spark, fs, root, s".delete", partitionCols,
+      survivors, sortCols, maxRecordsPerFile, filesPerPartition,
+      alsoClear = existingDirs)
+  }
+
+  /** Staged rewrite + per-partition swap: write `rows` through the
+    * deterministic placement into a hidden staging dir, then for
+    * every affected partition delete the live files and rename the
+    * staged ones in. `alsoClear` names partitions that must drop
+    * their current files even if the rewrite produced nothing for
+    * them (an upsert that moved every row out, a delete that emptied
+    * the partition).
+    */
+  private def rewriteVia(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      stagePrefix: String,
+      partitionCols: Seq[String],
+      rows: DataFrame,
+      sortCols: Seq[String],
+      maxRecordsPerFile: Long,
+      filesPerPartition: Int,
+      alsoClear: Seq[org.apache.hadoop.fs.Path]
+  ): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    def isHidden(p: Path): Boolean =
+      p.getName.startsWith("_") || p.getName.startsWith(".")
+    def leaves(dir: Path, depth: Int): Seq[Path] =
+      if (depth == 0) Seq(dir)
+      else fs.listStatus(dir).toSeq
+        .filter(st => st.isDirectory && !isHidden(st.getPath))
+        .flatMap(st => leaves(st.getPath, depth - 1))
+    def dataFiles(dir: Path): Seq[Path] =
+      fs.listStatus(dir).toSeq
+        .filter(st => st.isFile && !isHidden(st.getPath) && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath)
+    val staging = new Path(root, s"$stagePrefix-${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      writePartitioned(rows, staging.toString, partitionCols, sortCols,
+        maxRecordsPerFile, filesPerPartition)
+      val staged =
+        if (fs.exists(staging)) leaves(staging, partitionCols.length).filterNot(isHidden)
+        else Nil
+      val stagedRels = staged.map { sdir =>
+        val rel = staging.toUri.relativize(sdir.toUri).getPath.stripSuffix("/")
+        require(rel.nonEmpty && !rel.startsWith("/") && !rel.contains(":"),
+          s"staged dir $sdir did not relativize under $staging (got '$rel')")
+        rel
+      }
+      // partitions emptied by the rewrite: clear and drop the dir
+      alsoClear.foreach { dir =>
+        val rel = root.toUri.relativize(dir.toUri).getPath.stripSuffix("/")
+        if (!stagedRels.contains(rel)) {
+          dataFiles(dir).foreach(f => fs.delete(f, false))
+          if (fs.listStatus(dir).isEmpty) fs.delete(dir, false)
+          ()
+        }
+      }
+      staged.zip(stagedRels).map { case (sdir, rel) =>
+        val dest = new Path(root, rel)
+        fs.mkdirs(dest)
+        dataFiles(dest).foreach(f => fs.delete(f, false))
+        dataFiles(sdir).foreach(f => fs.rename(f, new Path(dest, f.getName)))
+        rel
+      }.sorted
+    } finally {
+      fs.delete(staging, true)
+      ()
+    }
+  }
+
   /** Z-order clustered write ([[graft.operators.ZOrder]]): rows
     * cluster by the Morton curve over `zCols`, land in `nBuckets`
     * equal-sized `zbucket=` partitions (exact z-quantile assignment —

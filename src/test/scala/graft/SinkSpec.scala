@@ -163,4 +163,89 @@ class SinkSpec extends SparkSuite {
     assert(!plan.contains("PushedFilters: [IsNotNull(lang)"),
       s"partition predicate degraded to a data filter:\n$plan")
   }
+
+  // ---- key-level upsert / delete ----------------------------------
+
+  /** content digest of untouched-partition files for byte-stability */
+  private def fileBytes(root: Path, sub: String): Map[String, Long] =
+    Files.walk(root.resolve(sub)).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet"))
+      .map(p => root.relativize(p).toString -> Files.size(p)).toMap
+
+  test("upsertPartitioned: replace + insert, batch-scoped rewrite, untouched partitions byte-stable") {
+    val s = spark; import s.implicits._
+    def rows(xs: (Long, String, Double)*) = xs.toSeq.toDF("id", "part", "v")
+    val out = tmp()
+    val base = rows((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0), (4L, "c", 4.0))
+    // bootstrap on an empty path = plain write
+    val r0 = Sink.upsertPartitioned(s, out.toString, base, Seq("id"), Seq("part"), Seq("id"))
+    assert(r0 == Seq("part=a", "part=b", "part=c"))
+    val cBytes = fileBytes(out, "part=c")
+    val mtime = Files.getLastModifiedTime(
+      Files.walk(out.resolve("part=c")).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get)
+    // batch touches a (replace id=2, insert id=9) and b (replace id=3)
+    val batch = rows((2L, "a", 20.0), (9L, "a", 90.0), (3L, "b", 30.0))
+    val r1 = Sink.upsertPartitioned(s, out.toString, batch, Seq("id"), Seq("part"), Seq("id"))
+    assert(r1 == Seq("part=a", "part=b"))
+    val back = Sink.readPartitioned(s, out.toString)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(back == Map(1L -> 1.0, 2L -> 20.0, 3L -> 30.0, 4L -> 4.0, 9L -> 90.0))
+    // partition c untouched — same files, same bytes, same mtime
+    assert(fileBytes(out, "part=c") == cBytes)
+    assert(Files.getLastModifiedTime(
+      Files.walk(out.resolve("part=c")).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get) == mtime,
+      "untouched partition was rewritten")
+    // idempotent: same batch again -> same content
+    Sink.upsertPartitioned(s, out.toString, batch, Seq("id"), Seq("part"), Seq("id"))
+    val again = Sink.readPartitioned(s, out.toString)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again == back)
+  }
+
+  test("deleteKeys: tombstoned rows vanish, emptied partitions drop, others untouched") {
+    val s = spark; import s.implicits._
+    def rows(xs: (Long, String, Double)*) = xs.toSeq.toDF("id", "part", "v")
+    val out = tmp()
+    val base = rows((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0), (4L, "c", 4.0))
+    Sink.writePartitioned(base, out.toString, Seq("part"), Seq("id"))
+    val cBytes = fileBytes(out, "part=c")
+    // delete one of two rows in a, the only row in b
+    val keys = Seq((2L, "a"), (3L, "b")).toDF("id", "part")
+    val r = Sink.deleteKeys(s, out.toString, keys, Seq("id"), Seq("part"), Seq("id"))
+    assert(r == Seq("part=a")) // b emptied -> dropped, not rewritten
+    val back = Sink.readPartitioned(s, out.toString)
+      .collect().map(r2 => r2.getLong(0) -> r2.getDouble(1)).toMap
+    assert(back == Map(1L -> 1.0, 4L -> 4.0))
+    assert(!Files.exists(out.resolve("part=b")), "emptied partition dir should drop")
+    assert(fileBytes(out, "part=c") == cBytes, "unrelated partition touched")
+    // deleting unknown keys / empty table is a no-op
+    assert(Sink.deleteKeys(s, out.toString,
+      Seq((99L, "zz")).toDF("id", "part"), Seq("id"), Seq("part")) == Nil)
+  }
+
+  test("upsert + delete compose to the reference latest-state semantics at table scale") {
+    val s = spark
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val out = tmp()
+    val b1 = d.where(col("doc_id") % 3 =!= 2)
+    val b2 = d.where(col("doc_id") % 2 === 0)
+      .withColumn("n_chars", col("n_chars") + 1000)
+    Sink.upsertPartitioned(s, out.toString, b1, Seq("doc_id"), Seq("lang"), Seq("doc_id"))
+    Sink.upsertPartitioned(s, out.toString, b2, Seq("doc_id"), Seq("lang"), Seq("doc_id"))
+    val expected = d
+      .where(col("doc_id") % 3 =!= 2 || col("doc_id") % 2 === 0)
+      .withColumn("n_chars",
+        when(col("doc_id") % 2 === 0, col("n_chars") + 1000).otherwise(col("n_chars")))
+    val back = Sink.readPartitioned(s, out.toString).select("doc_id", "lang", "n_chars")
+    assert(back.exceptAll(expected).isEmpty && expected.exceptAll(back).isEmpty)
+    // then forget every doc_id % 5 == 0
+    val keys = back.where(col("doc_id") % 5 === 0).select("doc_id", "lang")
+    Sink.deleteKeys(s, out.toString, keys, Seq("doc_id"), Seq("lang"), Seq("doc_id"))
+    val after = Sink.readPartitioned(s, out.toString).select("doc_id", "lang", "n_chars")
+    val expected2 = expected.where(col("doc_id") % 5 =!= 0)
+    assert(after.exceptAll(expected2).isEmpty && expected2.exceptAll(after).isEmpty)
+  }
 }
