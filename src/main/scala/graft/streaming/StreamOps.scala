@@ -2,7 +2,8 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -311,4 +312,49 @@ object StreamOps {
       keys: Seq[String]
   ): DataFrame =
     stream.join(broadcast(blocklist.select(keys.map(col): _*).distinct()), keys, "left_anti")
+
+  /** Streaming MERGE INTO: each micro-batch upserts by key into a
+    * [[graft.sources.Sink.writePartitioned]] layout via
+    * [[graft.sources.Sink.upsertPartitioned]] — the CDC/latest-state
+    * sink [[writePartitionedStream]]'s append mode cannot express
+    * (re-crawled URLs, updated user rows). Semantics per batch:
+    * within-batch latest wins by `orderCol` (events for the same key
+    * can share one micro-batch), then the batch replaces/inserts by
+    * key, rewriting only its own partition footprint.
+    *
+    * Exactly-once at the LAYOUT level: the upsert is idempotent (the
+    * same batch re-applied after a restart produces the same table
+    * state), which together with the checkpointed source offsets
+    * gives effective exactly-once for the latest-state view — the
+    * standard foreachBatch + idempotent-merge recipe. The
+    * stable-partition contract of `upsertPartitioned` applies.
+    */
+  def upsertStream(
+      df: DataFrame,
+      path: String,
+      checkpoint: String,
+      keyCols: Seq[String],
+      partitionCols: Seq[String],
+      orderCol: String,
+      sortCols: Seq[String] = Nil
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(keyCols.nonEmpty && partitionCols.nonEmpty, "keys and partitions required")
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val w = Window.partitionBy(keyCols.map(col): _*)
+            .orderBy(col(orderCol).desc)
+          val latest = batch
+            .withColumn("__rn__", row_number().over(w))
+            .where(col("__rn__") === 1)
+            .drop("__rn__")
+          graft.sources.Sink.upsertPartitioned(
+            batch.sparkSession, path, latest, keyCols, partitionCols, sortCols)
+          ()
+        }
+      }
+      .outputMode(OutputMode.Update)
+      .start()
+  }
 }

@@ -454,4 +454,41 @@ class StreamingSpec extends SparkSuite {
       assert(rows == Map(1L -> Some("gold"), 3L -> None))
     } finally q.stop()
   }
+
+  test("upsertStream: micro-batches merge latest-state by key, restart re-applies idempotently") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-upsert")
+    val path = root.resolve("data").toString
+    val ckpt = root.resolve("ckpt").toString
+    val input = MemoryStream[(Long, String, Double, Long)]
+    def start() = StreamOps.upsertStream(
+      input.toDF().toDF("id", "part", "v", "ver"), path, ckpt,
+      keyCols = Seq("id"), partitionCols = Seq("part"), orderCol = "ver",
+      sortCols = Seq("id"))
+    def state(): Map[Long, Double] =
+      graft.sources.Sink.readPartitioned(s, path)
+        .select("id", "v").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val q = start()
+    try {
+      // batch 1: inserts, including a same-key pair — the higher ver
+      // must win within the batch
+      input.addData((1L, "a", 1.0, 1L), (2L, "a", 2.0, 1L), (2L, "a", 20.0, 2L))
+      q.processAllAvailable()
+      assert(state() == Map(1L -> 1.0, 2L -> 20.0))
+      // batch 2: replace id=1, insert id=3 in another partition
+      input.addData((1L, "a", 10.0, 3L), (3L, "b", 3.0, 1L))
+      q.processAllAvailable()
+      assert(state() == Map(1L -> 10.0, 2L -> 20.0, 3L -> 3.0))
+    } finally q.stop()
+    // restart from the checkpoint: committed batches do not re-apply
+    // (and if one did, the upsert is idempotent) — state unchanged,
+    // new data still merges
+    val q2 = start()
+    try {
+      input.addData((3L, "b", 30.0, 2L))
+      q2.processAllAvailable()
+      assert(state() == Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
+    } finally q2.stop()
+  }
 }
