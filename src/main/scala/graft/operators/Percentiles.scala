@@ -207,4 +207,47 @@ object Percentiles {
     (c.select((byvars.map(col) :+ element_at(col("__cuts1__"), 1).as(outCol)): _*),
       cleanup)
   }
+
+  /** Several scalar bounds over the SAME frame in as few jobs as the
+    * physical path allows: on the builtin (small-input) path every
+    * requested (outCol, value, p) is one expression of a SINGLE
+    * aggregation pass — N bounds cost one scan, not N (the winsorize
+    * shape: one pass per tail); on the distributed path each bound
+    * runs its own rank pipeline (they aggregate different value
+    * domains, so there is nothing to share). Returns one tiny frame
+    * carrying byvars plus every outCol, and the combined release
+    * handle. Bit-identical to N separate [[cutWithCleanup]] calls.
+    */
+  def boundsMulti(
+      df: DataFrame,
+      bounds: Seq[(String, Column, Double)],
+      byvars: Seq[String]
+  ): (DataFrame, () => Unit) = {
+    require(bounds.nonEmpty, "bounds must be non-empty")
+    val keys = byvars.map(col)
+    val spark = df.sparkSession
+    val threshold = spark.conf
+      .get("graft.percentiles.distributedThresholdBytes", (16L << 20).toString).toLong
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est < threshold) {
+      // one pass: clean per-column inside the aggregate (percentile
+      // ignores nulls; NaN pre-nulled to match the distributed path)
+      val aggs = bounds.map { case (out, v, p) =>
+        val clean = when(isnan(v.cast("double")), lit(null)).otherwise(v.cast("double"))
+        percentile(clean, lit(p)).as(out)
+      }
+      val out =
+        (if (byvars.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+         else df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (out, () => { out.unpersist(); () })
+    } else {
+      val pieces = bounds.map { case (out, v, p) => cutWithCleanup(df, v, byvars, p, out) }
+      val joined = pieces.map(_._1).reduce { (a, b) =>
+        if (byvars.isEmpty) a.crossJoin(b)
+        else a.join(b, byvars, "full")
+      }
+      (joined, () => pieces.foreach(_._2()))
+    }
+  }
 }

