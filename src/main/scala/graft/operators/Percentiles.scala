@@ -212,11 +212,13 @@ object Percentiles {
     * physical path allows: on the builtin (small-input) path every
     * requested (outCol, value, p) is one expression of a SINGLE
     * aggregation pass — N bounds cost one scan, not N (the winsorize
-    * shape: one pass per tail); on the distributed path each bound
-    * runs its own rank pipeline (they aggregate different value
-    * domains, so there is nothing to share). Returns one tiny frame
-    * carrying byvars plus every outCol, and the combined release
-    * handle. Bit-identical to N separate [[cutWithCleanup]] calls.
+    * shape: one bound per column per tail); on the distributed path
+    * the bounds STACK through one shared rank pipeline
+    * ([[boundsStacked]]) — still one scan, one count shuffle over
+    * N× distinct values instead of N separate pipelines. Returns one
+    * tiny frame carrying byvars plus every outCol, and the combined
+    * release handle. Bit-identical to N separate [[cutWithCleanup]]
+    * calls (PercentilesSpec pins both paths).
     */
   def boundsMulti(
       df: DataFrame,
@@ -241,13 +243,184 @@ object Percentiles {
          else df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       (out, () => { out.unpersist(); () })
-    } else {
-      val pieces = bounds.map { case (out, v, p) => cutWithCleanup(df, v, byvars, p, out) }
-      val joined = pieces.map(_._1).reduce { (a, b) =>
-        if (byvars.isEmpty) a.crossJoin(b)
-        else a.join(b, byvars, "full")
-      }
-      (joined, () => pieces.foreach(_._2()))
+    } else boundsStacked(df, bounds, byvars)
+  }
+
+  /** Distributed multi-bound pipeline: posexplode stacks every
+    * requested (value, p) into one long frame and ONE
+    * count/rank/interpolate pipeline — the [[cutsWithCleanup]] plan
+    * with the bound index joined into the grouping keys — computes
+    * all cuts, pivoted back to one wide row per byvars combo. N
+    * bounds over the same frame cost one scan and one rank pipeline
+    * instead of N; for a bound over a derived frame (a join, a
+    * projection) that also collapses N re-scans into one.
+    * Interpolation arithmetic is term-for-term the
+    * [[cutsWithCleanup]] expression, so cuts stay bit-identical to
+    * the builtin aggregate. A group whose bound has no clean values
+    * pivots to a null cut (the per-bound full-join absence); with
+    * empty byvars the global aggregate emits its always-one row,
+    * nulls included.
+    */
+  private def boundsStacked(
+      df: DataFrame,
+      bounds: Seq[(String, Column, Double)],
+      byvars: Seq[String]
+  ): (DataFrame, () => Unit) = {
+    val (wide, cleanup) =
+      stackedComponents(df, bounds.map(b => (b._2, b._3)), byvars)
+    val out = wide.select(byvars.map(col) ++ bounds.zipWithIndex.map {
+      case ((outCol, _, p), i) => interpolate(i, p).as(outCol)
+    }: _*).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (out, () => { out.unpersist(); cleanup() })
+  }
+
+  /** Winsorize bounds for BOTH tails of every column from ONE stacked
+    * rank pipeline. The reference computes the bottom quantile over
+    * the top-CLAMPED values (pd_utils/transform.py:221-232) — a
+    * second, dependent pass. But clamping is a monotone pointwise
+    * map, and rank selection commutes with monotone maps: the value
+    * at rank r of the clamped multiset IS clamp(value at rank r of
+    * the raw multiset), and the multiset size is unchanged. So the
+    * bottom cut on clamped data = interpolation over the CLAMPED
+    * floor/ceil rank values of the raw data — computable from the
+    * same single pipeline that yields the top cut, clamping applied
+    * to two scalars per group in the tiny bounds frame instead of to
+    * the whole data pass. Halves the pipelines AND removes the
+    * sequential dependency between tails. Bit-identical to the
+    * two-pass form: same rank positions (same N — null/NaN excluded
+    * in both passes, like pandas' quantile over a clamped column
+    * where NaN survives clamping), same clamped doubles, same
+    * interpolation arithmetic.
+    *
+    * Output: one row per byvars combo with hiOut/loOut per column;
+    * cleanup releases the pipeline persists.
+    */
+  def winsorBounds(
+      df: DataFrame,
+      cols: Seq[(String, String, Column)],
+      byvars: Seq[String],
+      topPct: Double,
+      botPct: Double
+  ): (DataFrame, () => Unit) = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    // bound 2i = column i's top cut, bound 2i+1 = its bottom cut
+    val entries = cols.flatMap { case (_, _, v) => Seq((v, topPct), (v, botPct)) }
+    val (wide, cleanup) = stackedComponents(df, entries, byvars)
+    val outCols = cols.zipWithIndex.flatMap { case ((hiOut, loOut, _), ci) =>
+      val hiCut = interpolate(2 * ci, topPct)
+      // clamp the bottom bound's floor/ceil rank values exactly like
+      // the data pass clamps rows: v > hi -> hi (null propagates —
+      // an empty bound stays null)
+      def clamped(v: Column): Column = when(v > hiCut, hiCut).otherwise(v)
+      val loCut = interpolate(2 * ci + 1, botPct, clamped)
+      Seq(hiCut.as(hiOut), loCut.as(loOut))
     }
+    val out = wide.select(byvars.map(col) ++ outCols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (out, () => { out.unpersist(); cleanup() })
+  }
+
+  /** Whether [[boundsMulti]]/[[winsorBounds]] route `df` to the
+    * distributed rank pipeline (vs the builtin small-input
+    * aggregate) — callers that fuse differently per path ask first.
+    */
+  def distributedPath(df: DataFrame): Boolean = {
+    val threshold = df.sparkSession.conf
+      .get("graft.percentiles.distributedThresholdBytes", (16L << 20).toString).toLong
+    df.queryExecution.optimizedPlan.stats.sizeInBytes >= threshold
+  }
+
+  /** The builtin-parity interpolation over bound `i`'s pivoted
+    * components (`__loI__`/`__hiI__`/`__nI__`), with an optional
+    * monotone transform applied to the rank values first
+    * ([[winsorBounds]]' clamp).
+    */
+  private def interpolate(
+      i: Int, p: Double, f: Column => Column = identity): Column = {
+    val loV = f(col(s"__lo${i}__"))
+    val hiV = f(col(s"__hi${i}__"))
+    val pp = lit(p) * (col(s"__n${i}__") - lit(1L)).cast("double")
+    val lo = floor(pp).cast("double")
+    val hi = ceil(pp).cast("double")
+    when(loV.isNull, lit(null).cast("double"))
+      .when(lo === hi, loV)
+      // builtin parity: equal boundary keys skip interpolation (the
+      // ulp-lossy (1-f)*v + f*v round-trip must NOT happen)
+      .when(loV === hiV, loV)
+      .otherwise((hi - pp) * loV + (pp - lo) * hiV)
+  }
+
+  /** The shared stacked rank pipeline: one wide row per byvars combo
+    * carrying, for every requested (value, p) bound i, the raw
+    * floor/ceil rank values and group count
+    * (`__loI__`, `__hiI__`, `__nI__`) — [[interpolate]] finishes
+    * them into cuts. One scan, one count shuffle over the stacked
+    * distinct values, windows partitioned by (byvars, bound index)
+    * — never fully global even with empty byvars.
+    */
+  private def stackedComponents(
+      df: DataFrame,
+      entries: Seq[(Column, Double)],
+      byvars: Seq[String]
+  ): (DataFrame, () => Unit) = {
+    val keys = byvars.map(col)
+    val spark = df.sparkSession
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val psArr = lit(entries.map(_._2).toArray)
+    val stacked = df
+      .select(keys :+ posexplode(array(entries.map(_._1.cast("double")): _*))
+        .as(Seq("__b__", "__v__")): _*)
+      .where(col("__v__").isNotNull && !isnan(col("__v__")))
+    val gk = keys :+ col("__b__")
+    val byb = byvars :+ "__b__"
+    val cnt = stacked.groupBy((gk :+ col("__v__")): _*).agg(count(lit(1)).as("__c__"))
+    val parts = cnt
+      .repartitionByRange(nParts, (gk :+ col("__v__")).map(_.asc): _*)
+      .withColumn("__pid__", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-(partition, group, bound) offsets — tiny frame, broadcast
+    // back (the cutsWithCleanup prefix-sum recipe)
+    val wOff = Window
+      .partitionBy(gk: _*)
+      .orderBy(col("__pid__"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(gk: _*)
+    val offs = parts
+      .groupBy((col("__pid__") +: gk): _*)
+      .agg(sum(col("__c__")).as("__pc__"))
+      .withColumn("__off__", sum(col("__pc__")).over(wOff) - col("__pc__"))
+      .withColumn("__n__", sum(col("__pc__")).over(wTot))
+      .select((col("__pid__") +: gk) :+ col("__off__") :+ col("__n__"): _*)
+    val wIn = Window
+      .partitionBy((col("__pid__") +: gk): _*)
+      .orderBy(col("__v__"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = parts
+      .withColumn("__cum__", sum(col("__c__")).over(wIn))
+      .join(broadcast(offs), "__pid__" +: byb)
+      .withColumn("__end__", col("__off__") + col("__cum__"))
+      .withColumn("__start__", col("__end__") - col("__c__"))
+    // builtin Percentile parity: position = p * (N - 1); p arrives
+    // from the literal array by bound index — the identical double,
+    // so the arithmetic matches cutsWithCleanup bit for bit
+    val pos = element_at(psArr, col("__b__") + 1) * (col("__n__") - lit(1L)).cast("double")
+    def covers(rank: Column): Column = col("__start__") <= rank && rank < col("__end__")
+    val agged = ranked
+      .where(covers(floor(pos)) || covers(ceil(pos)))
+      .groupBy(gk: _*)
+      .agg(
+        max(when(covers(floor(pos)), col("__v__"))).as("__lo__"),
+        max(when(covers(ceil(pos)), col("__v__"))).as("__hi__"),
+        max(col("__n__")).as("__nn__"))
+    val pivots = entries.indices.flatMap { i =>
+      Seq(
+        max(when(col("__b__") === i, col("__lo__"))).as(s"__lo${i}__"),
+        max(when(col("__b__") === i, col("__hi__"))).as(s"__hi${i}__"),
+        max(when(col("__b__") === i, col("__nn__"))).as(s"__n${i}__"))
+    }
+    val wide =
+      if (byvars.isEmpty) agged.agg(pivots.head, pivots.tail: _*)
+      else agged.groupBy(keys: _*).agg(pivots.head, pivots.tail: _*)
+    (wide, () => { parts.unpersist(); () })
   }
 }

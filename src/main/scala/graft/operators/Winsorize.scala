@@ -68,7 +68,10 @@ object Winsorize {
     }
     def topClamped(c: String): Column = {
       val x = cleanOf(c)
-      if (top) least(x, col(s"__hi_$c")) else x
+      // null/NaN rows stay EXCLUDED from the bottom percentile (a
+      // bare least() would resurrect them as `hi` — pandas' clamped
+      // NaN stays NaN, pd_utils/transform.py:221-232)
+      if (top) when(x.isNull, lit(null)).otherwise(least(x, col(s"__hi_$c"))) else x
     }
     def applyClamp(d: DataFrame, c: String): DataFrame = {
       val x = col(c).cast("double")
@@ -78,26 +81,15 @@ object Winsorize {
     }
     val tmpCols = cols.flatMap(c => Seq(s"__hi_$c", s"__lo_$c")).toSeq
 
-    // Bounds come from the distributed exact-percentile plan
-    // (operators/Percentiles — bit-equal to the builtin aggregate
-    // without its whole-multiset aggregation buffer), one tiny cuts
-    // frame per column per active tail, broadcast back. Per-group
-    // joins are NULL-SAFE so rows with null byvars clamp within the
-    // null group, exactly like the former percentile-over-window
-    // form. Two passes because the bottom quantile depends on the
-    // top clamp.
-    // One bounds pass per active tail ([[Percentiles.boundsMulti]]:
-    // all columns share a single aggregation job on the small-input
-    // path), one broadcast join per tail. Two passes by reference
-    // semantics — the bottom quantile is computed on top-clamped
-    // values. Per-group joins are NULL-SAFE so rows with null byvars
-    // clamp within the null group, like the original
-    // percentile-over-window form.
+    // Bounds come from the exact-percentile plans in
+    // operators/Percentiles (bit-equal to the builtin aggregate
+    // without its whole-multiset aggregation buffer), one tiny wide
+    // bounds frame per pass, broadcast back. Per-group joins are
+    // NULL-SAFE so rows with null byvars clamp within the null
+    // group, exactly like the former percentile-over-window form.
     val cleanups = scala.collection.mutable.ListBuffer.empty[() => Unit]
-    def attach(d: DataFrame, prefix: String, pct: Double,
-               valueOf: String => Column): DataFrame = {
-      val (bounds, cleanup) = Percentiles.boundsMulti(
-        d, cols.map(c => (s"$prefix$c", valueOf(c), pct)), byvars)
+    def attachFrame(d: DataFrame, mk: => (DataFrame, () => Unit)): DataFrame = {
+      val (bounds, cleanup) = mk
       cleanups += cleanup
       val b = broadcast(bounds)
       if (byvars.isEmpty) d.crossJoin(b)
@@ -105,12 +97,26 @@ object Winsorize {
         d.join(b, byvars.map(k => d(k) <=> b(k)).reduce(_ && _), "left"))(
         (j, k) => j.drop(b(k)))
     }
-    val withHi =
-      if (top) attach(df, "__hi_", topPct, cleanOf)
-      else df
+    // With both tails on the distributed path, BOTH bound sets come
+    // from one fused rank pipeline ([[Percentiles.winsorBounds]]:
+    // rank selection commutes with the monotone top clamp), joined
+    // back once. Otherwise the literal two-pass form — on the builtin
+    // path the second pass's aggregate needs the first pass's `hi`
+    // joined into its input anyway, and a single tail is a single
+    // pass by construction.
     val withBounds =
-      if (bot) attach(withHi, "__lo_", botPct, topClamped)
-      else withHi
+      if (top && bot && Percentiles.distributedPath(df))
+        attachFrame(df, Percentiles.winsorBounds(
+          df, cols.map(c => (s"__hi_$c", s"__lo_$c", cleanOf(c))), byvars, topPct, botPct))
+      else {
+        val withHi =
+          if (top) attachFrame(df, Percentiles.boundsMulti(
+            df, cols.map(c => (s"__hi_$c", cleanOf(c), topPct)), byvars))
+          else df
+        if (bot) attachFrame(withHi, Percentiles.boundsMulti(
+          withHi, cols.map(c => (s"__lo_$c", topClamped(c), botPct)), byvars))
+        else withHi
+      }
     val clamped = cols.foldLeft(withBounds)(applyClamp)
     (clamped.drop(tmpCols.filter(clamped.columns.contains): _*),
       () => cleanups.foreach(f => f()))

@@ -98,6 +98,49 @@ class PercentilesSpec extends SparkSuite {
     assert(out == Seq(1.0, 2.0, 2.5, 4.0))
   } }
 
+  test("boundsMulti is bit-identical to per-bound builtin aggregates, both paths") { bothPaths {
+    val df = messy(4000, 5)
+    // two columns at two different ps — the winsorize-tail shape,
+    // plus a derived expression to pin that bounds see the EXPRESSION
+    // not just raw columns
+    val bounds = Seq(
+      ("hi_v", col("v"), 0.99),
+      ("lo_v", col("v"), 0.01),
+      ("hi_id", col("id").cast("double"), 0.95),
+      ("mid_neg", -col("v"), 0.5))
+    val (got, cleanup) = Percentiles.boundsMulti(df, bounds, Seq("g"))
+    try {
+      val ours = got.collect()
+        .map(r => r.getString(0) -> Seq(1, 2, 3, 4).map(r.getDouble)).toMap
+      val builtin = df.groupBy("g")
+        .agg(
+          percentile(col("v"), lit(0.99)).as("hi_v"),
+          percentile(col("v"), lit(0.01)).as("lo_v"),
+          percentile(col("id").cast("double"), lit(0.95)).as("hi_id"),
+          percentile(-col("v"), lit(0.5)).as("mid_neg"))
+        .collect().map(r => r.getString(0) -> Seq(1, 2, 3, 4).map(r.getDouble)).toMap
+      assert(ours.keySet == builtin.keySet)
+      for (g <- builtin.keySet; i <- 0 until 4)
+        assert(java.lang.Double.doubleToLongBits(ours(g)(i)) ==
+          java.lang.Double.doubleToLongBits(builtin(g)(i)),
+          s"group $g bound $i: ours=${ours(g)(i)} builtin=${builtin(g)(i)}")
+    } finally cleanup()
+  } }
+
+  test("boundsMulti global form always emits one row, null cuts for empty bounds") { bothPaths {
+    val s = spark; import s.implicits._
+    val df = Seq((Some(1.0), None: Option[Double]), (Some(3.0), None))
+      .toDF("a", "b")
+    val (got, cleanup) = Percentiles.boundsMulti(
+      df, Seq(("qa", col("a"), 0.5), ("qb", col("b"), 0.5)), Nil)
+    try {
+      val rows = got.collect()
+      assert(rows.length == 1)
+      assert(rows(0).getDouble(0) == 2.0)
+      assert(rows(0).isNullAt(1))
+    } finally cleanup()
+  } }
+
   test("single distinct value, single row, and duplicate-only groups") { bothPaths {
     // NB: when floor(pos) != ceil(pos) both fall inside one duplicate
     // run, interpolating between equal values costs one ulp

@@ -49,6 +49,59 @@ class WinsorizeSpec extends SparkSuite {
     } finally s.conf.unset("graft.percentiles.distributedThresholdBytes")
   }
 
+  test("fused distributed bounds are bit-identical to the builtin two-pass form") {
+    val s = spark; import s.implicits._
+    // messy mix: duplicates, negatives, ties at the cut positions,
+    // plus null/NaN rows that must stay excluded from BOTH passes
+    val df = (0 until 800).map { i =>
+      val g = s"g${i % 3}"
+      val v: java.lang.Double = (i * 37 % 97) match {
+        case m if m < 8  => null
+        case m if m < 12 => Double.NaN
+        case m if m < 30 => m.toDouble
+        case m if m < 60 => -math.Pi * m
+        case m           => math.sqrt(m.toDouble) * 100
+      }
+      (i.toLong, g, v)
+    }.toDF("id", "g", "v")
+    def run() = Winsorize.winsorize(df, (0.1, 0.1), Seq("v"), Seq("g"))
+      .select("id", "v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    val builtin = run() // default threshold: builtin two-pass
+    s.conf.set("graft.percentiles.distributedThresholdBytes", "0")
+    val fused = try run() finally s.conf.unset("graft.percentiles.distributedThresholdBytes")
+    assert(fused.keySet == builtin.keySet)
+    fused.foreach { case (id, fv) =>
+      val bv = builtin(id)
+      if (fv == null || bv == null) assert(fv == null && bv == null, s"id=$id: $fv vs $bv")
+      else assert(
+        java.lang.Double.doubleToLongBits(fv.asInstanceOf[Double]) ==
+          java.lang.Double.doubleToLongBits(bv.asInstanceOf[Double]) ||
+          (fv.asInstanceOf[Double].isNaN && bv.asInstanceOf[Double].isNaN),
+        s"id=$id: fused=$fv builtin=$bv")
+    }
+  }
+
+  test("null and NaN rows never feed the bottom percentile as clamped hi values") {
+    val s = spark; import s.implicits._
+    // 10 clean values 1..10 plus 5 nulls and 5 NaNs. If null/NaN rows
+    // leaked into pass 2 as `hi`, N would inflate from 10 to 20 and
+    // the bottom cut would shift from q0.2 of {1..8(clamped)} to a
+    // visibly different value.
+    val clean = (1 to 10).map(i => (i.toLong, i.toDouble: java.lang.Double))
+    val dirty = (11 to 15).map(i => (i.toLong, null: java.lang.Double)) ++
+      (16 to 20).map(i => (i.toLong, Double.NaN: java.lang.Double))
+    val df = (clean ++ dirty).toDF("id", "x")
+    val out = Winsorize.winsorize(df, (0.2, 0.2), Seq("x"), Nil)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    // hi = q0.8 of 1..10 = 8.2; clamped = {1..8, 8.2, 8.2};
+    // lo = q0.2 of that = 2.8; so x=1,2 -> 2.8
+    assert(math.abs(out(1L).asInstanceOf[Double] - 2.8) < 1e-9)
+    assert(math.abs(out(2L).asInstanceOf[Double] - 2.8) < 1e-9)
+    assert(out(11L) == null)                      // nulls untouched
+    assert(out(16L).asInstanceOf[Double].isNaN)   // NaN untouched
+  }
+
   test("single-tail winsorize leaves the other tail untouched") {
     val s = spark; import s.implicits._
     val df = (1 to 10).map(i => (i.toLong, i.toDouble)).toDF("id", "x")
