@@ -357,4 +357,51 @@ object StreamOps {
       .outputMode(OutputMode.Update)
       .start()
   }
+
+  /** Streaming incremental near-dup detection: each micro-batch of
+    * documents runs one [[graft.pipeline.IncrementalDedup]] step —
+    * MinHash the batch once, join its banded fingerprints against
+    * the persisted store of every prior batch (Bloom-pruned), emit
+    * the NEW candidate pairs under `pairsPath/batch=<label>/`, and
+    * append the batch's fingerprints to the store so the next
+    * micro-batch sees them. The live face of a rolling crawl's
+    * dedup: no prior batch's text is ever re-tokenized; the
+    * recurring cost is O(micro-batch) text work plus the pruned
+    * store join.
+    *
+    * Exactly-once at the layout level, the [[upsertStream]] recipe:
+    * the batch label is the checkpointed micro-batch id, and both
+    * writes are dynamic-partition overwrites of exactly that label's
+    * partitions — a replayed batch rewrites the same files instead
+    * of duplicating fingerprints or pairs.
+    */
+  def incrementalDedupStream(
+      docs: DataFrame,
+      storePath: String,
+      pairsPath: String,
+      checkpoint: String,
+      idCol: String,
+      textCol: String,
+      shingleWords: Int = 3,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      maxBucketSize: Int = 1000
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val label = f"b$batchId%06d"
+          val (pairs, cleanup) = graft.pipeline.IncrementalDedup.processBatch(
+            batch.sparkSession, batch, idCol, textCol, storePath, label,
+            shingleWords, numHashes, bands, maxBucketSize)
+          try graft.sources.Sink.writePartitioned(
+            pairs.withColumn("batch", lit(label)), pairsPath,
+            partitionCols = Seq("batch"), sortCols = Seq("id_a", "id_b"))
+          finally cleanup()
+          ()
+        }
+      }
+      .outputMode(OutputMode.Update)
+      .start()
 }

@@ -82,4 +82,29 @@ class IncrementalDedupSpec extends SparkSuite {
       .collect().map(_.toString).sorted
     assert(first.sameElements(second), "batch re-run must replace, not duplicate, its fingerprints")
   }
+
+  test("incrementalDedupStream: micro-batches converge to the one-shot pair universe") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val store = tempStore("stream")
+    val pairsDir = tempStore("stream-pairs")
+    val ckpt = tempStore("stream-ckpt")
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamOps.incrementalDedupStream(
+      input.toDF().toDF("doc_id", "text"), store, pairsDir, ckpt, "doc_id", "text")
+    try {
+      input.addData(rows.filter(_._1 % 2 == 0).toSeq: _*); q.processAllAvailable()
+      input.addData(rows.filter(_._1 % 2 != 0).toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val emitted = pairsSet(spark.read.parquet(pairsDir))
+    assert(emitted == oneShot,
+      s"streamed batches != one-shot: ${(emitted diff oneShot).take(3)} extra, ${(oneShot diff emitted).take(3)} missing")
+    // the store now carries both micro-batches' fingerprint partitions
+    val batches = spark.read.parquet(store).select("batch").distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(batches.sameElements(Array("b000000", "b000001")), batches.mkString(","))
+  }
 }
