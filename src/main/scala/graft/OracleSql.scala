@@ -1208,6 +1208,26 @@ r AS (SELECT query_id, neighbor_id, score,
 CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS "rank" FROM s)
 SELECT query_id, neighbor_id, score, "rank" FROM r WHERE "rank" <= 5""",
 
+    // same semantics as q_ann_ivf — the engine side serves from the
+    // persisted cell-partitioned index instead of recomputing assignment
+    "q_ann_ivf_store" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
+cents AS (SELECT vec_id AS cent_id, emb AS cemb FROM c ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+ca AS (SELECT neighbor_id, emb, cent_id FROM (
+SELECT c.vec_id AS neighbor_id, c.emb, cent_id,
+row_number() OVER (PARTITION BY c.vec_id ORDER BY round(list_cosine_similarity(c.emb, cemb), 4) DESC, cent_id) AS cr
+FROM c CROSS JOIN cents) t WHERE cr = 1),
+q AS (SELECT vec_id, emb FROM c WHERE vec_id % 50 = 0),
+qa AS (SELECT query_id, qemb, cent_id FROM (
+SELECT q.vec_id AS query_id, q.emb AS qemb, cent_id,
+row_number() OVER (PARTITION BY q.vec_id ORDER BY round(list_cosine_similarity(q.emb, cemb), 4) DESC, cent_id) AS cr
+FROM q CROSS JOIN cents) t WHERE cr <= 4),
+s AS (SELECT qa.query_id, ca.neighbor_id, round(list_cosine_similarity(qa.qemb, ca.emb), 4) AS score
+FROM qa JOIN ca USING (cent_id) WHERE qa.query_id <> ca.neighbor_id),
+r AS (SELECT query_id, neighbor_id, score,
+CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS "rank" FROM s)
+SELECT query_id, neighbor_id, score, "rank" FROM r WHERE "rank" <= 5""",
+
     "q_media_metadata" ->
       """SELECT doc_id, 'text/plain' AS mime, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, md5(text) AS digest FROM documents""",
 

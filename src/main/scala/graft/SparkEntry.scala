@@ -801,6 +801,19 @@ object SparkEntry {
       val q = e.where(col("vec_id") % 50 === 0)
       Similarity.ivfTopK(e, q, "vec_id", "emb", k = 5, nlist = 16, nprobe = 4)
     }),
+    "q_ann_ivf_store" -> ((s, dir) => {
+      // the PERSISTED index round-trip: build the cell-partitioned
+      // layout on disk, then serve the same queries from it — the
+      // q_ann_ivf oracle gates that the disk path (partition-pruned
+      // scan, stored norms) reproduces the in-memory operator exactly
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val path = new java.io.File(
+        s"target/graft-ivf/${new java.io.File(dir).getName}/idx").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      graft.pipeline.IvfIndex.build(e, "vec_id", "emb", path, nlist = 16)
+      val q = e.where(col("vec_id") % 50 === 0)
+      graft.pipeline.IvfIndex.searchTopK(s, path, q, "vec_id", "emb", k = 5, nprobe = 4)
+    }),
     "q_ann_pq" -> ((s, dir) => {
       // IVF-PQ: coarse cells prune candidates, fitted per-subspace
       // codebooks score them in the compressed domain (ADC) — the
