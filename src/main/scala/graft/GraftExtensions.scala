@@ -65,5 +65,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "graft_simhash(words, bits) takes 2 arguments")
         SimhashBitsExpr(args.head, intLit(args(1), "bits"))
       }))
+    // graft_approx_quantiles(value, array(p1, p2, ...), alpha):
+    // the DDSketch aggregate from SQL — ps/alpha must fold to literals
+    ext.injectFunction((
+      new FunctionIdentifier("graft_approx_quantiles"),
+      new ExpressionInfo(classOf[graft.plans.DDSketchQuantiles].getName, "graft_approx_quantiles"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "graft_approx_quantiles(value, ps, alpha) takes 3 arguments")
+        require(args(1).foldable && args(2).foldable,
+          "ps and alpha must be literals")
+        val ps = args(1).eval() match {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+            a.toDoubleArray().toSeq
+          case other => throw new IllegalArgumentException(
+            s"ps must fold to an array of doubles, got $other")
+        }
+        val alpha = args(2).eval() match {
+          case d: java.lang.Double => d.doubleValue
+          case other => throw new IllegalArgumentException(
+            s"alpha must fold to a double literal, got $other")
+        }
+        graft.plans.DDSketchQuantiles(args.head, ps, alpha)
+      }))
   }
 }

@@ -650,6 +650,22 @@ round(CASE WHEN l_quantity > qhi THEN qhi WHEN l_quantity < qlo THEN qlo ELSE l_
 round(CASE WHEN l_extendedprice > phi THEN phi WHEN l_extendedprice < plo THEN plo ELSE l_extendedprice END, 4) AS price_w
 FROM lineitem CROSS JOIN h CROSS JOIN l2""",
 
+    // DDSketch replay: same γ, same ceil(ln/ln γ) buckets, same
+    // round(p*(n-1)) rank walk, same 2γ^b/(γ+1) midpoint — the
+    // sketch is deterministic so the oracle reproduces it exactly
+    "q_approx_quantiles" ->
+      """WITH c AS (SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem WHERE l_extendedprice IS NOT NULL),
+bk AS (SELECT l_returnflag, CAST(ceil(ln(v) / ln((1.0+0.01)/(1.0-0.01))) AS INT) AS b, count(*) AS cnt FROM c GROUP BY 1, 2),
+tot AS (SELECT l_returnflag, sum(cnt) AS n FROM bk GROUP BY 1),
+cum AS (SELECT l_returnflag, b, sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY b) AS cm FROM bk),
+ps AS (SELECT * FROM (VALUES (1, 0.25), (2, 0.5), (3, 0.75), (4, 0.95)) AS t(p_idx, p)),
+r AS (SELECT tot.l_returnflag, p_idx, round(p * (n - 1)) AS rnk FROM tot CROSS JOIN ps),
+sel AS (SELECT r.l_returnflag, r.p_idx, min(cum.b) AS b
+FROM r JOIN cum ON cum.l_returnflag = r.l_returnflag AND cum.cm > r.rnk GROUP BY 1, 2)
+SELECT l_returnflag, p_idx,
+round(2 * pow((1.0+0.01)/(1.0-0.01), b) / ((1.0+0.01)/(1.0-0.01) + 1), 4) AS q
+FROM sel""",
+
     "q_portfolio_by" ->
       s"""WITH $portfolioCuts5
 SELECT l_orderkey, l_linenumber, l_returnflag,

@@ -215,6 +215,17 @@ object SparkEntry {
         round(col("l_quantity"), 6).as("qty_w"),
         round(col("l_extendedprice"), 4).as("price_w"))
     }),
+    "q_approx_quantiles" -> ((s, dir) => {
+      // the DDSketch aggregate under a full cross-engine oracle: the
+      // log-γ bucket walk is plain SQL, so DuckDB replays the exact
+      // bucket selection and midpoint estimate (4-dp round absorbs
+      // libm ulp drift in ln/pow)
+      val li = t(s, dir, "lineitem")
+      val cuts = Percentiles.approxCuts(
+        li, col("l_extendedprice"), Seq("l_returnflag"), Seq(0.25, 0.5, 0.75, 0.95), 0.01)
+      cuts.select(col("l_returnflag"), posexplode(col("__cuts__")).as(Seq("i", "q")))
+        .select(col("l_returnflag"), (col("i") + 1).as("p_idx"), round(col("q"), 4).as("q"))
+    }),
     "q_portfolio_by" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
       val (p, cleanup) =

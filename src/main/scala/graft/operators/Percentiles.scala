@@ -320,6 +320,43 @@ object Percentiles {
     (out, () => { out.unpersist(); cleanup() })
   }
 
+  /** Approximate quantiles as ONE mergeable aggregation — the scale
+    * escape hatch for where even the distributed exact plan is too
+    * heavy (its count shuffle carries every DISTINCT value; a
+    * trillion-distinct-value column at 100 TB still moves trillions
+    * of rows). This is a native DDSketch aggregate
+    * ([[graft.plans.DDSketchQuantiles]]): per-group state is a
+    * log-γ bucket-count map (bounded by the double range — a few
+    * thousand entries at alpha=0.01, CONSTANT in the data), partial
+    * aggregation combines map-side like a sum, and every returned
+    * quantile is within relative error `alpha` of the exact rank
+    * element. Deterministic: bucket counts are exact, so the result
+    * is identical under any partitioning (unlike KLL/t-digest).
+    *
+    * NOT used by the parity operators (winsorize/portfolio pin exact
+    * NumPy-interpolation semantics against the oracle); offered for
+    * pipelines that trade α error for one cheap pass.
+    */
+  def approxQuantiles(value: Column, ps: Seq[Double], alpha: Double = 0.01): Column =
+    graft.internal.exprColumn(
+      graft.plans.DDSketchQuantiles(graft.internal.columnExpr(value.cast("double")), ps, alpha)
+        .toAggregateExpression())
+
+  /** [[cuts]]-shaped frame from [[approxQuantiles]]: one row per
+    * byvars combo with `cutsCol(i)` ≈ the ps(i) quantile.
+    */
+  def approxCuts(
+      df: DataFrame,
+      value: Column,
+      byvars: Seq[String],
+      ps: Seq[Double],
+      alpha: Double = 0.01,
+      cutsCol: String = "__cuts__"
+  ): DataFrame = {
+    val agg = approxQuantiles(value, ps, alpha).as(cutsCol)
+    if (byvars.isEmpty) df.agg(agg) else df.groupBy(byvars.map(col): _*).agg(agg)
+  }
+
   /** Whether [[boundsMulti]]/[[winsorBounds]] route `df` to the
     * distributed rank pipeline (vs the builtin small-input
     * aggregate) — callers that fuse differently per path ask first.
