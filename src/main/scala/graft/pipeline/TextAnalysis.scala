@@ -653,6 +653,93 @@ object TextAnalysis {
     df.withColumn("n_bpe",
       coalesce(size(bpeTokensUdf(merges)(col(textCol))), lit(0)).cast("long"))
 
+  /** TRAIN the BPE merge table in-engine (Sennrich et al. 2016,
+    * arXiv:1508.07909) — the fit side of [[bpeTokensUdf]], closing
+    * the tokenize loop the way `q_quality_fit` closes the
+    * classifier's: corpus → merges → model-true token counts.
+    *
+    * Classic formulation: training iterates over the WORD-FREQUENCY
+    * table, not the corpus — one groupBy collapses the text to
+    * (distinct word, count), so each of the `numMerges` iterations
+    * touches |vocab| rows however large the corpus is. Per
+    * iteration:
+    *
+    *  1. adjacent token pairs per word, weighted by word count —
+    *     `arrays_zip(slice, slice)` + explode (codegen, overlapping
+    *     positions counted like the reference implementation), one
+    *     map-side-combined agg whose shuffle carries distinct pairs;
+    *  2. the winning pair — ONE row collected to the driver
+    *     (deterministic tie-break: count desc, then pair
+    *     lexicographic — engine-order-independent);
+    *  3. the merge applied to the token arrays (leftmost-greedy,
+    *     non-overlapping — the [[bpeTokensUdf]] rule) — per-row
+    *     work, no shuffle.
+    *
+    * The lazy plan grows by one projection per iteration;
+    * every `compactEvery` rounds the word table is localCheckpointed
+    * and the superseded checkpoint released (the kmeansCentroids
+    * depth-bounding pattern). Stops early when no pair repeats.
+    * Train offline and persist the merges; serving ships them in the
+    * task closure like any model artifact.
+    */
+  def bpeTrainMerges(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      compactEvery: Int = 8
+  ): Seq[(String, String)] = {
+    require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    val charsOf = udf((w: String) => w.map(_.toString).toArray)
+    var (words, release) = graft.internal.localCheckpointTracked(
+      df.select(explode(split(col(textCol), "\\s+")).as("__w__"))
+        .where(col("__w__") =!= "")
+        .groupBy(col("__w__")).agg(count(lit(1)).as("__c__"))
+        .select(charsOf(col("__w__")).as("__toks__"), col("__c__")),
+      eager = true)
+    def applyMerge(a: String, b: String) = udf { (toks: Seq[String]) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < toks.length) {
+        if (i < toks.length - 1 && toks(i) == a && toks(i + 1) == b) {
+          out += a + b; i += 2 // leftmost-greedy, non-overlapping
+        } else { out += toks(i); i += 1 }
+      }
+      out.toSeq
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    var i = 0
+    while (i < numMerges && !done) {
+      val n = size(col("__toks__"))
+      val best = words
+        .where(n >= 2)
+        .select(col("__c__"), explode(arrays_zip(
+          slice(col("__toks__"), lit(1), n - 1).as("a"),
+          slice(col("__toks__"), lit(2), n - 1).as("b"))).as("__p__"))
+        .groupBy(col("__p__.a").as("a"), col("__p__.b").as("b"))
+        .agg(sum(col("__c__")).as("cnt"))
+        // a pair seen once can't compress anything — stop there, like
+        // the reference trainer's min_frequency=2 default
+        .where(col("cnt") >= 2)
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1)
+        .collect()
+      if (best.isEmpty) done = true
+      else {
+        val (a, b) = (best(0).getString(0), best(0).getString(1))
+        merges += ((a, b))
+        words = words.withColumn("__toks__", applyMerge(a, b)(col("__toks__")))
+        i += 1
+        if (i % compactEvery == 0 || i == numMerges || done) {
+          val (cp, rel) = graft.internal.localCheckpointTracked(words, eager = true)
+          release(); words = cp; release = rel
+        }
+      }
+    }
+    release()
+    merges.toSeq
+  }
+
   /** Linear text-classifier INFERENCE over hashed n-gram features —
     * the fastText-style quality/domain classifier a pipeline trains
     * offline and applies to the whole corpus (the pattern behind the

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.TextAnalysis
+
+/** In-engine BPE training vs an independent local trainer: the
+  * distributed pair-count/merge loop must reproduce the classic
+  * single-machine algorithm exactly (same pair counting over
+  * overlapping positions, same count-desc/lexicographic tie-break,
+  * same leftmost non-overlapping merge application).
+  */
+class BpeTrainSpec extends SparkSuite {
+
+  /** Reference trainer: the Sennrich pseudocode, verbatim. */
+  private def localTrain(texts: Seq[String], numMerges: Int): Seq[(String, String)] = {
+    var vocab: Map[Vector[String], Long] = texts
+      .flatMap(_.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, ws) => w.map(_.toString).toVector -> ws.size.toLong }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (merges.size < numMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (toks, c) =>
+        toks.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + c
+          case _ => ()
+        }
+      }
+      val eligible = counts.filter(_._2 >= 2)
+      if (eligible.isEmpty) done = true
+      else {
+        val (pair, _) = eligible.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += pair
+        vocab = vocab.map { case (toks, c) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < toks.length) {
+            if (i < toks.length - 1 && toks(i) == pair._1 && toks(i + 1) == pair._2) {
+              out += pair._1 + pair._2; i += 2
+            } else { out += toks(i); i += 1 }
+          }
+          out.result() -> c
+        }.groupBy(_._1).map { case (t, m) => t -> m.values.sum }
+      }
+    }
+    merges.toSeq
+  }
+
+  private val corpus = Seq(
+    "low lower lowest low low",
+    "new newer newest new newer",
+    "wide wider widest wide",
+    "low new wide lowest newest",
+    "the the the them then there",
+    "running runner run runs running")
+
+  test("distributed training reproduces the local trainer merge for merge") {
+    val s = spark; import s.implicits._
+    val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val got = TextAnalysis.bpeTrainMerges(df, "text", numMerges = 20)
+    val want = localTrain(corpus, 20)
+    assert(got == want, s"\n got: $got\nwant: $want")
+    assert(got.nonEmpty)
+  }
+
+  test("early stop: no pair with count >= 2 ends training before numMerges") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "ab cd ef")).toDF("id", "text")
+    // every adjacent pair occurs once -> zero merges
+    assert(TextAnalysis.bpeTrainMerges(df, "text", numMerges = 5).isEmpty)
+  }
+
+  test("trained merges close the loop: serving counts drop as merges learn the corpus") {
+    val s = spark; import s.implicits._
+    val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val merges = TextAnalysis.bpeTrainMerges(df, "text", numMerges = 30)
+    val untrained = TextAnalysis.withBpeTokenCount(df, "text", Nil)
+      .agg(sum("n_bpe")).head().getLong(0)
+    val trained = TextAnalysis.withBpeTokenCount(df, "text", merges)
+      .agg(sum("n_bpe")).head().getLong(0)
+    assert(trained < untrained,
+      s"learned merges must compress the training corpus: $trained !< $untrained")
+    // parity with the local trainer's final vocabulary application
+    val localMerges = localTrain(corpus, 30)
+    val viaLocal = TextAnalysis.withBpeTokenCount(df, "text", localMerges)
+      .agg(sum("n_bpe")).head().getLong(0)
+    assert(trained == viaLocal)
+  }
+
+  test("compaction keeps the plan bounded across many iterations") {
+    val s = spark; import s.implicits._
+    val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    // compactEvery=2 forces several checkpoint hops; result unchanged
+    val a = TextAnalysis.bpeTrainMerges(df, "text", numMerges = 12, compactEvery = 2)
+    val b = TextAnalysis.bpeTrainMerges(df, "text", numMerges = 12, compactEvery = 100)
+    assert(a == b)
+  }
+}
