@@ -1204,6 +1204,20 @@ SELECT query_id, neighbor_id, score, "rank" FROM r WHERE "rank" <= 5""",
 
     "q_ann_lsh" -> annLshSql,
 
+    // JL projection replay: same md5-derived planes (embedded as
+    // literals from the SAME planeMatrix call), same left-to-right
+    // sum, same /sqrt(k) division
+    "q_rand_proj" -> {
+      val m = Similarity.planeMatrix(8, 64, 7)
+      val comps = (0 until 8).map { p =>
+        val lst = m(p).mkString("[", ", ", "]")
+        s"round(list_sum(list_transform(range(1, 65), i -> emb[i] * ($lst)[i])) / sqrt(8.0 / 3.0), 6) AS c$p"
+      }.mkString(",\n")
+      s"""SELECT vec_id,
+$comps
+FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)"""
+    },
+
     // IVF mirrors the engine cell-for-cell: md5-ordered centroid draw,
     // rank-1 corpus assignment, nprobe query probing, global re-rank
     "q_ann_ivf" ->

@@ -812,6 +812,14 @@ object SparkEntry {
       val q = e.where(col("vec_id") % 50 === 0)
       Similarity.ivfTopK(e, q, "vec_id", "emb", k = 5, nlist = 16, nprobe = 4)
     }),
+    "q_rand_proj" -> ((s, dir) => {
+      // JL reduction 64 -> 8 dims; the oracle recomputes every
+      // component from the same md5-derived plane matrix
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val r = Similarity.randomProjection(e, "emb", "rp", dims = 64, k = 8)
+      r.select(col("vec_id") +: (0 until 8).map(i =>
+        round(element_at(col("rp"), i + 1), 6).as(s"c$i")): _*)
+    }),
     "q_ann_ivf_store" -> ((s, dir) => {
       // the PERSISTED index round-trip: build the cell-partitioned
       // layout on disk, then serve the same queries from it — the

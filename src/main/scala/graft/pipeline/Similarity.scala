@@ -170,6 +170,49 @@ object Similarity {
     }
   }
 
+  /** Johnson-Lindenstrauss random projection: reduce `dims`-d
+    * embeddings to `k` dims by projecting onto the md5-derived
+    * [[planeMatrix]] rows, scaled by 1/√k (distance-preserving in
+    * expectation — JL lemma; the standard pre-step that makes
+    * brute-force/IVF over 768-d web embeddings affordable by
+    * shrinking the vectors the quadratic stages carry). One JVM-UDF
+    * pass per row computing all k components (the [[lshBucketUdf]]
+    * rationale: lambda HOFs never code-generate), division (not
+    * reciprocal multiply) so an external engine reproduces every
+    * double: component p = <v, r_p> / √(k/3), sums left-to-right —
+    * the planes are uniform[-1,1] (variance 1/3), so the unbiased
+    * distance-preserving scale is √(k·σ²) = √(k/3), not the
+    * unit-gaussian √k (RandomProjectionSpec pins the median
+    * distortion at ~1).
+    * Null vectors stay null; a length mismatch with `dims` throws
+    * (silent truncation would corrupt distances).
+    */
+  def randomProjection(
+      df: DataFrame,
+      vecCol: String,
+      outCol: String,
+      dims: Int,
+      k: Int,
+      seed: Int = 7
+  ): DataFrame = {
+    val m = planeMatrix(k, dims, seed)
+    val root = math.sqrt(k / 3.0)
+    val proj = udf { (vec: Seq[Double]) =>
+      if (vec == null) null
+      else {
+        require(vec.length == dims, s"expected $dims-d vector, got ${vec.length}")
+        Array.tabulate(k) { p =>
+          val plane = m(p)
+          var s = 0.0
+          var d = 0
+          while (d < dims) { s += vec(d) * plane(d); d += 1 }
+          s / root
+        }
+      }
+    }
+    df.withColumn(outCol, proj(col(vecCol)))
+  }
+
   /** Sign-LSH bucket id: one bit per hyperplane = sign of <v, r_p>.
     * Returns a string of 0/1 of length `planes`. `dims` must match
     * the vector length (zip_with would null-pad a mismatch).
