@@ -89,6 +89,18 @@ object Sink {
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** [[readPartitioned]] with schema evolution: union the schemas of
+    * every file footer (`mergeSchema`) so batches written before a
+    * column existed read as null for it — the contract a long-lived
+    * incremental layout needs when the pipeline grows a field (a new
+    * quality score, a new provenance tag). Costs a footer read per
+    * file at planning (why it is not the default read path); run
+    * [[compactPartitions]] after wide-scale evolution to re-write
+    * stragglers under the current schema.
+    */
+  def readPartitionedEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** Small-file maintenance for a [[writePartitioned]] layout: every
     * partition whose parquet file count exceeds `targetFiles` is
     * rewritten down to at most `targetFiles` files (same content,

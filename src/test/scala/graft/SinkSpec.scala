@@ -225,6 +225,25 @@ class SinkSpec extends SparkSuite {
       Seq((99L, "zz")).toDF("id", "part"), Seq("id"), Seq("part")) == Nil)
   }
 
+  test("schema evolution: a batch with a new column coexists; evolved read nulls old rows") {
+    val s = spark
+    val d = s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text", "lang")
+    val out = tmp()
+    // epoch 1 has no quality column; epoch 2 grows one
+    Sink.writePartitioned(d.where(col("doc_id") % 2 === 0)
+      .withColumn("epoch", lit("e1")), out.toString, Seq("epoch", "lang"), Seq("doc_id"))
+    Sink.writePartitioned(d.where(col("doc_id") % 2 =!= 0)
+      .withColumn("quality", col("doc_id") % 7)
+      .withColumn("epoch", lit("e2")), out.toString, Seq("epoch", "lang"), Seq("doc_id"))
+    val evolved = Sink.readPartitionedEvolved(s, out.toString)
+    assert(evolved.columns.contains("quality"), evolved.columns.mkString(","))
+    assert(evolved.count() == d.count())
+    // pre-evolution rows read null quality; post-evolution keep theirs
+    assert(evolved.where(col("epoch") === "e1" && col("quality").isNotNull).count() == 0)
+    assert(evolved.where(col("epoch") === "e2" && col("quality").isNull).count() == 0)
+  }
+
   test("upsert + delete compose to the reference latest-state semantics at table scale") {
     val s = spark
     val d = spark.read.parquet(s"$dir/documents.parquet")
