@@ -604,12 +604,12 @@ FROM orders""",
 CAST(count(l_quantity) OVER (PARTITION BY l_returnflag, l_linestatus) AS DOUBLE) AS l_quantity_count
 FROM lineitem)
 SELECT l_returnflag, l_linestatus,
-round(avg(l_quantity), 4) AS l_quantity,
-round(avg(l_extendedprice), 4) AS l_extendedprice,
-round(avg(l_quantity_count), 4) AS l_quantity_count,
-round(sum(l_quantity * l_discount) / sum(l_discount), 4) AS l_quantity_wavg,
-round(sum(l_extendedprice * l_discount) / sum(l_discount), 4) AS l_extendedprice_wavg,
-round(sum(l_quantity_count * l_discount) / sum(l_discount), 4) AS l_quantity_count_wavg
+round(avg(l_quantity) - 1e-9, 4) + 0.0 AS l_quantity,
+round(avg(l_extendedprice) - 1e-9, 4) + 0.0 AS l_extendedprice,
+round(avg(l_quantity_count) - 1e-9, 0) + 0.0 AS l_quantity_count,
+round(sum(l_quantity * l_discount) / sum(l_discount) - 1e-9, 4) + 0.0 AS l_quantity_wavg,
+round(sum(l_extendedprice * l_discount) / sum(l_discount) - 1e-9, 4) + 0.0 AS l_extendedprice_wavg,
+round(sum(l_quantity_count * l_discount) / sum(l_discount) - 1e-9, 0) + 0.0 AS l_quantity_count_wavg
 FROM b GROUP BY l_returnflag, l_linestatus""",
 
     "q_var_change" ->

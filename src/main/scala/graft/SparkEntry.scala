@@ -159,15 +159,20 @@ object SparkEntry {
     }),
     "q_averages" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
+      // tie-break-stable rounding (the fillna/cumulate convention) on
+      // the value columns; COUNT columns round at 0 decimals — a
+      // group count is an integer, and its weighted average (a 3M-term
+      // float sum at sf3) carries ~1e-4 of summation noise, far wider
+      // than a 4-dp round boundary (the first genuinely
+      // magnitude-sensitive rounding found in the sf3 sweep; at 0 dp
+      // the margin is 0.5, stable at any SF)
+      def r4(c: String) = round(col(c) - lit(1e-9), 4).as(c)
+      def r0(c: String) = round(col(c) - lit(1e-9), 0).as(c)
       GroupOps.averages(li, Seq("l_quantity", "l_extendedprice"), Seq("l_returnflag", "l_linestatus"),
           wtvar = Some("l_discount"), count = Some("l_quantity"))
         .select(col("l_returnflag"), col("l_linestatus"),
-          round(col("l_quantity"), 4).as("l_quantity"),
-          round(col("l_extendedprice"), 4).as("l_extendedprice"),
-          round(col("l_quantity_count"), 4).as("l_quantity_count"),
-          round(col("l_quantity_wavg"), 4).as("l_quantity_wavg"),
-          round(col("l_extendedprice_wavg"), 4).as("l_extendedprice_wavg"),
-          round(col("l_quantity_count_wavg"), 4).as("l_quantity_count_wavg"))
+          r4("l_quantity"), r4("l_extendedprice"), r0("l_quantity_count"),
+          r4("l_quantity_wavg"), r4("l_extendedprice_wavg"), r0("l_quantity_count_wavg"))
     }),
     "q_var_change" -> ((s, dir) => {
       val o = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
