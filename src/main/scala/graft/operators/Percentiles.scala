@@ -139,9 +139,9 @@ object Percentiles {
       .partitionBy((col("__pid__") +: keys): _*)
       .orderBy(col("__v__"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = parts
-      .withColumn("__cum__", sum(col("__c__")).over(wIn))
-      .join(broadcast(offs), "__pid__" +: byvars)
+    val ranked = nullSafeBroadcastJoin(
+      parts.withColumn("__cum__", sum(col("__c__")).over(wIn)),
+      offs, Seq("__pid__"), byvars)
       // this value occupies global ranks [__start__, __end__)
       .withColumn("__end__", col("__off__") + col("__cum__"))
       .withColumn("__start__", col("__end__") - col("__c__"))
@@ -367,6 +367,30 @@ object Percentiles {
     df.queryExecution.optimizedPlan.stats.sizeInBytes >= threshold
   }
 
+  /** Broadcast the offsets frame back onto the ranked counts with
+    * NULL-SAFE equality on the grouping keys (`<=>`; plain `=` for
+    * `exact` cols, which are engine-generated and never null). A
+    * USING join here would drop every NULL-keyed group — the builtin
+    * small-input path's `groupBy` emits them, and the documented
+    * invariant is that the physical-path switch can never change
+    * results, so NULL groups must survive both paths identically.
+    * Right-side keys are renamed before the join and dropped after,
+    * keeping the output schema of the old USING form.
+    */
+  private def nullSafeBroadcastJoin(
+      left: DataFrame,
+      right: DataFrame,
+      exact: Seq[String],
+      nullSafe: Seq[String]
+  ): DataFrame = {
+    val renamed = (exact ++ nullSafe)
+      .foldLeft(right)((d, c) => d.withColumnRenamed(c, s"__r_${c}__"))
+    val cond = (exact.map(c => left(c) === renamed(s"__r_${c}__")) ++
+      nullSafe.map(c => left(c) <=> renamed(s"__r_${c}__"))).reduce(_ && _)
+    left.join(broadcast(renamed), cond)
+      .drop((exact ++ nullSafe).map(c => s"__r_${c}__"): _*)
+  }
+
   /** The builtin-parity interpolation over bound `i`'s pivoted
     * components (`__loI__`/`__hiI__`/`__nI__`), with an optional
     * monotone transform applied to the rank values first
@@ -432,9 +456,9 @@ object Percentiles {
       .partitionBy((col("__pid__") +: gk): _*)
       .orderBy(col("__v__"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = parts
-      .withColumn("__cum__", sum(col("__c__")).over(wIn))
-      .join(broadcast(offs), "__pid__" +: byb)
+    val ranked = nullSafeBroadcastJoin(
+      parts.withColumn("__cum__", sum(col("__c__")).over(wIn)),
+      offs, Seq("__pid__", "__b__"), byvars)
       .withColumn("__end__", col("__off__") + col("__cum__"))
       .withColumn("__start__", col("__end__") - col("__c__"))
     // builtin Percentile parity: position = p * (N - 1); p arrives

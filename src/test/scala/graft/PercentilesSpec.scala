@@ -157,4 +157,55 @@ class PercentilesSpec extends SparkSuite {
     assert(ours == builtin)
     assert(ours("b") == Seq(3.0, 3.0, 3.0)) // single row: every cut is the value itself
   } }
+
+  test("NULL grouping keys survive both physical paths (cuts + boundsMulti)") { bothPaths {
+    // the builtin path's groupBy emits a NULL-keyed group; the
+    // distributed path's offsets broadcast joins back on the byvars
+    // — a null-UNSAFE join there silently drops the group, breaking
+    // the "the switch can never change results" invariant. Pin it.
+    val s = spark; import s.implicits._
+    val df = Seq[(String, Double)](
+      (null, 1.0), (null, 2.0), (null, 3.0), (null, 10.0),
+      ("a", 5.0), ("a", 7.0), ("a", 9.0)
+    ).toDF("g", "v")
+    val qs = Seq(0.25, 0.5, 0.75)
+    val builtin = df.groupBy("g").agg(percentile(col("v"), lit(qs.toArray)).as("c"))
+      .collect().map(r => Option(r.getString(0)) -> r.getSeq[Double](1)).toMap
+    val ours = Percentiles.cuts(df, col("v"), Seq("g"), qs)
+      .collect().map(r => Option(r.getString(0)) -> r.getSeq[Double](1)).toMap
+    assert(ours.keySet == Set(None, Some("a")), s"NULL group lost: ${ours.keySet}")
+    assert(ours == builtin)
+
+    val (bm, cleanup) = Percentiles.boundsMulti(
+      df, Seq(("hi", col("v"), 0.9), ("lo", col("v"), 0.1)), Seq("g"))
+    try {
+      val rows = bm.collect().map(r => Option(r.getString(0)) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+      assert(rows.keySet == Set(None, Some("a")), s"NULL group lost: ${rows.keySet}")
+      val bHi = df.groupBy("g").agg(percentile(col("v"), lit(0.9)).as("hi"),
+        percentile(col("v"), lit(0.1)).as("lo"))
+        .collect().map(r => Option(r.getString(0)) -> (r.getDouble(1), r.getDouble(2))).toMap
+      assert(rows == bHi)
+    } finally cleanup()
+  } }
+
+  test("NULL grouping keys clamp identically through winsorize on both paths") { bothPaths {
+    val s = spark; import s.implicits._
+    val df = Seq[(String, Double)](
+      (null, 1.0), (null, 2.0), (null, 3.0), (null, 100.0), (null, -50.0),
+      ("a", 5.0), ("a", 7.0), ("a", 9.0), ("a", 11.0)
+    ).toDF("g", "v")
+    // pct pair (b, t) clamps at [b, 1-t]: (0.2, 0.2) -> [p20, p80]
+    val (w, cleanup) = graft.operators.Winsorize.winsorizeWithCleanup(
+      df, (0.2, 0.2), Seq("v"), Seq("g"))
+    try {
+      val nullG = w.where(col("g").isNull).select("v").as[Double].collect().sorted
+      // over (-50,1,2,3,100): p80 = 22.4; bottom p20 over the
+      // top-clamped multiset (-50,1,2,3,22.4) = -9.2. Unfixed, the
+      // NULL group joins no bounds and stays at raw (-50, 100).
+      assert(nullG.nonEmpty, "NULL group rows lost through winsorize")
+      assert(nullG.max <= 22.4 + 1e-9 && nullG.min >= -9.2 - 1e-9,
+        s"NULL group unclamped: ${nullG.toSeq}")
+    } finally cleanup()
+  } }
 }
