@@ -27,12 +27,16 @@ import org.apache.spark.sql.functions._
   *
   * Incremental maintenance: [[appendBatch]] assigns a new batch
   * under the FROZEN centroids (standard IVF practice — cells drift
-  * only when the quantizer is retrained, which is a [[build]]) and
-  * key-upserts it into the cell layout
-  * ([[graft.sources.Sink.upsertPartitioned]]): re-ingested ids
-  * replace their old row even if they move cells is NOT needed —
-  * frozen centroids pin an id to one cell, so the upsert rewrites
-  * in place.
+  * only when the quantizer is retrained, a [[rebuild]]). Frozen
+  * centroids pin a VECTOR to one cell, not a key: re-ingesting an
+  * id with a CHANGED embedding can move it to a different cell, and
+  * a partition-scoped upsert alone would leave the stale row alive
+  * in the old cell. The index therefore keeps a `_keymap/` sidecar
+  * (key → cent_id, hash-bucketed BY KEY so its own upserts satisfy
+  * the stable-partition contract); [[appendBatch]] consults it to
+  * tombstone moved keys out of their old cells before upserting the
+  * new rows — cost scales with the batch and the touched cells,
+  * never the corpus.
   *
   * Search results are bit-identical to [[Similarity.ivfTopK]] with
   * the same parameters (vectors and norms round-trip parquet doubles
@@ -42,12 +46,29 @@ import org.apache.spark.sql.functions._
 object IvfIndex {
 
   private val CentroidsDir = "_centroids"
+  private val KeymapDir = "_keymap"
+  // keymap partition fan-out: enough that a keymap-bucket rewrite
+  // stays small, few enough that the sidecar doesn't fragment
+  private val KeymapBuckets = 64
+
+  /** Post-maintenance cell-balance report (drift under frozen
+    * centroids is how IVF recall decays): `meanCell` averages over
+    * ALL `nlist` cells — emptied cells are drift too. Derived from
+    * the `_keymap` sidecar (two narrow columns), never from a corpus
+    * scan.
+    */
+  final case class IvfStats(nlist: Int, nonEmptyCells: Long, rows: Long, maxCell: Long) {
+    def meanCell: Double = if (nlist == 0) 0.0 else rows.toDouble / nlist
+    /** max/mean cell-occupancy ratio; 1.0 = perfectly balanced. */
+    def skew: Double = if (rows == 0L) 0.0 else maxCell / meanCell
+  }
 
   /** Build (or rebuild) the index at `path`: pick the deterministic
     * [[Similarity.ivfCentroids]] draw, assign every corpus row to
-    * its nearest cell, write cells as partitioned parquet and the
-    * centroid table under `_centroids/`. Zero vectors are excluded
-    * (cosine undefined), like every Similarity path.
+    * its nearest cell, write cells as partitioned parquet, the
+    * centroid table under `_centroids/`, and the key→cell sidecar
+    * under `_keymap/`. Zero vectors are excluded (cosine undefined),
+    * like every Similarity path.
     */
   def build(
       corpus: DataFrame,
@@ -66,10 +87,39 @@ object IvfIndex {
     graft.sources.Sink.writePartitioned(
       assigned, path, partitionCols = Seq("cent_id"), sortCols = Seq(idCol))
     cents.write.mode("overwrite").parquet(s"$path/$CentroidsDir")
+    graft.sources.Sink.writePartitioned(
+      keymapRows(assigned, idCol), s"$path/$KeymapDir",
+      partitionCols = Seq("kb"), sortCols = Seq(idCol))
+  }
+
+  /** Blue/green retrain: read the corpus back OUT of the index at
+    * `path` (cell layout is just partitioned parquet) and [[build]]
+    * a fresh quantizer + layout at `newPath`. A drifted index keeps
+    * serving at `path` while the replacement builds; the caller
+    * flips readers over when done — at 100 TB an in-place retrain
+    * would rewrite every partition under live readers for no gain.
+    */
+  def rebuild(
+      spark: SparkSession,
+      path: String,
+      newPath: String,
+      idCol: String,
+      vecCol: String,
+      nlist: Int = 16,
+      scoreDecimals: Int = 4
+  ): Unit = {
+    val corpus = spark.read.parquet(path).select(col(idCol), col(vecCol))
+    build(corpus, idCol, vecCol, newPath, nlist, scoreDecimals)
   }
 
   /** Upsert a new batch of vectors into an existing index under its
-    * frozen centroids: only the touched cells' partitions rewrite.
+    * frozen centroids. Only the touched cells' partitions rewrite:
+    * the batch's NEW cells via key-upsert, plus the OLD cells of any
+    * re-ingested key whose changed vector moved it (found in the
+    * `_keymap` sidecar — a pruned two-column read, never a corpus
+    * scan), which are tombstoned first. Returns the post-upsert
+    * [[IvfStats]] so callers can watch drift and trigger
+    * [[rebuild]] ([[needsRebuild]]).
     */
   def appendBatch(
       spark: SparkSession,
@@ -78,17 +128,91 @@ object IvfIndex {
       idCol: String,
       vecCol: String,
       scoreDecimals: Int = 4
-  ): Unit = {
+  ): IvfStats = {
     val cents = broadcast(spark.read.parquet(s"$path/$CentroidsDir"))
     val nz = Similarity.dropZeroVectors(batch, vecCol)
     val assigned = Similarity
       .ivfAssign(nz, cents, idCol, vecCol, "row", keep = 1, scoreDecimals)
       .select(col("cent_id"), col("row_id").as(idCol),
         col("__rowv__").as(vecCol), col("__rown__").as("__vn__"))
-    graft.sources.Sink.upsertPartitioned(
-      spark, path, assigned, keyCols = Seq(idCol),
-      partitionCols = Seq("cent_id"), sortCols = Seq(idCol))
-    ()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // moved keys: sidecar rows whose stored cell differs from the
+      // batch's new assignment — their stale corpus rows must leave
+      // the old cells or searches return duplicate/stale neighbors
+      val moved = keymap(spark, path)
+        .join(
+          broadcast(assigned.select(col(idCol), col("cent_id").as("__newc__"))),
+          Seq(idCol))
+        .where(col("cent_id") =!= col("__newc__"))
+        .select(col(idCol), col("cent_id"))
+      if (!moved.isEmpty) {
+        graft.sources.Sink.deleteKeys(
+          spark, path, moved, keyCols = Seq(idCol),
+          partitionCols = Seq("cent_id"), sortCols = Seq(idCol))
+      }
+      graft.sources.Sink.upsertPartitioned(
+        spark, path, assigned, keyCols = Seq(idCol),
+        partitionCols = Seq("cent_id"), sortCols = Seq(idCol))
+      graft.sources.Sink.upsertPartitioned(
+        spark, s"$path/$KeymapDir", keymapRows(assigned, idCol),
+        keyCols = Seq(idCol), partitionCols = Seq("kb"), sortCols = Seq(idCol))
+      stats(spark, path)
+    } finally { assigned.unpersist(); () }
+  }
+
+  /** Cell-balance report from the `_keymap` sidecar (two narrow
+    * columns — cheap at any corpus size).
+    */
+  def stats(spark: SparkSession, path: String): IvfStats = {
+    val nlist = spark.read.parquet(s"$path/$CentroidsDir").count().toInt
+    val cells = keymap(spark, path)
+      .groupBy("cent_id").agg(count(lit(1)).as("__n__"))
+      .agg(count(lit(1)).as("cells"), sum("__n__").as("rows"), max("__n__").as("mx"))
+      .head()
+    if (cells.isNullAt(1)) IvfStats(nlist, 0L, 0L, 0L)
+    else IvfStats(nlist, cells.getLong(0), cells.getLong(1), cells.getLong(2))
+  }
+
+  /** Whether drift warrants a [[rebuild]]: true once the hottest
+    * cell holds `maxSkew`× the balanced share. Serving stays correct
+    * under any skew (every row is in exactly one cell); what decays
+    * is the nprobe/nlist cost model — a hot cell makes every probe
+    * that hits it scan far more than corpus/nlist rows.
+    */
+  def needsRebuild(spark: SparkSession, path: String, maxSkew: Double = 4.0): Boolean =
+    stats(spark, path).skew >= maxSkew
+
+  /** The sidecar rows for a batch of assignments: (key, cell),
+    * hash-bucketed by key — `kb` is a pure function of the key,
+    * so sidecar upserts satisfy [[graft.sources.Sink.upsertPartitioned]]'s
+    * stable-partition contract even when the CELL changes.
+    */
+  private def keymapRows(assigned: DataFrame, idCol: String): DataFrame =
+    assigned.select(col(idCol), col("cent_id"),
+      pmod(xxhash64(col(idCol).cast("string")), lit(KeymapBuckets)).as("kb"))
+
+  /** The key→cell sidecar; for indexes written before the sidecar
+    * existed, derives it once from a pruned (key, cell) scan of the
+    * layout and persists it — a one-time migration, after which
+    * appends stay corpus-scan-free.
+    */
+  private def keymap(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val km = new Path(s"$path/$KeymapDir")
+    val fs = km.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(km)) {
+      val layout = spark.read.parquet(path)
+      val idCol = layout.columns
+        .filterNot(c => c == "cent_id" || c.startsWith("__"))
+        .headOption.getOrElse(sys.error(s"cannot infer key column of index at $path"))
+      graft.sources.Sink.writePartitioned(
+        keymapRows(layout.select(col(idCol), col("cent_id")), idCol),
+        km.toString, partitionCols = Seq("kb"), sortCols = Seq(idCol))
+    }
+    spark.read.parquet(km.toString)
+      .drop("kb")
+      .withColumn("cent_id", col("cent_id").cast("long"))
   }
 
   /** Cosine top-k against the stored index: route queries to their

@@ -147,8 +147,12 @@ object Sink {
     val root = fs.makeQualified(new Path(path))
     if (!fs.exists(root)) return Nil
 
+    // Spark's own hidden-path rule: dot-prefixed always; underscore-
+    // prefixed only when NOT a partition dir (`col=value` contains '=')
+    // -- an underscore-named partition COLUMN must stay visible
     def isHidden(p: Path): Boolean =
-      p.getName.startsWith("_") || p.getName.startsWith(".")
+      p.getName.startsWith(".") ||
+        (p.getName.startsWith("_") && !p.getName.contains("="))
     // leaf partition dirs sit exactly partitionCols.length below root
     def leaves(dir: Path, depth: Int): Seq[Path] =
       if (depth == 0) Seq(dir)
@@ -323,8 +327,12 @@ object Sink {
       alsoClear: Seq[org.apache.hadoop.fs.Path]
   ): Seq[String] = {
     import org.apache.hadoop.fs.Path
+    // Spark's own hidden-path rule: dot-prefixed always; underscore-
+    // prefixed only when NOT a partition dir (`col=value` contains '=')
+    // -- an underscore-named partition COLUMN must stay visible
     def isHidden(p: Path): Boolean =
-      p.getName.startsWith("_") || p.getName.startsWith(".")
+      p.getName.startsWith(".") ||
+        (p.getName.startsWith("_") && !p.getName.contains("="))
     def leaves(dir: Path, depth: Int): Seq[Path] =
       if (depth == 0) Seq(dir)
       else fs.listStatus(dir).toSeq

@@ -75,4 +75,69 @@ class IvfIndexSpec extends SparkSuite {
     val res = IvfIndex.searchTopK(spark, path, q, "vec_id", "emb", k = 5, nprobe = 8)
     assert(res.where(col("neighbor_id") % 2 =!= 0).count() > 0)
   }
+
+  test("appendBatch with a CHANGED vector moves the key and clears its stale cell row") {
+    val path = tempPath("move")
+    IvfIndex.build(emb, "vec_id", "emb", path, nlist = 8)
+    val layout0 = spark.read.parquet(path)
+      .select(col("cent_id").cast("long"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (c1, id1) = layout0.head
+    val (c2, id2) = layout0.find(_._1 != c1).get
+    // re-ingest id1 carrying id2's vector: frozen centroids assign the
+    // VECTOR, so id1 must land in id2's cell — and its old row in c1
+    // must be tombstoned, or searches return duplicate/stale neighbors
+    val batch = emb.where(col("vec_id") === id2)
+      .select(lit(id1).as("vec_id"), col("emb"))
+    IvfIndex.appendBatch(spark, path, batch, "vec_id", "emb")
+    val after = spark.read.parquet(path).where(col("vec_id") === id1)
+      .select(col("cent_id").cast("long")).collect().map(_.getLong(0))
+    assert(after.length == 1, s"id $id1 must appear exactly once, got ${after.toSeq}")
+    assert(after.head == c2, s"changed vector must move id $id1 from cell $c1 to $c2")
+    // serving sees each neighbor at most once across all probed cells
+    val q = emb.where(col("vec_id") === id2)
+    val res = IvfIndex.searchTopK(spark, path, q, "vec_id", "emb", k = 50, nprobe = 8)
+    val dups = res.groupBy("query_id", "neighbor_id").count().where(col("count") > 1).count()
+    assert(dups == 0, "duplicate neighbors served after a moved-key append")
+  }
+
+  test("drifted appends trip needsRebuild; rebuild restores balance and serving parity") {
+    val s = spark; import s.implicits._
+    val path = tempPath("drift")
+    val base = emb.where(col("vec_id") < 400)
+    IvfIndex.build(base, "vec_id", "emb", path, nlist = 8)
+    // craft a batch that piles into ONE frozen cell: every vector is a
+    // strong multiple of one centroid plus a per-class hot coordinate.
+    // Under the frozen draw they all score highest against that
+    // centroid; under a retrained draw the per-class structure splits
+    val cents = spark.read.parquet(path + "/_centroids")
+      .orderBy("cent_id").collect()
+    val c0 = cents.head.getSeq[Double](1).toArray
+    val batchRows = (1000L until 1300L).map { id =>
+      val cls = (id % 4).toInt
+      val v = c0.clone()
+      v(cls) = v(cls) + 2.0 * math.sqrt(c0.map(x => x * x).sum)
+      (id, v.toSeq)
+    }
+    val batch = batchRows.toDF("vec_id", "emb")
+    val st = IvfIndex.appendBatch(spark, path, batch, "vec_id", "emb")
+    assert(st.rows == spark.read.parquet(path).count(), "stats row count must match the layout")
+    assert(st.skew > 2.0, s"drifted appends should skew the cells, got ${st.skew}")
+    assert(IvfIndex.needsRebuild(spark, path, maxSkew = 2.0))
+    assert(!IvfIndex.needsRebuild(spark, path, maxSkew = st.skew + 1))
+    val path2 = tempPath("drift-rebuilt")
+    IvfIndex.rebuild(spark, path, path2, "vec_id", "emb", nlist = 8)
+    val st2 = IvfIndex.stats(spark, path2)
+    assert(st2.rows == st.rows, "rebuild must carry every row over")
+    assert(st2.skew < st.skew, s"rebuild should restore balance: ${st.skew} -> ${st2.skew}")
+    // rebuilt serving is bit-identical to the in-memory operator over
+    // the same (union) corpus — rebuild rereads the corpus from the
+    // old layout, so the centroid draw matches ivfTopK's exactly
+    val corpus = base.select(col("vec_id"), col("emb").cast("array<double>").as("emb"))
+      .unionByName(batch.select(col("vec_id"), col("emb").cast("array<double>").as("emb")))
+    val q = corpus.where(col("vec_id") % 100 === 0)
+    val stored = IvfIndex.searchTopK(spark, path2, q, "vec_id", "emb", k = 5, nprobe = 4)
+    val mem = Similarity.ivfTopK(corpus, q, "vec_id", "emb", k = 5, nlist = 8, nprobe = 4)
+    assert(resultSet(stored) == resultSet(mem))
+  }
 }
