@@ -1138,8 +1138,11 @@ QUALIFY row_number() OVER (PARTITION BY cluster ORDER BY tl DESC, doc_id ASC) = 
 
     "q_simhash_candidates" -> simhashCandidatesSql,
 
+    // the maxBlockSize=30 participation cap replays as a per-label
+    // lowest-id rank filter before the pair join
     "q_embed_neardups" ->
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id) <= 30)
 SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
 round(list_cosine_similarity(a.emb, b.emb), 4) AS cosine
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id

@@ -135,6 +135,19 @@ object SparkEntry {
   // the queries
   // -----------------------------------------------------------------
 
+  /** Queries that are QUADRATIC BY CONTRACT — exact/brute-force twins
+    * kept in the map as correctness baselines for their production
+    * counterparts (brute-force cosine anchors the IVF/LSH/PQ oracles;
+    * the capped exact pair enumerator anchors semDedup). Scale-ratio
+    * gates must exclude them: their super-linear growth is the
+    * DEFINITION of the baseline, not a regression — the production
+    * twins (q_ann_ivf*, q_ann_pq, q_semdedup) are the paths the
+    * sub-linear expectation applies to. Bench emits this set in its
+    * JSON line so downstream analysis filters on it.
+    */
+  val baselineQueries: Set[String] =
+    Set("q_ann_bruteforce", "q_ann_int8", "q_embed_neardups")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.4 groupby_merge family -------------------------------
     "q_groupby_merge_max" -> ((s, dir) => {
@@ -769,7 +782,9 @@ object SparkEntry {
     }),
     "q_embed_neardups" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").withColumn("emb", col("embedding").cast("array<double>"))
-      Dedup.embeddingNearDups(e, "vec_id", "emb", Seq("label"), 0.25)
+      // maxBlockSize=30 BINDS on the ~50-row synthetic labels, so the
+      // oracle replays the participation cap, not just the happy path
+      Dedup.embeddingNearDups(e, "vec_id", "emb", Seq("label"), 0.25, maxBlockSize = 30)
         .select(col("label"), col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
     }),
     "q_semdedup" -> ((s, dir) => {

@@ -215,7 +215,12 @@ object Dedup {
       bands: Int = 4,
       maxBucketSize: Int = 1000
   ): DataFrame =
-    minhashCandidatesWithCleanup(df, idCol, textCol, shingleWords, numHashes, bands, maxBucketSize)._1
+  {
+    val (out, release) =
+      minhashCandidatesWithCleanup(df, idCol, textCol, shingleWords, numHashes, bands, maxBucketSize)
+    graft.Cleanup.defer(release)
+    out
+  }
 
   /** [[minhashCandidates]] plus a cleanup thunk that unpersists the
     * internal banded-signature cache (the persist is load-bearing —
@@ -530,7 +535,12 @@ object Dedup {
       maxHamming: Int = 3,
       maxBucketSize: Int = 1000
   ): DataFrame =
-    simhashCandidatesWithCleanup(df, idCol, textCol, bits, bands, maxHamming, maxBucketSize)._1
+  {
+    val (out, release) =
+      simhashCandidatesWithCleanup(df, idCol, textCol, bits, bands, maxHamming, maxBucketSize)
+    graft.Cleanup.defer(release)
+    out
+  }
 
   /** Same bit-string as `simhashFromMd5s(transform(words, md5), bits)`
     * as a JVM-native UDF over the word array: one md5 per word, all
@@ -727,7 +737,12 @@ object Dedup {
       maxIter: Int = 30,
       localSolveMaxEdges: Long = 1L << 20
   ): DataFrame =
-    connectedComponentsWithCleanup(edges, aCol, bCol, maxIter, localSolveMaxEdges)._1
+  {
+    val (out, release) =
+      connectedComponentsWithCleanup(edges, aCol, bCol, maxIter, localSolveMaxEdges)
+    graft.Cleanup.defer(release)
+    out
+  }
 
   /** Banded-LSH candidate pairs with exact n-gram Jaccard attached:
     * (id_a, id_b, n_band_matches, jac). The scale-true near-dup
@@ -769,7 +784,12 @@ object Dedup {
       bands: Int = 4,
       maxBucketSize: Int = 1000
   ): DataFrame =
-    jaccardCandidatesWithCleanup(df, idCol, textCol, shingleWords, numHashes, bands, maxBucketSize)._1
+  {
+    val (out, release) =
+      jaccardCandidatesWithCleanup(df, idCol, textCol, shingleWords, numHashes, bands, maxBucketSize)
+    graft.Cleanup.defer(release)
+    out
+  }
 
   /** End-to-end near-duplicate grouping: banded-LSH candidates,
     * exact Jaccard verification on the candidate pairs only, then
@@ -788,7 +808,12 @@ object Dedup {
       bands: Int = 4,
       maxBucketSize: Int = 1000
   ): DataFrame =
-    nearDupGroupsWithCleanup(df, idCol, textCol, jaccardThreshold, shingleWords, numHashes, bands, maxBucketSize)._1
+  {
+    val (out, release) =
+      nearDupGroupsWithCleanup(df, idCol, textCol, jaccardThreshold, shingleWords, numHashes, bands, maxBucketSize)
+    graft.Cleanup.defer(release)
+    out
+  }
 
   /** [[nearDupGroups]] plus a cleanup thunk releasing the connected-
     * components labels' checkpoint blocks (the LSH/shingle caches are
@@ -922,13 +947,25 @@ object Dedup {
     * `blockCols` bounds the quadratic stage (e.g. an LSH bucket or a
     * coarse cluster id); cosine is computed with codegen'd
     * zip_with/aggregate — no UDF.
+    *
+    * `maxBlockSize` is the hard bound the blocking key alone cannot
+    * give: in a block larger than the cap, only the `maxBlockSize`
+    * LOWEST-id rows participate in pairing (the [[semDedup]]
+    * saturation rule — deterministic, and capped-out rows simply
+    * emit no pairs), so no caller-chosen key can make the self-join
+    * quadratic in the corpus. The rank filter shuffles on
+    * `blockCols`, the key the pair join needs anyway, and Spark's
+    * WindowGroupLimit caps each map partition's contribution at
+    * `maxBlockSize` rows BEFORE the shuffle — a billion-row block
+    * never funnels through one ranking task.
     */
   def embeddingNearDups(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       blockCols: Seq[String],
-      threshold: Double
+      threshold: Double,
+      maxBlockSize: Int = 100000
   ): DataFrame = {
     // norms are per ROW, so compute them before the quadratic pair
     // stage — norm-inside-cosine would re-fold each vector once per
@@ -936,6 +973,11 @@ object Dedup {
     val withNorm = df.select(
       (blockCols.map(col) :+ col(idCol).as("__id__") :+ col(vecCol).as("__v__")
         :+ Similarity.norm(col(vecCol)).as("__n__")): _*)
+      .withColumn("__blockrank__",
+        row_number().over(
+          Window.partitionBy(blockCols.map(col): _*).orderBy(col("__id__"))))
+      .where(col("__blockrank__") <= maxBlockSize)
+      .drop("__blockrank__")
     val a = withNorm.toDF((blockCols :+ "id_a" :+ "__va__" :+ "__na__"): _*)
     val b = withNorm.toDF((blockCols :+ "id_b" :+ "__vb__" :+ "__nb__"): _*)
     val cos = Similarity.dot(col("__va__"), col("__vb__")) / (col("__na__") * col("__nb__"))
@@ -988,7 +1030,12 @@ object Dedup {
       centroids: Option[DataFrame] = None,
       maxCellSize: Int = 100000
   ): DataFrame =
-    semDedupWithCleanup(df, idCol, vecCol, threshold, nlist, scoreDecimals, centroids, maxCellSize)._1
+  {
+    val (out, release) =
+      semDedupWithCleanup(df, idCol, vecCol, threshold, nlist, scoreDecimals, centroids, maxCellSize)
+    graft.Cleanup.defer(release)
+    out
+  }
 
   /** [[semDedup]] plus a cleanup thunk for the internal cell-
     * assignment cache: the assignment frame feeds BOTH sides of the

@@ -102,6 +102,30 @@ class SkewStressSpec extends SparkSuite {
     } finally cleanup()
   }
 
+  test("embeddingNearDups: a giant block saturates at maxBlockSize, never quadratic") {
+    val s = spark; import s.implicits._
+    val dim = 16
+    // one caller-chosen blocking key covering 3000 identical vectors —
+    // uncapped this is a 4.5M-pair self-join; the participation cap
+    // bounds it to C(40,2) pairs among the lowest ids
+    val combos = (for { a <- 0 until dim; b <- a + 1 until dim } yield (a, b)).take(100)
+    val rows = (0 until 3000).map(i => (i.toLong, "hot", Array.fill(dim)(1.0))) ++
+      combos.zipWithIndex.map { case ((a, b), i) =>
+        // distinct 2-hot combos: pairwise cosine <= 1/2, far below 0.9
+        val v = new Array[Double](dim); v(a) = 1.0; v(b) = 1.0
+        ((3000 + i).toLong, "cold", v)
+      }
+    val df = rows.toDF("id", "block", "emb")
+    val pairs = timed(120.0, "embeddingNearDups over a giant block") {
+      Dedup.embeddingNearDups(df, "id", "emb", Seq("block"), 0.9, maxBlockSize = 40)
+        .select(col("id_a"), col("id_b")).collect()
+    }
+    // exactly the cap's pair budget: all 40 participants are identical
+    assert(pairs.length == 40 * 39 / 2, s"expected C(40,2) pairs, got ${pairs.length}")
+    assert(pairs.forall(r => r.getLong(0) < 40 && r.getLong(1) < 40),
+      "a row past the participation cap emitted a pair")
+  }
+
   test("winnowCandidates: a corpus of identical docs caps out instead of going quadratic") {
     val s = spark; import s.implicits._
     // 5000 byte-identical documents: every fingerprint hash is held
