@@ -660,27 +660,36 @@ object TextAnalysis {
     *
     * Classic formulation: training iterates over the WORD-FREQUENCY
     * table, not the corpus — one groupBy collapses the text to
-    * (distinct word, count), so each of the `numMerges` iterations
-    * touches |vocab| rows however large the corpus is. Per
-    * iteration:
+    * (distinct word, count), so training cost depends on |vocab|
+    * however large the corpus is. Two physical paths, BIT-IDENTICAL
+    * merges from both (BpeTrainSpec pins them against an independent
+    * local reference), chosen by the vocabulary row count against
+    * `graft.bpe.driverVocabLimit` (default 262144 — tens of MB):
     *
-    *  1. adjacent token pairs per word, weighted by word count —
-    *     `arrays_zip(slice, slice)` + explode (codegen, overlapping
-    *     positions counted like the reference implementation), one
-    *     map-side-combined agg whose shuffle carries distinct pairs;
-    *  2. the winning pair — ONE row collected to the driver
-    *     (deterministic tie-break: count desc, then pair
-    *     lexicographic — engine-order-independent);
-    *  3. the merge applied to the token arrays (leftmost-greedy,
-    *     non-overlapping — the [[bpeTokensUdf]] rule) — per-row
-    *     work, no shuffle.
+    *  - SMALL vocab: collect the (word, count) table once and run
+    *    the classic sequential loop on the driver — 64 merges cost
+    *    TWO jobs total (materialize + collect) instead of one per
+    *    merge. Tie-breaks compare UTF-8 bytes unsigned, exactly like
+    *    Spark's string ordering, so the paths cannot diverge on
+    *    non-ASCII tokens.
+    *  - LARGE vocab: the distributed loop with INCREMENTAL pair-
+    *    count maintenance. The pair-count frame is built once, then
+    *    per merge (a, b): only words whose token array actually
+    *    changed contribute a delta (negative pairs from the old
+    *    array, positive from the merged one) — the full-vocab pair
+    *    explode+recount happens once, not `numMerges` times. Per
+    *    iteration: one tiny-delta union-agg checkpointed eagerly
+    *    (the pairs frame is DISTINCT pairs — vocab-bounded, never
+    *    corpus-sized) and one limit-1 argmax collect (deterministic
+    *    tie-break: count desc, then pair lexicographic).
     *
-    * The lazy plan grows by one projection per iteration;
-    * every `compactEvery` rounds the word table is localCheckpointed
-    * and the superseded checkpoint released (the kmeansCentroids
-    * depth-bounding pattern). Stops early when no pair repeats.
-    * Train offline and persist the merges; serving ships them in the
-    * task closure like any model artifact.
+    * Merge application stays leftmost-greedy non-overlapping (the
+    * [[bpeTokensUdf]] rule). The word table localCheckpoints every
+    * `compactEvery` rounds (the kmeansCentroids depth-bounding
+    * pattern). Stops early when no pair repeats (count >= 2, the
+    * reference trainer's min_frequency default). Train offline and
+    * persist the merges; serving ships them in the task closure like
+    * any model artifact.
     */
   def bpeTrainMerges(
       df: DataFrame,
@@ -689,37 +698,149 @@ object TextAnalysis {
       compactEvery: Int = 8
   ): Seq[(String, String)] = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    val spark = df.sparkSession
     val charsOf = udf((w: String) => w.map(_.toString).toArray)
-    var (words, release) = graft.internal.localCheckpointTracked(
+    val (words0, release0) = graft.internal.localCheckpointTracked(
       df.select(explode(split(col(textCol), "\\s+")).as("__w__"))
         .where(col("__w__") =!= "")
         .groupBy(col("__w__")).agg(count(lit(1)).as("__c__"))
         .select(charsOf(col("__w__")).as("__toks__"), col("__c__")),
       eager = true)
-    def applyMerge(a: String, b: String) = udf { (toks: Seq[String]) =>
-      val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      var i = 0
-      while (i < toks.length) {
-        if (i < toks.length - 1 && toks(i) == a && toks(i + 1) == b) {
-          out += a + b; i += 2 // leftmost-greedy, non-overlapping
-        } else { out += toks(i); i += 1 }
-      }
-      out.toSeq
+    val driverLimit = spark.conf
+      .get("graft.bpe.driverVocabLimit", (1 << 18).toString).toLong
+    val vocabRows = words0.count()
+    if (numMerges == 0) { release0(); return Seq.empty }
+    if (vocabRows <= driverLimit) {
+      val vocab = words0.collect()
+        .map(r => (r.getSeq[String](0).toArray, r.getLong(1)))
+      release0()
+      trainMergesLocal(vocab, numMerges)
+    } else trainMergesDistributed(words0, release0, numMerges, compactEvery)
+  }
+
+  /** Unsigned UTF-8 byte order — Spark's binary string comparison,
+    * replicated so the driver path tie-breaks exactly like the
+    * distributed `orderBy`.
+    */
+  private def utf8Less(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
     }
+    a.length < b.length
+  }
+
+  /** Leftmost-greedy non-overlapping merge of (a, b) in `toks` —
+    * the [[bpeTokensUdf]] rule, shared by both training paths.
+    * Returns `toks` itself when nothing merges (cheap no-change
+    * detection for the incremental delta).
+    */
+  private def mergeOnce(toks: Array[String], a: String, b: String): Array[String] = {
+    var has = false
+    var i = 0
+    while (i < toks.length - 1 && !has) {
+      if (toks(i) == a && toks(i + 1) == b) has = true
+      i += 1
+    }
+    if (!has) return toks
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    i = 0
+    while (i < toks.length) {
+      if (i < toks.length - 1 && toks(i) == a && toks(i + 1) == b) {
+        out += a + b; i += 2
+      } else { out += toks(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** The classic sequential trainer over a collected (word, count)
+    * table — the small-vocab physical path of [[bpeTrainMerges]].
+    * Pair counts are maintained INCREMENTALLY: only words containing
+    * the merged pair are recounted each round.
+    */
+  private def trainMergesLocal(
+      vocab: Array[(Array[String], Long)],
+      numMerges: Int
+  ): Seq[(String, String)] = {
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    def addPairs(toks: Array[String], c: Long): Unit = {
+      var i = 0
+      while (i < toks.length - 1) {
+        val k = (toks(i), toks(i + 1))
+        val n = counts.getOrElse(k, 0L) + c
+        if (n == 0L) counts.remove(k) else counts(k) = n
+        i += 1
+      }
+    }
+    val words = vocab.clone()
+    words.foreach { case (t, c) => addPairs(t, c) }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
-    var i = 0
-    while (i < numMerges && !done) {
+    while (merges.size < numMerges && !done) {
+      var best: (String, String) = null
+      var bestC = 1L // floor: a pair seen once can't compress anything
+      counts.foreach { case (p, c) =>
+        if (c > bestC || (c == bestC && best != null &&
+            (utf8Less(p._1, best._1) ||
+              (p._1 == best._1 && utf8Less(p._2, best._2))))) {
+          best = p; bestC = c
+        }
+      }
+      if (best == null) done = true
+      else {
+        merges += best
+        var w = 0
+        while (w < words.length) {
+          val (toks, c) = words(w)
+          val merged = mergeOnce(toks, best._1, best._2)
+          if (!(merged eq toks)) {
+            addPairs(toks, -c)
+            addPairs(merged, c)
+            words(w) = (merged, c)
+          }
+          w += 1
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The large-vocab physical path of [[bpeTrainMerges]]:
+    * incremental delta maintenance of the distributed pair-count
+    * frame. Takes ownership of `words0`/`release0`.
+    */
+  private def trainMergesDistributed(
+      words0: DataFrame,
+      release0: () => Unit,
+      numMerges: Int,
+      compactEvery: Int
+  ): Seq[(String, String)] = {
+    def pairsOf(wordsF: DataFrame): DataFrame = {
       val n = size(col("__toks__"))
-      val best = words
+      wordsF
         .where(n >= 2)
         .select(col("__c__"), explode(arrays_zip(
           slice(col("__toks__"), lit(1), n - 1).as("a"),
           slice(col("__toks__"), lit(2), n - 1).as("b"))).as("__p__"))
         .groupBy(col("__p__.a").as("a"), col("__p__.b").as("b"))
         .agg(sum(col("__c__")).as("cnt"))
-        // a pair seen once can't compress anything — stop there, like
-        // the reference trainer's min_frequency=2 default
+    }
+    def applyMergeUdf(a: String, b: String) =
+      udf((toks: Seq[String]) => mergeOnce(toks.toArray, a, b).toSeq)
+    var words = words0
+    var releaseWords = release0
+    var (pairs, releasePairs) =
+      graft.internal.localCheckpointTracked(pairsOf(words), eager = true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    var i = 0
+    while (i < numMerges && !done) {
+      val best = pairs
         .where(col("cnt") >= 2)
         .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
         .limit(1)
@@ -728,15 +849,30 @@ object TextAnalysis {
       else {
         val (a, b) = (best(0).getString(0), best(0).getString(1))
         merges += ((a, b))
-        words = words.withColumn("__toks__", applyMerge(a, b)(col("__toks__")))
+        val applied = words.withColumn("__m__", applyMergeUdf(a, b)(col("__toks__")))
+        // only CHANGED words contribute deltas — the full-vocab pair
+        // recount never happens again after the initial build
+        val changed = applied.where(!(col("__m__") === col("__toks__")))
+        val neg = pairsOf(changed.select(col("__toks__"), col("__c__")))
+          .withColumn("cnt", -col("cnt"))
+        val pos = pairsOf(changed.select(col("__m__").as("__toks__"), col("__c__")))
+        val updated = pairs.unionByName(pos).unionByName(neg)
+          .groupBy(col("a"), col("b")).agg(sum(col("cnt")).as("cnt"))
+          .where(col("cnt") > 0)
+        // eager so the superseded pairs generation can release NOW —
+        // a lazy checkpoint would still depend on its blocks
+        val (p2, r2) = graft.internal.localCheckpointTracked(updated, eager = true)
+        releasePairs(); pairs = p2; releasePairs = r2
+        words = applied.select(col("__m__").as("__toks__"), col("__c__"))
         i += 1
-        if (i % compactEvery == 0 || i == numMerges || done) {
+        if (i % compactEvery == 0 || i == numMerges) {
           val (cp, rel) = graft.internal.localCheckpointTracked(words, eager = true)
-          release(); words = cp; release = rel
+          releaseWords(); words = cp; releaseWords = rel
         }
       }
     }
-    release()
+    releaseWords()
+    releasePairs()
     merges.toSeq
   }
 

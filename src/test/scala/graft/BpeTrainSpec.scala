@@ -55,21 +55,62 @@ class BpeTrainSpec extends SparkSuite {
     "the the the them then there",
     "running runner run runs running")
 
-  test("distributed training reproduces the local trainer merge for merge") {
+  /** Run `body` once per physical path: the vocab-size switch routes
+    * small vocabularies to the collected driver trainer, so the
+    * distributed incremental-delta loop must be FORCED (limit 0).
+    */
+  private def bothPaths(body: => Unit): Unit = {
+    val key = "graft.bpe.driverVocabLimit"
+    body // default: driver path at test vocab sizes
+    spark.conf.set(key, "0")
+    try body // forced: distributed incremental path
+    finally spark.conf.unset(key)
+  }
+
+  test("training reproduces the local reference merge for merge, both paths") { bothPaths {
     val s = spark; import s.implicits._
     val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
     val got = TextAnalysis.bpeTrainMerges(df, "text", numMerges = 20)
     val want = localTrain(corpus, 20)
     assert(got == want, s"\n got: $got\nwant: $want")
     assert(got.nonEmpty)
+  } }
+
+  test("small-vocab training is job-bounded: 64 merges in a handful of jobs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val merges =
+      try TextAnalysis.bpeTrainMerges(docs, "text", numMerges = 64)
+      finally {
+        // the listener bus is async — wait for the count to stabilize
+        var last = -1
+        var spins = 0
+        while (jobs.get() != last && spins < 50) {
+          last = jobs.get(); Thread.sleep(100); spins += 1
+        }
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    assert(merges.size == 64, s"corpus should support 64 merges, got ${merges.size}")
+    // the legacy loop ran >= one pair-count job per merge (>= 64 + the
+    // vocab build); the collected driver path needs only the vocab
+    // materialize + count + collect — pin >= 5x fewer than one-per-merge
+    assert(jobs.get() * 5 <= 64,
+      s"expected a job-bounded driver path, saw ${jobs.get()} jobs for 64 merges")
   }
 
-  test("early stop: no pair with count >= 2 ends training before numMerges") {
+  test("early stop: no pair with count >= 2 ends training before numMerges") { bothPaths {
     val s = spark; import s.implicits._
     val df = Seq((1L, "ab cd ef")).toDF("id", "text")
     // every adjacent pair occurs once -> zero merges
     assert(TextAnalysis.bpeTrainMerges(df, "text", numMerges = 5).isEmpty)
-  }
+  } }
 
   test("trained merges close the loop: serving counts drop as merges learn the corpus") {
     val s = spark; import s.implicits._
@@ -88,12 +129,16 @@ class BpeTrainSpec extends SparkSuite {
     assert(trained == viaLocal)
   }
 
-  test("compaction keeps the plan bounded across many iterations") {
+  test("compaction keeps the distributed plan bounded across many iterations") {
     val s = spark; import s.implicits._
     val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
-    // compactEvery=2 forces several checkpoint hops; result unchanged
-    val a = TextAnalysis.bpeTrainMerges(df, "text", numMerges = 12, compactEvery = 2)
-    val b = TextAnalysis.bpeTrainMerges(df, "text", numMerges = 12, compactEvery = 100)
-    assert(a == b)
+    spark.conf.set("graft.bpe.driverVocabLimit", "0") // compactEvery only exists distributed
+    try {
+      // compactEvery=2 forces several checkpoint hops; result unchanged
+      val a = TextAnalysis.bpeTrainMerges(df, "text", numMerges = 12, compactEvery = 2)
+      val b = TextAnalysis.bpeTrainMerges(df, "text", numMerges = 12, compactEvery = 100)
+      assert(a == b)
+      assert(a == localTrain(corpus, 12))
+    } finally spark.conf.unset("graft.bpe.driverVocabLimit")
   }
 }
