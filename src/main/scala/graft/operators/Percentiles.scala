@@ -60,7 +60,11 @@ object Percentiles {
       byvars: Seq[String],
       ps: Seq[Double],
       cutsCol: String = "__cuts__"
-  ): DataFrame = cutsWithCleanup(df, value, byvars, ps, cutsCol)._1
+  ): DataFrame = {
+    val (out, release) = cutsWithCleanup(df, value, byvars, ps, cutsCol)
+    graft.Cleanup.defer(release)
+    out
+  }
 
   /** [[cuts]] plus a cleanup thunk for the internal ranked-counts
     * persist: the counts/range-shuffle stage feeds BOTH the offsets
@@ -193,7 +197,11 @@ object Percentiles {
       byvars: Seq[String],
       p: Double,
       outCol: String
-  ): DataFrame = cutWithCleanup(df, value, byvars, p, outCol)._1
+  ): DataFrame = {
+    val (out, release) = cutWithCleanup(df, value, byvars, p, outCol)
+    graft.Cleanup.defer(release)
+    out
+  }
 
   /** [[cut]] with the [[cutsWithCleanup]] release handle. */
   def cutWithCleanup(

@@ -55,7 +55,12 @@ object Portfolio {
       cutDf: Option[DataFrame] = None,
       portvar: String = "portfolio"
   ): DataFrame =
-    portfolioWithCleanup(df, groupvar, ngroups, byvars, cutoffs, quantCutoffs, cutDf, portvar)._1
+  {
+    val (out, release) =
+      portfolioWithCleanup(df, groupvar, ngroups, byvars, cutoffs, quantCutoffs, cutDf, portvar)
+    graft.Cleanup.defer(release)
+    out
+  }
 
   /** [[portfolio]] plus the release handle for the exact-percentile
     * pipeline's internal persist ([[Percentiles.cutsWithCleanup]]) —

@@ -37,7 +37,11 @@ object Winsorize {
       byvars: Seq[String] = Nil,
       bot: Boolean = true,
       top: Boolean = true
-  ): DataFrame = winsorizeWithCleanup(df, pct, subset, byvars, bot, top)._1
+  ): DataFrame = {
+    val (out, release) = winsorizeWithCleanup(df, pct, subset, byvars, bot, top)
+    graft.Cleanup.defer(release)
+    out
+  }
 
   /** [[winsorize]] plus the release handle for the per-column
     * exact-percentile persists ([[Percentiles.cutWithCleanup]]) —

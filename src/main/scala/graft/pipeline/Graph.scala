@@ -37,7 +37,11 @@ object Graph {
       damping: Double = 0.85,
       decimals: Int = 6
   ): DataFrame =
-    pageRankWithCleanup(edges, srcCol, dstCol, iters, damping, decimals)._1
+  {
+    val (out, release) = pageRankWithCleanup(edges, srcCol, dstCol, iters, damping, decimals)
+    graft.Cleanup.defer(release)
+    out
+  }
 
   /** [[pageRank]] plus the cleanup thunk releasing the persisted
     * edge + node frames (both are read every iteration; without the

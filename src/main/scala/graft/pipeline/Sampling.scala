@@ -264,7 +264,11 @@ object Sampling {
       textCol: String,
       buckets: Int = 256
   ): DataFrame =
-    dsirLogWeightsWithCleanup(raw, target, idCol, textCol, buckets)._1
+  {
+    val (out, release) = dsirLogWeightsWithCleanup(raw, target, idCol, textCol, buckets)
+    graft.Cleanup.defer(release)
+    out
+  }
 
   /** [[dsirLogWeights]] plus a cleanup thunk for the internal
     * per-(doc, bucket) count cache. The raw corpus feeds BOTH the
