@@ -75,13 +75,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_approx_quantiles(value, ps, alpha) takes 3 arguments")
         require(args(1).foldable && args(2).foldable,
           "ps and alpha must be literals")
-        val ps = args(1).eval() match {
+        // fold through a Cast to double so ordinary SQL numeric
+        // literals bind: a plain `array(0.25, 0.5)` / `0.01` parses
+        // as DECIMAL, and `0.5E0` as double — both must work
+        val ps = org.apache.spark.sql.catalyst.expressions
+          .Cast(args(1), org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)).eval() match {
           case a: org.apache.spark.sql.catalyst.util.ArrayData =>
             a.toDoubleArray().toSeq
           case other => throw new IllegalArgumentException(
             s"ps must fold to an array of doubles, got $other")
         }
-        val alpha = args(2).eval() match {
+        val alpha = org.apache.spark.sql.catalyst.expressions
+          .Cast(args(2), org.apache.spark.sql.types.DoubleType).eval() match {
           case d: java.lang.Double => d.doubleValue
           case other => throw new IllegalArgumentException(
             s"alpha must fold to a double literal, got $other")

@@ -98,6 +98,12 @@ class QuantileSketchSpec extends SparkSuite {
       val viaCol = Percentiles.approxCuts(df, col("v"), Seq("g"), Seq(0.25, 0.5, 0.75), 0.01)
         .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
       assert(viaSql == viaCol)
+      // plain numeric literals parse as DECIMAL — they must bind too
+      // (ADVICE r11: only the 0.25D spelling used to work)
+      val viaPlain = spark.sql(
+        "SELECT g, graft_approx_quantiles(CAST(v AS DOUBLE), array(0.25, 0.5, 0.75), 0.01) AS q FROM qsk GROUP BY g")
+        .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      assert(viaPlain == viaCol)
     } finally spark.catalog.dropTempView("qsk")
   }
 
