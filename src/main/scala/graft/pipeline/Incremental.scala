@@ -88,8 +88,8 @@ object IncrementalDedup {
       bands: Int = 4,
       maxBucketSize: Int = 1000,
       newPairsOnly: Boolean = true,
-      bloomBits: Int = 1 << 20,
-      bloomHashes: Int = 3
+      bloomBits: Int = 0,
+      bloomHashes: Int = 0
   ): (DataFrame, () => Unit) = {
     // the new batch's fingerprints: computed once, persisted — they
     // feed the Bloom build, both join sides, and the store append
@@ -104,14 +104,37 @@ object IncrementalDedup {
         // buckets that MIGHT intersect the batch. Whole buckets pass
         // or fail together (the key is the bucket id), so surviving
         // buckets keep every member and the cap below stays exact.
-        val bloom = Sketch.bloomBuild(
-          newFps.select(key.as("__k__")), "__k__", bloomBits, bloomHashes)
+        //
+        // The filter is sized from the BATCH, not a constant: ~10
+        // bits per distinct bucket key with 7 probes ≈ 0.8% false
+        // positives (m/n = 10, k = 7 ≈ the m/n·ln2 optimum), so the
+        // store-side leak stays sub-percent no matter how the batch
+        // grows; a fixed 2^20 filter saturated once batches passed
+        // ~100k buckets and quietly stopped pruning. Pass bloomBits
+        // (with bloomHashes) to override.
+        val newKeys = newFps.select(key.as("__k__")).distinct()
+        val mBits =
+          if (bloomBits > 0) bloomBits
+          else {
+            val target = math.max(1L << 16, newKeys.count() * 10L)
+            // cap at 2^27 bits = 16 MB of filter words to broadcast
+            (math.min(target, 1L << 27) + 63L & ~63L).toInt
+          }
+        val kHashes = if (bloomHashes > 0) bloomHashes else 7
+        val bloom = Sketch.bloomBuild(newKeys, "__k__", mBits, kHashes)
+        val survivors = Sketch
+          .bloomProbe(bloom, store.select(key.as("__k__")), "__k__", mBits, kHashes)
+          .where(col("maybe_seen")).select(col("__k__"))
+        // deliberately NO broadcast hint on the survivors: their size
+        // is batch-keys + fp-rate x store-keys, which can exceed any
+        // driver budget when the STORE is huge. AQE picks broadcast
+        // at runtime when the surviving set is actually small and
+        // keeps a shuffled semi join otherwise (IncrementalDedupSpec
+        // pins the big-store plan) — the broadcast decision is made
+        // on exact runtime sizes, not a guess.
         store
           .withColumn("__k__", key)
-          .join(
-            broadcast(Sketch.bloomProbe(bloom, store.select(key.as("__k__")), "__k__", bloomBits, bloomHashes)
-              .where(col("maybe_seen")).select(col("__k__"))),
-            Seq("__k__"))
+          .join(survivors, Seq("__k__"), "left_semi")
           .drop("__k__")
       }
     val combined = storeSide.withColumn("__new__", lit(false))

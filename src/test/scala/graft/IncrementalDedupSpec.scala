@@ -58,6 +58,38 @@ class IncrementalDedupSpec extends SparkSuite {
     assert(expected.nonEmpty, "corpus must actually produce cross/new pairs for this pin to bite")
   }
 
+  test("store >> batch: no forced broadcast of the surviving keys; pairs unchanged") {
+    val store = tempStore("bigstore")
+    // store side: 9/10 of the corpus; batch: the remaining tenth
+    val a = docs.where(col("doc_id") % 10 =!= 0)
+    val b = docs.where(col("doc_id") % 10 === 0)
+    IncrementalDedup.writeBatchFingerprints(a, "doc_id", "text", store, "a")
+    val expected = oneShot.filterNot { case (ia, ib, _) => ia % 10 != 0 && ib % 10 != 0 }
+    // with the broadcast budget squeezed to nothing, the survivors
+    // semi join must degrade to a SHUFFLED join — the old plan's
+    // explicit broadcast() hint forced a driver-side collect of the
+    // surviving store keys no matter how large the store grew
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(thresholdKey)
+    spark.conf.set(thresholdKey, "-1")
+    try {
+      val (out, cleanup) = IncrementalDedup.candidatesWithStoreCleanup(
+        IncrementalDedup.readStore(spark, store, "doc_id"), b, "doc_id", "text",
+        newPairsOnly = true)
+      val got = pairsSet(out)
+      val plan = out.queryExecution.executedPlan.toString
+      cleanup()
+      // the bloom WORDS broadcast stays (bounded at mBits/64 longs);
+      // what must not broadcast is the surviving-key semi join
+      val semiLines = plan.linesIterator.filter(_.contains("LeftSemi")).toSeq
+      assert(semiLines.nonEmpty, s"no semi join found in:\n$plan")
+      assert(semiLines.forall(l => !l.contains("Broadcast")),
+        s"survivor pruning still forces a broadcast under a zero budget:\n${semiLines.mkString("\n")}")
+      assert(got == expected,
+        s"shuffled-semi pruning drift: ${(got diff expected).take(3)} extra, ${(expected diff got).take(3)} missing")
+    } finally spark.conf.set(thresholdKey, saved)
+  }
+
   test("three-batch chaining via processBatch converges to the same pair universe") {
     val store = tempStore("chain")
     val parts = (0 until 3).map(i => docs.where(col("doc_id") % 3 === i))
