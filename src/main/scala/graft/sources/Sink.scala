@@ -122,9 +122,12 @@ object Sink {
     * partition values survive), rewritten through the same
     * deterministic placement as [[writePartitioned]] into a hidden
     * staging dir under the root (dot-prefixed — invisible to any
-    * concurrent reader), and swapped in with per-partition
-    * delete + rename. Readers racing the swap see either the old or
-    * the new file set, both of which hold the full partition content.
+    * concurrent reader), and swapped in per partition by renaming
+    * the staged files IN before deleting the old ones (names never
+    * collide — Spark stamps the write job's UUID into file names).
+    * A reader racing the swap always lists at least one complete
+    * generation: old, old+new (briefly, duplicate rows), or new —
+    * never a torn or empty partition.
     * Writing in place instead would trip Spark's
     * cannot-overwrite-a-read-path guard and, worse, delete inputs
     * before outputs commit.
@@ -181,8 +184,16 @@ object Sink {
         val stagedDir = new Path(staging, rel)
         val staged = dataFiles(stagedDir)
         require(staged.nonEmpty, s"compaction produced no files for $rel")
-        dataFiles(dir).foreach(f => fs.delete(f, false))
+        // rename-in first, delete-old after (the rewriteVia swap
+        // order): a racing lister sees at least one complete
+        // generation at every instant
+        val old = dataFiles(dir)
+        val oldNames = old.map(_.getName).toSet
+        require(staged.forall(f => !oldNames.contains(f.getName)),
+          s"staged file names collide with live files in $rel — cannot swap atomically")
         staged.foreach(f => fs.rename(f, new Path(dir, f.getName)))
+        midSwapHook(rel)
+        old.foreach(f => fs.delete(f, false))
         rel
       }
     } finally {
@@ -227,8 +238,9 @@ object Sink {
     * anti-joined against the batch keys, survivors + batch rewrite
     * through the deterministic [[writePartitioned]] placement into a
     * hidden staging dir, and files swap in per partition (the
-    * [[compactPartitions]] pattern — readers racing the swap see old
-    * or new, never half). Returns the rewritten partition rels.
+    * [[rewriteVia]] rename-in-then-delete-old order — a racing
+    * lister always sees at least one complete generation, never a
+    * torn or empty partition). Returns the rewritten partition rels.
     */
   def upsertPartitioned(
       spark: SparkSession,
@@ -306,13 +318,26 @@ object Sink {
       alsoClear = existingDirs)
   }
 
+  /** Test seam: invoked once per partition between the rename-in and
+    * delete-old phases of [[rewriteVia]]'s swap (the widest
+    * concurrent-reader window). SinkSpec lists mid-swap through it.
+    */
+  private[graft] var midSwapHook: String => Unit = _ => ()
+
   /** Staged rewrite + per-partition swap: write `rows` through the
     * deterministic placement into a hidden staging dir, then for
-    * every affected partition delete the live files and rename the
-    * staged ones in. `alsoClear` names partitions that must drop
-    * their current files even if the rewrite produced nothing for
-    * them (an upsert that moved every row out, a delete that emptied
-    * the partition).
+    * every affected partition RENAME THE STAGED FILES IN FIRST and
+    * delete the superseded files after. Staged names never collide
+    * with live ones (Spark stamps each write job's UUID into its
+    * file names — guarded below), so a concurrent lister always sees
+    * at least one complete generation: old-only before the renames,
+    * old+new during the window (duplicate rows, both complete),
+    * new-only after — never a torn or empty partition. The one
+    * remaining non-atomic case is a partition the rewrite EMPTIED
+    * (`alsoClear` with no staged counterpart): there the delete IS
+    * the publish and a racing lister sees old or empty, both valid
+    * generations. `alsoClear` names partitions that must drop their
+    * current files even if the rewrite produced nothing for them.
     */
   private def rewriteVia(
       spark: SparkSession,
@@ -367,8 +392,14 @@ object Sink {
       staged.zip(stagedRels).map { case (sdir, rel) =>
         val dest = new Path(root, rel)
         fs.mkdirs(dest)
-        dataFiles(dest).foreach(f => fs.delete(f, false))
-        dataFiles(sdir).foreach(f => fs.rename(f, new Path(dest, f.getName)))
+        val old = dataFiles(dest)
+        val in = dataFiles(sdir)
+        val oldNames = old.map(_.getName).toSet
+        require(in.forall(f => !oldNames.contains(f.getName)),
+          s"staged file names collide with live files in $rel — cannot swap atomically")
+        in.foreach(f => fs.rename(f, new Path(dest, f.getName)))
+        midSwapHook(rel)
+        old.foreach(f => fs.delete(f, false))
         rel
       }.sorted
     } finally {

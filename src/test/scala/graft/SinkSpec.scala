@@ -204,6 +204,41 @@ class SinkSpec extends SparkSuite {
     assert(again == back)
   }
 
+  test("a reader listing MID-SWAP still sees a complete generation (never torn/empty)") {
+    val s = spark; import s.implicits._
+    def rows(xs: (Long, String, Double)*) = xs.toSeq.toDF("id", "part", "v")
+    val out = tmp()
+    val base = rows((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0))
+    Sink.upsertPartitioned(s, out.toString, base, Seq("id"), Seq("part"), Seq("id"))
+    val batch = rows((2L, "a", 20.0), (9L, "a", 90.0))
+    // hook fires between rename-in and delete-old: the widest racing
+    // window. A lister here must find the COMPLETE new generation
+    // (old-generation rows may coexist briefly — duplicates, never
+    // missing data, never an empty partition)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Map[Long, Set[Double]]]
+    Sink.midSwapHook = { rel =>
+      val read = s.read.parquet(out.toString).where(col("part") === "a")
+        .select("id", "v").collect()
+        .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getDouble(1)).toSet }
+      seen += read
+    }
+    try Sink.upsertPartitioned(s, out.toString, batch, Seq("id"), Seq("part"), Seq("id"))
+    finally Sink.midSwapHook = _ => ()
+    assert(seen.size == 1, s"expected one swapped partition, hook saw ${seen.size}")
+    val mid = seen.head
+    // the new generation is fully present...
+    assert(mid.get(1L).exists(_.contains(1.0)))
+    assert(mid.get(2L).exists(_.contains(20.0)))
+    assert(mid.get(9L).exists(_.contains(90.0)))
+    // ...and nothing beyond old+new ever appears
+    assert(mid.keySet == Set(1L, 2L, 9L), s"unexpected mid-swap keys: $mid")
+    assert(mid.values.flatten.toSet.subsetOf(Set(1.0, 2.0, 20.0, 90.0)))
+    // after the swap: exactly the new generation
+    val after = s.read.parquet(out.toString).where(col("part") === "a")
+      .select("id", "v").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(after == Map(1L -> 1.0, 2L -> 20.0, 9L -> 90.0))
+  }
+
   test("deleteKeys: tombstoned rows vanish, emptied partitions drop, others untouched") {
     val s = spark; import s.implicits._
     def rows(xs: (Long, String, Double)*) = xs.toSeq.toDF("id", "part", "v")
