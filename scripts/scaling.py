@@ -27,6 +27,9 @@ def load(p):
 def main():
     small, big, mult = load(sys.argv[1]), load(sys.argv[2]), float(sys.argv[3])
     qs, qb = small["queries"], big["queries"]
+    # quadratic-by-contract correctness baselines (tagged by Bench):
+    # their super-linear growth is definitional, so the gate skips them
+    baselines = set(small.get("baselines", [])) | set(big.get("baselines", []))
     rows = []
     for k in sorted(qs):
         if k in qb and qs[k] > 0:
@@ -35,13 +38,16 @@ def main():
     print(f"| query | {small['sf'].split('/')[-1]} s | {big['sf'].split('/')[-1]} s | ratio |")
     print("| --- | --- | --- | --- |")
     for k, a, b, r in rows:
-        flag = " **> mult**" if r > mult else ""
-        print(f"| {k} | {a:.2f} | {b:.2f} | {r:.1f}x{flag} |")
-    sup = [k for k, a, b, r in rows if r > mult]
+        tag = " (baseline)" if k in baselines else ""
+        flag = " **> mult**" if r > mult and k not in baselines else ""
+        print(f"| {k} | {a:.2f} | {b:.2f} | {r:.1f}x{tag}{flag} |")
+    sup = [k for k, a, b, r in rows if r > mult and k not in baselines]
+    sup_base = [k for k, a, b, r in rows if r > mult and k in baselines]
     print()
     print(f"total: {small['value']:.1f}s -> {big['value']:.1f}s "
           f"({big['value']/small['value']:.1f}x at {mult:.0f}x data); "
-          f"super-linear (> {mult:.0f}x): {sup if sup else 'none'}")
+          f"super-linear (> {mult:.0f}x): {sup if sup else 'none'}"
+          + (f"; baselines over mult (excluded from gate): {sup_base}" if sup_base else ""))
 
 
 if __name__ == "__main__":

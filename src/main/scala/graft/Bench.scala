@@ -139,7 +139,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val errStr = errors.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_failed":${errors.size},"errors":$errStr,"sf":"$sfDir"}"""
+    // quadratic-by-contract correctness baselines: scale-ratio gates
+    // read this list and exclude them (SparkEntry.baselineQueries)
+    val baselines = SparkEntry.baselineQueries.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"baselines":$baselines,"n_failed":${errors.size},"errors":$errStr,"sf":"$sfDir"}"""
     println(line)
     // stdout goes through sbt's "[info] " prefixer, which has broken the
     // driver's JSON parse every round so far — a plain file is unambiguous
