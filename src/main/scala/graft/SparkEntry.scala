@@ -37,10 +37,15 @@ object SparkEntry {
 
   /** Release caches staged by the most recently built quer(ies).
     * Runners call this after each query's action has completed.
+    * Also drains the library-level [[graft.Cleanup]] registry, where
+    * the no-cleanup operator conveniences park their handles — a
+    * query written against the convenience API gets the same
+    * after-action hygiene as one using the WithCleanup forms.
     */
   def runPendingCleanups(): Unit = synchronized {
     pendingCleanups.foreach(f => f())
     pendingCleanups.clear()
+    graft.Cleanup.drain()
   }
 
   // Some expensive pipelines feed TWO driver queries (near-dup
