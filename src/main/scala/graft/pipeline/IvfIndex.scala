@@ -80,16 +80,21 @@ object IvfIndex {
   ): Unit = {
     val nz = Similarity.dropZeroVectors(corpus, vecCol)
     val cents = Similarity.ivfCentroids(nz, idCol, vecCol, nlist)
+    // the assignment pipeline feeds BOTH the cell write and the
+    // keymap write — persist so it computes once, not per sink
     val assigned = Similarity
       .ivfAssign(nz, cents, idCol, vecCol, "row", keep = 1, scoreDecimals)
       .select(col("cent_id"), col("row_id").as(idCol),
         col("__rowv__").as(vecCol), col("__rown__").as("__vn__"))
-    graft.sources.Sink.writePartitioned(
-      assigned, path, partitionCols = Seq("cent_id"), sortCols = Seq(idCol))
-    cents.write.mode("overwrite").parquet(s"$path/$CentroidsDir")
-    graft.sources.Sink.writePartitioned(
-      keymapRows(assigned, idCol), s"$path/$KeymapDir",
-      partitionCols = Seq("kb"), sortCols = Seq(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      graft.sources.Sink.writePartitioned(
+        assigned, path, partitionCols = Seq("cent_id"), sortCols = Seq(idCol))
+      cents.write.mode("overwrite").parquet(s"$path/$CentroidsDir")
+      graft.sources.Sink.writePartitioned(
+        keymapRows(assigned, idCol), s"$path/$KeymapDir",
+        partitionCols = Seq("kb"), sortCols = Seq(idCol))
+    } finally { assigned.unpersist(); () }
   }
 
   /** Blue/green retrain: read the corpus back OUT of the index at
