@@ -150,6 +150,15 @@ class PlanSpec extends SparkSuite {
     SparkEntry.runPendingCleanups()
   }
 
+  test("embeddingNearDups' participation cap plans as a map-side WindowGroupLimit") {
+    // the scaladoc's scale claim: the rank <= maxBlockSize filter
+    // caps each map partition's contribution BEFORE the shuffle, so
+    // a billion-row block never funnels through one ranking task
+    val plan = planOf("q_embed_neardups")
+    assert(plan.contains("WindowGroupLimit"),
+      s"the maxBlockSize rank filter should push down as WindowGroupLimit:\n$plan")
+  }
+
   test("contamination joins the (tiny) eval digest set by broadcast") {
     // the driver query serves a memoized checkpoint, so inspect the
     // operator's own plan
