@@ -275,9 +275,9 @@ object Percentiles {
       byvars: Seq[String]
   ): (DataFrame, () => Unit) = {
     val (wide, cleanup) =
-      stackedComponents(df, bounds.map(b => (b._2, b._3)), byvars)
+      stackedComponents(df, bounds.map(b => (b._2, Seq(b._3))), byvars)
     val out = wide.select(byvars.map(col) ++ bounds.zipWithIndex.map {
-      case ((outCol, _, p), i) => interpolate(i, p).as(outCol)
+      case ((outCol, _, p), i) => interpolate(i, 0, p).as(outCol)
     }: _*).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (out, () => { out.unpersist(); cleanup() })
   }
@@ -311,16 +311,19 @@ object Percentiles {
       botPct: Double
   ): (DataFrame, () => Unit) = {
     require(cols.nonEmpty, "cols must be non-empty")
-    // bound 2i = column i's top cut, bound 2i+1 = its bottom cut
-    val entries = cols.flatMap { case (_, _, v) => Seq((v, topPct), (v, botPct)) }
+    // ONE stacked entry per column carrying BOTH target positions:
+    // the tails share the column's value distribution and N, so one
+    // count/rank pass serves both — half the stacked volume of the
+    // per-(column, p) form (r12; was 2 entries per column)
+    val entries = cols.map { case (_, _, v) => (v, Seq(topPct, botPct)) }
     val (wide, cleanup) = stackedComponents(df, entries, byvars)
     val outCols = cols.zipWithIndex.flatMap { case ((hiOut, loOut, _), ci) =>
-      val hiCut = interpolate(2 * ci, topPct)
+      val hiCut = interpolate(ci, 0, topPct)
       // clamp the bottom bound's floor/ceil rank values exactly like
       // the data pass clamps rows: v > hi -> hi (null propagates —
       // an empty bound stays null)
       def clamped(v: Column): Column = when(v > hiCut, hiCut).otherwise(v)
-      val loCut = interpolate(2 * ci + 1, botPct, clamped)
+      val loCut = interpolate(ci, 1, botPct, clamped)
       Seq(hiCut.as(hiOut), loCut.as(loOut))
     }
     val out = wide.select(byvars.map(col) ++ outCols: _*)
@@ -399,15 +402,15 @@ object Percentiles {
       .drop((exact ++ nullSafe).map(c => s"__r_${c}__"): _*)
   }
 
-  /** The builtin-parity interpolation over bound `i`'s pivoted
-    * components (`__loI__`/`__hiI__`/`__nI__`), with an optional
-    * monotone transform applied to the rank values first
-    * ([[winsorBounds]]' clamp).
+  /** The builtin-parity interpolation over entry `i`'s `j`-th target
+    * position (pivoted components `__loI_J__`/`__hiI_J__`/`__nI__`),
+    * with an optional monotone transform applied to the rank values
+    * first ([[winsorBounds]]' clamp).
     */
   private def interpolate(
-      i: Int, p: Double, f: Column => Column = identity): Column = {
-    val loV = f(col(s"__lo${i}__"))
-    val hiV = f(col(s"__hi${i}__"))
+      i: Int, j: Int, p: Double, f: Column => Column = identity): Column = {
+    val loV = f(col(s"__lo${i}_${j}__"))
+    val hiV = f(col(s"__hi${i}_${j}__"))
     val pp = lit(p) * (col(s"__n${i}__") - lit(1L)).cast("double")
     val lo = floor(pp).cast("double")
     val hi = ceil(pp).cast("double")
@@ -420,34 +423,42 @@ object Percentiles {
   }
 
   /** The shared stacked rank pipeline: one wide row per byvars combo
-    * carrying, for every requested (value, p) bound i, the raw
-    * floor/ceil rank values and group count
-    * (`__loI__`, `__hiI__`, `__nI__`) — [[interpolate]] finishes
-    * them into cuts. One scan, one count shuffle over the stacked
-    * distinct values, windows partitioned by (byvars, bound index)
-    * — never fully global even with empty byvars.
+    * carrying, for every stacked entry i (a value column with K
+    * target percentiles — K identical across entries) and each of
+    * its positions j, the raw floor/ceil rank values and the entry's
+    * group count (`__loI_J__`, `__hiI_J__`, `__nI__`) —
+    * [[interpolate]] finishes them into cuts. One scan, one count
+    * shuffle over the stacked distinct values, windows partitioned
+    * by (byvars, entry index) — never fully global even with empty
+    * byvars. Multiple percentiles of the SAME entry share its single
+    * count/rank pass (the winsorBounds both-tails shape): the rank
+    * ranges are computed once and each position only adds a
+    * covers-filter term and two agg expressions.
     */
   private def stackedComponents(
       df: DataFrame,
-      entries: Seq[(Column, Double)],
+      entries: Seq[(Column, Seq[Double])],
       byvars: Seq[String]
   ): (DataFrame, () => Unit) = {
+    val k = entries.head._2.length
+    require(k >= 1 && entries.forall(_._2.length == k),
+      "every stacked entry must carry the same number of target percentiles")
     val keys = byvars.map(col)
     val spark = df.sparkSession
     val nParts = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    val psArr = lit(entries.map(_._2).toArray)
+    // one literal ps-array per position index j, looked up by entry
+    val psArrs = (0 until k).map(j => lit(entries.map(_._2(j)).toArray))
     val stacked = df
       .select(keys :+ posexplode(array(entries.map(_._1.cast("double")): _*))
         .as(Seq("__b__", "__v__")): _*)
       .where(col("__v__").isNotNull && !isnan(col("__v__")))
     val gk = keys :+ col("__b__")
-    val byb = byvars :+ "__b__"
     val cnt = stacked.groupBy((gk :+ col("__v__")): _*).agg(count(lit(1)).as("__c__"))
     val parts = cnt
       .repartitionByRange(nParts, (gk :+ col("__v__")).map(_.asc): _*)
       .withColumn("__pid__", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // per-(partition, group, bound) offsets — tiny frame, broadcast
+    // per-(partition, group, entry) offsets — tiny frame, broadcast
     // back (the cutsWithCleanup prefix-sum recipe)
     val wOff = Window
       .partitionBy(gk: _*)
@@ -470,22 +481,29 @@ object Percentiles {
       .withColumn("__end__", col("__off__") + col("__cum__"))
       .withColumn("__start__", col("__end__") - col("__c__"))
     // builtin Percentile parity: position = p * (N - 1); p arrives
-    // from the literal array by bound index — the identical double,
+    // from the literal array by entry index — the identical double,
     // so the arithmetic matches cutsWithCleanup bit for bit
-    val pos = element_at(psArr, col("__b__") + 1) * (col("__n__") - lit(1L)).cast("double")
+    def pos(j: Int) =
+      element_at(psArrs(j), col("__b__") + 1) * (col("__n__") - lit(1L)).cast("double")
     def covers(rank: Column): Column = col("__start__") <= rank && rank < col("__end__")
-    val agged = ranked
-      .where(covers(floor(pos)) || covers(ceil(pos)))
-      .groupBy(gk: _*)
-      .agg(
-        max(when(covers(floor(pos)), col("__v__"))).as("__lo__"),
-        max(when(covers(ceil(pos)), col("__v__"))).as("__hi__"),
-        max(col("__n__")).as("__nn__"))
-    val pivots = entries.indices.flatMap { i =>
+    val needed = (0 until k)
+      .flatMap(j => Seq(covers(floor(pos(j))), covers(ceil(pos(j)))))
+      .reduce(_ || _)
+    val posAggs = (0 until k).flatMap { j =>
       Seq(
-        max(when(col("__b__") === i, col("__lo__"))).as(s"__lo${i}__"),
-        max(when(col("__b__") === i, col("__hi__"))).as(s"__hi${i}__"),
-        max(when(col("__b__") === i, col("__nn__"))).as(s"__n${i}__"))
+        max(when(covers(floor(pos(j))), col("__v__"))).as(s"__lo_${j}__"),
+        max(when(covers(ceil(pos(j))), col("__v__"))).as(s"__hi_${j}__"))
+    } :+ max(col("__n__")).as("__nn__")
+    val agged = ranked
+      .where(needed)
+      .groupBy(gk: _*)
+      .agg(posAggs.head, posAggs.tail: _*)
+    val pivots = entries.indices.flatMap { i =>
+      (0 until k).flatMap { j =>
+        Seq(
+          max(when(col("__b__") === i, col(s"__lo_${j}__"))).as(s"__lo${i}_${j}__"),
+          max(when(col("__b__") === i, col(s"__hi_${j}__"))).as(s"__hi${i}_${j}__"))
+      } :+ max(when(col("__b__") === i, col("__nn__"))).as(s"__n${i}__")
     }
     val wide =
       if (byvars.isEmpty) agged.agg(pivots.head, pivots.tail: _*)
