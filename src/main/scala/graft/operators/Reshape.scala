@@ -60,9 +60,31 @@ object Reshape {
     // wide vector (tests/test_pandas.py:362-380, expect_df_no_colindex)
     val grouped = withIdx.groupBy(toCols(groupvars): _*)
     val aggExprs = values.map(v => agg(col(v)).as(v))
-    val wide = grouped
-      .pivot(col(idxCol).cast("string"))
-      .agg(aggExprs.head, aggExprs.tail: _*)
+    // Pivot-value inference (`pivot(col)` with no values) collects the
+    // distinct pivot values by re-executing the pivot input — which
+    // CHAINS the dropDuplicates shuffle above, so the whole dedup ran
+    // twice per pivot. The distinct colindex values of the RAW frame
+    // are identical (dedup removes duplicate ROWS, never index
+    // values), and over `df` Catalyst prunes the scan to the colindex
+    // columns with a map-side-combined distinct — so collect them
+    // there, sorted like Spark's own inference (ascending, nulls
+    // first), and pass them explicitly. The cumcount (empty colindex)
+    // case depends on post-dedup group sizes and keeps inference.
+    val explicitVals: Option[Seq[Any]] = (colindex match {
+      case Nil => None
+      case single :: Nil => Some(df.select(col(single).cast("string").as("__pv__")))
+      case many => Some(df.select(
+        concat_ws("_", many.map(c => col(c).cast("string")): _*).as("__pv__")))
+    }).map { src =>
+      val vals = src.distinct().orderBy(col("__pv__")).collect().map(_.get(0)).toSeq
+      require(vals.length <= 10000,
+        s"pivot would create ${vals.length} columns (limit 10000) — aggregate first")
+      vals
+    }
+    val wide = (explicitVals match {
+      case Some(vals) => grouped.pivot(col(idxCol).cast("string"), vals)
+      case None       => grouped.pivot(col(idxCol).cast("string"))
+    }).agg(aggExprs.head, aggExprs.tail: _*)
     val pivoted =
       if (carried.isEmpty) wide
       else base.select((groupvars ++ carried).map(col): _*).dropDuplicates().join(wide, groupvars)
