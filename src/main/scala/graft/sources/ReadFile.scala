@@ -17,12 +17,20 @@ object ReadFile {
 
   def readFile(spark: SparkSession, path: String): DataFrame = {
     val lower = path.toLowerCase
-    if (lower.endsWith(".parquet")) spark.read.parquet(path)
-    else if (lower.endsWith(".csv"))
+    // compression suffixes (.gz/.zst/...) are handled by the codecs
+    // inside each text source; dispatch on the logical extension
+    val ext = lower.stripSuffix(".gz").stripSuffix(".zst").stripSuffix(".bz2")
+    if (ext.endsWith(".parquet")) spark.read.parquet(path)
+    else if (ext.endsWith(".csv"))
       spark.read.option("header", "true").option("inferSchema", "true").csv(path)
-    else if (lower.endsWith(".json")) spark.read.json(path)
-    else if (lower.endsWith(".orc")) spark.read.orc(path)
-    else if (lower.endsWith(".sas7bdat")) Sas7bdat.read(spark, path)
+    else if (ext.endsWith(".tsv"))
+      spark.read.option("header", "true").option("inferSchema", "true")
+        .option("sep", "\t").csv(path)
+    // .json and .jsonl are the same source: Spark's JSON reader is
+    // line-delimited by default (the training-data drop format)
+    else if (ext.endsWith(".json") || ext.endsWith(".jsonl")) spark.read.json(path)
+    else if (ext.endsWith(".orc")) spark.read.orc(path)
+    else if (ext.endsWith(".sas7bdat")) Sas7bdat.read(spark, path)
     else throw new IllegalArgumentException(s"unsupported extension: $path")
   }
 

@@ -73,6 +73,24 @@ class QueryStringsSpec extends SparkSuite {
     }
   }
 
+  test("readFile reads jsonl, tsv, and gzip'd text sources") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-readfile").toString
+    Files.writeString(Paths.get(s"$dir/d.jsonl"),
+      """{"id":1,"t":"a"}""" + "\n" + """{"id":2,"t":"b"}""" + "\n")
+    val jl = graft.sources.ReadFile.readFile(spark, s"$dir/d.jsonl")
+    assert(jl.count() == 2 && jl.columns.sorted.sameElements(Array("id", "t")))
+    Files.writeString(Paths.get(s"$dir/d.tsv"), "id\tt\n1\ta\n2\tb\n")
+    val tsv = graft.sources.ReadFile.readFile(spark, s"$dir/d.tsv")
+    assert(tsv.count() == 2 && tsv.columns.sameElements(Array("id", "t")))
+    // gz suffix strips to the logical extension; Spark's codec reads it
+    val gzPath = Paths.get(s"$dir/e.jsonl.gz")
+    val gz = new java.util.zip.GZIPOutputStream(Files.newOutputStream(gzPath))
+    gz.write("""{"id":3,"t":"c"}""".getBytes("UTF-8")); gz.write('\n'); gz.close()
+    val back = graft.sources.ReadFile.readFile(spark, gzPath.toString)
+    assert(back.count() == 1 && back.head().getLong(0) == 3L)
+  }
+
   test("readCached writes then reuses a parquet cache (pd_utils/load.py:7-42)") {
     val s = spark; import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graftcache").toString
