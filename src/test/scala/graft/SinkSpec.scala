@@ -127,6 +127,26 @@ class SinkSpec extends SparkSuite {
       "staging directory must be cleaned up")
   }
 
+  test("compaction mid-swap: a racing reader sees every row (duplicates allowed, loss not)") {
+    val s = spark; import s.implicits._
+    val out = tmp()
+    val base = (1L to 40L).map(i => (i, "a", i * 1.0)).toDF("id", "part", "v")
+    Sink.writePartitioned(base, out.toString, Seq("part"),
+      sortCols = Seq("id"), filesPerPartition = 4)
+    assert(layout(out)("part=a") > 1, "fixture must start fragmented")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    Sink.midSwapHook = { _ =>
+      seen += s.read.parquet(out.toString).select("id").collect().map(_.getLong(0)).toSet
+    }
+    try Sink.compactPartitions(s, out.toString, Seq("part"), sortCols = Seq("id"), targetFiles = 1)
+    finally Sink.midSwapHook = _ => ()
+    assert(seen.size == 1)
+    // old+new both on disk at the hook: distinct ids must be complete
+    assert(seen.head == (1L to 40L).toSet,
+      s"mid-swap read lost rows: missing ${(1L to 40L).toSet -- seen.head}")
+    assert(layout(out)("part=a") == 1)
+  }
+
   test("compaction leaves partitions at-or-under the target byte-for-byte untouched") {
     val d = spark.read.parquet(s"$dir/documents.parquet")
     val out = tmp()
