@@ -129,6 +129,34 @@ class BpeTrainSpec extends SparkSuite {
     assert(trained == viaLocal)
   }
 
+  test("random small-alphabet corpora: both paths reproduce the reference, merge for merge") {
+    // tiny alphabets force deep merge chains and heavy pair ties —
+    // the regime where a tie-break or delta-maintenance slip shows
+    val gen = for {
+      nDocs <- org.scalacheck.Gen.choose(1, 5)
+      docs <- org.scalacheck.Gen.listOfN(nDocs, for {
+        nWords <- org.scalacheck.Gen.choose(1, 8)
+        words <- org.scalacheck.Gen.listOfN(nWords, for {
+          len <- org.scalacheck.Gen.choose(1, 6)
+          cs <- org.scalacheck.Gen.listOfN(len, org.scalacheck.Gen.oneOf("a", "b", "c"))
+        } yield cs.mkString)
+      } yield words.mkString(" "))
+    } yield docs
+    val s = spark; import s.implicits._
+    val key = "graft.bpe.driverVocabLimit"
+    Iterator.continually(gen.sample).flatten.take(5).foreach { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val want = localTrain(docs, 8)
+      Seq(null, "0").foreach { forced =>
+        if (forced == null) spark.conf.unset(key) else spark.conf.set(key, forced)
+        try {
+          val got = TextAnalysis.bpeTrainMerges(df, "text", numMerges = 8)
+          assert(got == want, s"path=$forced corpus=$docs: got $got want $want")
+        } finally spark.conf.unset(key)
+      }
+    }
+  }
+
   test("compaction keeps the distributed plan bounded across many iterations") {
     val s = spark; import s.implicits._
     val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")

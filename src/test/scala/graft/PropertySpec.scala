@@ -548,4 +548,54 @@ class PropertySpec extends SparkSuite {
         s"winnow mismatch for k=$k w=$w text='$text': got $got want ${naive(text, k, w)}")
     }
   }
+
+  test("exact percentile cuts: both physical paths equal the builtin on random frames") {
+    // random group keys INCLUDING NULL, heavy duplicates, NaN/null
+    // values, random percentile vectors — the distributed rank
+    // pipeline and the builtin aggregate must agree bitwise on all
+    // of it (the r12 NULL-group fix came from exactly this gap)
+    val s = spark; import s.implicits._
+    val frameGen = for {
+      n <- Gen.choose(3, 35)
+      keys <- Gen.listOfN(n, Gen.oneOf("a", "b", null, "c"))
+      vals <- Gen.listOfN(n, Gen.frequency(
+        (6, Gen.choose(-50.0, 50.0)),
+        (3, Gen.oneOf(1.0, 2.0, 2.0, 7.5)), // duplicates
+        (1, Gen.oneOf(Double.NaN, Double.NaN))))
+      nps <- Gen.choose(1, 4)
+      ps <- Gen.listOfN(nps, Gen.choose(0.0, 1.0))
+    } yield (keys.zip(vals), ps)
+    val key = "graft.percentiles.distributedThresholdBytes"
+    forAllSamples(frameGen, n = 8) { case (rows, ps) =>
+      val df = rows.zipWithIndex.map { case ((k, v), i) => (i.toLong, k, v) }
+        .toDF("id", "k", "v")
+      val builtin = df.groupBy("k")
+        .agg(percentile(when(isnan(col("v")), lit(null)).otherwise(col("v")),
+          lit(ps.toArray)).as("c"))
+        .collect()
+        .map(r => Option(r.getString(0)) ->
+          Option(r.getSeq[java.lang.Double](1)).map(_.toList))
+        .toMap
+      Seq("0", null).foreach { forced =>
+        if (forced == null) spark.conf.unset(key) else spark.conf.set(key, forced)
+        try {
+          val got = graft.operators.Percentiles.cuts(df, col("v"), Seq("k"), ps)
+            .collect()
+            .map(r => Option(r.getString(0)) ->
+              Option(r.getSeq[java.lang.Double](1)).map(_.toList))
+            .toMap
+          // groups whose every value is NaN produce no row (distributed)
+          // or a null-array row (builtin groupBy still emits the key);
+          // compare on the non-degenerate groups and require the
+          // degenerate ones to carry no values on either side
+          (builtin.keySet ++ got.keySet).foreach { k =>
+            val b = builtin.get(k).flatten.getOrElse(Nil).filter(_ != null)
+            val g = got.get(k).flatten.getOrElse(Nil).filter(_ != null)
+            assert(b == g, s"path=$forced group=$k ps=$ps rows=$rows: got $g want $b")
+          }
+        } finally spark.conf.unset(key)
+      }
+      graft.Cleanup.drain()
+    }
+  }
 }
