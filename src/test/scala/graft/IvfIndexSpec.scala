@@ -101,6 +101,33 @@ class IvfIndexSpec extends SparkSuite {
     assert(dups == 0, "duplicate neighbors served after a moved-key append")
   }
 
+  test("appendBatch rewrites only the touched cells; every other cell is byte-stable") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val path = tempPath("touch")
+    IvfIndex.build(emb, "vec_id", "emb", path, nlist = 8)
+    def cellFiles(): Map[String, Long] =
+      Files.walk(Paths.get(path)).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") && p.toString.contains("cent_id="))
+        .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis)
+        .toMap
+    val before = cellFiles()
+    // a single new id carrying an EXISTING row's vector lands in
+    // exactly that row's cell; append cost must be that one cell (and
+    // the keymap), never a corpus rewrite
+    val donor = spark.read.parquet(path).orderBy("vec_id").limit(1)
+      .select(col("cent_id").cast("long")).head().getLong(0)
+    val batch = emb.where(col("vec_id") === donor)
+      .select(lit(999999L).as("vec_id"), col("emb"))
+    IvfIndex.appendBatch(spark, path, batch, "vec_id", "emb")
+    val after = cellFiles()
+    val touchedDirs = (before.keySet ++ after.keySet)
+      .filter(f => !before.get(f).exists(t => after.get(f).contains(t)))
+      .map(f => f.replaceAll(".*/(cent_id=[^/]+)/.*", "$1"))
+    assert(touchedDirs == Set(s"cent_id=$donor"),
+      s"append touched cells other than the batch's: $touchedDirs")
+  }
+
   test("drifted appends trip needsRebuild; rebuild restores balance and serving parity") {
     val s = spark; import s.implicits._
     val path = tempPath("drift")
