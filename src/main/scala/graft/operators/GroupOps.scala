@@ -157,23 +157,35 @@ object GroupOps {
   ): DataFrame = {
     val base = dropMissingKeys(df, byvars)
     val countCol = count.map(c => s"${c}_count")
-    val withCount = count match {
-      case Some(c) =>
-        // per-group non-null count attached per-row (so it can also be
-        // weight-averaged like any other avgvar, per the reference)
-        val w = Window.partitionBy(toCols(byvars): _*)
-        base.withColumn(countCol.get, org.apache.spark.sql.functions.count(col(c)).over(w).cast("double"))
-      case None => base
-    }
-    val allAvg = avgvars ++ countCol.toSeq
-    val ew = allAvg.map(v => avg(col(v)).as(v))
+    val grpCount = count.map(c => org.apache.spark.sql.functions.count(col(c)).cast("double"))
+    // The reference attaches the group count per ROW so it can ride
+    // the same averaging as any avgvar — which costs a full windowed
+    // shuffle+sort before the aggregation. But the attached column is
+    // CONSTANT within its group, so both its averages collapse to
+    // group-level aggregates: EW(avg of a constant) = the count;
+    // WAVG = count·sum(w)/sum(w) = the count whenever sum(w) is
+    // usable. One hash aggregation total, no window pass.
+    val ew = avgvars.map(v => avg(col(v)).as(v)) ++
+      countCol.zip(grpCount).map { case (n, c) => c.as(n) }
     // NB denominator: reference computes w/sum(w) with sum over all
     // group rows (null x included), numerator skips null x.
     val wavgFixed = wtvar match {
-      case Some(wt) => allAvg.map(v => (sum(col(v) * col(wt)) / sum(col(wt))).as(s"${v}_wavg"))
-      case None     => Nil
+      case Some(wt) =>
+        avgvars.map(v => (sum(col(v) * col(wt)) / sum(col(wt))).as(s"${v}_wavg")) ++
+          countCol.zip(grpCount).map { case (n, c) =>
+            // degenerate weights mimic the row-level division: all-null
+            // weights -> null; an exactly-zero weight total -> NaN
+            // (0/0; the row-level form gave NaN or ±Inf depending on
+            // summation noise — the exact form is deterministic)
+            val sw = sum(col(wt))
+            when(sw.isNull, lit(null).cast("double"))
+              .when(sw === 0.0, lit(Double.NaN))
+              .otherwise(c)
+              .as(s"${n}_wavg")
+          }
+      case None => Nil
     }
-    withCount.groupBy(toCols(byvars): _*).agg((ew ++ wavgFixed).head, (ew ++ wavgFixed).tail: _*)
+    base.groupBy(toCols(byvars): _*).agg((ew ++ wavgFixed).head, (ew ++ wavgFixed).tail: _*)
   }
 
   /** Per-group lagged difference `<v>_change = v - lag(v, numlags)`
