@@ -628,6 +628,80 @@ object Dedup {
       maxIter: Int = 30,
       localSolveMaxEdges: Long = 1L << 20
   ): (DataFrame, () => Unit) = {
+    // Small-graph fast path: the edge set after LSH + Jaccard
+    // filtering is proportional to the DUPLICATE count, not the
+    // corpus, and usually fits the driver with room to spare. Below
+    // the threshold (~16 MB of id pairs at the default), solve with
+    // a local union-find instead of several driver-coordinated join
+    // rounds; the distributed loop below remains the path for
+    // genuinely large duplicate graphs.
+    // Integral ids only — the local min-label must order identically
+    // to Spark's `least`, which is only unambiguous for integers.
+    val integralIds = {
+      import org.apache.spark.sql.types._
+      Seq(aCol, bCol).forall(c => edges.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      })
+    }
+    // ONE probing job over the RAW edges decides the path AND (on the
+    // small side) delivers the data (the old count()-then-collect()
+    // pair was two jobs, and both ran behind the symmetrize+distinct
+    // shuffle — union-find tolerates parallel, reversed, and self
+    // edges, so the fast path needs neither the shuffle nor a second
+    // job). Each partition ships its row count plus its id pairs
+    // capped at maxEdges+1 — a partition that ALONE overflows ships
+    // only the count, so the overflow probe moves at most
+    // numPartitions * maxEdges ids. If the summed count fits the
+    // budget, no partition was truncated, so the shipped pairs are
+    // the complete edge set; otherwise fall through to the
+    // distributed loop. (The budget is now on raw edge rows, not the
+    // symmetrized-distinct count — a slightly stricter gate.)
+    val probeLimit = math.min(localSolveMaxEdges, Int.MaxValue - 2L).toInt
+    val probed: Option[Array[Long]] =
+      if (integralIds) {
+        val perPart: Array[(Long, Array[Long])] = edges
+          .select(col(aCol).cast("long"), col(bCol).cast("long"))
+          .rdd.mapPartitions { it =>
+            val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+            var n = 0L
+            while (it.hasNext) {
+              val r = it.next()
+              n += 1
+              if (n <= probeLimit) { buf += r.getLong(0); buf += r.getLong(1) }
+            }
+            Iterator.single((n, if (n <= probeLimit) buf.toArray else Array.emptyLongArray))
+          }.collect()
+        val total = perPart.iterator.map(_._1).sum
+        if (total <= probeLimit) Some(perPart.flatMap(_._2)) else None
+      } else None
+    probed match {
+      case Some(flatPairs) =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x // path compression
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        var i = 0
+        while (i < flatPairs.length) {
+          val a = flatPairs(i); val b = flatPairs(i + 1); i += 2
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { // min root wins -> component label = min id
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        val spark = edges.sparkSession
+        import spark.implicits._
+        val dt = edges.schema(aCol).dataType
+        val labels = parent.keys.toSeq.map(n => (n, find(n))).toDF("node", "cluster")
+          .select(col("node").cast(dt).as("node"), col("cluster").cast(dt).as("cluster"))
+        return (labels, () => ())
+      case None => () // big graph (or non-integral ids): distributed loop below
+    }
     // symmetrize + dedup parallel edges once, and keep the frame hot:
     // it is re-joined every iteration
     val sym = edges
@@ -635,48 +709,6 @@ object Dedup {
       .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Small-graph fast path: the edge set after LSH + Jaccard
-    // filtering is proportional to the DUPLICATE count, not the
-    // corpus, and usually fits the driver with room to spare. Below
-    // the threshold (~16 MB of id pairs at the default), solve with
-    // a local union-find in one collect instead of several
-    // driver-coordinated join rounds; the distributed loop below
-    // remains the path for genuinely large duplicate graphs.
-    // Integral ids only — the local min-label must order identically
-    // to Spark's `least`, which is only unambiguous for integers.
-    val integralIds = {
-      import org.apache.spark.sql.types._
-      Seq("src", "dst").forall(c => sym.schema(c).dataType match {
-        case ByteType | ShortType | IntegerType | LongType => true
-        case _ => false
-      })
-    }
-    if (integralIds && sym.count() <= localSolveMaxEdges) {
-      val parent = scala.collection.mutable.LongMap.empty[Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent(r) != r) r = parent(r)
-        var c = x // path compression
-        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      sym.collect().foreach { row =>
-        val a = row.get(0).asInstanceOf[Number].longValue
-        val b = row.get(1).asInstanceOf[Number].longValue
-        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) { // min root wins -> component label = min id
-          if (ra < rb) parent(rb) = ra else parent(ra) = rb
-        }
-      }
-      val spark = edges.sparkSession
-      import spark.implicits._
-      val dt = edges.schema(aCol).dataType
-      val labels = parent.keys.toSeq.map(n => (n, find(n))).toDF("node", "cluster")
-        .select(col("node").cast(dt).as("node"), col("cluster").cast(dt).as("cluster"))
-      sym.unpersist()
-      return (labels, () => ())
-    }
     // seed label = min(node, min neighbor): one aggregation (same
     // shuffle cost as the distinct node list) that is already the
     // fixed point for pair and star clusters — typically saves a
