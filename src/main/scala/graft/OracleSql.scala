@@ -1221,11 +1221,15 @@ $comps
 FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)"""
     },
 
-    // IVF mirrors the engine cell-for-cell: md5-ordered centroid draw,
-    // rank-1 corpus assignment, nprobe query probing, global re-rank
+    // IVF mirrors the engine cell-for-cell: md5-ordered centroid draw
+    // (nlist re-derived as max(16, ceil(sqrt(n))) over the same
+    // nonzero set — Similarity.autoNlist), rank-1 corpus assignment,
+    // nprobe query probing, global re-rank
     "q_ann_ivf" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
-cents AS (SELECT vec_id AS cent_id, emb AS cemb FROM c ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+cents AS (SELECT vec_id AS cent_id, emb AS cemb FROM c
+QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+  <= greatest(16, CAST(ceil(sqrt((SELECT count(*) FROM c))) AS BIGINT))),
 ca AS (SELECT neighbor_id, emb, cent_id FROM (
 SELECT c.vec_id AS neighbor_id, c.emb, cent_id,
 row_number() OVER (PARTITION BY c.vec_id ORDER BY round(list_cosine_similarity(c.emb, cemb), 4) DESC, cent_id) AS cr
@@ -1245,7 +1249,9 @@ SELECT query_id, neighbor_id, score, "rank" FROM r WHERE "rank" <= 5""",
     // persisted cell-partitioned index instead of recomputing assignment
     "q_ann_ivf_store" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
-cents AS (SELECT vec_id AS cent_id, emb AS cemb FROM c ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+cents AS (SELECT vec_id AS cent_id, emb AS cemb FROM c
+QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+  <= greatest(16, CAST(ceil(sqrt((SELECT count(*) FROM c))) AS BIGINT))),
 ca AS (SELECT neighbor_id, emb, cent_id FROM (
 SELECT c.vec_id AS neighbor_id, c.emb, cent_id,
 row_number() OVER (PARTITION BY c.vec_id ORDER BY round(list_cosine_similarity(c.emb, cemb), 4) DESC, cent_id) AS cr

@@ -835,7 +835,12 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       val q = e.where(col("vec_id") % 50 === 0)
-      Similarity.ivfTopK(e, q, "vec_id", "emb", k = 5, nlist = 16, nprobe = 4)
+      // nlist derived from the corpus (max(16, ceil(sqrt(n))) over the
+      // nonzero vectors) so cell size — and with it per-probe cost —
+      // grows as sqrt(corpus), not linearly; the oracle re-derives the
+      // same count from the same filtered set
+      Similarity.ivfTopK(e, q, "vec_id", "emb", k = 5,
+        nlist = Similarity.AutoNlist, nprobe = 4)
     }),
     "q_rand_proj" -> ((s, dir) => {
       // JL reduction 64 -> 8 dims; the oracle recomputes every
@@ -854,7 +859,11 @@ object SparkEntry {
       val path = new java.io.File(
         s"target/graft-ivf/${new java.io.File(dir).getName}/idx").getAbsolutePath
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
-      graft.pipeline.IvfIndex.build(e, "vec_id", "emb", path, nlist = 16)
+      // same derived-nlist sizing as q_ann_ivf: the stored layout gets
+      // ~sqrt(n) cells of ~sqrt(n) rows, so a probed-partition scan
+      // stays sub-linear as the index grows
+      graft.pipeline.IvfIndex.build(e, "vec_id", "emb", path,
+        nlist = Similarity.AutoNlist)
       val q = e.where(col("vec_id") % 50 === 0)
       graft.pipeline.IvfIndex.searchTopK(s, path, q, "vec_id", "emb", k = 5, nprobe = 4)
     }),

@@ -69,6 +69,12 @@ object IvfIndex {
     * centroid table under `_centroids/`, and the key→cell sidecar
     * under `_keymap/`. Zero vectors are excluded (cosine undefined),
     * like every Similarity path.
+    *
+    * `nlist = Similarity.AutoNlist` (the 0 sentinel) derives the cell
+    * count as `max(16, ⌈√n⌉)` from the nonzero-vector count — the
+    * sizing that keeps per-probe cell cost ∝ √n instead of ∝ n as
+    * the stored corpus grows ([[Similarity.autoNlist]]). The extra
+    * count is one narrow scan inside an offline build.
     */
   def build(
       corpus: DataFrame,
@@ -79,7 +85,8 @@ object IvfIndex {
       scoreDecimals: Int = 4
   ): Unit = {
     val nz = Similarity.dropZeroVectors(corpus, vecCol)
-    val cents = Similarity.ivfCentroids(nz, idCol, vecCol, nlist)
+    val cents = Similarity.ivfCentroids(nz, idCol, vecCol,
+      Similarity.resolveNlist(nlist, nz))
     // the assignment pipeline feeds BOTH the cell write and the
     // keymap write — persist so it computes once, not per sink
     val assigned = Similarity

@@ -336,7 +336,7 @@ object Similarity {
   ): DataFrame = {
     val corpusNz = dropZeroVectors(corpus, vecCol)
     val queriesNz = dropZeroVectors(queries, vecCol)
-    val cents = ivfCentroids(corpusNz, idCol, vecCol, nlist)
+    val cents = ivfCentroids(corpusNz, idCol, vecCol, resolveNlist(nlist, corpusNz))
     val corpusCells = ivfAssign(corpusNz, cents, idCol, vecCol, "neighbor", keep = 1, scoreDecimals)
     val queryCells = ivfAssign(queriesNz, cents, idCol, vecCol, "query", keep = nprobe, scoreDecimals)
     // a corpus row lives in exactly ONE cell and a query probes
@@ -394,6 +394,28 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
   }
+
+  /** Sentinel `nlist` value meaning "derive from the corpus size":
+    * [[autoNlist]] of the nonzero-vector count. A FIXED nlist makes
+    * probed-cell size grow linearly with the corpus (cell ~ n/nlist,
+    * and a probe scans whole cells), so serving cost at 100 TB is
+    * corpus-linear no matter how selective nprobe is; the standard
+    * sizing is nlist ∝ √n, which balances the broadcast assignment
+    * stage (n·nlist) against the probe stage (n_q·nprobe·n/nlist) and
+    * keeps BOTH sub-linear per row.
+    */
+  val AutoNlist: Int = 0
+
+  /** The derived cell count for a corpus of `n` nonzero vectors:
+    * `max(16, ⌈√n⌉)` — √n cells of ~√n vectors each; the floor keeps
+    * tiny corpora from degenerating to a single cell. Pure integer →
+    * IEEE-double math, so any engine derives the same value for the
+    * oracle replay.
+    */
+  def autoNlist(n: Long): Int = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+
+  private[pipeline] def resolveNlist(nlist: Int, corpusNz: DataFrame): Int =
+    if (nlist == AutoNlist) autoNlist(corpusNz.count()) else nlist
 
   /** The `nlist` deterministic IVF centroids of [[ivfTopK]]: the
     * corpus vectors whose md5(id) sorts lowest, broadcast as

@@ -29,6 +29,28 @@ class IvfIndexSpec extends SparkSuite {
     assert(resultSet(stored) == resultSet(mem))
   }
 
+  test("AutoNlist derives max(16, ceil(sqrt(n))) cells and matches the in-memory operator") {
+    // 500 vectors at sf0.001 -> ceil(sqrt(n over the NONZERO set));
+    // pin the arithmetic itself plus the stored centroid count
+    val n = emb.where(
+      aggregate(col("emb"), lit(0.0), (a, x) => a + x * x) > 0).count()
+    val want = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+    assert(Similarity.autoNlist(n) == want)
+    assert(Similarity.autoNlist(200000L) == 448) // the sf10 sizing
+    assert(Similarity.autoNlist(4L) == 16)       // tiny-corpus floor
+    val path = tempPath("auto")
+    IvfIndex.build(emb, "vec_id", "emb", path, nlist = Similarity.AutoNlist)
+    val stored = spark.read.parquet(path + "/_centroids").count()
+    assert(stored == want, s"derived nlist: want $want centroids on disk, got $stored")
+    // parity: the stored auto-sized index serves exactly what the
+    // in-memory operator computes at the same derived nlist
+    val q = emb.where(col("vec_id") % 50 === 0)
+    val viaStore = IvfIndex.searchTopK(spark, path, q, "vec_id", "emb", k = 5, nprobe = 4)
+    val mem = Similarity.ivfTopK(emb, q, "vec_id", "emb", k = 5,
+      nlist = Similarity.AutoNlist, nprobe = 4)
+    assert(resultSet(viaStore) == resultSet(mem))
+  }
+
   test("the serving scan partition-prunes to the probed cells") {
     val path = tempPath("prune")
     IvfIndex.build(emb, "vec_id", "emb", path, nlist = 16)
