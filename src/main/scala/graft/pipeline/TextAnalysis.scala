@@ -810,9 +810,82 @@ object TextAnalysis {
     merges.toSeq
   }
 
+  /** Per-word, per-step pair-count deltas of applying the
+    * speculative merge window `spec` in order — the payload of the
+    * verification job. Each element is (step, a, b, ±1·occurrences)
+    * for this word; multiplied by the word's corpus count downstream.
+    */
+  private def stepDeltasLocal(
+      toks0: Array[String],
+      spec: Array[(String, String)]
+  ): Seq[(Int, String, String, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var cur = toks0
+    var j = 0
+    while (j < spec.length) {
+      val (a, b) = spec(j)
+      val merged = mergeOnce(cur, a, b)
+      if (!(merged eq cur)) {
+        val d = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        var i = 0
+        while (i < cur.length - 1) {
+          val k = (cur(i), cur(i + 1)); d(k) = d.getOrElse(k, 0L) - 1; i += 1
+        }
+        i = 0
+        while (i < merged.length - 1) {
+          val k = (merged(i), merged(i + 1)); d(k) = d.getOrElse(k, 0L) + 1; i += 1
+        }
+        d.foreach { case ((x, y), v) => if (v != 0L) out += ((j, x, y, v)) }
+        cur = merged
+      }
+      j += 1
+    }
+    out.toSeq
+  }
+
+  /** The job group id tagging the per-round candidate (argmax)
+    * collects of the distributed trainer — BpeTrainSpec counts jobs
+    * in this group to pin the amortization.
+    */
+  val BpeArgmaxJobGroup = "graft-bpe-argmax"
+
   /** The large-vocab physical path of [[bpeTrainMerges]]:
-    * incremental delta maintenance of the distributed pair-count
-    * frame. Takes ownership of `words0`/`release0`.
+    * SPECULATE-THEN-VERIFY batched training, bit-identical to the
+    * sequential trainer.
+    *
+    * The classic loop is inherently serial — each argmax depends on
+    * the previous merge's recount — so one-merge-at-a-time costs ~2
+    * jobs per merge and a 32k-vocab train is ~64k jobs. This path
+    * amortizes it:
+    *
+    *  1. ONCE: collect the top-`speculationSample` words by count —
+    *     a bounded, Zipf-heavy sample the driver keeps in sync by
+    *     applying committed merges locally.
+    *  2. Per round: ONE exact top-`candidatePairs` collect of the
+    *     distributed pair frame (the argmax job; count of the M-th
+    *     row = certification threshold T), then train
+    *     `speculationWindow` merges LOCALLY on the sample — the
+    *     speculative sequence (its head is forced to the exact
+    *     global argmax, so every round commits >= 1 merge).
+    *  3. ONE distributed pass computes per-(step, pair) count deltas
+    *     of applying the window in order; the driver then verifies
+    *     step-by-step, with exact counts, how long the speculative
+    *     sequence equals what the sequential trainer would pick, and
+    *     commits exactly that prefix. Certification uses three facts:
+    *     existing pair counts only ever DECREASE under merges (so
+    *     nothing below the collected top-M can overtake an argmax
+    *     that stays > T); new pairs' exact counts arrive in the
+    *     deltas (any new pair whose positive-delta total is <= T can
+    *     never reach the argmax and may be dropped); and the step-0
+    *     argmax is the true global argmax by construction.
+    *
+    * A perfect speculation commits the whole window (the common case
+    * — the sample IS the vocab until corpora get 100 TB large);
+    * a mis-speculation just commits a shorter prefix and re-rounds.
+    * Either way the committed sequence is EXACTLY the sequential
+    * trainer's (BpeTrainSpec pins merge-for-merge equality, and a
+    * stressed-parameter case forces the partial-commit path).
+    * Takes ownership of `words0`/`release0`.
     */
   private def trainMergesDistributed(
       words0: DataFrame,
@@ -820,6 +893,11 @@ object TextAnalysis {
       numMerges: Int,
       compactEvery: Int
   ): Seq[(String, String)] = {
+    val spark = words0.sparkSession
+    import spark.implicits._
+    val window = spark.conf.get("graft.bpe.speculationWindow", "16").toInt
+    val sampleSize = spark.conf.get("graft.bpe.speculationSample", (1 << 16).toString).toInt
+    val candM = spark.conf.get("graft.bpe.candidatePairs", "512").toInt
     def pairsOf(wordsF: DataFrame): DataFrame = {
       val n = size(col("__toks__"))
       wordsF
@@ -830,44 +908,124 @@ object TextAnalysis {
         .groupBy(col("__p__.a").as("a"), col("__p__.b").as("b"))
         .agg(sum(col("__c__")).as("cnt"))
     }
-    def applyMergeUdf(a: String, b: String) =
-      udf((toks: Seq[String]) => mergeOnce(toks.toArray, a, b).toSeq)
+    // the speculation sample: top-S words by count (deterministic
+    // tiebreak); bounded driver memory at ANY corpus size
+    var sample: Array[(Array[String], Long)] = words0
+      .orderBy(col("__c__").desc, concat_ws(" ", col("__toks__")))
+      .limit(sampleSize)
+      .collect()
+      .map(r => (r.getSeq[String](0).toArray, r.getLong(1)))
     var words = words0
     var releaseWords = release0
     var (pairs, releasePairs) =
       graft.internal.localCheckpointTracked(pairsOf(words), eager = true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
-    var i = 0
-    while (i < numMerges && !done) {
-      val best = pairs
-        .where(col("cnt") >= 2)
-        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
-        .limit(1)
-        .collect()
-      if (best.isEmpty) done = true
+    var round = 0
+    while (merges.size < numMerges && !done) {
+      // the per-round argmax job: exact top-M candidates
+      spark.sparkContext.setJobGroup(BpeArgmaxJobGroup, "BPE candidate top-M", false)
+      val cand =
+        try pairs
+          .where(col("cnt") >= 2)
+          .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+          .limit(candM)
+          .collect()
+        finally spark.sparkContext.clearJobGroup()
+      if (cand.isEmpty) done = true
       else {
-        val (a, b) = (best(0).getString(0), best(0).getString(1))
-        merges += ((a, b))
-        val applied = words.withColumn("__m__", applyMergeUdf(a, b)(col("__toks__")))
-        // only CHANGED words contribute deltas — the full-vocab pair
-        // recount never happens again after the initial build
-        val changed = applied.where(!(col("__m__") === col("__toks__")))
-        val neg = pairsOf(changed.select(col("__toks__"), col("__c__")))
-          .withColumn("cnt", -col("cnt"))
-        val pos = pairsOf(changed.select(col("__m__").as("__toks__"), col("__c__")))
-        val updated = pairs.unionByName(pos).unionByName(neg)
-          .groupBy(col("a"), col("b")).agg(sum(col("cnt")).as("cnt"))
-          .where(col("cnt") > 0)
-        // eager so the superseded pairs generation can release NOW —
-        // a lazy checkpoint would still depend on its blocks
-        val (p2, r2) = graft.internal.localCheckpointTracked(updated, eager = true)
-        releasePairs(); pairs = p2; releasePairs = r2
-        words = applied.select(col("__m__").as("__toks__"), col("__c__"))
-        i += 1
-        if (i % compactEvery == 0 || i == numMerges) {
-          val (cp, rel) = graft.internal.localCheckpointTracked(words, eager = true)
-          releaseWords(); words = cp; releaseWords = rel
+        round += 1
+        val certT = if (cand.length == candM) cand.last.getLong(2) else 0L
+        val known = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        cand.foreach(r => known((r.getString(0), r.getString(1))) = r.getLong(2))
+        val globalArgmax = (cand(0).getString(0), cand(0).getString(1))
+        val specTry = trainMergesLocal(sample, math.min(window, numMerges - merges.size))
+        val spec: Array[(String, String)] =
+          if (specTry.isEmpty || specTry.head != globalArgmax) Array(globalArgmax)
+          else specTry.toArray
+        // ONE distributed pass: per-(step, pair) deltas of the window
+        val deltasUdf = udf((toks: Seq[String]) => stepDeltasLocal(toks.toArray, spec))
+        val (deltaAgg, releaseDelta) = graft.internal.localCheckpointTracked(
+          words
+            .select(col("__c__"), explode(deltasUdf(col("__toks__"))).as("__d__"))
+            .groupBy(col("__d__._1").as("step"), col("__d__._2").as("a"), col("__d__._3").as("b"))
+            .agg(sum(col("__d__._4") * col("__c__")).as("cnt"))
+            .where(col("cnt") =!= 0),
+          eager = true)
+        // collect only the deltas verification can act on: candidate
+        // pairs, plus new pairs whose positive-delta total clears T
+        // (anything below T can never reach the argmax)
+        val knownDf = broadcast(
+          known.keys.toSeq.map { case (a, b) => (a, b) }.toDF("a", "b"))
+        val hot = deltaAgg.groupBy(col("a"), col("b"))
+          .agg(sum(greatest(col("cnt"), lit(0L))).as("__ps__"))
+          .where(col("__ps__") > certT)
+          .select(col("a"), col("b"))
+        val trackedRows = deltaAgg.join(knownDf, Seq("a", "b"), "left_semi")
+          .unionByName(deltaAgg.join(hot, Seq("a", "b"), "left_semi"))
+          .dropDuplicates("step", "a", "b")
+          .select(col("step"), col("a"), col("b"), col("cnt"))
+          .collect()
+        val byStep: Map[Int, Array[(String, String, Long)]] = trackedRows
+          .map(r => (r.getInt(0), (r.getString(1), r.getString(2), r.getLong(3))))
+          .groupBy(_._1).map { case (s, rs) => s -> rs.map(_._2) }
+        // driver verification: longest prefix of `spec` that IS the
+        // sequential trainer's choice sequence
+        var valid = 0
+        var stop = false
+        while (valid < spec.length && !stop) {
+          var bestP: (String, String) = null
+          var bestC = 1L
+          known.foreach { case (p, c) =>
+            if (c >= 2 && (bestP == null || c > bestC || (c == bestC &&
+                (utf8Less(p._1, bestP._1) ||
+                  (p._1 == bestP._1 && utf8Less(p._2, bestP._2)))))) {
+              bestP = p; bestC = c
+            }
+          }
+          if (bestP == null) stop = true                 // no pair >= 2 among tracked
+          else if (bestP != spec(valid)) stop = true     // speculation diverged
+          else if (valid > 0 && bestC <= certT) stop = true // can't certify vs uncollected
+          else {
+            byStep.getOrElse(valid, Array.empty).foreach { case (a, b, d) =>
+              val k = (a, b)
+              val n = known.getOrElse(k, 0L) + d
+              if (n == 0L) known.remove(k) else known(k) = n
+            }
+            valid += 1
+          }
+        }
+        if (valid == 0) { releaseDelta(); done = true } // unreachable (head is exact); guard
+        else {
+          val commit = spec.take(valid)
+          merges ++= commit
+          // pairs' = pairs + the committed steps' deltas (the pass
+          // above already computed them — no recount)
+          val (p2, r2) = graft.internal.localCheckpointTracked(
+            pairs.unionByName(
+                deltaAgg.where(col("step") < valid)
+                  .select(col("a"), col("b"), col("cnt")))
+              .groupBy(col("a"), col("b")).agg(sum(col("cnt")).as("cnt"))
+              .where(col("cnt") > 0),
+            eager = true)
+          releasePairs(); pairs = p2; releasePairs = r2
+          releaseDelta()
+          val applyCommitUdf = udf { (toks: Seq[String]) =>
+            var cur = toks.toArray
+            commit.foreach { case (a, b) => cur = mergeOnce(cur, a, b) }
+            cur.toSeq
+          }
+          words = words.select(applyCommitUdf(col("__toks__")).as("__toks__"), col("__c__"))
+          if (round % compactEvery == 0 || merges.size >= numMerges) {
+            val (cp, rel) = graft.internal.localCheckpointTracked(words, eager = true)
+            releaseWords(); words = cp; releaseWords = rel
+          }
+          // keep the sample in sync (committed merges only)
+          sample = sample.map { case (t, c) =>
+            var cur = t
+            commit.foreach { case (a, b) => cur = mergeOnce(cur, a, b) }
+            (cur, c)
+          }
         }
       }
     }

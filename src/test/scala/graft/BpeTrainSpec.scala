@@ -105,6 +105,67 @@ class BpeTrainSpec extends SparkSuite {
       s"expected a job-bounded driver path, saw ${jobs.get()} jobs for 64 merges")
   }
 
+  test("distributed path amortizes merges: 64 merges in <= 16 argmax jobs (VERDICT r12 #2)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val argmaxJobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (js.properties != null &&
+            TextAnalysis.BpeArgmaxJobGroup == js.properties.getProperty("spark.jobGroup.id"))
+          argmaxJobs.incrementAndGet()
+        ()
+      }
+    }
+    spark.conf.set("graft.bpe.driverVocabLimit", "0") // force the distributed path
+    spark.sparkContext.addSparkListener(listener)
+    val merges =
+      try TextAnalysis.bpeTrainMerges(docs, "text", numMerges = 64)
+      finally {
+        var last = -1
+        var spins = 0
+        while (argmaxJobs.get() != last && spins < 50) {
+          last = argmaxJobs.get(); Thread.sleep(100); spins += 1
+        }
+        spark.sparkContext.removeSparkListener(listener)
+        spark.conf.unset("graft.bpe.driverVocabLimit")
+      }
+    assert(merges.size == 64)
+    // the one-merge-at-a-time loop paid one argmax per merge (64);
+    // speculate-then-verify must amortize at least 4x
+    assert(argmaxJobs.get() * 4 <= 64,
+      s"expected <= 16 argmax rounds for 64 merges, saw ${argmaxJobs.get()}")
+    // and the batched output is still the sequential trainer's
+    val texts = docs.select("text").collect().map(_.getString(0))
+    assert(merges == localTrain(texts.toSeq, 64))
+  }
+
+  test("stressed speculation (tiny sample/window/candidates) still matches the reference") {
+    // a 3-word sample that CANNOT predict the corpus and a candidate
+    // list small enough that the certification threshold T trips:
+    // forces mis-speculation, partial commits, and re-rounds — the
+    // paths a perfect speculation never takes
+    val s = spark; import s.implicits._
+    val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    Seq(
+      ("0", "3", "4", "4"),
+      ("0", "1", "2", "8"), // window 8 with a 1-word sample: head-forced rounds
+      ("0", "6", "16", "3")
+    ).foreach { case (dvl, sample, cand, win) =>
+      spark.conf.set("graft.bpe.driverVocabLimit", dvl)
+      spark.conf.set("graft.bpe.speculationSample", sample)
+      spark.conf.set("graft.bpe.candidatePairs", cand)
+      spark.conf.set("graft.bpe.speculationWindow", win)
+      try {
+        val got = TextAnalysis.bpeTrainMerges(df, "text", numMerges = 20)
+        val want = localTrain(corpus, 20)
+        assert(got == want, s"sample=$sample cand=$cand win=$win:\n got $got\nwant $want")
+      } finally Seq("graft.bpe.driverVocabLimit", "graft.bpe.speculationSample",
+        "graft.bpe.candidatePairs", "graft.bpe.speculationWindow")
+        .foreach(spark.conf.unset)
+    }
+  }
+
   test("early stop: no pair with count >= 2 ends training before numMerges") { bothPaths {
     val s = spark; import s.implicits._
     val df = Seq((1L, "ab cd ef")).toDF("id", "text")
