@@ -990,14 +990,22 @@ object Dedup {
     * WindowGroupLimit caps each map partition's contribution at
     * `maxBlockSize` rows BEFORE the shuffle — a billion-row block
     * never funnels through one ranking task.
+    *
+    * The default cap (2^13 = 8192) budgets a saturated block at
+    * C(8192, 2) ≈ 33.5M scored pairs — heavy but bounded work for
+    * one shuffle partition; the old 100k default allowed ~5×10^9
+    * pairs per block, a cap in name only. Raise it explicitly when a
+    * genuinely larger per-block budget is intended.
     */
+  val DefaultMaxBlockSize: Int = 1 << 13
+
   def embeddingNearDups(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       blockCols: Seq[String],
       threshold: Double,
-      maxBlockSize: Int = 100000
+      maxBlockSize: Int = DefaultMaxBlockSize
   ): DataFrame = {
     // norms are per ROW, so compute them before the quadratic pair
     // stage — norm-inside-cosine would re-fold each vector once per

@@ -126,6 +126,25 @@ class SkewStressSpec extends SparkSuite {
       "a row past the participation cap emitted a pair")
   }
 
+  test("embeddingNearDups DEFAULT cap budgets a saturated block at ~33.5M pairs (VERDICT r12 #4)") {
+    val s = spark; import s.implicits._
+    // the default must be a real pairs budget, not a cap in name
+    // only: 2^13 participants = C(8192, 2) pairs in a saturated
+    // block — bounded single-partition work. (The old 100k default
+    // allowed ~5e9 pairs per block.)
+    assert(Dedup.DefaultMaxBlockSize == 8192)
+    val worstPairs = Dedup.DefaultMaxBlockSize.toLong * (Dedup.DefaultMaxBlockSize - 1) / 2
+    assert(worstPairs == 33550336L && worstPairs < 50000000L,
+      s"default cap's saturated-block budget out of range: $worstPairs")
+    // and the default actually reaches the rank filter when the
+    // caller omits maxBlockSize
+    val df = Seq((1L, "k", Array(1.0, 0.0))).toDF("id", "block", "emb")
+    val plan = Dedup.embeddingNearDups(df, "id", "emb", Seq("block"), 0.9)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("8192"),
+      s"default participation cap not found in the plan:\n$plan")
+  }
+
   test("winnowCandidates: a corpus of identical docs caps out instead of going quadratic") {
     val s = spark; import s.implicits._
     // 5000 byte-identical documents: every fingerprint hash is held
