@@ -151,34 +151,38 @@ object IvfIndex {
     try {
       // moved keys: sidecar rows whose stored cell differs from the
       // batch's new assignment — their stale corpus rows must leave
-      // the old cells or searches return duplicate/stale neighbors
-      val moved = keymap(spark, path)
-        .join(
-          broadcast(assigned.select(col(idCol), col("cent_id").as("__newc__"))),
-          Seq(idCol))
+      // the old cells or searches return duplicate/stale neighbors.
+      // No broadcast hint: a large append batch can exceed the
+      // broadcast budget; AQE picks the strategy from runtime sizes.
+      val movedCells = keymap(spark, path, idCol)
+        .join(assigned.select(col(idCol), col("cent_id").as("__newc__")), Seq(idCol))
         .where(col("cent_id") =!= col("__newc__"))
-        .select(col(idCol), col("cent_id"))
-      if (!moved.isEmpty) {
-        graft.sources.Sink.deleteKeys(
-          spark, path, moved, keyCols = Seq(idCol),
-          partitionCols = Seq("cent_id"), sortCols = Seq(idCol))
-      }
-      graft.sources.Sink.upsertPartitioned(
+        .select(col("cent_id"))
+      // ONE staged rewrite covers both the batch's new cells and the
+      // moved keys' old cells: each touched cell lists and swaps at
+      // most once (the old deleteKeys-then-upsert pair walked twice,
+      // plus a moved.isEmpty probe action)
+      graft.sources.Sink.upsertRelocating(
         spark, path, assigned, keyCols = Seq(idCol),
-        partitionCols = Seq("cent_id"), sortCols = Seq(idCol))
+        partitionCols = Seq("cent_id"), oldPartitions = Some(movedCells),
+        sortCols = Seq(idCol))
+      // the keymap sidecar is its own layout (hash-bucketed by key,
+      // partition stable), so its rewrite cannot share the cell
+      // walk; it stays a plain key-upsert of batch-footprint cost
       graft.sources.Sink.upsertPartitioned(
         spark, s"$path/$KeymapDir", keymapRows(assigned, idCol),
         keyCols = Seq(idCol), partitionCols = Seq("kb"), sortCols = Seq(idCol))
-      stats(spark, path)
+      stats(spark, path, idCol)
     } finally { assigned.unpersist(); () }
   }
 
   /** Cell-balance report from the `_keymap` sidecar (two narrow
-    * columns — cheap at any corpus size).
+    * columns — cheap at any corpus size). `idCol` is only consulted
+    * when a pre-sidecar layout needs its one-time keymap migration.
     */
-  def stats(spark: SparkSession, path: String): IvfStats = {
+  def stats(spark: SparkSession, path: String, idCol: String = "id"): IvfStats = {
     val nlist = spark.read.parquet(s"$path/$CentroidsDir").count().toInt
-    val cells = keymap(spark, path)
+    val cells = keymap(spark, path, idCol)
       .groupBy("cent_id").agg(count(lit(1)).as("__n__"))
       .agg(count(lit(1)).as("cells"), sum("__n__").as("rows"), max("__n__").as("mx"))
       .head()
@@ -192,8 +196,13 @@ object IvfIndex {
     * is the nprobe/nlist cost model — a hot cell makes every probe
     * that hits it scan far more than corpus/nlist rows.
     */
-  def needsRebuild(spark: SparkSession, path: String, maxSkew: Double = 4.0): Boolean =
-    stats(spark, path).skew >= maxSkew
+  def needsRebuild(
+      spark: SparkSession,
+      path: String,
+      maxSkew: Double = 4.0,
+      idCol: String = "id"
+  ): Boolean =
+    stats(spark, path, idCol).skew >= maxSkew
 
   /** The sidecar rows for a batch of assignments: (key, cell),
     * hash-bucketed by key — `kb` is a pure function of the key,
@@ -207,17 +216,19 @@ object IvfIndex {
   /** The key→cell sidecar; for indexes written before the sidecar
     * existed, derives it once from a pruned (key, cell) scan of the
     * layout and persists it — a one-time migration, after which
-    * appends stay corpus-scan-free.
+    * appends stay corpus-scan-free. `idCol` comes from the caller
+    * (it is always known at the call sites) — inferring it from
+    * column position would silently key the sidecar on the wrong
+    * column for a layout whose parquet column order differs.
     */
-  private def keymap(spark: SparkSession, path: String): DataFrame = {
+  private def keymap(spark: SparkSession, path: String, idCol: String): DataFrame = {
     import org.apache.hadoop.fs.Path
     val km = new Path(s"$path/$KeymapDir")
     val fs = km.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(km)) {
       val layout = spark.read.parquet(path)
-      val idCol = layout.columns
-        .filterNot(c => c == "cent_id" || c.startsWith("__"))
-        .headOption.getOrElse(sys.error(s"cannot infer key column of index at $path"))
+      require(layout.columns.contains(idCol),
+        s"index at $path has no '$idCol' column; cannot derive the _keymap sidecar")
       graft.sources.Sink.writePartitioned(
         keymapRows(layout.select(col(idCol), col("cent_id")), idCol),
         km.toString, partitionCols = Seq("kb"), sortCols = Seq(idCol))

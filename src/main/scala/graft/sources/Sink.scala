@@ -251,6 +251,31 @@ object Sink {
       sortCols: Seq[String] = Nil,
       maxRecordsPerFile: Long = 0L,
       filesPerPartition: Int = 1
+  ): Seq[String] =
+    upsertRelocating(spark, path, batch, keyCols, partitionCols,
+      oldPartitions = None, sortCols, maxRecordsPerFile, filesPerPartition)
+
+  /** [[upsertPartitioned]] for layouts where a key's partition value
+    * CAN change (e.g. an IVF cell assignment under re-ingested
+    * vectors): `oldPartitions` names the partition tuples the
+    * batch's keys may be leaving. Those dirs join the survivor scan,
+    * so a moved key's stale row is dropped from its old partition in
+    * the SAME staged rewrite that lands the new row — one directory
+    * walk, one staging dir, at most one swap per touched partition
+    * (vs the separate deleteKeys-then-upsert pair, which listed and
+    * swapped twice). Everything else — placement, swap order, race
+    * windows — is [[upsertPartitioned]]/[[rewriteVia]] verbatim.
+    */
+  def upsertRelocating(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      keyCols: Seq[String],
+      partitionCols: Seq[String],
+      oldPartitions: Option[DataFrame],
+      sortCols: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 0L,
+      filesPerPartition: Int = 1
   ): Seq[String] = {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
     require(partitionCols.nonEmpty, "partitionCols must be non-empty")
@@ -263,7 +288,12 @@ object Sink {
         .map(r => partitionRel(partitionCols.zipWithIndex.map { case (c, i) => c -> r.get(i) }))
         .toSeq.sorted
     }
-    val touched = batch.select(partitionCols.map(col): _*).distinct().collect()
+    // one driver-side collect covers the batch's partitions AND any
+    // relocation sources — a single touched set for a single rewrite
+    val touchedF = oldPartitions.foldLeft(batch.select(partitionCols.map(col): _*)) {
+      (acc, old) => acc.unionByName(old.select(partitionCols.map(col): _*))
+    }
+    val touched = touchedF.distinct().collect()
       .map(r => partitionRel(partitionCols.zipWithIndex.map { case (c, i) => c -> r.get(i) }))
       .toSeq.sorted
     val existingDirs = touched.map(rel => new Path(root, rel)).filter(fs.exists)

@@ -123,6 +123,34 @@ class IvfIndexSpec extends SparkSuite {
     assert(dups == 0, "duplicate neighbors served after a moved-key append")
   }
 
+  test("appendBatch is a single walk: each touched cell swaps exactly ONCE (VERDICT r12 #5)") {
+    val path = tempPath("onewalk")
+    IvfIndex.build(emb, "vec_id", "emb", path, nlist = 8)
+    val layout0 = spark.read.parquet(path)
+      .select(col("cent_id").cast("long"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (c1, id1) = layout0.head
+    val (c2, id2) = layout0.find(_._1 != c1).get
+    // a moved key touches BOTH its old cell (tombstone) and its new
+    // cell (landing) — the old deleteKeys-then-upsert pair swapped
+    // the layout twice; the relocating upsert must swap each cell
+    // partition at most once, in one staged rewrite
+    val batch = emb.where(col("vec_id") === id2)
+      .select(lit(id1).as("vec_id"), col("emb"))
+    val swaps = scala.collection.mutable.ArrayBuffer.empty[String]
+    val old = graft.sources.Sink.midSwapHook
+    graft.sources.Sink.midSwapHook = rel => swaps.synchronized { swaps += rel; () }
+    try IvfIndex.appendBatch(spark, path, batch, "vec_id", "emb")
+    finally graft.sources.Sink.midSwapHook = old
+    val cellSwaps = swaps.filter(_.startsWith("cent_id="))
+    assert(cellSwaps.sorted == Seq(s"cent_id=$c1", s"cent_id=$c2").sorted,
+      s"expected one swap per touched cell (old $c1 + new $c2), saw $cellSwaps")
+    // and the move still happened correctly
+    val after = spark.read.parquet(path).where(col("vec_id") === id1)
+      .select(col("cent_id").cast("long")).collect().map(_.getLong(0))
+    assert(after.toSeq == Seq(c2))
+  }
+
   test("appendBatch rewrites only the touched cells; every other cell is byte-stable") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
