@@ -45,7 +45,10 @@ object SparkEntry {
   def runPendingCleanups(): Unit = synchronized {
     pendingCleanups.foreach(f => f())
     pendingCleanups.clear()
-    graft.Cleanup.drain()
+    // drainAll, not drain: runners call this AFTER the query's action
+    // has fully materialized its frame, which is exactly when the
+    // fragile (checkpoint-releasing) tier is safe to run too
+    graft.Cleanup.drainAll()
   }
 
   // Some expensive pipelines feed TWO driver queries (near-dup

@@ -772,7 +772,7 @@ object Dedup {
   {
     val (out, release) =
       connectedComponentsWithCleanup(edges, aCol, bCol, maxIter, localSolveMaxEdges)
-    graft.Cleanup.defer(release)
+    graft.Cleanup.deferFragile(release) // releases checkpoint blocks
     out
   }
 
@@ -843,7 +843,7 @@ object Dedup {
   {
     val (out, release) =
       nearDupGroupsWithCleanup(df, idCol, textCol, jaccardThreshold, shingleWords, numHashes, bands, maxBucketSize)
-    graft.Cleanup.defer(release)
+    graft.Cleanup.deferFragile(release) // releases checkpoint blocks
     out
   }
 

@@ -39,7 +39,7 @@ object Graph {
   ): DataFrame =
   {
     val (out, release) = pageRankWithCleanup(edges, srcCol, dstCol, iters, damping, decimals)
-    graft.Cleanup.defer(release)
+    graft.Cleanup.deferFragile(release) // releases checkpoint blocks
     out
   }
 

@@ -120,6 +120,14 @@ object IncrementalDedup {
             // cap at 2^27 bits = 16 MB of filter words to broadcast
             (math.min(target, 1L << 27) + 63L & ~63L).toInt
           }
+        // NOTE (param coupling): the probe-count default changed 3 → 7
+        // in r12 alongside the batch-sized filter (k = 7 ≈ m/n·ln2 at
+        // m/n = 10). A caller that pins bloomBits while leaving
+        // bloomHashes at default gets 7 probes against their chosen
+        // size — correctness-safe either way (Bloom false positives
+        // only weaken pruning, never results), but pin BOTH params
+        // together when tuning; they are jointly optimal, not
+        // independent knobs.
         val kHashes = if (bloomHashes > 0) bloomHashes else 7
         val bloom = Sketch.bloomBuild(newKeys, "__k__", mBits, kHashes)
         val survivors = Sketch

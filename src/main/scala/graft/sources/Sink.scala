@@ -127,7 +127,11 @@ object Sink {
     * collide — Spark stamps the write job's UUID into file names).
     * A reader racing the swap always lists at least one complete
     * generation: old, old+new (briefly, duplicate rows), or new —
-    * never a torn or empty partition.
+    * never a torn or empty partition. As with [[upsertPartitioned]],
+    * that old+new window means a concurrent reader can see every row
+    * TWICE — readers needing at-most-once rows during maintenance
+    * must snapshot the listing or retry; completeness-only readers
+    * are always safe.
     * Writing in place instead would trip Spark's
     * cannot-overwrite-a-read-path guard and, worse, delete inputs
     * before outputs commit.
@@ -241,6 +245,16 @@ object Sink {
     * [[rewriteVia]] rename-in-then-delete-old order — a racing
     * lister always sees at least one complete generation, never a
     * torn or empty partition). Returns the rewritten partition rels.
+    *
+    * CONCURRENT-READER CAVEAT: during a swap there is a window where
+    * a racing reader sees the OLD and NEW generation of a partition
+    * TOGETHER — duplicate keys/rows, so e.g. a concurrent aggregation
+    * can double-count (the deliberate trade against the torn/empty
+    * window a delete-first order has). Readers that require
+    * at-most-once keys during maintenance must read a snapshot
+    * listing or retry; readers that only require completeness (every
+    * live row present) are always safe. Applies equally to
+    * [[compactPartitions]] — same swap mechanics.
     */
   def upsertPartitioned(
       spark: SparkSession,
