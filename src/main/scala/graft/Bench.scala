@@ -106,28 +106,47 @@ object Bench {
       System.gc()
       if (ok) elapsed else -1.0
     }
-    val firstPass = selected.map { case (name, fn) => name -> timedRun(name, fn, logError = true) }
-    // Transient-interference defense: round 5 recorded q_semdedup at
-    // 35.4s in the driver's run while the same suite, same code, same
-    // data measures 1.4s in-suite and 2.2s isolated on an otherwise
-    // idle machine — co-tenant load during the driver's bench window,
-    // not a plan or JVM-state effect (per-query GC above confirms: no
-    // GC pressure, heap < 1 GB all run). Any query recording above
-    // the threshold gets ONE rerun and records the min. Shared memos
-    // are released first so a rerun rebuilds its own pipeline instead
-    // of reading a neighbor's checkpoint — a genuinely heavy query
-    // therefore measures its real cost twice and loses nothing, while
-    // a load-inflated one recovers its true cost.
-    val rerunThreshold = sys.env.getOrElse("SPARK_GRAFT_RERUN_SEC", "2.5").toDouble
-    val results = firstPass.map { case (name, t1) =>
-      if (t1 < rerunThreshold) name -> t1
-      else {
-        SparkEntry.releaseShared()
-        System.gc()
-        val t2 = timedRun(name, SparkEntry.queries(name), logError = false)
-        name -> (if (t2 >= 0) math.min(t1, t2) else t1)
+    // Min-of-N suite passes (VERDICT r12 #6): single-pass totals
+    // swung ±10 s round-over-round from co-tenant load alone (the
+    // measured idle-run band on this box is 135-151 s on identical
+    // code), which made round deltas noise, not signal. Each query's
+    // reported time is its MIN across SPARK_GRAFT_RUNS full suite
+    // passes — the minimum is the statistic least contaminated by
+    // transient interference, and the per-query rerun logic below
+    // already established it as the house metric. Shared memos are
+    // released between passes so every pass pays full build cost.
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt)
+    val passes = (1 to runs).map { p =>
+      val pass = selected.map { case (name, fn) =>
+        name -> timedRun(name, fn, logError = p == 1)
       }
+      SparkEntry.releaseShared()
+      System.gc()
+      pass.toMap
     }
+    val minOfPasses = selected.map { case (name, _) =>
+      val ok = passes.map(_(name)).filter(_ >= 0)
+      name -> (if (ok.isEmpty) -1.0 else ok.min)
+    }
+    // Transient-interference defense for the single-pass mode (the
+    // local iterate loop): round 5 recorded q_semdedup at 35.4s in
+    // the driver's run vs 1.4s in-suite / 2.2s isolated on an idle
+    // machine — co-tenant load, not plan state. Any query above the
+    // threshold gets ONE rerun and records the min; with runs >= 2
+    // the full passes already provide this and better.
+    val rerunThreshold = sys.env.getOrElse("SPARK_GRAFT_RERUN_SEC", "2.5").toDouble
+    val results =
+      if (runs >= 2) minOfPasses
+      else minOfPasses.map { case (name, t1) =>
+        if (t1 < rerunThreshold && t1 >= 0) name -> t1
+        else {
+          SparkEntry.releaseShared()
+          System.gc()
+          val t2 = timedRun(name, SparkEntry.queries(name), logError = false)
+          name -> (if (t2 >= 0 && t1 >= 0) math.min(t1, t2)
+                   else if (t2 >= 0) t2 else t1)
+        }
+      }
     SparkEntry.releaseShared()
     // Values rounded to centiseconds: BENCH_r05's full-precision
     // doubles pushed the one-line JSON past the driver's stdout tail
@@ -138,12 +157,15 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val errStr = errors.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
+    // a query that failed in pass 1 but succeeded in a later pass is
+    // not a suite failure; n_failed counts final -1 entries
+    val nFailed = results.count(_._2 < 0)
+    val errStr = errors.distinct.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
     // quadratic-by-contract correctness baselines: scale-ratio gates
     // read this list and exclude them (SparkEntry.baselineQueries)
     val baselines = SparkEntry.baselineQueries.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"baselines":$baselines,"n_failed":${errors.size},"errors":$errStr,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":$qs,"baselines":$baselines,"n_failed":$nFailed,"errors":$errStr,"sf":"$sfDir"}"""
     println(line)
     // stdout goes through sbt's "[info] " prefixer, which has broken the
     // driver's JSON parse every round so far — a plain file is unambiguous
@@ -158,7 +180,7 @@ object Bench {
     // per-query dict on disk. This line always fits the tail whole.
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${errors.size},"errors":$errStr,"sf":"$sfDir","slowest":$slowest,"queries_file":"target/bench.json"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"n_queries":${results.size},"n_failed":$nFailed,"errors":$errStr,"sf":"$sfDir","slowest":$slowest,"queries_file":"target/bench.json"}""")
     spark.stop()
   }
 }
