@@ -100,6 +100,54 @@ class ZOrderSpec extends SparkSuite {
     assert(zx + zy < sx + sy, s"z-order total spread $zx+$zy not below x-sort $sx+$sy")
   }
 
+  test("read side: a single-column filter row-group-prunes the z-ordered layout (VERDICT r12 #8)") {
+    val dir = Files.createTempDirectory("zorder-read").toFile.getAbsolutePath
+    val zDir = s"$dir/z"
+    val flatDir = s"$dir/flat"
+    Sink.writeZOrdered(grid, zDir, Seq("x", "y"), tiebreakCols = Seq("id"),
+      bits = 6, nBuckets = 16)
+    // control: same rows, one unclustered file — stats span everything
+    grid.coalesce(1).write.parquet(flatDir)
+
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => allScans(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(allScans)
+    }
+    // rows the parquet reader actually DELIVERS (after row-group
+    // stat skipping, before the residual filter) — the scan node's
+    // numOutputRows metric
+    def rowsScanned(path: String, filter: org.apache.spark.sql.Column): (Long, Long) = {
+      val df = spark.read.option("basePath", path).parquet(path).where(filter)
+      // execute THIS plan (df.count() would build and run a different
+      // one, leaving these metrics untouched)
+      val kept = df.queryExecution.toRdd.count()
+      val scan = allScans(df.queryExecution.executedPlan)
+        .find(_.relation.location.rootPaths.exists(_.toString.contains(path)))
+        .getOrElse(fail(s"no file scan over $path"))
+      assert(scan.metadata.get("PushedFilters").exists(_.contains("x")),
+        s"filter not pushed to parquet: ${scan.metadata.get("PushedFilters")}")
+      (scan.metrics("numOutputRows").value, kept)
+    }
+    val predicate = col("x") === 7
+    val (flatRead, flatKept) = rowsScanned(flatDir, predicate)
+    val (zRead, zKept) = rowsScanned(zDir, predicate)
+    assert(zKept == flatKept && zKept == 64, "both layouts must return the same rows")
+    // the single-file control has one row group spanning all of x:
+    // nothing skips, every row is read
+    assert(flatRead == 4096, s"control read $flatRead rows, expected the full 4096")
+    // the z-layout's 16 files each cover ~a 16x16 z-region, so x=7
+    // intersects only the x-low files: the reader must skip most row
+    // groups on parquet min/max stats alone. 4 of 16 regions contain
+    // x=7 in the ideal split; allow boundary fuzz but require >2/3 of
+    // the table skipped
+    assert(zRead <= 4096 / 3,
+      s"z-ordered read delivered $zRead of 4096 rows — row groups not pruned")
+    assert(zRead >= zKept, "scan cannot deliver fewer rows than survive the filter")
+  }
+
   test("withZBucket: equal-depth file buckets, full assignment replayable") {
     val (b, cleanup) = ZOrder.withZBucket(grid, Seq("x", "y"), bits = 4, nBuckets = 8)
     val sizes = b.groupBy("zbucket").count().collect()
