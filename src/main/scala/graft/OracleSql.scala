@@ -384,6 +384,16 @@ $rounds"""
     * `sum_s part / (|q| * |x_hat|)` rounded + ranked like every
     * other ANN oracle.
     */
+  /** The IVF centroid CTE for `nlist = Similarity.AutoNlist`:
+    * re-derives max(16, ceil(sqrt(n))) over the same nonzero set `c`
+    * the engine counts, then takes the md5-order draw — shared by
+    * every auto-sized IVF oracle.
+    */
+  private val autoCentsCte: String =
+    """cents AS (SELECT vec_id AS cent_id, emb AS cemb FROM c
+QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+  <= greatest(16, CAST(ceil(sqrt((SELECT count(*) FROM c))) AS BIGINT)))"""
+
   private def pqSql(k: Int, dims: Int, m: Int, ksub: Int, iters: Int,
                     nlist: Int, nprobe: Int): String = {
     val sub = dims / m
@@ -396,9 +406,12 @@ ${kmeansAssignCte(s"s${s}enc", s"s${s}cents$iters", src = s"s${s}c")}"""
       s"SELECT vec_id, $s AS sub_id, cent_id AS code_id FROM s${s}enc").mkString("\nUNION ALL\n")
     val cbUnion = (0 until m).map(s =>
       s"SELECT $s AS sub_id, cent_id, cemb FROM s${s}cents$iters").mkString("\nUNION ALL\n")
+    val centsCte =
+      if (nlist == 0) autoCentsCte // Similarity.AutoNlist replay
+      else s"cents AS (SELECT vec_id AS cent_id, emb AS cemb FROM c ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nlist)"
     s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
 q AS (SELECT vec_id, emb FROM c WHERE vec_id % 50 = 0),
-cents AS (SELECT vec_id AS cent_id, emb AS cemb FROM c ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nlist),
+$centsCte,
 ca AS (SELECT neighbor_id, cent_id FROM (
 SELECT c.vec_id AS neighbor_id, cent_id,
 row_number() OVER (PARTITION BY c.vec_id ORDER BY round(list_cosine_similarity(c.emb, cemb), 4) DESC, cent_id) AS cr
@@ -567,7 +580,8 @@ FROM (SELECT doc_id FROM documents WHERE doc_id % 37 <> 0) d LEFT JOIN sc ON d.d
 
   lazy val all: Map[String, String] = Map(
     "q_kmeans" -> kmeansSql(k = 8, iters = 2, dims = 64),
-    "q_ann_pq" -> pqSql(k = 5, dims = 64, m = 4, ksub = 8, iters = 1, nlist = 16, nprobe = 4),
+    // nlist = 0 replays Similarity.AutoNlist (sqrt-sized coarse cells)
+    "q_ann_pq" -> pqSql(k = 5, dims = 64, m = 4, ksub = 8, iters = 1, nlist = 0, nprobe = 4),
     "q_pagerank" -> pageRankSql(iters = 3, damping = 0.85, decimals = 6),
     "q_pagerank_host" -> pageRankHostSql(iters = 3, damping = 0.85, decimals = 6),
     "q_zorder" -> zorderSql(bits = 4, nBuckets = 8),
@@ -1155,8 +1169,8 @@ WHERE list_cosine_similarity(a.emb, b.emb) >= 0.25""",
     // compressed IVF: float cell routing (the q_ann_ivf CTEs), int8
     // scoring — same quantization replay as q_ann_int8
     "q_ann_ivf_int8" ->
-      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
-cents AS (SELECT vec_id AS cent_id, emb AS cemb FROM c ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
+$autoCentsCte,
 ca AS (SELECT neighbor_id, cent_id FROM (
 SELECT c.vec_id AS neighbor_id, cent_id,
 row_number() OVER (PARTITION BY c.vec_id ORDER BY round(list_cosine_similarity(c.emb, cemb), 4) DESC, cent_id) AS cr

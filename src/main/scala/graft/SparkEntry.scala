@@ -814,7 +814,8 @@ object SparkEntry {
       // joins that carry corpus volume move 4x fewer bytes
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("emb"))
       val q = e.where(col("vec_id") % 50 === 0)
-      Similarity.ivfInt8TopK(e, q, "vec_id", "emb", k = 5)
+      Similarity.ivfInt8TopK(e, q, "vec_id", "emb", k = 5,
+        nlist = Similarity.AutoNlist)
     }),
     "q_ann_int8" -> ((s, dir) => {
       // int8-quantized brute-force cosine: the 4x-compressed serving
@@ -877,7 +878,7 @@ object SparkEntry {
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       val q = e.where(col("vec_id") % 50 === 0)
       Similarity.pqTopK(e, q, "vec_id", "emb", k = 5, dims = 64,
-        m = 4, ksub = 8, iters = 1, nlist = 16, nprobe = 4)
+        m = 4, ksub = 8, iters = 1, nlist = Similarity.AutoNlist, nprobe = 4)
     }),
     "q_kmeans" -> ((s, dir) => {
       // trained coarse quantizer: 2 Lloyd rounds over the 8-centroid

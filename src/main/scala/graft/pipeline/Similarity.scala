@@ -372,7 +372,7 @@ object Similarity {
   ): DataFrame = {
     val corpusNz = dropZeroVectors(corpus, vecCol)
     val queriesNz = dropZeroVectors(queries, vecCol)
-    val cents = ivfCentroids(corpusNz, idCol, vecCol, nlist)
+    val cents = ivfCentroids(corpusNz, idCol, vecCol, resolveNlist(nlist, corpusNz))
     def codesOf(df: DataFrame, id: String, cv: String) =
       quantizeInt8(df.select(col(idCol).as(id), col(vecCol)), vecCol, cv, "__s__")
         .select(col(id), col(cv).cast("array<double>").as(cv))
@@ -731,7 +731,7 @@ object Similarity {
     // mode: the LUT of EVERY search joins the codebook frame, whose
     // lineage is the whole iterative Lloyd training — uncached, each
     // query batch would silently retrain
-    var cents = ivfCentroids(corpusNz, idCol, vecCol, nlist)
+    var cents = ivfCentroids(corpusNz, idCol, vecCol, resolveNlist(nlist, corpusNz))
     var cb = pqCodebooks(corpusNz, idCol, vecCol, dims, m, ksub, iters, scoreDecimals)
     if (persist) {
       cents = cents.persist(StorageLevel.MEMORY_AND_DISK)
