@@ -110,6 +110,11 @@ object IvfIndex {
     * serving at `path` while the replacement builds; the caller
     * flips readers over when done — at 100 TB an in-place retrain
     * would rewrite every partition under live readers for no gain.
+    *
+    * `nlist` defaults to [[Similarity.AutoNlist]]: a rebuild is
+    * exactly the moment the corpus has grown or drifted past its old
+    * cell layout, so the fresh quantizer re-derives `max(16, ⌈√n⌉)`
+    * from the CURRENT corpus size unless pinned explicitly.
     */
   def rebuild(
       spark: SparkSession,
@@ -117,7 +122,7 @@ object IvfIndex {
       newPath: String,
       idCol: String,
       vecCol: String,
-      nlist: Int = 16,
+      nlist: Int = Similarity.AutoNlist,
       scoreDecimals: Int = 4
   ): Unit = {
     val corpus = spark.read.parquet(path).select(col(idCol), col(vecCol))
