@@ -224,6 +224,40 @@ class SinkSpec extends SparkSuite {
     assert(again == back)
   }
 
+  test("upsertRelocating: a moved key leaves its old partition in the SAME single rewrite") {
+    val s = spark; import s.implicits._
+    def rows(xs: (Long, String, Double)*) = xs.toSeq.toDF("id", "part", "v")
+    val out = tmp()
+    val base = rows((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0), (4L, "c", 4.0))
+    Sink.upsertPartitioned(s, out.toString, base, Seq("id"), Seq("part"), Seq("id"))
+    // id=2 relocates a -> b; oldPartitions names the source partition
+    val batch = rows((2L, "b", 20.0), (9L, "b", 90.0))
+    val oldParts = Seq("a").toDF("part")
+    val swaps = scala.collection.mutable.ArrayBuffer.empty[String]
+    val hook = Sink.midSwapHook
+    Sink.midSwapHook = rel => swaps.synchronized { swaps += rel; () }
+    val rels =
+      try Sink.upsertRelocating(s, out.toString, batch, Seq("id"), Seq("part"),
+        oldPartitions = Some(oldParts), sortCols = Seq("id"))
+      finally Sink.midSwapHook = hook
+    assert(rels == Seq("part=a", "part=b"))
+    // one swap per touched partition — never the deleteKeys+upsert double walk
+    assert(swaps.sorted == Seq("part=a", "part=b"),
+      s"expected exactly one swap per touched partition, saw $swaps")
+    val back = Sink.readPartitioned(s, out.toString)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getDouble(1))).toSet
+    assert(back == Set((1L, "a", 1.0), (2L, "b", 20.0), (3L, "b", 3.0),
+      (4L, "c", 4.0), (9L, "b", 90.0)),
+      s"stale row of the moved key must leave its old partition: $back")
+    // a relocation that EMPTIES the old partition drops its dir
+    val batch2 = rows((1L, "b", 10.0))
+    Sink.upsertRelocating(s, out.toString, batch2, Seq("id"), Seq("part"),
+      oldPartitions = Some(Seq("a").toDF("part")), sortCols = Seq("id"))
+    assert(!Files.exists(out.resolve("part=a")), "emptied source partition must drop")
+    assert(Sink.readPartitioned(s, out.toString).where(col("id") === 1L)
+      .select("part").head().getString(0) == "b")
+  }
+
   test("a reader listing MID-SWAP still sees a complete generation (never torn/empty)") {
     val s = spark; import s.implicits._
     def rows(xs: (Long, String, Double)*) = xs.toSeq.toDF("id", "part", "v")
