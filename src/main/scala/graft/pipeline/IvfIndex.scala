@@ -75,6 +75,15 @@ object IvfIndex {
     * sizing that keeps per-probe cell cost ∝ √n instead of ∝ n as
     * the stored corpus grows ([[Similarity.autoNlist]]). The extra
     * count is one narrow scan inside an offline build.
+    *
+    * `centroids` installs a TRAINED quantizer (a
+    * [[Similarity.kmeansCentroids]] frame — fit offline, possibly on
+    * a sample) instead of the md5 draw; coherent cells are what keep
+    * recall high at the small probed fractions a large index serves
+    * at (see [[Similarity.ivfTopK]]'s recall note). `nlist` is
+    * ignored when given. The build is a one-time offline cost either
+    * way; everything downstream (layout, serving, appends under the
+    * frozen quantizer) is identical.
     */
   def build(
       corpus: DataFrame,
@@ -82,11 +91,13 @@ object IvfIndex {
       vecCol: String,
       path: String,
       nlist: Int = 16,
-      scoreDecimals: Int = 4
+      scoreDecimals: Int = 4,
+      centroids: Option[DataFrame] = None
   ): Unit = {
     val nz = Similarity.dropZeroVectors(corpus, vecCol)
-    val cents = Similarity.ivfCentroids(nz, idCol, vecCol,
-      Similarity.resolveNlist(nlist, nz))
+    val cents = centroids.map(broadcast)
+      .getOrElse(Similarity.ivfCentroids(nz, idCol, vecCol,
+        Similarity.resolveNlist(nlist, nz)))
     // the assignment pipeline feeds BOTH the cell write and the
     // keymap write — persist so it computes once, not per sink
     val assigned = Similarity
@@ -123,10 +134,11 @@ object IvfIndex {
       idCol: String,
       vecCol: String,
       nlist: Int = Similarity.AutoNlist,
-      scoreDecimals: Int = 4
+      scoreDecimals: Int = 4,
+      centroids: Option[DataFrame] = None
   ): Unit = {
     val corpus = spark.read.parquet(path).select(col(idCol), col(vecCol))
-    build(corpus, idCol, vecCol, newPath, nlist, scoreDecimals)
+    build(corpus, idCol, vecCol, newPath, nlist, scoreDecimals, centroids)
   }
 
   /** Upsert a new batch of vectors into an existing index under its

@@ -323,6 +323,17 @@ object Similarity {
     * cross-join + per-row rank, one shuffle each side. Ties rank by
     * (rounded similarity desc, centroid id) so assignment is exact
     * across engines.
+    *
+    * RECALL vs COST: with the random draw, cells carry no semantic
+    * coherence, so recall@k tracks the probed FRACTION nprobe/nlist
+    * (measured ~2× the fraction on the synthetic embeddings) — a
+    * large derived nlist at fixed nprobe trades recall for speed.
+    * The 100 TB recipe that keeps BOTH is a TRAINED quantizer: pass
+    * `centroids = Some(kmeansCentroids(...))` (fit offline, possibly
+    * on a [[Sampling.deterministicSample]]) and coherent cells
+    * retain recall at probed fractions where the random draw decays
+    * (PipelineSpec pins fitted ≥ random at a 6% fraction). With
+    * `centroids` given, `nlist` is ignored.
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -332,11 +343,13 @@ object Similarity {
       k: Int,
       nlist: Int = 16,
       nprobe: Int = 4,
-      scoreDecimals: Int = 4
+      scoreDecimals: Int = 4,
+      centroids: Option[DataFrame] = None
   ): DataFrame = {
     val corpusNz = dropZeroVectors(corpus, vecCol)
     val queriesNz = dropZeroVectors(queries, vecCol)
-    val cents = ivfCentroids(corpusNz, idCol, vecCol, resolveNlist(nlist, corpusNz))
+    val cents = centroids.map(broadcast)
+      .getOrElse(ivfCentroids(corpusNz, idCol, vecCol, resolveNlist(nlist, corpusNz)))
     val corpusCells = ivfAssign(corpusNz, cents, idCol, vecCol, "neighbor", keep = 1, scoreDecimals)
     val queryCells = ivfAssign(queriesNz, cents, idCol, vecCol, "query", keep = nprobe, scoreDecimals)
     // a corpus row lives in exactly ONE cell and a query probes

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Contamination, Dedup, Jpeg, Multimodal, Similarity, TextAnalysis, UrlOps}
+import graft.pipeline.{Contamination, Dedup, IvfIndex, Jpeg, Multimodal, Similarity, TextAnalysis, UrlOps}
 
 /** LLM-pipeline operators: dedup, similarity, text analysis,
   * multimodal plumbing. These have no reference goldens — invariants
@@ -541,6 +541,47 @@ class PipelineSpec extends SparkSuite {
     val recalls = bf.map { case (q, nbs) => ivf.getOrElse(q, Set.empty).intersect(nbs).size.toDouble / nbs.size }
     val recall = recalls.sum / recalls.size
     assert(recall >= 0.6, f"IVF recall@5 fell to $recall%.3f (bar 0.6)")
+  }
+
+  test("trained quantizer retains recall at low probed fraction where the random draw decays") {
+    val s = spark; import s.implicits._
+    // 16 LOOSE clusters (noise comparable to cluster separation),
+    // 480 rows: at nlist=32 / nprobe=2 only ~6% of cells are probed.
+    // Tight clusters make ANY quantizer perfect (Voronoi
+    // self-consistency: a query and its neighbors share nearest
+    // centroids); loose clusters are the regime where the md5-draw's
+    // arbitrary cell boundaries cut through neighborhoods while
+    // kmeans-fitted cells track the cluster means — recall then
+    // comes from the QUANTIZER, not from probing a constant corpus
+    // fraction. That is the documented 100 TB recipe.
+    val corpus = (0 until 480).map { i =>
+      val c = i % 16
+      (i.toLong, Array.tabulate(16)(d => math.sin(c * 37 + d) + 0.45 * math.sin(i * 13 + d * 7)))
+    }.toDF("id", "v")
+    val queries = corpus.where(col("id") % 24 === 0)
+    def topSets(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("query_id").agg(collect_set(col("neighbor_id")).as("nb"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    def recallOf(m: Map[Long, Set[Long]], bf: Map[Long, Set[Long]]) = {
+      val rs = bf.map { case (q, nbs) => m.getOrElse(q, Set.empty).intersect(nbs).size.toDouble / nbs.size }
+      rs.sum / rs.size
+    }
+    val bf = topSets(Similarity.bruteForceTopK(corpus, queries, "id", "v", k = 5))
+    val fitted = Similarity.kmeansCentroids(corpus, "id", "v", k = 32, iters = 2)
+    val rFitted = recallOf(topSets(Similarity.ivfTopK(corpus, queries, "id", "v",
+      k = 5, nprobe = 2, centroids = Some(fitted))), bf)
+    val rRandom = recallOf(topSets(Similarity.ivfTopK(corpus, queries, "id", "v",
+      k = 5, nlist = 32, nprobe = 2)), bf)
+    assert(rFitted >= 0.8, f"fitted-quantizer recall $rFitted%.3f below the bar at a 6%% fraction")
+    assert(rFitted > rRandom,
+      f"fitted recall $rFitted%.3f must beat the random draw's $rRandom%.3f at equal probes")
+    // and the stored index serves the fitted quantizer identically
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-fitted").toString + "/idx"
+    IvfIndex.build(corpus, "id", "v", path, centroids = Some(fitted))
+    val stored = topSets(IvfIndex.searchTopK(spark, path, queries, "id", "v", k = 5, nprobe = 2))
+    val mem = topSets(Similarity.ivfTopK(corpus, queries, "id", "v",
+      k = 5, nprobe = 2, centroids = Some(fitted)))
+    assert(stored == mem, "stored fitted-quantizer index must serve the in-memory results")
   }
 
   test("IVF-PQ: ADC scores reproduce from codes + codebooks, recall above the PQ bar") {
