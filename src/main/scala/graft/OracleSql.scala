@@ -1259,6 +1259,30 @@ r AS (SELECT query_id, neighbor_id, score,
 CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS "rank" FROM s)
 SELECT query_id, neighbor_id, score, "rank" FROM r WHERE "rank" <= 5""",
 
+    // trained-quantizer IVF: the kmeans CTE chain (one Lloyd round
+    // over the md5 init draw, trained on ALL vectors like the engine)
+    // supplies the centroids; routing/scoring/ranking are the
+    // standard IVF CTEs over the nonzero set
+    "q_ann_ivf_fitted" -> {
+      s"""WITH c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+${kmeansTrainCtes(16, 1, 64, src = "c0")},
+c AS (SELECT vec_id, emb FROM c0 WHERE list_dot_product(emb, emb) > 0),
+ca AS (SELECT neighbor_id, emb, cent_id FROM (
+SELECT c.vec_id AS neighbor_id, c.emb, cent_id,
+row_number() OVER (PARTITION BY c.vec_id ORDER BY round(list_cosine_similarity(c.emb, cemb), 4) DESC, cent_id) AS cr
+FROM c CROSS JOIN cents1) t WHERE cr = 1),
+q AS (SELECT vec_id, emb FROM c WHERE vec_id % 50 = 0),
+qa AS (SELECT query_id, qemb, cent_id FROM (
+SELECT q.vec_id AS query_id, q.emb AS qemb, cent_id,
+row_number() OVER (PARTITION BY q.vec_id ORDER BY round(list_cosine_similarity(q.emb, cemb), 4) DESC, cent_id) AS cr
+FROM q CROSS JOIN cents1) t WHERE cr <= 4),
+s AS (SELECT qa.query_id, ca.neighbor_id, round(list_cosine_similarity(qa.qemb, ca.emb), 4) AS score
+FROM qa JOIN ca USING (cent_id) WHERE qa.query_id <> ca.neighbor_id),
+r AS (SELECT query_id, neighbor_id, score,
+CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS "rank" FROM s)
+SELECT query_id, neighbor_id, score, "rank" FROM r WHERE "rank" <= 5"""
+    },
+
     // same semantics as q_ann_ivf — the engine side serves from the
     // persisted cell-partitioned index instead of recomputing assignment
     "q_ann_ivf_store" ->

@@ -871,6 +871,18 @@ object SparkEntry {
       val q = e.where(col("vec_id") % 50 === 0)
       graft.pipeline.IvfIndex.searchTopK(s, path, q, "vec_id", "emb", k = 5, nprobe = 4)
     }),
+    "q_ann_ivf_fitted" -> ((s, dir) => {
+      // the TRAINED-quantizer serving path: cells from one Lloyd
+      // round over the md5 init draw (coherent cells are what keep
+      // recall at the low probed fractions a large index serves at);
+      // the oracle replays the training trajectory CTE-for-CTE and
+      // then the standard IVF routing
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val q = e.where(col("vec_id") % 50 === 0)
+      val cents = Similarity.kmeansCentroids(e, "vec_id", "emb", k = 16, iters = 1)
+      Similarity.ivfTopK(e, q, "vec_id", "emb", k = 5, nprobe = 4,
+        centroids = Some(cents))
+    }),
     "q_ann_pq" -> ((s, dir) => {
       // IVF-PQ: coarse cells prune candidates, fitted per-subspace
       // codebooks score them in the compressed domain (ADC) — the
