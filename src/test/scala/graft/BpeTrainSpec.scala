@@ -166,6 +166,36 @@ class BpeTrainSpec extends SparkSuite {
     }
   }
 
+  test("random corpora under starved speculation configs still match the reference") {
+    // random tiny-alphabet corpora (heavy ties, deep merge chains)
+    // run with a sample too small to predict and a candidate list
+    // small enough that the certification threshold binds — partial
+    // commits and forced-head rounds on adversarial data
+    val gen = for {
+      nDocs <- org.scalacheck.Gen.choose(1, 5)
+      docs <- org.scalacheck.Gen.listOfN(nDocs, for {
+        nWords <- org.scalacheck.Gen.choose(1, 8)
+        words <- org.scalacheck.Gen.listOfN(nWords, for {
+          len <- org.scalacheck.Gen.choose(1, 6)
+          cs <- org.scalacheck.Gen.listOfN(len, org.scalacheck.Gen.oneOf("a", "b", "c"))
+        } yield cs.mkString)
+      } yield words.mkString(" "))
+    } yield docs
+    val s = spark; import s.implicits._
+    val keys = Map(
+      "graft.bpe.driverVocabLimit" -> "0",
+      "graft.bpe.speculationSample" -> "2",
+      "graft.bpe.candidatePairs" -> "4",
+      "graft.bpe.speculationWindow" -> "6")
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try Iterator.continually(gen.sample).flatten.take(4).foreach { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val got = TextAnalysis.bpeTrainMerges(df, "text", numMerges = 8)
+      val want = localTrain(docs, 8)
+      assert(got == want, s"corpus=$docs:\n got $got\nwant $want")
+    } finally keys.keys.foreach(spark.conf.unset)
+  }
+
   test("early stop: no pair with count >= 2 ends training before numMerges") { bothPaths {
     val s = spark; import s.implicits._
     val df = Seq((1L, "ab cd ef")).toDF("id", "text")
