@@ -210,6 +210,39 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("upsertRelocating tracks an in-memory latest-state model under random relocations") {
+    val s = spark; import s.implicits._
+    // keys move freely between partitions batch to batch (the IVF
+    // cell-reassignment shape); after every upsert the layout must
+    // read back as exactly the model's latest state per key
+    val batchGen = for {
+      n <- Gen.choose(1, 6)
+      ks <- Gen.listOfN(n, Gen.choose(0L, 12L))
+      ps <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d"))
+      vs <- Gen.listOfN(n, Gen.choose(0.0, 100.0))
+    } yield ks.lazyZip(ps).lazyZip(vs).toList.distinctBy(_._1) // key-unique batch
+    val dir = java.nio.file.Files.createTempDirectory("graft-reloc-prop").toString + "/t"
+    val model = scala.collection.mutable.Map.empty[Long, (String, Double)]
+    forAllSamples(batchGen, n = 8) { batch =>
+      val df = batch.toDF("id", "part", "v")
+      // the caller contract: name the old partitions of keys the
+      // batch may be moving (derived from the model, like the IVF
+      // keymap sidecar derives it from disk)
+      val oldParts = batch.flatMap { case (k, p, _) =>
+        model.get(k).collect { case (op, _) if op != p => op }
+      }.distinct
+      graft.sources.Sink.upsertRelocating(s, dir, df, Seq("id"), Seq("part"),
+        oldPartitions = if (oldParts.isEmpty) None else Some(oldParts.toDF("part")),
+        sortCols = Seq("id"))
+      batch.foreach { case (k, p, v) => model(k) = (p, v) }
+      val back = graft.sources.Sink.readPartitioned(s, dir)
+        .select("id", "part", "v")
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+      assert(back == model.toMap,
+        s"layout diverged from the model after batch $batch:\n got $back\nwant ${model.toMap}")
+    }
+  }
+
   test("SAS RLE codec round-trips arbitrary byte rows (any run structure, any alphabet)") {
     // byte soups biased toward runs of 0x00/0x20 (the SAS-common
     // padding bytes with dedicated opcodes) plus fully random noise
