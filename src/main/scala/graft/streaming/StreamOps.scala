@@ -358,6 +358,52 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming maintenance of a persisted [[graft.pipeline.IvfIndex]]
+    * — the continuous-embedding-ingest face of the ANN serving path:
+    * each micro-batch of (id, vector, order) rows appends under the
+    * index's frozen quantizer. New ids land in their cells,
+    * re-ingested ids whose vector CHANGED move cells (old-cell
+    * tombstone + landing in one staged rewrite — the
+    * `upsertRelocating` walk), and the `_keymap` sidecar stays in
+    * sync; within-batch duplicates reduce to latest-by-`orderCol`
+    * first (events for one id can share a micro-batch).
+    *
+    * Exactly-once at the layout level by the [[upsertStream]]
+    * recipe: `appendBatch` is idempotent (IvfIndexSpec pins
+    * re-append), so a replayed micro-batch after a restart
+    * reproduces the same cells. `onBatch` receives each batch's
+    * post-append [[graft.pipeline.IvfIndex.IvfStats]] so a caller
+    * can watch cell-balance drift and schedule a blue/green
+    * [[graft.pipeline.IvfIndex.rebuild]] OUTSIDE the stream (a
+    * rebuild inside foreachBatch would stall the trigger for a
+    * corpus-sized retrain).
+    */
+  def ivfAppendStream(
+      vectors: DataFrame,
+      path: String,
+      checkpoint: String,
+      idCol: String,
+      vecCol: String,
+      orderCol: String,
+      onBatch: graft.pipeline.IvfIndex.IvfStats => Unit = _ => ()
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val w = Window.partitionBy(col(idCol)).orderBy(col(orderCol).desc)
+          val latest = batch
+            .withColumn("__rn__", row_number().over(w))
+            .where(col("__rn__") === 1)
+            .select(col(idCol), col(vecCol))
+          onBatch(graft.pipeline.IvfIndex.appendBatch(
+            batch.sparkSession, path, latest, idCol, vecCol))
+          ()
+        }
+      }
+      .outputMode(OutputMode.Update)
+      .start()
+
   /** Streaming incremental near-dup detection: each micro-batch of
     * documents runs one [[graft.pipeline.IncrementalDedup]] step —
     * MinHash the batch once, join its banded fingerprints against

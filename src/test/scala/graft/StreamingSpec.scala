@@ -141,6 +141,52 @@ class StreamingSpec extends SparkSuite {
       s"unexpected layout: $dirs")
   }
 
+  test("ivfAppendStream: streamed index maintenance equals direct appendBatch, incl. a cell move") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-stream")
+    val streamIdx = root.resolve("stream/idx").toString
+    val batchIdx = root.resolve("batch/idx").toString
+    val ckpt = root.resolve("ckpt").toString
+    def vec(seed: Int) = Array.tabulate(8)(d => math.sin(seed * 13 + d).abs + 0.1)
+    val base = (1 to 40).map(i => (i.toLong, vec(i))).toDF("id", "v")
+    graft.pipeline.IvfIndex.build(base, "id", "v", streamIdx, nlist = 8)
+    graft.pipeline.IvfIndex.build(base, "id", "v", batchIdx, nlist = 8)
+    // batch 1: new ids; batch 2: id=3 re-ingested with id=30's vector
+    // (a cell move under the frozen quantizer) + within-batch dup of
+    // id=50 where only the later order wins
+    val b1 = Seq((41L, vec(41), 1L), (42L, vec(42), 1L))
+    val b2 = Seq((3L, vec(30), 2L), (50L, vec(7), 2L), (50L, vec(50), 3L))
+    val statsSeen = scala.collection.mutable.ArrayBuffer.empty[graft.pipeline.IvfIndex.IvfStats]
+    val input = MemoryStream[(Long, Array[Double], Long)]
+    val q = StreamOps.ivfAppendStream(
+      input.toDF().toDF("id", "v", "ts"), streamIdx, ckpt, "id", "v", "ts",
+      onBatch = st => statsSeen.synchronized { statsSeen += st; () })
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // the same maintenance applied directly
+    graft.pipeline.IvfIndex.appendBatch(s, batchIdx,
+      b1.map(t => (t._1, t._2)).toDF("id", "v"), "id", "v")
+    graft.pipeline.IvfIndex.appendBatch(s, batchIdx,
+      Seq((3L, vec(30)), (50L, vec(50))).toDF("id", "v"), "id", "v")
+    def layout(p: String) = s.read.parquet(p)
+      .select(col("cent_id").cast("long"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(layout(streamIdx) == layout(batchIdx),
+      "streamed cell layout diverged from direct appendBatch")
+    // the moved id lives ONLY in its new cell, and serving agrees
+    assert(layout(streamIdx).count(_._2 == 3L) == 1)
+    val queries = Seq((3L, vec(30))).toDF("id", "v")
+    def serve(p: String) = graft.pipeline.IvfIndex
+      .searchTopK(s, p, queries, "id", "v", k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(serve(streamIdx) == serve(batchIdx))
+    assert(statsSeen.size == 2 && statsSeen.last.rows == 43,
+      s"drift stats must reach the callback per batch: $statsSeen")
+  }
+
   test("sessionize splits on inactivity gaps (batch parity)") {
     val s = spark; import s.implicits._
     val events = Seq(
