@@ -315,6 +315,29 @@ GROUP BY 1, 2)"""
     s"""WITH $minhashCtes
 SELECT id_a, id_b, n_band_matches FROM cand"""
 
+  /** Cross-corpus (bipartite) banded MinHash — mirrors
+    * Dedup.crossCorpusCandidates over the %37 eval/train split: same
+    * signature lanes and band keys as [[minhashCtes]], the bucket cap
+    * counts the COMBINED sides, and the pair join crosses sides only.
+    */
+  private lazy val crossMinhashSql: String = {
+    val mins = (0 until 8).map { k =>
+      val src = if (k < 4) "s" else "s || '#'"
+      s"list_min(list_transform(sg, s -> substring(md5($src), ${(k % 4) * 8 + 1}, 8)))"
+    }.mkString(", ")
+    val bandsigs = (0 until 4).map(b => s"sig[${2 * b + 1}] || '|' || sig[${2 * b + 2}]").mkString(", ")
+    s"""WITH shx AS (SELECT doc_id, $shingles3 AS sg,
+CASE WHEN doc_id % 37 = 0 THEN 0 ELSE 1 END AS side FROM documents),
+sig AS (SELECT doc_id, side, [$mins] AS sig FROM shx WHERE len(sg) > 0),
+banded0 AS (SELECT doc_id, side, unnest([0, 1, 2, 3]) AS b, unnest([$bandsigs]) AS bandsig FROM sig),
+banded AS (SELECT * FROM banded0 QUALIFY count(*) OVER (PARTITION BY b, bandsig) <= 1000),
+cand AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b, count(*) AS n_band_matches
+FROM banded a JOIN banded b2 ON a.b = b2.b AND a.bandsig = b2.bandsig
+WHERE a.side = 0 AND b2.side = 1
+GROUP BY 1, 2)
+SELECT id_a, id_b, n_band_matches FROM cand"""
+  }
+
   /** Sign-LSH ANN — mirrors Similarity.lshTopK(k=5, dims=64, planes=8,
     * probes=2). The hyperplane values are EMBEDDED from the very
     * planeMatrix the operator evaluates (anti-drift by construction);
@@ -1093,6 +1116,7 @@ QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, df ASC, word AS
       s"""SELECT doc_id FROM documents WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5($fpNorm))""",
 
     "q_minhash_candidates" -> minhashSql,
+    "q_cross_neardup" -> crossMinhashSql,
 
     // incremental dedup parity: batch-A-store + batch-B == one shot.
     // The oracle is deliberately the SAME full-corpus minhash replay —

@@ -731,6 +731,17 @@ object SparkEntry {
       deferCleanup(cleanup)
       out
     }),
+    "q_cross_neardup" -> ((s, dir) => {
+      // FUZZY decontamination: eval slice (the %37 convention the
+      // exact-overlap contamination queries use) near-matched against
+      // the training remainder via bipartite banded MinHash
+      val d = t(s, dir, "documents")
+      val (out, cleanup) = Dedup.crossCorpusCandidatesWithCleanup(
+        d.where(col("doc_id") % 37 === 0), d.where(col("doc_id") % 37 =!= 0),
+        "doc_id", "text", shingleWords = 3, numHashes = 8, bands = 4)
+      deferCleanup(cleanup)
+      out
+    }),
     "q_dedup_incremental" -> ((s, dir) => {
       // the rolling-crawl shape: batch A's fingerprints go through
       // the PERSISTED parquet store (never re-tokenized), batch B is

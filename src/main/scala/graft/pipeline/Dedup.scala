@@ -332,6 +332,74 @@ object Dedup {
     (result, () => { banded.unpersist(); () })
   }
 
+  /** CROSS-corpus banded-MinHash candidate pairs: documents of `dfA`
+    * near-matching documents of `dfB` — the FUZZY face of
+    * decontamination ([[Contamination]] catches exact n-gram overlap;
+    * an eval item paraphrased or lightly edited into the training set
+    * only shows up here). Output is (id_a ∈ A, id_b ∈ B,
+    * n_band_matches); compose the exact-Jaccard verify tail on top
+    * exactly like the self-join path when a score is needed.
+    *
+    * Scale shape matches [[minhashCandidatesWithCleanup]]: the only
+    * shuffle keys on (band, bandsig); a (band, bandsig) bucket is
+    * dropped WHOLE when its COMBINED A+B membership exceeds
+    * `maxBucketSize` (the same whole-drop rule as the self-join cap,
+    * so engine and oracle agree by construction at any scale); the
+    * bipartite pair join happens within surviving buckets only — no
+    * A×B stage anywhere. Call the thunk after the consuming action.
+    */
+  def crossCorpusCandidatesWithCleanup(
+      dfA: DataFrame,
+      dfB: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleWords: Int = 3,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      maxBucketSize: Int = 1000
+  ): (DataFrame, () => Unit) = {
+    val banded = bandedFromShingles(
+        shingleFrame(dfA, idCol, textCol, shingleWords), numHashes, bands)
+      .withColumn("__side__", lit(0))
+      .unionByName(bandedFromShingles(
+          shingleFrame(dfB, idCol, textCol, shingleWords), numHashes, bands)
+        .withColumn("__side__", lit(1)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wBucket = Window.partitionBy(col("__band__"), col("__bandsig__"))
+    val capped = banded
+      .withColumn("__bsize__", count(lit(1)).over(wBucket))
+      .where(col("__bsize__") <= maxBucketSize)
+      .drop("__bsize__")
+    val a = capped.where(col("__side__") === 0)
+      .select(col("__band__"), col("__bandsig__"), col("__id__").as("id_a"))
+    val b = capped.where(col("__side__") === 1)
+      .select(col("__band__"), col("__bandsig__"), col("__id__").as("id_b"))
+    val out = a.join(b, Seq("__band__", "__bandsig__"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_band_matches"))
+    (out, () => { banded.unpersist(); () })
+  }
+
+  /** [[crossCorpusCandidatesWithCleanup]] without the cleanup handle
+    * (persist-cache release parked in [[graft.Cleanup]]).
+    */
+  def crossCorpusCandidates(
+      dfA: DataFrame,
+      dfB: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleWords: Int = 3,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      maxBucketSize: Int = 1000
+  ): DataFrame =
+  {
+    val (out, release) = crossCorpusCandidatesWithCleanup(
+      dfA, dfB, idCol, textCol, shingleWords, numHashes, bands, maxBucketSize)
+    graft.Cleanup.defer(release)
+    out
+  }
+
   /** Near-dup candidate pairs from winnowed fingerprints (Schleimer
     * et al. 2003): documents sharing >= `minShared` selected gram
     * hashes, with the shared count. Winnowing's containment

@@ -54,6 +54,36 @@ class PipelineSpec extends SparkSuite {
     assert(uncapped.count() == 50L * 49 / 2)
   }
 
+  test("crossCorpusCandidates: bipartite pairs only, combined-bucket cap, clean corpora empty") {
+    val s = spark; import s.implicits._
+    // eval corpus: one item near-identical to a train doc, one unique
+    val eval_ = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "a totally unique evaluation question nothing resembles")
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "The quick brown fox jumps over the LAZY dog"), // ~= 100
+      (2L, "the quick brown fox jumps over the lazy dog"), // == 100
+      (3L, "unrelated training material about spark shuffles")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.crossCorpusCandidates(eval_, train, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // contaminated eval item pairs with BOTH training near-dups, and
+    // ONLY cross-corpus pairs appear (never train-train or eval-eval)
+    assert(pairs.contains((100L, 2L)) && pairs.contains((100L, 1L)), s"missed contamination: $pairs")
+    assert(pairs.forall { case (a, b) => a >= 100L && b < 100L }, s"non-bipartite pair: $pairs")
+    assert(!pairs.exists(_._1 == 101L), "clean eval item must not pair")
+    // combined cap: 600 + 600 identical docs -> every bucket over a
+    // 1000 cap as a COMBINED count -> dropped whole, never quadratic
+    val manyA = (1 to 600).map(i => (i.toLong, "identical saturation text")).toDF("doc_id", "text")
+    val manyB = (1001 to 1600).map(i => (i.toLong, "identical saturation text")).toDF("doc_id", "text")
+    assert(Dedup.crossCorpusCandidates(manyA, manyB, "doc_id", "text").count() == 0,
+      "combined A+B bucket membership must trip the whole-drop cap")
+    // under the cap the bipartite product is exact: 50 x 50
+    assert(Dedup.crossCorpusCandidates(manyA.limit(50), manyB.limit(50), "doc_id", "text")
+      .count() == 2500)
+  }
+
   test("minhashCandidates cleanup thunk unpersists the internal cache (VERDICT r3 #9)") {
     // other tests in this suite use the plain API and legitimately
     // leave caches behind — assert only on the delta from THIS call
