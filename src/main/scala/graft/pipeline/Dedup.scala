@@ -270,19 +270,25 @@ object Dedup {
   private[pipeline] def bandedFromShingles(
       shingles: DataFrame,
       numHashes: Int,
-      bands: Int
+      bands: Int,
+      withCount: Boolean = false
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
+    // withCount threads the distinct-shingle count (one int per banded
+    // row) so a thresholded consumer can length-ratio-filter INSIDE the
+    // bucket self-join — before the pair groupBy — with no extra join
+    val keepIn = if (withCount) Seq(col("__id__"), size(col("__sg__")).as("__n__")) else Seq(col("__id__"))
+    val keepOut = if (withCount) Seq(col("__id__"), col("__n__")) else Seq(col("__id__"))
     shingles
-      .select(col("__id__"), minhashSignatureNative(col("__sg__"), numHashes).as("__sig__"))
+      .select(keepIn :+ minhashSignatureNative(col("__sg__"), numHashes).as("__sig__"): _*)
       .select(
-        col("__id__"),
+        keepOut :+
         posexplode(
           array((0 until bands).map { b =>
             concat_ws("|", (0 until rowsPerBand).map(r => col("__sig__").getItem(b * rowsPerBand + r)): _*)
           }: _*)
-        ).as(Seq("__band__", "__bandsig__")))
+        ).as(Seq("__band__", "__bandsig__")): _*)
   }
 
   /** [[bandedFromShingles]] from raw documents, with output columns
@@ -303,15 +309,17 @@ object Dedup {
       shingles: DataFrame,
       numHashes: Int,
       bands: Int,
-      maxBucketSize: Int
+      maxBucketSize: Int,
+      minJaccard: Double = 0.0
   ): (DataFrame, () => Unit) = {
+    val prefilter = minJaccard > 0.0
     // persist the tiny (id, band, bandsig) frame: it feeds BOTH sides
     // of the self-join plus the bucket-size window, and Catalyst's
     // project-collapsing would otherwise re-inline (and re-execute)
     // the full signature expression into every consumer — measured
     // ~25x slower without the barrier. Size is ~bands rows per doc of
     // short strings, negligible next to the corpus at any scale.
-    val banded = bandedFromShingles(shingles, numHashes, bands)
+    val banded = bandedFromShingles(shingles, numHashes, bands, withCount = prefilter)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Hot-bucket cap: one boilerplate-heavy band signature would make
     // the within-bucket self-join quadratic. Buckets larger than
@@ -323,10 +331,23 @@ object Dedup {
       .withColumn("__bsize__", count(lit(1)).over(wBucket))
       .where(col("__bsize__") <= maxBucketSize)
       .drop("__bsize__")
-    val a = capped.select(col("__band__"), col("__bandsig__"), col("__id__").as("id_a"))
-    val b = capped.select(col("__band__"), col("__bandsig__"), col("__id__").as("id_b"))
+    val extraA = if (prefilter) Seq(col("__n__").as("__na__")) else Nil
+    val extraB = if (prefilter) Seq(col("__n__").as("__nb__")) else Nil
+    val a = capped.select(Seq(col("__band__"), col("__bandsig__"), col("__id__").as("id_a")) ++ extraA: _*)
+    val b = capped.select(Seq(col("__band__"), col("__bandsig__"), col("__id__").as("id_b")) ++ extraB: _*)
+    // when thresholded, the length-ratio bound (see
+    // [[lengthRatioPrefilter]]) drops ratio-impossible pairs HERE —
+    // inside the bucket join, before their band-match rows ever reach
+    // the pair groupBy shuffle; the filter is per-pair deterministic,
+    // so a dropped pair loses ALL its band rows and simply never
+    // becomes a candidate
+    val ratioOk =
+      if (prefilter)
+        least(col("__na__"), col("__nb__")).cast("double") >=
+          lit(minJaccard) * greatest(col("__na__"), col("__nb__")).cast("double") - lit(1e-9)
+      else lit(true)
     val result = a.join(b, Seq("__band__", "__bandsig__"))
-      .where(col("id_a") < col("id_b"))
+      .where(col("id_a") < col("id_b") && ratioOk)
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_band_matches"))
     (result, () => { banded.unpersist(); () })
@@ -844,12 +865,48 @@ object Dedup {
     out
   }
 
+  /** Length-ratio prefilter for exact-Jaccard verify tails:
+    * Jaccard(A,B) >= t implies |A ∩ B| >= t * |A ∪ B| with
+    * |A ∩ B| <= min(|A|,|B|) and |A ∪ B| >= max(|A|,|B|), hence
+    * min/max >= t on the DISTINCT-shingle counts. Joining the tiny
+    * (id, count) frame and filtering BEFORE the shingle-array joins
+    * means provably-below-threshold pairs never shuffle their arrays
+    * through the second pair join (the dominant verify cost: each
+    * surviving pair row carries a full shingle array between the two
+    * id joins) and never pay `array_intersect`. The filter is a
+    * necessary condition only — survivors still get the exact jac —
+    * and the 1e-9 slack keeps the float-multiply bound conservative:
+    * an extra survivor is caught by the exact filter downstream, while
+    * a dropped pair is PROVABLY below t. No-op when `minJaccard <= 0`.
+    */
+  private[graft] def lengthRatioPrefilter(
+      pairs: DataFrame,
+      shingles: DataFrame,
+      minJaccard: Double
+  ): DataFrame =
+    if (minJaccard <= 0.0) pairs
+    else {
+      val counts = shingles.select(col("__id__"), size(col("__sg__")).as("__n__"))
+      pairs
+        .join(counts.select(col("__id__").as("id_a"), col("__n__").as("__na__")), Seq("id_a"))
+        .join(counts.select(col("__id__").as("id_b"), col("__n__").as("__nb__")), Seq("id_b"))
+        .where(least(col("__na__"), col("__nb__")).cast("double")
+          >= lit(minJaccard) * greatest(col("__na__"), col("__nb__")).cast("double") - lit(1e-9))
+        .drop("__na__", "__nb__")
+    }
+
   /** Banded-LSH candidate pairs with exact n-gram Jaccard attached:
     * (id_a, id_b, n_band_matches, jac). The scale-true near-dup
     * verify composition — the quadratic stage only ever sees LSH
     * candidates, and each document is tokenized/shingled exactly once
     * (the shingle frame is persisted because it feeds both sides of
     * the pair join). The cleanup thunk releases both internal caches.
+    *
+    * `minJaccard > 0` turns on the [[lengthRatioPrefilter]] and makes
+    * the output EXACTLY the candidate pairs with `jac >= minJaccard`
+    * (the exact filter is applied after the verify, so the prefilter
+    * is invisible in the result). The default 0.0 keeps the original
+    * all-candidates contract.
     */
   def jaccardCandidatesWithCleanup(
       df: DataFrame,
@@ -858,19 +915,24 @@ object Dedup {
       shingleWords: Int = 3,
       numHashes: Int = 8,
       bands: Int = 4,
-      maxBucketSize: Int = 1000
+      maxBucketSize: Int = 1000,
+      minJaccard: Double = 0.0
   ): (DataFrame, () => Unit) = {
     // ONE tokenize+shingle pass feeds both the MinHash signatures and
     // the exact-Jaccard verify joins (persisted: three consumers)
     val sh = shingleFrame(df, idCol, textCol, shingleWords)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the length-ratio bound is applied INSIDE the candidate bucket
+    // join (minJaccard threaded down) — ratio-impossible pairs never
+    // reach the pair groupBy, let alone the array joins below
     val (cands, cleanupCands) =
-      minhashCandidatesFromShingles(sh, numHashes, bands, maxBucketSize)
-    val out = cands
+      minhashCandidatesFromShingles(sh, numHashes, bands, maxBucketSize, minJaccard)
+    val verified = cands
       .join(sh.select(col("__id__").as("id_a"), col("__sg__").as("__sga__")), Seq("id_a"))
       .join(sh.select(col("__id__").as("id_b"), col("__sg__").as("__sgb__")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), col("n_band_matches"),
         jaccardOfShingleArrays(col("__sga__"), col("__sgb__")).as("jac"))
+    val out = if (minJaccard > 0.0) verified.where(col("jac") >= minJaccard) else verified
     (out, () => { cleanupCands(); sh.unpersist(); () })
   }
 
@@ -931,8 +993,13 @@ object Dedup {
       bands: Int = 4,
       maxBucketSize: Int = 1000
   ): (DataFrame, () => Unit) = {
+    // minJaccard = the cluster threshold: the length-ratio prefilter
+    // prunes provably-below-threshold candidate pairs BEFORE their
+    // shingle arrays shuffle through the verify joins — the edge set
+    // is identical (the bound is implied by `jac >= threshold`)
     val (verified, cleanup) =
-      jaccardCandidatesWithCleanup(df, idCol, textCol, shingleWords, numHashes, bands, maxBucketSize)
+      jaccardCandidatesWithCleanup(df, idCol, textCol, shingleWords, numHashes, bands, maxBucketSize,
+        minJaccard = jaccardThreshold)
     // materialize the (tiny) verified edge list BEFORE handing it to
     // connectedComponents: CC's symmetrize step references the edges
     // twice (forward + swapped union), and an unmaterialized input

@@ -174,6 +174,41 @@ class PipelineSpec extends SparkSuite {
     assert(groups(4L) == 4L && groups(5L) == 5L) // singletons keep their own id
   }
 
+  test("length-ratio prefilter (minJaccard) = unfiltered verify + exact threshold (r14)") {
+    val s = spark; import s.implicits._
+    // docs with strongly varied shingle counts so the ratio bound
+    // actually prunes: a long doc vs its short prefix shares all of
+    // the prefix's shingles (high containment, low Jaccard) — the
+    // classic pair the prefilter must drop WITHOUT changing output
+    val base = (1 to 30).map(i => s"token$i").mkString(" ")
+    val corpus = Seq(
+      (1L, base),                                 // 28 shingles
+      (2L, base),                                 // exact dup of 1
+      (3L, (1 to 8).map(i => s"token$i").mkString(" ")),  // short prefix: contained, jac ~ 6/28
+      (4L, base + " extra trailing words here"),  // near dup of 1
+      (5L, "completely different content entirely unrelated")
+    ).toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.9)) {
+      val (all, c1) = Dedup.jaccardCandidatesWithCleanup(corpus, "doc_id", "text")
+      val expect = all.where(col("jac") >= t)
+        .select("id_a", "id_b", "n_band_matches", "jac")
+        .collect().map(_.toSeq).toSet
+      c1()
+      val (pre, c2) = Dedup.jaccardCandidatesWithCleanup(corpus, "doc_id", "text", minJaccard = t)
+      val got = pre.select("id_a", "id_b", "n_band_matches", "jac").collect().map(_.toSeq).toSet
+      c2()
+      assert(got == expect, s"prefiltered set diverged at threshold $t")
+    }
+    // and the prefilter itself provably prunes: counts 28 vs 6 can
+    // never reach jac 0.5, so the (1,3) pair must not survive
+    val counted = Dedup.lengthRatioPrefilter(
+      Seq((1L, 3L)).toDF("id_a", "id_b"),
+      corpus.select(col("doc_id").as("__id__"),
+        array_distinct(Dedup.shinglesFromWords(Dedup.splitWords(col("text")), 3)).as("__sg__")),
+      0.5)
+    assert(counted.count() == 0, "ratio-impossible pair should be pruned before the array join")
+  }
+
   test("ngram jaccard: identical docs 1.0, disjoint docs 0.0") {
     val s = spark; import s.implicits._
     val sh = docs
