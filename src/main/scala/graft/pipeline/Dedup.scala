@@ -715,7 +715,8 @@ object Dedup {
       aCol: String,
       bCol: String,
       maxIter: Int = 30,
-      localSolveMaxEdges: Long = 1L << 20
+      localSolveMaxEdges: Long = 1L << 20,
+      probeShipCapPairs: Long = 1L << 23
   ): (DataFrame, () => Unit) = {
     // Small-graph fast path: the edge set after LSH + Jaccard
     // filtering is proportional to the DUPLICATE count, not the
@@ -739,30 +740,41 @@ object Dedup {
     // shuffle — union-find tolerates parallel, reversed, and self
     // edges, so the fast path needs neither the shuffle nor a second
     // job). Each partition ships its row count plus its id pairs
-    // capped at maxEdges+1 — a partition that ALONE overflows ships
-    // only the count, so the overflow probe moves at most
-    // numPartitions * maxEdges ids. If the summed count fits the
-    // budget, no partition was truncated, so the shipped pairs are
-    // the complete edge set; otherwise fall through to the
-    // distributed loop. (The budget is now on raw edge rows, not the
-    // symmetrized-distinct count — a slightly stricter gate.)
+    // capped at a PER-PARTITION budget; a partition over budget ships
+    // only the count. The per-partition budget is the global ship cap
+    // (`probeShipCapPairs`, default 2^23 pairs = 128 MB of longs —
+    // safely under spark.driver.maxResultSize's 1 GB default) divided
+    // across partitions, so the TOTAL the probe can move is bounded
+    // regardless of how a huge graph spreads: 200M edges over
+    // hundreds of each-under-the-old-limit partitions previously
+    // shipped them ALL and blew maxResultSize. If the summed count
+    // fits `localSolveMaxEdges` AND every partition shipped in full,
+    // the shipped pairs are the complete edge set; otherwise fall
+    // through to the distributed loop (a qualifying-but-skewed graph
+    // may fall through — correct, merely slower).
     val probeLimit = math.min(localSolveMaxEdges, Int.MaxValue - 2L).toInt
     val probed: Option[Array[Long]] =
       if (integralIds) {
-        val perPart: Array[(Long, Array[Long])] = edges
-          .select(col(aCol).cast("long"), col(bCol).cast("long"))
-          .rdd.mapPartitions { it =>
+        val rdd = edges.select(col(aCol).cast("long"), col(bCol).cast("long")).rdd
+        val nParts = math.max(1, rdd.getNumPartitions)
+        val perPartCap = math.min(
+          probeLimit.toLong,
+          math.max(1L, math.max(probeShipCapPairs, probeLimit.toLong) / nParts)
+        ).toInt
+        val perPart: Array[(Long, Array[Long])] = rdd
+          .mapPartitions { it =>
             val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
             var n = 0L
             while (it.hasNext) {
               val r = it.next()
               n += 1
-              if (n <= probeLimit) { buf += r.getLong(0); buf += r.getLong(1) }
+              if (n <= perPartCap) { buf += r.getLong(0); buf += r.getLong(1) }
             }
-            Iterator.single((n, if (n <= probeLimit) buf.toArray else Array.emptyLongArray))
+            Iterator.single((n, if (n <= perPartCap) buf.toArray else Array.emptyLongArray))
           }.collect()
         val total = perPart.iterator.map(_._1).sum
-        if (total <= probeLimit) Some(perPart.flatMap(_._2)) else None
+        val allShipped = perPart.forall { case (n, p) => p.length == 2 * n }
+        if (total <= probeLimit && allShipped) Some(perPart.flatMap(_._2)) else None
       } else None
     probed match {
       case Some(flatPairs) =>
@@ -856,11 +868,12 @@ object Dedup {
       aCol: String,
       bCol: String,
       maxIter: Int = 30,
-      localSolveMaxEdges: Long = 1L << 20
+      localSolveMaxEdges: Long = 1L << 20,
+      probeShipCapPairs: Long = 1L << 23
   ): DataFrame =
   {
     val (out, release) =
-      connectedComponentsWithCleanup(edges, aCol, bCol, maxIter, localSolveMaxEdges)
+      connectedComponentsWithCleanup(edges, aCol, bCol, maxIter, localSolveMaxEdges, probeShipCapPairs)
     graft.Cleanup.deferFragile(release) // releases checkpoint blocks
     out
   }
