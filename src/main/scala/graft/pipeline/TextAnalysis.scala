@@ -879,6 +879,29 @@ object TextAnalysis {
     *     never reach the argmax and may be dropped); and the step-0
     *     argmax is the true global argmax by construction.
     *
+    * Two guards keep step 3 sound and bounded:
+    *
+    *  - HOMOGRAPH COLLISIONS: the decrease-only fact holds ONLY while
+    *    every window step creates a genuinely new token string. When
+    *    step j's concatenation a+b equals a token string that already
+    *    existed (necessarily the string of an EARLIER merge — initial
+    *    tokens are single chars, so a 2+-char concatenation can only
+    *    collide with a prior merge's product, e.g. 'ab'+'c' after
+    *    'a'+'bc' both make 'abc'), pre-existing untracked pairs
+    *    involving that token can GAIN count and a hot pair's 0-seed
+    *    is no longer its true prior. The driver detects this exactly
+    *    (merge strings are known driver-side) and certifies nothing
+    *    PAST the collision step — the step itself is still decided on
+    *    pre-collision state, and the next round re-collects exact
+    *    counts, so collisions cost window length, never correctness.
+    *  - BOUNDED COLLECT: hot new pairs are collected by descending
+    *    positive-delta total, capped at `graft.bpe.hotPairsLimit`
+    *    (default 4096). If the cap truncates, the largest DROPPED
+    *    total raises the certification threshold (a dropped new pair
+    *    can never exceed its positive-delta total), so the committed
+    *    prefix just shortens — the collect is O(candidates + cap)
+    *    rows on ANY corpus, adversarial or not.
+    *
     * A perfect speculation commits the whole window (the common case
     * — the sample IS the vocab until corpora get 100 TB large);
     * a mis-speculation just commits a shorter prefix and re-rounds.
@@ -898,6 +921,7 @@ object TextAnalysis {
     val window = spark.conf.get("graft.bpe.speculationWindow", "16").toInt
     val sampleSize = spark.conf.get("graft.bpe.speculationSample", (1 << 16).toString).toInt
     val candM = spark.conf.get("graft.bpe.candidatePairs", "512").toInt
+    val hotLimit = spark.conf.get("graft.bpe.hotPairsLimit", "4096").toInt
     def pairsOf(wordsF: DataFrame): DataFrame = {
       val n = size(col("__toks__"))
       wordsF
@@ -920,6 +944,10 @@ object TextAnalysis {
     var (pairs, releasePairs) =
       graft.internal.localCheckpointTracked(pairsOf(words), eager = true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    // every token string ever producible: initial tokens are single
+    // chars (can't equal a 2+-char concatenation), so this set of
+    // committed merge products is an exact collision oracle
+    val committedStrings = scala.collection.mutable.HashSet.empty[String]
     var done = false
     var round = 0
     while (merges.size < numMerges && !done) {
@@ -943,6 +971,21 @@ object TextAnalysis {
         val spec: Array[(String, String)] =
           if (specTry.isEmpty || specTry.head != globalArgmax) Array(globalArgmax)
           else specTry.toArray
+        // first window step whose product string collides with an
+        // earlier token string (committed merges or earlier steps):
+        // certification must not look past it (see scaladoc)
+        val collisionAt: Int = {
+          val seen = scala.collection.mutable.HashSet.empty[String]
+          var ci = 0
+          var at = Int.MaxValue
+          while (ci < spec.length && at == Int.MaxValue) {
+            val sstr = spec(ci)._1 + spec(ci)._2
+            if (committedStrings.contains(sstr) || seen.contains(sstr)) at = ci
+            seen += sstr
+            ci += 1
+          }
+          at
+        }
         // ONE distributed pass: per-(step, pair) deltas of the window
         val deltasUdf = udf((toks: Seq[String]) => stepDeltasLocal(toks.toArray, spec))
         val (deltaAgg, releaseDelta) = graft.internal.localCheckpointTracked(
@@ -957,10 +1000,20 @@ object TextAnalysis {
         // (anything below T can never reach the argmax)
         val knownDf = broadcast(
           known.keys.toSeq.map { case (a, b) => (a, b) }.toDF("a", "b"))
-        val hot = deltaAgg.groupBy(col("a"), col("b"))
+        // top-(hotLimit+1) by positive-delta total: the +1 row, when
+        // present, bounds everything dropped — a dropped NEW pair's
+        // count never exceeds its positive-delta total, so raising
+        // the certification threshold to it keeps the commit sound
+        val hotRows = deltaAgg.groupBy(col("a"), col("b"))
           .agg(sum(greatest(col("cnt"), lit(0L))).as("__ps__"))
           .where(col("__ps__") > certT)
-          .select(col("a"), col("b"))
+          .orderBy(col("__ps__").desc, col("a").asc, col("b").asc)
+          .limit(hotLimit + 1)
+          .collect()
+        val dropCeil = if (hotRows.length > hotLimit) hotRows(hotLimit).getLong(2) else 0L
+        val effCertT = math.max(certT, dropCeil)
+        val hot = broadcast(
+          hotRows.take(hotLimit).map(r => (r.getString(0), r.getString(1))).toSeq.toDF("a", "b"))
         val trackedRows = deltaAgg.join(knownDf, Seq("a", "b"), "left_semi")
           .unionByName(deltaAgg.join(hot, Seq("a", "b"), "left_semi"))
           .dropDuplicates("step", "a", "b")
@@ -985,7 +1038,7 @@ object TextAnalysis {
           }
           if (bestP == null) stop = true                 // no pair >= 2 among tracked
           else if (bestP != spec(valid)) stop = true     // speculation diverged
-          else if (valid > 0 && bestC <= certT) stop = true // can't certify vs uncollected
+          else if (valid > 0 && bestC <= effCertT) stop = true // can't certify vs uncollected/dropped
           else {
             byStep.getOrElse(valid, Array.empty).foreach { case (a, b, d) =>
               val k = (a, b)
@@ -993,12 +1046,17 @@ object TextAnalysis {
               if (n == 0L) known.remove(k) else known(k) = n
             }
             valid += 1
+            // a collision step may be committed (it was decided on
+            // pre-collision state) but its deltas poison `known` for
+            // untracked/0-seeded pairs — nothing past it certifies
+            if (valid > collisionAt) stop = true
           }
         }
         if (valid == 0) { releaseDelta(); done = true } // unreachable (head is exact); guard
         else {
           val commit = spec.take(valid)
           merges ++= commit
+          commit.foreach { case (a, b) => committedStrings += (a + b) }
           // pairs' = pairs + the committed steps' deltas (the pass
           // above already computed them — no recount)
           val (p2, r2) = graft.internal.localCheckpointTracked(

@@ -391,18 +391,37 @@ object StreamOps {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         if (!batch.isEmpty) {
-          val w = Window.partitionBy(col(idCol)).orderBy(col(orderCol).desc)
-          val latest = batch
-            .withColumn("__rn__", row_number().over(w))
-            .where(col("__rn__") === 1)
-            .select(col(idCol), col(vecCol))
           onBatch(graft.pipeline.IvfIndex.appendBatch(
-            batch.sparkSession, path, latest, idCol, vecCol))
+            batch.sparkSession, path, latestPerId(batch.toDF(), idCol, vecCol, orderCol),
+            idCol, vecCol))
           ()
         }
       }
       .outputMode(OutputMode.Update)
       .start()
+
+  /** Latest (id, vector) per id by `orderCol` — [[ivfAppendStream]]'s
+    * within-batch reducer. Ties on `orderCol` break on a hash of the
+    * vector's bytes: a replayed micro-batch may enumerate rows in a
+    * different physical order, and a bare orderBy(orderCol) would let
+    * row_number pick a DIFFERENT vector for the same (id, order),
+    * breaking the replay-reproduces-the-same-cells exactly-once
+    * claim. The hash makes latest-by-order unique per vector VALUE,
+    * so replays commit identical cells.
+    */
+  private[graft] def latestPerId(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      orderCol: String
+  ): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col(orderCol).desc, xxhash64(col(vecCol).cast("string")).asc)
+    batch
+      .withColumn("__rn__", row_number().over(w))
+      .where(col("__rn__") === 1)
+      .select(col(idCol), col(vecCol))
+  }
 
   /** Streaming incremental near-dup detection: each micro-batch of
     * documents runs one [[graft.pipeline.IncrementalDedup]] step —

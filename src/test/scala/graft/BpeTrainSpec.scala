@@ -196,6 +196,57 @@ class BpeTrainSpec extends SparkSuite {
     } finally keys.keys.foreach(spark.conf.unset)
   }
 
+  test("homograph-merge collisions cannot poison certification (ADVICE r13)") {
+    // pure-'a' run-length words are collision-dense: 'aa'+'a', 'a'+'aa',
+    // 'aa'+'aa', 'aaa'+'a'... repeatedly produce strings equal to
+    // earlier merges' products, exactly the case where "existing pair
+    // counts only decrease" fails. A large candidate list makes
+    // certT=0 (nothing uncollected), so WITHOUT the collision stop the
+    // driver would certify the whole window from 0-seeded counts that
+    // undercount collided pre-existing pairs. Mixed a/b words add
+    // cross-run homographs.
+    val s = spark; import s.implicits._
+    val corpora = Seq(
+      Seq("aaaaaaa aaa aa aaaa", "aaaaa aa aaaaaa", "a aaa aaaaaaaa"),
+      Seq("abab ab abab abab ab", "ababab abab ab", "ba bab abab"),
+      Seq("aaa aaa aaa aaa", "aa aa aa", "aaaa aaaa aaaa aaaa aaaa"),
+      Seq("aabaa aab aabaab aab", "baab aabaa baab", "ab aab aabaab aabaab"))
+    val keys = Map(
+      "graft.bpe.driverVocabLimit" -> "0",
+      "graft.bpe.speculationSample" -> (1 << 16).toString, // sample == vocab: speculation is perfect
+      "graft.bpe.candidatePairs" -> "512",                 // certT = 0: cert otherwise unconstrained
+      "graft.bpe.speculationWindow" -> "12")
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try corpora.foreach { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val got = TextAnalysis.bpeTrainMerges(df, "text", numMerges = 16)
+      val want = localTrain(docs, 16)
+      assert(got == want, s"corpus=$docs:\n got $got\nwant $want")
+    } finally keys.keys.foreach(spark.conf.unset)
+  }
+
+  test("hot-pair collect cap: forced-low limit shortens commits, never diverges (VERDICT r13 #5)") {
+    // hotPairsLimit=1 drops all but one new pair per round from the
+    // tracked set; the largest dropped positive-delta total raises
+    // the certification threshold, so the trainer must fall back to
+    // shorter commits while staying bit-identical
+    val s = spark; import s.implicits._
+    val docs = corpus
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val keys = Map(
+      "graft.bpe.driverVocabLimit" -> "0",
+      "graft.bpe.speculationSample" -> (1 << 16).toString,
+      "graft.bpe.candidatePairs" -> "8",
+      "graft.bpe.speculationWindow" -> "10",
+      "graft.bpe.hotPairsLimit" -> "1")
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val got = TextAnalysis.bpeTrainMerges(df, "text", numMerges = 24)
+      val want = localTrain(docs, 24)
+      assert(got == want, s"\n got $got\nwant $want")
+    } finally keys.keys.foreach(spark.conf.unset)
+  }
+
   test("early stop: no pair with count >= 2 ends training before numMerges") { bothPaths {
     val s = spark; import s.implicits._
     val df = Seq((1L, "ab cd ef")).toDF("id", "text")

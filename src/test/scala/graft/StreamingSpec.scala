@@ -203,6 +203,26 @@ class StreamingSpec extends SparkSuite {
     assert(byKey(2L).head.nEvents == 1)
   }
 
+  test("ivfAppendStream's within-batch reducer breaks orderCol ties deterministically (ADVICE r13)") {
+    val s = spark; import s.implicits._
+    // two rows with the SAME (id, order) but different vectors: the
+    // winner must be a function of the vector VALUES, not of the
+    // physical row order a replayed micro-batch may change
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f), 5L),
+      (1L, Array(0.0f, 1.0f), 5L),
+      (2L, Array(0.5f, 0.5f), 1L))
+    val fwd = rows.toDF("id", "vec", "ord")
+    val rev = rows.reverse.toDF("id", "vec", "ord").repartition(3)
+    def pick(df: org.apache.spark.sql.DataFrame) =
+      StreamOps.latestPerId(df, "id", "vec", "ord")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toList).toMap
+    val a = pick(fwd)
+    val b = pick(rev)
+    assert(a == b, s"tie winner must be row-order independent: $a vs $b")
+    assert(a.keySet == Set(1L, 2L) && a(2L) == List(0.5f, 0.5f))
+  }
+
   test("streamingDedup keeps one row per normalized digest") {
     val s = spark; import s.implicits._
     val df = Seq(
