@@ -317,25 +317,50 @@ SELECT id_a, id_b, n_band_matches FROM cand"""
 
   /** Cross-corpus (bipartite) banded MinHash — mirrors
     * Dedup.crossCorpusCandidates over the %37 eval/train split: same
-    * signature lanes and band keys as [[minhashCtes]], the bucket cap
+    * signature lanes as [[minhashCtes]] but EIGHT one-hash bands
+    * (numHashes=8, bands=8 — the gated parameterization, sized so the
+    * sf0.01 gate hashes tens of rows rather than one), the bucket cap
     * counts the COMBINED sides, and the pair join crosses sides only.
+    * Shared CTE prefix for the candidate and verified queries.
     */
-  private lazy val crossMinhashSql: String = {
+  private lazy val crossCandCtes: String = {
     val mins = (0 until 8).map { k =>
       val src = if (k < 4) "s" else "s || '#'"
       s"list_min(list_transform(sg, s -> substring(md5($src), ${(k % 4) * 8 + 1}, 8)))"
     }.mkString(", ")
-    val bandsigs = (0 until 4).map(b => s"sig[${2 * b + 1}] || '|' || sig[${2 * b + 2}]").mkString(", ")
-    s"""WITH shx AS (SELECT doc_id, $shingles3 AS sg,
+    // rowsPerBand = 1: each band signature is a single lane value
+    val bandsigs = (0 until 8).map(b => s"sig[${b + 1}]").mkString(", ")
+    s"""shx AS (SELECT doc_id, $shingles3 AS sg,
 CASE WHEN doc_id % 37 = 0 THEN 0 ELSE 1 END AS side FROM documents),
 sig AS (SELECT doc_id, side, [$mins] AS sig FROM shx WHERE len(sg) > 0),
-banded0 AS (SELECT doc_id, side, unnest([0, 1, 2, 3]) AS b, unnest([$bandsigs]) AS bandsig FROM sig),
+banded0 AS (SELECT doc_id, side, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS b, unnest([$bandsigs]) AS bandsig FROM sig),
 banded AS (SELECT * FROM banded0 QUALIFY count(*) OVER (PARTITION BY b, bandsig) <= 1000),
 cand AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b, count(*) AS n_band_matches
 FROM banded a JOIN banded b2 ON a.b = b2.b AND a.bandsig = b2.bandsig
 WHERE a.side = 0 AND b2.side = 1
-GROUP BY 1, 2)
+GROUP BY 1, 2)"""
+  }
+
+  private lazy val crossMinhashSql: String =
+    s"""WITH $crossCandCtes
 SELECT id_a, id_b, n_band_matches FROM cand"""
+
+  /** The fuzzy-decontamination DECISION — mirrors
+    * Dedup.crossCorpusVerifiedWithCleanup: exact word-shingle Jaccard
+    * on the bipartite candidates, `dropped` = jac >= 0.5 computed on
+    * the UNROUNDED ratio exactly like the engine.
+    */
+  private lazy val crossVerifiedSql: String = {
+    val jacExpr =
+      """CASE WHEN len(list_distinct(list_concat(a.sg, b.sg))) > 0
+THEN CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sg, b.sg))) AS DOUBLE)
+ELSE 0.0 END"""
+    s"""WITH $crossCandCtes,
+shd AS (SELECT doc_id, list_distinct(sg) AS sg FROM shx)
+SELECT c.id_a, c.id_b, c.n_band_matches,
+round($jacExpr, 6) AS jac,
+CAST($jacExpr >= 0.5 AS INT) AS dropped
+FROM cand c JOIN shd a ON c.id_a = a.doc_id JOIN shd b ON c.id_b = b.doc_id"""
   }
 
   /** Sign-LSH ANN — mirrors Similarity.lshTopK(k=5, dims=64, planes=8,
@@ -1117,6 +1142,7 @@ QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, df ASC, word AS
 
     "q_minhash_candidates" -> minhashSql,
     "q_cross_neardup" -> crossMinhashSql,
+    "q_cross_neardup_verified" -> crossVerifiedSql,
 
     // incremental dedup parity: batch-A-store + batch-B == one shot.
     // The oracle is deliberately the SAME full-corpus minhash replay —

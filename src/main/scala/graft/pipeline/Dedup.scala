@@ -378,12 +378,26 @@ object Dedup {
       numHashes: Int = 8,
       bands: Int = 4,
       maxBucketSize: Int = 1000
+  ): (DataFrame, () => Unit) =
+    crossCorpusCandidatesFromShingles(
+      shingleFrame(dfA, idCol, textCol, shingleWords),
+      shingleFrame(dfB, idCol, textCol, shingleWords),
+      numHashes, bands, maxBucketSize)
+
+  /** [[crossCorpusCandidatesWithCleanup]] from pre-staged
+    * [[shingleFrame]]s — lets the verify composition tokenize each
+    * side exactly once.
+    */
+  private[pipeline] def crossCorpusCandidatesFromShingles(
+      shA: DataFrame,
+      shB: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      maxBucketSize: Int
   ): (DataFrame, () => Unit) = {
-    val banded = bandedFromShingles(
-        shingleFrame(dfA, idCol, textCol, shingleWords), numHashes, bands)
+    val banded = bandedFromShingles(shA, numHashes, bands)
       .withColumn("__side__", lit(0))
-      .unionByName(bandedFromShingles(
-          shingleFrame(dfB, idCol, textCol, shingleWords), numHashes, bands)
+      .unionByName(bandedFromShingles(shB, numHashes, bands)
         .withColumn("__side__", lit(1)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wBucket = Window.partitionBy(col("__band__"), col("__bandsig__"))
@@ -399,6 +413,43 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_band_matches"))
     (out, () => { banded.unpersist(); () })
+  }
+
+  /** [[crossCorpusCandidatesWithCleanup]] with the exact word-shingle
+    * Jaccard verify AND the keep/drop decision attached — the
+    * end-to-end fuzzy-decontamination operator: an eval/train
+    * candidate pair is verified with the same exact-Jaccard tail as
+    * the self-join near-dup family, and `dropped` marks training
+    * documents whose similarity to an eval item reaches
+    * `dropThreshold` (the contaminated set a pipeline subtracts
+    * before training). Every candidate pair is returned with its
+    * exact `jac` so the decision is auditable; each document is
+    * shingled exactly once per side, and the verify joins see only
+    * bucket-join candidates — no A×B stage anywhere.
+    */
+  def crossCorpusVerifiedWithCleanup(
+      dfA: DataFrame,
+      dfB: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleWords: Int = 3,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      maxBucketSize: Int = 1000,
+      dropThreshold: Double = 0.5
+  ): (DataFrame, () => Unit) = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val shA = shingleFrame(dfA, idCol, textCol, shingleWords).persist(lvl)
+    val shB = shingleFrame(dfB, idCol, textCol, shingleWords).persist(lvl)
+    val (cand, cleanCand) =
+      crossCorpusCandidatesFromShingles(shA, shB, numHashes, bands, maxBucketSize)
+    val out = cand
+      .join(shA.select(col("__id__").as("id_a"), col("__sg__").as("__sga__")), Seq("id_a"))
+      .join(shB.select(col("__id__").as("id_b"), col("__sg__").as("__sgb__")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_band_matches"),
+        jaccardOfShingleArrays(col("__sga__"), col("__sgb__")).as("jac"))
+      .withColumn("dropped", col("jac") >= dropThreshold)
+    (out, () => { cleanCand(); shA.unpersist(); shB.unpersist(); () })
   }
 
   /** [[crossCorpusCandidatesWithCleanup]] without the cleanup handle

@@ -84,6 +84,33 @@ class PipelineSpec extends SparkSuite {
       .count() == 2500)
   }
 
+  test("crossCorpusVerified: exact jac + thresholded drop decision on the candidates (r14)") {
+    val s = spark; import s.implicits._
+    val eval_ = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "a totally unique evaluation question nothing resembles")
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),        // == 100: jac 1.0
+      (2L, "the quick brown fox jumps over seventeen green logs"), // partial: below 0.5
+      (3L, "unrelated training material about spark shuffles")
+    ).toDF("doc_id", "text")
+    val (v, cleanup) = Dedup.crossCorpusVerifiedWithCleanup(
+      eval_, train, "doc_id", "text", numHashes = 8, bands = 8, dropThreshold = 0.5)
+    val rows = v.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(3), r.getBoolean(4))).toMap
+    cleanup()
+    assert(rows((100L, 1L)) == ((1.0, true)), s"exact dup must be dropped: $rows")
+    rows.get((100L, 2L)).foreach { case (jac, dropped) =>
+      assert(jac < 0.5 && !dropped, s"partial overlap below threshold must be kept: $rows")
+    }
+    assert(!rows.keys.exists(_._1 == 101L), "clean eval item must not pair")
+    // the verified frame's candidate columns agree with the candidate operator
+    val cand = Dedup.crossCorpusCandidates(eval_, train, "doc_id", "text", numHashes = 8, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.keySet == cand, "verify tail must neither add nor drop candidate pairs")
+  }
+
   test("minhashCandidates cleanup thunk unpersists the internal cache (VERDICT r3 #9)") {
     // other tests in this suite use the plain API and legitimately
     // leave caches behind — assert only on the delta from THIS call
