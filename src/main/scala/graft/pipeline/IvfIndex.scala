@@ -101,7 +101,7 @@ object IvfIndex {
     // the assignment pipeline feeds BOTH the cell write and the
     // keymap write — persist so it computes once, not per sink
     val assigned = Similarity
-      .ivfAssign(nz, cents, idCol, vecCol, "row", keep = 1, scoreDecimals)
+      .ivfAssignTwoLevel(nz, cents, idCol, vecCol, "row", scoreDecimals)
       .select(col("cent_id"), col("row_id").as(idCol),
         col("__rowv__").as(vecCol), col("__rown__").as("__vn__"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -161,7 +161,7 @@ object IvfIndex {
     val cents = broadcast(spark.read.parquet(s"$path/$CentroidsDir"))
     val nz = Similarity.dropZeroVectors(batch, vecCol)
     val assigned = Similarity
-      .ivfAssign(nz, cents, idCol, vecCol, "row", keep = 1, scoreDecimals)
+      .ivfAssignTwoLevel(nz, cents, idCol, vecCol, "row", scoreDecimals)
       .select(col("cent_id"), col("row_id").as(idCol),
         col("__rowv__").as(vecCol), col("__rown__").as("__vn__"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

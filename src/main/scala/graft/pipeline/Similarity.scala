@@ -350,7 +350,10 @@ object Similarity {
     val queriesNz = dropZeroVectors(queries, vecCol)
     val cents = centroids.map(broadcast)
       .getOrElse(ivfCentroids(corpusNz, idCol, vecCol, resolveNlist(nlist, corpusNz)))
-    val corpusCells = ivfAssign(corpusNz, cents, idCol, vecCol, "neighbor", keep = 1, scoreDecimals)
+    // corpus routing is TWO-LEVEL (build-side cost ~2·n·√nlist dots,
+    // one exchange); query probing stays flat — queries are few and
+    // flat nprobe ranking probes the truly nearest cells
+    val corpusCells = ivfAssignTwoLevel(corpusNz, cents, idCol, vecCol, "neighbor", scoreDecimals)
     val queryCells = ivfAssign(queriesNz, cents, idCol, vecCol, "query", keep = nprobe, scoreDecimals)
     // a corpus row lives in exactly ONE cell and a query probes
     // DISTINCT cells, so each (query, neighbor) pair appears at most
@@ -389,7 +392,7 @@ object Similarity {
     def codesOf(df: DataFrame, id: String, cv: String) =
       quantizeInt8(df.select(col(idCol).as(id), col(vecCol)), vecCol, cv, "__s__")
         .select(col(id), col(cv).cast("array<double>").as(cv))
-    val corpusCells = ivfAssign(corpusNz, cents, idCol, vecCol, "neighbor", keep = 1, scoreDecimals)
+    val corpusCells = ivfAssignTwoLevel(corpusNz, cents, idCol, vecCol, "neighbor", scoreDecimals)
       .select("cent_id", "neighbor_id")
       .join(codesOf(corpusNz, "neighbor_id", "__nq__"), Seq("neighbor_id"))
       .withColumn("__nn__", norm(col("__nq__")))
@@ -435,7 +438,7 @@ object Similarity {
     * (cent_id, __cv__, __cn__). Shared with [[Dedup.semDedup]] so
     * both operators block by the same cells.
     */
-  private[pipeline] def ivfCentroids(
+  private[graft] def ivfCentroids(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
@@ -752,7 +755,7 @@ object Similarity {
     }
     var codes = pqEncode(corpusNz, cb, idCol, vecCol, dims, m, scoreDecimals)
       .withColumnRenamed(idCol, "neighbor_id")
-    var cells = ivfAssign(corpusNz, cents, idCol, vecCol, "neighbor", keep = 1, scoreDecimals)
+    var cells = ivfAssignTwoLevel(corpusNz, cents, idCol, vecCol, "neighbor", scoreDecimals)
       .select(col("neighbor_id"), col("cent_id"))
     if (persist) {
       codes = codes.persist(StorageLevel.MEMORY_AND_DISK)
@@ -839,6 +842,85 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+
+  /** TWO-LEVEL nearest-centroid assignment — the IVF cell-routing
+    * twin of [[ivfAssign]](keep = 1) that cuts the build/append
+    * asymptote from n·nlist to ~2·n·√nlist dot products: the √nlist
+    * SUPER-centroids (the same md5-order draw rule as
+    * [[ivfCentroids]], taken FROM the centroid set) partition the
+    * centroids into coarse groups; each vector ranks the
+    * super-centroids first and then only the winner group's members.
+    * Both ranks keep the engine-portable (cosine rounded to
+    * `scoreDecimals` desc, id asc) rule, so the full route — super
+    * draw, membership, both ranks — replays exactly in the oracle.
+    *
+    * Differences from flat [[ivfAssign]], by design:
+    *  - the chosen cell may differ from the flat argmax when the
+    *    globally nearest centroid sits outside the winner group (IVF
+    *    cells are a blocking structure, not a semantic claim; the
+    *    gated recall pins hold — see PipelineSpec);
+    *  - vectors rank only LIVE super-cells (those that won at least
+    *    one member in the membership rank), so every vector lands in
+    *    a non-empty group even under rounded-cosine ties;
+    *  - rank-1 is an ORDERED-STRUCT MIN AGGREGATION, not a window:
+    *    map-side combine collapses each partition's candidate rows
+    *    before the exchange, so the shuffle carries n rows (the
+    *    grouped vectors) instead of the window form's n·nlist scored
+    *    rows — and the level-2 agg reuses level-1's partitioning, so
+    *    the whole route is ONE exchange. The (sim desc, id asc) rule
+    *    becomes max over struct(sim, -id): ids are positive, so the
+    *    negation flips the tiebreak without touching the similarity
+    *    component (no -0.0 artifacts).
+    */
+  private[graft] def ivfAssignTwoLevel(
+      df: DataFrame,
+      cents0: DataFrame,
+      idCol: String,
+      vecCol: String,
+      pfx: String,
+      scoreDecimals: Int
+  ): DataFrame = {
+    // the centroid frame feeds the count, the super draw, and the
+    // membership rank; persist it so a potentially corpus-scanning
+    // centroid derivation (the md5-order limit) runs once, not four
+    // times (release parked in Cleanup, idempotent if the caller
+    // persisted already)
+    val cents = cents0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.Cleanup.defer(() => { cents.unpersist(); () })
+    val nsup = math.max(1, math.ceil(math.sqrt(cents.count().toDouble)).toInt)
+    val sups0 = broadcast(cents
+      .select(col("cent_id").as("__sup__"), col("__cv__").as("__sv__"), col("__cn__").as("__sn__"),
+        md5(col("cent_id").cast("string")).as("__h__"))
+      .orderBy(col("__h__"), col("__sup__"))
+      .limit(nsup)
+      .drop("__h__"))
+    // centroid -> super membership: tiny (nlist x nsup) broadcast
+    // cross join, same rank rule
+    val msim = round(dot(col("__cv__"), col("__sv__")) / (col("__cn__") * col("__sn__")), scoreDecimals)
+    val mem = broadcast(cents.crossJoin(sups0)
+      .withColumn("__mk__", struct(msim.as("s"), (col("__sup__") * lit(-1)).as("i")))
+      .groupBy(col("cent_id"), col("__cv__"), col("__cn__"))
+      .agg(max(col("__mk__")).as("__mkw__"))
+      .withColumn("__sup__", col("__mkw__").getField("i") * lit(-1))
+      .drop("__mkw__"))
+    val live = broadcast(sups0.join(mem.select(col("__sup__")).distinct(), Seq("__sup__")))
+    val base = df.select(col(idCol).as(s"${pfx}_id"), col(vecCol).as(s"__${pfx}v__"),
+      norm(col(vecCol)).as(s"__${pfx}n__"))
+    val ssim = round(dot(col(s"__${pfx}v__"), col("__sv__")) / (col(s"__${pfx}n__") * col("__sn__")), scoreDecimals)
+    val lvl1 = base.crossJoin(live)
+      .withColumn("__sk__", struct(ssim.as("s"), (col("__sup__") * lit(-1)).as("i")))
+      .groupBy(col(s"${pfx}_id"), col(s"__${pfx}v__"), col(s"__${pfx}n__"))
+      .agg(max(col("__sk__")).as("__skw__"))
+      .withColumn("__sup__", col("__skw__").getField("i") * lit(-1))
+      .drop("__skw__")
+    val csim = round(dot(col(s"__${pfx}v__"), col("__cv__")) / (col(s"__${pfx}n__") * col("__cn__")), scoreDecimals)
+    lvl1.join(mem, Seq("__sup__"))
+      .withColumn("__ck__", struct(csim.as("s"), (col("cent_id") * lit(-1)).as("i")))
+      .groupBy(col(s"${pfx}_id"), col(s"__${pfx}v__"), col(s"__${pfx}n__"))
+      .agg(max(col("__ck__")).as("__ckw__"))
+      .withColumn("cent_id", col("__ckw__").getField("i") * lit(-1))
+      .drop("__ckw__")
   }
 
   /** Nearest `keep` centroids per row (norms staged per row/centroid;

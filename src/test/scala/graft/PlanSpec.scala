@@ -111,6 +111,27 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("two-level IVF routing: corpus rows cross ONE exchange, broadcast everywhere else (r14)") {
+    // ivfAssignTwoLevel's rank-1 is a struct-max AGGREGATION, not a
+    // window: map-side combine collapses the n x nsup scored rows
+    // before the shuffle, and the level-2 agg reuses level-1's
+    // partitioning — so the corpus side of cell routing must cross
+    // exactly one hash exchange, and that exchange must carry grouped
+    // vector rows (n of them), never the scored cross-join output
+    val s = spark
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    val routed = graft.pipeline.Similarity.ivfAssignTwoLevel(
+      e.where(org.apache.spark.sql.functions.expr("aggregate(embedding, 0.0D, (a, x) -> a + x * x) > 0")),
+      graft.pipeline.Similarity.ivfCentroids(e, "vec_id", "embedding", 16),
+      "vec_id", "embedding", "row", 4)
+    val plan = routed.queryExecution.executedPlan.toString
+    SparkEntry.runPendingCleanups()
+    val hashExchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1, s"two-level routing should shuffle once, saw $hashExchanges:\n$plan")
+    assert(plan.contains("partial_max") || plan.contains("partial max"),
+      s"rank-1 must partial-aggregate map-side before the exchange:\n$plan")
+  }
+
   test("IVF-PQ joins its small frames by broadcast; corpus vectors stay out of the ADC joins") {
     val plan = planOf("q_ann_pq")
     assert(plan.contains("BroadcastExchange"), s"PQ codebook/centroid joins are not broadcast:\n$plan")
