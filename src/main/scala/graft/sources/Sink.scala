@@ -190,13 +190,17 @@ object Sink {
         require(staged.nonEmpty, s"compaction produced no files for $rel")
         // rename-in first, delete-old after (the rewriteVia swap
         // order): a racing lister sees at least one complete
-        // generation at every instant
+        // generation at every instant; the manifest commit between
+        // the two gives readSnapshot exactly one
         val old = dataFiles(dir)
         val oldNames = old.map(_.getName).toSet
         require(staged.forall(f => !oldNames.contains(f.getName)),
           s"staged file names collide with live files in $rel — cannot swap atomically")
         staged.foreach(f => fs.rename(f, new Path(dir, f.getName)))
+        val oldManifests = manifestFiles(fs, dir)
+        writeManifest(fs, dir, staged.map(_.getName))
         midSwapHook(rel)
+        oldManifests.foreach(f => fs.delete(f, false))
         old.foreach(f => fs.delete(f, false))
         rel
       }
@@ -247,13 +251,15 @@ object Sink {
     * torn or empty partition). Returns the rewritten partition rels.
     *
     * CONCURRENT-READER CAVEAT: during a swap there is a window where
-    * a racing reader sees the OLD and NEW generation of a partition
-    * TOGETHER — duplicate keys/rows, so e.g. a concurrent aggregation
-    * can double-count (the deliberate trade against the torn/empty
-    * window a delete-first order has). Readers that require
-    * at-most-once keys during maintenance must read a snapshot
-    * listing or retry; readers that only require completeness (every
-    * live row present) are always safe. Applies equally to
+    * a RAW-LISTING reader ([[readPartitioned]]) sees the OLD and NEW
+    * generation of a partition TOGETHER — duplicate keys/rows, so
+    * e.g. a concurrent aggregation can double-count (the deliberate
+    * trade against the torn/empty window a delete-first order has).
+    * Readers that require at-most-once keys during maintenance should
+    * use [[readSnapshot]], which resolves each partition through its
+    * generation manifest to exactly one complete generation at every
+    * instant; readers that only require completeness (every live row
+    * present) are safe either way. Applies equally to
     * [[compactPartitions]] — same swap mechanics.
     */
   def upsertPartitioned(
@@ -368,6 +374,101 @@ object Sink {
     */
   private[graft] var midSwapHook: String => Unit = _ => ()
 
+  // ---- generation manifests (snapshot isolation for readers) ------
+
+  private val ManifestPrefix = "_manifest-"
+
+  /** Write a generation manifest into `dir` naming that partition's
+    * live data files. The name embeds a millisecond timestamp so the
+    * LATEST generation sorts lexicographically last; underscore-
+    * prefixed without '=' so Spark's own readers never see it.
+    */
+  private def writeManifest(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path,
+      fileNames: Seq[String]
+  ): Unit = {
+    val gen = f"${System.currentTimeMillis()}%013d-${java.util.UUID.randomUUID().toString.take(8)}"
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, ManifestPrefix + gen), false)
+    try out.write(fileNames.sorted.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def manifestFiles(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path
+  ): Seq[org.apache.hadoop.fs.Path] =
+    fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith(ManifestPrefix))
+      .map(_.getPath)
+
+  /** SNAPSHOT read of a [[writePartitioned]] layout: exactly one
+    * complete generation per partition, even while an
+    * upsert/delete/compaction swap is mid-flight. The plain
+    * [[readPartitioned]] listing has a documented old+new window
+    * during a swap (duplicate rows — see [[upsertPartitioned]]);
+    * this reader instead resolves each partition through its
+    * generation manifest:
+    *
+    *  - every swap commit writes a `_manifest-<ts>` file naming the
+    *    new generation's data files BEFORE the superseded files (and
+    *    the superseded manifest) are deleted, so at every instant at
+    *    least one manifest names a fully-present generation;
+    *  - the reader picks, per partition, the NEWEST manifest whose
+    *    named files are all present in the listing (mid-swap that is
+    *    the new generation; just before the commit it is the old);
+    *  - a partition with no valid manifest (bulk [[writePartitioned]]
+    *    output that never went through maintenance, or a manifest
+    *    staled by a direct overwrite) falls back to the plain file
+    *    listing — identical to [[readPartitioned]] there.
+    *
+    * Cost: one driver-side listing per partition (the same
+    * low-cardinality contract every maintenance op relies on) plus
+    * one tiny manifest read for maintained partitions.
+    */
+  def readSnapshot(
+      spark: SparkSession,
+      path: String,
+      partitionCols: Seq[String]
+  ): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    require(partitionCols.nonEmpty, "partitionCols must be non-empty")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new Path(path))
+    require(fs.exists(root), s"no layout at $path")
+    def isHidden(p: Path): Boolean =
+      p.getName.startsWith(".") ||
+        (p.getName.startsWith("_") && !p.getName.contains("="))
+    def leaves(dir: Path, depth: Int): Seq[Path] =
+      if (depth == 0) Seq(dir)
+      else fs.listStatus(dir).toSeq
+        .filter(st => st.isDirectory && !isHidden(st.getPath))
+        .flatMap(st => leaves(st.getPath, depth - 1))
+    val files = leaves(root, partitionCols.length).flatMap { dir =>
+      val listed = fs.listStatus(dir).toSeq
+        .filter(st => st.isFile && !isHidden(st.getPath) && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath)
+      val listedNames = listed.map(_.getName).toSet
+      val chosen = manifestFiles(fs, dir)
+        .sortBy(_.getName)(Ordering[String].reverse)
+        .iterator
+        .map { mf =>
+          val in = fs.open(mf)
+          val names =
+            try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
+            finally in.close()
+          names
+        }
+        .find(names => names.nonEmpty && names.forall(listedNames.contains))
+      chosen match {
+        case Some(names) => names.map(n => new Path(dir, n))
+        case None        => listed
+      }
+    }
+    require(files.nonEmpty, s"snapshot read found no data files under $path")
+    spark.read.option("basePath", path).parquet(files.map(_.toString): _*)
+  }
+
   /** Staged rewrite + per-partition swap: write `rows` through the
     * deterministic placement into a hidden staging dir, then for
     * every affected partition RENAME THE STAGED FILES IN FIRST and
@@ -425,10 +526,12 @@ object Sink {
         rel
       }
       // partitions emptied by the rewrite: clear and drop the dir
+      // (manifests go too — an empty partition has no generation)
       alsoClear.foreach { dir =>
         val rel = root.toUri.relativize(dir.toUri).getPath.stripSuffix("/")
         if (!stagedRels.contains(rel)) {
           dataFiles(dir).foreach(f => fs.delete(f, false))
+          manifestFiles(fs, dir).foreach(f => fs.delete(f, false))
           if (fs.listStatus(dir).isEmpty) fs.delete(dir, false)
           ()
         }
@@ -442,7 +545,14 @@ object Sink {
         require(in.forall(f => !oldNames.contains(f.getName)),
           s"staged file names collide with live files in $rel — cannot swap atomically")
         in.foreach(f => fs.rename(f, new Path(dest, f.getName)))
+        // COMMIT: the new generation's manifest lands while BOTH
+        // generations' files are present, then the superseded
+        // manifest and files go — a readSnapshot racing anywhere in
+        // this window resolves to exactly one complete generation
+        val oldManifests = manifestFiles(fs, dest)
+        writeManifest(fs, dest, in.map(_.getName))
         midSwapHook(rel)
+        oldManifests.foreach(f => fs.delete(f, false))
         old.foreach(f => fs.delete(f, false))
         rel
       }.sorted

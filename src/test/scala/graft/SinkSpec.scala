@@ -293,6 +293,53 @@ class SinkSpec extends SparkSuite {
     assert(after == Map(1L -> 1.0, 2L -> 20.0, 9L -> 90.0))
   }
 
+  test("readSnapshot mid-swap sees EXACTLY one generation under upsert AND compaction (r14)") {
+    val s = spark; import s.implicits._
+    def rows(xs: (Long, String, Double)*) = xs.toSeq.toDF("id", "part", "v")
+    val out = tmp()
+    Sink.upsertPartitioned(s, out.toString,
+      rows((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0)), Seq("id"), Seq("part"), Seq("id"))
+    // --- upsert: the plain listing shows old+new duplicates mid-swap;
+    // the snapshot read must resolve to the NEW generation alone
+    val snaps = scala.collection.mutable.ArrayBuffer.empty[Map[Long, Double]]
+    val plains = scala.collection.mutable.ArrayBuffer.empty[Long]
+    Sink.midSwapHook = { _ =>
+      plains += s.read.parquet(out.toString).where(col("part") === "a").count()
+      snaps += Sink.readSnapshot(s, out.toString, Seq("part"))
+        .where(col("part") === "a").select("id", "v").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    try Sink.upsertPartitioned(s, out.toString,
+      rows((2L, "a", 20.0), (9L, "a", 90.0)), Seq("id"), Seq("part"), Seq("id"))
+    finally Sink.midSwapHook = _ => ()
+    assert(snaps.size == 1)
+    assert(plains.head > 3, "precondition: the plain mid-swap listing must show the dup window")
+    assert(snaps.head == Map(1L -> 1.0, 2L -> 20.0, 9L -> 90.0),
+      s"snapshot mid-swap must be exactly one generation: ${snaps.head}")
+    // --- compaction: same guarantee — row multiset never doubles
+    // (filesPerPartition=2 leaves partition a overfull for targetFiles=1)
+    Sink.upsertPartitioned(s, out.toString, rows((4L, "a", 4.0)), Seq("id"), Seq("part"), Seq("id"),
+      filesPerPartition = 2)
+    val expect = Map(1L -> 1.0, 2L -> 20.0, 9L -> 90.0, 4L -> 4.0)
+    val csnaps = scala.collection.mutable.ArrayBuffer.empty[Map[Long, Double]]
+    Sink.midSwapHook = { _ =>
+      csnaps += Sink.readSnapshot(s, out.toString, Seq("part"))
+        .where(col("part") === "a").select("id", "v").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    try Sink.compactPartitions(s, out.toString, Seq("part"), Seq("id"), targetFiles = 1)
+    finally Sink.midSwapHook = _ => ()
+    assert(csnaps.nonEmpty && csnaps.forall(_ == expect),
+      s"snapshot mid-compaction must be exactly one generation: $csnaps")
+    // --- steady state: snapshot == plain read; bulk layouts without
+    // manifests fall back to the listing
+    assert(Sink.readSnapshot(s, out.toString, Seq("part")).count()
+      == s.read.parquet(out.toString).count())
+    val bulk = tmp()
+    Sink.writePartitioned(rows((7L, "x", 7.0)), bulk.toString, Seq("part"))
+    assert(Sink.readSnapshot(s, bulk.toString, Seq("part")).count() == 1)
+  }
+
   test("deleteKeys: tombstoned rows vanish, emptied partitions drop, others untouched") {
     val s = spark; import s.implicits._
     def rows(xs: (Long, String, Double)*) = xs.toSeq.toDF("id", "part", "v")
