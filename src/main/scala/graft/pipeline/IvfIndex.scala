@@ -193,6 +193,44 @@ object IvfIndex {
     } finally { assigned.unpersist(); () }
   }
 
+  /** Remove vectors from the index — corpus cells AND the `_keymap`
+    * sidecar together, so [[stats]]/[[needsRebuild]]/moved-key
+    * detection stay truthful. The ids' cells come from the sidecar
+    * (a pruned two-column read, never a corpus scan), so only the
+    * touched cell partitions and key buckets rewrite; each layout
+    * swaps through the usual staged walk. Returns the post-delete
+    * [[IvfStats]].
+    *
+    * WARNING — do NOT delete from an index layout with raw
+    * [[graft.sources.Sink.deleteKeys]]: that removes corpus rows but
+    * leaves their sidecar entries alive, silently skewing [[stats]]
+    * and making a later re-ingest of the same key look like a cell
+    * MOVE (tombstoning a row that no longer exists — harmless but
+    * wasted work) or, worse, suppressing a real relocation check.
+    * This method is the supported delete path.
+    */
+  def deleteVectors(
+      spark: SparkSession,
+      path: String,
+      ids: DataFrame,
+      idCol: String
+  ): IvfStats = {
+    val keys = ids.select(col(idCol)).distinct()
+    // locate each key's cell once; feeds BOTH layout deletes
+    val located = keymap(spark, path, idCol)
+      .join(keys, Seq(idCol), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      graft.sources.Sink.deleteKeys(
+        spark, path, located.select(col(idCol), col("cent_id")),
+        keyCols = Seq(idCol), partitionCols = Seq("cent_id"), sortCols = Seq(idCol))
+      graft.sources.Sink.deleteKeys(
+        spark, s"$path/$KeymapDir", keymapRows(located, idCol).select(col(idCol), col("kb")),
+        keyCols = Seq(idCol), partitionCols = Seq("kb"), sortCols = Seq(idCol))
+      stats(spark, path, idCol)
+    } finally { located.unpersist(); () }
+  }
+
   /** Cell-balance report from the `_keymap` sidecar (two narrow
     * columns — cheap at any corpus size). `idCol` is only consulted
     * when a pre-sidecar layout needs its one-time keymap migration.
@@ -253,6 +291,148 @@ object IvfIndex {
     spark.read.parquet(km.toString)
       .drop("kb")
       .withColumn("cent_id", col("cent_id").cast("long"))
+  }
+
+  // ---- managed generations (blue/green serving pointer) -----------
+
+  private val GenMarkerPrefix = "_gen-"
+
+  /** Publish `genDir` (a directory name under `root`) as the live
+    * generation: creates an `_gen-<ts>` marker file whose CREATION is
+    * the atomic repoint — readers resolve the lexicographically
+    * newest marker, so they see the old generation until the instant
+    * the marker lands and the new one after, never a mix.
+    */
+  private def publishGeneration(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      genDir: String
+  ): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(root,
+      f"$GenMarkerPrefix${System.currentTimeMillis()}%013d-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(marker, false)
+    try out.write(genDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The live generation's index path under a managed `root` — what
+    * every serving call should resolve immediately before searching.
+    */
+  def managedCurrent(spark: SparkSession, root: String): String = {
+    import org.apache.hadoop.fs.Path
+    val r = new Path(root)
+    val fs = r.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val markers = fs.listStatus(r).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith(GenMarkerPrefix))
+    require(markers.nonEmpty, s"no generation marker under $root — build with managedInit first")
+    val newest = markers.maxBy(_.getPath.getName).getPath
+    val in = fs.open(newest)
+    val gen = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
+    new Path(r, gen).toString
+  }
+
+  /** [[build]] into a MANAGED root: generation 1 lands under
+    * `root/gen-<ts>` and is published as live. Returns its path.
+    */
+  def managedInit(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      root: String,
+      nlist: Int = 16,
+      scoreDecimals: Int = 4,
+      centroids: Option[DataFrame] = None
+  ): String = {
+    import org.apache.hadoop.fs.Path
+    val r = new Path(root)
+    val fs = r.getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
+    val gen = f"gen-${System.currentTimeMillis()}%013d"
+    build(corpus, idCol, vecCol, new Path(r, gen).toString, nlist, scoreDecimals, centroids)
+    publishGeneration(fs, r, gen)
+    new Path(r, gen).toString
+  }
+
+  /** Drift-triggered blue/green maintenance for a managed root: when
+    * the live generation trips [[needsRebuild]], retrain into a fresh
+    * `gen-<ts>` directory (serving continues from the old generation
+    * the whole time), CATCH UP appends that landed in the old
+    * generation while the rebuild ran (keymap diff → appendBatch,
+    * looped until the diff drains — each round's footprint is only
+    * the new arrivals), then atomically repoint via the generation
+    * marker. Returns the new path, or None when no rebuild was
+    * needed. Old generation directories are left on disk for
+    * in-flight readers; delete them once drained (caller-scheduled,
+    * like any blue/green GC).
+    *
+    * Residual window (documented, inherent to pointer flips): an
+    * append that resolves the OLD generation path concurrently with
+    * the final repoint commits to the old generation and is not in
+    * the new one — run appends and maintenance from the same driver
+    * (the [[graft.streaming.StreamOps.ivfAppendStream]] managed form
+    * does) so the marker flip orders with batch boundaries.
+    */
+  def managedMaintain(
+      spark: SparkSession,
+      root: String,
+      idCol: String,
+      vecCol: String,
+      maxSkew: Double = 4.0,
+      nlist: Int = Similarity.AutoNlist,
+      scoreDecimals: Int = 4,
+      publish: Boolean = true
+  ): Option[String] = {
+    import org.apache.hadoop.fs.Path
+    val current = managedCurrent(spark, root)
+    if (!needsRebuild(spark, current, maxSkew, idCol)) return None
+    val r = new Path(root)
+    val gen = f"gen-${System.currentTimeMillis()}%013d"
+    val next = new Path(r, gen).toString
+    rebuild(spark, current, next, idCol, vecCol, nlist, scoreDecimals)
+    managedCatchUp(spark, current, next, idCol, vecCol, scoreDecimals)
+    if (publish) managedPublish(spark, root, next)
+    Some(next)
+  }
+
+  /** Append into `toPath` every id present in `fromPath`'s keymap but
+    * missing from `toPath`'s — the delta that landed in the old
+    * generation while a rebuild ran. Loops until the diff drains
+    * (each round's footprint is only the new arrivals). Returns the
+    * number of catch-up rounds that moved rows.
+    */
+  def managedCatchUp(
+      spark: SparkSession,
+      fromPath: String,
+      toPath: String,
+      idCol: String,
+      vecCol: String,
+      scoreDecimals: Int = 4
+  ): Int = {
+    var rounds = 0
+    var moved = 0
+    var drained = false
+    while (rounds < 5 && !drained) {
+      val missing = keymap(spark, fromPath, idCol).select(col(idCol))
+        .join(keymap(spark, toPath, idCol).select(col(idCol)), Seq(idCol), "left_anti")
+      val late = spark.read.parquet(fromPath)
+        .join(missing, Seq(idCol), "left_semi")
+        .select(col(idCol), col(vecCol))
+      if (late.isEmpty) drained = true
+      else { appendBatch(spark, toPath, late, idCol, vecCol, scoreDecimals); moved += 1 }
+      rounds += 1
+    }
+    moved
+  }
+
+  /** Atomically repoint a managed root's serving to `genPath` (a
+    * generation directory under it) by creating the next marker.
+    */
+  def managedPublish(spark: SparkSession, root: String, genPath: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val r = new Path(root)
+    val fs = r.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gen = new Path(genPath).getName
+    require(fs.exists(new Path(r, gen)), s"generation $gen does not exist under $root")
+    publishGeneration(fs, r, gen)
   }
 
   /** Cosine top-k against the stored index: route queries to their

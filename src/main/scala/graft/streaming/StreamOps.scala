@@ -400,6 +400,92 @@ object StreamOps {
       .outputMode(OutputMode.Update)
       .start()
 
+  /** [[ivfAppendStream]] over a MANAGED index root (VERDICT r13 #6):
+    * appends go to the LIVE generation
+    * ([[graft.pipeline.IvfIndex.managedCurrent]]), and when a batch's
+    * post-append stats trip `maxSkew`, a blue/green
+    * [[graft.pipeline.IvfIndex.managedMaintain]] retrain runs on a
+    * SINGLE-FLIGHT DAEMON THREAD — outside the trigger, so the
+    * stream keeps its cadence while the rebuild trains. The repoint
+    * is split for loss-freedom: the maintenance thread rebuilds and
+    * catches up but does NOT publish; the NEXT micro-batch, on the
+    * trigger thread, runs one final catch-up (draining whatever
+    * landed in the old generation since the thread finished) and
+    * flips the generation marker — because both appends and the flip
+    * run on the trigger thread, no append can race the repoint and
+    * every ingested id is in the published generation.
+    *
+    * `onRebuild` fires (trigger thread) with the new generation path
+    * right after each flip; old generation dirs are left for
+    * in-flight readers — GC them once drained.
+    */
+  def ivfAppendStreamManaged(
+      vectors: DataFrame,
+      root: String,
+      checkpoint: String,
+      idCol: String,
+      vecCol: String,
+      orderCol: String,
+      maxSkew: Double = 4.0,
+      nlist: Int = graft.pipeline.Similarity.AutoNlist,
+      onBatch: graft.pipeline.IvfIndex.IvfStats => Unit = _ => (),
+      onRebuild: String => Unit = _ => ()
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val pending = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val inFlight = new java.util.concurrent.atomic.AtomicBoolean(false)
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          // a finished rebuild publishes HERE, on the trigger thread:
+          // final catch-up then the marker flip, ordered with appends
+          Option(pending.getAndSet(null)).foreach { next =>
+            val cur = graft.pipeline.IvfIndex.managedCurrent(s, root)
+            graft.pipeline.IvfIndex.managedCatchUp(s, cur, next, idCol, vecCol)
+            graft.pipeline.IvfIndex.managedPublish(s, root, next)
+            inFlight.set(false)
+            onRebuild(next)
+          }
+          val cur = graft.pipeline.IvfIndex.managedCurrent(s, root)
+          val stats = graft.pipeline.IvfIndex.appendBatch(
+            s, cur, latestPerId(batch.toDF(), idCol, vecCol, orderCol), idCol, vecCol)
+          onBatch(stats)
+          if (stats.skew >= maxSkew && inFlight.compareAndSet(false, true)) {
+            val t = new Thread(() => {
+              // the rebuild scans the old generation WHILE the trigger
+              // thread keeps appending to it — a swap can delete files
+              // a captured read plan still names (FILE_NOT_EXIST).
+              // Harmless: every read here is re-planned on retry, and
+              // the final in-trigger catch-up (quiescent old gen) is
+              // what guarantees completeness — so just retry.
+              var attempts = 0
+              var done = false
+              try while (!done) {
+                attempts += 1
+                try {
+                  graft.pipeline.IvfIndex.managedMaintain(
+                    s, root, idCol, vecCol, maxSkew, nlist, publish = false) match {
+                    case Some(next) => pending.set(next)
+                    case None       => inFlight.set(false)
+                  }
+                  done = true
+                } catch {
+                  case e: org.apache.spark.SparkException if attempts < 3 => ()
+                }
+              }
+              catch { case e: Throwable => inFlight.set(false); throw e }
+            }, s"graft-ivf-maintain-$root")
+            t.setDaemon(true)
+            t.start()
+          }
+          ()
+        }
+      }
+      .outputMode(OutputMode.Update)
+      .start()
+  }
+
   /** Latest (id, vector) per id by `orderCol` — [[ivfAppendStream]]'s
     * within-batch reducer. Ties on `orderCol` break on a hash of the
     * vector's bytes: a replayed micro-batch may enumerate rows in a

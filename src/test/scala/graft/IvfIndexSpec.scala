@@ -178,6 +178,38 @@ class IvfIndexSpec extends SparkSuite {
       s"append touched cells other than the batch's: $touchedDirs")
   }
 
+  test("deleteVectors tombstones corpus AND keymap; serving + stats + move detection stay true (r14)") {
+    val s = spark; import s.implicits._
+    val path = tempPath("delete")
+    IvfIndex.build(emb, "vec_id", "emb", path, nlist = 16)
+    val before = IvfIndex.stats(s, path, "vec_id")
+    val victims = emb.orderBy("vec_id").limit(20).select("vec_id")
+    val victimIds = victims.collect().map(_.getLong(0)).toSet
+    val after = IvfIndex.deleteVectors(s, path, victims, "vec_id")
+    // stats are truthful: exactly the victims left the sidecar
+    assert(after.rows == before.rows - victimIds.size,
+      s"stats rows ${after.rows} != ${before.rows} - ${victimIds.size}")
+    // serving excludes deleted ids
+    val q = emb.where(col("vec_id") % 50 === 0)
+    val served = IvfIndex.searchTopK(s, path, q, "vec_id", "emb", k = 5, nprobe = 16)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(served.intersect(victimIds).isEmpty, "deleted ids must not serve")
+    // corpus layout rows really gone (not just sidecar)
+    val live = s.read.parquet(path).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(live.intersect(victimIds).isEmpty)
+    // move detection stays correct: re-ingesting a DELETED id is a
+    // plain insert (its keymap entry is gone), and lands exactly once
+    val back = emb.join(victims.limit(5), Seq("vec_id"), "left_semi")
+    IvfIndex.appendBatch(s, path, back, "vec_id", "emb")
+    val reAdded = s.read.parquet(path)
+      .join(back.select("vec_id"), Seq("vec_id"), "left_semi")
+      .groupBy("vec_id").count().collect()
+    assert(reAdded.length == 5 && reAdded.forall(_.getLong(1) == 1L),
+      "re-ingest after delete must insert exactly once")
+    val statsBack = IvfIndex.stats(s, path, "vec_id")
+    assert(statsBack.rows == after.rows + 5)
+  }
+
   test("drifted appends trip needsRebuild; rebuild restores balance and serving parity") {
     val s = spark; import s.implicits._
     val path = tempPath("drift")

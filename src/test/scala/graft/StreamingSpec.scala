@@ -187,6 +187,62 @@ class StreamingSpec extends SparkSuite {
       s"drift stats must reach the callback per batch: $statsSeen")
   }
 
+  test("ivfAppendStreamManaged: skewed appends trip a blue/green rebuild; repoint is loss-free (r14)") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-managed")
+    val root = tmp.resolve("idx").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    def vec(seed: Int) = Array.tabulate(8)(d => math.sin(seed * 13 + d).abs + 0.1)
+    val all = scala.collection.mutable.Map.empty[Long, Array[Double]]
+    val base = (1 to 40).map { i => all(i.toLong) = vec(i); (i.toLong, vec(i)) }.toDF("id", "v")
+    val gen1 = graft.pipeline.IvfIndex.managedInit(base, "id", "v", root, nlist = 8)
+    assert(graft.pipeline.IvfIndex.managedCurrent(s, root) == gen1)
+    val rebuilds = scala.collection.mutable.ArrayBuffer.empty[String]
+    val input = MemoryStream[(Long, Array[Double], Long)]
+    val q = StreamOps.ivfAppendStreamManaged(
+      input.toDF().toDF("id", "v", "ts"), root, ckpt, "id", "v", "ts",
+      maxSkew = 3.0,
+      onRebuild = p => rebuilds.synchronized { rebuilds += p; () })
+    try {
+      // one hot batch: 40 near-identical vectors pile into one cell of
+      // the 8-cell quantizer -> skew ~4.5 trips the 3.0 threshold and
+      // kicks the maintenance thread (outside the trigger)
+      val hot = (100L to 139L).map { i =>
+        val v = vec(7).map(_ + (i - 100L) * 1e-4); all(i) = v; (i, v, 1L) }
+      input.addData(hot: _*); q.processAllAvailable()
+      // keep ticking until a later batch publishes the finished
+      // rebuild on the trigger thread (id stream continues meanwhile —
+      // the flip must lose none of them)
+      var tick = 200L
+      while (rebuilds.synchronized(rebuilds.isEmpty) && tick < 260L) {
+        val v = vec(tick.toInt); all(tick) = v
+        input.addData((tick, v, tick)); q.processAllAvailable()
+        Thread.sleep(200)
+        tick += 1
+      }
+    } finally q.stop()
+    assert(rebuilds.synchronized(rebuilds.nonEmpty),
+      "skewed appends must trigger a published blue/green rebuild")
+    val current = graft.pipeline.IvfIndex.managedCurrent(s, root)
+    assert(current != gen1, "serving must repoint to the new generation")
+    // loss-freedom: every ingested id is in the published generation
+    val served = s.read.parquet(current).select("id").collect().map(_.getLong(0)).toSet
+    assert(served == all.keySet, s"missing after flip: ${all.keySet -- served}")
+    // serving parity at full probe: the regenerated index returns the
+    // brute-force answer over everything ingested (cells are layout,
+    // not semantics)
+    val queries = Seq((7000L, vec(3))).toDF("id", "v")
+    val viaIdx = graft.pipeline.IvfIndex
+      .searchTopK(s, current, queries, "id", "v", k = 5, nprobe = 9999)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    val corpus = all.toSeq.map { case (i, v) => (i, v) }.toDF("id", "v")
+    val brute = graft.pipeline.Similarity
+      .bruteForceTopK(corpus, queries, "id", "v", k = 5)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    assert(viaIdx == brute, s"full-probe serving parity broke: $viaIdx vs $brute")
+  }
+
   test("sessionize splits on inactivity gaps (batch parity)") {
     val s = spark; import s.implicits._
     val events = Seq(
