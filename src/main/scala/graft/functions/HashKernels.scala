@@ -111,6 +111,35 @@ object MinhashKernel {
   * [[graft.plans.RewriteDotProduct]] substitute it for user-written
   * folds as a true semantics-preserving optimization.
   */
+object ShingleKernel {
+
+  private val space = UTF8String.fromString(" ")
+
+  /** All word n-grams joined by single spaces — the codegen'd twin
+    * of [[graft.pipeline.Dedup.shinglesFromWords]] (the oracle-
+    * mirrored expression spec: `concat_ws` semantics, so a null word
+    * is skipped by the join — unreachable from `splitWords` anyway).
+    * Fewer than `n` words yields an empty array. Replaces the Scala
+    * UDF on the dedup hot paths: same output, no encoder round-trip
+    * (the UDF decoded the word array to Seq[String] and re-encoded
+    * the shingle Seq per row), and the codegen span stays unbroken.
+    */
+  def shingles(words: ArrayData, n: Int): ArrayData = {
+    val len = words.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](len - n + 1)
+    var i = 0
+    while (i < out.length) {
+      val parts = new Array[UTF8String](n)
+      var k = 0
+      while (k < n) { parts(k) = words.getUTF8String(i + k); k += 1 }
+      out(i) = UTF8String.concatWs(space, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object VectorKernel {
   def dotOrNull(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()

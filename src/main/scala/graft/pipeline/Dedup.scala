@@ -63,12 +63,23 @@ object Dedup {
   def wordShingles(text: Column, n: Int): Column =
     shinglesFromWords(splitWords(text), n)
 
+  /** Same output as [[shinglesFromWords]] as a native codegen'd
+    * Catalyst expression ([[graft.plans.ShinglesExpr]]) — what the
+    * dedup hot paths use (r14): no encoder round-trip, and the
+    * tokenize → shingle → minhash chain fuses into one
+    * whole-stage-codegen method. The expression form remains the
+    * spec the DuckDB oracle mirrors; PipelineSpec pins all three
+    * forms identical.
+    */
+  def shinglesFromWordsNative(words: Column, n: Int): Column =
+    graft.internal.exprColumn(graft.plans.ShinglesExpr(graft.internal.columnExpr(words), n))
+
   /** Same output as [[shinglesFromWords]] as a JVM-native UDF. Spark
     * evaluates lambda higher-order functions (transform/aggregate)
     * interpreted — never codegen — at ~4-5us per element; this loop
-    * is ~20x faster (measured 13.7s -> 0.7s over 260k shingles) and
-    * is what the dedup hot paths use. The expression form remains the
-    * spec the DuckDB oracle mirrors.
+    * is ~20x faster (measured 13.7s -> 0.7s over 260k shingles).
+    * Superseded on hot paths by [[shinglesFromWordsNative]]; kept as
+    * the cross-checked middle form.
     */
   def shinglesFromWordsUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (words: Seq[String]) =>
@@ -255,7 +266,7 @@ object Dedup {
       shingleWords: Int
   ): DataFrame = df
     .select(col(idCol).as("__id__"), splitWords(col(textCol)).as("__words__"))
-    .select(col("__id__"), array_distinct(shinglesFromWordsUdf(shingleWords)(col("__words__"))).as("__sg__"))
+    .select(col("__id__"), array_distinct(shinglesFromWordsNative(col("__words__"), shingleWords)).as("__sg__"))
     .where(size(col("__sg__")) > 0)
 
   /** [[minhashCandidatesWithCleanup]] starting from a pre-staged

@@ -23,7 +23,7 @@ private[pipeline] object Features {
     .select(col(idCol).as("__id__"),
       array_remove(Dedup.splitWords(col(textCol)), "").as("__ws__"))
     .select(col("__id__"),
-      concat(col("__ws__"), Dedup.shinglesFromWordsUdf(2)(col("__ws__"))).as("__gs__"))
+      concat(col("__ws__"), Dedup.shinglesFromWordsNative(col("__ws__"), 2)).as("__gs__"))
 
   /** Engine-portable gram -> bucket hash. */
   def bucketOf(g: Column, buckets: Int): Column =

@@ -242,7 +242,7 @@ object TextAnalysis {
       length(norm).as("__tc__"))
     val grams = df.select(
       col(idCol),
-      explode(Dedup.shinglesFromWordsUdf(ngramWords)(Dedup.splitWords(col(textCol)))).as("__g__"))
+      explode(Dedup.shinglesFromWordsNative(Dedup.splitWords(col(textCol)), ngramWords)).as("__g__"))
     val counts = grams.groupBy(col(idCol), col("__g__")).agg(count(lit(1)).as("__c__"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
@@ -447,7 +447,7 @@ object TextAnalysis {
     // (doc, bigram) with multiplicity, aggregated immediately: the
     // shingle stage is evaluated exactly once, in this aggregation
     val docBigram = words
-      .select(col("__id__"), explode(Dedup.shinglesFromWordsUdf(2)(col("__w__"))).as("__bg__"))
+      .select(col("__id__"), explode(Dedup.shinglesFromWordsNative(col("__w__"), 2)).as("__bg__"))
       .groupBy(col("__id__"), col("__bg__")).agg(count(lit(1)).as("__c__"))
     // corpus-wide bigram count as a window over the SAME frame — a
     // groupBy + self-join here would re-run the tokenize pipeline

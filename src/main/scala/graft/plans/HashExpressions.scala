@@ -72,6 +72,31 @@ case class MinhashBandsExpr(child: Expression, numHashes: Int, bands: Int)
     copy(child = newChild)
 }
 
+/** Codegen'd word-shingling — see
+  * [[graft.functions.ShingleKernel.shingles]]. The Scala-UDF form it
+  * replaces paid a Seq[String] encoder round-trip per row AND split
+  * the whole-stage-codegen span at every shingle site (tokenize →
+  * shingle → minhash now fuse into one generated method).
+  */
+case class ShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n > 0, s"n must be positive, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExpressions.requireStringArray(prettyName, child)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.functions.ShingleKernel.shingles(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernel.shingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
+    copy(child = newChild)
+}
+
 /** Codegen'd dot product of two `array<double>` columns — the vector
   * hot path shared by every ANN/k-means/semantic-dedup operator.
   * The `aggregate(zip_with(...))` form it replaces is an interpreted

@@ -217,7 +217,7 @@ object StreamOps {
     val streaming = df.isStreaming
     val banded = df
       .select(col(idCol).cast("long").as("id"),
-        array_distinct(Dedup.shinglesFromWordsUdf(shingleWords)(Dedup.splitWords(col(textCol)))).as("__sg__"))
+        array_distinct(Dedup.shinglesFromWordsNative(Dedup.splitWords(col(textCol)), shingleWords)).as("__sg__"))
       .where(size(col("__sg__")) > 0)
       .select(col("id"),
         posexplode(Dedup.minhashBandsNative(col("__sg__"), numHashes, bands))
@@ -419,6 +419,23 @@ object StreamOps {
     * right after each flip; old generation dirs are left for
     * in-flight readers — GC them once drained.
     */
+  /** Live maintenance threads by managed root — so a caller stopping
+    * the stream can drain in-flight rebuild work instead of leaving a
+    * daemon racing session shutdown ([[awaitMaintenance]]).
+    */
+  private val maintenanceThreads =
+    new java.util.concurrent.ConcurrentHashMap[String, Thread]()
+
+  /** Block until `root`'s in-flight rebuild (if any) finishes; call
+    * after stopping a managed append stream. Returns false on
+    * timeout.
+    */
+  def awaitMaintenance(root: String, timeoutMs: Long = 120000L): Boolean = {
+    val t = maintenanceThreads.get(root)
+    if (t == null) true
+    else { t.join(timeoutMs); !t.isAlive }
+  }
+
   def ivfAppendStreamManaged(
       vectors: DataFrame,
       root: String,
@@ -475,8 +492,10 @@ object StreamOps {
                 }
               }
               catch { case e: Throwable => inFlight.set(false); throw e }
+              finally { maintenanceThreads.remove(root, Thread.currentThread()); () }
             }, s"graft-ivf-maintain-$root")
             t.setDaemon(true)
+            maintenanceThreads.put(root, t)
             t.start()
           }
           ()

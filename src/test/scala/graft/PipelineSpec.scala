@@ -113,7 +113,12 @@ class PipelineSpec extends SparkSuite {
 
   test("minhashCandidates cleanup thunk unpersists the internal cache (VERDICT r3 #9)") {
     // other tests in this suite use the plain API and legitimately
-    // leave caches behind — assert only on the delta from THIS call
+    // park their releases in Cleanup; drain them first — with the
+    // deterministic native shingle expression (r14), an earlier
+    // test's IDENTICAL banded plan would otherwise already be cached
+    // (CacheManager dedups by plan) and this call's persist would be
+    // a no-op, voiding the delta this test measures
+    graft.Cleanup.drainAll()
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val (cands, cleanup) = Dedup.minhashCandidatesWithCleanup(docs, "doc_id", "text")
     cands.count() // materialize (populates the cache)
@@ -254,6 +259,31 @@ class PipelineSpec extends SparkSuite {
         array_distinct(Dedup.shinglesFromWords(Dedup.splitWords(col("text")), 3)).as("__sg__")),
       0.5)
     assert(counted.count() == 0, "ratio-impossible pair should be pruned before the array join")
+  }
+
+  test("shingles: native expression == UDF == interpreted expression, real corpus (r14)") {
+    // three physical forms, one spec: the interpreted HOF expression
+    // is what the DuckDB oracle mirrors; the UDF was the old hot path;
+    // the native codegen'd ShinglesExpr is the current one. All three
+    // must agree element-for-element (order included).
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    for (n <- Seq(2, 3, 5)) {
+      val forms = d.select(col("doc_id"),
+          Dedup.shinglesFromWords(Dedup.splitWords(col("text")), n).as("expr"),
+          Dedup.shinglesFromWordsUdf(n)(Dedup.splitWords(col("text"))).as("udf"),
+          Dedup.shinglesFromWordsNative(Dedup.splitWords(col("text")), n).as("native"))
+        .collect()
+      forms.foreach { r =>
+        val (e, u, nat) = (r.getSeq[String](1), r.getSeq[String](2), r.getSeq[String](3))
+        assert(e == u && u == nat, s"n=$n doc=${r.getLong(0)}: expr=$e udf=$u native=$nat")
+      }
+    }
+    // boundary: fewer words than n -> empty, not null, in all forms
+    val s = spark; import s.implicits._
+    val tiny = Seq((1L, "one two")).toDF("doc_id", "text")
+      .select(Dedup.shinglesFromWordsNative(Dedup.splitWords(col("text")), 3).as("sg"))
+      .head()
+    assert(tiny.getSeq[String](0).isEmpty)
   }
 
   test("ngram jaccard: identical docs 1.0, disjoint docs 0.0") {

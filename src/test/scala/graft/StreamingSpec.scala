@@ -221,7 +221,12 @@ class StreamingSpec extends SparkSuite {
         Thread.sleep(200)
         tick += 1
       }
-    } finally q.stop()
+    } finally {
+      q.stop()
+      // drain any in-flight rebuild: a daemon outliving the test would
+      // race later suites' session use
+      assert(StreamOps.awaitMaintenance(root), "maintenance thread failed to drain")
+    }
     assert(rebuilds.synchronized(rebuilds.nonEmpty),
       "skewed appends must trigger a published blue/green rebuild")
     val current = graft.pipeline.IvfIndex.managedCurrent(s, root)
