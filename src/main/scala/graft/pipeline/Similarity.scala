@@ -881,30 +881,39 @@ object Similarity {
       pfx: String,
       scoreDecimals: Int
   ): DataFrame = {
-    // the centroid frame feeds the count, the super draw, and the
-    // membership rank; persist it so a potentially corpus-scanning
-    // centroid derivation (the md5-order limit) runs once, not four
-    // times (release parked in Cleanup, idempotent if the caller
-    // persisted already)
-    val cents = cents0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    graft.Cleanup.defer(() => { cents.unpersist(); () })
-    val nsup = math.max(1, math.ceil(math.sqrt(cents.count().toDouble)).toInt)
-    val sups0 = broadcast(cents
+    // the super draw sizes itself IN-PLAN (global count window over
+    // the nlist-row centroid frame — single-task, fine at any √n
+    // nlist) so no separate count job runs; the whole route is then
+    // derived from ONE tiny persisted frame, `mem`, materialized
+    // eagerly below — a potentially expensive centroid lineage (the
+    // md5-order corpus limit, or a fitted k-means training) is
+    // evaluated exactly once, and the serving plan references only
+    // the cached mem and its derivative
+    val sups0 = cents0
       .select(col("cent_id").as("__sup__"), col("__cv__").as("__sv__"), col("__cn__").as("__sn__"),
         md5(col("cent_id").cast("string")).as("__h__"))
-      .orderBy(col("__h__"), col("__sup__"))
-      .limit(nsup)
-      .drop("__h__"))
+      .withColumn("__rn__", row_number().over(Window.orderBy(col("__h__"), col("__sup__"))))
+      .withColumn("__nc__", count(lit(1)).over(Window.partitionBy()))
+      .where(col("__rn__") <= ceil(sqrt(col("__nc__"))))
+      .drop("__h__", "__rn__", "__nc__")
     // centroid -> super membership: tiny (nlist x nsup) broadcast
     // cross join, same rank rule
     val msim = round(dot(col("__cv__"), col("__sv__")) / (col("__cn__") * col("__sn__")), scoreDecimals)
-    val mem = broadcast(cents.crossJoin(sups0)
+    val mem = cents0.crossJoin(broadcast(sups0))
       .withColumn("__mk__", struct(msim.as("s"), (col("__sup__") * lit(-1)).as("i")))
       .groupBy(col("cent_id"), col("__cv__"), col("__cn__"))
       .agg(max(col("__mk__")).as("__mkw__"))
       .withColumn("__sup__", col("__mkw__").getField("i") * lit(-1))
-      .drop("__mkw__"))
-    val live = broadcast(sups0.join(mem.select(col("__sup__")).distinct(), Seq("__sup__")))
+      .drop("__mkw__")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.Cleanup.defer(() => { mem.unpersist(); () })
+    mem.count() // ONE materialization of the centroid lineage
+    // live super-cells (those that won >= 1 member), vectors included
+    // — every centroid appears exactly once as a mem cent_id, so the
+    // super's own row supplies its vector
+    val live = broadcast(
+      mem.select(col("cent_id").as("__sup__"), col("__cv__").as("__sv__"), col("__cn__").as("__sn__"))
+        .join(mem.select(col("__sup__")).distinct(), Seq("__sup__")))
     val base = df.select(col(idCol).as(s"${pfx}_id"), col(vecCol).as(s"__${pfx}v__"),
       norm(col(vecCol)).as(s"__${pfx}n__"))
     val ssim = round(dot(col(s"__${pfx}v__"), col("__sv__")) / (col(s"__${pfx}n__") * col("__sn__")), scoreDecimals)
@@ -915,7 +924,7 @@ object Similarity {
       .withColumn("__sup__", col("__skw__").getField("i") * lit(-1))
       .drop("__skw__")
     val csim = round(dot(col(s"__${pfx}v__"), col("__cv__")) / (col(s"__${pfx}n__") * col("__cn__")), scoreDecimals)
-    lvl1.join(mem, Seq("__sup__"))
+    lvl1.join(broadcast(mem), Seq("__sup__"))
       .withColumn("__ck__", struct(csim.as("s"), (col("cent_id") * lit(-1)).as("i")))
       .groupBy(col(s"${pfx}_id"), col(s"__${pfx}v__"), col(s"__${pfx}n__"))
       .agg(max(col("__ck__")).as("__ckw__"))

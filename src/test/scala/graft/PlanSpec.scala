@@ -299,9 +299,15 @@ class PlanSpec extends SparkSuite {
     //     (input: one row per range partition, <= numPartitions rows
     //     by construction; Percentiles.scala wOff/wTot) ->
     //     q_winsorize_all
+    //   - (r14) ivfAssignTwoLevel's in-plan super draw
+    //     (Similarity.scala sups0: row_number + count over the
+    //     CENTROID frame — nlist = O(√corpus) rows by the AutoNlist
+    //     contract, the same frame the route broadcasts whole) ->
+    //     the IVF cell-routing queries
     // Anything new failing this census is either a bug or needs its
     // own documented contract + allowlist entry.
-    val allowed = Set("q_long_short", "q_shuffle_rank", "q_pack", "q_winsorize_all")
+    val allowed = Set("q_long_short", "q_shuffle_rank", "q_pack", "q_winsorize_all",
+      "q_ann_ivf", "q_ann_ivf_fitted", "q_ann_ivf_int8", "q_ann_pq")
     val offenders = allPlans.collect {
       case (name, Right(plan)) if unpartitionedWindowCount(plan) > 0 => name
     }.toSet
