@@ -5,11 +5,12 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.plans.{DotProductExpr, MinhashSignatureExpr, SimhashBitsExpr}
+import graft.plans.{DotProductExpr, MinhashSignatureExpr, ShinglesExpr, SimhashBitsExpr}
 
 /** SparkSessionExtensions entry point: exposes the native
   * expressions to the SQL surface as `graft_minhash(arr, n)`,
-  * `graft_simhash(words, bits)`, and `graft_dot(a, b)`, and injects
+  * `graft_shingles(words, n)`, `graft_simhash(words, bits)`, and
+  * `graft_dot(a, b)`, and injects
   * the [[graft.plans.RewriteDotProduct]] optimizer rule (HOF
   * dot-product folds auto-upgrade to the native kernel). Enable with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (or
@@ -50,6 +51,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_minhash(shingles, numHashes) takes 2 arguments")
         MinhashSignatureExpr(args.head, intLit(args(1), "numHashes"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShinglesExpr].getName, "graft_shingles"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_shingles(words, n) takes 2 arguments")
+        ShinglesExpr(args.head, intLit(args(1), "n"))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),

@@ -870,6 +870,10 @@ class PipelineSpec extends SparkSuite {
     val viaSql = spark.sql(
       "SELECT graft_minhash(array('a b c', 'b c d'), 8) AS sig, graft_simhash(array('a','b'), 16) AS sh")
       .head()
+    // r14: shingling too
+    val viaShingles = spark.sql(
+      "SELECT graft_shingles(array('a','b','c','d'), 2) AS sg").head().getSeq[String](0)
+    assert(viaShingles == Seq("a b", "b c", "c d"), s"graft_shingles SQL surface: $viaShingles")
     // foldable (not just bare-literal) integral args resolve too:
     // CAST(8 AS INT), a long literal, an arithmetic fold (ADVICE r5)
     val viaFoldable = spark.sql(
