@@ -395,19 +395,43 @@ SELECT query_id, neighbor_id, score, "rank" FROM r WHERE "rank" <= 5"""
     * dimension order — the iterations are UNROLLED as one CTE pair
     * per round, so the oracle replays the exact training trajectory.
     */
-  /** TWO-LEVEL IVF corpus-assignment replay — mirrors
-    * Similarity.ivfAssignTwoLevel route-for-route: ⌈√nlist⌉
-    * super-centroids by the md5-order draw FROM the centroid set,
-    * rank-1 centroid→super membership, then each vector ranks the
-    * LIVE supers and only the winner group's members (every rank =
-    * rounded-cosine desc, id asc). Emits CTEs `sups0, mem, sups, va,
-    * ca`; `ca` carries ($outId, emb, cent_id). Used by every IVF
-    * cell-routing oracle; kmeans/semdedup stay on the flat
-    * [[kmeansAssignCte]] (Lloyd assignment is the algorithm, not a
-    * routing shortcut).
+  /** FLAT rank-1 corpus-assignment CTE — mirrors
+    * Similarity.ivfAssign(keep = 1) as the cell route: the engine
+    * takes this route whenever the centroid set has fewer than
+    * Similarity.TwoLevelMinNlist (64) rows. Emits `ca` carrying
+    * ($outId, emb, cent_id).
     */
-  private def twoLevelCaCtes(cents: String, src: String, outId: String): String =
-    s"""sups0 AS (SELECT cent_id AS sup_id, cemb AS semb FROM $cents
+  private def flatCaCte(cents: String, src: String, outId: String,
+                        out: String = "ca", srcAlias: String = "f0"): String =
+    s"""$out AS (SELECT $outId, emb, cent_id FROM (
+SELECT $srcAlias.vec_id AS $outId, $srcAlias.emb, cent_id,
+row_number() OVER (PARTITION BY $srcAlias.vec_id ORDER BY round(list_cosine_similarity($srcAlias.emb, cemb), 4) DESC, cent_id) AS cr
+FROM $src $srcAlias CROSS JOIN $cents) t WHERE cr = 1)"""
+
+  /** ROUTED IVF corpus-assignment replay — mirrors
+    * Similarity.ivfAssignTwoLevel's route switch exactly: FLAT rank-1
+    * when count($cents) < 64 (Similarity.TwoLevelMinNlist), TWO-LEVEL
+    * otherwise (⌈√nlist⌉ super-centroids by the md5-order draw FROM
+    * the centroid set, rank-1 centroid→super membership, then each
+    * vector ranks the LIVE supers and only the winner group's
+    * members; every rank = rounded-cosine desc, id asc). Both
+    * branches are always planned but each filters its SOURCE rows on
+    * the count guard, so the inactive branch's cross joins run over
+    * zero rows — structural pruning, no reliance on the optimizer
+    * constant-folding the scalar subquery. Emits CTEs `nlr, cfl, caf,
+    * ctl, sups0, mem, sups, va, ca2, ca`; `ca` carries
+    * ($outId, emb, cent_id). Used by every IVF cell-routing oracle
+    * whose nlist is derived at run time (AutoNlist); statically-sized
+    * callers pick [[flatCaCte]] or the two-level chain in Scala.
+    * kmeans/semdedup stay on the flat [[kmeansAssignCte]] (Lloyd
+    * assignment is the algorithm, not a routing shortcut).
+    */
+  private def routedCaCtes(cents: String, src: String, outId: String): String =
+    s"""nlr AS (SELECT count(*) AS nl FROM $cents),
+cfl AS (SELECT * FROM $src WHERE (SELECT nl FROM nlr) < 64),
+${flatCaCte(cents, "cfl", outId, out = "caf")},
+ctl AS (SELECT * FROM $src WHERE (SELECT nl FROM nlr) >= 64),
+sups0 AS (SELECT cent_id AS sup_id, cemb AS semb FROM $cents
 QUALIFY row_number() OVER (ORDER BY md5(CAST(cent_id AS VARCHAR)), cent_id)
   <= CAST(ceil(sqrt((SELECT count(*) FROM $cents))) AS BIGINT)),
 mem AS (SELECT cent_id, cemb, sup_id FROM (
@@ -418,11 +442,12 @@ sups AS (SELECT sup_id, semb FROM sups0 WHERE sup_id IN (SELECT sup_id FROM mem)
 va AS (SELECT vec_id, emb, sup_id FROM (
 SELECT s0.vec_id, s0.emb, sup_id,
 row_number() OVER (PARTITION BY s0.vec_id ORDER BY round(list_cosine_similarity(s0.emb, semb), 4) DESC, sup_id) AS sr
-FROM $src s0 CROSS JOIN sups) t WHERE sr = 1),
-ca AS (SELECT $outId, emb, cent_id FROM (
+FROM ctl s0 CROSS JOIN sups) t WHERE sr = 1),
+ca2 AS (SELECT $outId, emb, cent_id FROM (
 SELECT va.vec_id AS $outId, va.emb, mem.cent_id,
 row_number() OVER (PARTITION BY va.vec_id ORDER BY round(list_cosine_similarity(va.emb, mem.cemb), 4) DESC, mem.cent_id) AS cr
-FROM va JOIN mem ON va.sup_id = mem.sup_id) t WHERE cr = 1)"""
+FROM va JOIN mem ON va.sup_id = mem.sup_id) t WHERE cr = 1),
+ca AS (SELECT $outId, emb, cent_id FROM caf UNION ALL SELECT $outId, emb, cent_id FROM ca2)"""
 
   /** Rank-1 nearest-centroid assignment CTE — the oracle mirror of
     * Similarity.ivfAssign(keep = 1), shared by the kmeans and
@@ -489,7 +514,7 @@ ${kmeansAssignCte(s"s${s}enc", s"s${s}cents$iters", src = s"s${s}c")}"""
     s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
 q AS (SELECT vec_id, emb FROM c WHERE vec_id % 50 = 0),
 $centsCte,
-${twoLevelCaCtes("cents", "c", "neighbor_id")},
+${routedCaCtes("cents", "c", "neighbor_id")},
 qa AS (SELECT query_id, cent_id FROM (
 SELECT q.vec_id AS query_id, cent_id,
 row_number() OVER (PARTITION BY q.vec_id ORDER BY round(list_cosine_similarity(q.emb, cemb), 4) DESC, cent_id) AS cr
@@ -1247,7 +1272,7 @@ WHERE list_cosine_similarity(a.emb, b.emb) >= 0.25""",
     "q_ann_ivf_int8" ->
       s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
 $autoCentsCte,
-${twoLevelCaCtes("cents", "c", "neighbor_id")},
+${routedCaCtes("cents", "c", "neighbor_id")},
 q AS (SELECT vec_id, emb FROM c WHERE vec_id % 50 = 0),
 qa AS (SELECT query_id, cent_id FROM (
 SELECT q.vec_id AS query_id, cent_id,
@@ -1317,7 +1342,7 @@ FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)"""
 cents AS (SELECT vec_id AS cent_id, emb AS cemb FROM c
 QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
   <= greatest(16, CAST(ceil(sqrt((SELECT count(*) FROM c))) AS BIGINT))),
-${twoLevelCaCtes("cents", "c", "neighbor_id")},
+${routedCaCtes("cents", "c", "neighbor_id")},
 q AS (SELECT vec_id, emb FROM c WHERE vec_id % 50 = 0),
 qa AS (SELECT query_id, qemb, cent_id FROM (
 SELECT q.vec_id AS query_id, q.emb AS qemb, cent_id,
@@ -1337,7 +1362,7 @@ SELECT query_id, neighbor_id, score, "rank" FROM r WHERE "rank" <= 5""",
       s"""WITH c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 ${kmeansTrainCtes(16, 1, 64, src = "c0")},
 c AS (SELECT vec_id, emb FROM c0 WHERE list_dot_product(emb, emb) > 0),
-${twoLevelCaCtes("cents1", "c", "neighbor_id")},
+${routedCaCtes("cents1", "c", "neighbor_id")},
 q AS (SELECT vec_id, emb FROM c WHERE vec_id % 50 = 0),
 qa AS (SELECT query_id, qemb, cent_id FROM (
 SELECT q.vec_id AS query_id, q.emb AS qemb, cent_id,
@@ -1357,7 +1382,7 @@ SELECT query_id, neighbor_id, score, "rank" FROM r WHERE "rank" <= 5"""
 cents AS (SELECT vec_id AS cent_id, emb AS cemb FROM c
 QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
   <= greatest(16, CAST(ceil(sqrt((SELECT count(*) FROM c))) AS BIGINT))),
-${twoLevelCaCtes("cents", "c", "neighbor_id")},
+${routedCaCtes("cents", "c", "neighbor_id")},
 q AS (SELECT vec_id, emb FROM c WHERE vec_id % 50 = 0),
 qa AS (SELECT query_id, qemb, cent_id FROM (
 SELECT q.vec_id AS query_id, q.emb AS qemb, cent_id,

@@ -844,18 +844,53 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
   }
 
-  /** TWO-LEVEL nearest-centroid assignment — the IVF cell-routing
-    * twin of [[ivfAssign]](keep = 1) that cuts the build/append
-    * asymptote from n·nlist to ~2·n·√nlist dot products: the √nlist
-    * SUPER-centroids (the same md5-order draw rule as
-    * [[ivfCentroids]], taken FROM the centroid set) partition the
-    * centroids into coarse groups; each vector ranks the
-    * super-centroids first and then only the winner group's members.
-    * Both ranks keep the engine-portable (cosine rounded to
-    * `scoreDecimals` desc, id asc) rule, so the full route — super
-    * draw, membership, both ranks — replays exactly in the oracle.
+  /** Routing threshold for [[ivfAssignTwoLevel]]: centroid sets
+    * smaller than this take the flat [[ivfAssign]] route. The
+    * two-level route buys its ~2·n·√nlist asymptote with fixed
+    * overhead — two extra aggregation stages and a broadcast of the
+    * membership frame — that dominates when the flat candidate
+    * stream (n·nlist rows, collapsed map-side) is small anyway:
+    * measured at sf0.1 (n = 2k, nlist = 45) the two-level route cost
+    * ~2× the flat one, while at sf10 (n = 200k, nlist = 448) it is
+    * the difference between 4.1× and 2.3× scaling. 64 is the
+    * crossover decade: below it nlist/(2·√nlist) < 4, so the
+    * asymptotic saving cannot repay even one extra stage.
     *
-    * Differences from flat [[ivfAssign]], by design:
+    * The route is part of the RESULT contract (the two routes may
+    * pick different cells for a vector near a group boundary), so the
+    * oracle SQL branches on the same centroid count —
+    * [[graft.OracleSql]] keeps the two CTE chains behind the same
+    * `< 64` guard.
+    */
+  private[graft] val TwoLevelMinNlist = 64
+
+  /** Nearest-centroid cell assignment — the IVF routing used by every
+    * build/append path. Two routes behind one contract-stable switch:
+    *
+    *  - FLAT ([[ivfAssign]](keep = 1)) when the centroid set has
+    *    fewer than [[TwoLevelMinNlist]] rows, or when the centroid id
+    *    type is not integral (strings etc. — the two-level tiebreak
+    *    needs numeric negation; the flat window orders any type);
+    *  - TWO-LEVEL otherwise, cutting the assignment asymptote from
+    *    n·nlist to ~2·n·√nlist dot products: the ⌈√nlist⌉
+    *    SUPER-centroids (the same md5-order draw rule as
+    *    [[ivfCentroids]], taken FROM the centroid set) partition the
+    *    centroids into coarse groups; each vector ranks the
+    *    super-centroids first and then only the winner group's
+    *    members. Both ranks keep the engine-portable (cosine rounded
+    *    to `scoreDecimals` desc, id asc) rule, so the full route —
+    *    super draw, membership, both ranks — replays exactly in the
+    *    oracle.
+    *
+    * The centroid frame is contractually tiny (it is broadcast whole
+    * by every caller), so it is collected ONCE into a literal local
+    * relation: the route decision, the id-contract guard, and every
+    * downstream reference reuse the same driver-held rows — a
+    * potentially expensive centroid lineage (the md5-order corpus
+    * limit, or a fitted k-means training) is never evaluated twice,
+    * and the flat branch runs no extra job at all.
+    *
+    * Two-level specifics, by design:
     *  - the chosen cell may differ from the flat argmax when the
     *    globally nearest centroid sits outside the winner group (IVF
     *    cells are a blocking structure, not a semantic claim; the
@@ -863,15 +898,17 @@ object Similarity {
     *  - vectors rank only LIVE super-cells (those that won at least
     *    one member in the membership rank), so every vector lands in
     *    a non-empty group even under rounded-cosine ties;
-    *  - rank-1 is an ORDERED-STRUCT MIN AGGREGATION, not a window:
+    *  - rank-1 is an ORDERED-STRUCT MAX AGGREGATION, not a window:
     *    map-side combine collapses each partition's candidate rows
     *    before the exchange, so the shuffle carries n rows (the
     *    grouped vectors) instead of the window form's n·nlist scored
     *    rows — and the level-2 agg reuses level-1's partitioning, so
     *    the whole route is ONE exchange. The (sim desc, id asc) rule
-    *    becomes max over struct(sim, -id): ids are positive, so the
-    *    negation flips the tiebreak without touching the similarity
-    *    component (no -0.0 artifacts).
+    *    becomes max over struct(sim, -id): the negation flips the
+    *    tiebreak without touching the similarity component (no -0.0
+    *    artifacts), which is exactly why the guard below requires
+    *    integral NON-NEGATIVE centroid ids on this route — a negative
+    *    id would invert the documented asc tiebreak silently.
     */
   private[graft] def ivfAssignTwoLevel(
       df: DataFrame,
@@ -881,62 +918,87 @@ object Similarity {
       pfx: String,
       scoreDecimals: Int
   ): DataFrame = {
-    // the super draw sizes itself IN-PLAN (global count window over
-    // the nlist-row centroid frame — single-task, fine at any √n
-    // nlist) so no separate count job runs; the whole route is then
-    // derived from ONE tiny persisted frame, `mem`, materialized
-    // eagerly below — a potentially expensive centroid lineage (the
-    // md5-order corpus limit, or a fitted k-means training) is
-    // evaluated exactly once, and the serving plan references only
-    // the cached mem and its derivative
-    val sups0 = cents0
-      .select(col("cent_id").as("__sup__"), col("__cv__").as("__sv__"), col("__cn__").as("__sn__"),
-        md5(col("cent_id").cast("string")).as("__h__"))
-      .withColumn("__rn__", row_number().over(Window.orderBy(col("__h__"), col("__sup__"))))
-      .withColumn("__nc__", count(lit(1)).over(Window.partitionBy()))
-      .where(col("__rn__") <= ceil(sqrt(col("__nc__"))))
-      .drop("__h__", "__rn__", "__nc__")
-    // centroid -> super membership: tiny (nlist x nsup) broadcast
-    // cross join, same rank rule
-    val msim = round(dot(col("__cv__"), col("__sv__")) / (col("__cn__") * col("__sn__")), scoreDecimals)
-    val mem = cents0.crossJoin(broadcast(sups0))
-      .withColumn("__mk__", struct(msim.as("s"), (col("__sup__") * lit(-1)).as("i")))
-      .groupBy(col("cent_id"), col("__cv__"), col("__cn__"))
-      .agg(max(col("__mk__")).as("__mkw__"))
-      .withColumn("__sup__", col("__mkw__").getField("i") * lit(-1))
-      .drop("__mkw__")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    graft.Cleanup.defer(() => { mem.unpersist(); () })
-    mem.count() // ONE materialization of the centroid lineage
-    // live super-cells (those that won >= 1 member), vectors included
-    // — every centroid appears exactly once as a mem cent_id, so the
-    // super's own row supplies its vector
-    val live = broadcast(
-      mem.select(col("cent_id").as("__sup__"), col("__cv__").as("__sv__"), col("__cn__").as("__sn__"))
-        .join(mem.select(col("__sup__")).distinct(), Seq("__sup__")))
-    val base = df.select(col(idCol).as(s"${pfx}_id"), col(vecCol).as(s"__${pfx}v__"),
-      norm(col(vecCol)).as(s"__${pfx}n__"))
-    val ssim = round(dot(col(s"__${pfx}v__"), col("__sv__")) / (col(s"__${pfx}n__") * col("__sn__")), scoreDecimals)
-    val lvl1 = base.crossJoin(live)
-      .withColumn("__sk__", struct(ssim.as("s"), (col("__sup__") * lit(-1)).as("i")))
-      .groupBy(col(s"${pfx}_id"), col(s"__${pfx}v__"), col(s"__${pfx}n__"))
-      .agg(max(col("__sk__")).as("__skw__"))
-      .withColumn("__sup__", col("__skw__").getField("i") * lit(-1))
-      .drop("__skw__")
-    val csim = round(dot(col(s"__${pfx}v__"), col("__cv__")) / (col(s"__${pfx}n__") * col("__cn__")), scoreDecimals)
-    lvl1.join(broadcast(mem), Seq("__sup__"))
-      .withColumn("__ck__", struct(csim.as("s"), (col("cent_id") * lit(-1)).as("i")))
-      .groupBy(col(s"${pfx}_id"), col(s"__${pfx}v__"), col(s"__${pfx}n__"))
-      .agg(max(col("__ck__")).as("__ckw__"))
-      .withColumn("cent_id", col("__ckw__").getField("i") * lit(-1))
-      .drop("__ckw__")
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    import scala.jdk.CollectionConverters._
+    val spark = cents0.sparkSession
+    val rows = cents0.collect()
+    val cents = broadcast(spark.createDataFrame(rows.toList.asJava, cents0.schema))
+    val idIdx = cents0.schema.fieldIndex("cent_id")
+    val integralId = cents0.schema(idIdx).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _                                             => false
+    }
+    if (rows.length < TwoLevelMinNlist || !integralId) {
+      if (!integralId && rows.length >= TwoLevelMinNlist)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"ivfAssignTwoLevel: centroid id type ${cents0.schema(idIdx).dataType} is not integral; " +
+            "routing FLAT (n·nlist) — use integral non-negative ids for the two-level (n·√nlist) route")
+      ivfAssign(df, cents, idCol, vecCol, pfx, keep = 1, scoreDecimals)
+    } else {
+      require(!rows.exists(r => r.isNullAt(idIdx) || java.lang.Long.parseLong(r.get(idIdx).toString) < 0L),
+        "ivfAssignTwoLevel: centroid ids must be non-negative — the two-level tiebreak " +
+          "negates the id for its (sim desc, id asc) rule; a negative id would invert it silently")
+      // super draw: the same md5-order rule as ivfCentroids, applied
+      // driver-side to the already-collected centroid rows (pure
+      // SELECTION — no arithmetic to diverge from the oracle replay,
+      // which re-derives it with SQL md5 + the same ASCII-hex order)
+      val nsup = math.ceil(math.sqrt(rows.length.toDouble)).toInt
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def hex(s: String): String = {
+        md.reset()
+        md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      }
+      val supRows = rows
+        .sortBy(r => (hex(r.get(idIdx).toString), java.lang.Long.parseLong(r.get(idIdx).toString)))
+        .take(nsup)
+      val sups0 = broadcast(spark.createDataFrame(supRows.toList.asJava, cents0.schema))
+        .select(col("cent_id").as("__sup__"), col("__cv__").as("__sv__"), col("__cn__").as("__sn__"))
+      // centroid -> super membership: tiny (nlist x nsup) broadcast
+      // cross join, same rank rule
+      val msim = round(dot(col("__cv__"), col("__sv__")) / (col("__cn__") * col("__sn__")), scoreDecimals)
+      val mem = cents.crossJoin(sups0)
+        .withColumn("__mk__", struct(msim.as("s"), (col("__sup__") * lit(-1)).as("i")))
+        .groupBy(col("cent_id"), col("__cv__"), col("__cn__"))
+        .agg(max(col("__mk__")).as("__mkw__"))
+        .withColumn("__sup__", col("__mkw__").getField("i") * lit(-1))
+        .drop("__mkw__")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.Cleanup.defer(() => { mem.unpersist(); () })
+      // one eager materialization: the membership frame is referenced
+      // three times below (live twice, the level-2 join once) — a
+      // tiny nlist-row job here beats three racing recomputes, and
+      // the serving plan then references only the cache
+      mem.count()
+      // live super-cells (those that won >= 1 member), vectors
+      // included — every centroid appears exactly once as a mem
+      // cent_id, so the super's own row supplies its vector
+      val live = broadcast(
+        mem.select(col("cent_id").as("__sup__"), col("__cv__").as("__sv__"), col("__cn__").as("__sn__"))
+          .join(mem.select(col("__sup__")).distinct(), Seq("__sup__")))
+      val base = df.select(col(idCol).as(s"${pfx}_id"), col(vecCol).as(s"__${pfx}v__"),
+        norm(col(vecCol)).as(s"__${pfx}n__"))
+      val ssim = round(dot(col(s"__${pfx}v__"), col("__sv__")) / (col(s"__${pfx}n__") * col("__sn__")), scoreDecimals)
+      val lvl1 = base.crossJoin(live)
+        .withColumn("__sk__", struct(ssim.as("s"), (col("__sup__") * lit(-1)).as("i")))
+        .groupBy(col(s"${pfx}_id"), col(s"__${pfx}v__"), col(s"__${pfx}n__"))
+        .agg(max(col("__sk__")).as("__skw__"))
+        .withColumn("__sup__", col("__skw__").getField("i") * lit(-1))
+        .drop("__skw__")
+      val csim = round(dot(col(s"__${pfx}v__"), col("__cv__")) / (col(s"__${pfx}n__") * col("__cn__")), scoreDecimals)
+      lvl1.join(broadcast(mem), Seq("__sup__"))
+        .withColumn("__ck__", struct(csim.as("s"), (col("cent_id") * lit(-1)).as("i")))
+        .groupBy(col(s"${pfx}_id"), col(s"__${pfx}v__"), col(s"__${pfx}n__"))
+        .agg(max(col("__ck__")).as("__ckw__"))
+        .withColumn("cent_id", col("__ckw__").getField("i") * lit(-1))
+        .drop("__ckw__")
+    }
   }
 
   /** Nearest `keep` centroids per row (norms staged per row/centroid;
     * ties on rounded similarity rank by centroid id so assignment is
     * exact across engines): (pfx_id, __pfxv__, __pfxn__, cent_id).
     */
-  private[pipeline] def ivfAssign(
+  private[graft] def ivfAssign(
       df: DataFrame,
       cents: DataFrame,
       idCol: String,

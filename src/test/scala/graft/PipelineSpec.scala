@@ -685,6 +685,45 @@ class PipelineSpec extends SparkSuite {
     assert(recall >= 0.6, f"IVF recall@5 fell to $recall%.3f (bar 0.6)")
   }
 
+  test("ivfAssignTwoLevel id contract: string ids route FLAT (matching ivfAssign), negative ids fail fast (r15)") {
+    val s = spark; import s.implicits._
+    val corpus = (0 until 150).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 13 + d * 7)))
+    }.toDF("id", "v")
+    def centsOf(ids: Seq[Any]): org.apache.spark.sql.DataFrame = {
+      val base = (0 until ids.length).map { i =>
+        (i, Array.tabulate(8)(d => math.cos(i * 31 + d * 3)))
+      }.toDF("i", "__cv__")
+      val idDf = ids.zipWithIndex match {
+        case z if ids.head.isInstanceOf[String] =>
+          z.map { case (v, i) => (i, v.asInstanceOf[String]) }.toDF("i", "cent_id")
+        case z => z.map { case (v, i) => (i, v.asInstanceOf[Long]) }.toDF("i", "cent_id")
+      }
+      base.join(idDf, "i")
+        .select(col("cent_id"), col("__cv__"),
+          sqrt(aggregate(col("__cv__"), lit(0.0d), (a, x) => a + x * x)).as("__cn__"))
+    }
+    // 80 STRING-id centroids (>= TwoLevelMinNlist): the two-level
+    // tiebreak negates ids, which silently null-casts strings — the
+    // switch must fall back to the flat route, whose window orders
+    // any type, and produce exactly ivfAssign's assignment
+    val sCents = centsOf((0 until 80).map(i => f"k$i%03d"))
+    val viaSwitch = Similarity.ivfAssignTwoLevel(corpus, sCents, "id", "v", "row", 4)
+      .select("row_id", "cent_id").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    SparkEntry.runPendingCleanups()
+    val viaFlat = Similarity.ivfAssign(corpus, sCents, "id", "v", "row", keep = 1, 4)
+      .select("row_id", "cent_id").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(viaSwitch == viaFlat, "string-id centroids must route flat and match ivfAssign exactly")
+    // negative integral ids on the two-level route would invert the
+    // (sim desc, id asc) tiebreak — the guard refuses them up front
+    val nCents = centsOf((0 until 80).map(i => (i - 1).toLong))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.ivfAssignTwoLevel(corpus, nCents, "id", "v", "row", 4)
+    }
+    assert(ex.getMessage.contains("non-negative"), s"unexpected message: ${ex.getMessage}")
+    SparkEntry.runPendingCleanups()
+  }
+
   test("trained quantizer retains recall at low probed fraction where the random draw decays") {
     val s = spark; import s.implicits._
     // 16 LOOSE clusters (noise comparable to cluster separation),
