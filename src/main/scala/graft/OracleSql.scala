@@ -677,6 +677,36 @@ FROM (SELECT doc_id FROM documents WHERE doc_id % 37 <> 0) d LEFT JOIN sc ON d.d
 
   // ---- the map ----------------------------------------------------
 
+  /** Shared by q_ann_ivf_int8 (in-memory ivfInt8TopK) and
+    * q_ann_ivf_store_int8 (the persisted int8 index): the stored path
+    * writes the SAME codes and code norms the in-memory operator
+    * derives (quantization round-trips the int codes exactly and the
+    * norm is an integer-sum sqrt, bit-stable), so one SQL gates both.
+    */
+  private lazy val annIvfInt8Sql: String =
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
+$autoCentsCte,
+${routedCaCtes("cents", "c", "neighbor_id")},
+q AS (SELECT vec_id, emb FROM c WHERE vec_id % 50 = 0),
+qa AS (SELECT query_id, cent_id FROM (
+SELECT q.vec_id AS query_id, cent_id,
+row_number() OVER (PARTITION BY q.vec_id ORDER BY round(list_cosine_similarity(q.emb, cemb), 4) DESC, cent_id) AS cr
+FROM q CROSS JOIN cents) t WHERE cr <= 4),
+cz AS (SELECT vec_id,
+  CASE WHEN s = 0 THEN list_transform(emb, x -> 0.0)
+       ELSE list_transform(emb, x -> round(x / s)) END AS qv
+  FROM (SELECT vec_id, list_max(list_transform(emb, x -> abs(x))) / 127.0 AS s, emb FROM c) t),
+s2 AS (SELECT qa.query_id, ca.neighbor_id,
+  round(list_dot_product(zq.qv, zn.qv) /
+        (sqrt(list_dot_product(zq.qv, zq.qv)) * sqrt(list_dot_product(zn.qv, zn.qv))), 4) AS score
+  FROM qa JOIN ca USING (cent_id)
+  JOIN cz zq ON zq.vec_id = qa.query_id
+  JOIN cz zn ON zn.vec_id = ca.neighbor_id
+  WHERE qa.query_id <> ca.neighbor_id),
+r AS (SELECT query_id, neighbor_id, score,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS INT) AS "rank" FROM s2)
+SELECT query_id, neighbor_id, score, "rank" FROM r WHERE "rank" <= 5"""
+
   lazy val all: Map[String, String] = Map(
     "q_kmeans" -> kmeansSql(k = 8, iters = 2, dims = 64),
     // nlist = 0 replays Similarity.AutoNlist (sqrt-sized coarse cells)
@@ -1269,29 +1299,12 @@ WHERE list_cosine_similarity(a.emb, b.emb) >= 0.25""",
 
     // compressed IVF: float cell routing (the q_ann_ivf CTEs), int8
     // scoring — same quantization replay as q_ann_int8
-    "q_ann_ivf_int8" ->
-      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
-$autoCentsCte,
-${routedCaCtes("cents", "c", "neighbor_id")},
-q AS (SELECT vec_id, emb FROM c WHERE vec_id % 50 = 0),
-qa AS (SELECT query_id, cent_id FROM (
-SELECT q.vec_id AS query_id, cent_id,
-row_number() OVER (PARTITION BY q.vec_id ORDER BY round(list_cosine_similarity(q.emb, cemb), 4) DESC, cent_id) AS cr
-FROM q CROSS JOIN cents) t WHERE cr <= 4),
-cz AS (SELECT vec_id,
-  CASE WHEN s = 0 THEN list_transform(emb, x -> 0.0)
-       ELSE list_transform(emb, x -> round(x / s)) END AS qv
-  FROM (SELECT vec_id, list_max(list_transform(emb, x -> abs(x))) / 127.0 AS s, emb FROM c) t),
-s2 AS (SELECT qa.query_id, ca.neighbor_id,
-  round(list_dot_product(zq.qv, zn.qv) /
-        (sqrt(list_dot_product(zq.qv, zq.qv)) * sqrt(list_dot_product(zn.qv, zn.qv))), 4) AS score
-  FROM qa JOIN ca USING (cent_id)
-  JOIN cz zq ON zq.vec_id = qa.query_id
-  JOIN cz zn ON zn.vec_id = ca.neighbor_id
-  WHERE qa.query_id <> ca.neighbor_id),
-r AS (SELECT query_id, neighbor_id, score,
-  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS INT) AS "rank" FROM s2)
-SELECT query_id, neighbor_id, score, "rank" FROM r WHERE "rank" <= 5""",
+    "q_ann_ivf_int8" -> annIvfInt8Sql,
+
+    // the PERSISTED int8 index serves the exact in-memory ivfInt8TopK
+    // math: float routing into stored cells, quantized codes + stored
+    // code norms scoring inside the probed partitions — one oracle
+    "q_ann_ivf_store_int8" -> annIvfInt8Sql,
 
     // int8 quantization replay: codes as DOUBLE lists (integer-exact
     // sums), scales cancel in the cosine ratio

@@ -902,6 +902,21 @@ object SparkEntry {
       val q = e.where(col("vec_id") % 50 === 0)
       graft.pipeline.IvfIndex.searchTopK(s, path, q, "vec_id", "emb", k = 5, nprobe = 4)
     }),
+    "q_ann_ivf_store_int8" -> ((s, dir) => {
+      // the COMPRESSED persisted index: same float routing as the
+      // stored-float path, but cells hold int8 codes + scale + code
+      // norms (~4-6x smaller on disk — the artifact that dominates at
+      // 100 TB); serving quantizes the queries and scores quantized
+      // cosine, replaying the q_ann_ivf_int8 oracle exactly
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val path = new java.io.File(
+        s"target/graft-ivf/${new java.io.File(dir).getName}/idx8").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      graft.pipeline.IvfIndex.build(e, "vec_id", "emb", path,
+        nlist = Similarity.AutoNlist, int8 = true)
+      val q = e.where(col("vec_id") % 50 === 0)
+      graft.pipeline.IvfIndex.searchTopK(s, path, q, "vec_id", "emb", k = 5, nprobe = 4)
+    }),
     "q_ann_ivf_fitted" -> ((s, dir) => {
       // the TRAINED-quantizer serving path: cells from one Lloyd
       // round over the md5 init draw (coherent cells are what keep

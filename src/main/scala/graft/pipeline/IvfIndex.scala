@@ -84,6 +84,21 @@ object IvfIndex {
     * ignored when given. The build is a one-time offline cost either
     * way; everything downstream (layout, serving, appends under the
     * frozen quantizer) is identical.
+    *
+    * `int8 = true` stores the COMPRESSED layout: per row the
+    * [[Similarity.quantizeInt8]] codes (as `array<tinyint>`), the
+    * dequantization scale, and the code-vector norm — NO float
+    * vector. The stored index is the dominant artifact at 100 TB and
+    * this shrinks it ~4-6× (doubles are incompressible in parquet;
+    * tinyint codes dictionary-encode to ~a byte). Routing stays
+    * float (centroids are stored float — they are nlist rows);
+    * [[searchTopK]] detects the layout and scores quantized cosine
+    * exactly like [[Similarity.ivfInt8TopK]], so the stored path
+    * shares q_ann_ivf_int8's oracle. [[rebuild]]/catch-up reconstruct
+    * vectors as `code * scale`; requantizing a reconstructed vector
+    * reproduces the codes exactly (the max code is ±127 by
+    * construction, so the scale round-trips to ≤1 ulp and every
+    * `round(cᵢ·s/s')` lands back on cᵢ).
     */
   def build(
       corpus: DataFrame,
@@ -92,7 +107,8 @@ object IvfIndex {
       path: String,
       nlist: Int = 16,
       scoreDecimals: Int = 4,
-      centroids: Option[DataFrame] = None
+      centroids: Option[DataFrame] = None,
+      int8: Boolean = false
   ): Unit = {
     val nz = Similarity.dropZeroVectors(corpus, vecCol)
     val cents = centroids.map(broadcast)
@@ -100,10 +116,9 @@ object IvfIndex {
         Similarity.resolveNlist(nlist, nz)))
     // the assignment pipeline feeds BOTH the cell write and the
     // keymap write — persist so it computes once, not per sink
-    val assigned = Similarity
-      .ivfAssignTwoLevel(nz, cents, idCol, vecCol, "row", scoreDecimals)
-      .select(col("cent_id"), col("row_id").as(idCol),
-        col("__rowv__").as(vecCol), col("__rown__").as("__vn__"))
+    val assigned = cellRows(
+      Similarity.ivfAssignTwoLevel(nz, cents, idCol, vecCol, "row", scoreDecimals),
+      idCol, vecCol, int8)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       graft.sources.Sink.writePartitioned(
@@ -126,6 +141,10 @@ object IvfIndex {
     * exactly the moment the corpus has grown or drifted past its old
     * cell layout, so the fresh quantizer re-derives `max(16, ⌈√n⌉)`
     * from the CURRENT corpus size unless pinned explicitly.
+    *
+    * The compression mode is INHERITED: an int8 layout rebuilds into
+    * an int8 layout (vectors reconstructed as `code * scale`, codes
+    * reproduced exactly — see [[build]]), a float layout into float.
     */
   def rebuild(
       spark: SparkSession,
@@ -137,8 +156,9 @@ object IvfIndex {
       scoreDecimals: Int = 4,
       centroids: Option[DataFrame] = None
   ): Unit = {
-    val corpus = spark.read.parquet(path).select(col(idCol), col(vecCol))
-    build(corpus, idCol, vecCol, newPath, nlist, scoreDecimals, centroids)
+    val int8 = layoutIsInt8(spark, path)
+    build(corpusVectors(spark, path, idCol, vecCol), idCol, vecCol,
+      newPath, nlist, scoreDecimals, centroids, int8)
   }
 
   /** Upsert a new batch of vectors into an existing index under its
@@ -160,10 +180,9 @@ object IvfIndex {
   ): IvfStats = {
     val cents = broadcast(spark.read.parquet(s"$path/$CentroidsDir"))
     val nz = Similarity.dropZeroVectors(batch, vecCol)
-    val assigned = Similarity
-      .ivfAssignTwoLevel(nz, cents, idCol, vecCol, "row", scoreDecimals)
-      .select(col("cent_id"), col("row_id").as(idCol),
-        col("__rowv__").as(vecCol), col("__rown__").as("__vn__"))
+    val assigned = cellRows(
+      Similarity.ivfAssignTwoLevel(nz, cents, idCol, vecCol, "row", scoreDecimals),
+      idCol, vecCol, layoutIsInt8(spark, path))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // moved keys: sidecar rows whose stored cell differs from the
@@ -259,6 +278,55 @@ object IvfIndex {
   ): Boolean =
     stats(spark, path, idCol).skew >= maxSkew
 
+  /** The stored row shape for one routed batch. Float layout:
+    * (cent_id, key, vector, __vn__). int8 layout: (cent_id, key,
+    * __codes__ tinyint[], __scale__, __cn__) — codes + scale from
+    * [[Similarity.quantizeInt8]], `__cn__` the code-vector norm (an
+    * integer-sum sqrt, so serving reproduces
+    * [[Similarity.ivfInt8TopK]]'s norms bit-for-bit). The tinyint
+    * cast is exact (codes are in [-127, 127] by construction).
+    */
+  private def cellRows(
+      routed: DataFrame,
+      idCol: String,
+      vecCol: String,
+      int8: Boolean
+  ): DataFrame = {
+    val base = routed.select(col("cent_id"), col("row_id").as(idCol),
+      col("__rowv__").as(vecCol), col("__rown__").as("__vn__"))
+    if (!int8) base
+    else Similarity.quantizeInt8(base, vecCol, "__codes0__", "__scale__")
+      .select(col("cent_id"), col(idCol),
+        col("__codes0__").cast("array<tinyint>").as("__codes__"),
+        col("__scale__"),
+        Similarity.norm(col("__codes0__").cast("array<double>")).as("__cn__"))
+  }
+
+  /** Whether the layout at `path` stores int8 codes instead of float
+    * vectors — one parquet-footer schema read, no data scan.
+    */
+  private def layoutIsInt8(spark: SparkSession, path: String): Boolean =
+    spark.read.parquet(path).columns.contains("__codes__")
+
+  /** (key, vector) back OUT of a layout — the input contract of
+    * [[build]]/[[managedCatchUp]]. Float layouts project; int8
+    * layouts dequantize `code * scale` (requantization reproduces the
+    * codes exactly — see [[build]]), so rebuild/catch-up compose
+    * identically over both.
+    */
+  private def corpusVectors(
+      spark: SparkSession,
+      path: String,
+      idCol: String,
+      vecCol: String
+  ): DataFrame = {
+    val df = spark.read.parquet(path)
+    if (df.columns.contains("__codes__"))
+      df.select(col(idCol),
+        transform(col("__codes__").cast("array<double>"), c => c * col("__scale__")).as(vecCol))
+    else df.select(col(idCol), col(vecCol))
+  }
+
   /** The sidecar rows for a batch of assignments: (key, cell),
     * hash-bucketed by key — `kb` is a pure function of the key,
     * so sidecar upserts satisfy [[graft.sources.Sink.upsertPartitioned]]'s
@@ -341,13 +409,14 @@ object IvfIndex {
       root: String,
       nlist: Int = 16,
       scoreDecimals: Int = 4,
-      centroids: Option[DataFrame] = None
+      centroids: Option[DataFrame] = None,
+      int8: Boolean = false
   ): String = {
     import org.apache.hadoop.fs.Path
     val r = new Path(root)
     val fs = r.getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
     val gen = f"gen-${System.currentTimeMillis()}%013d"
-    build(corpus, idCol, vecCol, new Path(r, gen).toString, nlist, scoreDecimals, centroids)
+    build(corpus, idCol, vecCol, new Path(r, gen).toString, nlist, scoreDecimals, centroids, int8)
     publishGeneration(fs, r, gen)
     new Path(r, gen).toString
   }
@@ -413,9 +482,8 @@ object IvfIndex {
     while (rounds < 5 && !drained) {
       val missing = keymap(spark, fromPath, idCol).select(col(idCol))
         .join(keymap(spark, toPath, idCol).select(col(idCol)), Seq(idCol), "left_anti")
-      val late = spark.read.parquet(fromPath)
+      val late = corpusVectors(spark, fromPath, idCol, vecCol)
         .join(missing, Seq(idCol), "left_semi")
-        .select(col(idCol), col(vecCol))
       if (late.isEmpty) drained = true
       else { appendBatch(spark, toPath, late, idCol, vecCol, scoreDecimals); moved += 1 }
       rounds += 1
@@ -437,8 +505,13 @@ object IvfIndex {
 
   /** Cosine top-k against the stored index: route queries to their
     * `nprobe` nearest cells, scan ONLY those cell partitions, score,
-    * rank (rounded score desc, id asc). Bit-identical to
-    * [[Similarity.ivfTopK]] at equal (nlist, nprobe, scoreDecimals).
+    * rank (rounded score desc, id asc). Float layouts are
+    * bit-identical to [[Similarity.ivfTopK]] at equal
+    * (nlist, nprobe, scoreDecimals); int8 layouts (detected from the
+    * stored schema) quantize the queries and score quantized cosine
+    * over the stored codes + code norms, bit-identical to
+    * [[Similarity.ivfInt8TopK]] — routing is float in both (the
+    * centroid sidecar stores float centroids either way).
     */
   def searchTopK(
       spark: SparkSession,
@@ -458,18 +531,43 @@ object IvfIndex {
     // values by construction
     val probed = qCells.select(col("cent_id").cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val cells = spark.read.parquet(path)
+    val layout = spark.read.parquet(path)
       .where(col("cent_id").isin(probed: _*))
-      .select(col("cent_id").cast("long").as("cent_id"),
-        col(idCol).as("neighbor_id"), col(vecCol).as("__nv__"), col("__vn__"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
-    qCells
-      .join(cells, Seq("cent_id"))
-      .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("score",
-        round(Similarity.dot(col("__queryv__"), col("__nv__")) /
-          (col("__queryn__") * col("__vn__")), scoreDecimals))
+    val scored =
+      if (!layout.columns.contains("__codes__")) {
+        val cells = layout.select(col("cent_id").cast("long").as("cent_id"),
+          col(idCol).as("neighbor_id"), col(vecCol).as("__nv__"), col("__vn__"))
+        qCells
+          .join(cells, Seq("cent_id"))
+          .where(col("query_id") =!= col("neighbor_id"))
+          .withColumn("score",
+            round(Similarity.dot(col("__queryv__"), col("__nv__")) /
+              (col("__queryn__") * col("__vn__")), scoreDecimals))
+      } else {
+        // int8 serving: stored codes + code norms on the corpus side,
+        // freshly-quantized codes on the (broadcast-small) query side
+        // — the per-vector scales cancel out of the cosine ratio, so
+        // this is Similarity.int8TopK's math inside the probed cells
+        val cells = layout.select(col("cent_id").cast("long").as("cent_id"),
+          col(idCol).as("neighbor_id"),
+          col("__codes__").cast("array<double>").as("__nv__"),
+          col("__cn__").as("__vn__"))
+        val qCodes = broadcast(
+          Similarity.quantizeInt8(
+            qNz.select(col(idCol).as("query_id"), col(vecCol)), vecCol, "__qc__", "__qs__")
+            .select(col("query_id"), col("__qc__").cast("array<double>").as("__qv8__"))
+            .withColumn("__qn8__", Similarity.norm(col("__qv8__"))))
+        qCells.select(col("cent_id"), col("query_id"))
+          .join(qCodes, Seq("query_id"))
+          .join(cells, Seq("cent_id"))
+          .where(col("query_id") =!= col("neighbor_id"))
+          .withColumn("score",
+            round(Similarity.dot(col("__qv8__"), col("__nv__")) /
+              (col("__qn8__") * col("__vn__")), scoreDecimals))
+      }
+    scored
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))

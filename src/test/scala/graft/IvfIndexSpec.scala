@@ -29,6 +29,56 @@ class IvfIndexSpec extends SparkSuite {
     assert(resultSet(stored) == resultSet(mem))
   }
 
+  test("int8 layout: serves ivfInt8TopK exactly, stores no float vectors, maintains through append/delete/rebuild (r15)") {
+    val path = tempPath("int8")
+    IvfIndex.build(emb, "vec_id", "emb", path, nlist = 16, int8 = true)
+    // the compressed layout: tinyint codes + scale + code norm, NO
+    // float vector column — that's the ~4-6x on-disk shrink
+    val schema = spark.read.parquet(path).schema
+    assert(!schema.fieldNames.contains("emb"), "int8 layout must not store float vectors")
+    assert(schema.fieldNames.toSet.intersect(Set("__codes__", "__scale__", "__cn__")).size == 3)
+    assert(schema("__codes__").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType == org.apache.spark.sql.types.ByteType, "codes must store as tinyint")
+    // serving parity with the in-memory compressed operator
+    val q = emb.where(col("vec_id") % 50 === 0)
+    val stored = IvfIndex.searchTopK(spark, path, q, "vec_id", "emb", k = 5, nprobe = 4)
+    val mem = Similarity.ivfInt8TopK(emb, q, "vec_id", "emb", k = 5, nlist = 16, nprobe = 4)
+    assert(resultSet(stored) == resultSet(mem),
+      "int8 stored serving must reproduce ivfInt8TopK bit-for-bit")
+    // a changed-vector append moves the key and keeps the layout int8
+    val layout0 = spark.read.parquet(path)
+      .select(col("cent_id").cast("long"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (c1, id1) = layout0.head
+    val (c2, id2) = layout0.find(_._1 != c1).get
+    IvfIndex.appendBatch(spark, path,
+      emb.where(col("vec_id") === id2).select(lit(id1).as("vec_id"), col("emb")),
+      "vec_id", "emb")
+    val after = spark.read.parquet(path)
+    assert(!after.columns.contains("emb"), "append must inherit the int8 layout")
+    val moved = after.where(col("vec_id") === id1)
+      .select(col("cent_id").cast("long")).collect().map(_.getLong(0))
+    assert(moved.toSeq == Seq(c2), s"changed vector must move id $id1 to cell $c2, got ${moved.toSeq}")
+    // delete keeps stats truthful on the compressed layout too
+    val s0 = IvfIndex.stats(spark, path, "vec_id")
+    val st = IvfIndex.deleteVectors(spark, path,
+      emb.where(col("vec_id") < 10).select("vec_id"), "vec_id")
+    assert(st.rows == s0.rows - emb.where(col("vec_id") < 10).count())
+    // rebuild inherits the compression mode (vectors reconstructed as
+    // code * scale; requantization reproduces the codes exactly)
+    val path2 = tempPath("int8-rebuilt")
+    IvfIndex.rebuild(spark, path, path2, "vec_id", "emb", nlist = 16)
+    val re = spark.read.parquet(path2)
+    assert(!re.columns.contains("emb") && re.columns.contains("__codes__"),
+      "rebuild of an int8 layout must stay int8")
+    assert(re.count() == st.rows, "rebuild must carry every surviving id")
+    val codes0 = spark.read.parquet(path).select(col("vec_id"), col("__codes__").cast("array<int>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val codes2 = re.select(col("vec_id"), col("__codes__").cast("array<int>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes0 == codes2, "dequantize -> requantize must round-trip every code exactly")
+  }
+
   test("AutoNlist derives max(16, ceil(sqrt(n))) cells and matches the in-memory operator") {
     // 500 vectors at sf0.001 -> ceil(sqrt(n over the NONZERO set));
     // pin the arithmetic itself plus the stored centroid count
