@@ -206,7 +206,8 @@ object IvfIndex {
       // partition stable), so its rewrite cannot share the cell
       // walk; it stays a plain key-upsert of batch-footprint cost
       graft.sources.Sink.upsertPartitioned(
-        spark, s"$path/$KeymapDir", keymapRows(assigned, idCol),
+        spark, s"$path/$KeymapDir",
+        conformKeymap(spark, s"$path/$KeymapDir", keymapRows(assigned, idCol)),
         keyCols = Seq(idCol), partitionCols = Seq("kb"), sortCols = Seq(idCol))
       stats(spark, path, idCol)
     } finally { assigned.unpersist(); () }
@@ -327,14 +328,45 @@ object IvfIndex {
     else df.select(col(idCol), col(vecCol))
   }
 
-  /** The sidecar rows for a batch of assignments: (key, cell),
-    * hash-bucketed by key — `kb` is a pure function of the key,
-    * so sidecar upserts satisfy [[graft.sources.Sink.upsertPartitioned]]'s
-    * stable-partition contract even when the CELL changes.
+  /** The sidecar rows for a batch of assignments: (key, cell,
+    * bucket, version). `kb` is a pure function of the key, so sidecar
+    * upserts satisfy [[graft.sources.Sink.upsertPartitioned]]'s
+    * stable-partition contract even when the CELL changes. `__ver__`
+    * is a hash of the stored VECTOR CONTENT (the float vector, or the
+    * int8 codes — the scale is excluded because reconstruction can
+    * move it by 1 ulp without changing any code): two generations
+    * holding the same vector for a key derive the same version, so
+    * [[managedCatchUp]] can detect keys RE-INGESTED WITH A CHANGED
+    * VECTOR during a rebuild, not just brand-new keys. Rows without a
+    * content column (the delete path's located keys) carry a null
+    * version, which downstream reads as "unknown".
     */
-  private def keymapRows(assigned: DataFrame, idCol: String): DataFrame =
+  private def keymapRows(assigned: DataFrame, idCol: String): DataFrame = {
+    val ver: org.apache.spark.sql.Column =
+      if (assigned.columns.contains("__codes__")) xxhash64(col("__codes__"))
+      else assigned.columns.filterNot(Set(idCol, "cent_id", "__vn__")) match {
+        case Array(vc) => xxhash64(col(vc))
+        case _         => lit(null).cast("long")
+      }
     assigned.select(col(idCol), col("cent_id"),
-      pmod(xxhash64(col(idCol).cast("string")), lit(KeymapBuckets)).as("kb"))
+      pmod(xxhash64(col(idCol).cast("string")), lit(KeymapBuckets)).as("kb"),
+      ver.as("__ver__"))
+  }
+
+  /** New sidecar rows conformed to an EXISTING sidecar's schema: a
+    * pre-version keymap (built before r15) has no `__ver__` column,
+    * and upserting mixed schemas into one bucket layout would corrupt
+    * the union — legacy sidecars keep their shape (catch-up then
+    * falls back to the id-only diff, the pre-r15 behavior).
+    */
+  private def conformKeymap(spark: SparkSession, kmPath: String, rows: DataFrame): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(kmPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && !spark.read.parquet(kmPath).columns.contains("__ver__"))
+      rows.drop("__ver__")
+    else rows
+  }
 
   /** The key→cell sidecar; for indexes written before the sidecar
     * existed, derives it once from a pruned (key, cell) scan of the
@@ -344,7 +376,19 @@ object IvfIndex {
     * column position would silently key the sidecar on the wrong
     * column for a layout whose parquet column order differs.
     */
-  private def keymap(spark: SparkSession, path: String, idCol: String): DataFrame = {
+  // `idCol` is only consulted for the one-time migration — the read
+  // itself projects by DROPPING bookkeeping columns, so stats-style
+  // callers may pass a nominal id name (their queries never touch it)
+  private def keymap(spark: SparkSession, path: String, idCol: String): DataFrame =
+    keymapFull(spark, path, idCol).drop("__ver__")
+
+  /** The sidecar INCLUDING the vector-version column (null for every
+    * row of a pre-version sidecar) — what [[catchUpDiff]] consumes.
+    * The one-time migration for pre-sidecar layouts derives versions
+    * from the layout's own content column, so migrated indexes get
+    * changed-vector catch-up for free.
+    */
+  private def keymapFull(spark: SparkSession, path: String, idCol: String): DataFrame = {
     import org.apache.hadoop.fs.Path
     val km = new Path(s"$path/$KeymapDir")
     val fs = km.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -353,12 +397,14 @@ object IvfIndex {
       require(layout.columns.contains(idCol),
         s"index at $path has no '$idCol' column; cannot derive the _keymap sidecar")
       graft.sources.Sink.writePartitioned(
-        keymapRows(layout.select(col(idCol), col("cent_id")), idCol),
+        keymapRows(layout, idCol),
         km.toString, partitionCols = Seq("kb"), sortCols = Seq(idCol))
     }
-    spark.read.parquet(km.toString)
-      .drop("kb")
-      .withColumn("cent_id", col("cent_id").cast("long"))
+    val df = spark.read.parquet(km.toString)
+    val withVer =
+      if (df.columns.contains("__ver__")) df
+      else df.withColumn("__ver__", lit(null).cast("long"))
+    withVer.drop("kb").withColumn("cent_id", col("cent_id").cast("long"))
   }
 
   // ---- managed generations (blue/green serving pointer) -----------
@@ -438,7 +484,18 @@ object IvfIndex {
     * the final repoint commits to the old generation and is not in
     * the new one — run appends and maintenance from the same driver
     * (the [[graft.streaming.StreamOps.ivfAppendStream]] managed form
-    * does) so the marker flip orders with batch boundaries.
+    * does) so the marker flip orders with batch boundaries. The
+    * [[managedPublish]] drain guard turns that residual window from a
+    * silent loss into a refusal: an id still missing (or stale) in
+    * the new generation at publish time throws instead of publishing.
+    *
+    * With `publish = false` the built-and-caught-up generation is
+    * recorded under a durable `_pending-<ts>` marker: the caller (or
+    * a restarted process) publishes it later via
+    * [[managedFinishPending]] — a finished retrain is never orphaned
+    * by a crash or a stream stop. With `publish = true` the marker is
+    * written before the guarded publish, so even a publish REFUSAL
+    * leaves the generation resumable instead of orphaned.
     */
   def managedMaintain(
       spark: SparkSession,
@@ -454,19 +511,60 @@ object IvfIndex {
     val current = managedCurrent(spark, root)
     if (!needsRebuild(spark, current, maxSkew, idCol)) return None
     val r = new Path(root)
+    val fs = r.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val gen = f"gen-${System.currentTimeMillis()}%013d"
     val next = new Path(r, gen).toString
     rebuild(spark, current, next, idCol, vecCol, nlist, scoreDecimals)
     managedCatchUp(spark, current, next, idCol, vecCol, scoreDecimals)
-    if (publish) managedPublish(spark, root, next)
+    writePendingMarker(fs, r, gen)
+    if (publish) managedPublish(spark, root, next, idCol)
     Some(next)
   }
 
+  /** The ids [[managedCatchUp]] still owes `toPath`: present in
+    * `fromPath`'s keymap but absent from `toPath`'s, OR present in
+    * both with a DIFFERENT vector version — a key re-ingested with a
+    * changed vector while the rebuild ran must follow (latest-wins),
+    * not just brand-new keys. When either side's version is unknown
+    * (a pre-version sidecar), that key falls back to the id-only
+    * rule.
+    */
+  private def catchUpDiff(
+      spark: SparkSession,
+      fromPath: String,
+      toPath: String,
+      idCol: String
+  ): DataFrame = {
+    val from = keymapFull(spark, fromPath, idCol).select(col(idCol), col("__ver__"))
+    val to = keymapFull(spark, toPath, idCol)
+      .select(col(idCol), col("__ver__").as("__tver__"), lit(true).as("__present__"))
+    from.join(to, Seq(idCol), "left_outer")
+      .where(col("__present__").isNull ||
+        (col("__ver__").isNotNull && col("__tver__").isNotNull &&
+          col("__ver__") =!= col("__tver__")))
+      .select(col(idCol))
+  }
+
+  /** Whether `toPath` holds every `fromPath` id at its latest vector
+    * version — the [[managedPublish]] publish gate.
+    */
+  def managedDrained(
+      spark: SparkSession,
+      fromPath: String,
+      toPath: String,
+      idCol: String
+  ): Boolean = catchUpDiff(spark, fromPath, toPath, idCol).isEmpty
+
   /** Append into `toPath` every id present in `fromPath`'s keymap but
-    * missing from `toPath`'s — the delta that landed in the old
-    * generation while a rebuild ran. Loops until the diff drains
-    * (each round's footprint is only the new arrivals). Returns the
-    * number of catch-up rounds that moved rows.
+    * missing from `toPath`'s — plus every id whose VECTOR CHANGED in
+    * `fromPath` while the rebuild ran (version diff; latest wins
+    * across the generation flip). Loops until the diff drains, at
+    * most 5 rounds (each round's footprint is only the new arrivals);
+    * an undrained result is caught by [[managedPublish]]'s guard, not
+    * here — the daemon-side caller tolerates an undrained catch-up
+    * because its final trigger-thread round runs on a quiescent old
+    * generation. Returns the number of catch-up rounds that moved
+    * rows.
     */
   def managedCatchUp(
       spark: SparkSession,
@@ -480,8 +578,7 @@ object IvfIndex {
     var moved = 0
     var drained = false
     while (rounds < 5 && !drained) {
-      val missing = keymap(spark, fromPath, idCol).select(col(idCol))
-        .join(keymap(spark, toPath, idCol).select(col(idCol)), Seq(idCol), "left_anti")
+      val missing = catchUpDiff(spark, fromPath, toPath, idCol)
       val late = corpusVectors(spark, fromPath, idCol, vecCol)
         .join(missing, Seq(idCol), "left_semi")
       if (late.isEmpty) drained = true
@@ -492,15 +589,168 @@ object IvfIndex {
   }
 
   /** Atomically repoint a managed root's serving to `genPath` (a
-    * generation directory under it) by creating the next marker.
+    * generation directory under it) by creating the next marker —
+    * guarded: unless `genPath` IS the live generation, it must be
+    * DRAINED relative to it ([[managedDrained]]), else this throws
+    * and the generation stays pending. Publishing an undrained
+    * generation would silently drop the ids a concurrent writer
+    * appended to the old generation past the catch-up rounds; the
+    * single-driver managed stream satisfies the guard for free (its
+    * final catch-up and the publish share the trigger thread), so
+    * the guard only ever fires on the documented-unsupported
+    * concurrent-external-writer case. On success any `_pending`
+    * marker naming this generation is cleared.
     */
-  def managedPublish(spark: SparkSession, root: String, genPath: String): Unit = {
+  def managedPublish(spark: SparkSession, root: String, genPath: String, idCol: String): Unit = {
     import org.apache.hadoop.fs.Path
     val r = new Path(root)
     val fs = r.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val gen = new Path(genPath).getName
     require(fs.exists(new Path(r, gen)), s"generation $gen does not exist under $root")
+    val current = managedCurrent(spark, root)
+    if (new Path(current).getName != gen)
+      require(managedDrained(spark, current, new Path(r, gen).toString, idCol),
+        s"refusing to publish undrained generation $gen under $root: ids in " +
+          s"${new Path(current).getName} are missing or stale in it — a writer is still " +
+          "appending to the live generation; run managedCatchUp (or managedFinishPending) again")
     publishGeneration(fs, r, gen)
+    clearPendingMarkers(fs, r, gen)
+  }
+
+  // ---- pending generations (durable built-but-unpublished state) --
+
+  private val PendingMarkerPrefix = "_pending-"
+
+  /** Record `genDir` as built-but-unpublished: a durable marker that
+    * survives crashes and stream stops, so a finished corpus-scale
+    * retrain is resumed by [[managedFinishPending]] instead of being
+    * silently redone.
+    */
+  private def writePendingMarker(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      genDir: String
+  ): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(root,
+      f"$PendingMarkerPrefix${System.currentTimeMillis()}%013d-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(marker, false)
+    try out.write(genDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def pendingMarkers(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path
+  ): Seq[(org.apache.hadoop.fs.Path, String)] =
+    fs.listStatus(root).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith(PendingMarkerPrefix))
+      .sortBy(_.getPath.getName)
+      .map { st =>
+        val in = fs.open(st.getPath)
+        val gen = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
+        (st.getPath, gen)
+      }
+
+  private def clearPendingMarkers(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      genDir: String
+  ): Unit =
+    pendingMarkers(fs, root).filter(_._2 == genDir).foreach { case (p, _) => fs.delete(p, false) }
+
+  /** The newest built-but-unpublished generation under `root`, if
+    * any. Stale markers (naming the live generation, or a directory
+    * that no longer exists) are deleted on sight.
+    */
+  def managedPendingGeneration(spark: SparkSession, root: String): Option[String] = {
+    import org.apache.hadoop.fs.Path
+    val r = new Path(root)
+    val fs = r.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(r)) return None
+    val curName = new Path(managedCurrent(spark, root)).getName
+    val (stale, live) = pendingMarkers(fs, r).partition { case (_, gen) =>
+      gen == curName || !fs.exists(new Path(r, gen))
+    }
+    stale.foreach { case (p, _) => fs.delete(p, false) }
+    live.lastOption.map { case (_, gen) => new Path(r, gen).toString }
+  }
+
+  /** Publish a pending generation: final [[managedCatchUp]] from the
+    * live generation (whatever landed there since the rebuild
+    * finished), then the guarded [[managedPublish]]. Returns the
+    * published path, or None when nothing was pending. Call after
+    * stopping a managed append stream (the stream also calls it at
+    * the start of every batch, so a restart resumes an orphaned
+    * rebuild without retraining).
+    */
+  def managedFinishPending(
+      spark: SparkSession,
+      root: String,
+      idCol: String,
+      vecCol: String,
+      scoreDecimals: Int = 4
+  ): Option[String] =
+    managedPendingGeneration(spark, root).map { genPath =>
+      val current = managedCurrent(spark, root)
+      managedCatchUp(spark, current, genPath, idCol, vecCol, scoreDecimals)
+      managedPublish(spark, root, genPath, idCol)
+      genPath
+    }
+
+  /** Blue/green GC for a managed root: delete every superseded
+    * `gen-<ts>` directory whose tenure ended more than `graceMs` ago
+    * — never the live generation, never a pending one. A generation's
+    * tenure ends at the FIRST marker published after its own last
+    * marker; a never-published directory (crashed build debris) ages
+    * by its filesystem modification time. Markers naming a deleted
+    * generation are removed with it. Returns the deleted generation
+    * paths.
+    *
+    * `graceMs` is the in-flight-reader window: a reader that resolved
+    * [[managedCurrent]] just before a flip keeps scanning the old
+    * directory until its query finishes — size the grace to the
+    * longest expected query, exactly like any snapshot-retention
+    * setting.
+    */
+  def managedVacuum(spark: SparkSession, root: String, graceMs: Long): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val r = new Path(root)
+    val fs = r.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val now = System.currentTimeMillis()
+    val statuses = fs.listStatus(r).toSeq
+    val markers = statuses
+      .filter(st => st.isFile && st.getPath.getName.startsWith(GenMarkerPrefix))
+      .sortBy(_.getPath.getName)
+      .map { st =>
+        val in = fs.open(st.getPath)
+        val gen = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
+        (st.getPath, gen)
+      }
+    require(markers.nonEmpty, s"no generation marker under $root — not a managed root")
+    val curName = markers.last._2
+    val pendingGens = pendingMarkers(fs, r).map(_._2).toSet
+    def markerTs(name: String): Long =
+      name.stripPrefix(GenMarkerPrefix).take(13).toLong
+    statuses
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen-"))
+      .flatMap { d =>
+        val g = d.getPath.getName
+        if (g == curName || pendingGens.contains(g)) None
+        else {
+          val mine = markers.filter(_._2 == g).map(_._1.getName)
+          val supersededAt =
+            if (mine.isEmpty) d.getModificationTime
+            else markers.map(_._1.getName).filter(_ > mine.max) match {
+              case Seq() => Long.MaxValue // raced a concurrent publish of g; skip
+              case after => markerTs(after.min)
+            }
+          if (supersededAt != Long.MaxValue && now - supersededAt >= graceMs) {
+            fs.delete(d.getPath, true)
+            markers.filter(_._2 == g).foreach { case (p, _) => fs.delete(p, false) }
+            Some(d.getPath.toString)
+          } else None
+        }
+      }
   }
 
   /** Cosine top-k against the stored index: route queries to their

@@ -420,7 +420,20 @@ object Sink {
     *  - a partition with no valid manifest (bulk [[writePartitioned]]
     *    output that never went through maintenance, or a manifest
     *    staled by a direct overwrite) falls back to the plain file
-    *    listing — identical to [[readPartitioned]] there.
+    *    listing — identical to [[readPartitioned]] there;
+    *  - manifests are listed BEFORE the data files, and a partition
+    *    whose manifests all failed validation is re-resolved once
+    *    from fresh listings: a swap that commits between the two
+    *    listings deletes the old generation's files out from under
+    *    its manifest, and the retry then lands on the new manifest —
+    *    without it the reader would fall back to a raw listing whose
+    *    files are being deleted (FILE_NOT_EXIST at scan).
+    *
+    * Residual window (documented): the scan itself is lazy — a swap
+    * completing between this resolution and the action can still
+    * delete a resolved file. Keep a grace period on generation GC
+    * (the [[graft.pipeline.IvfIndex.managedVacuum]] model) sized to
+    * reader latency, as with any snapshot-retention scheme.
     *
     * Cost: one driver-side listing per partition (the same
     * low-cardinality contract every maintenance op relies on) plus
@@ -445,29 +458,39 @@ object Sink {
         .filter(st => st.isDirectory && !isHidden(st.getPath))
         .flatMap(st => leaves(st.getPath, depth - 1))
     val files = leaves(root, partitionCols.length).flatMap { dir =>
-      val listed = fs.listStatus(dir).toSeq
-        .filter(st => st.isFile && !isHidden(st.getPath) && st.getPath.getName.endsWith(".parquet"))
-        .map(_.getPath)
-      val listedNames = listed.map(_.getName).toSet
-      val chosen = manifestFiles(fs, dir)
-        .sortBy(_.getName)(Ordering[String].reverse)
-        .iterator
-        .map { mf =>
-          val in = fs.open(mf)
-          val names =
+      def resolve(fireHook: Boolean, retried: Boolean): Seq[Path] = {
+        // manifests FIRST: a swap landing after this point only ADDS
+        // a newer manifest; the stale one fails validation below and
+        // the retry picks the new one up
+        val manifests = manifestFiles(fs, dir)
+          .sortBy(_.getName)(Ordering[String].reverse)
+          .map { mf =>
+            val in = fs.open(mf)
             try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
             finally in.close()
-          names
+          }
+        if (fireHook) snapshotRaceHook(dir.toString)
+        val listed = fs.listStatus(dir).toSeq
+          .filter(st => st.isFile && !isHidden(st.getPath) && st.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath)
+        val listedNames = listed.map(_.getName).toSet
+        manifests.find(names => names.nonEmpty && names.forall(listedNames.contains)) match {
+          case Some(names)                              => names.map(n => new Path(dir, n))
+          case None if manifests.nonEmpty && !retried   => resolve(fireHook = false, retried = true)
+          case None                                     => listed
         }
-        .find(names => names.nonEmpty && names.forall(listedNames.contains))
-      chosen match {
-        case Some(names) => names.map(n => new Path(dir, n))
-        case None        => listed
       }
+      resolve(fireHook = true, retried = false)
     }
     require(files.nonEmpty, s"snapshot read found no data files under $path")
     spark.read.option("basePath", path).parquet(files.map(_.toString): _*)
   }
+
+  /** Test seam: invoked once per partition between [[readSnapshot]]'s
+    * manifest listing and its data-file listing (the race window the
+    * retry closes). SinkSpec completes a full swap through it.
+    */
+  private[graft] var snapshotRaceHook: String => Unit = _ => ()
 
   /** Staged rewrite + per-partition swap: write `rows` through the
     * deterministic placement into a hidden staging dir, then for

@@ -394,6 +394,12 @@ object StreamOps {
           onBatch(graft.pipeline.IvfIndex.appendBatch(
             batch.sparkSession, path, latestPerId(batch.toDF(), idCol, vecCol, orderCol),
             idCol, vecCol))
+          // the cell routing parks one cached frame per append
+          // (ivfAssignTwoLevel's membership frame); a long-lived
+          // stream must release them per batch or the cache grows
+          // one entry per micro-batch forever (drain is anytime-safe
+          // — an early-released frame recomputes, never fails)
+          graft.Cleanup.drain()
           ()
         }
       }
@@ -408,16 +414,28 @@ object StreamOps {
     * SINGLE-FLIGHT DAEMON THREAD — outside the trigger, so the
     * stream keeps its cadence while the rebuild trains. The repoint
     * is split for loss-freedom: the maintenance thread rebuilds and
-    * catches up but does NOT publish; the NEXT micro-batch, on the
-    * trigger thread, runs one final catch-up (draining whatever
-    * landed in the old generation since the thread finished) and
-    * flips the generation marker — because both appends and the flip
-    * run on the trigger thread, no append can race the repoint and
-    * every ingested id is in the published generation.
+    * catches up but does NOT publish — it leaves a durable
+    * `_pending-<ts>` marker
+    * ([[graft.pipeline.IvfIndex.managedMaintain]] with
+    * `publish = false`); the NEXT micro-batch, on the trigger
+    * thread, resumes it via
+    * [[graft.pipeline.IvfIndex.managedFinishPending]] — one final
+    * catch-up (draining whatever landed in the old generation since
+    * the thread finished, including re-ingested CHANGED vectors via
+    * the keymap version diff) and the guarded marker flip — because
+    * both appends and the flip run on the trigger thread, no append
+    * can race the repoint and every ingested id is in the published
+    * generation. The marker being durable (r15), a stream stopped or
+    * crashed between the rebuild finishing and the next batch no
+    * longer orphans the retrain: the restarted stream's first batch
+    * (or an explicit
+    * [[graft.pipeline.IvfIndex.managedFinishPending]] after
+    * [[awaitMaintenance]]) publishes it without retraining.
     *
     * `onRebuild` fires (trigger thread) with the new generation path
     * right after each flip; old generation dirs are left for
-    * in-flight readers — GC them once drained.
+    * in-flight readers — GC them on a schedule with
+    * [[graft.pipeline.IvfIndex.managedVacuum]].
     */
   /** Live maintenance threads by managed root — so a caller stopping
     * the stream can drain in-flight rebuild work instead of leaving a
@@ -448,7 +466,6 @@ object StreamOps {
       onBatch: graft.pipeline.IvfIndex.IvfStats => Unit = _ => (),
       onRebuild: String => Unit = _ => ()
   ): org.apache.spark.sql.streaming.StreamingQuery = {
-    val pending = new java.util.concurrent.atomic.AtomicReference[String](null)
     val inFlight = new java.util.concurrent.atomic.AtomicBoolean(false)
     vectors.writeStream
       .option("checkpointLocation", checkpoint)
@@ -456,14 +473,15 @@ object StreamOps {
         if (!batch.isEmpty) {
           val s = batch.sparkSession
           // a finished rebuild publishes HERE, on the trigger thread:
-          // final catch-up then the marker flip, ordered with appends
-          Option(pending.getAndSet(null)).foreach { next =>
-            val cur = graft.pipeline.IvfIndex.managedCurrent(s, root)
-            graft.pipeline.IvfIndex.managedCatchUp(s, cur, next, idCol, vecCol)
-            graft.pipeline.IvfIndex.managedPublish(s, root, next)
-            inFlight.set(false)
-            onRebuild(next)
-          }
+          // final catch-up then the guarded marker flip, ordered with
+          // appends. The durable _pending marker is the source of
+          // truth, so this also resumes a rebuild orphaned by a
+          // previous run's stop/crash — no in-memory state to lose.
+          graft.pipeline.IvfIndex.managedFinishPending(s, root, idCol, vecCol)
+            .foreach { next =>
+              inFlight.set(false)
+              onRebuild(next)
+            }
           val cur = graft.pipeline.IvfIndex.managedCurrent(s, root)
           val stats = graft.pipeline.IvfIndex.appendBatch(
             s, cur, latestPerId(batch.toDF(), idCol, vecCol, orderCol), idCol, vecCol)
@@ -475,7 +493,9 @@ object StreamOps {
               // a captured read plan still names (FILE_NOT_EXIST).
               // Harmless: every read here is re-planned on retry, and
               // the final in-trigger catch-up (quiescent old gen) is
-              // what guarantees completeness — so just retry.
+              // what guarantees completeness — so just retry. A
+              // completed maintain leaves its _pending marker; the
+              // trigger thread picks it up next batch.
               var attempts = 0
               var done = false
               try while (!done) {
@@ -483,8 +503,8 @@ object StreamOps {
                 try {
                   graft.pipeline.IvfIndex.managedMaintain(
                     s, root, idCol, vecCol, maxSkew, nlist, publish = false) match {
-                    case Some(next) => pending.set(next)
-                    case None       => inFlight.set(false)
+                    case Some(_) => ()
+                    case None    => inFlight.set(false)
                   }
                   done = true
                 } catch {
@@ -498,6 +518,8 @@ object StreamOps {
             maintenanceThreads.put(root, t)
             t.start()
           }
+          // release the per-append routing caches (see ivfAppendStream)
+          graft.Cleanup.drain()
           ()
         }
       }

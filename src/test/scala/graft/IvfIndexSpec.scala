@@ -260,6 +260,58 @@ class IvfIndexSpec extends SparkSuite {
     assert(statsBack.rows == after.rows + 5)
   }
 
+  test("managed lifecycle: changed-vector catch-up, drain-guarded publish, pending resume, vacuum (r15)") {
+    val s = spark
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-managed15").toString + "/root"
+    val gen1 = IvfIndex.managedInit(emb.where(col("vec_id") < 400), "vec_id", "emb", root, nlist = 8)
+    // retrain WITHOUT publishing (maxSkew = 0 always trips): the
+    // daemon-side shape — a durable _pending marker records the
+    // built-and-caught-up generation
+    val next = IvfIndex.managedMaintain(s, root, "vec_id", "emb",
+      maxSkew = 0.0, nlist = 8, publish = false).get
+    assert(IvfIndex.managedPendingGeneration(s, root).contains(next))
+    assert(IvfIndex.managedCurrent(s, root) == gen1, "unpublished rebuild must not repoint serving")
+    // late arrivals to the OLD generation while the rebuild sat
+    // pending: one brand-NEW id, and one id RE-INGESTED WITH A
+    // CHANGED VECTOR (the ADVICE case the id-only diff missed)
+    IvfIndex.appendBatch(s, gen1, emb.where(col("vec_id") === 450), "vec_id", "emb")
+    IvfIndex.appendBatch(s, gen1,
+      emb.where(col("vec_id") === 460).select(lit(5L).as("vec_id"), col("emb")), "vec_id", "emb")
+    // the guard: publishing an undrained generation must REFUSE, and
+    // serving must stay on the old generation
+    val ex = intercept[IllegalArgumentException] {
+      IvfIndex.managedPublish(s, root, next, "vec_id")
+    }
+    assert(ex.getMessage.contains("undrained"), s"unexpected message: ${ex.getMessage}")
+    assert(IvfIndex.managedCurrent(s, root) == gen1)
+    // finishPending = final catch-up + guarded publish: both late
+    // writes follow, latest vector wins for the re-ingested key
+    assert(IvfIndex.managedFinishPending(s, root, "vec_id", "emb").contains(next))
+    assert(IvfIndex.managedCurrent(s, root) == next)
+    assert(IvfIndex.managedPendingGeneration(s, root).isEmpty, "published marker must clear")
+    val v460 = emb.where(col("vec_id") === 460).select("emb").head.getSeq[Double](0)
+    val v5 = spark.read.parquet(next).where(col("vec_id") === 5L).select("emb").collect()
+    assert(v5.length == 1 && v5.head.getSeq[Double](0) == v460,
+      "a vector changed during the rebuild window must follow into the published generation")
+    assert(spark.read.parquet(next).where(col("vec_id") === 450L).count() == 1)
+    // vacuum: the superseded generation (and its markers) go; the
+    // live one is untouched and keeps serving
+    val deleted = IvfIndex.managedVacuum(s, root, graceMs = 0L)
+    assert(deleted.exists(_.endsWith(gen1.split('/').last)), s"gen1 should be vacuumed, got $deleted")
+    assert(!new java.io.File(gen1).exists, "superseded generation directory must be deleted")
+    assert(IvfIndex.managedCurrent(s, root) == next)
+    val q = emb.where(col("vec_id") % 50 === 0)
+    assert(IvfIndex.searchTopK(s, IvfIndex.managedCurrent(s, root), q,
+      "vec_id", "emb", k = 3, nprobe = 8).count() > 0)
+    // a PENDING generation survives vacuum until published
+    val next2 = IvfIndex.managedMaintain(s, root, "vec_id", "emb",
+      maxSkew = 0.0, nlist = 8, publish = false).get
+    IvfIndex.managedVacuum(s, root, graceMs = 0L)
+    assert(new java.io.File(next2).exists, "pending generation must survive vacuum")
+    assert(IvfIndex.managedFinishPending(s, root, "vec_id", "emb").contains(next2))
+    assert(IvfIndex.managedCurrent(s, root) == next2)
+  }
+
   test("drifted appends trip needsRebuild; rebuild restores balance and serving parity") {
     val s = spark; import s.implicits._
     val path = tempPath("drift")

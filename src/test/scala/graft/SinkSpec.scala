@@ -340,6 +340,36 @@ class SinkSpec extends SparkSuite {
     assert(Sink.readSnapshot(s, bulk.toString, Seq("part")).count() == 1)
   }
 
+  test("readSnapshot: a full swap completing between its two listings still resolves ONE complete generation (r15)") {
+    val s = spark; import s.implicits._
+    def rows(xs: (Long, String, Double)*) = xs.toSeq.toDF("id", "part", "v")
+    val out = tmp()
+    Sink.upsertPartitioned(s, out.toString,
+      rows((1L, "a", 1.0), (2L, "a", 2.0)), Seq("id"), Seq("part"), Seq("id"))
+    // complete an ENTIRE swap (rename-in, new manifest, old files +
+    // old manifest deleted) inside the window between readSnapshot's
+    // manifest listing and its data listing: the manifest it already
+    // holds now names deleted files, so without the one-shot
+    // re-resolution the reader would fall back to a raw listing of
+    // files being deleted (FILE_NOT_EXIST at scan) — the r14 race
+    var fired = false
+    Sink.snapshotRaceHook = { dir =>
+      if (!fired && dir.contains("part=a")) {
+        fired = true
+        Sink.upsertPartitioned(s, out.toString,
+          rows((2L, "a", 20.0), (9L, "a", 90.0)), Seq("id"), Seq("part"), Seq("id"))
+      }
+    }
+    val snap =
+      try Sink.readSnapshot(s, out.toString, Seq("part"))
+        .where(col("part") === "a").select("id", "v").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      finally Sink.snapshotRaceHook = _ => ()
+    assert(fired, "precondition: the swap must run inside the listing window")
+    assert(snap == Map(1L -> 1.0, 2L -> 20.0, 9L -> 90.0),
+      s"reader must re-resolve to the new generation, exactly once: $snap")
+  }
+
   test("deleteKeys: tombstoned rows vanish, emptied partitions drop, others untouched") {
     val s = spark; import s.implicits._
     def rows(xs: (Long, String, Double)*) = xs.toSeq.toDF("id", "part", "v")

@@ -248,6 +248,46 @@ class StreamingSpec extends SparkSuite {
     assert(viaIdx == brute, s"full-probe serving parity broke: $viaIdx vs $brute")
   }
 
+  test("ivfAppendStreamManaged: a rebuild orphaned at stream stop publishes on restart without retraining (r15)") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-orphan")
+    val root = tmp.resolve("idx").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    def vec(seed: Int) = Array.tabulate(8)(d => math.sin(seed * 13 + d).abs + 0.1)
+    val base = (1 to 40).map(i => (i.toLong, vec(i))).toDF("id", "v")
+    val gen1 = graft.pipeline.IvfIndex.managedInit(base, "id", "v", root, nlist = 8)
+    // the daemon finished its retrain but the stream stopped before
+    // the next batch could publish: only the durable _pending marker
+    // survives (no in-memory state)
+    val pending = graft.pipeline.IvfIndex.managedMaintain(
+      s, root, "id", "v", maxSkew = 0.0, nlist = 8, publish = false).get
+    assert(graft.pipeline.IvfIndex.managedCurrent(s, root) == gen1,
+      "orphaned rebuild must stay unpublished until resumed")
+    // restart: the new stream's FIRST batch must flip to the pending
+    // generation (no retraining) and append into it
+    val rebuilds = scala.collection.mutable.ArrayBuffer.empty[String]
+    val input = MemoryStream[(Long, Array[Double], Long)]
+    val q = StreamOps.ivfAppendStreamManaged(
+      input.toDF().toDF("id", "v", "ts"), root, ckpt, "id", "v", "ts",
+      maxSkew = 1e9, // nothing may trip a NEW rebuild — resume only
+      onRebuild = p => rebuilds.synchronized { rebuilds += p; () })
+    try {
+      input.addData((500L, vec(500), 1L))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(rebuilds.synchronized(rebuilds.toSeq) == Seq(pending),
+      s"restart must publish exactly the orphaned generation, got $rebuilds")
+    assert(graft.pipeline.IvfIndex.managedCurrent(s, root) == pending)
+    val served = s.read.parquet(pending).select("id").collect().map(_.getLong(0)).toSet
+    assert(served == ((1 to 40).map(_.toLong).toSet + 500L),
+      "the post-restart append must land in the resumed generation")
+    // no retraining happened: exactly the two known generation dirs
+    val gens = new java.io.File(root).listFiles.filter(f =>
+      f.isDirectory && f.getName.startsWith("gen-")).map(_.getName).toSet
+    assert(gens == Set(gen1, pending).map(_.split('/').last), s"unexpected generations: $gens")
+  }
+
   test("sessionize splits on inactivity gaps (batch parity)") {
     val s = spark; import s.implicits._
     val events = Seq(
