@@ -141,6 +141,75 @@ object ShingleKernel {
 }
 
 object VectorKernel {
+
+  /** One-pass int8 quantization of a double vector — the fused twin
+    * of the `array_max(transform(abs)) / 127` + `transform(round(x /
+    * scale))` expression pair [[graft.pipeline.Similarity.quantizeInt8]]
+    * replaced: three interpreted lambda passes become one primitive
+    * loop. Returns (codes: int[], scale) as an InternalRow.
+    *
+    * Bit-identical by construction: the scale is the same
+    * `maxAbs / 127.0` IEEE division, and each code replays Spark's
+    * own `round(x, 0)` arithmetic for DoubleType —
+    * `BigDecimal.valueOf(x)` (decimal-string construction) rounded
+    * HALF_UP — so an existing oracle replay of the expression form
+    * gates this kernel unchanged. Null elements stay null-propagated
+    * like the lambda form (a null component yields a null code); the
+    * all-zero vector gets scale 0 and all-zero codes.
+    */
+  def int8Quantize(v: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = v.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      if (!v.isNullAt(i)) {
+        val a = math.abs(v.getDouble(i))
+        if (a > maxAbs || java.lang.Double.isNaN(a)) maxAbs = a
+      }
+      i += 1
+    }
+    val scale = maxAbs / 127.0
+    // Exact half-away-from-zero on the BINARY value: c = floor(|x|),
+    // frac = |x| - c is computed exactly (both are multiples of
+    // ulp(|x|) in the same binade), so the >= 0.5 test never
+    // misreads a near-boundary double the way floor(x + 0.5) does.
+    // For scale-0 rounding this is bit-identical to Spark's
+    // BigDecimal(shortest-decimal) HALF_UP — every k.5 decimal
+    // boundary below 2^51 is an exactly-representable double, so the
+    // decimal and binary readings of "the half" coincide — and to
+    // DuckDB's std::round; the int8 oracles gate all three.
+    def roundHalfAway(x: Double): Int = {
+      val a = math.abs(x)
+      val f = math.floor(a)
+      val r = if (a - f >= 0.5) f + 1.0 else f
+      (if (x < 0) -r else r).toInt
+    }
+    var hasNull = false
+    i = 0
+    while (i < n && !hasNull) { hasNull = v.isNullAt(i); i += 1 }
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+    if (!hasNull) {
+      val codes = new Array[Int](n)
+      if (scale != 0.0) {
+        i = 0
+        while (i < n) { codes(i) = roundHalfAway(v.getDouble(i) / scale); i += 1 }
+      }
+      row.update(0, org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(codes))
+    } else {
+      val codes = new Array[Any](n)
+      i = 0
+      while (i < n) {
+        if (v.isNullAt(i)) codes(i) = null
+        else if (scale == 0.0) codes(i) = 0
+        else codes(i) = roundHalfAway(v.getDouble(i) / scale)
+        i += 1
+      }
+      row.update(0, new GenericArrayData(codes))
+    }
+    row.update(1, scale)
+    row
+  }
+
   def dotOrNull(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null

@@ -111,11 +111,18 @@ object Similarity {
       codesCol: String = "codes",
       scaleCol: String = "scale"
   ): DataFrame = {
-    val v = col(vecCol).cast("array<double>")
-    df.withColumn(scaleCol, array_max(transform(v, x => abs(x))) / 127.0d)
-      .withColumn(codesCol,
-        when(col(scaleCol) === 0.0d, transform(v, _ => lit(0)))
-          .otherwise(transform(v, x => round(x / col(scaleCol), 0).cast("int"))))
+    // fused native kernel (r15): the former three-lambda expression
+    // chain (abs transform -> array_max -> round transform) was the
+    // dominant cost of every int8 build — HOFs never codegen. The
+    // kernel replays the identical arithmetic (same IEEE scale
+    // division, Spark's own BigDecimal HALF_UP rounding per code), so
+    // the int8 oracles gate it unchanged.
+    val q = graft.internal.exprColumn(graft.plans.Int8QuantizeExpr(
+      graft.internal.columnExpr(col(vecCol).cast("array<double>"))))
+    df.withColumn("__q8__", q)
+      .withColumn(scaleCol, col("__q8__").getField("scale"))
+      .withColumn(codesCol, col("__q8__").getField("codes"))
+      .drop("__q8__")
   }
 
   /** [[bruteForceTopK]] over int8-quantized vectors: cosine on the

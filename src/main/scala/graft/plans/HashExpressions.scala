@@ -137,6 +137,34 @@ case class DotProductExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused int8 quantization — struct(codes: array<int>, scale) from
+  * one primitive pass over the vector; see
+  * [[graft.functions.VectorKernel.int8Quantize]] for the exactness
+  * contract vs the three-lambda expression form it replaces.
+  */
+case class Int8QuantizeExpr(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(s"$prettyName needs array<double>, got $other")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("codes", ArrayType(IntegerType, containsNull = true), nullable = false),
+    StructField("scale", DoubleType, nullable = false)))
+  override def prettyName: String = "graft_int8"
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.functions.VectorKernel.int8Quantize(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorKernel.int8Quantize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Int8QuantizeExpr =
+    copy(child = newChild)
+}
+
 case class SimhashBitsExpr(child: Expression, bits: Int)
     extends UnaryExpression {
   require(bits > 0 && bits <= 32, "hex-nibble simhash supports 1..32 bits")
