@@ -222,6 +222,43 @@ object VectorKernel {
     }
     java.lang.Double.valueOf(acc)
   }
+
+  /** [[dotOrNull]] over int8 CODE arrays kept in their stored 1-byte
+    * form — the element product is at most 127², the 64-term sum far
+    * below 2^53, so accumulating in double is EXACT and the result
+    * is bit-identical to casting both sides to `array<double>`
+    * first. Keeping the cast out means the scoring joins and
+    * shuffles of the int8 ANN paths carry 1-byte elements instead of
+    * the 8-byte doubles the cast would inflate them to.
+    */
+  def dotOrNullBB(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getByte(i).toDouble * b.getByte(i).toDouble
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  /** Mixed double × int8 dot — same exactness argument as
+    * [[dotOrNullBB]] (the byte side widens to double losslessly).
+    */
+  def dotOrNullDB(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getByte(i).toDouble
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
 }
 
 object SimhashKernel {

@@ -299,8 +299,8 @@ object IvfIndex {
     else Similarity.quantizeInt8(base, vecCol, "__codes0__", "__scale__")
       .select(col("cent_id"), col(idCol),
         col("__codes0__").cast("array<tinyint>").as("__codes__"),
-        col("__scale__"),
-        Similarity.norm(col("__codes0__").cast("array<double>")).as("__cn__"))
+        col("__scale__"))
+      .withColumn("__cn__", Similarity.normRaw(col("__codes__")))
   }
 
   /** Whether the layout at `path` stores int8 codes instead of float
@@ -799,22 +799,25 @@ object IvfIndex {
         // int8 serving: stored codes + code norms on the corpus side,
         // freshly-quantized codes on the (broadcast-small) query side
         // — the per-vector scales cancel out of the cosine ratio, so
-        // this is Similarity.int8TopK's math inside the probed cells
+        // this is Similarity.int8TopK's math inside the probed cells.
+        // Codes stay array<tinyint> from the scan through the scoring
+        // join (dotRaw dispatches a byte kernel — exact), so the
+        // probed-cell volume moves at 1 byte per component
         val cells = layout.select(col("cent_id").cast("long").as("cent_id"),
           col(idCol).as("neighbor_id"),
-          col("__codes__").cast("array<double>").as("__nv__"),
+          col("__codes__").as("__nv__"),
           col("__cn__").as("__vn__"))
         val qCodes = broadcast(
           Similarity.quantizeInt8(
             qNz.select(col(idCol).as("query_id"), col(vecCol)), vecCol, "__qc__", "__qs__")
-            .select(col("query_id"), col("__qc__").cast("array<double>").as("__qv8__"))
-            .withColumn("__qn8__", Similarity.norm(col("__qv8__"))))
+            .select(col("query_id"), col("__qc__").cast("array<tinyint>").as("__qv8__"))
+            .withColumn("__qn8__", Similarity.normRaw(col("__qv8__"))))
         qCells.select(col("cent_id"), col("query_id"))
           .join(qCodes, Seq("query_id"))
           .join(cells, Seq("cent_id"))
           .where(col("query_id") =!= col("neighbor_id"))
           .withColumn("score",
-            round(Similarity.dot(col("__qv8__"), col("__nv__")) /
+            round(Similarity.dotRaw(col("__qv8__"), col("__nv__")) /
               (col("__qn8__") * col("__vn__")), scoreDecimals))
       }
     scored

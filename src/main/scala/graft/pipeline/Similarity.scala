@@ -36,6 +36,22 @@ object Similarity {
       graft.internal.columnExpr(a.cast("array<double>")),
       graft.internal.columnExpr(b.cast("array<double>"))))
 
+  /** [[dot]] WITHOUT the `array<double>` pre-cast — for sides that
+    * are already `array<double>` or int8 code arrays
+    * (`array<tinyint>`). Byte sides dot in their stored 1-byte form
+    * ([[graft.plans.DotProductExpr]] dispatches per element type;
+    * exact — products ≤ 127², sums ≪ 2^53), which is the point: the
+    * int8 ANN scoring joins and shuffles carry codes at 1 byte per
+    * component instead of the 8 bytes an up-front cast would inflate
+    * them to.
+    */
+  def dotRaw(a: Column, b: Column): Column =
+    graft.internal.exprColumn(graft.plans.DotProductExpr(
+      graft.internal.columnExpr(a), graft.internal.columnExpr(b)))
+
+  /** Norm over an uncast (double or int8-code) array — see [[dotRaw]]. */
+  def normRaw(a: Column): Column = sqrt(dotRaw(a, a))
+
   /** Drops rows whose vector has zero norm. Cosine is undefined for
     * the zero vector: Spark's double divide-by-zero yields null,
     * DuckDB's IEEE division yields NaN, and either can occupy top-k
@@ -140,16 +156,20 @@ object Similarity {
       k: Int,
       scoreDecimals: Int = 4
   ): DataFrame = {
+    // codes stay array<tinyint> through the join (r15): the corpus
+    // side is the volume, and dotting bytes directly (exact — see
+    // dotRaw) keeps it 1 byte per component instead of the 8 the
+    // old array<double> cast shipped
     def codes(df: DataFrame, id: String, cv: String) =
       quantizeInt8(dropZeroVectors(df, vecCol).select(col(idCol).as(id), col(vecCol)), vecCol, cv, "__s__")
-        .select(col(id), col(cv).cast("array<double>").as(cv))
+        .select(col(id), col(cv).cast("array<tinyint>").as(cv))
     val q = broadcast(
-      codes(queries, "query_id", "__qv__").withColumn("__qn__", norm(col("__qv__"))))
-    val c = codes(corpus, "neighbor_id", "__cv__").withColumn("__cn__", norm(col("__cv__")))
+      codes(queries, "query_id", "__qv__").withColumn("__qn__", normRaw(col("__qv__"))))
+    val c = codes(corpus, "neighbor_id", "__cv__").withColumn("__cn__", normRaw(col("__cv__")))
     val scored = q.crossJoin(c)
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("score",
-        round(dot(col("__qv__"), col("__cv__")) / (col("__qn__") * col("__cn__")), scoreDecimals))
+        round(dotRaw(col("__qv__"), col("__cv__")) / (col("__qn__") * col("__cn__")), scoreDecimals))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -396,23 +416,25 @@ object Similarity {
     val corpusNz = dropZeroVectors(corpus, vecCol)
     val queriesNz = dropZeroVectors(queries, vecCol)
     val cents = ivfCentroids(corpusNz, idCol, vecCol, resolveNlist(nlist, corpusNz))
+    // tinyint end-to-end (r15): the cell join ships corpus codes at
+    // 1 byte per component — that join is where the volume lives
     def codesOf(df: DataFrame, id: String, cv: String) =
       quantizeInt8(df.select(col(idCol).as(id), col(vecCol)), vecCol, cv, "__s__")
-        .select(col(id), col(cv).cast("array<double>").as(cv))
+        .select(col(id), col(cv).cast("array<tinyint>").as(cv))
     val corpusCells = ivfAssignTwoLevel(corpusNz, cents, idCol, vecCol, "neighbor", scoreDecimals)
       .select("cent_id", "neighbor_id")
       .join(codesOf(corpusNz, "neighbor_id", "__nq__"), Seq("neighbor_id"))
-      .withColumn("__nn__", norm(col("__nq__")))
+      .withColumn("__nn__", normRaw(col("__nq__")))
     val queryCells = ivfAssign(queriesNz, cents, idCol, vecCol, "query", keep = nprobe, scoreDecimals)
       .select("cent_id", "query_id")
       .join(broadcast(codesOf(queriesNz, "query_id", "__qq__")), Seq("query_id"))
-      .withColumn("__qn__", norm(col("__qq__")))
+      .withColumn("__qn__", normRaw(col("__qq__")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
     queryCells
       .join(corpusCells, Seq("cent_id"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("score",
-        round(dot(col("__qq__"), col("__nq__")) / (col("__qn__") * col("__nn__")), scoreDecimals))
+        round(dotRaw(col("__qq__"), col("__nq__")) / (col("__qn__") * col("__nn__")), scoreDecimals))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))

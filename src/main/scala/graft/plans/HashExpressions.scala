@@ -113,21 +113,48 @@ case class DotProductExpr(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
-      case other => TypeCheckResult.TypeCheckFailure(s"graft_dot needs two array<double>, got $other")
+      case (ArrayType(DoubleType | ByteType, _), ArrayType(DoubleType | ByteType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"graft_dot needs array<double|tinyint> sides, got $other")
     }
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_dot"
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    graft.functions.VectorKernel.dotOrNull(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  private def isByte(e: Expression): Boolean = e.dataType match {
+    case ArrayType(ByteType, _) => true
+    case _                      => false
+  }
+
+  /** Kernel per side-type combination — int8 code arrays dot in
+    * their stored 1-byte form (exact: products ≤ 127², sums ≪ 2^53),
+    * so the int8 ANN joins never inflate codes back to doubles. A
+    * byte×double input is evaluated as double×byte with the sides
+    * swapped (dot is symmetric).
+    */
+  private lazy val kernel: String = (isByte(left), isByte(right)) match {
+    case (false, false) => "dotOrNull"
+    case (true, true)   => "dotOrNullBB"
+    case _              => "dotOrNullDB"
+  }
+  private lazy val swapped: Boolean = isByte(left) && !isByte(right)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = if (swapped) (b, a) else (a, b)
+    kernel match {
+      case "dotOrNull"   => graft.functions.VectorKernel.dotOrNull(x.asInstanceOf[ArrayData], y.asInstanceOf[ArrayData])
+      case "dotOrNullBB" => graft.functions.VectorKernel.dotOrNullBB(x.asInstanceOf[ArrayData], y.asInstanceOf[ArrayData])
+      case _             => graft.functions.VectorKernel.dotOrNullDB(x.asInstanceOf[ArrayData], y.asInstanceOf[ArrayData])
+    }
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val boxed = ctx.freshName("dotBoxed")
+      val (x, y) = if (swapped) (b, a) else (a, b)
       s"""
-         |java.lang.Double $boxed = graft.functions.VectorKernel.dotOrNull($a, $b);
+         |java.lang.Double $boxed = graft.functions.VectorKernel.$kernel($x, $y);
          |if ($boxed == null) { ${ev.isNull} = true; } else { ${ev.value} = $boxed.doubleValue(); }
        """.stripMargin
     })
