@@ -410,7 +410,8 @@ FROM $src $srcAlias CROSS JOIN $cents) t WHERE cr = 1)"""
 
   /** ROUTED IVF corpus-assignment replay — mirrors
     * Similarity.ivfAssignTwoLevel's route switch exactly: FLAT rank-1
-    * when count($cents) < 64 (Similarity.TwoLevelMinNlist), TWO-LEVEL
+    * when count($cents) < 64 (Similarity.TwoLevelMinNlist) AND
+    * count($src) < 100000 (Similarity.TwoLevelMinRows), TWO-LEVEL
     * otherwise (⌈√nlist⌉ super-centroids by the md5-order draw FROM
     * the centroid set, rank-1 centroid→super membership, then each
     * vector ranks the LIVE supers and only the winner group's
@@ -418,19 +419,21 @@ FROM $src $srcAlias CROSS JOIN $cents) t WHERE cr = 1)"""
     * branches are always planned but each filters its SOURCE rows on
     * the count guard, so the inactive branch's cross joins run over
     * zero rows — structural pruning, no reliance on the optimizer
-    * constant-folding the scalar subquery. Emits CTEs `nlr, cfl, caf,
-    * ctl, sups0, mem, sups, va, ca2, ca`; `ca` carries
+    * constant-folding the scalar subqueries. Emits CTEs `nlr, nvr,
+    * cfl, caf, ctl, sups0, mem, sups, va, ca2, ca`; `ca` carries
     * ($outId, emb, cent_id). Used by every IVF cell-routing oracle
-    * whose nlist is derived at run time (AutoNlist); statically-sized
-    * callers pick [[flatCaCte]] or the two-level chain in Scala.
-    * kmeans/semdedup stay on the flat [[kmeansAssignCte]] (Lloyd
-    * assignment is the algorithm, not a routing shortcut).
+    * (auto-sized AND fixed-quantizer — the fitted query's route
+    * depends on the corpus size, so even a static nlist needs the
+    * runtime branch). kmeans/semdedup stay on the flat
+    * [[kmeansAssignCte]] (Lloyd assignment is the algorithm, not a
+    * routing shortcut).
     */
   private def routedCaCtes(cents: String, src: String, outId: String): String =
     s"""nlr AS (SELECT count(*) AS nl FROM $cents),
-cfl AS (SELECT * FROM $src WHERE (SELECT nl FROM nlr) < 64),
+nvr AS (SELECT count(*) AS nv FROM $src),
+cfl AS (SELECT * FROM $src WHERE (SELECT nl FROM nlr) < 64 AND (SELECT nv FROM nvr) < 100000),
 ${flatCaCte(cents, "cfl", outId, out = "caf")},
-ctl AS (SELECT * FROM $src WHERE (SELECT nl FROM nlr) >= 64),
+ctl AS (SELECT * FROM $src WHERE NOT ((SELECT nl FROM nlr) < 64 AND (SELECT nv FROM nvr) < 100000)),
 sups0 AS (SELECT cent_id AS sup_id, cemb AS semb FROM $cents
 QUALIFY row_number() OVER (ORDER BY md5(CAST(cent_id AS VARCHAR)), cent_id)
   <= CAST(ceil(sqrt((SELECT count(*) FROM $cents))) AS BIGINT)),

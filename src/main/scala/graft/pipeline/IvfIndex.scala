@@ -807,13 +807,16 @@ object IvfIndex {
           col(idCol).as("neighbor_id"),
           col("__codes__").as("__nv__"),
           col("__cn__").as("__vn__"))
-        val qCodes = broadcast(
-          Similarity.quantizeInt8(
-            qNz.select(col(idCol).as("query_id"), col(vecCol)), vecCol, "__qc__", "__qs__")
-            .select(col("query_id"), col("__qc__").cast("array<tinyint>").as("__qv8__"))
-            .withColumn("__qn8__", Similarity.normRaw(col("__qv8__"))))
-        qCells.select(col("cent_id"), col("query_id"))
-          .join(qCodes, Seq("query_id"))
+        // query codes derive IN the probe projection (one kernel eval
+        // per (query, probe) row — trivially few) instead of a
+        // separate quantize frame + broadcast join; same math
+        val qCoded = Similarity
+          .quantizeInt8(qCells.select(col("cent_id"), col("query_id"),
+            col("__queryv__").as(vecCol)), vecCol, "__qc__", "__qs__")
+          .select(col("cent_id"), col("query_id"),
+            col("__qc__").cast("array<tinyint>").as("__qv8__"))
+          .withColumn("__qn8__", Similarity.normRaw(col("__qv8__")))
+        qCoded
           .join(cells, Seq("cent_id"))
           .where(col("query_id") =!= col("neighbor_id"))
           .withColumn("score",

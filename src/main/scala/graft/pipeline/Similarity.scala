@@ -873,25 +873,41 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
   }
 
-  /** Routing threshold for [[ivfAssignTwoLevel]]: centroid sets
-    * smaller than this take the flat [[ivfAssign]] route. The
-    * two-level route buys its ~2·n·√nlist asymptote with fixed
-    * overhead — two extra aggregation stages and a broadcast of the
-    * membership frame — that dominates when the flat candidate
-    * stream (n·nlist rows, collapsed map-side) is small anyway:
-    * measured at sf0.1 (n = 2k, nlist = 45) the two-level route cost
-    * ~2× the flat one, while at sf10 (n = 200k, nlist = 448) it is
-    * the difference between 4.1× and 2.3× scaling. 64 is the
-    * crossover decade: below it nlist/(2·√nlist) < 4, so the
-    * asymptotic saving cannot repay even one extra stage.
+  /** Routing thresholds for [[ivfAssignTwoLevel]]: the flat
+    * [[ivfAssign]] route is taken only when the centroid set has
+    * fewer than [[TwoLevelMinNlist]] rows AND the vector side has
+    * fewer than [[TwoLevelMinRows]] rows. Two distinct costs are
+    * being balanced:
+    *
+    *  - the two-level route pays FIXED overhead (two extra
+    *    aggregation stages, a membership broadcast, the eager
+    *    materialization) that dominates at small inputs — measured
+    *    at sf0.1 (n = 2k, nlist = 45) it cost ~2× the flat route;
+    *  - the flat route ships n·nlist SCORED ROWS (vector payload
+    *    included) through its rank exchange, while the two-level
+    *    form map-side-combines to n grouped rows — at sf10 with a
+    *    FIXED nlist = 16 quantizer the flat window moves 3.2M
+    *    vector rows and measured ~10 s slower than the two-level
+    *    route on the same query (q_ann_ivf_fitted), even though
+    *    nlist is tiny.
+    *
+    * So: small nlist alone does not justify flat — only small
+    * nlist × small n does. The bounds cap the flat candidate stream
+    * at 64 × 100k rows; auto-sized callers ([[autoNlist]]) cross
+    * the nlist bound at n ≈ 4k and never come near the corner.
     *
     * The route is part of the RESULT contract (the two routes may
-    * pick different cells for a vector near a group boundary), so the
-    * oracle SQL branches on the same centroid count —
+    * pick different cells for a vector near a group boundary), so
+    * the oracle SQL branches on the same two counts —
     * [[graft.OracleSql]] keeps the two CTE chains behind the same
-    * `< 64` guard.
+    * `nlist < 64 AND n < 100000` guard.
     */
   private[graft] val TwoLevelMinNlist = 64
+
+  /** See [[TwoLevelMinNlist]] — the vector-side row bound of the
+    * flat route.
+    */
+  private[graft] val TwoLevelMinRows = 100000L
 
   /** Nearest-centroid cell assignment — the IVF routing used by every
     * build/append path. Two routes behind one contract-stable switch:
@@ -957,7 +973,13 @@ object Similarity {
       case ByteType | ShortType | IntegerType | LongType => true
       case _                                             => false
     }
-    if (rows.length < TwoLevelMinNlist || !integralId) {
+    // the vector-side count runs ONLY when the centroid set is small
+    // enough for flat to be in play — auto-sized paths with nlist
+    // < 64 imply n ≲ 4k, so the count is trivial there; a fixed
+    // small-nlist quantizer over a big corpus pays one narrow scan
+    // and is repaid many times over by the routing it buys
+    def smallCorpus: Boolean = df.count() < TwoLevelMinRows
+    if (!integralId || (rows.length < TwoLevelMinNlist && smallCorpus)) {
       if (!integralId && rows.length >= TwoLevelMinNlist)
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"ivfAssignTwoLevel: centroid id type ${cents0.schema(idIdx).dataType} is not integral; " +

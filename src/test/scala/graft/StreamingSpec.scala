@@ -248,6 +248,61 @@ class StreamingSpec extends SparkSuite {
     assert(viaIdx == brute, s"full-probe serving parity broke: $viaIdx vs $brute")
   }
 
+  test("ivfAppendStreamManaged over an INT8 root: compressed layout survives append, catch-up and rebuild (r15)") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-managed8")
+    val root = tmp.resolve("idx").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    def vec(seed: Int) = Array.tabulate(8)(d => math.sin(seed * 13 + d).abs + 0.1)
+    val all = scala.collection.mutable.Map.empty[Long, Array[Double]]
+    val base = (1 to 40).map { i => all(i.toLong) = vec(i); (i.toLong, vec(i)) }.toDF("id", "v")
+    val gen1 = graft.pipeline.IvfIndex.managedInit(base, "id", "v", root, nlist = 8, int8 = true)
+    assert(!s.read.parquet(gen1).columns.contains("v"), "int8 init must not store float vectors")
+    val rebuilds = scala.collection.mutable.ArrayBuffer.empty[String]
+    val input = MemoryStream[(Long, Array[Double], Long)]
+    val q = StreamOps.ivfAppendStreamManaged(
+      input.toDF().toDF("id", "v", "ts"), root, ckpt, "id", "v", "ts",
+      maxSkew = 3.0,
+      onRebuild = p => rebuilds.synchronized { rebuilds += p; () })
+    try {
+      val hot = (100L to 139L).map { i =>
+        val v = vec(7).map(_ + (i - 100L) * 1e-4); all(i) = v; (i, v, 1L) }
+      input.addData(hot: _*); q.processAllAvailable()
+      var tick = 200L
+      while (rebuilds.synchronized(rebuilds.isEmpty) && tick < 260L) {
+        val v = vec(tick.toInt); all(tick) = v
+        input.addData((tick, v, tick)); q.processAllAvailable()
+        Thread.sleep(200)
+        tick += 1
+      }
+    } finally {
+      q.stop()
+      assert(StreamOps.awaitMaintenance(root), "maintenance thread failed to drain")
+    }
+    assert(rebuilds.synchronized(rebuilds.nonEmpty), "skewed appends must trigger a rebuild")
+    val current = graft.pipeline.IvfIndex.managedCurrent(s, root)
+    assert(current != gen1)
+    val layout = s.read.parquet(current)
+    assert(layout.columns.contains("__codes__") && !layout.columns.contains("v"),
+      "the rebuilt generation must inherit the int8 layout")
+    val served = layout.select("id").collect().map(_.getLong(0)).toSet
+    assert(served == all.keySet, s"missing after flip: ${all.keySet -- served}")
+    // full-probe parity against the in-memory COMPRESSED operator:
+    // codes round-trip the dequantize -> requantize cycle exactly, so
+    // the streamed index (appends + catch-up + rebuild) scores every
+    // pair exactly like int8TopK over the original float vectors
+    val queries = Seq((7000L, vec(3))).toDF("id", "v")
+    val viaIdx = graft.pipeline.IvfIndex
+      .searchTopK(s, current, queries, "id", "v", k = 5, nprobe = 9999)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    val corpus = all.toSeq.map { case (i, v) => (i, v) }.toDF("id", "v")
+    val int8 = graft.pipeline.Similarity
+      .int8TopK(corpus, queries, "id", "v", k = 5)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    assert(viaIdx == int8, s"compressed full-probe parity broke: $viaIdx vs $int8")
+  }
+
   test("ivfAppendStreamManaged: a rebuild orphaned at stream stop publishes on restart without retraining (r15)") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
