@@ -25,6 +25,55 @@ class PropertySpec extends SparkSuite {
     vals <- Gen.listOfN(n, Gen.choose(-100.0, 100.0))
   } yield keys.zip(vals)
 
+  test("int8 quantize kernel == the three-lambda expression form, incl. adversarial .5 boundaries (r15)") {
+    // the fused VectorKernel.int8Quantize claims bit-identity with
+    // the HOF chain it replaced (array_max(transform(abs))/127 +
+    // transform(round(x/s))) BY ARGUMENT (scale-0 decimal-HALF_UP ==
+    // binary half-away); this sweeps random vectors PLUS vectors
+    // engineered to land code ratios ON and JUST BELOW k.5 — the
+    // exact inputs where a floor(x+0.5) shortcut diverges
+    val s = spark; import s.implicits._
+    def oldForm(df: org.apache.spark.sql.DataFrame): Array[(Long, Seq[Int], Double)] = {
+      val v = col("v").cast("array<double>")
+      df.withColumn("__s__", array_max(transform(v, x => abs(x))) / 1.27e2)
+        .withColumn("__c__",
+          when(col("__s__") === 0.0d, transform(v, _ => lit(0)))
+            .otherwise(transform(v, x => round(x / col("__s__"), 0).cast("int"))))
+        .select(col("id"), col("__c__"), col("__s__"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getDouble(2))).sortBy(_._1)
+    }
+    def newForm(df: org.apache.spark.sql.DataFrame): Array[(Long, Seq[Int], Double)] =
+      Similarity.quantizeInt8(df, "v", "__c__", "__s__")
+        .select(col("id"), col("__c__"), col("__s__"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getDouble(2))).sortBy(_._1)
+    val rnd = new scala.util.Random(7)
+    val random = (0L until 200L).map(i =>
+      (i, Array.fill(16)((rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(6) - 3))))
+    // boundary rigs: with max |x| pinned so scale = m/127, component
+    // k.5*scale has ratio EXACTLY k.5 when representable, and
+    // nextDown/nextUp neighbors probe both sides of the boundary
+    val boundary = (1000L until 1200L).map { i =>
+      val m = 1.0 + (i % 7).toDouble / 3.0
+      val scale = m / 127.0
+      val k = (i % 120).toInt
+      val onB = (k + 0.5) * scale
+      (i, Array(m, -m, onB, math.nextAfter(onB, 0.0), math.nextAfter(onB, 1e9),
+        -onB, math.nextAfter(-onB, 0.0), math.nextAfter(-onB, -1e9),
+        k * scale, -(k * scale), 0.0, scale / 2.0, -scale / 2.0,
+        math.nextAfter(scale / 2.0, 0.0), 63.5 * scale, -63.5 * scale))
+    }
+    val zeros = Seq((5000L, Array.fill(16)(0.0)))
+    val df = (random ++ boundary ++ zeros).toDF("id", "v")
+    val (o, n) = (oldForm(df), newForm(df))
+    assert(o.length == n.length)
+    o.zip(n).foreach { case ((oi, oc, os), (ni, nc, ns)) =>
+      assert(oi == ni)
+      assert(java.lang.Double.doubleToRawLongBits(os) == java.lang.Double.doubleToRawLongBits(ns),
+        s"scale diverged for id $oi: $os vs $ns")
+      assert(oc == nc, s"codes diverged for id $oi: $oc vs $nc (scale $os)")
+    }
+  }
+
   test("winsorize output is always within the clamp bounds and preserves row count") {
     forAllSamples(groupGen) { rows =>
       if (rows.size >= 2) {
