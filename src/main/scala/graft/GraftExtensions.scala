@@ -9,8 +9,9 @@ import graft.plans.{DotProductExpr, MinhashSignatureExpr, ShinglesExpr, SimhashB
 
 /** SparkSessionExtensions entry point: exposes the native
   * expressions to the SQL surface as `graft_minhash(arr, n)`,
-  * `graft_shingles(words, n)`, `graft_simhash(words, bits)`, and
-  * `graft_dot(a, b)`, and injects
+  * `graft_shingles(words, n)`, `graft_simhash(words, bits)`,
+  * `graft_dot(a, b)` (double or int8-code array sides), and
+  * `graft_int8(vec)`, and injects
   * the [[graft.plans.RewriteDotProduct]] optimizer rule (HOF
   * dot-product folds auto-upgrade to the native kernel). Enable with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (or
@@ -72,6 +73,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_simhash(words, bits) takes 2 arguments")
         SimhashBitsExpr(args.head, intLit(args(1), "bits"))
+      }))
+    // graft_int8(vec) -> struct(codes array<int>, scale): the fused
+    // quantizer on the SQL surface, same as its Column-level face
+    ext.injectFunction((
+      new FunctionIdentifier("graft_int8"),
+      new ExpressionInfo(classOf[graft.plans.Int8QuantizeExpr].getName, "graft_int8"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_int8(vec) takes 1 argument")
+        graft.plans.Int8QuantizeExpr(args.head)
       }))
     // graft_approx_quantiles(value, array(p1, p2, ...), alpha):
     // the DDSketch aggregate from SQL — ps/alpha must fold to literals

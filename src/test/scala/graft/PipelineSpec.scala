@@ -913,6 +913,11 @@ class PipelineSpec extends SparkSuite {
     val viaShingles = spark.sql(
       "SELECT graft_shingles(array('a','b','c','d'), 2) AS sg").head().getSeq[String](0)
     assert(viaShingles == Seq("a b", "b c", "c d"), s"graft_shingles SQL surface: $viaShingles")
+    // r15: the fused quantizer too — codes of (3, -4) scale by 4/127
+    val viaInt8 = spark.sql(
+      "SELECT graft_int8(CAST(array(3.0, -4.0) AS ARRAY<DOUBLE>)) AS q").head().getStruct(0)
+    assert(viaInt8.getSeq[Int](0) == Seq(95, -127) && viaInt8.getDouble(1) == 4.0 / 127.0,
+      s"graft_int8 SQL surface: $viaInt8")
     // foldable (not just bare-literal) integral args resolve too:
     // CAST(8 AS INT), a long literal, an arithmetic fold (ADVICE r5)
     val viaFoldable = spark.sql(
