@@ -545,22 +545,50 @@ object IvfIndex {
       .select(col(idCol))
   }
 
+  /** The ids `toPath` must DROP before it can serve: present in the
+    * pending generation's keymap but absent from the live one — the
+    * rebuild snapshotted them, and [[deleteVectors]] removed them from
+    * the live generation while the rebuild ran. A one-directional
+    * catch-up would let them RESURRECT at the flip (VERDICT r15 #1):
+    * the id is gone from serving, the diff finds nothing to copy, and
+    * publish flips to a generation that still holds it. Appends only
+    * ever land in the LIVE generation and the pending one is written
+    * solely from the live one's content, so an id in `to` but not in
+    * `from` can only be a propagated-then-deleted key.
+    */
+  private def resurrectDiff(
+      spark: SparkSession,
+      fromPath: String,
+      toPath: String,
+      idCol: String
+  ): DataFrame =
+    keymapFull(spark, toPath, idCol).select(col(idCol))
+      .join(keymapFull(spark, fromPath, idCol).select(col(idCol)), Seq(idCol), "left_anti")
+
   /** Whether `toPath` holds every `fromPath` id at its latest vector
-    * version — the [[managedPublish]] publish gate.
+    * version AND no id deleted from `fromPath` — the
+    * [[managedPublish]] publish gate, two-sided so deletions issued
+    * against the live generation mid-rebuild cannot resurrect at the
+    * flip.
     */
   def managedDrained(
       spark: SparkSession,
       fromPath: String,
       toPath: String,
       idCol: String
-  ): Boolean = catchUpDiff(spark, fromPath, toPath, idCol).isEmpty
+  ): Boolean =
+    catchUpDiff(spark, fromPath, toPath, idCol).isEmpty &&
+      resurrectDiff(spark, fromPath, toPath, idCol).isEmpty
 
   /** Append into `toPath` every id present in `fromPath`'s keymap but
     * missing from `toPath`'s — plus every id whose VECTOR CHANGED in
     * `fromPath` while the rebuild ran (version diff; latest wins
-    * across the generation flip). Loops until the diff drains, at
-    * most 5 rounds (each round's footprint is only the new arrivals);
-    * an undrained result is caught by [[managedPublish]]'s guard, not
+    * across the generation flip) — and DELETE from `toPath` every id
+    * removed from `fromPath` since the rebuild snapshot
+    * ([[resurrectDiff]]; a one-sided diff would resurrect deleted ids
+    * at the flip). Loops until both diffs drain, at most 5 rounds
+    * (each round's footprint is only the new arrivals/removals); an
+    * undrained result is caught by [[managedPublish]]'s guard, not
     * here — the daemon-side caller tolerates an undrained catch-up
     * because its final trigger-thread round runs on a quiescent old
     * generation. Returns the number of catch-up rounds that moved
@@ -581,8 +609,18 @@ object IvfIndex {
       val missing = catchUpDiff(spark, fromPath, toPath, idCol)
       val late = corpusVectors(spark, fromPath, idCol, vecCol)
         .join(missing, Seq(idCol), "left_semi")
-      if (late.isEmpty) drained = true
-      else { appendBatch(spark, toPath, late, idCol, vecCol, scoreDecimals); moved += 1 }
+      var acted = false
+      if (!late.isEmpty) {
+        appendBatch(spark, toPath, late, idCol, vecCol, scoreDecimals); acted = true; moved += 1
+      }
+      // derived AFTER the append acted: the append swaps `toPath`'s
+      // keymap files, and a plan captured before the swap would read
+      // deleted file names (FILE_NOT_EXIST)
+      val resurrected = resurrectDiff(spark, fromPath, toPath, idCol)
+      if (!resurrected.isEmpty) {
+        deleteVectors(spark, toPath, resurrected, idCol); acted = true; moved += 1
+      }
+      if (!acted) drained = true
       rounds += 1
     }
     moved
@@ -611,8 +649,9 @@ object IvfIndex {
     if (new Path(current).getName != gen)
       require(managedDrained(spark, current, new Path(r, gen).toString, idCol),
         s"refusing to publish undrained generation $gen under $root: ids in " +
-          s"${new Path(current).getName} are missing or stale in it — a writer is still " +
-          "appending to the live generation; run managedCatchUp (or managedFinishPending) again")
+          s"${new Path(current).getName} are missing or stale in it, or ids deleted from it " +
+          "would resurrect — a writer is still mutating the live generation; run " +
+          "managedCatchUp (or managedFinishPending) again")
     publishGeneration(fs, r, gen)
     clearPendingMarkers(fs, r, gen)
   }

@@ -312,6 +312,47 @@ class IvfIndexSpec extends SparkSuite {
     assert(IvfIndex.managedCurrent(s, root) == next2)
   }
 
+  test("deleteVectors on the live generation mid-rebuild does not resurrect at publish (r16)") {
+    val s = spark
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-managed16").toString + "/root"
+    val gen1 = IvfIndex.managedInit(emb.where(col("vec_id") < 400), "vec_id", "emb", root, nlist = 8)
+    // the daemon-side shape: retrain snapshots the live corpus, leaves
+    // a durable _pending marker, does not publish
+    val next = IvfIndex.managedMaintain(s, root, "vec_id", "emb",
+      maxSkew = 0.0, nlist = 8, publish = false).get
+    // deletes land on the LIVE generation while the rebuild sits
+    // pending — the snapshot already copied these ids into `next`
+    val victims = emb.where(col("vec_id") < 10).select("vec_id")
+    val victimIds = victims.collect().map(_.getLong(0)).toSet
+    IvfIndex.deleteVectors(s, gen1, victims, "vec_id")
+    assert(s.read.parquet(gen1).where(col("vec_id") < 10).count() == 0)
+    // the drain gate is two-sided: the pending generation still holds
+    // the deleted ids, so it is NOT drained and publish must refuse
+    assert(!IvfIndex.managedDrained(s, gen1, next, "vec_id"),
+      "a generation holding deleted ids must not count as drained")
+    val ex = intercept[IllegalArgumentException] {
+      IvfIndex.managedPublish(s, root, next, "vec_id")
+    }
+    assert(ex.getMessage.contains("undrained"), s"unexpected message: ${ex.getMessage}")
+    assert(IvfIndex.managedCurrent(s, root) == gen1)
+    // finishPending propagates the deletes (catch-up is two-sided)
+    // and then the guarded publish succeeds
+    assert(IvfIndex.managedFinishPending(s, root, "vec_id", "emb").contains(next))
+    assert(IvfIndex.managedCurrent(s, root) == next)
+    val served = s.read.parquet(next).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(served.intersect(victimIds).isEmpty,
+      s"deleted ids resurrected across the flip: ${served.intersect(victimIds)}")
+    // stats stay truthful: the keymap sidecar agrees with the layout
+    val st = IvfIndex.stats(s, next, "vec_id")
+    assert(st.rows == s.read.parquet(next).count(),
+      s"keymap rows ${st.rows} != layout rows after delete propagation")
+    // and the deleted ids do not serve at full probe
+    val q = emb.where(col("vec_id") % 50 === 0)
+    val neighbors = IvfIndex.searchTopK(s, next, q, "vec_id", "emb", k = 1000, nprobe = 9999)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(neighbors.intersect(victimIds).isEmpty, "deleted ids must not serve after the flip")
+  }
+
   test("drifted appends trip needsRebuild; rebuild restores balance and serving parity") {
     val s = spark; import s.implicits._
     val path = tempPath("drift")

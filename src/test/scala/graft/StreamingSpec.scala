@@ -343,6 +343,42 @@ class StreamingSpec extends SparkSuite {
     assert(gens == Set(gen1, pending).map(_.split('/').last), s"unexpected generations: $gens")
   }
 
+  test("ivfAppendStreamManaged: a delete landing between daemon-finish and trigger-publish does not resurrect (r16)") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-delres")
+    val root = tmp.resolve("idx").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    def vec(seed: Int) = Array.tabulate(8)(d => math.sin(seed * 13 + d).abs + 0.1)
+    val base = (1 to 40).map(i => (i.toLong, vec(i))).toDF("id", "v")
+    val gen1 = graft.pipeline.IvfIndex.managedInit(base, "id", "v", root, nlist = 8)
+    // the daemon finished its retrain (durable _pending marker, not
+    // yet published)...
+    val pending = graft.pipeline.IvfIndex.managedMaintain(
+      s, root, "id", "v", maxSkew = 0.0, nlist = 8, publish = false).get
+    // ...and an operator deletes ids from the LIVE generation in the
+    // window before the next micro-batch publishes the rebuild
+    graft.pipeline.IvfIndex.deleteVectors(
+      s, gen1, Seq(3L, 7L).toDF("id"), "id")
+    val rebuilds = scala.collection.mutable.ArrayBuffer.empty[String]
+    val input = MemoryStream[(Long, Array[Double], Long)]
+    val q = StreamOps.ivfAppendStreamManaged(
+      input.toDF().toDF("id", "v", "ts"), root, ckpt, "id", "v", "ts",
+      maxSkew = 1e9, // resume-and-publish only, no new rebuild
+      onRebuild = p => rebuilds.synchronized { rebuilds += p; () })
+    try {
+      input.addData((500L, vec(500), 1L))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(rebuilds.synchronized(rebuilds.toSeq) == Seq(pending))
+    assert(graft.pipeline.IvfIndex.managedCurrent(s, root) == pending)
+    val served = s.read.parquet(pending).select("id").collect().map(_.getLong(0)).toSet
+    assert(!served.contains(3L) && !served.contains(7L),
+      s"ids deleted mid-window resurrected across the flip: $served")
+    assert(served == ((1 to 40).map(_.toLong).toSet -- Set(3L, 7L)) + 500L,
+      "everything else (including the post-restart append) must survive the flip")
+  }
+
   test("sessionize splits on inactivity gaps (batch parity)") {
     val s = spark; import s.implicits._
     val events = Seq(
