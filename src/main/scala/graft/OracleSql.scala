@@ -381,7 +381,7 @@ FROM cand c JOIN shd a ON c.id_a = a.doc_id JOIN shd b ON c.id_b = b.doc_id"""
 FROM (SELECT vec_id, emb, ${bucketExpr(seed)} AS b FROM e WHERE vec_id % 50 = 0) q
 JOIN (SELECT vec_id, emb, ${bucketExpr(seed)} AS b FROM e) c ON q.b = c.b AND q.vec_id <> c.vec_id"""
     }.mkString("\nUNION\n")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0 AND NOT isnan(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))),
 allp AS ($probes),
 r AS (SELECT query_id, neighbor_id, score,
 CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS INT) AS "rank" FROM allp)
@@ -514,7 +514,7 @@ ${kmeansAssignCte(s"s${s}enc", s"s${s}cents$iters", src = s"s${s}c")}"""
     val centsCte =
       if (nlist == 0) autoCentsCte // Similarity.AutoNlist replay
       else s"cents AS (SELECT vec_id AS cent_id, emb AS cemb FROM c ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nlist)"
-    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0 AND NOT isnan(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))),
 q AS (SELECT vec_id, emb FROM c WHERE vec_id % 50 = 0),
 $centsCte,
 ${routedCaCtes("cents", "c", "neighbor_id")},
@@ -687,7 +687,7 @@ FROM (SELECT doc_id FROM documents WHERE doc_id % 37 <> 0) d LEFT JOIN sc ON d.d
     * norm is an integer-sum sqrt, bit-stable), so one SQL gates both.
     */
   private lazy val annIvfInt8Sql: String =
-    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0 AND NOT isnan(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))),
 $autoCentsCte,
 ${routedCaCtes("cents", "c", "neighbor_id")},
 q AS (SELECT vec_id, emb FROM c WHERE vec_id % 50 = 0),
@@ -1312,7 +1312,7 @@ WHERE list_cosine_similarity(a.emb, b.emb) >= 0.25""",
     // int8 quantization replay: codes as DOUBLE lists (integer-exact
     // sums), scales cancel in the cosine ratio
     "q_ann_int8" ->
-      """WITH c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
+      """WITH c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0 AND NOT isnan(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))),
 z AS (SELECT vec_id, list_max(list_transform(emb, x -> abs(x))) / 127.0 AS s, emb FROM c0),
 cz AS (SELECT vec_id,
   CASE WHEN s = 0 THEN list_transform(emb, x -> 0.0)
@@ -1327,7 +1327,7 @@ r AS (SELECT query_id, neighbor_id, score,
 SELECT query_id, neighbor_id, score, "rank" FROM r WHERE "rank" <= 5""",
 
     "q_ann_bruteforce" ->
-      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0 AND NOT isnan(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))),
 q AS (SELECT vec_id, emb FROM c WHERE vec_id % 50 = 0),
 s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, round(list_cosine_similarity(q.emb, c.emb), 4) AS score FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id),
 r AS (SELECT query_id, neighbor_id, score, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS INT) AS "rank" FROM s)
@@ -1354,7 +1354,7 @@ FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)"""
     // nonzero set — Similarity.autoNlist), rank-1 corpus assignment,
     // nprobe query probing, global re-rank
     "q_ann_ivf" ->
-      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0 AND NOT isnan(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))),
 cents AS (SELECT vec_id AS cent_id, emb AS cemb FROM c
 QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
   <= greatest(16, CAST(ceil(sqrt((SELECT count(*) FROM c))) AS BIGINT))),
@@ -1377,7 +1377,7 @@ SELECT query_id, neighbor_id, score, "rank" FROM r WHERE "rank" <= 5""",
     "q_ann_ivf_fitted" -> {
       s"""WITH c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 ${kmeansTrainCtes(16, 1, 64, src = "c0")},
-c AS (SELECT vec_id, emb FROM c0 WHERE list_dot_product(emb, emb) > 0),
+c AS (SELECT vec_id, emb FROM c0 WHERE list_dot_product(emb, emb) > 0 AND NOT isnan(list_dot_product(emb, emb))),
 ${routedCaCtes("cents1", "c", "neighbor_id")},
 q AS (SELECT vec_id, emb FROM c WHERE vec_id % 50 = 0),
 qa AS (SELECT query_id, qemb, cent_id FROM (
@@ -1394,7 +1394,7 @@ SELECT query_id, neighbor_id, score, "rank" FROM r WHERE "rank" <= 5"""
     // same semantics as q_ann_ivf — the engine side serves from the
     // persisted cell-partitioned index instead of recomputing assignment
     "q_ann_ivf_store" ->
-      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0 AND NOT isnan(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))),
 cents AS (SELECT vec_id AS cent_id, emb AS cemb FROM c
 QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
   <= greatest(16, CAST(ceil(sqrt((SELECT count(*) FROM c))) AS BIGINT))),

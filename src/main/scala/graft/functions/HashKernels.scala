@@ -156,19 +156,34 @@ object VectorKernel {
     * gates this kernel unchanged. Null elements stay null-propagated
     * like the lambda form (a null component yields a null code); the
     * all-zero vector gets scale 0 and all-zero codes.
+    *
+    * NaN contract (r16): a vector with ANY NaN component quantizes
+    * like the zero vector — scale 0.0, every non-null code 0. The
+    * pre-r16 behavior (NaN scale, all-zero codes via `NaN.toInt`)
+    * let a corrupt embedding slip past zero-vector guards and serve
+    * garbage from a stored index; scale 0.0 makes the row
+    * indistinguishable from the zero vector every Similarity path
+    * already excludes. (In-repo top-k callers never reach this:
+    * `dropZeroVectors` explicitly filters NaN-bearing vectors — NaN
+    * orders GREATER than every number in both Spark and DuckDB, so
+    * its `dot > 0` alone would have kept them — but the quantize
+    * surface is public and the stored-index layout is long-lived, so
+    * the kernel defends its own contract too.)
     */
   def int8Quantize(v: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
     val n = v.numElements()
     var maxAbs = 0.0
+    var hasNaN = false
     var i = 0
     while (i < n) {
       if (!v.isNullAt(i)) {
         val a = math.abs(v.getDouble(i))
-        if (a > maxAbs || java.lang.Double.isNaN(a)) maxAbs = a
+        if (java.lang.Double.isNaN(a)) hasNaN = true
+        else if (a > maxAbs) maxAbs = a
       }
       i += 1
     }
-    val scale = maxAbs / 127.0
+    val scale = if (hasNaN) 0.0 else maxAbs / 127.0
     // Exact half-away-from-zero on the BINARY value: c = floor(|x|),
     // frac = |x| - c is computed exactly (both are multiples of
     // ulp(|x|) in the same binade), so the >= 0.5 test never

@@ -60,10 +60,17 @@ object Similarity {
     * SQL applies the same filter. (An all-zero embedding is a
     * degenerate/corrupt row in any real corpus; dropping it is the
     * defined contract, not a silent repair.)
+    *
+    * NaN-bearing vectors are excluded EXPLICITLY (r16): both Spark
+    * and DuckDB order NaN GREATER than every number, so a bare
+    * `dot > 0` keeps a NaN vector — and its NaN cosine would then
+    * rank ABOVE every real neighbor in the (score desc) top-k window,
+    * serving garbage first. Same degenerate-row contract as the zero
+    * vector; the oracle SQL applies the same `NOT isnan` filter.
     */
   private[pipeline] def dropZeroVectors(df: DataFrame, vecCol: String): DataFrame = {
     val v = col(vecCol).cast("array<double>")
-    df.where(dot(v, v) > 0.0d)
+    df.where(dot(v, v) > 0.0d && !isnan(dot(v, v)))
   }
 
   /** The interpreted HOF form of [[dot]] — kept as the spec the
@@ -909,6 +916,21 @@ object Similarity {
     */
   private[graft] val TwoLevelMinRows = 100000L
 
+  /** Driver-memory budget for the centroid collect in
+    * [[ivfAssignTwoLevel]], in vector COMPONENTS (nlist × dim
+    * doubles). The centroid frame is contractually broadcast-sized —
+    * every caller ships it whole to every executor — but it is the one
+    * driver-held term that grows with corpus size under [[autoNlist]]
+    * (nlist = √n): at n = 10¹⁰ and dim = 4k that is ~4×10⁸ doubles,
+    * ~3 GB, and the collect would OOM the driver mid-job with a
+    * generic heap error. The default budget (2²⁶ components = 512 MB
+    * of doubles) fails such an index with a clear, actionable message
+    * instead; callers with bigger drivers can raise it. (Spark's own
+    * `spark.driver.maxResultSize` also bounds the collect, but its
+    * error names neither the operator nor the sizing knobs.)
+    */
+  private[graft] var MaxCentroidComponents: Long = 1L << 26
+
   /** Nearest-centroid cell assignment — the IVF routing used by every
     * build/append path. Two routes behind one contract-stable switch:
     *
@@ -967,6 +989,18 @@ object Similarity {
     import scala.jdk.CollectionConverters._
     val spark = cents0.sparkSession
     val rows = cents0.collect()
+    // the driver-memory contract on this collect (VERDICT r15 #7):
+    // nlist × dim must fit the documented budget — fail with the
+    // sizing knobs named, not a generic heap error three stages later
+    if (rows.nonEmpty) {
+      val dim = rows.head.getSeq[Double](cents0.schema.fieldIndex("__cv__")).length
+      require(rows.length.toLong * dim <= MaxCentroidComponents,
+        s"ivfAssignTwoLevel: centroid frame is ${rows.length} cells x $dim dims = " +
+          s"${rows.length.toLong * dim} components, over the ${MaxCentroidComponents}-component " +
+          "driver budget (Similarity.MaxCentroidComponents) - the frame is collected AND " +
+          "broadcast whole; train fewer cells (cap nlist below sqrt(n)), reduce the embedding " +
+          "dim (randomProjection), or raise the budget on a bigger driver")
+    }
     val cents = broadcast(spark.createDataFrame(rows.toList.asJava, cents0.schema))
     val idIdx = cents0.schema.fieldIndex("cent_id")
     val integralId = cents0.schema(idIdx).dataType match {

@@ -508,7 +508,13 @@ object StreamOps {
                   }
                   done = true
                 } catch {
-                  case e: org.apache.spark.SparkException if attempts < 3 => ()
+                  // visible, not swallowed (VERDICT r15 #2): an operator
+                  // debugging a slow rebuild must see the crash-and-retry
+                  case e: org.apache.spark.SparkException if attempts < 3 =>
+                    org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                      s"ivf maintenance for $root failed (attempt $attempts/3), retrying — " +
+                        "expected when a concurrent append swaps files a captured read plan " +
+                        s"still names: ${e.getMessage}")
                 }
               }
               catch { case e: Throwable => inFlight.set(false); throw e }

@@ -724,6 +724,34 @@ class PipelineSpec extends SparkSuite {
     SparkEntry.runPendingCleanups()
   }
 
+  test("ivfAssignTwoLevel driver-memory contract: an over-budget centroid frame fails with the sizing knobs named (r16)") {
+    val s = spark; import s.implicits._
+    // the centroid frame is collected AND broadcast whole; under
+    // autoNlist it is the one driver term that grows with corpus size
+    // (nlist = sqrt(n)), so an oversized frame must fail naming the
+    // budget and the remedies, not OOM mid-collect three stages later
+    val corpus = (0 until 150).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 13 + d * 7)))
+    }.toDF("id", "v")
+    val cents = (0 until 80).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.cos(i * 31 + d * 3)))
+    }.toDF("cent_id", "__cv__")
+      .withColumn("__cn__", sqrt(aggregate(col("__cv__"), lit(0.0d), (a, x) => a + x * x)))
+    val old = Similarity.MaxCentroidComponents
+    Similarity.MaxCentroidComponents = 100L // 80 cells x 8 dims = 640 > 100
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        Similarity.ivfAssignTwoLevel(corpus, cents, "id", "v", "row", 4)
+      }
+      assert(ex.getMessage.contains("MaxCentroidComponents") && ex.getMessage.contains("640"),
+        s"unexpected message: ${ex.getMessage}")
+    } finally Similarity.MaxCentroidComponents = old
+    // within budget the same frame routes two-level normally
+    val routed = Similarity.ivfAssignTwoLevel(corpus, cents, "id", "v", "row", 4)
+    assert(routed.select("row_id").distinct().count() == 150)
+    SparkEntry.runPendingCleanups()
+  }
+
   test("trained quantizer retains recall at low probed fraction where the random draw decays") {
     val s = spark; import s.implicits._
     // 16 LOOSE clusters (noise comparable to cluster separation),

@@ -63,6 +63,9 @@ class PropertySpec extends SparkSuite {
         math.nextAfter(scale / 2.0, 0.0), 63.5 * scale, -63.5 * scale))
     }
     val zeros = Seq((5000L, Array.fill(16)(0.0)))
+    // equivalence domain: NaN-free vectors — on NaN inputs the kernel
+    // DELIBERATELY diverges from the old form (see the r16 NaN case
+    // below); no in-repo path feeds NaN (dropZeroVectors excludes it)
     val df = (random ++ boundary ++ zeros).toDF("id", "v")
     val (o, n) = (oldForm(df), newForm(df))
     assert(o.length == n.length)
@@ -72,6 +75,36 @@ class PropertySpec extends SparkSuite {
         s"scale diverged for id $oi: $os vs $ns")
       assert(oc == nc, s"codes diverged for id $oi: $oc vs $nc (scale $os)")
     }
+  }
+
+  test("int8 quantize treats any-NaN vectors like the zero vector: scale 0.0, all-zero codes (r16)") {
+    // the pre-r16 kernel propagated NaN into the scale (codes were
+    // already 0 via NaN.toInt), so a corrupt embedding slipped past
+    // zero-vector guards with a NaN scale; the pinned contract makes
+    // it indistinguishable from the zero vector (scale 0.0), which
+    // every Similarity path excludes
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, Array(1.0, Double.NaN, 3.0)),        // NaN mid-vector
+      (2L, Array(Double.NaN, Double.NaN, Double.NaN)), // all NaN
+      (3L, Array(5.0, -2.0, 0.5))               // control: NaN-free
+    ).toDF("id", "v")
+    val out = Similarity.quantizeInt8(df, "v", "__c__", "__s__")
+      .select(col("id"), col("__c__"), col("__s__"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getDouble(2))).sortBy(_._1)
+    assert(out(0)._3 == 0.0 && out(0)._2 == Seq(0, 0, 0),
+      s"NaN-bearing vector must quantize like the zero vector, got ${out(0)}")
+    assert(out(1)._3 == 0.0 && out(1)._2 == Seq(0, 0, 0))
+    assert(out(2)._3 == 5.0 / 127.0 && out(2)._2 == Seq(127, -51, 13),
+      s"NaN-free vectors must be untouched by the guard, got ${out(2)}")
+    // dropZeroVectors excludes NaN vectors explicitly (NaN orders
+    // GREATER than every number in Spark, so dot > 0 alone KEPT them
+    // — and their NaN cosine ranked above every real neighbor): with
+    // ids 1-2 NaN and the query excluded from its own neighbors, the
+    // corpus must be empty
+    val kept = Similarity.bruteForceTopK(
+      df, df.where(col("id") === 3L), "id", "v", k = 5).count()
+    assert(kept == 0L, "NaN corpus vectors must be excluded from top-k serving")
   }
 
   test("winsorize output is always within the clamp bounds and preserves row count") {
