@@ -431,9 +431,9 @@ FROM $src $srcAlias CROSS JOIN $cents) t WHERE cr = 1)"""
   private def routedCaCtes(cents: String, src: String, outId: String): String =
     s"""nlr AS (SELECT count(*) AS nl FROM $cents),
 nvr AS (SELECT count(*) AS nv FROM $src),
-cfl AS (SELECT * FROM $src WHERE (SELECT nl FROM nlr) < 64 AND (SELECT nv FROM nvr) < 100000),
+cfl AS (SELECT * FROM $src WHERE (SELECT nl FROM nlr) < ${graft.pipeline.Similarity.TwoLevelMinNlist} AND (SELECT nv FROM nvr) < ${graft.pipeline.Similarity.TwoLevelMinRows}),
 ${flatCaCte(cents, "cfl", outId, out = "caf")},
-ctl AS (SELECT * FROM $src WHERE NOT ((SELECT nl FROM nlr) < 64 AND (SELECT nv FROM nvr) < 100000)),
+ctl AS (SELECT * FROM $src WHERE NOT ((SELECT nl FROM nlr) < ${graft.pipeline.Similarity.TwoLevelMinNlist} AND (SELECT nv FROM nvr) < ${graft.pipeline.Similarity.TwoLevelMinRows})),
 sups0 AS (SELECT cent_id AS sup_id, cemb AS semb FROM $cents
 QUALIFY row_number() OVER (ORDER BY md5(CAST(cent_id AS VARCHAR)), cent_id)
   <= CAST(ceil(sqrt((SELECT count(*) FROM $cents))) AS BIGINT)),

@@ -906,8 +906,9 @@ object Similarity {
     * The route is part of the RESULT contract (the two routes may
     * pick different cells for a vector near a group boundary), so
     * the oracle SQL branches on the same two counts —
-    * [[graft.OracleSql]] keeps the two CTE chains behind the same
-    * `nlist < 64 AND n < 100000` guard.
+    * [[graft.OracleSql]] INTERPOLATES these constants into its route
+    * guard (r16), so the two sides cannot drift if the thresholds
+    * move.
     */
   private[graft] val TwoLevelMinNlist = 64
 

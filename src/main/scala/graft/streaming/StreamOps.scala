@@ -498,33 +498,49 @@ object StreamOps {
               // trigger thread picks it up next batch.
               var attempts = 0
               var done = false
-              try while (!done) {
-                attempts += 1
-                try {
-                  graft.pipeline.IvfIndex.managedMaintain(
-                    s, root, idCol, vecCol, maxSkew, nlist, publish = false) match {
-                    case Some(_) => ()
-                    case None    => inFlight.set(false)
+              // the rebuild's routing caches park under an OWNER scope
+              // (ADVICE r15): the trigger thread's per-batch drain()
+              // must not unpersist this thread's in-flight membership
+              // cache mid-rebuild (deterministic lineage keeps results
+              // correct, but the frame would silently recompute per
+              // downstream reference); the daemon releases its own
+              // handles when the rebuild finishes
+              val owner = s"ivf-maintain-$root"
+              try graft.Cleanup.scoped(owner) {
+                while (!done) {
+                  attempts += 1
+                  try {
+                    graft.pipeline.IvfIndex.managedMaintain(
+                      s, root, idCol, vecCol, maxSkew, nlist, publish = false) match {
+                      case Some(_) => ()
+                      case None    => inFlight.set(false)
+                    }
+                    done = true
+                  } catch {
+                    // visible, not swallowed (VERDICT r15 #2): an operator
+                    // debugging a slow rebuild must see the crash-and-retry
+                    case e: org.apache.spark.SparkException if attempts < 3 =>
+                      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                        s"ivf maintenance for $root failed (attempt $attempts/3), retrying — " +
+                          "expected when a concurrent append swaps files a captured read plan " +
+                          s"still names: ${e.getMessage}")
                   }
-                  done = true
-                } catch {
-                  // visible, not swallowed (VERDICT r15 #2): an operator
-                  // debugging a slow rebuild must see the crash-and-retry
-                  case e: org.apache.spark.SparkException if attempts < 3 =>
-                    org.slf4j.LoggerFactory.getLogger(getClass).warn(
-                      s"ivf maintenance for $root failed (attempt $attempts/3), retrying — " +
-                        "expected when a concurrent append swaps files a captured read plan " +
-                        s"still names: ${e.getMessage}")
                 }
               }
               catch { case e: Throwable => inFlight.set(false); throw e }
-              finally { maintenanceThreads.remove(root, Thread.currentThread()); () }
+              finally {
+                graft.Cleanup.drainOwner(owner)
+                maintenanceThreads.remove(root, Thread.currentThread()); ()
+              }
             }, s"graft-ivf-maintain-$root")
             t.setDaemon(true)
             maintenanceThreads.put(root, t)
             t.start()
           }
-          // release the per-append routing caches (see ivfAppendStream)
+          // release the per-append routing caches (see ivfAppendStream).
+          // The maintenance daemon's in-flight caches are NOT here —
+          // they park under its owner scope, so this anytime drain
+          // cannot unpersist a rebuild's membership frame mid-flight
           graft.Cleanup.drain()
           ()
         }

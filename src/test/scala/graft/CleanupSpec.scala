@@ -26,6 +26,35 @@ class CleanupSpec extends SparkSuite {
     Cleanup.drain() // idempotent
   }
 
+  test("owner scopes isolate a thread's handles from concurrent drain() (ADVICE r15, r16)") {
+    Cleanup.drainAll() // isolate from other suites
+    var releasedOwned = 0
+    var releasedGlobal = 0
+    // the managed-stream shape: a daemon parks caches under its owner
+    // scope while the trigger thread drains the global tier per batch
+    Cleanup.scoped("ivf-maintain-test") {
+      Cleanup.defer(() => releasedOwned += 1)
+      // nested scope attributes to the INNER owner and restores
+      Cleanup.scoped("inner") { Cleanup.defer(() => releasedOwned += 10) }
+      Cleanup.defer(() => releasedOwned += 1)
+    }
+    Cleanup.defer(() => releasedGlobal += 1) // outside any scope
+    assert(Cleanup.pendingCount == 4)
+    Cleanup.drain() // another thread's anytime drain
+    assert(releasedGlobal == 1 && releasedOwned == 0,
+      "drain() must not release owner-scoped handles")
+    Cleanup.drainOwner("inner")
+    assert(releasedOwned == 10)
+    Cleanup.drainOwner("ivf-maintain-test")
+    assert(releasedOwned == 12)
+    assert(Cleanup.pendingCount == 0)
+    Cleanup.drainOwner("ivf-maintain-test") // idempotent
+    // drainAll sweeps owner scopes too (end-of-session)
+    Cleanup.scoped("leftover") { Cleanup.defer(() => releasedOwned += 100) }
+    Cleanup.drainAll()
+    assert(releasedOwned == 112 && Cleanup.pendingCount == 0)
+  }
+
   test("checkpoint-releasing conveniences are fragile-tier: drain() leaves frames usable (ADVICE r12)") {
     val s = spark; import s.implicits._
     Cleanup.drainAll() // isolate from other suites
