@@ -699,7 +699,14 @@ object IvfIndex {
 
   /** The newest built-but-unpublished generation under `root`, if
     * any. Stale markers (naming the live generation, or a directory
-    * that no longer exists) are deleted on sight.
+    * that no longer exists) are deleted on sight — and so are
+    * SUPERSEDED pending markers (r16, ADVICE r15): when several
+    * unpublished rebuilds stack up (managedMaintain(publish = false)
+    * run more than once), only the newest is ever resumed, so the
+    * older markers would otherwise pin their generation directories
+    * against [[managedVacuum]] forever. Clearing them demotes those
+    * directories to unmarked debris, which vacuum reclaims by
+    * newest-file age after the grace.
     */
   def managedPendingGeneration(spark: SparkSession, root: String): Option[String] = {
     import org.apache.hadoop.fs.Path
@@ -711,6 +718,7 @@ object IvfIndex {
       gen == curName || !fs.exists(new Path(r, gen))
     }
     stale.foreach { case (p, _) => fs.delete(p, false) }
+    live.dropRight(1).foreach { case (p, _) => fs.delete(p, false) }
     live.lastOption.map { case (_, gen) => new Path(r, gen).toString }
   }
 
@@ -740,8 +748,14 @@ object IvfIndex {
     * `gen-<ts>` directory whose tenure ended more than `graceMs` ago
     * — never the live generation, never a pending one. A generation's
     * tenure ends at the FIRST marker published after its own last
-    * marker; a never-published directory (crashed build debris) ages
-    * by its filesystem modification time. Markers naming a deleted
+    * marker; a never-published directory ages by the NEWEST file
+    * anywhere in its tree (r16, ADVICE r15): an IN-FLIGHT rebuild
+    * keeps writing deep into partition subdirectories without bumping
+    * the gen root's mtime, so root-mtime aging would let a scheduled
+    * vacuum delete a multi-minute retrain out from under the
+    * maintenance thread — newest-file aging keeps any dir that is
+    * still being written alive, while genuinely crashed debris ages
+    * past the grace and is reclaimed. Markers naming a deleted
     * generation are removed with it. Returns the deleted generation
     * paths.
     *
@@ -749,7 +763,9 @@ object IvfIndex {
     * [[managedCurrent]] just before a flip keeps scanning the old
     * directory until its query finishes — size the grace to the
     * longest expected query, exactly like any snapshot-retention
-    * setting.
+    * setting. (For in-flight-BUILD safety the grace must also exceed
+    * the longest single write gap inside a rebuild — seconds — which
+    * any reader-sized grace already does.)
     */
   def managedVacuum(spark: SparkSession, root: String, graceMs: Long): Seq[String] = {
     import org.apache.hadoop.fs.Path
@@ -770,6 +786,15 @@ object IvfIndex {
     val pendingGens = pendingMarkers(fs, r).map(_._2).toSet
     def markerTs(name: String): Long =
       name.stripPrefix(GenMarkerPrefix).take(13).toLong
+    // newest mtime anywhere under `p` — the liveness signal for dirs
+    // with no marker history (in-flight builds write leaves, not the
+    // root); GC-time listing cost, bounded by the layout's file count
+    def newestMTime(p: org.apache.hadoop.fs.Path): Long = {
+      val it = fs.listFiles(p, true)
+      var mx = fs.getFileStatus(p).getModificationTime
+      while (it.hasNext) { val st = it.next(); if (st.getModificationTime > mx) mx = st.getModificationTime }
+      mx
+    }
     statuses
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen-"))
       .flatMap { d =>
@@ -778,7 +803,7 @@ object IvfIndex {
         else {
           val mine = markers.filter(_._2 == g).map(_._1.getName)
           val supersededAt =
-            if (mine.isEmpty) d.getModificationTime
+            if (mine.isEmpty) newestMTime(d.getPath)
             else markers.map(_._1.getName).filter(_ > mine.max) match {
               case Seq() => Long.MaxValue // raced a concurrent publish of g; skip
               case after => markerTs(after.min)

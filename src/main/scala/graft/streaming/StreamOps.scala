@@ -434,8 +434,13 @@ object StreamOps {
     *
     * `onRebuild` fires (trigger thread) with the new generation path
     * right after each flip; old generation dirs are left for
-    * in-flight readers — GC them on a schedule with
-    * [[graft.pipeline.IvfIndex.managedVacuum]].
+    * in-flight readers. Pass `vacuumGraceMs = Some(grace)` to GC them
+    * automatically: [[graft.pipeline.IvfIndex.managedVacuum]] runs on
+    * the trigger thread after each publish, so a long-lived stream
+    * holds at most the live generation plus whatever is inside the
+    * reader grace — instead of one full corpus copy per rebuild
+    * forever (VERDICT r15 #3). Size the grace to the longest expected
+    * reader query; leave it `None` to keep GC caller-scheduled.
     */
   /** Live maintenance threads by managed root — so a caller stopping
     * the stream can drain in-flight rebuild work instead of leaving a
@@ -464,7 +469,8 @@ object StreamOps {
       maxSkew: Double = 4.0,
       nlist: Int = graft.pipeline.Similarity.AutoNlist,
       onBatch: graft.pipeline.IvfIndex.IvfStats => Unit = _ => (),
-      onRebuild: String => Unit = _ => ()
+      onRebuild: String => Unit = _ => (),
+      vacuumGraceMs: Option[Long] = None
   ): org.apache.spark.sql.streaming.StreamingQuery = {
     val inFlight = new java.util.concurrent.atomic.AtomicBoolean(false)
     vectors.writeStream
@@ -481,6 +487,16 @@ object StreamOps {
             .foreach { next =>
               inFlight.set(false)
               onRebuild(next)
+              // opt-in blue/green GC (VERDICT r15 #3): each publish
+              // leaves a superseded generation on disk for in-flight
+              // readers; without this a long-lived stream accumulates
+              // one full corpus copy per rebuild. Runs on the trigger
+              // thread right after the flip — vacuum never touches
+              // the live or pending generation, and in-flight builds
+              // are protected by newest-file aging.
+              vacuumGraceMs.foreach { grace =>
+                graft.pipeline.IvfIndex.managedVacuum(s, root, grace); ()
+              }
             }
           val cur = graft.pipeline.IvfIndex.managedCurrent(s, root)
           val stats = graft.pipeline.IvfIndex.appendBatch(

@@ -312,6 +312,57 @@ class IvfIndexSpec extends SparkSuite {
     assert(IvfIndex.managedCurrent(s, root) == next2)
   }
 
+  test("managedVacuum ages unmarked dirs by their NEWEST file, so in-flight builds survive a scheduled vacuum (r16)") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val s = spark
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-vac16").toString + "/root"
+    IvfIndex.managedInit(emb.where(col("vec_id") < 200), "vec_id", "emb", root, nlist = 8)
+    // an IN-FLIGHT rebuild: the gen root was created minutes ago but a
+    // deep partition file was written moments ago — root-mtime aging
+    // would call this stale and delete a live multi-minute retrain
+    val inflight = Paths.get(root, "gen-0000000000001")
+    Files.createDirectories(inflight.resolve("cent_id=0"))
+    Files.write(inflight.resolve("cent_id=0/part-0.parquet"), Array[Byte](1, 2, 3))
+    val old = FileTime.fromMillis(System.currentTimeMillis() - 3600000L)
+    Files.setLastModifiedTime(inflight, old)
+    Files.setLastModifiedTime(inflight.resolve("cent_id=0"), old)
+    // (the leaf file keeps its fresh mtime — that IS the signal)
+    val deleted = IvfIndex.managedVacuum(s, root, graceMs = 600000L)
+    assert(deleted.isEmpty && Files.exists(inflight),
+      s"an unmarked dir with a fresh leaf write must survive vacuum, deleted=$deleted")
+    // genuinely crashed debris — every file old — is reclaimed
+    Files.setLastModifiedTime(inflight.resolve("cent_id=0/part-0.parquet"), old)
+    val deleted2 = IvfIndex.managedVacuum(s, root, graceMs = 600000L)
+    assert(deleted2.exists(_.endsWith("gen-0000000000001")) && !Files.exists(inflight),
+      s"stale unmarked debris must be reclaimed, deleted=$deleted2")
+  }
+
+  test("superseded pending markers clear so stacked unpublished rebuilds do not pin dirs forever (r16)") {
+    val s = spark
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-pend16").toString + "/root"
+    IvfIndex.managedInit(emb.where(col("vec_id") < 200), "vec_id", "emb", root, nlist = 8)
+    // two unpublished rebuilds stack (maxSkew = 0 always trips): only
+    // the newest is ever resumed; the older marker must not pin its
+    // directory against vacuum forever
+    val p1 = IvfIndex.managedMaintain(s, root, "vec_id", "emb",
+      maxSkew = 0.0, nlist = 8, publish = false).get
+    val p2 = IvfIndex.managedMaintain(s, root, "vec_id", "emb",
+      maxSkew = 0.0, nlist = 8, publish = false).get
+    assert(p1 != p2)
+    assert(IvfIndex.managedPendingGeneration(s, root).contains(p2),
+      "the newest pending generation wins")
+    // resolving pendings demoted p1 to unmarked debris; vacuum (which
+    // itself resolves nothing) reclaims it by newest-file age
+    val deleted = IvfIndex.managedVacuum(s, root, graceMs = 0L)
+    assert(deleted.exists(_.endsWith(p1.split('/').last)) && !new java.io.File(p1).exists,
+      s"the superseded pending dir must be reclaimable, deleted=$deleted")
+    assert(new java.io.File(p2).exists, "the newest pending must survive")
+    // and the newest still publishes normally
+    assert(IvfIndex.managedFinishPending(s, root, "vec_id", "emb").contains(p2))
+    assert(IvfIndex.managedCurrent(s, root) == p2)
+  }
+
   test("deleteVectors on the live generation mid-rebuild does not resurrect at publish (r16)") {
     val s = spark
     val root = java.nio.file.Files.createTempDirectory("graft-ivf-managed16").toString + "/root"

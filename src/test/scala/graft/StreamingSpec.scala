@@ -343,6 +343,53 @@ class StreamingSpec extends SparkSuite {
     assert(gens == Set(gen1, pending).map(_.split('/').last), s"unexpected generations: $gens")
   }
 
+  test("ivfAppendStreamManaged with vacuumGraceMs GCs superseded generations after each publish (r16)") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-vacstream")
+    val root = tmp.resolve("idx").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    def vec(seed: Int) = Array.tabulate(8)(d => math.sin(seed * 13 + d).abs + 0.1)
+    val base = (1 to 40).map(i => (i.toLong, vec(i))).toDF("id", "v")
+    val gen1 = graft.pipeline.IvfIndex.managedInit(base, "id", "v", root, nlist = 8)
+    def genDirs(): Set[String] = new java.io.File(root).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("gen-")).map(_.getName).toSet
+    // rebuild #1 sits pending (the daemon-finished shape); the stream
+    // publishes it on its first batch and — with the grace at 0 —
+    // vacuums gen1 right after the flip, on the trigger thread
+    val p1 = graft.pipeline.IvfIndex.managedMaintain(
+      s, root, "id", "v", maxSkew = 0.0, nlist = 8, publish = false).get
+    val rebuilds = scala.collection.mutable.ArrayBuffer.empty[String]
+    val input = MemoryStream[(Long, Array[Double], Long)]
+    val q = StreamOps.ivfAppendStreamManaged(
+      input.toDF().toDF("id", "v", "ts"), root, ckpt, "id", "v", "ts",
+      maxSkew = 1e9, // publishes only pre-seeded pendings; no new rebuild
+      onRebuild = p => rebuilds.synchronized { rebuilds += p; () },
+      vacuumGraceMs = Some(0L))
+    try {
+      input.addData((500L, vec(500), 1L))
+      q.processAllAvailable()
+      assert(rebuilds.synchronized(rebuilds.toSeq) == Seq(p1))
+      assert(genDirs() == Set(p1.split('/').last),
+        s"after publish #1 + vacuum only the live generation may remain, got ${genDirs()}")
+      // rebuild #2 through the same still-running stream
+      val p2 = graft.pipeline.IvfIndex.managedMaintain(
+        s, root, "id", "v", maxSkew = 0.0, nlist = 8, publish = false).get
+      input.addData((501L, vec(501), 2L))
+      q.processAllAvailable()
+      assert(rebuilds.synchronized(rebuilds.toSeq) == Seq(p1, p2))
+      assert(genDirs() == Set(p2.split('/').last),
+        s"after publish #2 + vacuum only the live generation may remain, got ${genDirs()}")
+    } finally q.stop()
+    // serving is unaffected: the surviving generation holds everything
+    val current = graft.pipeline.IvfIndex.managedCurrent(s, root)
+    val served = s.read.parquet(current).select("id").collect().map(_.getLong(0)).toSet
+    assert(served == ((1 to 40).map(_.toLong).toSet ++ Set(500L, 501L)),
+      s"vacuum must never cost data: ${served.size} ids served")
+    assert(graft.pipeline.IvfIndex.searchTopK(s, current,
+      Seq((9000L, vec(3))).toDF("id", "v"), "id", "v", k = 3, nprobe = 9999).count() > 0)
+  }
+
   test("ivfAppendStreamManaged: a delete landing between daemon-finish and trigger-publish does not resurrect (r16)") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
