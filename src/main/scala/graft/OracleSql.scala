@@ -714,6 +714,10 @@ SELECT query_id, neighbor_id, score, "rank" FROM r WHERE "rank" <= 5"""
     "q_kmeans" -> kmeansSql(k = 8, iters = 2, dims = 64),
     // nlist = 0 replays Similarity.AutoNlist (sqrt-sized coarse cells)
     "q_ann_pq" -> pqSql(k = 5, dims = 64, m = 4, ksub = 8, iters = 1, nlist = 0, nprobe = 4),
+    // the PQ-compressed persisted index serves pqSearch's ADC math
+    // from disk (codes + codebooks + recon norms round-trip parquet
+    // exactly), so the stored path replays the same SQL
+    "q_ann_ivf_store_pq" -> pqSql(k = 5, dims = 64, m = 4, ksub = 8, iters = 1, nlist = 0, nprobe = 4),
     "q_pagerank" -> pageRankSql(iters = 3, damping = 0.85, decimals = 6),
     "q_pagerank_host" -> pageRankHostSql(iters = 3, damping = 0.85, decimals = 6),
     "q_zorder" -> zorderSql(bits = 4, nBuckets = 8),

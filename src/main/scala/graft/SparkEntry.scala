@@ -917,6 +917,22 @@ object SparkEntry {
       val q = e.where(col("vec_id") % 50 === 0)
       graft.pipeline.IvfIndex.searchTopK(s, path, q, "vec_id", "emb", k = 5, nprobe = 4)
     }),
+    "q_ann_ivf_store_pq" -> ((s, dir) => {
+      // the PQ-compressed persisted index — the next compression rung
+      // after int8: cells hold m rank-index codes + a reconstruction
+      // norm (dims*8 bytes -> ~m*2 + 8), the fitted codebooks live in
+      // a _codebooks/ sidecar, and serving scores candidates by ADC
+      // (per-query LUT + m adds per pair) inside the probed cells —
+      // replaying the q_ann_pq oracle exactly
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val path = new java.io.File(
+        s"target/graft-ivf/${new java.io.File(dir).getName}/idxpq").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      graft.pipeline.IvfIndex.buildPq(e, "vec_id", "emb", path, dims = 64,
+        m = 4, ksub = 8, iters = 1, nlist = Similarity.AutoNlist)
+      val q = e.where(col("vec_id") % 50 === 0)
+      graft.pipeline.IvfIndex.searchTopK(s, path, q, "vec_id", "emb", k = 5, nprobe = 4)
+    }),
     "q_ann_ivf_fitted" -> ((s, dir) => {
       // the TRAINED-quantizer serving path: cells from one Lloyd
       // round over the md5 init draw (coherent cells are what keep

@@ -47,6 +47,7 @@ object IvfIndex {
 
   private val CentroidsDir = "_centroids"
   private val KeymapDir = "_keymap"
+  private val CodebooksDir = "_codebooks"
   // keymap partition fan-out: enough that a keymap-bucket rewrite
   // stays small, few enough that the sidecar doesn't fragment
   private val KeymapBuckets = 64
@@ -130,6 +131,160 @@ object IvfIndex {
     } finally { assigned.unpersist(); () }
   }
 
+  /** Build a PQ-COMPRESSED persisted index: cells store per row the
+    * `m` product-quantization code ranks (`__pq__`, one small int per
+    * subspace — ~2 bytes/subspace vs 8 bytes/dimension) plus the
+    * reconstruction norm `__xn__`; the fitted codebooks live in a
+    * `_codebooks/` sidecar next to `_centroids/`. This is the next
+    * rung of the compression ladder after the int8 layout: at
+    * (dims = 64, m = 4) the content shrinks ~dims·8 → m·2 + 8 bytes
+    * per row, and serving scores candidates by ASYMMETRIC DISTANCE
+    * COMPUTATION — per query one m×ksub lookup table, then `m` adds
+    * per candidate, never a stored vector.
+    *
+    * The build replays [[Similarity.pqFit]]'s exact math (same
+    * centroid draw, same jointly-trained codebooks, same encode and
+    * cell routing), and [[searchTopK]] over the stored layout replays
+    * [[Similarity.pqSearch]]'s — so the stored path shares q_ann_pq's
+    * oracle, like the float store shares q_ann_ivf's.
+    *
+    * Codebooks are FROZEN for the index's lifetime: appends encode
+    * under them, and a [[rebuild]] refreshes only the COARSE quantizer
+    * (cells) while carrying codes byte-identically — retraining the
+    * fine quantizer from reconstructed (already lossy) vectors would
+    * compound quantization error AND make the keymap version hash
+    * unstable across generations. To retrain codebooks, build a fresh
+    * index from original float vectors.
+    */
+  def buildPq(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      dims: Int,
+      m: Int = 4,
+      ksub: Int = 8,
+      iters: Int = 1,
+      nlist: Int = Similarity.AutoNlist,
+      scoreDecimals: Int = 4,
+      centroids: Option[DataFrame] = None
+  ): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = corpus.sparkSession
+    val nz = Similarity.dropZeroVectors(corpus, vecCol)
+    val cents = centroids.map(broadcast)
+      .getOrElse(Similarity.ivfCentroids(nz, idCol, vecCol,
+        Similarity.resolveNlist(nlist, nz)))
+    // the fitted codebooks feed encode, the rank map, the recon norms
+    // AND the sidecar write — persist, or each consumer replays Lloyd
+    val cb = Similarity.pqCodebooks(nz, idCol, vecCol, dims, m, ksub, iters, scoreDecimals)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // stored codebooks carry the RANK of each codeword within its
+      // subspace's (code_id) order — pqSearch's flat-LUT index — so
+      // appends and serving never need the original draw ids
+      val wCi = Window.partitionBy(col("sub_id")).orderBy(col("cent_id"))
+      val cbStored = cb.withColumn("__ci__", row_number().over(wCi) - 1)
+      val routed = Similarity.ivfAssignTwoLevel(nz, cents, idCol, vecCol, "row", scoreDecimals)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val assigned = pqCellRows(broadcast(cbStored), routed, idCol, scoreDecimals)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          graft.sources.Sink.writePartitioned(
+            assigned, path, partitionCols = Seq("cent_id"), sortCols = Seq(idCol))
+          cents.write.mode("overwrite").parquet(s"$path/$CentroidsDir")
+          cbStored.write.mode("overwrite").parquet(s"$path/$CodebooksDir")
+          graft.sources.Sink.writePartitioned(
+            keymapRows(assigned, idCol), s"$path/$KeymapDir",
+            partitionCols = Seq("kb"), sortCols = Seq(idCol))
+        } finally { assigned.unpersist(); () }
+      } finally { routed.unpersist(); () }
+    } finally { cb.unpersist(); () }
+  }
+
+  /** PQ cell rows for one routed batch: encode the routed vectors
+    * under the (frozen) codebooks and pack per id the rank-index code
+    * array `__pq__` (ordered by subspace — [[Similarity.pqSearch]]'s
+    * flat-LUT addressing) and the reconstruction norm `__xn__` (from
+    * the codeword squared norms, exactly pqFit's recipe). `cb` must
+    * carry the stored-codebook schema (incl. `__ci__`, `__cbn2__`).
+    */
+  private def pqCellRows(
+      cb: DataFrame,
+      routed: DataFrame,
+      idCol: String,
+      scoreDecimals: Int
+  ): DataFrame = {
+    val mk = cb.groupBy()
+      .agg(max(col("sub_id")).as("m"), max(size(col("__cbv__"))).as("sub")).head()
+    val m = mk.getInt(0) + 1
+    val dims = m * mk.getInt(1)
+    val codes = Similarity.pqEncode(
+      routed.select(col("row_id").as(idCol), col("__rowv__")),
+      cb, idCol, "__rowv__", dims, m, scoreDecimals)
+    val packed = codes
+      .join(cb.select(col("sub_id"), col("cent_id").as("code_id"),
+        col("__ci__"), col("__cbn2__")), Seq("sub_id", "code_id"))
+      .groupBy(col(idCol))
+      .agg(
+        transform(array_sort(collect_list(struct(col("sub_id"), col("__ci__")))),
+          x => x("__ci__")).as("__pq__"),
+        sqrt(sum(col("__cbn2__"))).as("__xn__"))
+    routed.select(col("cent_id"), col("row_id").as(idCol))
+      .join(packed, Seq(idCol))
+      .select(col("cent_id"), col(idCol), col("__pq__"), col("__xn__"))
+  }
+
+  /** (id, __pq__, __xn__, reconstructed vector) back OUT of a PQ
+    * layout: each code rank looks up its codeword and the subvectors
+    * concatenate in subspace order. The reconstruction is
+    * deterministic (stored ints + stored codebook doubles), and the
+    * maintenance paths use it ONLY for coarse ROUTING — codes and
+    * norms always travel verbatim, so the keymap version hash is
+    * stable across generations (re-ENCODING a reconstruction could
+    * tie-break to a different codeword and flip the hash).
+    */
+  private def pqReconRows(
+      spark: SparkSession,
+      path: String,
+      idCol: String,
+      vecCol: String
+  ): DataFrame = {
+    val cb = broadcast(spark.read.parquet(s"$path/$CodebooksDir")
+      .select(col("sub_id"), col("__ci__"), col("__cbv__")))
+    spark.read.parquet(path)
+      .select(col(idCol), col("__pq__"), col("__xn__"),
+        posexplode(col("__pq__")).as(Seq("sub_id", "__ci__")))
+      .join(cb, Seq("sub_id", "__ci__"))
+      .groupBy(col(idCol))
+      .agg(first(col("__pq__")).as("__pq__"), first(col("__xn__")).as("__xn__"),
+        flatten(transform(
+          array_sort(collect_list(struct(col("sub_id"), col("__cbv__")))),
+          x => x("__cbv__"))).as(vecCol))
+  }
+
+  /** Upsert rows that ALREADY CARRY their PQ codes (`__pq__`,
+    * `__xn__`, plus a reconstructed `vecCol` used only for routing)
+    * into the index at `path` — the catch-up/rebuild path, where
+    * codes must move byte-identically between generations.
+    */
+  private def appendCarriedPq(
+      spark: SparkSession,
+      path: String,
+      rows: DataFrame,
+      idCol: String,
+      vecCol: String,
+      scoreDecimals: Int
+  ): IvfStats = {
+    val cents = broadcast(spark.read.parquet(s"$path/$CentroidsDir"))
+    val routed = Similarity.ivfAssignTwoLevel(
+      rows.select(col(idCol), col(vecCol)), cents, idCol, vecCol, "row", scoreDecimals)
+    val assigned = routed.select(col("cent_id"), col("row_id").as(idCol))
+      .join(rows.select(col(idCol), col("__pq__"), col("__xn__")), Seq(idCol))
+    upsertAssigned(spark, path, assigned, idCol)
+  }
+
   /** Blue/green retrain: read the corpus back OUT of the index at
     * `path` (cell layout is just partitioned parquet) and [[build]]
     * a fresh quantizer + layout at `newPath`. A drifted index keeps
@@ -144,7 +299,11 @@ object IvfIndex {
     *
     * The compression mode is INHERITED: an int8 layout rebuilds into
     * an int8 layout (vectors reconstructed as `code * scale`, codes
-    * reproduced exactly — see [[build]]), a float layout into float.
+    * reproduced exactly — see [[build]]), a float layout into float,
+    * and a PQ layout into a PQ layout with the SAME codebooks (the
+    * coarse quantizer retrains on the reconstructed vectors; codes,
+    * norms, and the `_codebooks/` sidecar carry over byte-identically
+    * — see [[buildPq]] for why the fine quantizer stays frozen).
     */
   def rebuild(
       spark: SparkSession,
@@ -156,9 +315,35 @@ object IvfIndex {
       scoreDecimals: Int = 4,
       centroids: Option[DataFrame] = None
   ): Unit = {
-    val int8 = layoutIsInt8(spark, path)
-    build(corpusVectors(spark, path, idCol, vecCol), idCol, vecCol,
-      newPath, nlist, scoreDecimals, centroids, int8)
+    if (layoutIsPq(spark, path)) {
+      import org.apache.spark.storage.StorageLevel
+      val recon = pqReconRows(spark, path, idCol, vecCol)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val cents = centroids.map(broadcast)
+          .getOrElse(Similarity.ivfCentroids(recon, idCol, vecCol,
+            Similarity.resolveNlist(nlist, recon)))
+        val routed = Similarity.ivfAssignTwoLevel(
+          recon.select(col(idCol), col(vecCol)), cents, idCol, vecCol, "row", scoreDecimals)
+        val assigned = routed.select(col("cent_id"), col("row_id").as(idCol))
+          .join(recon.select(col(idCol), col("__pq__"), col("__xn__")), Seq(idCol))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          graft.sources.Sink.writePartitioned(
+            assigned, newPath, partitionCols = Seq("cent_id"), sortCols = Seq(idCol))
+          cents.write.mode("overwrite").parquet(s"$newPath/$CentroidsDir")
+          spark.read.parquet(s"$path/$CodebooksDir")
+            .write.mode("overwrite").parquet(s"$newPath/$CodebooksDir")
+          graft.sources.Sink.writePartitioned(
+            keymapRows(assigned, idCol), s"$newPath/$KeymapDir",
+            partitionCols = Seq("kb"), sortCols = Seq(idCol))
+        } finally { assigned.unpersist(); () }
+      } finally { recon.unpersist(); () }
+    } else {
+      val int8 = layoutIsInt8(spark, path)
+      build(corpusVectors(spark, path, idCol, vecCol), idCol, vecCol,
+        newPath, nlist, scoreDecimals, centroids, int8)
+    }
   }
 
   /** Upsert a new batch of vectors into an existing index under its
@@ -180,10 +365,26 @@ object IvfIndex {
   ): IvfStats = {
     val cents = broadcast(spark.read.parquet(s"$path/$CentroidsDir"))
     val nz = Similarity.dropZeroVectors(batch, vecCol)
-    val assigned = cellRows(
-      Similarity.ivfAssignTwoLevel(nz, cents, idCol, vecCol, "row", scoreDecimals),
-      idCol, vecCol, layoutIsInt8(spark, path))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val routed = Similarity.ivfAssignTwoLevel(nz, cents, idCol, vecCol, "row", scoreDecimals)
+    val assigned =
+      if (layoutIsPq(spark, path))
+        pqCellRows(broadcast(spark.read.parquet(s"$path/$CodebooksDir")),
+          routed, idCol, scoreDecimals)
+      else cellRows(routed, idCol, vecCol, layoutIsInt8(spark, path))
+    upsertAssigned(spark, path, assigned, idCol)
+  }
+
+  /** The shared tail of every append: one staged relocating upsert of
+    * the routed rows plus the keymap sidecar upsert. `assigned` must
+    * carry (cent_id, idCol, <layout content columns>).
+    */
+  private def upsertAssigned(
+      spark: SparkSession,
+      path: String,
+      assigned0: DataFrame,
+      idCol: String
+  ): IvfStats = {
+    val assigned = assigned0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // moved keys: sidecar rows whose stored cell differs from the
       // batch's new assignment — their stale corpus rows must leave
@@ -309,6 +510,12 @@ object IvfIndex {
   private def layoutIsInt8(spark: SparkSession, path: String): Boolean =
     spark.read.parquet(path).columns.contains("__codes__")
 
+  /** Whether the layout at `path` stores PQ codes (the `__pq__`
+    * rank-index array) — one parquet-footer schema read.
+    */
+  private def layoutIsPq(spark: SparkSession, path: String): Boolean =
+    spark.read.parquet(path).columns.contains("__pq__")
+
   /** (key, vector) back OUT of a layout — the input contract of
     * [[build]]/[[managedCatchUp]]. Float layouts project; int8
     * layouts dequantize `code * scale` (requantization reproduces the
@@ -344,6 +551,7 @@ object IvfIndex {
   private def keymapRows(assigned: DataFrame, idCol: String): DataFrame = {
     val ver: org.apache.spark.sql.Column =
       if (assigned.columns.contains("__codes__")) xxhash64(col("__codes__"))
+      else if (assigned.columns.contains("__pq__")) xxhash64(col("__pq__"))
       else assigned.columns.filterNot(Set(idCol, "cent_id", "__vn__")) match {
         case Array(vc) => xxhash64(col(vc))
         case _         => lit(null).cast("long")
@@ -463,6 +671,35 @@ object IvfIndex {
     val fs = r.getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
     val gen = f"gen-${System.currentTimeMillis()}%013d"
     build(corpus, idCol, vecCol, new Path(r, gen).toString, nlist, scoreDecimals, centroids, int8)
+    publishGeneration(fs, r, gen)
+    new Path(r, gen).toString
+  }
+
+  /** [[buildPq]] into a MANAGED root: generation 1 lands under
+    * `root/gen-<ts>` and is published as live. Returns its path. The
+    * managed lifecycle (append stream, maintain, catch-up, vacuum)
+    * then inherits the PQ layout — rebuilds refresh the coarse
+    * quantizer under the frozen codebooks.
+    */
+  def managedInitPq(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      root: String,
+      dims: Int,
+      m: Int = 4,
+      ksub: Int = 8,
+      iters: Int = 1,
+      nlist: Int = Similarity.AutoNlist,
+      scoreDecimals: Int = 4,
+      centroids: Option[DataFrame] = None
+  ): String = {
+    import org.apache.hadoop.fs.Path
+    val r = new Path(root)
+    val fs = r.getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
+    val gen = f"gen-${System.currentTimeMillis()}%013d"
+    buildPq(corpus, idCol, vecCol, new Path(r, gen).toString,
+      dims, m, ksub, iters, nlist, scoreDecimals, centroids)
     publishGeneration(fs, r, gen)
     new Path(r, gen).toString
   }
@@ -605,13 +842,26 @@ object IvfIndex {
     var rounds = 0
     var moved = 0
     var drained = false
+    val isPq = layoutIsPq(spark, fromPath)
     while (rounds < 5 && !drained) {
       val missing = catchUpDiff(spark, fromPath, toPath, idCol)
-      val late = corpusVectors(spark, fromPath, idCol, vecCol)
-        .join(missing, Seq(idCol), "left_semi")
       var acted = false
-      if (!late.isEmpty) {
-        appendBatch(spark, toPath, late, idCol, vecCol, scoreDecimals); acted = true; moved += 1
+      if (isPq) {
+        // codes travel VERBATIM between PQ generations (carried
+        // append) — re-encoding a reconstruction could tie-break to a
+        // different codeword and destabilize the keymap version hash
+        val late = pqReconRows(spark, fromPath, idCol, vecCol)
+          .join(missing, Seq(idCol), "left_semi")
+        if (!late.isEmpty) {
+          appendCarriedPq(spark, toPath, late, idCol, vecCol, scoreDecimals)
+          acted = true; moved += 1
+        }
+      } else {
+        val late = corpusVectors(spark, fromPath, idCol, vecCol)
+          .join(missing, Seq(idCol), "left_semi")
+        if (!late.isEmpty) {
+          appendBatch(spark, toPath, late, idCol, vecCol, scoreDecimals); acted = true; moved += 1
+        }
       }
       // derived AFTER the append acted: the append swaps `toPath`'s
       // keymap files, and a plan captured before the swap would read
@@ -837,6 +1087,8 @@ object IvfIndex {
       nprobe: Int = 4,
       scoreDecimals: Int = 4
   ): DataFrame = {
+    if (layoutIsPq(spark, path))
+      return searchTopKPq(spark, path, queries, idCol, vecCol, k, nprobe, scoreDecimals)
     val cents = broadcast(spark.read.parquet(s"$path/$CentroidsDir"))
     val qNz = Similarity.dropZeroVectors(queries, vecCol)
     val qCells = Similarity
@@ -888,6 +1140,78 @@ object IvfIndex {
               (col("__qn8__") * col("__vn__")), scoreDecimals))
       }
     scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+
+  /** [[searchTopK]] over a PQ layout — [[Similarity.pqSearch]]'s ADC
+    * replayed against the stored frames: coarse-route each query to
+    * its `nprobe` cells (the probed cell ids become partition filters,
+    * same pruned scan as the other layouts), build the per-query flat
+    * m×ksub lookup table from the `_codebooks/` sidecar, and score
+    * each candidate as `m` LUT adds over its stored `__pq__` ranks
+    * divided by `__qn__ · __xn__`. Bit-identical to pqSearch over the
+    * same fitted model (stored ints and doubles round-trip parquet
+    * exactly), so the stored path shares q_ann_pq's oracle. Like
+    * pqSearch — and unlike the float/int8 branches — queries are NOT
+    * zero-filtered (parity with the in-memory operator wins; a
+    * zero-vector query deterministically yields null scores).
+    */
+  private def searchTopKPq(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int,
+      scoreDecimals: Int
+  ): DataFrame = {
+    val cents = broadcast(spark.read.parquet(s"$path/$CentroidsDir"))
+    val cb = broadcast(spark.read.parquet(s"$path/$CodebooksDir"))
+    val mk = cb.groupBy()
+      .agg(max(col("sub_id")).as("m"), count(lit(1)).as("n"),
+        max(size(col("__cbv__"))).as("sub")).head()
+    val m = mk.getInt(0) + 1
+    val ksub = (mk.getLong(1) / m).toInt
+    val sub = mk.getInt(2)
+    val queryCells = Similarity
+      .ivfAssign(queries, cents, idCol, vecCol, "query", keep = nprobe, scoreDecimals)
+      .select(col("query_id"), col("cent_id"))
+    val probed = queryCells.select(col("cent_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val cells = spark.read.parquet(path)
+      .where(col("cent_id").isin(probed: _*))
+      .select(col("cent_id").cast("long").as("cent_id"),
+        col(idCol).as("neighbor_id"), col("__pq__"), col("__xn__"))
+    // per-query flat ADC LUT — pqSearch's construction verbatim
+    val subsArr = array((0 until m).map(s0 =>
+      slice(col(vecCol).cast("array<double>"), s0 * sub + 1, sub)): _*)
+    val lut = queries
+      .select(col(idCol).as("query_id"),
+        Similarity.norm(col(vecCol).cast("array<double>")).as("__qn__"),
+        posexplode(subsArr).as(Seq("sub_id", "__qsv__")))
+      .join(cb, Seq("sub_id"))
+      .select(col("query_id"), col("__qn__"), col("sub_id"),
+        col("cent_id").as("code_id"),
+        Similarity.dot(col("__qsv__"), col("__cbv__")).as("__part__"))
+    val lutArr = lut
+      .groupBy(col("query_id"))
+      .agg(first(col("__qn__")).as("__qn__"),
+        transform(
+          array_sort(collect_list(struct(col("sub_id"), col("code_id"), col("__part__")))),
+          x => x("__part__")).as("__lutf__"))
+    val num = aggregate(
+      sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, s0) => acc + element_at(col("__lutf__"),
+        (s0 * ksub + element_at(col("__pq__"), s0 + 1) + 1).cast("int")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
+    queryCells
+      .join(cells, Seq("cent_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(lutArr), Seq("query_id"))
+      .withColumn("score", round(num / (col("__qn__") * col("__xn__")), scoreDecimals))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))

@@ -79,6 +79,95 @@ class IvfIndexSpec extends SparkSuite {
     assert(codes0 == codes2, "dequantize -> requantize must round-trip every code exactly")
   }
 
+  test("PQ layout: serves pqTopK exactly, stores codes not vectors, maintains through append/delete/rebuild (r16)") {
+    val s = spark
+    val path = tempPath("pq")
+    IvfIndex.buildPq(emb, "vec_id", "emb", path, dims = 64, m = 4, ksub = 8, iters = 1, nlist = 16)
+    // the compressed layout: m rank-index codes + reconstruction norm,
+    // no float vector column — dims*8 bytes collapse to ~m ints + 8
+    val schema = s.read.parquet(path).schema
+    assert(!schema.fieldNames.contains("emb"), "PQ layout must not store float vectors")
+    assert(schema.fieldNames.toSet.intersect(Set("__pq__", "__xn__")).size == 2)
+    assert(s.read.parquet(s"$path/_codebooks").count() == 4L * 8L,
+      "codebook sidecar must hold m x ksub codewords")
+    // serving parity: the stored ADC path reproduces the in-memory
+    // IVF-PQ operator bit-for-bit at the same parameters
+    val q = emb.where(col("vec_id") % 50 === 0)
+    val stored = IvfIndex.searchTopK(s, path, q, "vec_id", "emb", k = 5, nprobe = 4)
+    val mem = Similarity.pqTopK(emb, q, "vec_id", "emb", k = 5, dims = 64,
+      m = 4, ksub = 8, iters = 1, nlist = 16, nprobe = 4)
+    assert(resultSet(stored) == resultSet(mem),
+      "PQ stored serving must reproduce pqTopK bit-for-bit")
+    // a changed-vector append re-encodes under the FROZEN codebooks
+    // and moves the key's cell under the frozen coarse quantizer
+    val layout0 = s.read.parquet(path)
+      .select(col("cent_id").cast("long"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (c1, id1) = layout0.head
+    val (c2, id2) = layout0.find(_._1 != c1).get
+    IvfIndex.appendBatch(s, path,
+      emb.where(col("vec_id") === id2).select(lit(id1).as("vec_id"), col("emb")),
+      "vec_id", "emb")
+    val after = s.read.parquet(path)
+    assert(!after.columns.contains("emb"), "append must inherit the PQ layout")
+    val moved = after.where(col("vec_id") === id1)
+      .select(col("cent_id").cast("long")).collect().map(_.getLong(0))
+    assert(moved.toSeq == Seq(c2), s"changed vector must move id $id1 to cell $c2, got ${moved.toSeq}")
+    // the re-encoded codes equal id2's stored codes (same input
+    // vector, same frozen codebooks -> same deterministic encode)
+    def codesOf(id: Long) = after.where(col("vec_id") === id)
+      .select(col("__pq__").cast("array<int>")).head().getSeq[Int](0)
+    assert(codesOf(id1) == codesOf(id2), "same vector must encode to the same codes")
+    // delete keeps stats truthful on the PQ layout too
+    val s0 = IvfIndex.stats(s, path, "vec_id")
+    val st = IvfIndex.deleteVectors(s, path,
+      emb.where(col("vec_id") < 10).select("vec_id"), "vec_id")
+    assert(st.rows == s0.rows - emb.where(col("vec_id") < 10).count())
+    // rebuild inherits the layout: fresh coarse quantizer, codes and
+    // codebooks carried BYTE-IDENTICALLY (no re-encode of lossy
+    // reconstructions), so full-probe serving is unchanged
+    val path2 = tempPath("pq-rebuilt")
+    IvfIndex.rebuild(s, path, path2, "vec_id", "emb", nlist = 16)
+    val re = s.read.parquet(path2)
+    assert(!re.columns.contains("emb") && re.columns.contains("__pq__"),
+      "rebuild of a PQ layout must stay PQ")
+    assert(re.count() == st.rows, "rebuild must carry every surviving id")
+    val codes0 = s.read.parquet(path).select(col("vec_id"), col("__pq__").cast("array<int>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val codes2 = re.select(col("vec_id"), col("__pq__").cast("array<int>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes0 == codes2, "rebuild must carry every code verbatim")
+    val full0 = IvfIndex.searchTopK(s, path, q, "vec_id", "emb", k = 5, nprobe = 9999)
+    val full2 = IvfIndex.searchTopK(s, path2, q, "vec_id", "emb", k = 5, nprobe = 9999)
+    assert(resultSet(full0) == resultSet(full2),
+      "full-probe PQ serving must be identical across a rebuild (codes + codebooks carried)")
+  }
+
+  test("PQ managed lifecycle: catch-up carries codes verbatim so the drain gate holds across the flip (r16)") {
+    val s = spark
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-pqmng").toString + "/root"
+    val gen1 = IvfIndex.managedInitPq(emb.where(col("vec_id") < 400), "vec_id", "emb", root,
+      dims = 64, m = 4, ksub = 8, iters = 1, nlist = 8)
+    val next = IvfIndex.managedMaintain(s, root, "vec_id", "emb",
+      maxSkew = 0.0, nlist = 8, publish = false).get
+    // late arrivals to the OLD generation while the rebuild sat
+    // pending: a brand-new id and a changed-vector re-ingest — if the
+    // keymap version hash were unstable across PQ generations, the
+    // drain gate would refuse this publish forever
+    IvfIndex.appendBatch(s, gen1, emb.where(col("vec_id") === 450), "vec_id", "emb")
+    IvfIndex.appendBatch(s, gen1,
+      emb.where(col("vec_id") === 460).select(lit(5L).as("vec_id"), col("emb")), "vec_id", "emb")
+    assert(IvfIndex.managedFinishPending(s, root, "vec_id", "emb").contains(next))
+    assert(IvfIndex.managedCurrent(s, root) == next)
+    // both late writes followed, codes verbatim from the old generation
+    val oldCodes = s.read.parquet(gen1).select(col("vec_id"), col("__pq__").cast("array<int>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val newCodes = s.read.parquet(next).select(col("vec_id"), col("__pq__").cast("array<int>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(newCodes.keySet == oldCodes.keySet)
+    assert(newCodes == oldCodes, "every code must cross the flip byte-identically")
+  }
+
   test("AutoNlist derives max(16, ceil(sqrt(n))) cells and matches the in-memory operator") {
     // 500 vectors at sf0.001 -> ceil(sqrt(n over the NONZERO set));
     // pin the arithmetic itself plus the stored centroid count
