@@ -880,6 +880,59 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
   }
 
+  /** Measured recall@k of IVF serving vs brute force, one row per
+    * (nlist, nprobe) configuration — the data-driven sizing surface
+    * for `nprobe` at scale. The two-level routed assignment is a
+    * BLOCKING structure (the chosen cell may differ from the flat
+    * argmax near group boundaries) and random-draw cells carry no
+    * semantic coherence, so the only trustworthy recall number is a
+    * MEASURED one on the operator's own corpus: run this on a
+    * deterministic sample ([[Sampling.deterministicSample]]) with
+    * candidate configs, read the (recall, probed_fraction) frontier,
+    * and size `nprobe` from data instead of folklore.
+    *
+    * Output: `(nlist, nprobe, resolved_nlist, probed_fraction,
+    * recall_at_k)` — `recall_at_k` is the micro-averaged fraction of
+    * brute-force top-k pairs the IVF route reproduces (1.0 at
+    * `nprobe >= resolved_nlist` by construction: probing every cell
+    * IS brute force under the same tie rules); `probed_fraction` is
+    * the cost side (`nprobe / resolved_nlist` of the corpus scanned
+    * per query). The ground truth is computed ONCE and persisted;
+    * each config then costs one ivfTopK + one semi-join count. The
+    * per-config loop is driver-side by design — `configs` is a
+    * handful of candidate settings, never data-sized.
+    */
+  def recallReport(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      configs: Seq[(Int, Int)],
+      scoreDecimals: Int = 4
+  ): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val truth = bruteForceTopK(corpus, queries, idCol, vecCol, k, scoreDecimals)
+      .select(col("query_id"), col("neighbor_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val total = truth.count()
+      val nzCount = dropZeroVectors(corpus, vecCol).count()
+      val rows = configs.map { case (nlist, nprobe) =>
+        val resolved = if (nlist == AutoNlist) autoNlist(nzCount) else nlist
+        val served = ivfTopK(corpus, queries, idCol, vecCol, k, nlist, nprobe, scoreDecimals)
+          .select(col("query_id"), col("neighbor_id"))
+        val hits = truth.join(served, Seq("query_id", "neighbor_id"), "left_semi").count()
+        (nlist, nprobe, resolved,
+          math.min(1.0, nprobe.toDouble / resolved),
+          if (total == 0L) 0.0 else hits.toDouble / total)
+      }
+      rows.toDF("nlist", "nprobe", "resolved_nlist", "probed_fraction", "recall_at_k")
+    } finally { truth.unpersist(); () }
+  }
+
   /** Routing thresholds for [[ivfAssignTwoLevel]]: the flat
     * [[ivfAssign]] route is taken only when the centroid set has
     * fewer than [[TwoLevelMinNlist]] rows AND the vector side has

@@ -752,6 +752,27 @@ class PipelineSpec extends SparkSuite {
     SparkEntry.runPendingCleanups()
   }
 
+  test("recallReport measures the (probed_fraction, recall) frontier; full probe is exactly 1.0 (r16)") {
+    val s = spark
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val q = emb.where(col("vec_id") % 25 === 0)
+    val rep = Similarity.recallReport(emb, q, "vec_id", "emb", k = 5,
+      configs = Seq((16, 1), (16, 4), (16, 16), (Similarity.AutoNlist, 4)))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), (r.getInt(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // probing every cell IS brute force under the same tie rules
+    assert(rep((16, 16))._3 == 1.0, s"full probe must recall 1.0, got ${rep((16, 16))}")
+    // recall is monotone in nprobe at fixed nlist
+    assert(rep((16, 1))._3 <= rep((16, 4))._3 && rep((16, 4))._3 <= 1.0,
+      s"recall must not decrease with nprobe: ${rep((16, 1))._3} vs ${rep((16, 4))._3}")
+    // cost side: probed_fraction = nprobe / resolved nlist, capped at 1
+    assert(rep((16, 4))._2 == 0.25 && rep((16, 16))._2 == 1.0)
+    // AutoNlist resolves and reports the derived cell count
+    val nz = emb.where(aggregate(col("emb"), lit(0.0), (a, x) => a + x * x) > 0).count()
+    assert(rep((Similarity.AutoNlist, 4))._1 == Similarity.autoNlist(nz))
+    SparkEntry.runPendingCleanups()
+  }
+
   test("trained quantizer retains recall at low probed fraction where the random draw decays") {
     val s = spark; import s.implicits._
     // 16 LOOSE clusters (noise comparable to cluster separation),
