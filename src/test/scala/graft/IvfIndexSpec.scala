@@ -190,30 +190,45 @@ class IvfIndexSpec extends SparkSuite {
     assert(resultSet(viaStore) == resultSet(mem))
   }
 
+  // descend through AQE wrappers — executedPlan.collect stops at
+  // the adaptive boundary
+  private def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => allScans(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => allScans(q.plan)
+    case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+    case other => other.children.flatMap(allScans)
+  }
+
+  private def assertPrunedTo(out: DataFrame, pathTag: String, nCells: Int): Unit = {
+    out.queryExecution.toRdd.count()
+    val scans = allScans(out.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains(pathTag)))
+    assert(scans.nonEmpty, "no file scan over the index found")
+    val cellScan = scans.find(_.metadata.get("PartitionFilters").exists(_.contains("cent_id")))
+    assert(cellScan.isDefined,
+      s"index scan carries no cent_id PartitionFilters: ${scans.map(_.metadata.get("PartitionFilters"))}")
+    assert(cellScan.get.selectedPartitions.partitionCount == nCells,
+      s"expected $nCells probed cell partitions, scanned ${cellScan.get.selectedPartitions.partitionCount}")
+  }
+
   test("the serving scan partition-prunes to the probed cells") {
     val path = tempPath("prune")
     IvfIndex.build(emb, "vec_id", "emb", path, nlist = 16)
     // a single query with nprobe=2 probes exactly 2 of 16 cells
     val q = emb.orderBy("vec_id").limit(1)
-    val out = IvfIndex.searchTopK(spark, path, q, "vec_id", "emb", k = 3, nprobe = 2)
-    out.queryExecution.toRdd.count()
-    // descend through AQE wrappers — executedPlan.collect stops at
-    // the adaptive boundary
-    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => allScans(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => allScans(q.plan)
-      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
-      case other => other.children.flatMap(allScans)
-    }
-    val scans = allScans(out.queryExecution.executedPlan)
-      .filter(_.relation.location.rootPaths.exists(_.toString.contains("graft-ivf-prune")))
-    assert(scans.nonEmpty, "no file scan over the index found")
-    val cellScan = scans.find(_.metadata.get("PartitionFilters").exists(_.contains("cent_id")))
-    assert(cellScan.isDefined,
-      s"index scan carries no cent_id PartitionFilters: ${scans.map(_.metadata.get("PartitionFilters"))}")
-    assert(cellScan.get.selectedPartitions.partitionCount == 2,
-      s"expected 2 probed cell partitions, scanned ${cellScan.get.selectedPartitions.partitionCount}")
+    assertPrunedTo(
+      IvfIndex.searchTopK(spark, path, q, "vec_id", "emb", k = 3, nprobe = 2),
+      "graft-ivf-prune", nCells = 2)
+  }
+
+  test("the PQ serving scan partition-prunes to the probed cells too (r16)") {
+    val path = tempPath("pqprune")
+    IvfIndex.buildPq(emb, "vec_id", "emb", path, dims = 64, m = 4, ksub = 8, iters = 1, nlist = 16)
+    val q = emb.orderBy("vec_id").limit(1)
+    assertPrunedTo(
+      IvfIndex.searchTopK(spark, path, q, "vec_id", "emb", k = 3, nprobe = 2),
+      "graft-ivf-pqprune", nCells = 2)
   }
 
   test("appendBatch upserts under frozen centroids; re-append is idempotent") {

@@ -303,6 +303,73 @@ class StreamingSpec extends SparkSuite {
     assert(viaIdx == int8, s"compressed full-probe parity broke: $viaIdx vs $int8")
   }
 
+  test("ivfAppendStreamManaged over a PQ root: frozen codebooks through append, catch-up and rebuild (r16)") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-managedpq")
+    val root = tmp.resolve("idx").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    def vec(seed: Int) = Array.tabulate(8)(d => math.sin(seed * 13 + d).abs + 0.1)
+    val all = scala.collection.mutable.Map.empty[Long, Array[Double]]
+    val base = (1 to 40).map { i => all(i.toLong) = vec(i); (i.toLong, vec(i)) }.toDF("id", "v")
+    val gen1 = graft.pipeline.IvfIndex.managedInitPq(
+      base, "id", "v", root, dims = 8, m = 2, ksub = 4, iters = 1, nlist = 8)
+    assert(!s.read.parquet(gen1).columns.contains("v"), "PQ init must not store float vectors")
+    val cb1 = s.read.parquet(s"$gen1/_codebooks")
+      .select(col("sub_id"), col("__ci__"), col("__cbv__"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    val rebuilds = scala.collection.mutable.ArrayBuffer.empty[String]
+    val input = MemoryStream[(Long, Array[Double], Long)]
+    val q = StreamOps.ivfAppendStreamManaged(
+      input.toDF().toDF("id", "v", "ts"), root, ckpt, "id", "v", "ts",
+      maxSkew = 3.0,
+      onRebuild = p => rebuilds.synchronized { rebuilds += p; () })
+    try {
+      val hot = (100L to 139L).map { i =>
+        val v = vec(7).map(_ + (i - 100L) * 1e-4); all(i) = v; (i, v, 1L) }
+      input.addData(hot: _*); q.processAllAvailable()
+      var tick = 200L
+      while (rebuilds.synchronized(rebuilds.isEmpty) && tick < 260L) {
+        val v = vec(tick.toInt); all(tick) = v
+        input.addData((tick, v, tick)); q.processAllAvailable()
+        Thread.sleep(200)
+        tick += 1
+      }
+    } finally {
+      q.stop()
+      assert(StreamOps.awaitMaintenance(root), "maintenance thread failed to drain")
+    }
+    assert(rebuilds.synchronized(rebuilds.nonEmpty), "skewed appends must trigger a rebuild")
+    val current = graft.pipeline.IvfIndex.managedCurrent(s, root)
+    assert(current != gen1)
+    val layout = s.read.parquet(current)
+    assert(layout.columns.contains("__pq__") && !layout.columns.contains("v"),
+      "the rebuilt generation must inherit the PQ layout")
+    val served = layout.select("id").collect().map(_.getLong(0)).toSet
+    assert(served == all.keySet, s"missing after flip: ${all.keySet -- served}")
+    // codebooks are FROZEN through the whole lifecycle: the rebuilt
+    // generation's sidecar is byte-identical to generation 1's
+    val cb2 = s.read.parquet(s"$current/_codebooks")
+      .select(col("sub_id"), col("__ci__"), col("__cbv__"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    assert(cb2 == cb1, "rebuild must carry the codebooks verbatim")
+    // and every streamed id's codes equal a FRESH deterministic
+    // encode of its float vector under those frozen codebooks: the
+    // full pipeline (append -> catch-up -> rebuild carry) preserved
+    // every code
+    val cbDf = s.read.parquet(s"$current/_codebooks")
+    val expected = graft.pipeline.Similarity.pqEncode(
+      all.toSeq.map { case (i, v) => (i, v) }.toDF("id", "v"), cbDf, "id", "v", dims = 8, m = 2)
+      .join(cbDf.select(col("sub_id"), col("cent_id").as("code_id"), col("__ci__")), Seq("sub_id", "code_id"))
+      .groupBy(col("id"))
+      .agg(transform(array_sort(collect_list(struct(col("sub_id"), col("__ci__")))),
+        x => x("__ci__")).as("pq"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val stored = layout.select(col("id"), col("__pq__").cast("array<int>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(stored == expected, "streamed codes must equal fresh encodes under the frozen codebooks")
+  }
+
   test("ivfAppendStreamManaged: a rebuild orphaned at stream stop publishes on restart without retraining (r15)") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
