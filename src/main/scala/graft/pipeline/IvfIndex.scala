@@ -733,6 +733,17 @@ object IvfIndex {
     * by a crash or a stream stop. With `publish = true` the marker is
     * written before the guarded publish, so even a publish REFUSAL
     * leaves the generation resumable instead of orphaned.
+    *
+    * `trainCentroids` (r16) installs a TRAINED coarse quantizer in
+    * the retrain instead of the md5 draw: the hook receives the old
+    * generation's (id, vector) corpus (reconstructed for compressed
+    * layouts) and returns a fitted centroid frame — typically
+    * `c => Similarity.kmeansCentroids(c, idCol, vecCol, k, iters)`.
+    * Coherent cells are what keep recall at the small probed
+    * fractions a large index serves at (the documented 100 TB
+    * recipe), and drift-triggered rebuilds are exactly when
+    * retraining pays. With the hook given, `nlist` is ignored (the
+    * fitted frame fixes the cell count).
     */
   def managedMaintain(
       spark: SparkSession,
@@ -742,7 +753,8 @@ object IvfIndex {
       maxSkew: Double = 4.0,
       nlist: Int = Similarity.AutoNlist,
       scoreDecimals: Int = 4,
-      publish: Boolean = true
+      publish: Boolean = true,
+      trainCentroids: Option[DataFrame => DataFrame] = None
   ): Option[String] = {
     import org.apache.hadoop.fs.Path
     val current = managedCurrent(spark, root)
@@ -751,12 +763,29 @@ object IvfIndex {
     val fs = r.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val gen = f"gen-${System.currentTimeMillis()}%013d"
     val next = new Path(r, gen).toString
-    rebuild(spark, current, next, idCol, vecCol, nlist, scoreDecimals)
+    val fitted = trainCentroids.map { train =>
+      broadcast(train(corpusForTraining(spark, current, idCol, vecCol)))
+    }
+    rebuild(spark, current, next, idCol, vecCol, nlist, scoreDecimals, fitted)
     managedCatchUp(spark, current, next, idCol, vecCol, scoreDecimals)
     writePendingMarker(fs, r, gen)
     if (publish) managedPublish(spark, root, next, idCol)
     Some(next)
   }
+
+  /** The (id, vector) frame a quantizer trainer sees for the layout
+    * at `path` — float/int8 layouts via [[corpusVectors]], PQ layouts
+    * via the deterministic codeword reconstruction.
+    */
+  private def corpusForTraining(
+      spark: SparkSession,
+      path: String,
+      idCol: String,
+      vecCol: String
+  ): DataFrame =
+    if (layoutIsPq(spark, path))
+      pqReconRows(spark, path, idCol, vecCol).select(col(idCol), col(vecCol))
+    else corpusVectors(spark, path, idCol, vecCol)
 
   /** The ids [[managedCatchUp]] still owes `toPath`: present in
     * `fromPath`'s keymap but absent from `toPath`'s, OR present in

@@ -441,6 +441,11 @@ object StreamOps {
     * reader grace — instead of one full corpus copy per rebuild
     * forever (VERDICT r15 #3). Size the grace to the longest expected
     * reader query; leave it `None` to keep GC caller-scheduled.
+    *
+    * `trainCentroids` (r16) makes drift-triggered rebuilds retrain a
+    * FITTED coarse quantizer instead of the md5 draw — see
+    * [[graft.pipeline.IvfIndex.managedMaintain]]; the hook runs on
+    * the maintenance thread, off the trigger.
     */
   /** Live maintenance threads by managed root — so a caller stopping
     * the stream can drain in-flight rebuild work instead of leaving a
@@ -470,7 +475,8 @@ object StreamOps {
       nlist: Int = graft.pipeline.Similarity.AutoNlist,
       onBatch: graft.pipeline.IvfIndex.IvfStats => Unit = _ => (),
       onRebuild: String => Unit = _ => (),
-      vacuumGraceMs: Option[Long] = None
+      vacuumGraceMs: Option[Long] = None,
+      trainCentroids: Option[DataFrame => DataFrame] = None
   ): org.apache.spark.sql.streaming.StreamingQuery = {
     val inFlight = new java.util.concurrent.atomic.AtomicBoolean(false)
     vectors.writeStream
@@ -527,7 +533,8 @@ object StreamOps {
                   attempts += 1
                   try {
                     graft.pipeline.IvfIndex.managedMaintain(
-                      s, root, idCol, vecCol, maxSkew, nlist, publish = false) match {
+                      s, root, idCol, vecCol, maxSkew, nlist, publish = false,
+                      trainCentroids = trainCentroids) match {
                       case Some(_) => ()
                       case None    => inFlight.set(false)
                     }

@@ -416,6 +416,36 @@ class IvfIndexSpec extends SparkSuite {
     assert(IvfIndex.managedCurrent(s, root) == next2)
   }
 
+  test("managedMaintain with trainCentroids retrains a FITTED coarse quantizer (r16)") {
+    val s = spark
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-fit16").toString + "/root"
+    val corpus = emb.where(col("vec_id") < 400)
+    IvfIndex.managedInit(corpus, "vec_id", "emb", root, nlist = 8)
+    // the trainer sees the old generation's corpus and returns the
+    // fitted frame; the rebuilt generation must store EXACTLY it
+    val next = IvfIndex.managedMaintain(s, root, "vec_id", "emb",
+      maxSkew = 0.0, publish = true,
+      trainCentroids = Some(c => Similarity.kmeansCentroids(c, "vec_id", "emb", k = 6, iters = 1))).get
+    assert(IvfIndex.managedCurrent(s, root) == next)
+    val stored = s.read.parquet(s"$next/_centroids")
+      .select(col("cent_id"), col("__cv__"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // training is deterministic, so re-fitting over the same corpus
+    // reproduces the stored frame (corpusVectors round-trips floats)
+    val expect = Similarity.kmeansCentroids(
+      corpus.select(col("vec_id"), col("emb")), "vec_id", "emb", k = 6, iters = 1)
+      .select(col("cent_id"), col("__cv__"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(stored.keySet == expect.keySet && stored == expect,
+      "the rebuilt generation must store the fitted quantizer verbatim")
+    // every id carried, cells from the fitted assignment
+    assert(s.read.parquet(next).count() ==
+      corpus.where(aggregate(col("emb"), lit(0.0), (a, x) => a + x * x) > 0).count())
+    val q = emb.where(col("vec_id") % 100 === 0)
+    assert(IvfIndex.searchTopK(s, next, q, "vec_id", "emb", k = 3, nprobe = 6).count() > 0)
+    SparkEntry.runPendingCleanups()
+  }
+
   test("managedVacuum ages unmarked dirs by their NEWEST file, so in-flight builds survive a scheduled vacuum (r16)") {
     import java.nio.file.{Files, Paths}
     import java.nio.file.attribute.FileTime
