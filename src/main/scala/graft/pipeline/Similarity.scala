@@ -933,6 +933,53 @@ object Similarity {
     } finally { truth.unpersist(); () }
   }
 
+  /** [[recallReport]] for a FITTED quantizer: sweep `nprobes` under
+    * one trained centroid frame (a [[kmeansCentroids]] fit — or any
+    * (cent_id, __cv__, __cn__) frame) instead of the md5 draw. This
+    * is the report that justifies the training cost: compare its
+    * frontier against [[recallReport]] at the same probed fractions
+    * and keep the quantizer only where fitted recall clears random
+    * (PipelineSpec pins fitted ≥ random at a 6% fraction on loose
+    * clusters — the regime training exists for). Output matches
+    * [[recallReport]] with `nlist` reported as the frame's cell
+    * count.
+    */
+  def recallReportFitted(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobes: Seq[Int],
+      centroids: DataFrame,
+      scoreDecimals: Int = 4
+  ): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // the frame is contractually broadcast-sized; materialize once so
+    // a possibly-iterative training lineage doesn't replay per config
+    val cents = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(centroids.collect(): _*), centroids.schema))
+    val nlist = cents.count().toInt
+    val truth = bruteForceTopK(corpus, queries, idCol, vecCol, k, scoreDecimals)
+      .select(col("query_id"), col("neighbor_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val total = truth.count()
+      val rows = nprobes.map { nprobe =>
+        val served = ivfTopK(corpus, queries, idCol, vecCol, k,
+          nlist, nprobe, scoreDecimals, centroids = Some(cents))
+          .select(col("query_id"), col("neighbor_id"))
+        val hits = truth.join(served, Seq("query_id", "neighbor_id"), "left_semi").count()
+        (nlist, nprobe, nlist,
+          math.min(1.0, nprobe.toDouble / nlist),
+          if (total == 0L) 0.0 else hits.toDouble / total)
+      }
+      rows.toDF("nlist", "nprobe", "resolved_nlist", "probed_fraction", "recall_at_k")
+    } finally { truth.unpersist(); () }
+  }
+
   /** Routing thresholds for [[ivfAssignTwoLevel]]: the flat
     * [[ivfAssign]] route is taken only when the centroid set has
     * fewer than [[TwoLevelMinNlist]] rows AND the vector side has

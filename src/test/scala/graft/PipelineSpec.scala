@@ -770,6 +770,15 @@ class PipelineSpec extends SparkSuite {
     // AutoNlist resolves and reports the derived cell count
     val nz = emb.where(aggregate(col("emb"), lit(0.0), (a, x) => a + x * x) > 0).count()
     assert(rep((Similarity.AutoNlist, 4))._1 == Similarity.autoNlist(nz))
+    // the fitted variant sweeps nprobe under one trained frame and
+    // reports the frame's own cell count; full probe is 1.0 there too
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "emb", k = 8, iters = 1)
+    val fit = Similarity.recallReportFitted(emb, q, "vec_id", "emb", k = 5,
+      nprobes = Seq(2, 8), centroids = cents)
+      .collect().map(r => r.getInt(1) -> (r.getInt(0), r.getDouble(4))).toMap
+    assert(fit(2)._1 == 8 && fit(8)._1 == 8, "fitted report must carry the frame's cell count")
+    assert(fit(8)._2 == 1.0, s"fitted full probe must recall 1.0, got ${fit(8)}")
+    assert(fit(2)._2 <= 1.0 && fit(2)._2 >= 0.0)
     SparkEntry.runPendingCleanups()
   }
 
