@@ -366,11 +366,15 @@ object IvfIndex {
     val cents = broadcast(spark.read.parquet(s"$path/$CentroidsDir"))
     val nz = Similarity.dropZeroVectors(batch, vecCol)
     val routed = Similarity.ivfAssignTwoLevel(nz, cents, idCol, vecCol, "row", scoreDecimals)
+    // ONE schema read decides the layout — appendBatch runs per
+    // micro-batch, and each spark.read.parquet(path) lists the cell
+    // directory (real cost on an object store at 100 TB)
+    val layoutCols = spark.read.parquet(path).schema.fieldNames.toSet
     val assigned =
-      if (layoutIsPq(spark, path))
+      if (layoutCols.contains("__pq__"))
         pqCellRows(broadcast(spark.read.parquet(s"$path/$CodebooksDir")),
           routed, idCol, scoreDecimals)
-      else cellRows(routed, idCol, vecCol, layoutIsInt8(spark, path))
+      else cellRows(routed, idCol, vecCol, layoutCols.contains("__codes__"))
     upsertAssigned(spark, path, assigned, idCol)
   }
 
@@ -1116,8 +1120,12 @@ object IvfIndex {
       nprobe: Int = 4,
       scoreDecimals: Int = 4
   ): DataFrame = {
-    if (layoutIsPq(spark, path))
-      return searchTopKPq(spark, path, queries, idCol, vecCol, k, nprobe, scoreDecimals)
+    // ONE read of the cell layout serves the layout dispatch AND the
+    // probed scan — a second spark.read.parquet(path) would re-list
+    // the cell directory per query batch (object-store cost at scale)
+    val layoutDf = spark.read.parquet(path)
+    if (layoutDf.columns.contains("__pq__"))
+      return searchTopKPq(spark, path, layoutDf, queries, idCol, vecCol, k, nprobe, scoreDecimals)
     val cents = broadcast(spark.read.parquet(s"$path/$CentroidsDir"))
     val qNz = Similarity.dropZeroVectors(queries, vecCol)
     val qCells = Similarity
@@ -1126,7 +1134,7 @@ object IvfIndex {
     // values by construction
     val probed = qCells.select(col("cent_id").cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val layout = spark.read.parquet(path)
+    val layout = layoutDf
       .where(col("cent_id").isin(probed: _*))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
@@ -1190,6 +1198,7 @@ object IvfIndex {
   private def searchTopKPq(
       spark: SparkSession,
       path: String,
+      layoutDf: DataFrame,
       queries: DataFrame,
       idCol: String,
       vecCol: String,
@@ -1210,7 +1219,7 @@ object IvfIndex {
       .select(col("query_id"), col("cent_id"))
     val probed = queryCells.select(col("cent_id").cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val cells = spark.read.parquet(path)
+    val cells = layoutDf
       .where(col("cent_id").isin(probed: _*))
       .select(col("cent_id").cast("long").as("cent_id"),
         col(idCol).as("neighbor_id"), col("__pq__"), col("__xn__"))
