@@ -170,6 +170,8 @@ object IvfIndex {
       centroids: Option[DataFrame] = None
   ): Unit = {
     import org.apache.spark.storage.StorageLevel
+    require(ksub <= Short.MaxValue,
+      s"buildPq: ksub=$ksub exceeds the smallint code-rank range (the stored __pq__ layout)")
     val spark = corpus.sparkSession
     val nz = Similarity.dropZeroVectors(corpus, vecCol)
     val cents = centroids.map(broadcast)
@@ -223,13 +225,16 @@ object IvfIndex {
     val codes = Similarity.pqEncode(
       routed.select(col("row_id").as(idCol), col("__rowv__")),
       cb, idCol, "__rowv__", dims, m, scoreDecimals)
+    // ranks are < ksub (≤ 32767 by buildPq's contract), so the stored
+    // code array is smallint — half the int payload on disk AND
+    // through every scoring join the codes ride
     val packed = codes
       .join(cb.select(col("sub_id"), col("cent_id").as("code_id"),
         col("__ci__"), col("__cbn2__")), Seq("sub_id", "code_id"))
       .groupBy(col(idCol))
       .agg(
         transform(array_sort(collect_list(struct(col("sub_id"), col("__ci__")))),
-          x => x("__ci__")).as("__pq__"),
+          x => x("__ci__")).cast("array<smallint>").as("__pq__"),
         sqrt(sum(col("__cbn2__"))).as("__xn__"))
     routed.select(col("cent_id"), col("row_id").as(idCol))
       .join(packed, Seq(idCol))

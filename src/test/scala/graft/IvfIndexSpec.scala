@@ -88,6 +88,9 @@ class IvfIndexSpec extends SparkSuite {
     val schema = s.read.parquet(path).schema
     assert(!schema.fieldNames.contains("emb"), "PQ layout must not store float vectors")
     assert(schema.fieldNames.toSet.intersect(Set("__pq__", "__xn__")).size == 2)
+    assert(schema("__pq__").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType == org.apache.spark.sql.types.ShortType,
+      "code ranks must store as smallint (half the int payload on disk and through joins)")
     assert(s.read.parquet(s"$path/_codebooks").count() == 4L * 8L,
       "codebook sidecar must hold m x ksub codewords")
     // serving parity: the stored ADC path reproduces the in-memory
