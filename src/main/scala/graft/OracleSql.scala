@@ -428,6 +428,43 @@ FROM $src $srcAlias CROSS JOIN $cents) t WHERE cr = 1)"""
     * [[kmeansAssignCte]] (Lloyd assignment is the algorithm, not a
     * routing shortcut).
     */
+  /** One recallReport config row as a self-contained query: the
+    * brute-force top-k truth and the routed-IVF top-k both re-derive
+    * inside one WITH chain (the standard nonzero/centroid/route CTEs),
+    * then recall = |bf ∩ iv| / |bf| and
+    * probed_fraction = least(1, nprobe / resolved) — both single IEEE
+    * divisions of exact integer counts, so the engine's
+    * `hits.toDouble / total` matches bit-for-bit.
+    */
+  private def recallConfigSql(
+      k: Int,
+      qmod: Int,
+      nlistSql: String,
+      nprobe: Int,
+      nlistOut: Int
+  ): String =
+    s"""SELECT * FROM (
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0 AND NOT isnan(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))),
+q AS (SELECT vec_id, emb FROM c WHERE vec_id % $qmod = 0),
+bfs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, round(list_cosine_similarity(q.emb, c.emb), 4) AS score FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id),
+bf AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rk FROM bfs) t WHERE rk <= $k),
+res AS (SELECT CAST($nlistSql AS BIGINT) AS resolved),
+cents AS (SELECT vec_id AS cent_id, emb AS cemb FROM c
+QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= (SELECT resolved FROM res)),
+${routedCaCtes("cents", "c", "neighbor_id")},
+qa AS (SELECT query_id, qemb, cent_id FROM (
+SELECT q.vec_id AS query_id, q.emb AS qemb, cent_id,
+row_number() OVER (PARTITION BY q.vec_id ORDER BY round(list_cosine_similarity(q.emb, cemb), 4) DESC, cent_id) AS cr
+FROM q CROSS JOIN cents) t WHERE cr <= $nprobe),
+s AS (SELECT qa.query_id, ca.neighbor_id, round(list_cosine_similarity(qa.qemb, ca.emb), 4) AS score
+FROM qa JOIN ca USING (cent_id) WHERE qa.query_id <> ca.neighbor_id),
+iv AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk FROM s) t WHERE rk <= $k)
+SELECT CAST($nlistOut AS INT) AS nlist, CAST($nprobe AS INT) AS nprobe,
+  CAST((SELECT resolved FROM res) AS INT) AS resolved_nlist,
+  least(1.0, CAST($nprobe AS DOUBLE) / (SELECT resolved FROM res)) AS probed_fraction,
+  (SELECT count(*) FROM bf JOIN iv USING (query_id, neighbor_id)) * 1.0 / (SELECT count(*) FROM bf) AS recall_at_k
+) cfg_${nlistOut}_$nprobe"""
+
   private def routedCaCtes(cents: String, src: String, outId: String): String =
     s"""nlr AS (SELECT count(*) AS nl FROM $cents),
 nvr AS (SELECT count(*) AS nv FROM $src),
@@ -1338,6 +1375,18 @@ r AS (SELECT query_id, neighbor_id, score, CAST(row_number() OVER (PARTITION BY 
 SELECT query_id, neighbor_id, score, "rank" FROM r WHERE "rank" <= 5""",
 
     "q_ann_lsh" -> annLshSql,
+
+    // recallReport replay: per (nlist, nprobe) config, brute-force
+    // ground truth and the routed IVF serving both re-derive in SQL,
+    // recall = |intersection| / |truth| (exact int counts, one IEEE
+    // division on each side), probed_fraction = nprobe / resolved.
+    // One self-contained WITH chain per config, UNION ALL'd.
+    "q_recall_report" -> Seq(
+      ("16", 2, 16), ("16", 4, 16),
+      ("greatest(16, CAST(ceil(sqrt((SELECT count(*) FROM c))) AS BIGINT))", 4, 0)
+    ).map { case (nlistSql, nprobe, nlistOut) =>
+      recallConfigSql(k = 5, qmod = 50, nlistSql = nlistSql, nprobe = nprobe, nlistOut = nlistOut)
+    }.mkString("\nUNION ALL\n"),
 
     // JL projection replay: same md5-derived planes (embedded as
     // literals from the SAME planeMatrix call), same left-to-right

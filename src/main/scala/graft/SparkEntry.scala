@@ -917,6 +917,16 @@ object SparkEntry {
       val q = e.where(col("vec_id") % 50 === 0)
       graft.pipeline.IvfIndex.searchTopK(s, path, q, "vec_id", "emb", k = 5, nprobe = 4)
     }),
+    "q_recall_report" -> ((s, dir) => {
+      // the nprobe-sizing surface: measured recall@k vs brute force
+      // per (nlist, nprobe) — fully deterministic (truth and serving
+      // are both oracle-replayable), so the report itself is gated.
+      // Config 3 exercises AutoNlist resolution in the output.
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val q = e.where(col("vec_id") % 50 === 0)
+      Similarity.recallReport(e, q, "vec_id", "emb", k = 5,
+        configs = Seq((16, 2), (16, 4), (Similarity.AutoNlist, 4)))
+    }),
     "q_ann_ivf_store_pq" -> ((s, dir) => {
       // the PQ-compressed persisted index — the next compression rung
       // after int8: cells hold m rank-index codes + a reconstruction
