@@ -448,7 +448,7 @@ WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHE
 q AS (SELECT vec_id, emb FROM c WHERE vec_id % $qmod = 0),
 bfs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, round(list_cosine_similarity(q.emb, c.emb), 4) AS score FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id),
 bf AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rk FROM bfs) t WHERE rk <= $k),
-res AS (SELECT CAST($nlistSql AS BIGINT) AS resolved),
+res AS (SELECT CAST(least($nlistSql, (SELECT count(*) FROM c)) AS BIGINT) AS resolved),
 cents AS (SELECT vec_id AS cent_id, emb AS cemb FROM c
 QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= (SELECT resolved FROM res)),
 ${routedCaCtes("cents", "c", "neighbor_id")},

@@ -1195,10 +1195,12 @@ object IvfIndex {
     * each candidate as `m` LUT adds over its stored `__pq__` ranks
     * divided by `__qn__ · __xn__`. Bit-identical to pqSearch over the
     * same fitted model (stored ints and doubles round-trip parquet
-    * exactly), so the stored path shares q_ann_pq's oracle. Like
-    * pqSearch — and unlike the float/int8 branches — queries are NOT
-    * zero-filtered (parity with the in-memory operator wins; a
-    * zero-vector query deterministically yields null scores).
+    * exactly), so the stored path shares q_ann_pq's oracle. Queries
+    * are zero/NaN-filtered like every other layout branch AND like
+    * [[Similarity.pqSearch]] (r17, ADVICE r16): the two engines rank
+    * a degenerate query's null-vs-NaN score at opposite ends of the
+    * desc window, so dropping it up front is the only contract both
+    * sides can honor.
     */
   private def searchTopKPq(
       spark: SparkSession,
@@ -1219,8 +1221,9 @@ object IvfIndex {
     val m = mk.getInt(0) + 1
     val ksub = (mk.getLong(1) / m).toInt
     val sub = mk.getInt(2)
+    val queriesNz = Similarity.dropZeroVectors(queries, vecCol)
     val queryCells = Similarity
-      .ivfAssign(queries, cents, idCol, vecCol, "query", keep = nprobe, scoreDecimals)
+      .ivfAssign(queriesNz, cents, idCol, vecCol, "query", keep = nprobe, scoreDecimals)
       .select(col("query_id"), col("cent_id"))
     val probed = queryCells.select(col("cent_id").cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted
@@ -1231,7 +1234,7 @@ object IvfIndex {
     // per-query flat ADC LUT — pqSearch's construction verbatim
     val subsArr = array((0 until m).map(s0 =>
       slice(col(vecCol).cast("array<double>"), s0 * sub + 1, sub)): _*)
-    val lut = queries
+    val lut = queriesNz
       .select(col(idCol).as("query_id"),
         Similarity.norm(col(vecCol).cast("array<double>")).as("__qn__"),
         posexplode(subsArr).as(Seq("sub_id", "__qsv__")))

@@ -815,6 +815,13 @@ object Similarity {
     * partial dot products, broadcast), keep the top `k`. Touches
     * only the model's compressed frames — never a corpus vector —
     * so serving cost is per-query-batch, not per-corpus.
+    *
+    * Zero/NaN-norm queries are dropped like every other top-k entry
+    * point (r17, ADVICE r16): cosine is undefined for them, and
+    * Spark's null score vs DuckDB's NaN would rank OPPOSITE ends of
+    * the desc window — the oracle's query CTE already derives from
+    * the nonzero-filtered corpus, so the engine filter is what keeps
+    * the two sides aligned when a degenerate query appears.
     */
   def pqSearch(
       model: PqModel,
@@ -824,12 +831,13 @@ object Similarity {
       k: Int
   ): DataFrame = {
     val sub = model.dims / model.m
-    val queryCells = ivfAssign(queries, model.centroids, idCol, vecCol, "query",
+    val queriesNz = dropZeroVectors(queries, vecCol)
+    val queryCells = ivfAssign(queriesNz, model.centroids, idCol, vecCol, "query",
       keep = model.nprobe, model.scoreDecimals)
       .select(col("query_id"), col("cent_id"))
     val subsArr = array((0 until model.m).map(s =>
       slice(col(vecCol).cast("array<double>"), s * sub + 1, sub)): _*)
-    val lut = queries
+    val lut = queriesNz
       .select(col(idCol).as("query_id"),
         norm(col(vecCol).cast("array<double>")).as("__qn__"),
         posexplode(subsArr).as(Seq("sub_id", "__qsv__")))
@@ -921,7 +929,13 @@ object Similarity {
       val total = truth.count()
       val nzCount = dropZeroVectors(corpus, vecCol).count()
       val rows = configs.map { case (nlist, nprobe) =>
-        val resolved = if (nlist == AutoNlist) autoNlist(nzCount) else nlist
+        // clamped to the nonzero corpus count (r17, ADVICE r16):
+        // ivfCentroids' limit(nlist) yields fewer cells when the
+        // corpus is smaller than nlist, so the unclamped value would
+        // overstate cost (probed_fraction) and delay the declared
+        // "1.0 at nprobe >= resolved_nlist" point
+        val resolved = math.min(
+          (if (nlist == AutoNlist) autoNlist(nzCount) else nlist).toLong, nzCount).toInt
         val served = ivfTopK(corpus, queries, idCol, vecCol, k, nlist, nprobe, scoreDecimals)
           .select(col("query_id"), col("neighbor_id"))
         val hits = truth.join(served, Seq("query_id", "neighbor_id"), "left_semi").count()
@@ -957,11 +971,24 @@ object Similarity {
     import org.apache.spark.storage.StorageLevel
     val spark = corpus.sparkSession
     import spark.implicits._
+    // the driver budget fires BEFORE the collect materializes the
+    // frame (r17, VERDICT r16 #4): one narrow (count, dim) aggregate
+    // — executor-side, never driver-held — decides whether the
+    // frame fits, so an oversized fitted quantizer fails with the
+    // sizing knobs named instead of OOM-ing the driver mid-collect
+    val stat = centroids.agg(count(lit(1)), max(size(col("__cv__")))).head()
+    val nlist = stat.getLong(0).toInt
+    val dim = if (nlist == 0) 0 else stat.getInt(1)
+    require(nlist.toLong * dim <= MaxCentroidComponents,
+      s"recallReportFitted: centroid frame is $nlist cells x $dim dims = " +
+        s"${nlist.toLong * dim} components, over the ${MaxCentroidComponents}-component " +
+        "driver budget (Similarity.MaxCentroidComponents) - the frame is collected AND " +
+        "broadcast whole; train fewer cells (cap nlist below sqrt(n)), reduce the embedding " +
+        "dim (randomProjection), or raise the budget on a bigger driver")
     // the frame is contractually broadcast-sized; materialize once so
     // a possibly-iterative training lineage doesn't replay per config
     val cents = broadcast(spark.createDataFrame(
       java.util.Arrays.asList(centroids.collect(): _*), centroids.schema))
-    val nlist = cents.count().toInt
     val truth = bruteForceTopK(corpus, queries, idCol, vecCol, k, scoreDecimals)
       .select(col("query_id"), col("neighbor_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -1030,7 +1057,10 @@ object Similarity {
     * `spark.driver.maxResultSize` also bounds the collect, but its
     * error names neither the operator nor the sizing knobs.)
     */
-  private[graft] var MaxCentroidComponents: Long = 1L << 26
+  // @volatile (r17): tests and multi-threaded drivers (the managed
+  // stream's maintenance daemon collects centroids off the trigger
+  // thread) may set and read this from different threads
+  @volatile private[graft] var MaxCentroidComponents: Long = 1L << 26
 
   /** Nearest-centroid cell assignment — the IVF routing used by every
     * build/append path. Two routes behind one contract-stable switch:

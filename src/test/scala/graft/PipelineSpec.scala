@@ -779,6 +779,35 @@ class PipelineSpec extends SparkSuite {
     assert(fit(2)._1 == 8 && fit(8)._1 == 8, "fitted report must carry the frame's cell count")
     assert(fit(8)._2 == 1.0, s"fitted full probe must recall 1.0, got ${fit(8)}")
     assert(fit(2)._2 <= 1.0 && fit(2)._2 >= 0.0)
+    // resolved_nlist clamps to the nonzero corpus count (r17, ADVICE
+    // r16): an nlist above the corpus size can only yield nzCount
+    // cells, so the report must not overstate probed cost
+    val over = Similarity.recallReport(emb, q, "vec_id", "emb", k = 5,
+      configs = Seq((1 << 20, 4))).head()
+    assert(over.getInt(2) == nz.toInt,
+      s"resolved_nlist must clamp to the corpus count $nz, got ${over.getInt(2)}")
+    SparkEntry.runPendingCleanups()
+  }
+
+  test("recallReportFitted driver budget fires before the centroid collect (r17)") {
+    val s = spark; import s.implicits._
+    val corpus = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 13 + d * 7)))
+    }.toDF("id", "v")
+    val cents = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.cos(i * 31 + d * 3)))
+    }.toDF("cent_id", "__cv__")
+      .withColumn("__cn__", sqrt(aggregate(col("__cv__"), lit(0.0d), (a, x) => a + x * x)))
+    val old = Similarity.MaxCentroidComponents
+    Similarity.MaxCentroidComponents = 100L // 40 cells x 8 dims = 320 > 100
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        Similarity.recallReportFitted(corpus, corpus.limit(3), "id", "v", k = 3,
+          nprobes = Seq(1), centroids = cents)
+      }
+      assert(ex.getMessage.contains("MaxCentroidComponents") && ex.getMessage.contains("320"),
+        s"unexpected message: ${ex.getMessage}")
+    } finally Similarity.MaxCentroidComponents = old
     SparkEntry.runPendingCleanups()
   }
 

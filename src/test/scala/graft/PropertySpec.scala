@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 
 import graft.operators.{AsOf, Cumulate, Portfolio, Winsorize}
-import graft.pipeline.Similarity
+import graft.pipeline.{IvfIndex, Similarity}
 
 /** Property tests the reference never had (SURVEY §5): structural
   * invariants that must hold for ANY input, not just the goldens.
@@ -105,6 +105,37 @@ class PropertySpec extends SparkSuite {
     val kept = Similarity.bruteForceTopK(
       df, df.where(col("id") === 3L), "id", "v", k = 5).count()
     assert(kept == 0L, "NaN corpus vectors must be excluded from top-k serving")
+  }
+
+  test("pqSearch drops zero/NaN queries like every other top-k entry point (r17)") {
+    // pre-r17, pqSearch skipped the query-side dropZeroVectors: a
+    // zero/NaN query's score divided 0/0 — null in Spark (ranked
+    // last) but NaN in DuckDB (ranked FIRST desc), so its entire
+    // top-k was engine-dependent garbage; the stored-PQ serving path
+    // shared the gap. Both now apply the shared filter.
+    val s = spark; import s.implicits._
+    val corpus = (0 until 64).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 13 + d * 7)))
+    }.toDF("id", "v")
+    val queries = Seq(
+      (1000L, Array.fill(8)(0.0)),                       // zero
+      (1001L, Array.tabulate(8)(d => if (d == 3) Double.NaN else 1.0)), // NaN
+      (0L, Array.tabulate(8)(d => math.sin(d * 7)))      // real (id 0's vector)
+    ).toDF("id", "v")
+    val model = Similarity.pqFit(corpus, "id", "v", dims = 8, m = 2, ksub = 4,
+      iters = 1, nlist = 4, nprobe = 4, persist = false)
+    val served = Similarity.pqSearch(model, queries, "id", "v", k = 3)
+      .select("query_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(served == Set(0L),
+      s"only the real query may be served from pqSearch, got $served")
+    // the stored-PQ layout honors the same contract
+    val path = java.nio.file.Files.createTempDirectory("graft-pq-nan").toString + "/idx"
+    IvfIndex.buildPq(corpus, "id", "v", path, dims = 8, m = 2, ksub = 4, nlist = 4)
+    val servedStored = IvfIndex.searchTopK(spark, path, queries, "id", "v", k = 3, nprobe = 4)
+      .select("query_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(servedStored == Set(0L),
+      s"only the real query may be served from the stored PQ layout, got $servedStored")
+    SparkEntry.runPendingCleanups()
   }
 
   test("winsorize output is always within the clamp bounds and preserves row count") {
