@@ -48,6 +48,7 @@ object IvfIndex {
   private val CentroidsDir = "_centroids"
   private val KeymapDir = "_keymap"
   private val CodebooksDir = "_codebooks"
+  private val PqMetaDir = "_pq_meta"
   // keymap partition fan-out: enough that a keymap-bucket rewrite
   // stays small, few enough that the sidecar doesn't fragment
   private val KeymapBuckets = 64
@@ -155,6 +156,21 @@ object IvfIndex {
     * compound quantization error AND make the keymap version hash
     * unstable across generations. To retrain codebooks, build a fresh
     * index from original float vectors.
+    *
+    * Layout details (r17):
+    *  - a `_pq_meta/` sidecar declares (m, ksub, sub, codes_enc) so
+    *    serving addresses the flat ADC LUT from DECLARED values
+    *    instead of inferring ksub = codebookRows / m (ADVICE r16: an
+    *    unequal per-subspace codeword count would silently
+    *    mis-address the LUT) — and the build FAILS FAST if Lloyd
+    *    leaves any subspace with fewer than `ksub` codewords;
+    *  - when `ksub <= 256` the code ranks store as `array<tinyint>`
+    *    with a fixed −128 offset (rank 0..255 → stored −128..127),
+    *    half the smallint payload at the realistic m=8/ksub=256
+    *    setting; larger ksub keeps the smallint rank layout. The
+    *    encoding is recovered from the stored element type (legacy
+    *    smallint stores read unchanged), recorded in `_pq_meta` for
+    *    the audit trail, and conformed to by every append.
     */
   def buildPq(
       corpus: DataFrame,
@@ -182,21 +198,34 @@ object IvfIndex {
     val cb = Similarity.pqCodebooks(nz, idCol, vecCol, dims, m, ksub, iters, scoreDecimals)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // fail fast on a dropped codeword (ADVICE r16): Lloyd drops a
+      // codeword whose cluster empties, and a subspace with fewer
+      // than ksub codewords would silently mis-address the flat ADC
+      // LUT (s*ksub + rank) everywhere downstream
+      val counts = cb.groupBy(col("sub_id")).agg(count(lit(1)).as("n")).collect()
+      require(counts.length == m && counts.forall(_.getLong(1) == ksub.toLong),
+        s"buildPq: Lloyd training left unequal codeword counts per subspace " +
+          s"(expected $m x $ksub, got ${counts.map(r => s"sub ${r.getInt(0)}: ${r.getLong(1)}").sorted.mkString(", ")}) " +
+          "- the flat ADC addressing requires exactly ksub codewords in every subspace; " +
+          "lower ksub (an empty cluster means the corpus cannot support this many codewords), " +
+          "reduce iters, or train on more rows")
       // stored codebooks carry the RANK of each codeword within its
       // subspace's (code_id) order — pqSearch's flat-LUT index — so
       // appends and serving never need the original draw ids
       val wCi = Window.partitionBy(col("sub_id")).orderBy(col("cent_id"))
       val cbStored = cb.withColumn("__ci__", row_number().over(wCi) - 1)
+      val tiny = ksub <= 256
       val routed = Similarity.ivfAssignTwoLevel(nz, cents, idCol, vecCol, "row", scoreDecimals)
         .persist(StorageLevel.MEMORY_AND_DISK)
       try {
-        val assigned = pqCellRows(broadcast(cbStored), routed, idCol, scoreDecimals)
+        val assigned = pqCellRows(broadcast(cbStored), routed, idCol, scoreDecimals, tiny)
           .persist(StorageLevel.MEMORY_AND_DISK)
         try {
           graft.sources.Sink.writePartitioned(
             assigned, path, partitionCols = Seq("cent_id"), sortCols = Seq(idCol))
           cents.write.mode("overwrite").parquet(s"$path/$CentroidsDir")
           cbStored.write.mode("overwrite").parquet(s"$path/$CodebooksDir")
+          writePqMeta(spark, path, m, ksub, dims / m, tiny)
           graft.sources.Sink.writePartitioned(
             keymapRows(assigned, idCol), s"$path/$KeymapDir",
             partitionCols = Seq("kb"), sortCols = Seq(idCol))
@@ -204,6 +233,47 @@ object IvfIndex {
       } finally { routed.unpersist(); () }
     } finally { cb.unpersist(); () }
   }
+
+  /** The declared-shape sidecar of a PQ layout: one row of
+    * (m, ksub, sub, codes_enc). Serving reads DECLARED m/ksub from it
+    * instead of inferring ksub = codebookRows / m, so a (failed-fast,
+    * but defense-in-depth) unequal codebook can never silently
+    * mis-address the flat LUT; `codes_enc` records the rank encoding
+    * for the audit trail (readers recover it from the stored element
+    * type, so legacy metaless stores keep working).
+    */
+  private def writePqMeta(
+      spark: SparkSession, path: String, m: Int, ksub: Int, sub: Int, tiny: Boolean): Unit = {
+    import spark.implicits._
+    Seq((m, ksub, sub, if (tiny) "tinyint-rank-minus-128" else "smallint-rank"))
+      .toDF("m", "ksub", "sub", "codes_enc")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/$PqMetaDir")
+  }
+
+  /** Declared (m, ksub, sub) from the `_pq_meta/` sidecar, if the
+    * layout has one (r17+ builds do; legacy stores fall back to the
+    * caller's inference).
+    */
+  private def readPqMeta(spark: SparkSession, path: String): Option[(Int, Int, Int)] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$path/$PqMetaDir")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val r = spark.read.parquet(p.toString).select("m", "ksub", "sub").head()
+      Some((r.getInt(0), r.getInt(1), r.getInt(2)))
+    }
+  }
+
+  /** Whether a stored `__pq__` column uses the tinyint(−128-offset)
+    * rank encoding — recovered from the element type, so the check
+    * works on any frame that carries the column.
+    */
+  private def pqCodesTiny(schema: org.apache.spark.sql.types.StructType): Boolean =
+    schema("__pq__").dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType, _) => true
+      case _ => false
+    }
 
   /** PQ cell rows for one routed batch: encode the routed vectors
     * under the (frozen) codebooks and pack per id the rank-index code
@@ -216,7 +286,8 @@ object IvfIndex {
       cb: DataFrame,
       routed: DataFrame,
       idCol: String,
-      scoreDecimals: Int
+      scoreDecimals: Int,
+      tiny: Boolean
   ): DataFrame = {
     val mk = cb.groupBy()
       .agg(max(col("sub_id")).as("m"), max(size(col("__cbv__"))).as("sub")).head()
@@ -225,17 +296,20 @@ object IvfIndex {
     val codes = Similarity.pqEncode(
       routed.select(col("row_id").as(idCol), col("__rowv__")),
       cb, idCol, "__rowv__", dims, m, scoreDecimals)
-    // ranks are < ksub (≤ 32767 by buildPq's contract), so the stored
-    // code array is smallint — half the int payload on disk AND
-    // through every scoring join the codes ride
+    // rank encoding: ranks < ksub always fit smallint (<= 32767 by
+    // buildPq's contract); at ksub <= 256 they store as tinyint with
+    // a fixed -128 offset (0..255 -> -128..127) — half the payload
+    // again, on disk AND through every scoring join the codes ride
+    val rankArr = transform(
+      array_sort(collect_list(struct(col("sub_id"), col("__ci__")))), x => x("__ci__"))
+    val pqArr =
+      if (tiny) transform(rankArr, r => r - 128).cast("array<tinyint>")
+      else rankArr.cast("array<smallint>")
     val packed = codes
       .join(cb.select(col("sub_id"), col("cent_id").as("code_id"),
         col("__ci__"), col("__cbn2__")), Seq("sub_id", "code_id"))
       .groupBy(col(idCol))
-      .agg(
-        transform(array_sort(collect_list(struct(col("sub_id"), col("__ci__")))),
-          x => x("__ci__")).cast("array<smallint>").as("__pq__"),
-        sqrt(sum(col("__cbn2__"))).as("__xn__"))
+      .agg(pqArr.as("__pq__"), sqrt(sum(col("__cbn2__"))).as("__xn__"))
     routed.select(col("cent_id"), col("row_id").as(idCol))
       .join(packed, Seq(idCol))
       .select(col("cent_id"), col(idCol), col("__pq__"), col("__xn__"))
@@ -258,9 +332,16 @@ object IvfIndex {
   ): DataFrame = {
     val cb = broadcast(spark.read.parquet(s"$path/$CodebooksDir")
       .select(col("sub_id"), col("__ci__"), col("__cbv__")))
-    spark.read.parquet(path)
+    val layout = spark.read.parquet(path)
+    // stored tinyint codes carry the -128 rank offset; undo it for
+    // the codebook-rank join (the STORED form still travels verbatim
+    // through every maintenance path — only this lookup decodes)
+    val rankOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (pqCodesTiny(layout.schema)) c => c.cast("int") + 128 else c => c
+    layout
       .select(col(idCol), col("__pq__"), col("__xn__"),
-        posexplode(col("__pq__")).as(Seq("sub_id", "__ci__")))
+        posexplode(col("__pq__")).as(Seq("sub_id", "__ci0__")))
+      .withColumn("__ci__", rankOf(col("__ci0__"))).drop("__ci0__")
       .join(cb, Seq("sub_id", "__ci__"))
       .groupBy(col(idCol))
       .agg(first(col("__pq__")).as("__pq__"), first(col("__xn__")).as("__xn__"),
@@ -339,6 +420,12 @@ object IvfIndex {
           cents.write.mode("overwrite").parquet(s"$newPath/$CentroidsDir")
           spark.read.parquet(s"$path/$CodebooksDir")
             .write.mode("overwrite").parquet(s"$newPath/$CodebooksDir")
+          // the declared-shape sidecar carries over with the frozen
+          // codebooks (legacy metaless stores rebuild metaless)
+          readPqMeta(spark, path).foreach { case (m0, ksub0, sub0) =>
+            writePqMeta(spark, newPath, m0, ksub0, sub0,
+              pqCodesTiny(spark.read.parquet(path).schema))
+          }
           graft.sources.Sink.writePartitioned(
             keymapRows(assigned, idCol), s"$newPath/$KeymapDir",
             partitionCols = Seq("kb"), sortCols = Seq(idCol))
@@ -374,11 +461,15 @@ object IvfIndex {
     // ONE schema read decides the layout — appendBatch runs per
     // micro-batch, and each spark.read.parquet(path) lists the cell
     // directory (real cost on an object store at 100 TB)
-    val layoutCols = spark.read.parquet(path).schema.fieldNames.toSet
+    val layoutSchema = spark.read.parquet(path).schema
+    val layoutCols = layoutSchema.fieldNames.toSet
     val assigned =
       if (layoutCols.contains("__pq__"))
+        // conform to the STORE's rank encoding (tinyint-offset vs
+        // smallint), recovered from the stored element type — an
+        // append must never mix widths into one cell layout
         pqCellRows(broadcast(spark.read.parquet(s"$path/$CodebooksDir")),
-          routed, idCol, scoreDecimals)
+          routed, idCol, scoreDecimals, pqCodesTiny(layoutSchema))
       else cellRows(routed, idCol, vecCol, layoutCols.contains("__codes__"))
     upsertAssigned(spark, path, assigned, idCol)
   }
@@ -1215,12 +1306,18 @@ object IvfIndex {
   ): DataFrame = {
     val cents = broadcast(spark.read.parquet(s"$path/$CentroidsDir"))
     val cb = broadcast(spark.read.parquet(s"$path/$CodebooksDir"))
-    val mk = cb.groupBy()
-      .agg(max(col("sub_id")).as("m"), count(lit(1)).as("n"),
-        max(size(col("__cbv__"))).as("sub")).head()
-    val m = mk.getInt(0) + 1
-    val ksub = (mk.getLong(1) / m).toInt
-    val sub = mk.getInt(2)
+    // DECLARED shape from the _pq_meta sidecar when the store has one
+    // (ADVICE r16: inferring ksub = codebookRows / m would silently
+    // mis-address the flat LUT if a subspace ever lost a codeword);
+    // legacy metaless stores keep the inference — their builds
+    // predate the fail-fast count check, same as before
+    val (m, ksub, sub) = readPqMeta(spark, path).getOrElse {
+      val mk = cb.groupBy()
+        .agg(max(col("sub_id")).as("m"), count(lit(1)).as("n"),
+          max(size(col("__cbv__"))).as("sub")).head()
+      val m0 = mk.getInt(0) + 1
+      (m0, (mk.getLong(1) / m0).toInt, mk.getInt(2))
+    }
     val queriesNz = Similarity.dropZeroVectors(queries, vecCol)
     val queryCells = Similarity
       .ivfAssign(queriesNz, cents, idCol, vecCol, "query", keep = nprobe, scoreDecimals)
@@ -1248,10 +1345,13 @@ object IvfIndex {
         transform(
           array_sort(collect_list(struct(col("sub_id"), col("code_id"), col("__part__")))),
           x => x("__part__")).as("__lutf__"))
+    // tinyint layouts store rank - 128; undo the offset inside the
+    // flat-LUT address (ints — exact, and the adds fold in codegen)
+    val rankOffset = if (pqCodesTiny(layoutDf.schema)) 128 else 0
     val num = aggregate(
       sequence(lit(0), lit(m - 1)), lit(0.0),
       (acc, s0) => acc + element_at(col("__lutf__"),
-        (s0 * ksub + element_at(col("__pq__"), s0 + 1) + 1).cast("int")))
+        (s0 * ksub + element_at(col("__pq__"), s0 + 1) + (rankOffset + 1)).cast("int")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
     queryCells
       .join(cells, Seq("cent_id"))

@@ -788,6 +788,19 @@ object Similarity {
     if (persist) {
       cents = cents.persist(StorageLevel.MEMORY_AND_DISK)
       cb = cb.persist(StorageLevel.MEMORY_AND_DISK)
+      // serving mode fails fast if Lloyd dropped a codeword (r17,
+      // ADVICE r16): pqSearch addresses a flat m x ksub LUT, so a
+      // subspace with fewer codewords would silently mis-score every
+      // candidate; the count doubles as the cache warm-up. (The lazy
+      // persist=false form stays uncounted by contract — it exists
+      // for single-shot plans the oracle replays relationally, where
+      // a dropped codeword shows up as a gated mismatch instead.)
+      val counts = cb.groupBy(col("sub_id")).agg(count(lit(1)).as("n")).collect()
+      require(counts.length == m && counts.forall(_.getLong(1) == ksub.toLong),
+        s"pqFit: Lloyd training left unequal codeword counts per subspace " +
+          s"(expected $m x $ksub, got ${counts.map(r => s"sub ${r.getInt(0)}: ${r.getLong(1)}").sorted.mkString(", ")}) " +
+          "- flat ADC addressing requires exactly ksub codewords per subspace; lower ksub, " +
+          "reduce iters, or train on more rows")
     }
     var codes = pqEncode(corpusNz, cb, idCol, vecCol, dims, m, scoreDecimals)
       .withColumnRenamed(idCol, "neighbor_id")

@@ -89,10 +89,15 @@ class IvfIndexSpec extends SparkSuite {
     assert(!schema.fieldNames.contains("emb"), "PQ layout must not store float vectors")
     assert(schema.fieldNames.toSet.intersect(Set("__pq__", "__xn__")).size == 2)
     assert(schema("__pq__").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
-      .elementType == org.apache.spark.sql.types.ShortType,
-      "code ranks must store as smallint (half the int payload on disk and through joins)")
+      .elementType == org.apache.spark.sql.types.ByteType,
+      "ksub <= 256 must store code ranks as tinyint (-128 offset) — half the smallint payload")
     assert(s.read.parquet(s"$path/_codebooks").count() == 4L * 8L,
       "codebook sidecar must hold m x ksub codewords")
+    // the declared-shape sidecar (r17): serving addresses the flat
+    // LUT from these values, never from codebook-row inference
+    val meta = s.read.parquet(s"$path/_pq_meta").head()
+    assert((meta.getInt(0), meta.getInt(1), meta.getInt(2)) == ((4, 8, 16)),
+      s"_pq_meta must declare (m, ksub, sub), got $meta")
     // serving parity: the stored ADC path reproduces the in-memory
     // IVF-PQ operator bit-for-bit at the same parameters
     val q = emb.where(col("vec_id") % 50 === 0)
@@ -144,6 +149,65 @@ class IvfIndexSpec extends SparkSuite {
     val full2 = IvfIndex.searchTopK(s, path2, q, "vec_id", "emb", k = 5, nprobe = 9999)
     assert(resultSet(full0) == resultSet(full2),
       "full-probe PQ serving must be identical across a rebuild (codes + codebooks carried)")
+    // the rank encoding and the declared-shape sidecar carry across
+    // the rebuild with the frozen codebooks (r17)
+    assert(re.schema("__pq__").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType == org.apache.spark.sql.types.ByteType,
+      "rebuild must preserve the tinyint rank encoding")
+    val meta2 = s.read.parquet(s"$path2/_pq_meta").head()
+    assert((meta2.getInt(0), meta2.getInt(1), meta2.getInt(2)) == ((4, 8, 16)),
+      "rebuild must carry the _pq_meta sidecar")
+  }
+
+  test("PQ rank width dispatches on ksub: tinyint(-128) through 256 codewords, smallint above (r17)") {
+    val s = spark
+    import org.apache.spark.sql.types.{ArrayType, ByteType, ShortType}
+    // m=8 / ksub=256 — the realistic byte-code PQ setting the -128
+    // offset exists for (ranks 0..255 don't fit signed tinyint raw).
+    // iters=0 keeps all 256 init codewords over the 500-row corpus
+    // (one Lloyd round over 500 points could empty a cluster and
+    // trip the fail-fast below, which is its own test).
+    val path = tempPath("pq256")
+    IvfIndex.buildPq(emb, "vec_id", "emb", path, dims = 64, m = 8, ksub = 256,
+      iters = 0, nlist = 16)
+    val layout = s.read.parquet(path)
+    assert(layout.schema("__pq__").dataType.asInstanceOf[ArrayType].elementType == ByteType)
+    // stored values are rank - 128: full-range check plus decode sanity
+    val mn = layout.select(min(element_at(col("__pq__"), 1).cast("int"))).head().getInt(0)
+    assert(mn >= -128, "offset ranks must start at -128")
+    // serving decodes the offset and reproduces the in-memory operator
+    val q = emb.where(col("vec_id") % 50 === 0)
+    val stored = IvfIndex.searchTopK(s, path, q, "vec_id", "emb", k = 5, nprobe = 4)
+    val mem = Similarity.pqTopK(emb, q, "vec_id", "emb", k = 5, dims = 64,
+      m = 8, ksub = 256, iters = 0, nlist = 16, nprobe = 4)
+    assert(resultSet(stored) == resultSet(mem),
+      "tinyint-rank serving must reproduce pqTopK bit-for-bit at m=8/ksub=256")
+    // a re-encoded append conforms to the store's tinyint width
+    val id0 = emb.select("vec_id").head().getLong(0)
+    IvfIndex.appendBatch(s, path,
+      emb.where(col("vec_id") === id0).select(lit(99991L).as("vec_id"), col("emb")),
+      "vec_id", "emb")
+    assert(s.read.parquet(path).schema("__pq__")
+      .dataType.asInstanceOf[ArrayType].elementType == ByteType,
+      "append must not widen the stored rank type")
+    // ksub above 256 keeps the smallint rank layout
+    val pathWide = tempPath("pq300")
+    IvfIndex.buildPq(emb, "vec_id", "emb", pathWide, dims = 64, m = 4, ksub = 300,
+      iters = 0, nlist = 16)
+    assert(s.read.parquet(pathWide).schema("__pq__")
+      .dataType.asInstanceOf[ArrayType].elementType == ShortType,
+      "ksub > 256 must store smallint ranks")
+  }
+
+  test("buildPq fails fast when Lloyd cannot keep ksub codewords per subspace (r17)") {
+    // 500 corpus rows cannot seed 600 codewords: the init draw comes
+    // up short, and silent unequal counts would mis-address the flat
+    // ADC LUT (s*ksub + rank) in every downstream scorer
+    val ex = intercept[IllegalArgumentException] {
+      IvfIndex.buildPq(emb, "vec_id", "emb", tempPath("pqfail"),
+        dims = 64, m = 4, ksub = 600, iters = 0, nlist = 16)
+    }
+    assert(ex.getMessage.contains("codeword counts"), s"unexpected: ${ex.getMessage}")
   }
 
   test("PQ managed lifecycle: catch-up carries codes verbatim so the drain gate holds across the flip (r16)") {
