@@ -536,6 +536,96 @@ $rounds"""
 QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
   <= greatest(16, CAST(ceil(sqrt((SELECT count(*) FROM c))) AS BIGINT)))"""
 
+  /** Rank-1 SQUARED-L2 codeword assignment CTE — the oracle mirror of
+    * Similarity.pqRank1(l2 = true), the residual-PQ metric: round(
+    * dot(v,v) − 2·dot(v,c) + dot(c,c), 4) ASC, cent_id ASC. The same
+    * three-dot expansion the engine computes, term for term.
+    */
+  private def l2AssignCte(out: String, cents: String, src: String): String =
+    s"""$out AS (SELECT vec_id, emb, cent_id FROM (
+SELECT $src.vec_id, $src.emb, cent_id,
+row_number() OVER (PARTITION BY $src.vec_id ORDER BY round(list_dot_product($src.emb, $src.emb) - 2 * list_dot_product($src.emb, cemb) + list_dot_product(cemb, cemb), 4) ASC, cent_id) AS cr
+FROM $src CROSS JOIN $cents) t WHERE cr = 1)"""
+
+  /** Lloyd training chain under the L2 assignment — the residual-PQ
+    * mirror of kmeansTrainCtes: init draw JOINED from a shared
+    * `rvinit` id CTE (the md5-lowest NONZERO residuals — the coarse
+    * centroids' own rows have exactly-zero residuals and would seed
+    * ksub zero codewords), then per round an L2 rank-1 assignment and
+    * 6-decimal-rounded per-dimension means.
+    */
+  private def l2TrainCtes(k: Int, iters: Int, dims: Int,
+                          src: String, pfx: String): String = {
+    val rounds = (0 until iters).map { i =>
+      s"""${l2AssignCte(s"${pfx}a$i", s"${pfx}cents$i", src)},
+${pfx}m$i AS (SELECT cent_id, d, round(avg(emb[d]), 6) AS m FROM ${pfx}a$i CROSS JOIN (SELECT unnest(range(1, ${dims + 1})) AS d) dims GROUP BY cent_id, d),
+${pfx}cents${i + 1} AS (SELECT cent_id, list(m ORDER BY d) AS cemb FROM ${pfx}m$i GROUP BY cent_id)"""
+    }.mkString(",\n")
+    val init =
+      s"""${pfx}cents0 AS (SELECT s.vec_id AS cent_id, s.emb AS cemb FROM $src s JOIN rvinit ON s.vec_id = rvinit.vec_id)"""
+    if (iters == 0) init else s"$init,\n$rounds"
+  }
+
+  /** Residual IVF-PQ (IVFADC) mirroring Similarity.pqTopK(residual =
+    * true) stage-for-stage: the routed coarse assignment, residuals
+    * `r = x − c_cell(x)`, per-subspace L2 Lloyd over the residual
+    * slices (shared nonzero-filtered init draw), L2 encoding, the
+    * FULL reconstruction `x̂ = c_cell + r̂` and its norm, and the ADC
+    * score `(dot(q, c_cell) + Σ_s part) / (|q| · |x̂|)` — the extra
+    * per-(query, probed-cell) dot term is what distinguishes the
+    * residual decomposition from the raw mode.
+    */
+  private def pqResidualSql(k: Int, dims: Int, m: Int, ksub: Int, iters: Int,
+                            nlist: Int, nprobe: Int): String = {
+    val sub = dims / m
+    val subCtes = (0 until m).map { s =>
+      s"""s${s}c AS (SELECT vec_id, emb[${s * sub + 1}:${(s + 1) * sub}] AS emb FROM rv),
+${l2TrainCtes(ksub, iters, sub, src = s"s${s}c", pfx = s"s$s")},
+${l2AssignCte(s"s${s}enc", s"s${s}cents$iters", src = s"s${s}c")}"""
+    }.mkString(",\n")
+    val codesUnion = (0 until m).map(s =>
+      s"SELECT vec_id, $s AS sub_id, cent_id AS code_id FROM s${s}enc").mkString("\nUNION ALL\n")
+    val cbUnion = (0 until m).map(s =>
+      s"SELECT $s AS sub_id, cent_id, cemb FROM s${s}cents$iters").mkString("\nUNION ALL\n")
+    val centsCte =
+      if (nlist == 0) autoCentsCte // Similarity.AutoNlist replay
+      else s"cents AS (SELECT vec_id AS cent_id, emb AS cemb FROM c ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nlist)"
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0 AND NOT isnan(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))),
+q AS (SELECT vec_id, emb FROM c WHERE vec_id % 50 = 0),
+$centsCte,
+${routedCaCtes("cents", "c", "neighbor_id")},
+rv AS (SELECT ca.neighbor_id AS vec_id, list_transform(range(1, ${dims + 1}), i -> ca.emb[i] - cents.cemb[i]) AS emb, ca.cent_id AS ccell
+FROM ca JOIN cents USING (cent_id)),
+rvinit AS (SELECT vec_id FROM rv WHERE list_dot_product(emb, emb) > 0 AND NOT isnan(list_dot_product(emb, emb))
+ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $ksub),
+qa AS (SELECT query_id, cent_id, qcd FROM (
+SELECT q.vec_id AS query_id, cent_id, list_dot_product(q.emb, cemb) AS qcd,
+row_number() OVER (PARTITION BY q.vec_id ORDER BY round(list_cosine_similarity(q.emb, cemb), 4) DESC, cent_id) AS cr
+FROM q CROSS JOIN cents) t WHERE cr <= $nprobe),
+$subCtes,
+codes AS ($codesUnion),
+cb AS ($cbUnion),
+rhat AS (SELECT codes.vec_id, flatten(list(cemb ORDER BY codes.sub_id)) AS rh
+FROM codes JOIN cb ON cb.sub_id = codes.sub_id AND cb.cent_id = codes.code_id GROUP BY codes.vec_id),
+xnorm AS (SELECT t.vec_id, sqrt(list_dot_product(t.xh, t.xh)) AS xn FROM (
+SELECT rhat.vec_id, list_transform(range(1, ${dims + 1}), i -> cents.cemb[i] + rhat.rh[i]) AS xh
+FROM rhat JOIN rv ON rv.vec_id = rhat.vec_id JOIN cents ON cents.cent_id = rv.ccell) t),
+qn AS (SELECT vec_id, sqrt(list_sum(list_transform(emb, x -> x * x))) AS qn FROM q),
+lut AS (SELECT q.vec_id AS query_id, cb.sub_id, cb.cent_id AS code_id,
+list_sum(list_transform(range(1, ${sub + 1}), i -> q.emb[cb.sub_id * $sub + i] * cemb[i])) AS part
+FROM q CROSS JOIN cb),
+pairs AS (SELECT qa.query_id, ca.neighbor_id, qa.qcd FROM qa JOIN ca USING (cent_id) WHERE qa.query_id <> ca.neighbor_id),
+sc AS (SELECT p.query_id, p.neighbor_id, p.qcd + sum(lut.part) AS num
+FROM pairs p JOIN codes ON codes.vec_id = p.neighbor_id
+JOIN lut ON lut.query_id = p.query_id AND lut.sub_id = codes.sub_id AND lut.code_id = codes.code_id
+GROUP BY p.query_id, p.neighbor_id, p.qcd),
+s AS (SELECT sc.query_id, sc.neighbor_id, round(sc.num / (qn.qn * xnorm.xn), 4) AS score
+FROM sc JOIN qn ON qn.vec_id = sc.query_id JOIN xnorm ON xnorm.vec_id = sc.neighbor_id),
+r AS (SELECT query_id, neighbor_id, score,
+CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS "rank" FROM s)
+SELECT query_id, neighbor_id, score, "rank" FROM r WHERE "rank" <= $k"""
+  }
+
   private def pqSql(k: Int, dims: Int, m: Int, ksub: Int, iters: Int,
                     nlist: Int, nprobe: Int): String = {
     val sub = dims / m
@@ -751,6 +841,13 @@ SELECT query_id, neighbor_id, score, "rank" FROM r WHERE "rank" <= 5"""
     "q_kmeans" -> kmeansSql(k = 8, iters = 2, dims = 64),
     // nlist = 0 replays Similarity.AutoNlist (sqrt-sized coarse cells)
     "q_ann_pq" -> pqSql(k = 5, dims = 64, m = 4, ksub = 8, iters = 1, nlist = 0, nprobe = 4),
+
+    "q_ann_pq_residual" ->
+      pqResidualSql(k = 5, dims = 64, m = 4, ksub = 8, iters = 1, nlist = 0, nprobe = 4),
+
+    // the stored residual-PQ path replays the same fit + ADC math
+    "q_ann_ivf_store_pq_residual" ->
+      pqResidualSql(k = 5, dims = 64, m = 4, ksub = 8, iters = 1, nlist = 0, nprobe = 4),
     // the PQ-compressed persisted index serves pqSearch's ADC math
     // from disk (codes + codebooks + recon norms round-trip parquet
     // exactly), so the stored path replays the same SQL

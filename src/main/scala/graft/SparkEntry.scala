@@ -943,6 +943,21 @@ object SparkEntry {
       val q = e.where(col("vec_id") % 50 === 0)
       graft.pipeline.IvfIndex.searchTopK(s, path, q, "vec_id", "emb", k = 5, nprobe = 4)
     }),
+    "q_ann_ivf_store_pq_residual" -> ((s, dir) => {
+      // the RESIDUAL (IVFADC) persisted index (r17): cells hold L2
+      // codes of x - c_cell(x) plus the full-reconstruction norm
+      // |c_cell + r_hat|; serving adds the per-(query, cell)
+      // dot(q, c_cell) term to the ADC sum — replaying the
+      // q_ann_pq_residual oracle exactly
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val path = new java.io.File(
+        s"target/graft-ivf/${new java.io.File(dir).getName}/idxpqr").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      graft.pipeline.IvfIndex.buildPq(e, "vec_id", "emb", path, dims = 64,
+        m = 4, ksub = 8, iters = 1, nlist = Similarity.AutoNlist, residual = true)
+      val q = e.where(col("vec_id") % 50 === 0)
+      graft.pipeline.IvfIndex.searchTopK(s, path, q, "vec_id", "emb", k = 5, nprobe = 4)
+    }),
     "q_ann_ivf_fitted" -> ((s, dir) => {
       // the TRAINED-quantizer serving path: cells from one Lloyd
       // round over the md5 init draw (coherent cells are what keep
@@ -963,6 +978,19 @@ object SparkEntry {
       val q = e.where(col("vec_id") % 50 === 0)
       Similarity.pqTopK(e, q, "vec_id", "emb", k = 5, dims = 64,
         m = 4, ksub = 8, iters = 1, nlist = Similarity.AutoNlist, nprobe = 4)
+    }),
+    "q_ann_pq_residual" -> ((s, dir) => {
+      // canonical IVFADC (r17): the fine quantizer encodes the
+      // residual x - c_cell(x) under an L2 rank rule, the ADC score
+      // adds the per-(query, cell) dot(q, c_cell) term, and the same
+      // m x ksub byte budget recalls measurably more than raw PQ —
+      // the whole fit (residuals, L2 Lloyd, reconstruction norms)
+      // replays in the oracle
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val q = e.where(col("vec_id") % 50 === 0)
+      Similarity.pqTopK(e, q, "vec_id", "emb", k = 5, dims = 64,
+        m = 4, ksub = 8, iters = 1, nlist = Similarity.AutoNlist, nprobe = 4,
+        residual = true)
     }),
     "q_kmeans" -> ((s, dir) => {
       // trained coarse quantizer: 2 Lloyd rounds over the 8-centroid

@@ -183,7 +183,8 @@ object IvfIndex {
       iters: Int = 1,
       nlist: Int = Similarity.AutoNlist,
       scoreDecimals: Int = 4,
-      centroids: Option[DataFrame] = None
+      centroids: Option[DataFrame] = None,
+      residual: Boolean = false
   ): Unit = {
     import org.apache.spark.storage.StorageLevel
     require(ksub <= Short.MaxValue,
@@ -193,6 +194,9 @@ object IvfIndex {
     val cents = centroids.map(broadcast)
       .getOrElse(Similarity.ivfCentroids(nz, idCol, vecCol,
         Similarity.resolveNlist(nlist, nz)))
+    if (residual)
+      return buildPqResidual(spark, nz, cents, idCol, vecCol, path, dims, m, ksub,
+        iters, scoreDecimals)
     // the fitted codebooks feed encode, the rank map, the recon norms
     // AND the sidecar write — persist, or each consumer replays Lloyd
     val cb = Similarity.pqCodebooks(nz, idCol, vecCol, dims, m, ksub, iters, scoreDecimals)
@@ -225,13 +229,130 @@ object IvfIndex {
             assigned, path, partitionCols = Seq("cent_id"), sortCols = Seq(idCol))
           cents.write.mode("overwrite").parquet(s"$path/$CentroidsDir")
           cbStored.write.mode("overwrite").parquet(s"$path/$CodebooksDir")
-          writePqMeta(spark, path, m, ksub, dims / m, tiny)
+          writePqMeta(spark, path, m, ksub, dims / m, tiny, residual = false)
           graft.sources.Sink.writePartitioned(
             keymapRows(assigned, idCol), s"$path/$KeymapDir",
             partitionCols = Seq("kb"), sortCols = Seq(idCol))
         } finally { assigned.unpersist(); () }
       } finally { routed.unpersist(); () }
     } finally { cb.unpersist(); () }
+  }
+
+  /** The residual-mode build behind [[buildPq]] (`residual = true`) —
+    * canonical IVFADC on disk. Same layout as the raw PQ store
+    * (cells of `(cent_id, id, __pq__, __xn__)`, `_centroids/`,
+    * `_codebooks/`, `_pq_meta/` with `residual = true`), but the
+    * codes quantize `x − c_cell(x)` under the L2 rank rule and
+    * `__xn__` is the FULL reconstruction norm |c_cell + r̂|.
+    *
+    * THE COUPLING CONTRACT: residual codes are meaningful only
+    * relative to the coarse quantizer that produced them — a row's
+    * (cell, codes, norm) is one unit. Consequences, enforced by the
+    * maintenance paths:
+    *  - [[appendBatch]] re-encodes from original float vectors under
+    *    the FROZEN centroids + codebooks (fully consistent);
+    *  - [[rebuild]] of a residual store is COMPACTION-ONLY — cells,
+    *    codes, norms, centroids, codebooks all carry verbatim (even
+    *    re-ROUTING the reconstruction could flip a near-boundary row
+    *    into a cell its stored residual was not taken against);
+    *  - [[managedMaintain]] REFUSES to drift-retrain a residual
+    *    store: new cells would invalidate every stored code. To
+    *    retrain either quantizer, build a fresh index from original
+    *    float vectors — the same rule raw PQ already applies to its
+    *    codebooks, extended to the cells the residuals are bound to.
+    */
+  private def buildPqResidual(
+      spark: SparkSession,
+      nz: DataFrame,
+      cents: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      dims: Int,
+      m: Int,
+      ksub: Int,
+      iters: Int,
+      scoreDecimals: Int
+  ): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val routed = Similarity.ivfAssignTwoLevel(nz, cents, idCol, vecCol, "row", scoreDecimals)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val resid = routed
+        .join(cents.select(col("cent_id"), col("__cv__")), Seq("cent_id"))
+        .select(col("row_id"), col("cent_id"),
+          zip_with(col("__rowv__"), col("__cv__"), (a, b) => a - b).as("__rv__"))
+      val cb = Similarity.pqCodebooks(resid.select(col("row_id").as(idCol), col("__rv__")),
+        idCol, "__rv__", dims, m, ksub, iters, scoreDecimals, l2 = true)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val counts = cb.groupBy(col("sub_id")).agg(count(lit(1)).as("n")).collect()
+        require(counts.length == m && counts.forall(_.getLong(1) == ksub.toLong),
+          s"buildPq(residual): Lloyd training left unequal codeword counts per subspace " +
+            s"(expected $m x $ksub, got ${counts.map(r => s"sub ${r.getInt(0)}: ${r.getLong(1)}").sorted.mkString(", ")}) " +
+            "- flat ADC addressing requires exactly ksub codewords per subspace; lower ksub, " +
+            "reduce iters, or train on more rows")
+        val wCi = Window.partitionBy(col("sub_id")).orderBy(col("cent_id"))
+        val cbStored = cb.withColumn("__ci__", row_number().over(wCi) - 1)
+        val tiny = ksub <= 256
+        val assigned = pqCellRowsResidual(broadcast(cbStored), routed, cents, idCol,
+          scoreDecimals, tiny, dims, m)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          graft.sources.Sink.writePartitioned(
+            assigned, path, partitionCols = Seq("cent_id"), sortCols = Seq(idCol))
+          cents.write.mode("overwrite").parquet(s"$path/$CentroidsDir")
+          cbStored.write.mode("overwrite").parquet(s"$path/$CodebooksDir")
+          writePqMeta(spark, path, m, ksub, dims / m, tiny, residual = true)
+          graft.sources.Sink.writePartitioned(
+            keymapRows(assigned, idCol), s"$path/$KeymapDir",
+            partitionCols = Seq("kb"), sortCols = Seq(idCol))
+        } finally { assigned.unpersist(); () }
+      } finally { cb.unpersist(); () }
+    } finally { routed.unpersist(); () }
+  }
+
+  /** Residual PQ cell rows for one routed batch: residuals against
+    * the (frozen) cell centroids, L2-encoded under the (frozen)
+    * codebooks, packed with the FULL reconstruction norm
+    * `__xn__ = |c_cell + r̂|` — [[Similarity.pqFitResidual]]'s exact
+    * recipe, so the stored path shares q_ann_pq_residual's oracle.
+    */
+  private def pqCellRowsResidual(
+      cb: DataFrame,
+      routed: DataFrame,
+      cents: DataFrame,
+      idCol: String,
+      scoreDecimals: Int,
+      tiny: Boolean,
+      dims: Int,
+      m: Int
+  ): DataFrame = {
+    val resid = routed
+      .join(cents.select(col("cent_id"), col("__cv__")), Seq("cent_id"))
+      .select(col("row_id").as(idCol), col("cent_id"),
+        zip_with(col("__rowv__"), col("__cv__"), (a, b) => a - b).as("__rv__"))
+    val codes = Similarity.pqEncode(
+      resid.select(col(idCol), col("__rv__")),
+      cb, idCol, "__rv__", dims, m, scoreDecimals, l2 = true)
+    val rankArr = transform(
+      array_sort(collect_list(struct(col("sub_id"), col("__ci__")))), x => x("__ci__"))
+    val pqArr =
+      if (tiny) transform(rankArr, r => r - 128).cast("array<tinyint>")
+      else rankArr.cast("array<smallint>")
+    val packed = codes
+      .join(cb.select(col("sub_id"), col("cent_id").as("code_id"),
+        col("__ci__"), col("__cbv__")), Seq("sub_id", "code_id"))
+      .groupBy(col(idCol))
+      .agg(pqArr.as("__pq__"),
+        flatten(transform(
+          array_sort(collect_list(struct(col("sub_id"), col("__cbv__")))),
+          x => x("__cbv__"))).as("__rh__"))
+    resid.select(col("cent_id"), col(idCol))
+      .join(packed, Seq(idCol))
+      .join(cents.select(col("cent_id"), col("__cv__")), Seq("cent_id"))
+      .select(col("cent_id"), col(idCol), col("__pq__"),
+        Similarity.norm(zip_with(col("__cv__"), col("__rh__"), (a, b) => a + b)).as("__xn__"))
   }
 
   /** The declared-shape sidecar of a PQ layout: one row of
@@ -243,27 +364,40 @@ object IvfIndex {
     * type, so legacy metaless stores keep working).
     */
   private def writePqMeta(
-      spark: SparkSession, path: String, m: Int, ksub: Int, sub: Int, tiny: Boolean): Unit = {
+      spark: SparkSession, path: String, m: Int, ksub: Int, sub: Int, tiny: Boolean,
+      residual: Boolean): Unit = {
     import spark.implicits._
-    Seq((m, ksub, sub, if (tiny) "tinyint-rank-minus-128" else "smallint-rank"))
-      .toDF("m", "ksub", "sub", "codes_enc")
+    Seq((m, ksub, sub, if (tiny) "tinyint-rank-minus-128" else "smallint-rank", residual))
+      .toDF("m", "ksub", "sub", "codes_enc", "residual")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/$PqMetaDir")
   }
 
-  /** Declared (m, ksub, sub) from the `_pq_meta/` sidecar, if the
-    * layout has one (r17+ builds do; legacy stores fall back to the
-    * caller's inference).
+  /** Declared (m, ksub, sub, residual) from the `_pq_meta/` sidecar,
+    * if the layout has one (r17+ builds do; legacy stores fall back
+    * to the caller's inference and the raw — non-residual — mode).
+    * Metas written before the residual flag read as raw.
     */
-  private def readPqMeta(spark: SparkSession, path: String): Option[(Int, Int, Int)] = {
+  private def readPqMeta(spark: SparkSession, path: String): Option[(Int, Int, Int, Boolean)] = {
     import org.apache.hadoop.fs.Path
     val p = new Path(s"$path/$PqMetaDir")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
-      val r = spark.read.parquet(p.toString).select("m", "ksub", "sub").head()
-      Some((r.getInt(0), r.getInt(1), r.getInt(2)))
+      val df = spark.read.parquet(p.toString)
+      val r = df.select("m", "ksub", "sub").head()
+      val residual =
+        if (df.columns.contains("residual")) df.select("residual").head().getBoolean(0)
+        else false
+      Some((r.getInt(0), r.getInt(1), r.getInt(2), residual))
     }
   }
+
+  /** Whether the PQ layout at `path` stores residual codes — the
+    * IVFADC mode whose codes are RELATIVE TO the coarse quantizer
+    * (see [[buildPq]]); raw for legacy metaless stores.
+    */
+  private def layoutIsResidual(spark: SparkSession, path: String): Boolean =
+    readPqMeta(spark, path).exists(_._4)
 
   /** Whether a stored `__pq__` column uses the tinyint(−128-offset)
     * rank encoding — recovered from the element type, so the check
@@ -401,7 +535,37 @@ object IvfIndex {
       scoreDecimals: Int = 4,
       centroids: Option[DataFrame] = None
   ): Unit = {
-    if (layoutIsPq(spark, path)) {
+    if (layoutIsPq(spark, path) && layoutIsResidual(spark, path)) {
+      // RESIDUAL stores rebuild as pure compaction: a row's (cell,
+      // codes, norm) is one unit bound to the frozen coarse quantizer
+      // (see buildPqResidual) — retraining cells would invalidate
+      // every code, and even re-ROUTING the lossy reconstruction
+      // could flip a near-boundary row into a cell its residual was
+      // not taken against. Cells, codes, centroids, codebooks, and
+      // meta all carry verbatim; `nlist` is ignored.
+      require(centroids.isEmpty,
+        "rebuild: a residual-coded PQ index cannot take a new coarse quantizer - its codes " +
+          "are residuals against the frozen one; build a fresh index from original float " +
+          "vectors to retrain")
+      val rows = spark.read.parquet(path)
+        .select(col("cent_id").cast("long").as("cent_id"), col(idCol), col("__pq__"), col("__xn__"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        graft.sources.Sink.writePartitioned(
+          rows, newPath, partitionCols = Seq("cent_id"), sortCols = Seq(idCol))
+        spark.read.parquet(s"$path/$CentroidsDir")
+          .write.mode("overwrite").parquet(s"$newPath/$CentroidsDir")
+        spark.read.parquet(s"$path/$CodebooksDir")
+          .write.mode("overwrite").parquet(s"$newPath/$CodebooksDir")
+        readPqMeta(spark, path).foreach { case (m0, ksub0, sub0, res0) =>
+          writePqMeta(spark, newPath, m0, ksub0, sub0,
+            pqCodesTiny(spark.read.parquet(path).schema), res0)
+        }
+        graft.sources.Sink.writePartitioned(
+          keymapRows(rows, idCol), s"$newPath/$KeymapDir",
+          partitionCols = Seq("kb"), sortCols = Seq(idCol))
+      } finally { rows.unpersist(); () }
+    } else if (layoutIsPq(spark, path)) {
       import org.apache.spark.storage.StorageLevel
       val recon = pqReconRows(spark, path, idCol, vecCol)
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -422,9 +586,9 @@ object IvfIndex {
             .write.mode("overwrite").parquet(s"$newPath/$CodebooksDir")
           // the declared-shape sidecar carries over with the frozen
           // codebooks (legacy metaless stores rebuild metaless)
-          readPqMeta(spark, path).foreach { case (m0, ksub0, sub0) =>
+          readPqMeta(spark, path).foreach { case (m0, ksub0, sub0, res0) =>
             writePqMeta(spark, newPath, m0, ksub0, sub0,
-              pqCodesTiny(spark.read.parquet(path).schema))
+              pqCodesTiny(spark.read.parquet(path).schema), res0)
           }
           graft.sources.Sink.writePartitioned(
             keymapRows(assigned, idCol), s"$newPath/$KeymapDir",
@@ -464,13 +628,24 @@ object IvfIndex {
     val layoutSchema = spark.read.parquet(path).schema
     val layoutCols = layoutSchema.fieldNames.toSet
     val assigned =
-      if (layoutCols.contains("__pq__"))
+      if (layoutCols.contains("__pq__")) {
         // conform to the STORE's rank encoding (tinyint-offset vs
         // smallint), recovered from the stored element type — an
         // append must never mix widths into one cell layout
-        pqCellRows(broadcast(spark.read.parquet(s"$path/$CodebooksDir")),
-          routed, idCol, scoreDecimals, pqCodesTiny(layoutSchema))
-      else cellRows(routed, idCol, vecCol, layoutCols.contains("__codes__"))
+        val cb = broadcast(spark.read.parquet(s"$path/$CodebooksDir"))
+        val meta = readPqMeta(spark, path)
+        if (meta.exists(_._4)) {
+          // residual store: residual vs the FROZEN cell centroid,
+          // L2-encoded under the FROZEN codebooks — the append is the
+          // one maintenance path that re-derives residual codes, and
+          // it does so from original float vectors, so the coupling
+          // contract (see buildPqResidual) holds
+          val (m0, _, sub0, _) = meta.get
+          pqCellRowsResidual(cb, routed, cents, idCol, scoreDecimals,
+            pqCodesTiny(layoutSchema), m0 * sub0, m0)
+        } else
+          pqCellRows(cb, routed, idCol, scoreDecimals, pqCodesTiny(layoutSchema))
+      } else cellRows(routed, idCol, vecCol, layoutCols.contains("__codes__"))
     upsertAssigned(spark, path, assigned, idCol)
   }
 
@@ -792,14 +967,15 @@ object IvfIndex {
       iters: Int = 1,
       nlist: Int = Similarity.AutoNlist,
       scoreDecimals: Int = 4,
-      centroids: Option[DataFrame] = None
+      centroids: Option[DataFrame] = None,
+      residual: Boolean = false
   ): String = {
     import org.apache.hadoop.fs.Path
     val r = new Path(root)
     val fs = r.getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
     val gen = f"gen-${System.currentTimeMillis()}%013d"
     buildPq(corpus, idCol, vecCol, new Path(r, gen).toString,
-      dims, m, ksub, iters, nlist, scoreDecimals, centroids)
+      dims, m, ksub, iters, nlist, scoreDecimals, centroids, residual)
     publishGeneration(fs, r, gen)
     new Path(r, gen).toString
   }
@@ -859,6 +1035,17 @@ object IvfIndex {
     import org.apache.hadoop.fs.Path
     val current = managedCurrent(spark, root)
     if (!needsRebuild(spark, current, maxSkew, idCol)) return None
+    // refuse, don't loop: a residual store's compaction-only rebuild
+    // cannot change its cells, so the skew that tripped needsRebuild
+    // would trip it again next trigger — a silent maintenance loop
+    // burning a corpus rewrite per cycle. Retraining is structurally
+    // off the table (codes are residuals against the frozen cells).
+    require(!(layoutIsPq(spark, current) && layoutIsResidual(spark, current)),
+      s"managedMaintain: the live generation under $root is a RESIDUAL-coded PQ index - " +
+        "drift maintenance cannot retrain it (codes are residuals against the frozen coarse " +
+        "quantizer; a rebuild cannot rebalance cells), so wiring it to a maintenance trigger " +
+        "would rebuild every cycle for no gain. Serve it as-is, or build a fresh index from " +
+        "original float vectors to retrain both quantizers")
     val r = new Path(root)
     val fs = r.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val gen = f"gen-${System.currentTimeMillis()}%013d"
@@ -972,10 +1159,25 @@ object IvfIndex {
     var moved = 0
     var drained = false
     val isPq = layoutIsPq(spark, fromPath)
+    val isResidual = isPq && layoutIsResidual(spark, fromPath)
     while (rounds < 5 && !drained) {
       val missing = catchUpDiff(spark, fromPath, toPath, idCol)
       var acted = false
-      if (isPq) {
+      if (isResidual) {
+        // residual stores carry (cell, codes, norm) AS ONE UNIT: the
+        // generations share identical frozen centroids (residual
+        // rebuild is compaction-only), and re-routing the lossy
+        // reconstruction could flip a near-boundary row into a cell
+        // its stored residual was not taken against
+        val late = spark.read.parquet(fromPath)
+          .select(col("cent_id").cast("long").as("cent_id"), col(idCol),
+            col("__pq__"), col("__xn__"))
+          .join(missing, Seq(idCol), "left_semi")
+        if (!late.isEmpty) {
+          upsertAssigned(spark, toPath, late, idCol)
+          acted = true; moved += 1
+        }
+      } else if (isPq) {
         // codes travel VERBATIM between PQ generations (carried
         // append) — re-encoding a reconstruction could tie-break to a
         // different codeword and destabilize the keymap version hash
@@ -1311,17 +1513,25 @@ object IvfIndex {
     // mis-address the flat LUT if a subspace ever lost a codeword);
     // legacy metaless stores keep the inference — their builds
     // predate the fail-fast count check, same as before
-    val (m, ksub, sub) = readPqMeta(spark, path).getOrElse {
+    val (m, ksub, sub, residual) = readPqMeta(spark, path).getOrElse {
       val mk = cb.groupBy()
         .agg(max(col("sub_id")).as("m"), count(lit(1)).as("n"),
           max(size(col("__cbv__"))).as("sub")).head()
       val m0 = mk.getInt(0) + 1
-      (m0, (mk.getLong(1) / m0).toInt, mk.getInt(2))
+      (m0, (mk.getLong(1) / m0).toInt, mk.getInt(2), false)
     }
     val queriesNz = Similarity.dropZeroVectors(queries, vecCol)
-    val queryCells = Similarity
+    val qAssigned = Similarity
       .ivfAssign(queriesNz, cents, idCol, vecCol, "query", keep = nprobe, scoreDecimals)
-      .select(col("query_id"), col("cent_id"))
+    // residual stores decompose dot(q, x̂) = dot(q, c_cell) + Σ LUT —
+    // the first term is nprobe scalars per query, derived against the
+    // broadcast centroid frame (Similarity.pqSearch's recipe)
+    val queryCells =
+      if (!residual) qAssigned.select(col("query_id"), col("cent_id"))
+      else qAssigned
+        .join(broadcast(cents.select(col("cent_id"), col("__cv__"))), Seq("cent_id"))
+        .select(col("query_id"), col("cent_id"),
+          Similarity.dot(col("__queryv__"), col("__cv__")).as("__qcd__"))
     val probed = queryCells.select(col("cent_id").cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted
     val cells = layoutDf
@@ -1348,10 +1558,11 @@ object IvfIndex {
     // tinyint layouts store rank - 128; undo the offset inside the
     // flat-LUT address (ints — exact, and the adds fold in codegen)
     val rankOffset = if (pqCodesTiny(layoutDf.schema)) 128 else 0
-    val num = aggregate(
+    val adc = aggregate(
       sequence(lit(0), lit(m - 1)), lit(0.0),
       (acc, s0) => acc + element_at(col("__lutf__"),
         (s0 * ksub + element_at(col("__pq__"), s0 + 1) + (rankOffset + 1)).cast("int")))
+    val num = if (residual) col("__qcd__") + adc else adc
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
     queryCells
       .join(cells, Seq("cent_id"))

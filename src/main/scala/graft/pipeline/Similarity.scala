@@ -604,7 +604,8 @@ object Similarity {
       ksub: Int,
       iters: Int,
       scoreDecimals: Int = 4,
-      centroidDecimals: Int = 6
+      centroidDecimals: Int = 6,
+      l2: Boolean = false
   ): DataFrame = {
     require(dims % m == 0, s"dims=$dims must split evenly into m=$m subspaces")
     val sub = dims / m
@@ -617,8 +618,16 @@ object Similarity {
       slice(col(vecCol).cast("array<double>"), s * sub + 1, sub)): _*)
     val ex = corpus.select(col(idCol), posexplode(subsArr).as(Seq("sub_id", "__sv__")))
     // the init draw: the md5-lowest ksub ids (the ivfCentroids rule —
-    // the same ids seed every subspace, as slicing doesn't change ids)
-    val initIds = broadcast(corpus
+    // the same ids seed every subspace, as slicing doesn't change
+    // ids). In residual (l2) mode the draw EXCLUDES zero vectors:
+    // the coarse quantizer uses the SAME md5 order, so whenever
+    // ksub <= nlist the unfiltered draw would pick exactly the coarse
+    // centroids' own rows — whose residuals are all EXACTLY ZERO by
+    // construction — and Lloyd would start from ksub copies of the
+    // zero codeword and collapse to one. The oracle applies the same
+    // nonzero filter to its init CTE.
+    val initSrc = if (l2) dropZeroVectors(corpus, vecCol) else corpus
+    val initIds = broadcast(initSrc
       .select(col(idCol).as("cent_id"), md5(col(idCol).cast("string")).as("__h__"))
       .orderBy(col("__h__"), col("cent_id"))
       .limit(ksub)
@@ -627,16 +636,8 @@ object Similarity {
       .join(initIds, ex(idCol) === initIds("cent_id"))
       .select(col("sub_id"), col("cent_id"), col("__sv__").as("__cbv__"))
       .withColumn("__cbn__", norm(col("__cbv__"))))
-    val w = Window.partitionBy(col(idCol), col("sub_id"))
-      .orderBy(col("__psim__").desc, col("cent_id").asc)
     for (i <- 1 to iters) {
-      val assigned = ex
-        .withColumn("__svn__", norm(col("__sv__")))
-        .join(cents, Seq("sub_id"))
-        .withColumn("__psim__",
-          round(dot(col("__sv__"), col("__cbv__")) / (col("__svn__") * col("__cbn__")), scoreDecimals))
-        .withColumn("__pr__", row_number().over(w))
-        .where(col("__pr__") === 1)
+      val assigned = pqRank1(ex, cents, idCol, scoreDecimals, l2)
       cents = broadcast(assigned
         .select(col("sub_id"), col("cent_id"), posexplode(col("__sv__")).as(Seq("__dim__", "__v__")))
         .groupBy(col("sub_id"), col("cent_id"), col("__dim__"))
@@ -649,6 +650,55 @@ object Similarity {
     }
     broadcast(cents.withColumn("__cbn2__", dot(col("__cbv__"), col("__cbv__"))))
   }
+
+  /** Rank-1 codeword assignment for one exploded (row, sub_id, __sv__)
+    * frame — the step shared by PQ training and [[pqEncode]]. Two
+    * metrics behind one deterministic contract:
+    *
+    *  - cosine (`l2 = false`, the raw-vector mode): (rounded cosine
+    *    desc, cent_id asc) — byte-identical to the pre-r17 inline
+    *    form;
+    *  - squared L2 (`l2 = true`, the RESIDUAL mode): (rounded
+    *    |sv − cbv|² asc, cent_id asc), expanded as
+    *    `dot(sv,sv) − 2·dot(sv,cbv) + dot(cbv,cbv)` — three native
+    *    codegen'd dots, no per-element lambda, and the exact IEEE
+    *    expression an external engine replays term-for-term.
+    *    Residuals NEED l2: a residual can be exactly zero (every
+    *    coarse centroid's own row), and zero-vector cosine is 0/0 —
+    *    null in Spark but NaN in DuckDB, ranked at OPPOSITE ends of a
+    *    desc window. L2 has no division, so the degenerate class
+    *    vanishes instead of needing a filter.
+    */
+  private def pqRank1(
+      ex: DataFrame,
+      cents: DataFrame,
+      idCol: String,
+      scoreDecimals: Int,
+      l2: Boolean
+  ): DataFrame =
+    if (!l2) {
+      val w = Window.partitionBy(col(idCol), col("sub_id"))
+        .orderBy(col("__psim__").desc, col("cent_id").asc)
+      ex
+        .withColumn("__svn__", norm(col("__sv__")))
+        .join(cents, Seq("sub_id"))
+        .withColumn("__psim__",
+          round(dot(col("__sv__"), col("__cbv__")) / (col("__svn__") * col("__cbn__")), scoreDecimals))
+        .withColumn("__pr__", row_number().over(w))
+        .where(col("__pr__") === 1)
+    } else {
+      val w = Window.partitionBy(col(idCol), col("sub_id"))
+        .orderBy(col("__pd__").asc, col("cent_id").asc)
+      ex
+        .withColumn("__sv2__", dot(col("__sv__"), col("__sv__")))
+        .join(cents.withColumn("__cbn2a__", dot(col("__cbv__"), col("__cbv__"))), Seq("sub_id"))
+        .withColumn("__pd__",
+          round(col("__sv2__") - lit(2.0) * dot(col("__sv__"), col("__cbv__")) + col("__cbn2a__"),
+            scoreDecimals))
+        .withColumn("__pr__", row_number().over(w))
+        .where(col("__pr__") === 1)
+        .drop("__sv2__", "__cbn2a__", "__pd__")
+    }
 
   /** PQ codes: one `(idCol, sub_id, code_id)` row per (vector,
     * subspace) — the nearest codeword by the deterministic (rounded
@@ -663,22 +713,15 @@ object Similarity {
       vecCol: String,
       dims: Int,
       m: Int,
-      scoreDecimals: Int = 4
+      scoreDecimals: Int = 4,
+      l2: Boolean = false
   ): DataFrame = {
     val sub = dims / m
     val subsArr = array((0 until m).map(s =>
       slice(col(vecCol).cast("array<double>"), s * sub + 1, sub)): _*)
     val exploded = df
       .select(col(idCol), posexplode(subsArr).as(Seq("sub_id", "__sv__")))
-      .withColumn("__svn__", norm(col("__sv__")))
-    val w = Window.partitionBy(col(idCol), col("sub_id"))
-      .orderBy(col("__psim__").desc, col("cent_id").asc)
-    exploded
-      .join(codebook, Seq("sub_id"))
-      .withColumn("__psim__",
-        round(dot(col("__sv__"), col("__cbv__")) / (col("__svn__") * col("__cbn__")), scoreDecimals))
-      .withColumn("__pr__", row_number().over(w))
-      .where(col("__pr__") === 1)
+    pqRank1(exploded, codebook, idCol, scoreDecimals, l2)
       .select(col(idCol), col("sub_id"), col("cent_id").as("code_id"))
   }
 
@@ -718,12 +761,13 @@ object Similarity {
       iters: Int = 1,
       nlist: Int = 16,
       nprobe: Int = 4,
-      scoreDecimals: Int = 4
+      scoreDecimals: Int = 4,
+      residual: Boolean = false
   ): DataFrame = {
     // single-query form (the oracle replays fit + search as one
     // plan): no persistence, the model frames inline into the search
     val model = pqFit(corpus, idCol, vecCol, dims, m, ksub, iters, nlist, nprobe,
-      scoreDecimals, persist = false)
+      scoreDecimals, persist = false, residual = residual)
     pqSearch(model, queries, idCol, vecCol, k)
   }
 
@@ -746,6 +790,7 @@ object Similarity {
       ksub: Int,
       nprobe: Int,
       scoreDecimals: Int,
+      residual: Boolean,
       private val releaseThunk: () => Unit) {
     def release(): Unit = releaseThunk()
   }
@@ -763,6 +808,28 @@ object Similarity {
     * can subsample via [[Sampling.deterministicSample]] upstream),
     * then serve every downstream query batch from the ~`m` bytes/row
     * compressed frames — the raw vectors are never touched again.
+    *
+    * `residual = true` (r17) is canonical IVFADC: the fine quantizer
+    * trains on and encodes `x − c_cell(x)` — the residual after the
+    * coarse quantizer — instead of the raw vector. Residuals
+    * concentrate near the origin (the coarse quantizer has already
+    * absorbed the between-cell variance), so the SAME m×ksub byte
+    * budget spends its codewords on a much tighter distribution and
+    * reconstructs materially closer vectors ⇒ higher recall at equal
+    * probed fraction (measured on the repo's own fixtures — see
+    * [[pqRecallReport]]). Differences from the raw mode, all replayed
+    * by the oracle:
+    *  - codeword assignment is SQUARED L2, not cosine (residuals are
+    *    offsets, not directions — and the coarse centroid's own row
+    *    has an exactly-zero residual, which cosine cannot rank
+    *    portably: see [[pqRank1]]);
+    *  - the reconstruction is `x̂ = c_cell + r̂`, so the stored norm
+    *    is |x̂| and the ADC numerator gains a per-(query, cell)
+    *    `dot(q, c_cell)` term — nprobe scalars per query, never
+    *    per-candidate work;
+    *  - the codes are RELATIVE TO the coarse quantizer: retraining
+    *    cells invalidates them (the persisted-index consequence is
+    *    documented at [[IvfIndex.buildPq]]).
     */
   def pqFit(
       corpus: DataFrame,
@@ -775,7 +842,8 @@ object Similarity {
       nlist: Int = 16,
       nprobe: Int = 4,
       scoreDecimals: Int = 4,
-      persist: Boolean = true
+      persist: Boolean = true,
+      residual: Boolean = false
   ): PqModel = {
     import org.apache.spark.storage.StorageLevel
     val corpusNz = dropZeroVectors(corpus, vecCol)
@@ -784,6 +852,8 @@ object Similarity {
     // lineage is the whole iterative Lloyd training — uncached, each
     // query batch would silently retrain
     var cents = ivfCentroids(corpusNz, idCol, vecCol, resolveNlist(nlist, corpusNz))
+    if (residual) return pqFitResidual(corpusNz, cents, idCol, vecCol, dims, m, ksub,
+      iters, nprobe, scoreDecimals, persist)
     var cb = pqCodebooks(corpusNz, idCol, vecCol, dims, m, ksub, iters, scoreDecimals)
     if (persist) {
       cents = cents.persist(StorageLevel.MEMORY_AND_DISK)
@@ -819,7 +889,83 @@ object Similarity {
     if (persist) xnorm = xnorm.persist(StorageLevel.MEMORY_AND_DISK)
     val persisted = if (persist) Seq(cents, cb, codes, cells, xnorm) else Nil
     PqModel(cents, cb, codes, cells, xnorm, dims, m, ksub, nprobe, scoreDecimals,
-      () => persisted.foreach(_.unpersist()))
+      residual = false, () => persisted.foreach(_.unpersist()))
+  }
+
+  /** The residual-mode fit behind [[pqFit]] (`residual = true`) —
+    * see the mode's contract there. Stage shape mirrors the raw fit:
+    * ONE extra broadcast join derives the residual frame from the
+    * cell assignment (which the raw fit computes anyway), training /
+    * encode run over it with the L2 rank rule, and the
+    * reconstruction norms add a per-row `zip_with` with the cell
+    * centroid — no new shuffle, no per-pair work.
+    */
+  private def pqFitResidual(
+      corpusNz: DataFrame,
+      cents0: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      m: Int,
+      ksub: Int,
+      iters: Int,
+      nprobe: Int,
+      scoreDecimals: Int,
+      persist: Boolean
+  ): PqModel = {
+    import org.apache.spark.storage.StorageLevel
+    var cents = cents0
+    // the cell assignment feeds the residuals AND the model's cells
+    // frame — in serving mode persist it once instead of routing the
+    // corpus twice
+    var assigned = ivfAssignTwoLevel(corpusNz, cents, idCol, vecCol, "neighbor", scoreDecimals)
+    if (persist) {
+      cents = cents.persist(StorageLevel.MEMORY_AND_DISK)
+      assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    val cells = assigned.select(col("neighbor_id"), col("cent_id"))
+    // r = x − c_cell(x), componentwise — exact IEEE subtraction any
+    // engine replays
+    val resid = assigned
+      .join(cents.select(col("cent_id"), col("__cv__")), Seq("cent_id"))
+      .select(col("neighbor_id"), col("cent_id"),
+        zip_with(col("__neighborv__"), col("__cv__"), (a, b) => a - b).as("__rv__"))
+    var cb = pqCodebooks(resid.select(col("neighbor_id"), col("__rv__")),
+      "neighbor_id", "__rv__", dims, m, ksub, iters, scoreDecimals, l2 = true)
+    if (persist) {
+      cb = cb.persist(StorageLevel.MEMORY_AND_DISK)
+      val counts = cb.groupBy(col("sub_id")).agg(count(lit(1)).as("n")).collect()
+      require(counts.length == m && counts.forall(_.getLong(1) == ksub.toLong),
+        s"pqFit(residual): Lloyd training left unequal codeword counts per subspace " +
+          s"(expected $m x $ksub, got ${counts.map(r => s"sub ${r.getInt(0)}: ${r.getLong(1)}").sorted.mkString(", ")}) " +
+          "- flat ADC addressing requires exactly ksub codewords per subspace; lower ksub, " +
+          "reduce iters, or train on more rows")
+    }
+    var codes = pqEncode(resid, cb, "neighbor_id", "__rv__", dims, m, scoreDecimals, l2 = true)
+    var cellsP = cells
+    if (persist) {
+      codes = codes.persist(StorageLevel.MEMORY_AND_DISK)
+      cellsP = cellsP.persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    // |x̂| with x̂ = c_cell + r̂: reconstruct r̂ from the codes (the
+    // codeword arrays concatenate in subspace order), add the cell
+    // centroid, take the norm — the full-reconstruction norm the ADC
+    // denominator needs in residual mode
+    var xnorm = codes
+      .join(cb.select(col("sub_id"), col("cent_id").as("code_id"), col("__cbv__")),
+        Seq("sub_id", "code_id"))
+      .groupBy(col("neighbor_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("sub_id"), col("__cbv__")))),
+        x => x("__cbv__"))).as("__rh__"))
+      .join(cellsP, Seq("neighbor_id"))
+      .join(cents.select(col("cent_id"), col("__cv__")), Seq("cent_id"))
+      .select(col("neighbor_id"),
+        norm(zip_with(col("__cv__"), col("__rh__"), (a, b) => a + b)).as("__xn__"))
+    if (persist) xnorm = xnorm.persist(StorageLevel.MEMORY_AND_DISK)
+    val persisted = if (persist) Seq(cents, assigned, cb, codes, cellsP, xnorm) else Nil
+    PqModel(cents, cb, codes, cellsP, xnorm, dims, m, ksub, nprobe, scoreDecimals,
+      residual = true, () => persisted.foreach(_.unpersist()))
   }
 
   /** Search a fitted [[PqModel]]: coarse-prune each query to its
@@ -845,9 +991,18 @@ object Similarity {
   ): DataFrame = {
     val sub = model.dims / model.m
     val queriesNz = dropZeroVectors(queries, vecCol)
-    val queryCells = ivfAssign(queriesNz, model.centroids, idCol, vecCol, "query",
+    val qAssigned = ivfAssign(queriesNz, model.centroids, idCol, vecCol, "query",
       keep = model.nprobe, model.scoreDecimals)
-      .select(col("query_id"), col("cent_id"))
+    // residual mode: the ADC numerator decomposes dot(q, x̂) =
+    // dot(q, c_cell) + dot(q, r̂); the first term depends only on the
+    // (query, probed cell) pair — nprobe scalars per query, derived
+    // here against the broadcast centroid frame, never per candidate
+    val queryCells =
+      if (!model.residual) qAssigned.select(col("query_id"), col("cent_id"))
+      else qAssigned
+        .join(broadcast(model.centroids.select(col("cent_id"), col("__cv__"))), Seq("cent_id"))
+        .select(col("query_id"), col("cent_id"),
+          dot(col("__queryv__"), col("__cv__")).as("__qcd__"))
     val subsArr = array((0 until model.m).map(s =>
       slice(col(vecCol).cast("array<double>"), s * sub + 1, sub)): _*)
     val lut = queriesNz
@@ -883,14 +1038,18 @@ object Similarity {
         array_sort(collect_list(struct(col("sub_id"), col("__ci__")))),
         x => x("__ci__")).as("__codes__"))
       .join(model.norms, Seq("neighbor_id"))
+    val pairCols =
+      if (model.residual) Seq(col("query_id"), col("neighbor_id"), col("__qcd__"))
+      else Seq(col("query_id"), col("neighbor_id"))
     val pairs = queryCells
       .join(model.cells, Seq("cent_id"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"))
-    val num = aggregate(
+      .select(pairCols: _*)
+    val adc = aggregate(
       sequence(lit(0), lit(model.m - 1)), lit(0.0),
       (acc, s) => acc + element_at(col("__lutf__"),
         (s * model.ksub + element_at(col("__codes__"), s + 1) + 1).cast("int")))
+    val num = if (model.residual) col("__qcd__") + adc else adc
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
     pairs
       .join(codesArr, Seq("neighbor_id"))

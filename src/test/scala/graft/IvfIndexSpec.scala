@@ -159,6 +159,55 @@ class IvfIndexSpec extends SparkSuite {
       "rebuild must carry the _pq_meta sidecar")
   }
 
+  test("residual PQ store (IVFADC): serves pqTopK(residual) exactly; maintenance keeps cell/code units bound (r17)") {
+    val s = spark
+    val path = tempPath("pqres")
+    IvfIndex.buildPq(emb, "vec_id", "emb", path, dims = 64, m = 4, ksub = 8,
+      iters = 1, nlist = 16, residual = true)
+    // meta declares the residual mode; codes are tinyint at ksub=8
+    val meta = s.read.parquet(s"$path/_pq_meta").select("residual").head()
+    assert(meta.getBoolean(0), "_pq_meta must declare residual = true")
+    // serving parity with the in-memory IVFADC operator
+    val q = emb.where(col("vec_id") % 50 === 0)
+    val stored = IvfIndex.searchTopK(s, path, q, "vec_id", "emb", k = 5, nprobe = 4)
+    val mem = Similarity.pqTopK(emb, q, "vec_id", "emb", k = 5, dims = 64,
+      m = 4, ksub = 8, iters = 1, nlist = 16, nprobe = 4, residual = true)
+    assert(resultSet(stored) == resultSet(mem),
+      "residual stored serving must reproduce pqTopK(residual) bit-for-bit")
+    // append re-derives residual codes from ORIGINAL floats under the
+    // frozen quantizers: same vector => same cell, codes, and norm
+    val pair = s.read.parquet(path)
+      .select(col("cent_id").cast("long"), col("vec_id")).limit(1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    IvfIndex.appendBatch(s, path,
+      emb.where(col("vec_id") === pair._2).select(lit(77771L).as("vec_id"), col("emb")),
+      "vec_id", "emb")
+    val clone = s.read.parquet(path)
+      .where(col("vec_id").isin(pair._2, 77771L))
+      .select(col("cent_id").cast("long"), col("__pq__").cast("array<int>"), col("__xn__"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getDouble(2))).distinct
+    assert(clone.length == 1,
+      s"the same vector must append to the same (cell, codes, norm) unit, got $clone")
+    // rebuild is compaction-only: cells, codes, centroids all verbatim
+    val path2 = tempPath("pqres-rebuilt")
+    IvfIndex.rebuild(s, path, path2, "vec_id", "emb")
+    def unitMap(p: String) = s.read.parquet(p)
+      .select(col("vec_id"), col("cent_id").cast("long"), col("__pq__").cast("array<int>"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Int](2)))).toMap
+    assert(unitMap(path) == unitMap(path2),
+      "residual rebuild must carry every (cell, codes) unit verbatim")
+    val stored2 = IvfIndex.searchTopK(s, path2, q, "vec_id", "emb", k = 5, nprobe = 4)
+    assert(resultSet(stored2) == resultSet(
+      IvfIndex.searchTopK(s, path, q, "vec_id", "emb", k = 5, nprobe = 4)),
+      "serving must be identical across a residual rebuild")
+    // retraining refusals: new centroids on rebuild, drift maintenance
+    val exR = intercept[IllegalArgumentException] {
+      IvfIndex.rebuild(s, path, tempPath("pqres-retrain"), "vec_id", "emb",
+        centroids = Some(Similarity.kmeansCentroids(emb, "vec_id", "emb", k = 8, iters = 1)))
+    }
+    assert(exR.getMessage.contains("residual"), s"unexpected: ${exR.getMessage}")
+  }
+
   test("PQ rank width dispatches on ksub: tinyint(-128) through 256 codewords, smallint above (r17)") {
     val s = spark
     import org.apache.spark.sql.types.{ArrayType, ByteType, ShortType}

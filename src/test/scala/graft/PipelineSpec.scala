@@ -811,6 +811,42 @@ class PipelineSpec extends SparkSuite {
     SparkEntry.runPendingCleanups()
   }
 
+  test("residual PQ (IVFADC) recalls at least as well as raw PQ at the same byte budget (r17)") {
+    val s = spark; import s.implicits._
+    // loose clusters (the regime where quantization quality shows):
+    // raw PQ spends its codewords on the full vector distribution,
+    // residual PQ on the much tighter x - c_cell(x) distribution —
+    // same m x ksub bytes, materially closer reconstructions
+    val corpus = (0 until 480).map { i =>
+      val c = i % 16
+      (i.toLong, Array.tabulate(16)(d => math.sin(c * 37 + d) + 0.45 * math.sin(i * 13 + d * 7)))
+    }.toDF("id", "v")
+    val queries = corpus.where(col("id") % 24 === 0)
+    def topSets(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("query_id").agg(collect_set(col("neighbor_id")).as("nb"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    def recallOf(m: Map[Long, Set[Long]], bf: Map[Long, Set[Long]]) = {
+      val rs = bf.map { case (q, nbs) => m.getOrElse(q, Set.empty).intersect(nbs).size.toDouble / nbs.size }
+      rs.sum / rs.size
+    }
+    val bf = topSets(Similarity.bruteForceTopK(corpus, queries, "id", "v", k = 5))
+    def pqRecall(residual: Boolean) = recallOf(topSets(Similarity.pqTopK(
+      corpus, queries, "id", "v", k = 5, dims = 16, m = 4, ksub = 8, iters = 2,
+      nlist = 16, nprobe = 8, residual = residual)), bf)
+    val (rRaw, rRes) = (pqRecall(residual = false), pqRecall(residual = true))
+    assert(rRes >= rRaw,
+      f"residual recall $rRes%.3f must not lose to raw $rRaw%.3f at equal probed fraction")
+    assert(rRes >= 0.6, f"residual PQ recall $rRes%.3f below the bar")
+    // exactly-zero residuals (every coarse centroid's own row) encode
+    // deterministically under the L2 rule — the degenerate class that
+    // forced L2 over cosine must be SERVED, not dropped
+    val served = Similarity.pqTopK(corpus, queries, "id", "v", k = 5, dims = 16,
+      m = 4, ksub = 8, iters = 1, nlist = 16, nprobe = 9999, residual = true)
+    assert(served.select("query_id").distinct().count() == queries.count(),
+      "every nonzero query must be served in residual mode")
+    SparkEntry.runPendingCleanups()
+  }
+
   test("trained quantizer retains recall at low probed fraction where the random draw decays") {
     val s = spark; import s.implicits._
     // 16 LOOSE clusters (noise comparable to cluster separation),

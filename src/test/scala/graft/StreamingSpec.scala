@@ -365,7 +365,10 @@ class StreamingSpec extends SparkSuite {
       .agg(transform(array_sort(collect_list(struct(col("sub_id"), col("__ci__")))),
         x => x("__ci__")).as("pq"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
-    val stored = layout.select(col("id"), col("__pq__").cast("array<int>"))
+    // r17: ksub <= 256 layouts store ranks as tinyint with a fixed
+    // -128 offset — decode before comparing to the fresh rank encode
+    val stored = layout
+      .select(col("id"), transform(col("__pq__").cast("array<int>"), c => c + 128).as("pq"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
     assert(stored == expected, "streamed codes must equal fresh encodes under the frozen codebooks")
   }
