@@ -958,6 +958,24 @@ object SparkEntry {
       val q = e.where(col("vec_id") % 50 === 0)
       graft.pipeline.IvfIndex.searchTopK(s, path, q, "vec_id", "emb", k = 5, nprobe = 4)
     }),
+    "q_ann_filtered" -> ((s, dir) => {
+      // FILTERED ANN (r17): the index stores a payload column
+      // (label) in its cell rows, and serving pushes the predicate
+      // into the probed-cell parquet scan — k fills from MATCHING
+      // rows, where post-filtering a plain top-k would under-fill it
+      // whenever non-matching neighbors crowd the window. The oracle
+      // applies the same predicate before its rank window.
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"), col("label"))
+      val path = new java.io.File(
+        s"target/graft-ivf/${new java.io.File(dir).getName}/idxfilt").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      graft.pipeline.IvfIndex.build(e, "vec_id", "emb", path,
+        nlist = Similarity.AutoNlist, payloadCols = Seq("label"))
+      val q = e.where(col("vec_id") % 50 === 0).select("vec_id", "emb")
+      graft.pipeline.IvfIndex.searchTopK(s, path, q, "vec_id", "emb", k = 5,
+        nprobe = 4, filter = Some(col("label") === 3))
+    }),
     "q_ann_ivf_fitted" -> ((s, dir) => {
       // the TRAINED-quantizer serving path: cells from one Lloyd
       // round over the md5 init draw (coherent cells are what keep

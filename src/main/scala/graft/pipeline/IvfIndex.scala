@@ -101,6 +101,16 @@ object IvfIndex {
     * reproduces the codes exactly (the max code is ±127 by
     * construction, so the scale round-trips to ≤1 ulp and every
     * `round(cᵢ·s/s')` lands back on cᵢ).
+    *
+    * `payloadCols` (r17) stores extra metadata columns (language,
+    * license, domain, …) IN the cell rows, so [[searchTopK]]'s
+    * `filter` can push their predicates into the probed-cell parquet
+    * scan — FILTERED ANN, the shape real pipelines need (filter by
+    * license before similarity). Post-filtering k results would
+    * under-fill k; filtering the candidate scan fills k from matching
+    * rows and costs a pushed parquet predicate, not a join.
+    * Payload survives [[appendBatch]] (batches must carry the
+    * columns) and [[rebuild]].
     */
   def build(
       corpus: DataFrame,
@@ -110,7 +120,8 @@ object IvfIndex {
       nlist: Int = 16,
       scoreDecimals: Int = 4,
       centroids: Option[DataFrame] = None,
-      int8: Boolean = false
+      int8: Boolean = false,
+      payloadCols: Seq[String] = Nil
   ): Unit = {
     val nz = Similarity.dropZeroVectors(corpus, vecCol)
     val cents = centroids.map(broadcast)
@@ -118,10 +129,13 @@ object IvfIndex {
         Similarity.resolveNlist(nlist, nz)))
     // the assignment pipeline feeds BOTH the cell write and the
     // keymap write — persist so it computes once, not per sink
-    val assigned = cellRows(
+    val assigned0 = cellRows(
       Similarity.ivfAssignTwoLevel(nz, cents, idCol, vecCol, "row", scoreDecimals),
       idCol, vecCol, int8)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned = (
+      if (payloadCols.isEmpty) assigned0
+      else assigned0.join(nz.select((idCol +: payloadCols).map(col): _*), Seq(idCol))
+    ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       graft.sources.Sink.writePartitioned(
         assigned, path, partitionCols = Seq("cent_id"), sortCols = Seq(idCol))
@@ -598,8 +612,9 @@ object IvfIndex {
       } finally { recon.unpersist(); () }
     } else {
       val int8 = layoutIsInt8(spark, path)
+      val payload = payloadColsOf(spark.read.parquet(path).columns, idCol, vecCol)
       build(corpusVectors(spark, path, idCol, vecCol), idCol, vecCol,
-        newPath, nlist, scoreDecimals, centroids, int8)
+        newPath, nlist, scoreDecimals, centroids, int8, payloadCols = payload)
     }
   }
 
@@ -646,7 +661,20 @@ object IvfIndex {
             pqCodesTiny(layoutSchema), m0 * sub0, m0)
         } else
           pqCellRows(cb, routed, idCol, scoreDecimals, pqCodesTiny(layoutSchema))
-      } else cellRows(routed, idCol, vecCol, layoutCols.contains("__codes__"))
+      } else {
+        // payload layouts (r17): every extra stored column must arrive
+        // with the batch, or the upsert would corrupt the cell schema
+        val payload = payloadColsOf(layoutSchema.fieldNames, idCol, vecCol)
+        val base = cellRows(routed, idCol, vecCol, layoutCols.contains("__codes__"))
+        if (payload.isEmpty) base
+        else {
+          val missing = payload.filterNot(batch.columns.contains)
+          require(missing.isEmpty,
+            s"appendBatch: the index at $path stores payload columns ${payload.mkString(", ")} " +
+              s"but the batch lacks ${missing.mkString(", ")} - supply them or rebuild without payload")
+          base.join(nz.select((idCol +: payload).map(col): _*), Seq(idCol))
+        }
+      }
     upsertAssigned(spark, path, assigned, idCol)
   }
 
@@ -792,11 +820,13 @@ object IvfIndex {
   private def layoutIsPq(spark: SparkSession, path: String): Boolean =
     spark.read.parquet(path).columns.contains("__pq__")
 
-  /** (key, vector) back OUT of a layout — the input contract of
-    * [[build]]/[[managedCatchUp]]. Float layouts project; int8
-    * layouts dequantize `code * scale` (requantization reproduces the
-    * codes exactly — see [[build]]), so rebuild/catch-up compose
-    * identically over both.
+  /** (key, vector[, payload…]) back OUT of a layout — the input
+    * contract of [[build]]/[[managedCatchUp]]. Float layouts project;
+    * int8 layouts dequantize `code * scale` (requantization
+    * reproduces the codes exactly — see [[build]]), so rebuild /
+    * catch-up compose identically over both. Payload columns (r17)
+    * ride along, so rebuilds and catch-up appends of payload-bearing
+    * layouts keep satisfying [[appendBatch]]'s schema contract.
     */
   private def corpusVectors(
       spark: SparkSession,
@@ -805,10 +835,22 @@ object IvfIndex {
       vecCol: String
   ): DataFrame = {
     val df = spark.read.parquet(path)
+    val payload = payloadColsOf(df.columns, idCol, vecCol).map(col)
     if (df.columns.contains("__codes__"))
-      df.select(col(idCol),
+      df.select(Seq(col(idCol),
         transform(col("__codes__").cast("array<double>"), c => c * col("__scale__")).as(vecCol))
-    else df.select(col(idCol), col(vecCol))
+        ++ payload: _*)
+    else df.select(Seq(col(idCol), col(vecCol)) ++ payload: _*)
+  }
+
+  /** The extra metadata columns a layout stores beyond the vector /
+    * code bookkeeping — [[build]]'s `payloadCols`, recovered from the
+    * stored schema.
+    */
+  private def payloadColsOf(cols: Array[String], idCol: String, vecCol: String): Seq[String] = {
+    val known = Set("cent_id", idCol, vecCol,
+      "__vn__", "__codes__", "__scale__", "__cn__", "__pq__", "__xn__")
+    cols.filterNot(known.contains).toSeq
   }
 
   /** The sidecar rows for a batch of assignments: (key, cell,
@@ -825,12 +867,24 @@ object IvfIndex {
     * version, which downstream reads as "unknown".
     */
   private def keymapRows(assigned: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
     val ver: org.apache.spark.sql.Column =
       if (assigned.columns.contains("__codes__")) xxhash64(col("__codes__"))
       else if (assigned.columns.contains("__pq__")) xxhash64(col("__pq__"))
-      else assigned.columns.filterNot(Set(idCol, "cent_id", "__vn__")) match {
-        case Array(vc) => xxhash64(col(vc))
-        case _         => lit(null).cast("long")
+      else assigned.schema.fields.filterNot(f => Set(idCol, "cent_id", "__vn__").contains(f.name)) match {
+        case Array(vc) => xxhash64(col(vc.name))
+        case fs =>
+          // payload layouts (r17): several content columns remain —
+          // the VECTOR is the version-bearing one; hash it when it is
+          // unambiguous (exactly one array<double>), else fall back to
+          // the unknown-version contract (id-only catch-up diff)
+          fs.filter(_.dataType match {
+            case ArrayType(DoubleType, _) => true
+            case _                        => false
+          }) match {
+            case Array(vc) => xxhash64(col(vc.name))
+            case _         => lit(null).cast("long")
+          }
       }
     assigned.select(col(idCol), col("cent_id"),
       pmod(xxhash64(col(idCol).cast("string")), lit(KeymapBuckets)).as("kb"),
@@ -1499,6 +1553,14 @@ object IvfIndex {
     * over the stored codes + code norms, bit-identical to
     * [[Similarity.ivfInt8TopK]] — routing is float in both (the
     * centroid sidecar stores float centroids either way).
+    *
+    * `filter` (r17) is FILTERED ANN: the predicate — typically over
+    * [[build]]'s `payloadCols` (language, license, domain, …) —
+    * applies to the candidate rows INSIDE the probed-cell scan, so
+    * parquet pushes it down next to the partition filters and `k`
+    * fills from matching rows. Post-filtering the top-k instead
+    * would under-fill `k` whenever non-matching neighbors crowd the
+    * window (PlanSpec pins the pushed shape).
     */
   def searchTopK(
       spark: SparkSession,
@@ -1508,24 +1570,26 @@ object IvfIndex {
       vecCol: String,
       k: Int,
       nprobe: Int = 4,
-      scoreDecimals: Int = 4
+      scoreDecimals: Int = 4,
+      filter: Option[org.apache.spark.sql.Column] = None
   ): DataFrame = {
     // ONE read of the cell layout serves the layout dispatch AND the
     // probed scan — a second spark.read.parquet(path) would re-list
     // the cell directory per query batch (object-store cost at scale)
     val layoutDf = spark.read.parquet(path)
     if (layoutDf.columns.contains("__pq__"))
-      return searchTopKPq(spark, path, layoutDf, queries, idCol, vecCol, k, nprobe, scoreDecimals)
+      return searchTopKPq(spark, path, layoutDf, queries, idCol, vecCol, k, nprobe,
+        scoreDecimals, filter)
     val cents = broadcast(spark.read.parquet(s"$path/$CentroidsDir"))
     val qNz = Similarity.dropZeroVectors(queries, vecCol)
     val qCells = Similarity
       .ivfAssign(qNz, cents, idCol, vecCol, "query", keep = nprobe, scoreDecimals)
     // the partition-pruning predicate: distinct probed cells, <= nlist
     // values by construction
-    val probed = qCells.select(col("cent_id").cast("long")).distinct()
+    val probed0 = qCells.select(col("cent_id").cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val layout = layoutDf
-      .where(col("cent_id").isin(probed: _*))
+    val layout = filter.foldLeft(
+      layoutDf.where(col("cent_id").isin(probed0: _*)))(_ where _)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
     val scored =
@@ -1596,7 +1660,8 @@ object IvfIndex {
       vecCol: String,
       k: Int,
       nprobe: Int,
-      scoreDecimals: Int
+      scoreDecimals: Int,
+      filter: Option[org.apache.spark.sql.Column] = None
   ): DataFrame = {
     val cents = broadcast(spark.read.parquet(s"$path/$CentroidsDir"))
     val cb = broadcast(spark.read.parquet(s"$path/$CodebooksDir"))
@@ -1626,8 +1691,8 @@ object IvfIndex {
           Similarity.dot(col("__queryv__"), col("__cv__")).as("__qcd__"))
     val probed = queryCells.select(col("cent_id").cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val cells = layoutDf
-      .where(col("cent_id").isin(probed: _*))
+    val cells = filter.foldLeft(
+      layoutDf.where(col("cent_id").isin(probed: _*)))(_ where _)
       .select(col("cent_id").cast("long").as("cent_id"),
         col(idCol).as("neighbor_id"), col("__pq__"), col("__xn__"))
     // per-query flat ADC LUT — pqSearch's construction verbatim

@@ -248,6 +248,59 @@ class IvfIndexSpec extends SparkSuite {
       "ksub > 256 must store smallint ranks")
   }
 
+  test("filtered ANN: predicate applies to candidates (k fills), payload survives append and rebuild (r17)") {
+    val s = spark
+    val e = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"), col("label"))
+    val path = tempPath("filtered")
+    IvfIndex.build(e, "vec_id", "emb", path, nlist = 8, payloadCols = Seq("label"))
+    val q = e.where(col("vec_id") % 50 === 0).select("vec_id", "emb")
+    val res = IvfIndex.searchTopK(s, path, q, "vec_id", "emb", k = 5,
+      nprobe = 8, filter = Some(col("label") === 3))
+    val rows = res.collect()
+    // every result satisfies the predicate
+    val labelOf = e.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.forall(r => labelOf(r.getLong(1)) == 3), "results must honor the filter")
+    // k FILLS from matching rows: at full probe every query with >= k
+    // matching candidates returns exactly k (post-filtering a plain
+    // top-k would return fewer whenever other labels crowd the window)
+    val matching = e.where(col("label") === 3).count()
+    assert(matching >= 5)
+    val perQuery = rows.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(perQuery.values.forall(_ == 5),
+      s"full-probe filtered search must fill k, got ${perQuery.toMap}")
+    // unfiltered serving on a payload layout is unchanged by payload
+    val plain = IvfIndex.searchTopK(s, path, q, "vec_id", "emb", k = 5, nprobe = 8)
+    val noPayloadPath = tempPath("nopayload")
+    IvfIndex.build(e.select("vec_id", "emb"), "vec_id", "emb", noPayloadPath, nlist = 8)
+    assert(resultSet(plain) == resultSet(
+      IvfIndex.searchTopK(s, noPayloadPath, q, "vec_id", "emb", k = 5, nprobe = 8)),
+      "payload must not change unfiltered serving")
+    // payload survives an append (batch must carry it) and a rebuild
+    val donor = e.orderBy("vec_id").limit(1)
+    IvfIndex.appendBatch(s, path,
+      donor.select(lit(88881L).as("vec_id"), col("emb"), col("label")), "vec_id", "emb")
+    assert(s.read.parquet(path).where(col("vec_id") === 88881L)
+      .select("label").head().getInt(0) == donor.select("label").head().getInt(0))
+    val exMissing = intercept[IllegalArgumentException] {
+      IvfIndex.appendBatch(s, path,
+        donor.select(lit(88882L).as("vec_id"), col("emb")), "vec_id", "emb")
+    }
+    assert(exMissing.getMessage.contains("payload"), s"unexpected: ${exMissing.getMessage}")
+    val path2 = tempPath("filtered-rebuilt")
+    IvfIndex.rebuild(s, path, path2, "vec_id", "emb", nlist = 8)
+    assert(s.read.parquet(path2).columns.contains("label"),
+      "rebuild must carry payload columns")
+    val res2 = IvfIndex.searchTopK(s, path2, q, "vec_id", "emb", k = 5,
+      nprobe = 8, filter = Some(col("label") === 3))
+    assert(resultSet(res2) == resultSet(
+      IvfIndex.searchTopK(s, path, q, "vec_id", "emb", k = 5,
+        nprobe = 8, filter = Some(col("label") === 3))),
+      "filtered serving must be identical across a rebuild")
+    SparkEntry.runPendingCleanups()
+  }
+
   test("stored-index recallReport: float store equals the in-memory fitted report; compressed stores expose quantization loss (r17)") {
     val s = spark
     val q = emb.where(col("vec_id") % 50 === 0)

@@ -179,6 +179,22 @@ class PlanSpec extends SparkSuite {
       s"no semi-join may remain above the Aggregate (whole-generation reconstruction):\n$opt")
   }
 
+  test("filtered ANN pushes the payload predicate into the probed-cell scan (r17)") {
+    // the filter must reach the parquet reader next to the partition
+    // filters — post-filtering scored rows would move non-matching
+    // candidates through the scoring join and under-fill k
+    val plan = planOf("q_ann_filtered")
+    // the CELL scan (not the _centroids/_keymap sidecars): the one
+    // carrying the cent_id partition filter
+    val scanLine = plan.linesIterator.find(l =>
+      l.contains("FileScan parquet") && l.contains("idxfilt") &&
+        !l.contains("_centroids") && !l.contains("_keymap") &&
+        l.contains("cent_id") && l.contains("PartitionFilters: [cent_id"))
+    assert(scanLine.isDefined, s"expected a partition-pruned scan of the index cells:\n$plan")
+    assert(scanLine.get.contains("EqualTo(label,3"),
+      s"label predicate must push into the probed-cell scan:\n${scanLine.get}")
+  }
+
   test("IVF routing threshold: below TwoLevelMinNlist the route is FLAT (r15)") {
     // below 64 centroids the two-level machinery is pure fixed
     // overhead (see Similarity.TwoLevelMinNlist) — the switch must
