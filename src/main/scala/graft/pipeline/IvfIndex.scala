@@ -465,12 +465,14 @@ object IvfIndex {
 
   /** (id, __pq__, __xn__, reconstructed vector) back OUT of a PQ
     * layout: each code rank looks up its codeword and the subvectors
-    * concatenate in subspace order. The reconstruction is
+    * concatenate in subspace order — and for a RESIDUAL layout (r17)
+    * the row's cell centroid is added back, so the reconstruction is
+    * x̂ = c_cell + r̂ in both modes. The reconstruction is
     * deterministic (stored ints + stored codebook doubles), and the
-    * maintenance paths use it ONLY for coarse ROUTING — codes and
-    * norms always travel verbatim, so the keymap version hash is
-    * stable across generations (re-ENCODING a reconstruction could
-    * tie-break to a different codeword and flip the hash).
+    * maintenance paths use it ONLY for coarse ROUTING / training —
+    * codes and norms always travel verbatim, so the keymap version
+    * hash is stable across generations (re-ENCODING a reconstruction
+    * could tie-break to a different codeword and flip the hash).
     */
   // private[graft] so PlanSpec can pin the pushdown contract below
   private[graft] def pqReconRows(
@@ -487,16 +489,27 @@ object IvfIndex {
     // through every maintenance path — only this lookup decodes)
     val rankOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
       if (pqCodesTiny(layout.schema)) c => c.cast("int") + 128 else c => c
-    layout
-      .select(col(idCol), col("__pq__"), col("__xn__"),
+    val rhat = layout
+      .select(col(idCol), col("cent_id").cast("long").as("cent_id"),
+        col("__pq__"), col("__xn__"),
         posexplode(col("__pq__")).as(Seq("sub_id", "__ci0__")))
       .withColumn("__ci__", rankOf(col("__ci0__"))).drop("__ci0__")
       .join(cb, Seq("sub_id", "__ci__"))
       .groupBy(col(idCol))
-      .agg(first(col("__pq__")).as("__pq__"), first(col("__xn__")).as("__xn__"),
+      .agg(first(col("cent_id")).as("cent_id"),
+        first(col("__pq__")).as("__pq__"), first(col("__xn__")).as("__xn__"),
         flatten(transform(
           array_sort(collect_list(struct(col("sub_id"), col("__cbv__")))),
-          x => x("__cbv__"))).as(vecCol))
+          x => x("__cbv__"))).as("__rh__"))
+    if (!layoutIsResidual(spark, path))
+      rhat.select(col(idCol), col("__pq__"), col("__xn__"), col("__rh__").as(vecCol))
+    else {
+      val cents = broadcast(spark.read.parquet(s"$path/$CentroidsDir")
+        .select(col("cent_id").cast("long").as("cent_id"), col("__cv__")))
+      rhat.join(cents, Seq("cent_id"))
+        .select(col(idCol), col("__pq__"), col("__xn__"),
+          zip_with(col("__cv__"), col("__rh__"), (a, b) => a + b).as(vecCol))
+    }
   }
 
   /** Upsert rows that ALREADY CARRY their PQ codes (`__pq__`,

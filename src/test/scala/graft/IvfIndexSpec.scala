@@ -336,6 +336,23 @@ class IvfIndexSpec extends SparkSuite {
     // measured loss instead of folklore
     assert(pqRep(16) > 0.0 && pqRep(16) < 1.0,
       s"full-probe PQ recall vs original floats must expose the quantization loss, got ${pqRep(16)}")
+    // WITHOUT truthCorpus the report measures probing loss only: ADC
+    // is EXACT over the store's own reconstruction (numerator
+    // decomposes dot(q, x̂) exactly; the stored norm is |x̂|), so a
+    // full probe recalls 1.0 against the reconstruction-based truth —
+    // for the residual layout this also pins that pqReconRows adds
+    // the cell centroid back (r17: r̂ alone would shred the truth)
+    val pqSelf = IvfIndex.recallReport(s, pathPq, q, "vec_id", "emb", k = 5,
+      nprobes = Seq(16)).head().getDouble(4)
+    assert(pqSelf == 1.0,
+      s"full-probe ADC must be exact against the store's own reconstruction, got $pqSelf")
+    val pathPqRaw = tempPath("recall-pq-raw")
+    IvfIndex.buildPq(emb, "vec_id", "emb", pathPqRaw, dims = 64, m = 4, ksub = 8,
+      iters = 1, nlist = 16)
+    val pqSelfRaw = IvfIndex.recallReport(s, pathPqRaw, q, "vec_id", "emb", k = 5,
+      nprobes = Seq(16)).head().getDouble(4)
+    assert(pqSelfRaw == 1.0,
+      s"raw-PQ full-probe ADC must be exact against its reconstruction, got $pqSelfRaw")
     SparkEntry.runPendingCleanups()
   }
 
