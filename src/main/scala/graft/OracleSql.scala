@@ -626,9 +626,19 @@ CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) 
 SELECT query_id, neighbor_id, score, "rank" FROM r WHERE "rank" <= $k"""
   }
 
+  /** `labelEq` (r18) is the filtered-ANN variant: the payload
+    * predicate applies to CANDIDATES before the rank window (a `lab`
+    * join in the pairs CTE) — the engine pushes the same predicate
+    * into its probed-cell parquet scan, so k fills from matching rows
+    * on both sides (the q_ann_filtered recipe, on the PQ oracle).
+    */
   private def pqSql(k: Int, dims: Int, m: Int, ksub: Int, iters: Int,
-                    nlist: Int, nprobe: Int): String = {
+                    nlist: Int, nprobe: Int, labelEq: Option[Int] = None): String = {
     val sub = dims / m
+    val labCte = labelEq.map(_ => ",\nlab AS (SELECT vec_id, label FROM embeddings)").getOrElse("")
+    val labJoin = labelEq
+      .map(v => s" JOIN lab ON lab.vec_id = ca.neighbor_id AND lab.label = $v")
+      .getOrElse("")
     val subCtes = (0 until m).map { s =>
       s"""s${s}c AS (SELECT vec_id, emb[${s * sub + 1}:${(s + 1) * sub}] AS emb FROM c),
 ${kmeansTrainCtes(ksub, iters, sub, src = s"s${s}c", pfx = s"s$s")},
@@ -644,7 +654,7 @@ ${kmeansAssignCte(s"s${s}enc", s"s${s}cents$iters", src = s"s${s}c")}"""
     s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0 AND NOT isnan(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))),
 q AS (SELECT vec_id, emb FROM c WHERE vec_id % 50 = 0),
 $centsCte,
-${routedCaCtes("cents", "c", "neighbor_id")},
+${routedCaCtes("cents", "c", "neighbor_id")}$labCte,
 qa AS (SELECT query_id, cent_id FROM (
 SELECT q.vec_id AS query_id, cent_id,
 row_number() OVER (PARTITION BY q.vec_id ORDER BY round(list_cosine_similarity(q.emb, cemb), 4) DESC, cent_id) AS cr
@@ -658,7 +668,7 @@ qn AS (SELECT vec_id, sqrt(list_sum(list_transform(emb, x -> x * x))) AS qn FROM
 lut AS (SELECT q.vec_id AS query_id, cb.sub_id, cb.cent_id AS code_id,
 list_sum(list_transform(range(1, ${sub + 1}), i -> q.emb[cb.sub_id * $sub + i] * cemb[i])) AS part
 FROM q CROSS JOIN cb),
-pairs AS (SELECT qa.query_id, ca.neighbor_id FROM qa JOIN ca USING (cent_id) WHERE qa.query_id <> ca.neighbor_id),
+pairs AS (SELECT qa.query_id, ca.neighbor_id FROM qa JOIN ca USING (cent_id)$labJoin WHERE qa.query_id <> ca.neighbor_id),
 sc AS (SELECT p.query_id, p.neighbor_id, sum(lut.part) AS num
 FROM pairs p JOIN codes ON codes.vec_id = p.neighbor_id
 JOIN lut ON lut.query_id = p.query_id AND lut.sub_id = codes.sub_id AND lut.code_id = codes.code_id
@@ -852,6 +862,16 @@ SELECT query_id, neighbor_id, score, "rank" FROM r WHERE "rank" <= 5"""
     // from disk (codes + codebooks + recon norms round-trip parquet
     // exactly), so the stored path replays the same SQL
     "q_ann_ivf_store_pq" -> pqSql(k = 5, dims = 64, m = 4, ksub = 8, iters = 1, nlist = 0, nprobe = 4),
+    // filtered ANN over the COMPRESSED layout (r18): the PQ replay
+    // with the payload predicate on candidates before the rank window
+    "q_ann_filtered_pq" ->
+      pqSql(k = 5, dims = 64, m = 4, ksub = 8, iters = 1, nlist = 0, nprobe = 4,
+        labelEq = Some(3)),
+    // the REALISTIC PQ shape (r18): m=8 subspaces x 256 codewords —
+    // the tinyint(-128) rank path and the 256-codeword Lloyd,
+    // hash-checked end-to-end instead of only spec-pinned
+    "q_ann_ivf_store_pq_big" ->
+      pqSql(k = 5, dims = 64, m = 8, ksub = 256, iters = 1, nlist = 0, nprobe = 4),
     "q_pagerank" -> pageRankSql(iters = 3, damping = 0.85, decimals = 6),
     "q_pagerank_host" -> pageRankHostSql(iters = 3, damping = 0.85, decimals = 6),
     "q_zorder" -> zorderSql(bits = 4, nBuckets = 8),

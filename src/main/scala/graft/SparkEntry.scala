@@ -976,6 +976,42 @@ object SparkEntry {
       graft.pipeline.IvfIndex.searchTopK(s, path, q, "vec_id", "emb", k = 5,
         nprobe = 4, filter = Some(col("label") === 3))
     }),
+    "q_ann_filtered_pq" -> ((s, dir) => {
+      // FILTERED ANN over the COMPRESSED layout (r18): the PQ store
+      // carries the payload column in its cell rows, and serving
+      // pushes the predicate into the probed-cell parquet scan next
+      // to the cent_id partition filters — the license/language-
+      // filtered compressed serve a production pipeline actually
+      // runs. The oracle replays the PQ fit and applies the same
+      // predicate before its rank window.
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"), col("label"))
+      val path = new java.io.File(
+        s"target/graft-ivf/${new java.io.File(dir).getName}/idxfpq").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      graft.pipeline.IvfIndex.buildPq(e, "vec_id", "emb", path, dims = 64,
+        m = 4, ksub = 8, iters = 1, nlist = Similarity.AutoNlist,
+        payloadCols = Seq("label"))
+      val q = e.where(col("vec_id") % 50 === 0).select("vec_id", "emb")
+      graft.pipeline.IvfIndex.searchTopK(s, path, q, "vec_id", "emb", k = 5,
+        nprobe = 4, filter = Some(col("label") === 3))
+    }),
+    "q_ann_ivf_store_pq_big" -> ((s, dir) => {
+      // the REALISTIC PQ shape (r18): m=8 subspaces x 256 codewords
+      // (64 bits/vector) — every init row keeps at least itself under
+      // the rank-1 assignment, so one Lloyd round preserves all 256
+      // codewords per subspace, and the stored ranks take the
+      // tinyint(-128 offset) path; hash-checked end-to-end where r17
+      // only spec-pinned it
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val path = new java.io.File(
+        s"target/graft-ivf/${new java.io.File(dir).getName}/idxpqbig").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      graft.pipeline.IvfIndex.buildPq(e, "vec_id", "emb", path, dims = 64,
+        m = 8, ksub = 256, iters = 1, nlist = Similarity.AutoNlist)
+      val q = e.where(col("vec_id") % 50 === 0)
+      graft.pipeline.IvfIndex.searchTopK(s, path, q, "vec_id", "emb", k = 5, nprobe = 4)
+    }),
     "q_ann_ivf_fitted" -> ((s, dir) => {
       // the TRAINED-quantizer serving path: cells from one Lloyd
       // round over the md5 init draw (coherent cells are what keep

@@ -478,6 +478,15 @@ object StreamOps {
       vacuumGraceMs: Option[Long] = None,
       trainCentroids: Option[DataFrame => DataFrame] = None
   ): org.apache.spark.sql.streaming.StreamingQuery = {
+    // validate maintenance-over-residual at WIRING time (r18, VERDICT
+    // r17 #4 / ADVICE #2): this stream always arms the drift trigger,
+    // and a residual-coded PQ root can never be drift-retrained — its
+    // refusal thrown mid-stream would land on the maintenance daemon
+    // as a per-trigger crash loop (the IllegalArgumentException is not
+    // the retried SparkException, so the thread dies, inFlight resets,
+    // and every skewed batch respawns a crashing daemon). Failing here
+    // surfaces the misconfiguration before any batch runs.
+    graft.pipeline.IvfIndex.requireMaintainable(vectors.sparkSession, root)
     val inFlight = new java.util.concurrent.atomic.AtomicBoolean(false)
     vectors.writeStream
       .option("checkpointLocation", checkpoint)

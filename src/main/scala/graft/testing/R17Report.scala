@@ -27,9 +27,21 @@ object R17Report {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, workDir) = args.take(2)
     val sizesOnly = args.length > 2 && args(2) == "sizesOnly"
+    // key=value pairs parsed individually (ADVICE r17 #5): "m=8" alone,
+    // reordered keys, or a malformed token get a usage message instead
+    // of an ArrayIndexOutOfBounds/NumberFormatException
     val (pqM, pqKsub) = args.drop(2).find(_.startsWith("m=")) match {
       case Some(s) =>
-        val parts = s.split(","); (parts(0).drop(2).toInt, parts(1).drop(5).toInt)
+        val kv = s.split(",").flatMap { tok =>
+          tok.split("=", 2) match {
+            case Array(key, v) if v.nonEmpty && v.forall(_.isDigit) => Some(key -> v.toInt)
+            case _ => None
+          }
+        }.toMap
+        (kv.get("m"), kv.get("ksub")) match {
+          case (Some(m), Some(k)) => (m, k)
+          case _ => sys.error(s"malformed PQ shape argument '$s' - expected m=M,ksub=K (both integers)")
+        }
       case None => (4, 8)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "24")

@@ -301,6 +301,155 @@ class IvfIndexSpec extends SparkSuite {
     SparkEntry.runPendingCleanups()
   }
 
+  test("filtered ANN over COMPRESSED layouts: payload in PQ cells, predicate pushed, survives append/rebuild (r18)") {
+    val s = spark
+    val e = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"), col("label"))
+    val q = e.where(col("vec_id") % 50 === 0).select("vec_id", "emb")
+    val labelOf = e.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def checkStore(path: String, residual: Boolean): Unit = {
+      IvfIndex.buildPq(e, "vec_id", "emb", path, dims = 64, m = 4, ksub = 8,
+        iters = 1, nlist = 8, residual = residual, payloadCols = Seq("label"))
+      assert(s.read.parquet(path).columns.contains("label"),
+        "PQ cells must store the payload column")
+      val res = IvfIndex.searchTopK(s, path, q, "vec_id", "emb", k = 5,
+        nprobe = 8, filter = Some(col("label") === 3)).collect()
+      assert(res.forall(r => labelOf(r.getLong(1)) == 3), "results must honor the filter")
+      // k FILLS from matching rows at full probe (post-filtering a
+      // plain top-k would under-fill whenever other labels crowd it)
+      assert(res.groupBy(_.getLong(0)).values.forall(_.length == 5),
+        "full-probe filtered PQ search must fill k")
+      // unfiltered serving is unchanged by payload: same ADC results
+      // as a payload-less twin of the same fit
+      val twin = path + "-twin"
+      IvfIndex.buildPq(e.select("vec_id", "emb"), "vec_id", "emb", twin,
+        dims = 64, m = 4, ksub = 8, iters = 1, nlist = 8, residual = residual)
+      assert(resultSet(IvfIndex.searchTopK(s, path, q, "vec_id", "emb", k = 5, nprobe = 8)) ==
+        resultSet(IvfIndex.searchTopK(s, twin, q, "vec_id", "emb", k = 5, nprobe = 8)),
+        "payload must not change unfiltered PQ serving")
+      // payload survives an append (batch must carry it; codes encode
+      // under the frozen codebooks either way)
+      val donor = e.orderBy("vec_id").limit(1)
+      IvfIndex.appendBatch(s, path,
+        donor.select(lit(77771L).as("vec_id"), col("emb"), lit(3).as("label")),
+        "vec_id", "emb")
+      assert(s.read.parquet(path).where(col("vec_id") === 77771L)
+        .select("label").head().getInt(0) == 3, "append must store the payload")
+      val exMissing = intercept[IllegalArgumentException] {
+        IvfIndex.appendBatch(s, path,
+          donor.select(lit(77772L).as("vec_id"), col("emb")), "vec_id", "emb")
+      }
+      assert(exMissing.getMessage.contains("payload"), s"unexpected: ${exMissing.getMessage}")
+      // rebuild carries payload verbatim in BOTH modes (compaction for
+      // residual, coarse retrain for raw) and filtered serving is
+      // identical across the generation
+      val path2 = path + "-rebuilt"
+      IvfIndex.rebuild(s, path, path2, "vec_id", "emb", nlist = 8)
+      assert(s.read.parquet(path2).columns.contains("label"),
+        "rebuild must carry PQ payload columns")
+      assert(resultSet(IvfIndex.searchTopK(s, path2, q, "vec_id", "emb", k = 5,
+        nprobe = 8, filter = Some(col("label") === 3))) ==
+        resultSet(IvfIndex.searchTopK(s, path, q, "vec_id", "emb", k = 5,
+          nprobe = 8, filter = Some(col("label") === 3))),
+        "filtered PQ serving must be identical across a rebuild")
+    }
+    checkStore(tempPath("fpq-raw"), residual = false)
+    checkStore(tempPath("fpq-resid"), residual = true)
+    SparkEntry.runPendingCleanups()
+  }
+
+  test("_layout declares vector and payload: keymap version hashes payload; ambiguous array payload keeps a real version (r18)") {
+    val s = spark
+    // a payload column that is ITSELF array<double> — the shape that
+    // made the r17 heuristic fall back to a null version (the vector
+    // was no longer the unique array<double> content column)
+    val e = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"),
+        col("label"), slice(col("embedding").cast("array<double>"), 1, 2).as("aux"))
+    val path = tempPath("layoutmeta")
+    IvfIndex.build(e, "vec_id", "emb", path, nlist = 8, payloadCols = Seq("label", "aux"))
+    def verOf(id: Long): Option[Long] = {
+      val r = s.read.parquet(s"$path/_keymap").where(col("vec_id") === id)
+        .select("__ver__").head()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+    val id0 = e.orderBy("vec_id").select("vec_id").head().getLong(0)
+    val v0 = verOf(id0)
+    assert(v0.isDefined,
+      "declared _layout meta must give a real version even when payload is array<double>")
+    // PAYLOAD-ONLY re-ingest (same vector, changed label) must change
+    // the version — this is what makes a payload change visible to
+    // catchUpDiff across a generation flip (ADVICE r17 #1)
+    val donor = e.where(col("vec_id") === id0)
+    IvfIndex.appendBatch(s, path,
+      donor.select(col("vec_id"), col("emb"), lit(9999).as("label"), col("aux")),
+      "vec_id", "emb")
+    val v1 = verOf(id0)
+    assert(v1.isDefined && v1 != v0,
+      s"payload-only change must flip the keymap version, got $v0 -> $v1")
+    // same vector AND same payload re-ingested => same version (the
+    // hash is content-derived, stable across generations)
+    IvfIndex.appendBatch(s, path,
+      donor.select(col("vec_id"), col("emb"), lit(9999).as("label"), col("aux")),
+      "vec_id", "emb")
+    assert(verOf(id0) == v1, "identical content must rehash to the identical version")
+    // LEGACY pin: with no _layout sidecar the pre-r18 heuristic rules,
+    // and two array<double> content columns mean an UNKNOWN version
+    // (null) — the documented id-only catch-up fallback, never a wrong
+    // guess between the vector and the payload array
+    val legacy = tempPath("layoutmeta-legacy")
+    IvfIndex.build(e, "vec_id", "emb", legacy, nlist = 8, payloadCols = Seq("label", "aux"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$legacy/_layout"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$legacy/_keymap"), true)
+    IvfIndex.stats(s, legacy, "vec_id") // re-derives the keymap, now metaless
+    assert(s.read.parquet(s"$legacy/_keymap").where(col("__ver__").isNotNull).count() == 0,
+      "a metaless store with ambiguous content columns must keep the null-version contract")
+    SparkEntry.runPendingCleanups()
+  }
+
+  test("filtered recall accounting + selectivity-aware probing (r18)") {
+    val s = spark
+    val e = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"), col("label"))
+    val q = e.where(col("vec_id") % 50 === 0).select("vec_id", "emb")
+    val path = tempPath("selprobe")
+    IvfIndex.build(e, "vec_id", "emb", path, nlist = 16, payloadCols = Seq("label"))
+    val pred = col("label") === 3
+    // recallReport(filter): truth is brute force over the FILTERED
+    // corpus, serving is the filtered search — the frontier an
+    // operator sizes nprobe from. Full probe is exact (float store).
+    val rep = IvfIndex.recallReport(s, path, q, "vec_id", "emb", k = 5,
+      nprobes = Seq(2, 16), filter = Some(pred))
+      .collect().map(r => r.getInt(1) -> r.getDouble(4)).toMap
+    assert(rep(16) == 1.0, s"full-probe filtered recall must be exact, got ${rep(16)}")
+    assert(rep(2) <= rep(16), "filtered recall must not decrease with nprobe")
+    val unfiltered = IvfIndex.recallReport(s, path, q, "vec_id", "emb", k = 5,
+      nprobes = Seq(2)).head().getDouble(4)
+    // the selectivity-induced drop this surface exists to SHOW: at
+    // ~10% selectivity the k nearest matching rows scatter across
+    // more cells than the k nearest overall
+    assert(rep(2) <= unfiltered + 1e-12,
+      s"a selective filter cannot raise fixed-nprobe recall: filtered ${rep(2)} vs $unfiltered")
+    // adaptive probing: nprobe widens by measured selectivity
+    // (~0.1 here => 2/0.1 = 20, clamped to nlist = full probe), so
+    // filtered recall at the AUTO-widened probe matches the exact
+    // answer without hand-tuning nprobe per predicate
+    val truth = Similarity.bruteForceTopK(e.where(pred), q, "vec_id", "emb", k = 5)
+      .select("query_id", "neighbor_id")
+    val adaptive = IvfIndex.searchTopKAdaptive(s, path, q, "vec_id", "emb", k = 5,
+      nprobe = 2, filter = Some(pred)).select("query_id", "neighbor_id")
+    val total = truth.count()
+    val hits = truth.join(adaptive, Seq("query_id", "neighbor_id"), "left_semi").count()
+    assert(total > 0 && hits == total,
+      s"auto-widened filtered search must recover brute-force recall, got $hits/$total")
+    // without a filter the adaptive wrapper IS searchTopK
+    assert(resultSet(IvfIndex.searchTopKAdaptive(s, path, q, "vec_id", "emb", k = 5, nprobe = 4)) ==
+      resultSet(IvfIndex.searchTopK(s, path, q, "vec_id", "emb", k = 5, nprobe = 4)))
+    SparkEntry.runPendingCleanups()
+  }
+
   test("stored-index recallReport: float store equals the in-memory fitted report; compressed stores expose quantization loss (r17)") {
     val s = spark
     val q = emb.where(col("vec_id") % 50 === 0)

@@ -195,6 +195,21 @@ class PlanSpec extends SparkSuite {
       s"label predicate must push into the probed-cell scan:\n${scanLine.get}")
   }
 
+  test("filtered ANN over the PQ layout pushes the payload predicate into the probed-cell scan (r18)") {
+    // same contract as the float-layout pin above, on the COMPRESSED
+    // store: the label predicate must reach the parquet reader of the
+    // PQ cells next to the cent_id partition filters — k fills from
+    // matching candidates before any ADC scoring join sees them
+    val plan = planOf("q_ann_filtered_pq")
+    val scanLine = plan.linesIterator.find(l =>
+      l.contains("FileScan parquet") && l.contains("idxfpq") &&
+        !l.contains("_centroids") && !l.contains("_keymap") && !l.contains("_codebooks") &&
+        l.contains("cent_id") && l.contains("PartitionFilters: [cent_id"))
+    assert(scanLine.isDefined, s"expected a partition-pruned scan of the PQ cells:\n$plan")
+    assert(scanLine.get.contains("EqualTo(label,3"),
+      s"label predicate must push into the probed PQ cell scan:\n${scanLine.get}")
+  }
+
   test("IVF routing threshold: below TwoLevelMinNlist the route is FLAT (r15)") {
     // below 64 centroids the two-level machinery is pure fixed
     // overhead (see Similarity.TwoLevelMinNlist) — the switch must

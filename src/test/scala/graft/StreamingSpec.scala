@@ -373,6 +373,29 @@ class StreamingSpec extends SparkSuite {
     assert(stored == expected, "streamed codes must equal fresh encodes under the frozen codebooks")
   }
 
+  test("ivfAppendStreamManaged REFUSES a residual-PQ root at wiring time, before any batch (r18)") {
+    // the managed stream always arms the drift trigger, and a
+    // residual-coded PQ store can never be drift-retrained (codes are
+    // bound to the frozen coarse quantizer) — thrown mid-stream, the
+    // refusal would land on the maintenance daemon as a per-trigger
+    // crash loop (ADVICE r17 #2); it must land HERE, at setup
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-managedres")
+    val root = tmp.resolve("idx").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    def vec(seed: Int) = Array.tabulate(8)(d => math.sin(seed * 13 + d).abs + 0.1)
+    val base = (1 to 40).map(i => (i.toLong, vec(i))).toDF("id", "v")
+    graft.pipeline.IvfIndex.managedInitPq(base, "id", "v", root,
+      dims = 8, m = 2, ksub = 4, nlist = 8, residual = true)
+    val input = MemoryStream[(Long, Array[Double], Long)]
+    val ex = intercept[IllegalArgumentException] {
+      StreamOps.ivfAppendStreamManaged(
+        input.toDF().toDF("id", "v", "ts"), root, ckpt, "id", "v", "ts")
+    }
+    assert(ex.getMessage.contains("RESIDUAL"), s"unexpected: ${ex.getMessage}")
+  }
+
   test("ivfAppendStreamManaged: a rebuild orphaned at stream stop publishes on restart without retraining (r15)") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
