@@ -1563,6 +1563,38 @@ r AS (SELECT query_id, neighbor_id, score,
 CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS "rank" FROM s)
 SELECT query_id, neighbor_id, score, "rank" FROM r WHERE "rank" <= 5""",
 
+    // selectivity-aware probing (r18): the widening is deterministic
+    // — base nprobe=2 cells per query, the label=3 selectivity
+    // counted over those cells' rows, nprobe widened to
+    // min(nlist, ceil(2·n/m)), then the standard filtered IVF replay
+    // at the widened probe
+    "q_ann_adaptive" ->
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0 AND NOT isnan(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))),
+cents AS (SELECT vec_id AS cent_id, emb AS cemb FROM c
+QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+  <= greatest(16, CAST(ceil(sqrt((SELECT count(*) FROM c))) AS BIGINT))),
+${routedCaCtes("cents", "c", "neighbor_id")},
+lab AS (SELECT vec_id, label FROM embeddings),
+q AS (SELECT vec_id, emb FROM c WHERE vec_id % 50 = 0),
+qa0 AS (SELECT query_id, cent_id FROM (
+SELECT q.vec_id AS query_id, cent_id,
+row_number() OVER (PARTITION BY q.vec_id ORDER BY round(list_cosine_similarity(q.emb, cemb), 4) DESC, cent_id) AS cr
+FROM q CROSS JOIN cents) t WHERE cr <= 2),
+probe AS (SELECT DISTINCT cent_id FROM qa0),
+sel AS (SELECT count(*) AS n, count(CASE WHEN lab.label = 3 THEN 1 END) AS m
+FROM ca JOIN probe USING (cent_id) JOIN lab ON lab.vec_id = ca.neighbor_id),
+wid AS (SELECT least((SELECT count(*) FROM cents), CAST(ceil(2.0 * n / m) AS BIGINT)) AS w FROM sel),
+qa AS (SELECT query_id, qemb, cent_id FROM (
+SELECT q.vec_id AS query_id, q.emb AS qemb, cent_id,
+row_number() OVER (PARTITION BY q.vec_id ORDER BY round(list_cosine_similarity(q.emb, cemb), 4) DESC, cent_id) AS cr
+FROM q CROSS JOIN cents) t WHERE cr <= (SELECT w FROM wid)),
+s AS (SELECT qa.query_id, ca.neighbor_id, round(list_cosine_similarity(qa.qemb, ca.emb), 4) AS score
+FROM qa JOIN ca USING (cent_id) JOIN lab ON lab.vec_id = ca.neighbor_id
+WHERE qa.query_id <> ca.neighbor_id AND lab.label = 3),
+r AS (SELECT query_id, neighbor_id, score,
+CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS "rank" FROM s)
+SELECT query_id, neighbor_id, score, "rank" FROM r WHERE "rank" <= 5""",
+
     // trained-quantizer IVF: the kmeans CTE chain (one Lloyd round
     // over the md5 init draw, trained on ALL vectors like the engine)
     // supplies the centroids; routing/scoring/ranking are the

@@ -996,6 +996,25 @@ object SparkEntry {
       graft.pipeline.IvfIndex.searchTopK(s, path, q, "vec_id", "emb", k = 5,
         nprobe = 4, filter = Some(col("label") === 3))
     }),
+    "q_ann_adaptive" -> ((s, dir) => {
+      // SELECTIVITY-AWARE probing (r18): base nprobe=2 widens by the
+      // measured label=3 selectivity over the probed cells
+      // (min(nlist, ceil(2·n/m))) before the filtered serve. The
+      // widening is a pure function of the corpus, so the oracle
+      // re-derives the same counts, the same widened nprobe, and the
+      // same filtered rank window — the auto-tuning is hash-checked,
+      // not just spec-pinned.
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"), col("label"))
+      val path = new java.io.File(
+        s"target/graft-ivf/${new java.io.File(dir).getName}/idxadapt").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      graft.pipeline.IvfIndex.build(e, "vec_id", "emb", path,
+        nlist = Similarity.AutoNlist, payloadCols = Seq("label"))
+      val q = e.where(col("vec_id") % 50 === 0).select("vec_id", "emb")
+      graft.pipeline.IvfIndex.searchTopKAdaptive(s, path, q, "vec_id", "emb",
+        k = 5, nprobe = 2, filter = Some(col("label") === 3))
+    }),
     "q_ann_ivf_store_pq_big" -> ((s, dir) => {
       // the REALISTIC PQ shape (r18): m=8 subspaces x 256 codewords
       // (64 bits/vector) — every init row keeps at least itself under
