@@ -1583,7 +1583,8 @@ FROM q CROSS JOIN cents) t WHERE cr <= 2),
 probe AS (SELECT DISTINCT cent_id FROM qa0),
 sel AS (SELECT count(*) AS n, count(CASE WHEN lab.label = 3 THEN 1 END) AS m
 FROM ca JOIN probe USING (cent_id) JOIN lab ON lab.vec_id = ca.neighbor_id),
-wid AS (SELECT least((SELECT count(*) FROM cents), CAST(ceil(2.0 * n / m) AS BIGINT)) AS w FROM sel),
+wid AS (SELECT CASE WHEN m = 0 OR n = 0 THEN (SELECT count(*) FROM cents)
+ELSE least((SELECT count(*) FROM cents), CAST(ceil(2.0 * n / m) AS BIGINT)) END AS w FROM sel),
 qa AS (SELECT query_id, qemb, cent_id FROM (
 SELECT q.vec_id AS query_id, q.emb AS qemb, cent_id,
 row_number() OVER (PARTITION BY q.vec_id ORDER BY round(list_cosine_similarity(q.emb, cemb), 4) DESC, cent_id) AS cr

@@ -278,13 +278,13 @@ object IvfIndex {
       s"buildPq: ksub=$ksub exceeds the smallint code-rank range (the stored __pq__ layout)")
     val spark = corpus.sparkSession
     val nz = Similarity.dropZeroVectors(corpus, vecCol)
-    val meta = LayoutMeta(vecCol, payloadCols)
     val cents = centroids.map(broadcast)
       .getOrElse(Similarity.ivfCentroids(nz, idCol, vecCol,
         Similarity.resolveNlist(nlist, nz)))
     if (residual)
       return buildPqResidual(spark, nz, cents, idCol, vecCol, path, dims, m, ksub,
         iters, scoreDecimals, payloadCols)
+    val meta = LayoutMeta(vecCol, payloadCols)
     // the fitted codebooks feed encode, the rank map, the recon norms
     // AND the sidecar write — persist, or each consumer replays Lloyd
     val cb = Similarity.pqCodebooks(nz, idCol, vecCol, dims, m, ksub, iters, scoreDecimals)
@@ -1048,7 +1048,14 @@ object IvfIndex {
           if (assigned.columns.contains("__codes__")) col("__codes__")
           else if (assigned.columns.contains("__pq__")) col("__pq__")
           else col(lm.vecCol)
-        xxhash64(content +: lm.payloadCols.sorted.map(p => col(p).cast("string")): _*)
+        // nulls must HASH, not vanish: Spark's xxhash64 skips null
+        // children entirely (the running hash passes through
+        // unchanged), so without the sentinel a (lang=null, lic="en")
+        // row and its (lang="en", lic=null) re-ingest would collide —
+        // exactly the stale-payload flip the hash exists to catch.
+        // The NUL sentinel cannot appear in a cast-to-string value.
+        xxhash64(content +: lm.payloadCols.sorted.map(p =>
+          coalesce(col(p).cast("string"), lit("\u0000"))): _*)
       case None =>
         // legacy metaless stores keep the pre-r18 heuristic (and with
         // it their on-disk hash values — a scheme change would make
@@ -1286,7 +1293,7 @@ object IvfIndex {
     // off the table (codes are residuals against the frozen cells).
     // (Defense in depth — the managed stream also refuses at WIRING
     // time via requireMaintainable, before any batch runs.)
-    requireMaintainable(spark, root)
+    requireMaintainableAt(spark, root, current)
     val r = new Path(root)
     val fs = r.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val gen = f"gen-${System.currentTimeMillis()}%013d"
@@ -1312,8 +1319,16 @@ object IvfIndex {
     * at first drift. [[managedMaintain]] keeps the same check as
     * defense in depth.
     */
-  def requireMaintainable(spark: SparkSession, root: String): Unit = {
-    val current = managedCurrent(spark, root)
+  def requireMaintainable(spark: SparkSession, root: String): Unit =
+    requireMaintainableAt(spark, root, managedCurrent(spark, root))
+
+  /** [[requireMaintainable]] over an ALREADY-RESOLVED live generation
+    * — callers that just resolved the pointer (managedMaintain) pass
+    * it instead of paying a second marker listing, which also pins
+    * the check to the exact generation they measured.
+    */
+  private def requireMaintainableAt(
+      spark: SparkSession, root: String, current: String): Unit = {
     require(!(layoutIsPq(spark, current) && layoutIsResidual(spark, current)),
       s"managedMaintain: the live generation under $root is a RESIDUAL-coded PQ index - " +
         "drift maintenance cannot retrain it (codes are residuals against the frozen coarse " +
@@ -1764,10 +1779,16 @@ object IvfIndex {
     val nlist = spark.read.parquet(s"$path/$CentroidsDir").count().toInt
     // the store-derived truth keeps payload columns (pqReconRows /
     // corpusVectors carry them), so a payload `filter` applies to it
-    // exactly as it applies inside the probed scan
+    // exactly as it applies inside the probed scan. ONE layout read +
+    // one read per sidecar (the one-listing discipline).
     val truthSrc0 = truthCorpus.getOrElse {
-      if (layoutIsPq(spark, path)) pqReconRows(spark, path, idCol, vecCol)
-      else corpusVectors(spark, path, idCol, vecCol)
+      val layoutDf = spark.read.parquet(path)
+      val payload = payloadColsOf(layoutDf.columns, idCol, vecCol,
+        readLayoutMeta(spark, path))
+      if (layoutDf.columns.contains("__pq__"))
+        pqReconRowsWith(spark, path, layoutDf,
+          residual = readPqMeta(spark, path).exists(_._4), payload, idCol, vecCol)
+      else corpusVectorsOf(layoutDf, idCol, vecCol, payload)
     }
     val truthSrc = filter.foldLeft(truthSrc0)(_ where _)
     val truth = Similarity.bruteForceTopK(truthSrc, queries, idCol, vecCol, k, scoreDecimals)
@@ -1820,11 +1841,32 @@ object IvfIndex {
     // ONE read of the cell layout serves the layout dispatch AND the
     // probed scan — a second spark.read.parquet(path) would re-list
     // the cell directory per query batch (object-store cost at scale)
-    val layoutDf = spark.read.parquet(path)
+    searchTopKOver(spark, path, spark.read.parquet(path), centsOpt = None,
+      queries, idCol, vecCol, k, nprobe, scoreDecimals, filter)
+  }
+
+  /** [[searchTopK]] over an ALREADY-READ layout frame (and optionally
+    * pre-read centroids) — the one-listing form [[searchTopKAdaptive]]
+    * uses so its estimate pass and its widened serve share a single
+    * cell-directory listing and one centroid read.
+    */
+  private def searchTopKOver(
+      spark: SparkSession,
+      path: String,
+      layoutDf: DataFrame,
+      centsOpt: Option[DataFrame],
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int,
+      scoreDecimals: Int,
+      filter: Option[org.apache.spark.sql.Column]
+  ): DataFrame = {
     if (layoutDf.columns.contains("__pq__"))
       return searchTopKPq(spark, path, layoutDf, queries, idCol, vecCol, k, nprobe,
-        scoreDecimals, filter)
-    val cents = broadcast(spark.read.parquet(s"$path/$CentroidsDir"))
+        scoreDecimals, filter, centsOpt)
+    val cents = centsOpt.getOrElse(broadcast(spark.read.parquet(s"$path/$CentroidsDir")))
     val qNz = Similarity.dropZeroVectors(queries, vecCol)
     val qCells = Similarity
       .ivfAssign(qNz, cents, idCol, vecCol, "query", keep = nprobe, scoreDecimals)
@@ -1894,11 +1936,13 @@ object IvfIndex {
     * without the caller hand-tuning nprobe per predicate
     * (IvfIndexSpec pins filtered-adaptive recall ≈ unfiltered).
     *
-    * Cost: one extra centroid read + query routing + a counting
-    * aggregate over the base probed cells, then the widened
-    * [[searchTopK]]. A zero-match estimate widens to a full probe —
-    * the honest answer when the probed sample says the predicate is
-    * (near-)empty there.
+    * Cost: one cell-directory listing and one centroid read SHARED
+    * between the estimate pass and the widened serve (the inner
+    * search reuses the pre-read frames), plus one extra query-routing
+    * rank (the widened probe set genuinely differs from the base
+    * one) and the counting aggregate. A zero-match estimate widens to
+    * a full probe — the honest answer when the probed sample says the
+    * predicate is (near-)empty there.
     */
   def searchTopKAdaptive(
       spark: SparkSession,
@@ -1927,7 +1971,8 @@ object IvfIndex {
       val widened =
         if (n == 0L || mHits == 0L) nlist
         else math.min(nlist.toLong, math.ceil(nprobe * n.toDouble / mHits).toLong).toInt
-      searchTopK(spark, path, queries, idCol, vecCol, k, widened, scoreDecimals, filter)
+      searchTopKOver(spark, path, layoutDf, Some(cents), queries, idCol, vecCol,
+        k, widened, scoreDecimals, filter)
   }
 
   /** [[searchTopK]] over a PQ layout — [[Similarity.pqSearch]]'s ADC
@@ -1955,9 +2000,10 @@ object IvfIndex {
       k: Int,
       nprobe: Int,
       scoreDecimals: Int,
-      filter: Option[org.apache.spark.sql.Column] = None
+      filter: Option[org.apache.spark.sql.Column] = None,
+      centsOpt: Option[DataFrame] = None
   ): DataFrame = {
-    val cents = broadcast(spark.read.parquet(s"$path/$CentroidsDir"))
+    val cents = centsOpt.getOrElse(broadcast(spark.read.parquet(s"$path/$CentroidsDir")))
     val cb = broadcast(spark.read.parquet(s"$path/$CodebooksDir"))
     // DECLARED shape from the _pq_meta sidecar when the store has one
     // (ADVICE r16: inferring ksub = codebookRows / m would silently

@@ -588,14 +588,22 @@ object StreamOps {
       .start()
   }
 
-  /** Latest (id, vector) per id by `orderCol` — [[ivfAppendStream]]'s
+  /** Latest row per id by `orderCol` — [[ivfAppendStream]]'s
     * within-batch reducer. Ties on `orderCol` break on a hash of the
-    * vector's bytes: a replayed micro-batch may enumerate rows in a
+    * row's CONTENT columns (vector first, then any payload columns,
+    * cast to string): a replayed micro-batch may enumerate rows in a
     * different physical order, and a bare orderBy(orderCol) would let
-    * row_number pick a DIFFERENT vector for the same (id, order),
+    * row_number pick a DIFFERENT row for the same (id, order),
     * breaking the replay-reproduces-the-same-cells exactly-once
-    * claim. The hash makes latest-by-order unique per vector VALUE,
-    * so replays commit identical cells.
+    * claim. The hash makes latest-by-order unique per row VALUE, so
+    * replays commit identical cells.
+    *
+    * Every non-order column RIDES with the kept row (r18): a
+    * payload-bearing index ([[graft.pipeline.IvfIndex.build]] /
+    * `buildPq` with `payloadCols`) requires its appends to carry the
+    * payload columns — projecting down to (id, vector) here would
+    * fail `appendBatch`'s schema check on the first micro-batch
+    * against such a store.
     */
   private[graft] def latestPerId(
       batch: DataFrame,
@@ -603,12 +611,15 @@ object StreamOps {
       vecCol: String,
       orderCol: String
   ): DataFrame = {
+    val content = vecCol +: batch.columns.toSeq
+      .filterNot(Set(idCol, vecCol, orderCol).contains)
     val w = Window.partitionBy(col(idCol))
-      .orderBy(col(orderCol).desc, xxhash64(col(vecCol).cast("string")).asc)
+      .orderBy(col(orderCol).desc,
+        xxhash64(content.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*).asc)
     batch
       .withColumn("__rn__", row_number().over(w))
       .where(col("__rn__") === 1)
-      .select(col(idCol), col(vecCol))
+      .select((idCol +: content).map(col): _*)
   }
 
   /** Streaming incremental near-dup detection: each micro-batch of

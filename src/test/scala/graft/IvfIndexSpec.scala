@@ -409,6 +409,30 @@ class IvfIndexSpec extends SparkSuite {
     SparkEntry.runPendingCleanups()
   }
 
+  test("payload version hash survives null-shifts: nulls hash via sentinel, never skipped (r18)") {
+    // Spark's xxhash64 SKIPS null children (the running hash passes
+    // through unchanged), so without a sentinel a (lang=null,
+    // lic="en") row and its (lang="en", lic=null) re-ingest hash to
+    // the same __ver__ — a payload-only change catch-up would miss
+    val s = spark; import s.implicits._
+    val corpus = Seq(
+      (1L, Array.tabulate(4)(_ * 0.5 + 0.1), Option("en"), Option.empty[String]),
+      (2L, Array.tabulate(4)(d => 1.0 - d * 0.2), Option("de"), Option("mit")))
+      .toDF("id", "v", "lang", "lic")
+    val path = tempPath("nullver")
+    IvfIndex.build(corpus, "id", "v", path, nlist = 2, payloadCols = Seq("lang", "lic"))
+    def ver(id: Long): Long = s.read.parquet(s"$path/_keymap")
+      .where(col("id") === id).select("__ver__").head().getLong(0)
+    val v0 = ver(1L) // (lang="en", lic=null)
+    IvfIndex.appendBatch(s, path,
+      corpus.where(col("id") === 1L)
+        .select(col("id"), col("v"), lit(null).cast("string").as("lang"), lit("en").as("lic")),
+      "id", "v")
+    assert(ver(1L) != v0,
+      "a null-shift across payload columns with the same non-null sequence must flip the version")
+    SparkEntry.runPendingCleanups()
+  }
+
   test("filtered recall accounting + selectivity-aware probing (r18)") {
     val s = spark
     val e = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -373,6 +373,42 @@ class StreamingSpec extends SparkSuite {
     assert(stored == expected, "streamed codes must equal fresh encodes under the frozen codebooks")
   }
 
+  test("ivfAppendStreamManaged carries PAYLOAD columns through the within-batch reducer (r18)") {
+    // a payload-bearing index requires its appends to carry the
+    // payload columns; latestPerId must keep every non-order column
+    // of the kept row or the first micro-batch dies on appendBatch's
+    // schema check
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-managedpay")
+    val root = tmp.resolve("idx").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    def vec(seed: Int) = Array.tabulate(8)(d => math.sin(seed * 13 + d).abs + 0.1)
+    val base = (1 to 40).map(i => (i.toLong, vec(i), i % 3)).toDF("id", "v", "label")
+    graft.pipeline.IvfIndex.managedInit(base, "id", "v", root, nlist = 8,
+      payloadCols = Seq("label"))
+    val input = MemoryStream[(Long, Array[Double], Long, Int)]
+    val q = StreamOps.ivfAppendStreamManaged(
+      input.toDF().toDF("id", "v", "ts", "label"), root, ckpt, "id", "v", "ts")
+    try {
+      // two versions of id 100 in ONE batch: latest-by-ts must win and
+      // its PAYLOAD must ride with the kept row (label 7, not 5)
+      input.addData((100L, vec(100), 1L, 5), (100L, vec(200), 2L, 7))
+      q.processAllAvailable()
+    } finally q.stop()
+    val cur = graft.pipeline.IvfIndex.managedCurrent(s, root)
+    val row = s.read.parquet(cur).where(col("id") === 100L)
+      .select("label").collect()
+    assert(row.map(_.getInt(0)).toSeq == Seq(7),
+      s"latest row's payload must survive the reducer and the append, got ${row.toSeq}")
+    // filtered serving over the streamed-in payload
+    val queries = Seq((9000L, vec(100))).toDF("id", "v")
+    val hits = graft.pipeline.IvfIndex.searchTopK(s, cur, queries, "id", "v",
+      k = 50, nprobe = 9999, filter = Some(col("label") === 7))
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(hits == Set(100L), s"filter must see the streamed payload, got $hits")
+  }
+
   test("ivfAppendStreamManaged REFUSES a residual-PQ root at wiring time, before any batch (r18)") {
     // the managed stream always arms the drift trigger, and a
     // residual-coded PQ store can never be drift-retrained (codes are
