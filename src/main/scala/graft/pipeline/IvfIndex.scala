@@ -1826,6 +1826,14 @@ object IvfIndex {
     * fills from matching rows. Post-filtering the top-k instead
     * would under-fill `k` whenever non-matching neighbors crowd the
     * window (PlanSpec pins the pushed shape).
+    *
+    * RECALL UNDER A FILTER (r18): k fills from matching rows WITHIN
+    * the probed cells — a selective predicate thins every probed
+    * cell, so true recall at fixed `nprobe` sits below the
+    * unfiltered frontier (the k nearest MATCHING rows scatter across
+    * more cells). Measure it with [[recallReport]]'s `filter` and
+    * size `nprobe` for the predicate, or let [[searchTopKAdaptive]]
+    * widen it by the measured selectivity.
     */
   def searchTopK(
       spark: SparkSession,
