@@ -575,9 +575,17 @@ ${pfx}cents${i + 1} AS (SELECT cent_id, list(m ORDER BY d) AS cemb FROM ${pfx}m$
     * per-(query, probed-cell) dot term is what distinguishes the
     * residual decomposition from the raw mode.
     */
+  /** `labelEq` (r18): the filtered variant — the payload predicate
+    * joins into the pairs CTE before the rank window, mirroring the
+    * engine's pushed probed-cell predicate (see [[pqSql]]).
+    */
   private def pqResidualSql(k: Int, dims: Int, m: Int, ksub: Int, iters: Int,
-                            nlist: Int, nprobe: Int): String = {
+                            nlist: Int, nprobe: Int, labelEq: Option[Int] = None): String = {
     val sub = dims / m
+    val labCte = labelEq.map(_ => ",\nlab AS (SELECT vec_id, label FROM embeddings)").getOrElse("")
+    val labJoin = labelEq
+      .map(v => s" JOIN lab ON lab.vec_id = ca.neighbor_id AND lab.label = $v")
+      .getOrElse("")
     val subCtes = (0 until m).map { s =>
       s"""s${s}c AS (SELECT vec_id, emb[${s * sub + 1}:${(s + 1) * sub}] AS emb FROM rv),
 ${l2TrainCtes(ksub, iters, sub, src = s"s${s}c", pfx = s"s$s")},
@@ -601,7 +609,7 @@ ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $ksub),
 qa AS (SELECT query_id, cent_id, qcd FROM (
 SELECT q.vec_id AS query_id, cent_id, list_dot_product(q.emb, cemb) AS qcd,
 row_number() OVER (PARTITION BY q.vec_id ORDER BY round(list_cosine_similarity(q.emb, cemb), 4) DESC, cent_id) AS cr
-FROM q CROSS JOIN cents) t WHERE cr <= $nprobe),
+FROM q CROSS JOIN cents) t WHERE cr <= $nprobe)$labCte,
 $subCtes,
 codes AS ($codesUnion),
 cb AS ($cbUnion),
@@ -614,7 +622,7 @@ qn AS (SELECT vec_id, sqrt(list_sum(list_transform(emb, x -> x * x))) AS qn FROM
 lut AS (SELECT q.vec_id AS query_id, cb.sub_id, cb.cent_id AS code_id,
 list_sum(list_transform(range(1, ${sub + 1}), i -> q.emb[cb.sub_id * $sub + i] * cemb[i])) AS part
 FROM q CROSS JOIN cb),
-pairs AS (SELECT qa.query_id, ca.neighbor_id, qa.qcd FROM qa JOIN ca USING (cent_id) WHERE qa.query_id <> ca.neighbor_id),
+pairs AS (SELECT qa.query_id, ca.neighbor_id, qa.qcd FROM qa JOIN ca USING (cent_id)$labJoin WHERE qa.query_id <> ca.neighbor_id),
 sc AS (SELECT p.query_id, p.neighbor_id, p.qcd + sum(lut.part) AS num
 FROM pairs p JOIN codes ON codes.vec_id = p.neighbor_id
 JOIN lut ON lut.query_id = p.query_id AND lut.sub_id = codes.sub_id AND lut.code_id = codes.code_id
@@ -862,10 +870,13 @@ SELECT query_id, neighbor_id, score, "rank" FROM r WHERE "rank" <= 5"""
     // from disk (codes + codebooks + recon norms round-trip parquet
     // exactly), so the stored path replays the same SQL
     "q_ann_ivf_store_pq" -> pqSql(k = 5, dims = 64, m = 4, ksub = 8, iters = 1, nlist = 0, nprobe = 4),
-    // filtered ANN over the COMPRESSED layout (r18): the PQ replay
+    // filtered ANN over the COMPRESSED layouts (r18): the PQ replays
     // with the payload predicate on candidates before the rank window
     "q_ann_filtered_pq" ->
       pqSql(k = 5, dims = 64, m = 4, ksub = 8, iters = 1, nlist = 0, nprobe = 4,
+        labelEq = Some(3)),
+    "q_ann_filtered_pq_residual" ->
+      pqResidualSql(k = 5, dims = 64, m = 4, ksub = 8, iters = 1, nlist = 0, nprobe = 4,
         labelEq = Some(3)),
     // the REALISTIC PQ shape (r18): m=8 subspaces x 256 codewords —
     // the tinyint(-128) rank path and the 256-codeword Lloyd,

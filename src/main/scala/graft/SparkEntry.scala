@@ -996,6 +996,24 @@ object SparkEntry {
       graft.pipeline.IvfIndex.searchTopK(s, path, q, "vec_id", "emb", k = 5,
         nprobe = 4, filter = Some(col("label") === 3))
     }),
+    "q_ann_filtered_pq_residual" -> ((s, dir) => {
+      // filtered ANN over the RESIDUAL (IVFADC) layout (r18): payload
+      // rides the unit-copied residual cell rows, the predicate pushes
+      // into the probed scan, and the per-(query, cell) dot(q, c_cell)
+      // term still decomposes the ADC score — the full compression
+      // ladder now serves the filtered shape, oracle-gated end to end
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"), col("label"))
+      val path = new java.io.File(
+        s"target/graft-ivf/${new java.io.File(dir).getName}/idxfpqr").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      graft.pipeline.IvfIndex.buildPq(e, "vec_id", "emb", path, dims = 64,
+        m = 4, ksub = 8, iters = 1, nlist = Similarity.AutoNlist,
+        residual = true, payloadCols = Seq("label"))
+      val q = e.where(col("vec_id") % 50 === 0).select("vec_id", "emb")
+      graft.pipeline.IvfIndex.searchTopK(s, path, q, "vec_id", "emb", k = 5,
+        nprobe = 4, filter = Some(col("label") === 3))
+    }),
     "q_ann_adaptive" -> ((s, dir) => {
       // SELECTIVITY-AWARE probing (r18): base nprobe=2 widens by the
       // measured label=3 selectivity over the probed cells
