@@ -580,12 +580,30 @@ ${pfx}cents${i + 1} AS (SELECT cent_id, list(m ORDER BY d) AS cemb FROM ${pfx}m$
     * engine's pushed probed-cell predicate (see [[pqSql]]).
     */
   private def pqResidualSql(k: Int, dims: Int, m: Int, ksub: Int, iters: Int,
-                            nlist: Int, nprobe: Int, labelEq: Option[Int] = None): String = {
+                            nlist: Int, nprobe: Int, labelEq: Option[Int] = None,
+                            adaptiveBase: Option[Int] = None): String = {
+    require(adaptiveBase.isEmpty || labelEq.isDefined,
+      "adaptiveBase replays the FILTERED adaptive serve; labelEq is required")
     val sub = dims / m
-    val labCte = labelEq.map(_ => ",\nlab AS (SELECT vec_id, label FROM embeddings)").getOrElse("")
+    val labCte = labelEq.map(_ => "lab AS (SELECT vec_id, label FROM embeddings),\n").getOrElse("")
     val labJoin = labelEq
       .map(v => s" JOIN lab ON lab.vec_id = ca.neighbor_id AND lab.label = $v")
       .getOrElse("")
+    // the same estimate→widen replay as pqSql's adaptive mode (see
+    // there) — the residual decomposition changes scoring, not probing
+    val adaptCtes = adaptiveBase.map { base =>
+      s"""qa0 AS (SELECT query_id, cent_id FROM (
+SELECT q.vec_id AS query_id, cent_id,
+row_number() OVER (PARTITION BY q.vec_id ORDER BY round(list_cosine_similarity(q.emb, cemb), 4) DESC, cent_id) AS cr
+FROM q CROSS JOIN cents) t WHERE cr <= $base),
+probe AS (SELECT DISTINCT cent_id FROM qa0),
+sel AS (SELECT count(*) AS n, count(CASE WHEN lab.label = ${labelEq.get} THEN 1 END) AS m
+FROM ca JOIN probe USING (cent_id) JOIN lab ON lab.vec_id = ca.neighbor_id),
+wid AS (SELECT CASE WHEN m = 0 OR n = 0 THEN (SELECT count(*) FROM cents)
+ELSE least((SELECT count(*) FROM cents), CAST(ceil($base * 1.0 * n / m) AS BIGINT)) END AS w FROM sel),
+"""
+    }.getOrElse("")
+    val qaBound = if (adaptiveBase.isDefined) "(SELECT w FROM wid)" else s"$nprobe"
     val subCtes = (0 until m).map { s =>
       s"""s${s}c AS (SELECT vec_id, emb[${s * sub + 1}:${(s + 1) * sub}] AS emb FROM rv),
 ${l2TrainCtes(ksub, iters, sub, src = s"s${s}c", pfx = s"s$s")},
@@ -606,10 +624,10 @@ rv AS (SELECT ca.neighbor_id AS vec_id, list_transform(range(1, ${dims + 1}), i 
 FROM ca JOIN cents USING (cent_id)),
 rvinit AS (SELECT vec_id FROM rv WHERE list_dot_product(emb, emb) > 0 AND NOT isnan(list_dot_product(emb, emb))
 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $ksub),
-qa AS (SELECT query_id, cent_id, qcd FROM (
+$labCte${adaptCtes}qa AS (SELECT query_id, cent_id, qcd FROM (
 SELECT q.vec_id AS query_id, cent_id, list_dot_product(q.emb, cemb) AS qcd,
 row_number() OVER (PARTITION BY q.vec_id ORDER BY round(list_cosine_similarity(q.emb, cemb), 4) DESC, cent_id) AS cr
-FROM q CROSS JOIN cents) t WHERE cr <= $nprobe)$labCte,
+FROM q CROSS JOIN cents) t WHERE cr <= $qaBound),
 $subCtes,
 codes AS ($codesUnion),
 cb AS ($cbUnion),
@@ -640,13 +658,37 @@ SELECT query_id, neighbor_id, score, "rank" FROM r WHERE "rank" <= $k"""
     * into its probed-cell parquet scan, so k fills from matching rows
     * on both sides (the q_ann_filtered recipe, on the PQ oracle).
     */
+  /** `adaptiveBase` (r19): replay [[graft.pipeline.IvfIndex
+    * .searchTopKAdaptive]] over the PQ store — the base-nprobe probed
+    * cells, the filter's selectivity counted over their rows, nprobe
+    * widened to `min(nlist, ceil(base·n/m))` (full probe on a
+    * zero-match estimate), then the SAME filtered ADC serve at the
+    * widened probe. Requires `labelEq` (the adaptive path exists for
+    * filtered serving).
+    */
   private def pqSql(k: Int, dims: Int, m: Int, ksub: Int, iters: Int,
-                    nlist: Int, nprobe: Int, labelEq: Option[Int] = None): String = {
+                    nlist: Int, nprobe: Int, labelEq: Option[Int] = None,
+                    adaptiveBase: Option[Int] = None): String = {
+    require(adaptiveBase.isEmpty || labelEq.isDefined,
+      "adaptiveBase replays the FILTERED adaptive serve; labelEq is required")
     val sub = dims / m
     val labCte = labelEq.map(_ => ",\nlab AS (SELECT vec_id, label FROM embeddings)").getOrElse("")
     val labJoin = labelEq
       .map(v => s" JOIN lab ON lab.vec_id = ca.neighbor_id AND lab.label = $v")
       .getOrElse("")
+    val adaptCtes = adaptiveBase.map { base =>
+      s"""qa0 AS (SELECT query_id, cent_id FROM (
+SELECT q.vec_id AS query_id, cent_id,
+row_number() OVER (PARTITION BY q.vec_id ORDER BY round(list_cosine_similarity(q.emb, cemb), 4) DESC, cent_id) AS cr
+FROM q CROSS JOIN cents) t WHERE cr <= $base),
+probe AS (SELECT DISTINCT cent_id FROM qa0),
+sel AS (SELECT count(*) AS n, count(CASE WHEN lab.label = ${labelEq.get} THEN 1 END) AS m
+FROM ca JOIN probe USING (cent_id) JOIN lab ON lab.vec_id = ca.neighbor_id),
+wid AS (SELECT CASE WHEN m = 0 OR n = 0 THEN (SELECT count(*) FROM cents)
+ELSE least((SELECT count(*) FROM cents), CAST(ceil($base * 1.0 * n / m) AS BIGINT)) END AS w FROM sel),
+"""
+    }.getOrElse("")
+    val qaBound = if (adaptiveBase.isDefined) "(SELECT w FROM wid)" else s"$nprobe"
     val subCtes = (0 until m).map { s =>
       s"""s${s}c AS (SELECT vec_id, emb[${s * sub + 1}:${(s + 1) * sub}] AS emb FROM c),
 ${kmeansTrainCtes(ksub, iters, sub, src = s"s${s}c", pfx = s"s$s")},
@@ -663,10 +705,10 @@ ${kmeansAssignCte(s"s${s}enc", s"s${s}cents$iters", src = s"s${s}c")}"""
 q AS (SELECT vec_id, emb FROM c WHERE vec_id % 50 = 0),
 $centsCte,
 ${routedCaCtes("cents", "c", "neighbor_id")}$labCte,
-qa AS (SELECT query_id, cent_id FROM (
+${adaptCtes}qa AS (SELECT query_id, cent_id FROM (
 SELECT q.vec_id AS query_id, cent_id,
 row_number() OVER (PARTITION BY q.vec_id ORDER BY round(list_cosine_similarity(q.emb, cemb), 4) DESC, cent_id) AS cr
-FROM q CROSS JOIN cents) t WHERE cr <= $nprobe),
+FROM q CROSS JOIN cents) t WHERE cr <= $qaBound),
 $subCtes,
 codes AS ($codesUnion),
 cb AS ($cbUnion),
@@ -878,6 +920,17 @@ SELECT query_id, neighbor_id, score, "rank" FROM r WHERE "rank" <= 5"""
     "q_ann_filtered_pq_residual" ->
       pqResidualSql(k = 5, dims = 64, m = 4, ksub = 8, iters = 1, nlist = 0, nprobe = 4,
         labelEq = Some(3)),
+    // selectivity-aware probing over the COMPRESSED layouts (r19,
+    // VERDICT r18 top-next): the estimate→widen→filtered-ADC chain
+    // replays term-for-term on the PQ and residual stores — the
+    // compressed + filtered + auto-nprobe serve a 100 TB pipeline
+    // actually runs
+    "q_ann_adaptive_pq" ->
+      pqSql(k = 5, dims = 64, m = 4, ksub = 8, iters = 1, nlist = 0, nprobe = 2,
+        labelEq = Some(3), adaptiveBase = Some(2)),
+    "q_ann_adaptive_pq_residual" ->
+      pqResidualSql(k = 5, dims = 64, m = 4, ksub = 8, iters = 1, nlist = 0, nprobe = 2,
+        labelEq = Some(3), adaptiveBase = Some(2)),
     // the REALISTIC PQ shape (r18): m=8 subspaces x 256 codewords —
     // the tinyint(-128) rank path and the 256-codeword Lloyd,
     // hash-checked end-to-end instead of only spec-pinned
@@ -1603,6 +1656,45 @@ FROM q CROSS JOIN cents) t WHERE cr <= (SELECT w FROM wid)),
 s AS (SELECT qa.query_id, ca.neighbor_id, round(list_cosine_similarity(qa.qemb, ca.emb), 4) AS score
 FROM qa JOIN ca USING (cent_id) JOIN lab ON lab.vec_id = ca.neighbor_id
 WHERE qa.query_id <> ca.neighbor_id AND lab.label = 3),
+r AS (SELECT query_id, neighbor_id, score,
+CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS "rank" FROM s)
+SELECT query_id, neighbor_id, score, "rank" FROM r WHERE "rank" <= 5""",
+
+    // histogram-bounded adaptive probing (r19, VERDICT r18 #2): the
+    // store keeps a per-cell payload histogram, the predicate names a
+    // RARE derived label (~1%: vec_id % 97 → label 99), and maxProbe
+    // caps the widening — m = 0 over the base probed cells widens to
+    // min(maxProbe, nlist) instead of a full probe, and the serve
+    // touches only match-bearing cells (result-identical to the
+    // unrestricted scan, so the oracle replays the plain filtered
+    // serve at the capped widened probe). The widening is a pure
+    // function of the corpus — counts, cap, and the rank window all
+    // re-derive in SQL.
+    "q_ann_adaptive_hist" ->
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0 AND NOT isnan(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))),
+cents AS (SELECT vec_id AS cent_id, emb AS cemb FROM c
+QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+  <= greatest(16, CAST(ceil(sqrt((SELECT count(*) FROM c))) AS BIGINT))),
+${routedCaCtes("cents", "c", "neighbor_id")},
+lab AS (SELECT vec_id, CASE WHEN vec_id % 97 = 0 THEN 99 ELSE label END AS label FROM embeddings),
+q AS (SELECT vec_id, emb FROM c WHERE vec_id % 50 = 0),
+mp AS (SELECT least(12, (SELECT count(*) FROM cents)) AS w),
+qa0 AS (SELECT query_id, cent_id FROM (
+SELECT q.vec_id AS query_id, cent_id,
+row_number() OVER (PARTITION BY q.vec_id ORDER BY round(list_cosine_similarity(q.emb, cemb), 4) DESC, cent_id) AS cr
+FROM q CROSS JOIN cents) t WHERE cr <= 2),
+probe AS (SELECT DISTINCT cent_id FROM qa0),
+sel AS (SELECT count(*) AS n, count(CASE WHEN lab.label = 99 THEN 1 END) AS m
+FROM ca JOIN probe USING (cent_id) JOIN lab ON lab.vec_id = ca.neighbor_id),
+wid AS (SELECT CASE WHEN m = 0 OR n = 0 THEN (SELECT w FROM mp)
+ELSE least((SELECT w FROM mp), CAST(ceil(2.0 * n / m) AS BIGINT)) END AS w FROM sel),
+qa AS (SELECT query_id, qemb, cent_id FROM (
+SELECT q.vec_id AS query_id, q.emb AS qemb, cent_id,
+row_number() OVER (PARTITION BY q.vec_id ORDER BY round(list_cosine_similarity(q.emb, cemb), 4) DESC, cent_id) AS cr
+FROM q CROSS JOIN cents) t WHERE cr <= (SELECT w FROM wid)),
+s AS (SELECT qa.query_id, ca.neighbor_id, round(list_cosine_similarity(qa.qemb, ca.emb), 4) AS score
+FROM qa JOIN ca USING (cent_id) JOIN lab ON lab.vec_id = ca.neighbor_id
+WHERE qa.query_id <> ca.neighbor_id AND lab.label = 99),
 r AS (SELECT query_id, neighbor_id, score,
 CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS "rank" FROM s)
 SELECT query_id, neighbor_id, score, "rank" FROM r WHERE "rank" <= 5""",

@@ -1033,6 +1033,65 @@ object SparkEntry {
       graft.pipeline.IvfIndex.searchTopKAdaptive(s, path, q, "vec_id", "emb",
         k = 5, nprobe = 2, filter = Some(col("label") === 3))
     }),
+    "q_ann_adaptive_pq" -> ((s, dir) => {
+      // SELECTIVITY-AWARE probing over the COMPRESSED layout (r19):
+      // the PQ store carries the payload, the base nprobe=2 widens by
+      // the measured label=3 selectivity over the probed cells, and
+      // the widened serve is the filtered ADC scan — compressed bytes
+      // + pushed filter + auto-sized nprobe, the serve a production
+      // pipeline actually runs. The widening and the ADC math both
+      // replay in the oracle, so the whole chain is hash-checked.
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"), col("label"))
+      val path = new java.io.File(
+        s"target/graft-ivf/${new java.io.File(dir).getName}/idxadaptpq").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      graft.pipeline.IvfIndex.buildPq(e, "vec_id", "emb", path, dims = 64,
+        m = 4, ksub = 8, iters = 1, nlist = Similarity.AutoNlist,
+        payloadCols = Seq("label"))
+      val q = e.where(col("vec_id") % 50 === 0).select("vec_id", "emb")
+      graft.pipeline.IvfIndex.searchTopKAdaptive(s, path, q, "vec_id", "emb",
+        k = 5, nprobe = 2, filter = Some(col("label") === 3))
+    }),
+    "q_ann_adaptive_pq_residual" -> ((s, dir) => {
+      // the adaptive serve on the RESIDUAL (IVFADC) rung (r19): same
+      // estimate→widen chain, with the per-(query, cell) dot(q, c)
+      // term decomposing the widened ADC score — the last unverified
+      // combination on the serving surface (VERDICT r18 top-next)
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"), col("label"))
+      val path = new java.io.File(
+        s"target/graft-ivf/${new java.io.File(dir).getName}/idxadaptpqr").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      graft.pipeline.IvfIndex.buildPq(e, "vec_id", "emb", path, dims = 64,
+        m = 4, ksub = 8, iters = 1, nlist = Similarity.AutoNlist,
+        residual = true, payloadCols = Seq("label"))
+      val q = e.where(col("vec_id") % 50 === 0).select("vec_id", "emb")
+      graft.pipeline.IvfIndex.searchTopKAdaptive(s, path, q, "vec_id", "emb",
+        k = 5, nprobe = 2, filter = Some(col("label") === 3))
+    }),
+    "q_ann_adaptive_hist" -> ((s, dir) => {
+      // HISTOGRAM-BOUNDED adaptive probing (r19, VERDICT r18 #2): the
+      // store keeps a per-cell payload histogram, the predicate names
+      // a RARE derived label (~1%), and maxProbe=12 caps the widening
+      // — the zero-match estimate that r18 answered with a FULL probe
+      // now probes at most min(12, nlist) cells, and only the cells
+      // the histogram says contain matches. The histogram, the cap,
+      // and the widened rank window are all pure functions of the
+      // corpus, so the oracle re-derives them exactly.
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"),
+        when(col("vec_id") % 97 === 0, lit(99)).otherwise(col("label")).as("label"))
+      val path = new java.io.File(
+        s"target/graft-ivf/${new java.io.File(dir).getName}/idxadapthist").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      graft.pipeline.IvfIndex.build(e, "vec_id", "emb", path,
+        nlist = Similarity.AutoNlist, payloadCols = Seq("label"),
+        histogramCols = Seq("label"))
+      val q = e.where(col("vec_id") % 50 === 0).select("vec_id", "emb")
+      graft.pipeline.IvfIndex.searchTopKAdaptive(s, path, q, "vec_id", "emb",
+        k = 5, nprobe = 2, filter = Some(col("label") === 99), maxProbe = 12)
+    }),
     "q_ann_ivf_store_pq_big" -> ((s, dir) => {
       // the REALISTIC PQ shape (r18): m=8 subspaces x 256 codewords
       // (64 bits/vector) — every init row keeps at least itself under

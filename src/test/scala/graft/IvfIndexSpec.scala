@@ -991,4 +991,298 @@ class IvfIndexSpec extends SparkSuite {
     val mem = Similarity.ivfTopK(corpus, q, "vec_id", "emb", k = 5, nlist = 8, nprobe = 4)
     assert(resultSet(stored) == resultSet(mem))
   }
+
+  // ---- round 19: version scheme 2, histogram-bounded adaptive -----
+
+  /** Downgrade a store's `_layout` sidecar to the r18 shape (no
+    * `scheme` column -> read as scheme 1) and re-mint its keymap under
+    * that scheme — how the never-mix pins below simulate a live r18
+    * store without r18 code.
+    */
+  private def downgradeToScheme1(path: String): Unit = {
+    val s = spark
+    val row = s.read.parquet(s"$path/_layout")
+      .select("vec_col", "payload_cols").collect().head
+    import s.implicits._
+    Seq((row.getString(0), row.getSeq[String](1)))
+      .toDF("vec_col", "payload_cols")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_layout_tmp")
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_layout"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$path/_layout_tmp"),
+      new org.apache.hadoop.fs.Path(s"$path/_layout"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_keymap"), true)
+    IvfIndex.stats(s, path, "id") // re-derives the keymap under scheme 1
+    ()
+  }
+
+  test("scheme 2: a string payload equal to the NUL char is distinct from NULL; scheme-1 stores keep their hashes (r19)") {
+    val s = spark; import s.implicits._
+    val corpus = Seq(
+      (1L, Array.tabulate(4)(_ * 0.5 + 0.1), Option("en")),
+      (2L, Array.tabulate(4)(d => 1.0 - d * 0.2), Option("mit")))
+      .toDF("id", "v", "lic")
+    def ver(path: String, id: Long): Long = s.read.parquet(s"$path/_keymap")
+      .where(col("id") === id).select("__ver__").head().getLong(0)
+    // scheme 2 (every r19+ build): NULL vs the literal NUL string are
+    // structurally different (typed isNull flag), so the pathological
+    // re-ingest VERDICT r18 #1 named flips the version
+    val path = tempPath("nulchar")
+    IvfIndex.build(corpus.where(col("id") === 1L)
+      .select(col("id"), col("v"), lit(null).cast("string").as("lic"))
+      .unionByName(corpus.where(col("id") === 2L)),
+      "id", "v", path, nlist = 2, payloadCols = Seq("lic"))
+    assert(s.read.parquet(s"$path/_layout").select("scheme").head().getInt(0) == 2,
+      "new builds must declare the current version-hash scheme")
+    val v0 = ver(path, 1L)
+    IvfIndex.appendBatch(s, path,
+      corpus.where(col("id") === 1L)
+        .select(col("id"), col("v"), lit("\u0000").as("lic")), "id", "v")
+    assert(ver(path, 1L) != v0,
+      "scheme 2: lic=NULL -> lic=NUL-char must flip the version (typed null flag)")
+    // never-mix pin: a scheme-1 sidecar (r18 store) keeps the in-band
+    // sentinel hash, where that same transition is (documentedly)
+    // invisible — its on-disk hashes were minted under scheme 1 and a
+    // silent re-mint would un-drain any in-flight blue/green publish
+    val legacy = tempPath("nulchar-legacy")
+    IvfIndex.build(corpus.where(col("id") === 1L)
+      .select(col("id"), col("v"), lit(null).cast("string").as("lic"))
+      .unionByName(corpus.where(col("id") === 2L)),
+      "id", "v", legacy, nlist = 2, payloadCols = Seq("lic"))
+    downgradeToScheme1(legacy)
+    val lv0 = ver(legacy, 1L)
+    IvfIndex.appendBatch(s, legacy,
+      corpus.where(col("id") === 1L)
+        .select(col("id"), col("v"), lit("\u0000").as("lic")), "id", "v")
+    assert(ver(legacy, 1L) == lv0,
+      "scheme-1 stores must keep their sentinel hash verbatim (never mix schemes mid-store)")
+    SparkEntry.runPendingCleanups()
+  }
+
+  test("scheme 2 folds __scale__: a uniformly rescaled re-ingest flips the int8 version; rebuild still drains (r19)") {
+    val s = spark; import s.implicits._
+    val corpus = Seq(
+      (1L, Array(0.1, 0.2, 0.4, 0.8)),
+      (2L, Array(1.0, -0.5, 0.25, -0.125)),
+      (3L, Array(-0.3, 0.9, 0.6, 0.2)))
+      .toDF("id", "v")
+    def ver(path: String, id: Long): Long = s.read.parquet(s"$path/_keymap")
+      .where(col("id") === id).select("__ver__").head().getLong(0)
+    val path = tempPath("scalever")
+    IvfIndex.build(corpus, "id", "v", path, nlist = 2, int8 = true)
+    val v0 = ver(path, 1L)
+    // 2x rescale: every code round(2v/(2s)) reproduces exactly, the
+    // scale doubles — identical codes, different stored magnitude
+    IvfIndex.appendBatch(s, path,
+      corpus.where(col("id") === 1L)
+        .select(col("id"), transform(col("v"), x => x * 2.0).as("v")), "id", "v")
+    val after = s.read.parquet(path).where(col("id") === 1L)
+      .select("__codes__", "__scale__").head()
+    assert(ver(path, 1L) != v0,
+      "scheme 2 must flip the version on a same-codes rescale (ADVICE r18 #2)")
+    // the rescale really did keep the codes and move the scale — the
+    // exact blind spot the scale fold closes
+    val orig = Seq((1L, Array(0.1, 0.2, 0.4, 0.8))).toDF("id", "v")
+    val origRow = Similarity.quantizeInt8(orig, "v", "c", "s")
+      .select(col("c").cast("array<int>"), col("s")).head()
+    assert(after.getSeq[Byte](0).map(_.toInt) == origRow.getSeq[Int](0),
+      "codes must be identical across the rescale")
+    assert(after.getDouble(1) == origRow.getDouble(1) * 2.0, "scale must double")
+    // the scale fold is only safe because rebuild/catch-up now carry
+    // codes AND scale VERBATIM: a rebuilt generation must be DRAINED
+    // (every version equal), or blue/green publish would refuse forever
+    val path2 = tempPath("scalever-rebuilt")
+    IvfIndex.rebuild(s, path, path2, "id", "v", nlist = 2)
+    assert(IvfIndex.managedDrained(s, path, path2, "id"),
+      "an int8 rebuild must carry codes+scale verbatim so versions drain across generations")
+    // legacy (scheme-1) stores keep the codes-only hash: same rescale,
+    // no flip — documented, never re-minted mid-store
+    val legacy = tempPath("scalever-legacy")
+    IvfIndex.build(corpus, "id", "v", legacy, nlist = 2, int8 = true)
+    downgradeToScheme1(legacy)
+    val lv0 = ver(legacy, 1L)
+    IvfIndex.appendBatch(s, legacy,
+      corpus.where(col("id") === 1L)
+        .select(col("id"), transform(col("v"), x => x * 2.0).as("v")), "id", "v")
+    assert(ver(legacy, 1L) == lv0,
+      "scheme-1 int8 stores must keep the codes-only hash (never mix schemes mid-store)")
+    SparkEntry.runPendingCleanups()
+  }
+
+  test("migrateLayout: a legacy store misses a payload-only re-ingest; the migrated store catches it (r19)") {
+    val s = spark
+    val e = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"), col("label"))
+    val path = tempPath("migrate")
+    IvfIndex.build(e, "vec_id", "emb", path, nlist = 8, payloadCols = Seq("label"))
+    // simulate a PRE-r18 store: no _layout sidecar at all, keymap
+    // re-derived under the metaless heuristic (vector-only hash)
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_layout"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_keymap"), true)
+    IvfIndex.stats(s, path, "vec_id")
+    def ver(id: Long): Option[Long] = {
+      val r = s.read.parquet(s"$path/_keymap").where(col("vec_id") === id)
+        .select("__ver__").head()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+    val id0 = e.orderBy("vec_id").select("vec_id").head().getLong(0)
+    val donor = e.where(col("vec_id") === id0)
+    val v0 = ver(id0)
+    // payload-only re-ingest: the legacy vector-only hash cannot see it
+    IvfIndex.appendBatch(s, path,
+      donor.select(col("vec_id"), col("emb"), lit(777).as("label")), "vec_id", "emb")
+    assert(ver(id0) == v0,
+      "the legacy metaless scheme is blind to a payload-only change (the migration's reason)")
+    // one-shot migration: declared sidecar at the current scheme + a
+    // full keymap re-mint from stored content
+    IvfIndex.migrateLayout(s, path, "vec_id", "emb")
+    val meta = s.read.parquet(s"$path/_layout").head()
+    assert(meta.getSeq[String](meta.fieldIndex("payload_cols")) == Seq("label") &&
+      meta.getInt(meta.fieldIndex("scheme")) == 2,
+      s"migrate must declare the heuristic payload at the current scheme, got $meta")
+    val v1 = ver(id0)
+    assert(v1.isDefined, "migrated keymap must carry real versions")
+    IvfIndex.appendBatch(s, path,
+      donor.select(col("vec_id"), col("emb"), lit(778).as("label")), "vec_id", "emb")
+    assert(ver(id0) != v1,
+      "after migration a payload-only re-ingest must flip the version")
+    // idempotent: re-running re-derives identical hashes
+    val before = s.read.parquet(s"$path/_keymap")
+      .select(col("vec_id"), col("__ver__"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    IvfIndex.migrateLayout(s, path, "vec_id", "emb")
+    val afterM = s.read.parquet(s"$path/_keymap")
+      .select(col("vec_id"), col("__ver__"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(afterM == before, "migrateLayout must be idempotent")
+    SparkEntry.runPendingCleanups()
+  }
+
+  test("_cellhist stays EXACT through build, append (with a moved key), delete, and rebuild (r19)") {
+    val s = spark
+    val e = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"), col("label"))
+    val path = tempPath("hist")
+    IvfIndex.build(e, "vec_id", "emb", path, nlist = 8,
+      payloadCols = Seq("label"), histogramCols = Seq("label"))
+    def histOf(p: String): Map[(Long, Int), Long] = s.read.parquet(s"$p/_cellhist")
+      .select(col("cent_id"), col("label"), col("__n__"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    def recount(p: String): Map[(Long, Int), Long] = s.read.parquet(p)
+      .groupBy(col("cent_id").cast("long").as("c"), col("label")).count()
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(histOf(path) == recount(path), "build histogram must equal a direct recount")
+    // append that MOVES a key across cells (an id re-ingested with a
+    // different cell's vector): both the new cell and the vacated cell
+    // must recount
+    val layout0 = s.read.parquet(path)
+      .select(col("cent_id").cast("long"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (c1, id1) = layout0.head
+    val (_, id2) = layout0.find(_._1 != c1).get
+    IvfIndex.appendBatch(s, path,
+      e.where(col("vec_id") === id2).select(lit(id1).as("vec_id"), col("emb"), col("label")),
+      "vec_id", "emb")
+    assert(histOf(path) == recount(path), "append (with a moved key) must keep the histogram exact")
+    // delete: the touched cells recount; a fully-emptied cell drops out
+    IvfIndex.deleteVectors(s, path,
+      e.orderBy("vec_id").limit(10).select("vec_id"), "vec_id")
+    assert(histOf(path) == recount(path), "delete must keep the histogram exact")
+    // rebuild (cells change under the fresh quantizer): full recount
+    val path2 = tempPath("hist-rebuilt")
+    IvfIndex.rebuild(s, path, path2, "vec_id", "emb", nlist = 8)
+    assert(histOf(path2) == recount(path2), "rebuild must recount the histogram for the new cells")
+    // residual-PQ compaction rebuild carries the histogram verbatim
+    val pqPath = tempPath("hist-pqr")
+    IvfIndex.buildPq(e, "vec_id", "emb", pqPath, dims = 64, m = 4, ksub = 8, iters = 1,
+      nlist = 8, residual = true, payloadCols = Seq("label"), histogramCols = Seq("label"))
+    assert(histOf(pqPath) == recount(pqPath))
+    val pqPath2 = tempPath("hist-pqr2")
+    IvfIndex.rebuild(s, pqPath, pqPath2, "vec_id", "emb")
+    assert(histOf(pqPath2) == histOf(pqPath),
+      "a compaction-only rebuild must carry the histogram verbatim")
+    SparkEntry.runPendingCleanups()
+  }
+
+  test("histogram-bounded adaptive: absent predicate probes nothing; rare-but-present recovers brute force; maxProbe caps the scan (r19)") {
+    val s = spark
+    // rare label: ~1% of rows get label 99 (the regime where
+    // ceil(nprobe/sel) saturates and r18 fell back to a FULL probe)
+    val e = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"),
+        when(col("vec_id") % 97 === 0, lit(99)).otherwise(col("label")).as("label"))
+    val q = e.where(col("vec_id") % 50 === 0).select("vec_id", "emb")
+    val path = tempPath("adapthist")
+    IvfIndex.build(e, "vec_id", "emb", path, nlist = 16,
+      payloadCols = Seq("label"), histogramCols = Seq("label"))
+    // ABSENT predicate (the typo'd license string): the histogram says
+    // no cell matches, so the serve probes ZERO cells and returns the
+    // (exactly correct) empty result — r18 scanned every cell here
+    val absent = IvfIndex.searchTopKAdaptive(s, path, q, "vec_id", "emb", k = 5,
+      nprobe = 2, filter = Some(col("label") === 12345), maxProbe = 4)
+    absent.queryExecution.toRdd.count()
+    val absentScans = allScans(absent.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("graft-ivf-adapthist")))
+    assert(absentScans.forall(_.selectedPartitions.partitionCount == 0),
+      s"an absent predicate must probe zero cell partitions, got " +
+        s"${absentScans.map(_.selectedPartitions.partitionCount)}")
+    assert(absent.isEmpty, "an absent predicate must return the empty top-k")
+    // RARE-BUT-PRESENT, uncapped: the histogram widens to every
+    // match-bearing cell within the full routing, so recall recovers
+    // brute force over the filtered corpus — while scanning only the
+    // cells that hold label-99 rows, never all 16
+    val pred = col("label") === 99
+    val truth = Similarity.bruteForceTopK(e.where(pred), q, "vec_id", "emb", k = 5)
+      .select("query_id", "neighbor_id")
+    val adaptive = IvfIndex.searchTopKAdaptive(s, path, q, "vec_id", "emb", k = 5,
+      nprobe = 2, filter = Some(pred))
+    adaptive.queryExecution.toRdd.count()
+    val matchCells = s.read.parquet(s"$path/_cellhist").where(col("label") === 99)
+      .select("cent_id").distinct().count()
+    val rareScans = allScans(adaptive.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("graft-ivf-adapthist")))
+      .filter(_.metadata.get("PartitionFilters").exists(_.contains("cent_id")))
+    assert(rareScans.nonEmpty && rareScans.forall(_.selectedPartitions.partitionCount <= matchCells),
+      s"the rare-label serve must scan only match-bearing cells (<= $matchCells), got " +
+        s"${rareScans.map(_.selectedPartitions.partitionCount)}")
+    val total = truth.count()
+    val hits = truth.join(adaptive.select("query_id", "neighbor_id"),
+      Seq("query_id", "neighbor_id"), "left_semi").count()
+    assert(total > 0 && hits == total,
+      s"uncapped histogram widening must recover brute-force filtered recall, got $hits/$total")
+    // maxProbe CAP: the routing keeps at most `cap` cells PER QUERY,
+    // so a single query's probed partition count is bounded by the
+    // cap even when the selectivity estimate wants more — the
+    // documented recall contract (the scan over many queries is the
+    // union of their per-query sets, so the single-query plan is the
+    // observable form of the bound)
+    val q1 = q.orderBy("vec_id").limit(1)
+    val capped = IvfIndex.searchTopKAdaptive(s, path, q1, "vec_id", "emb", k = 5,
+      nprobe = 2, filter = Some(pred), maxProbe = 3)
+    capped.queryExecution.toRdd.count()
+    val cappedScans = allScans(capped.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("graft-ivf-adapthist")))
+      .filter(_.metadata.get("PartitionFilters").exists(_.contains("cent_id")))
+    assert(cappedScans.nonEmpty && cappedScans.forall(_.selectedPartitions.partitionCount <= 3),
+      s"maxProbe=3 must bound the probed partitions, got " +
+        s"${cappedScans.map(_.selectedPartitions.partitionCount)}")
+    // a predicate outside the histogram's columns falls back to the
+    // scan estimate; on a histogram-covered predicate both paths see
+    // identical counts, so the neighbor sets agree
+    val fallback = IvfIndex.searchTopKAdaptive(s, path, q, "vec_id", "emb", k = 5,
+      nprobe = 2, filter = Some(pred && col("vec_id") >= 0))
+    assert(resultSet(fallback).map(t => (t._1, t._2)) == resultSet(adaptive).map(t => (t._1, t._2)),
+      "the scan-estimate fallback must agree with the histogram path on a covered predicate")
+    // the histogram answers adaptive serving over COMPRESSED layouts
+    // through the same dispatch: a PQ store built with histogramCols
+    // serves the absent predicate with zero probed cells too
+    val pqPath = tempPath("adapthist-pq")
+    IvfIndex.buildPq(e, "vec_id", "emb", pqPath, dims = 64, m = 4, ksub = 8, iters = 1,
+      nlist = 16, payloadCols = Seq("label"), histogramCols = Seq("label"))
+    assert(IvfIndex.searchTopKAdaptive(s, pqPath, q, "vec_id", "emb", k = 5,
+      nprobe = 2, filter = Some(col("label") === 12345), maxProbe = 4).isEmpty,
+      "a PQ store's histogram must answer an absent predicate with the empty top-k")
+    SparkEntry.runPendingCleanups()
+  }
 }

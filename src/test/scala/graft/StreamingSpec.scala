@@ -432,6 +432,37 @@ class StreamingSpec extends SparkSuite {
     assert(ex.getMessage.contains("RESIDUAL"), s"unexpected: ${ex.getMessage}")
   }
 
+  test("ivfAppendStreamManaged may be wired BEFORE managedInit; the first batch appends normally (r19)") {
+    // ADVICE r18 #4: the r18 wiring-time residual check resolved
+    // managedCurrent unconditionally, so the previously legal ordering
+    // 'wire the stream, then managedInit before the first batch' died
+    // at construction with an unrelated no-generation-marker message.
+    // With no marker there is nothing to validate at wiring — an
+    // uninitialized root still fails at the first batch with its own
+    // message, and a residual root initialized after wiring is caught
+    // by managedMaintain's defense-in-depth check at the drift trigger
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-wirefirst")
+    val root = tmp.resolve("idx").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    def vec(seed: Int) = Array.tabulate(8)(d => math.sin(seed * 13 + d).abs + 0.1)
+    val input = MemoryStream[(Long, Array[Double], Long)]
+    // wiring first: must NOT throw (the root is not initialized yet)
+    val q = StreamOps.ivfAppendStreamManaged(
+      input.toDF().toDF("id", "v", "ts"), root, ckpt, "id", "v", "ts")
+    try {
+      val base = (1 to 40).map(i => (i.toLong, vec(i))).toDF("id", "v")
+      graft.pipeline.IvfIndex.managedInit(base, "id", "v", root, nlist = 8)
+      input.addData((500L, vec(500), 1L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val cur = graft.pipeline.IvfIndex.managedCurrent(s, root)
+    val served = s.read.parquet(cur).select("id").collect().map(_.getLong(0)).toSet
+    assert(served == ((1 to 40).map(_.toLong).toSet + 500L),
+      s"the first batch after init-after-wiring must append normally, got ${served.size} ids")
+  }
+
   test("ivfAppendStreamManaged: a rebuild orphaned at stream stop publishes on restart without retraining (r15)") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
