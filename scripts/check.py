@@ -57,6 +57,14 @@ def canon(df):
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # big-SF replays: an uncapped DuckDB grows past physical RAM and
+    # gets OOM-killed instead of spilling; a cap makes it spill to
+    # temp_directory (set both when replaying sf>=1 oracles)
+    if os.environ.get("DUCKDB_MEMORY_LIMIT"):
+        con.sql(f"SET memory_limit='{os.environ['DUCKDB_MEMORY_LIMIT']}'")
+    if os.environ.get("DUCKDB_TEMP_DIR"):
+        os.makedirs(os.environ["DUCKDB_TEMP_DIR"], exist_ok=True)
+        con.sql(f"SET temp_directory='{os.environ['DUCKDB_TEMP_DIR']}'")
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(path):  # Spark directory layout (generated SFs)
