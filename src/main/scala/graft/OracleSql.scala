@@ -1576,7 +1576,8 @@ SELECT query_id, neighbor_id, score, "rank" FROM r WHERE "rank" <= 5""",
       val m = Similarity.planeMatrix(8, 64, 7)
       val comps = (0 until 8).map { p =>
         val lst = m(p).mkString("[", ", ", "]")
-        s"round(list_sum(list_transform(range(1, 65), i -> emb[i] * ($lst)[i])) / sqrt(8.0 / 3.0), 6) AS c$p"
+        // + 0.0 canonicalizes IEEE signed zero (matches the Spark side)
+        s"round(list_sum(list_transform(range(1, 65), i -> emb[i] * ($lst)[i])) / sqrt(8.0 / 3.0), 6) + 0.0 AS c$p"
       }.mkString(",\n")
       s"""SELECT vec_id,
 $comps

@@ -882,8 +882,11 @@ object SparkEntry {
       // component from the same md5-derived plane matrix
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       val r = Similarity.randomProjection(e, "emb", "rp", dims = 64, k = 8)
+      // + 0.0 canonicalizes IEEE signed zero: a component that rounds
+      // to exactly zero can carry either sign depending on summation
+      // direction, and -0.0 vs 0.0 hash-mismatches (seen at sf10)
       r.select(col("vec_id") +: (0 until 8).map(i =>
-        round(element_at(col("rp"), i + 1), 6).as(s"c$i")): _*)
+        (round(element_at(col("rp"), i + 1), 6) + lit(0.0)).as(s"c$i")): _*)
     }),
     "q_ann_ivf_store" -> ((s, dir) => {
       // the PERSISTED index round-trip: build the cell-partitioned
