@@ -581,7 +581,8 @@ ${pfx}cents${i + 1} AS (SELECT cent_id, list(m ORDER BY d) AS cemb FROM ${pfx}m$
     */
   private def pqResidualSql(k: Int, dims: Int, m: Int, ksub: Int, iters: Int,
                             nlist: Int, nprobe: Int, labelEq: Option[Int] = None,
-                            adaptiveBase: Option[Int] = None): String = {
+                            adaptiveBase: Option[Int] = None,
+                            refine: Option[Int] = None): String = {
     require(adaptiveBase.isEmpty || labelEq.isDefined,
       "adaptiveBase replays the FILTERED adaptive serve; labelEq is required")
     val sub = dims / m
@@ -648,8 +649,35 @@ GROUP BY p.query_id, p.neighbor_id, p.qcd),
 s AS (SELECT sc.query_id, sc.neighbor_id, round(sc.num / (qn.qn * xnorm.xn), 4) AS score
 FROM sc JOIN qn ON qn.vec_id = sc.query_id JOIN xnorm ON xnorm.vec_id = sc.neighbor_id),
 r AS (SELECT query_id, neighbor_id, score,
-CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS "rank" FROM s)
+CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS "rank" FROM s)${pqRefineTail(k, refine)}"""
+  }
+
+  /** The REFINE tail shared by [[pqSql]] and [[pqResidualSql]] (r19):
+    * with `refine = Some(R)` the ADC rank window becomes a SHORTLIST
+    * of R candidates per query, each re-scored by exact int8 cosine —
+    * the same quantize-round-trip CTE the int8 oracles use (codes =
+    * round(x / (max|x|/127)), score = integer dot over the codes) —
+    * and the final window re-ranks the re-scored shortlist to top-k.
+    * Mirrors IvfIndex.searchTopKPq's refine branch stage for stage.
+    * The produced text CONTINUES the caller's WITH list after its
+    * `r` CTE (ADC ranks), so it starts with "," in the refine case.
+    */
+  private def pqRefineTail(k: Int, refine: Option[Int]): String = refine match {
+    case None => s"""
 SELECT query_id, neighbor_id, score, "rank" FROM r WHERE "rank" <= $k"""
+    case Some(rf) => s""",
+cand8 AS (SELECT query_id, neighbor_id FROM r WHERE "rank" <= $rf),
+cz8 AS (SELECT vec_id,
+  CASE WHEN zs = 0 THEN list_transform(emb, x -> 0.0)
+       ELSE list_transform(emb, x -> round(x / zs)) END AS qv
+  FROM (SELECT vec_id, list_max(list_transform(emb, x -> abs(x))) / 127.0 AS zs, emb FROM c) t8),
+rs8 AS (SELECT cand8.query_id, cand8.neighbor_id,
+  round(list_dot_product(zq.qv, zn.qv) /
+        (sqrt(list_dot_product(zq.qv, zq.qv)) * sqrt(list_dot_product(zn.qv, zn.qv))), 4) AS score
+  FROM cand8 JOIN cz8 zq ON zq.vec_id = cand8.query_id JOIN cz8 zn ON zn.vec_id = cand8.neighbor_id),
+r8 AS (SELECT query_id, neighbor_id, score,
+CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS "rank" FROM rs8)
+SELECT query_id, neighbor_id, score, "rank" FROM r8 WHERE "rank" <= $k"""
   }
 
   /** `labelEq` (r18) is the filtered-ANN variant: the payload
@@ -668,7 +696,8 @@ SELECT query_id, neighbor_id, score, "rank" FROM r WHERE "rank" <= $k"""
     */
   private def pqSql(k: Int, dims: Int, m: Int, ksub: Int, iters: Int,
                     nlist: Int, nprobe: Int, labelEq: Option[Int] = None,
-                    adaptiveBase: Option[Int] = None): String = {
+                    adaptiveBase: Option[Int] = None,
+                    refine: Option[Int] = None): String = {
     require(adaptiveBase.isEmpty || labelEq.isDefined,
       "adaptiveBase replays the FILTERED adaptive serve; labelEq is required")
     val sub = dims / m
@@ -726,8 +755,7 @@ GROUP BY 1, 2),
 s AS (SELECT sc.query_id, sc.neighbor_id, round(sc.num / (qn.qn * xnorm.xn), 4) AS score
 FROM sc JOIN qn ON qn.vec_id = sc.query_id JOIN xnorm ON xnorm.vec_id = sc.neighbor_id),
 r AS (SELECT query_id, neighbor_id, score,
-CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS "rank" FROM s)
-SELECT query_id, neighbor_id, score, "rank" FROM r WHERE "rank" <= $k"""
+CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS "rank" FROM s)${pqRefineTail(k, refine)}"""
   }
 
   /** PageRank mirroring Graph.pageRank round-for-round over the
@@ -931,6 +959,19 @@ SELECT query_id, neighbor_id, score, "rank" FROM r WHERE "rank" <= 5"""
     "q_ann_adaptive_pq_residual" ->
       pqResidualSql(k = 5, dims = 64, m = 4, ksub = 8, iters = 1, nlist = 0, nprobe = 2,
         labelEq = Some(3), adaptiveBase = Some(2)),
+    // IVFPQ+REFINE (r19): the ADC rank window shortlists 20, the int8
+    // quantize-round-trip rescoring re-ranks to 5 — both stages replay
+    "q_ann_pq_refine" ->
+      pqSql(k = 5, dims = 64, m = 4, ksub = 8, iters = 1, nlist = 0, nprobe = 4,
+        refine = Some(20)),
+    "q_ann_pq_refine_residual" ->
+      pqResidualSql(k = 5, dims = 64, m = 4, ksub = 8, iters = 1, nlist = 0, nprobe = 4,
+        refine = Some(20)),
+    // the FULL production serve (r19): estimate → widen → filtered
+    // ADC → exact int8 re-rank, one hash-checked chain
+    "q_ann_refine_full" ->
+      pqSql(k = 5, dims = 64, m = 4, ksub = 8, iters = 1, nlist = 0, nprobe = 2,
+        labelEq = Some(3), adaptiveBase = Some(2), refine = Some(20)),
     // the REALISTIC PQ shape (r18): m=8 subspaces x 256 codewords —
     // the tinyint(-128) rank path and the 256-codeword Lloyd,
     // hash-checked end-to-end instead of only spec-pinned

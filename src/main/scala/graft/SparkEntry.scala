@@ -1095,6 +1095,60 @@ object SparkEntry {
       graft.pipeline.IvfIndex.searchTopKAdaptive(s, path, q, "vec_id", "emb",
         k = 5, nprobe = 2, filter = Some(col("label") === 99), maxProbe = 12)
     }),
+    "q_ann_pq_refine" -> ((s, dir) => {
+      // IVFPQ+REFINE (r19): the store carries the int8 triple next to
+      // the PQ ranks, ADC shortlists the top 20 candidates per query,
+      // and one exact integer-dot re-rank keeps the top 5 — the rung
+      // that recovers the candidate ordering the 8-byte codes lose
+      // (ADC recall saturates at the quantization ceiling; the sf1
+      // frontier tops out near 0.23 recall@10 at a FULL probe). Both
+      // stages replay in the oracle: the ADC rank window at 20, then
+      // the int8 quantize-round-trip rescoring at 5.
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val path = new java.io.File(
+        s"target/graft-ivf/${new java.io.File(dir).getName}/idxpqref").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      graft.pipeline.IvfIndex.buildPq(e, "vec_id", "emb", path, dims = 64,
+        m = 4, ksub = 8, iters = 1, nlist = Similarity.AutoNlist, refineInt8 = true)
+      val q = e.where(col("vec_id") % 50 === 0)
+      graft.pipeline.IvfIndex.searchTopK(s, path, q, "vec_id", "emb", k = 5,
+        nprobe = 4, refine = 20)
+    }),
+    "q_ann_pq_refine_residual" -> ((s, dir) => {
+      // refine on the RESIDUAL (IVFADC) rung (r19): the int8 triple
+      // quantizes the FULL vector (it must carry verbatim through the
+      // compaction-only rebuild), the ADC shortlist uses the residual
+      // decomposition, and the re-rank is the same exact integer dot
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val path = new java.io.File(
+        s"target/graft-ivf/${new java.io.File(dir).getName}/idxpqrref").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      graft.pipeline.IvfIndex.buildPq(e, "vec_id", "emb", path, dims = 64,
+        m = 4, ksub = 8, iters = 1, nlist = Similarity.AutoNlist, residual = true,
+        refineInt8 = true)
+      val q = e.where(col("vec_id") % 50 === 0)
+      graft.pipeline.IvfIndex.searchTopK(s, path, q, "vec_id", "emb", k = 5,
+        nprobe = 4, refine = 20)
+    }),
+    "q_ann_refine_full" -> ((s, dir) => {
+      // the FULL production serve (r19): compressed bytes (PQ ranks +
+      // int8 refine triple) + payload filter pushed into the probed
+      // scan + selectivity-widened nprobe + exact re-rank of the
+      // filtered shortlist — every serving feature composed in one
+      // oracle-gated chain (estimate → widen → filtered ADC →
+      // refine), hash-checked end to end
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"), col("label"))
+      val path = new java.io.File(
+        s"target/graft-ivf/${new java.io.File(dir).getName}/idxreffull").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      graft.pipeline.IvfIndex.buildPq(e, "vec_id", "emb", path, dims = 64,
+        m = 4, ksub = 8, iters = 1, nlist = Similarity.AutoNlist,
+        payloadCols = Seq("label"), refineInt8 = true)
+      val q = e.where(col("vec_id") % 50 === 0).select("vec_id", "emb")
+      graft.pipeline.IvfIndex.searchTopKAdaptive(s, path, q, "vec_id", "emb",
+        k = 5, nprobe = 2, filter = Some(col("label") === 3), refine = 20)
+    }),
     "q_ann_ivf_store_pq_big" -> ((s, dir) => {
       // the REALISTIC PQ shape (r18): m=8 subspaces x 256 codewords
       // (64 bits/vector) — every init row keeps at least itself under

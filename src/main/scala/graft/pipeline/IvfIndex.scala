@@ -198,6 +198,10 @@ object IvfIndex {
     * Maintained exactly through append/delete/rebuild; must be a
     * subset of `payloadCols`. Sidecar size is nlist × the joint
     * value cardinality — the declared-low-cardinality contract.
+    *
+    * For the REFINE layout — ADC candidate generation re-ranked by a
+    * higher-fidelity code, the IVFPQ+R design — see [[buildPq]]'s
+    * `refineInt8`.
     */
   def build(
       corpus: DataFrame,
@@ -307,6 +311,25 @@ object IvfIndex {
     * filtered PQ serve a production pipeline actually runs. Payload
     * survives [[appendBatch]] (batches must carry the columns),
     * [[rebuild]] (verbatim, both modes), and catch-up.
+    *
+    * `refineInt8` (r19) stores the int8 triple (`__codes__`,
+    * `__scale__`, `__cn__` — [[build]]'s compressed layout) NEXT TO
+    * the PQ ranks in every cell row, and [[searchTopK]]'s `refine`
+    * re-ranks the top ADC candidates by exact int8 cosine — the
+    * IVFPQ+refine design (FAISS `IndexRefine`, DiskANN's
+    * quantized-route/full-rerank split). Why it exists: ADC recall
+    * SATURATES at the quantization ceiling — on the measured sf1
+    * frontier the m=8/ksub=256 layout tops out near 0.23 recall@10
+    * at a FULL probe, because candidate ordering inside the probed
+    * cells is itself lossy. The refine rung pays d extra bytes/row
+    * (still ~4.5× smaller than float) to recover candidate ordering:
+    * route + shortlist on 8-byte ADC, then one exact integer-dot
+    * re-rank over `refine` candidates per query — never a stored
+    * float. The triple quantizes the FULL vector (not the residual),
+    * so it carries VERBATIM through rebuild/compaction/catch-up in
+    * both PQ modes, and maintenance ROUTES from its `code · scale`
+    * reconstruction (strictly higher fidelity than the PQ codeword
+    * reconstruction, and no codebook join).
     */
   def buildPq(
       corpus: DataFrame,
@@ -322,7 +345,8 @@ object IvfIndex {
       centroids: Option[DataFrame] = None,
       residual: Boolean = false,
       payloadCols: Seq[String] = Nil,
-      histogramCols: Seq[String] = Nil
+      histogramCols: Seq[String] = Nil,
+      refineInt8: Boolean = false
   ): Unit = {
     import org.apache.spark.storage.StorageLevel
     require(ksub <= Short.MaxValue,
@@ -335,7 +359,7 @@ object IvfIndex {
         Similarity.resolveNlist(nlist, nz)))
     if (residual)
       return buildPqResidual(spark, nz, cents, idCol, vecCol, path, dims, m, ksub,
-        iters, scoreDecimals, payloadCols, histogramCols)
+        iters, scoreDecimals, payloadCols, histogramCols, refineInt8)
     val meta = LayoutMeta(vecCol, payloadCols)
     // the fitted codebooks feed encode, the rank map, the recon norms
     // AND the sidecar write — persist, or each consumer replays Lloyd
@@ -362,7 +386,9 @@ object IvfIndex {
       val routed = Similarity.ivfAssignTwoLevel(nz, cents, idCol, vecCol, "row", scoreDecimals)
         .persist(StorageLevel.MEMORY_AND_DISK)
       try {
-        val assigned0 = pqCellRows(broadcast(cbStored), routed, idCol, scoreDecimals, tiny)
+        val assigned1 = pqCellRows(broadcast(cbStored), routed, idCol, scoreDecimals, tiny)
+        val assigned0 =
+          if (!refineInt8) assigned1 else assigned1.join(refineTriple(routed, idCol), Seq(idCol))
         val assigned = (
           if (payloadCols.isEmpty) assigned0
           else assigned0.join(nz.select((idCol +: payloadCols).map(col): _*), Seq(idCol))
@@ -420,7 +446,8 @@ object IvfIndex {
       iters: Int,
       scoreDecimals: Int,
       payloadCols: Seq[String],
-      histogramCols: Seq[String] = Nil
+      histogramCols: Seq[String] = Nil,
+      refineInt8: Boolean = false
   ): Unit = {
     import org.apache.spark.storage.StorageLevel
     val meta = LayoutMeta(vecCol, payloadCols)
@@ -444,8 +471,15 @@ object IvfIndex {
         val wCi = Window.partitionBy(col("sub_id")).orderBy(col("cent_id"))
         val cbStored = cb.withColumn("__ci__", row_number().over(wCi) - 1)
         val tiny = ksub <= 256
-        val assigned0 = pqCellRowsResidual(broadcast(cbStored), routed, cents, idCol,
+        val assigned1 = pqCellRowsResidual(broadcast(cbStored), routed, cents, idCol,
           scoreDecimals, tiny, dims, m)
+        // the refine triple quantizes the FULL vector, not the
+        // residual — exact re-ranking needs cosine against x, and a
+        // full-vector code is what can carry verbatim through the
+        // compaction-only rebuild (a residual-scoped code would be
+        // bound to the frozen cells twice over)
+        val assigned0 =
+          if (!refineInt8) assigned1 else assigned1.join(refineTriple(routed, idCol), Seq(idCol))
         val assigned = (
           if (payloadCols.isEmpty) assigned0
           else assigned0.join(nz.select((idCol +: payloadCols).map(col): _*), Seq(idCol))
@@ -509,6 +543,24 @@ object IvfIndex {
       .select(col("cent_id"), col(idCol), col("__pq__"),
         Similarity.norm(zip_with(col("__cv__"), col("__rh__"), (a, b) => a + b)).as("__xn__"))
   }
+
+  /** The int8 refine triple of a routed batch — (key, `__codes__`,
+    * `__scale__`, `__cn__`), [[Similarity.quantizeInt8]] over the
+    * FULL float vector exactly as [[build]]'s int8 layout stores it,
+    * so the refine re-rank shares q_ann_ivf_store_int8's scoring
+    * math (and its oracle recipe). Joined into the PQ cell rows by
+    * [[buildPq]]`(refineInt8 = true)` and [[appendBatch]].
+    */
+  private def refineTriple(routed: DataFrame, idCol: String): DataFrame =
+    cellRows(routed, idCol, "__fv__", int8 = true)
+      .select(col(idCol), col("__codes__"), col("__scale__"), col("__cn__"))
+
+  /** The refine-column names a REFINE layout adds to its cell rows —
+    * present iff the store was built with `refineInt8 = true` (the
+    * int8 triple next to `__pq__`); content columns, carried verbatim
+    * by every maintenance path like the codes themselves.
+    */
+  private val RefineCols = Seq("__codes__", "__scale__", "__cn__")
 
   /** The declared-shape sidecar of a PQ layout: one row of
     * (m, ksub, sub, codes_enc). Serving reads DECLARED m/ksub from it
@@ -647,6 +699,17 @@ object IvfIndex {
       idCol: String,
       vecCol: String
   ): DataFrame = {
+    // REFINE layouts (r19) reconstruct from the int8 triple instead
+    // of the PQ codewords: `code · scale` is strictly higher fidelity
+    // than the codeword concatenation (so routing/training downstream
+    // is better), and it is a plain projection — no codebook join, no
+    // explode/regroup. The PQ codes still ride VERBATIM next to it,
+    // so carried appends keep the keymap version hash stable.
+    if (layout.columns.contains("__codes__"))
+      return layout.select(Seq(col(idCol), col("__pq__"), col("__xn__"),
+        col("__codes__"), col("__scale__"), col("__cn__"),
+        transform(col("__codes__").cast("array<double>"), c => c * col("__scale__")).as(vecCol))
+        ++ payload.map(col): _*)
     val cb = broadcast(spark.read.parquet(s"$path/$CodebooksDir")
       .select(col("sub_id"), col("__ci__"), col("__cbv__")))
     // stored tinyint codes carry the -128 rank offset; undo it for
@@ -698,8 +761,11 @@ object IvfIndex {
     val cents = broadcast(spark.read.parquet(s"$path/$CentroidsDir"))
     val routed = Similarity.ivfAssignTwoLevel(
       rows.select(col(idCol), col(vecCol)), cents, idCol, vecCol, "row", scoreDecimals)
+    // refine layouts carry the int8 triple verbatim next to the codes
+    val carry = Seq(idCol, "__pq__", "__xn__") ++
+      RefineCols.filter(rows.columns.contains) ++ payload
     val assigned = routed.select(col("cent_id"), col("row_id").as(idCol))
-      .join(rows.select((Seq(idCol, "__pq__", "__xn__") ++ payload).map(col): _*), Seq(idCol))
+      .join(rows.select(carry.map(col): _*), Seq(idCol))
     upsertAssigned(spark, path, assigned, idCol, meta)
   }
 
@@ -787,7 +853,8 @@ object IvfIndex {
           "vectors to retrain")
       val rows = layoutDf
         .select((Seq(col("cent_id").cast("long").as("cent_id"), col(idCol),
-          col("__pq__"), col("__xn__")) ++ payload.map(col)): _*)
+          col("__pq__"), col("__xn__")) ++
+          RefineCols.filter(layoutCols.contains).map(col) ++ payload.map(col)): _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         graft.sources.Sink.writePartitioned(
@@ -819,8 +886,10 @@ object IvfIndex {
             Similarity.resolveNlist(nlist, recon)))
         val routed = Similarity.ivfAssignTwoLevel(
           recon.select(col(idCol), col(vecCol)), cents, idCol, vecCol, "row", scoreDecimals)
+        val carry = Seq(idCol, "__pq__", "__xn__") ++
+          RefineCols.filter(layoutCols.contains) ++ payload
         val assigned = routed.select(col("cent_id"), col("row_id").as(idCol))
-          .join(recon.select((Seq(idCol, "__pq__", "__xn__") ++ payload).map(col): _*), Seq(idCol))
+          .join(recon.select(carry.map(col): _*), Seq(idCol))
           .persist(StorageLevel.MEMORY_AND_DISK)
         try {
           graft.sources.Sink.writePartitioned(
@@ -927,6 +996,12 @@ object IvfIndex {
             s"but the batch lacks ${missing.mkString(", ")} - supply them or rebuild without payload")
         base.join(nz.select((idCol +: payload).map(col): _*), Seq(idCol))
       }
+    // refine layouts (r19): the batch's int8 triple derives from its
+    // own float vectors, exactly like the build's — the upsert must
+    // carry every stored column or it would corrupt the cell schema
+    def withRefine(base: DataFrame): DataFrame =
+      if (!layoutCols.contains("__codes__")) base
+      else base.join(refineTriple(routed, idCol), Seq(idCol))
     val assigned =
       if (layoutCols.contains("__pq__")) {
         // conform to the STORE's rank encoding (tinyint-offset vs
@@ -934,7 +1009,7 @@ object IvfIndex {
         // append must never mix widths into one cell layout
         val cb = broadcast(spark.read.parquet(s"$path/$CodebooksDir"))
         val meta = readPqMeta(spark, path)
-        withPayload(
+        withPayload(withRefine(
           if (meta.exists(_._4)) {
             // residual store: residual vs the FROZEN cell centroid,
             // L2-encoded under the FROZEN codebooks — the append is the
@@ -945,7 +1020,7 @@ object IvfIndex {
             pqCellRowsResidual(cb, routed, cents, idCol, scoreDecimals,
               pqCodesTiny(layoutSchema), m0 * sub0, m0)
           } else
-            pqCellRows(cb, routed, idCol, scoreDecimals, pqCodesTiny(layoutSchema)))
+            pqCellRows(cb, routed, idCol, scoreDecimals, pqCodesTiny(layoutSchema))))
       } else
         withPayload(cellRows(routed, idCol, vecCol, layoutCols.contains("__codes__")))
     upsertAssigned(spark, path, assigned, idCol, layoutMeta)
@@ -1315,7 +1390,20 @@ object IvfIndex {
         // generations: codes, vectors, and payload all travel
         // verbatim through rebuild/catch-up.
         val content: Seq[org.apache.spark.sql.Column] =
-          if (assigned.columns.contains("__codes__")) {
+          if (assigned.columns.contains("__pq__")) {
+            // REFINE layouts (r19) fold the int8 triple in next to the
+            // PQ ranks: the triple is content (it decides the re-rank
+            // order AND the reconstruction maintenance routes from),
+            // and it is strictly more change-sensitive than the lossy
+            // 8-byte ranks alone. Recipe-stable: refine stores only
+            // exist under scheme 2+ (the feature postdates it), no
+            // legacy scheme-2 PQ store carries the triple, and every
+            // maintenance path hands this function the full cell-row
+            // frame — so one store always hashes one recipe.
+            if (lm.scheme >= 2 && assigned.columns.contains("__codes__"))
+              Seq(col("__pq__"), col("__codes__"), col("__scale__"))
+            else Seq(col("__pq__"))
+          } else if (assigned.columns.contains("__codes__")) {
             // scheme 2 folds __scale__ in next to the codes (ADVICE
             // r18 #2): identical codes under a different scale IS a
             // content change (a uniformly rescaled vector) — cosine
@@ -1326,8 +1414,7 @@ object IvfIndex {
             // AND scale verbatim between generations (r19).
             if (lm.scheme >= 2) Seq(col("__codes__"), col("__scale__"))
             else Seq(col("__codes__"))
-          } else if (assigned.columns.contains("__pq__")) Seq(col("__pq__"))
-          else Seq(col(lm.vecCol))
+          } else Seq(col(lm.vecCol))
         // nulls must HASH, not vanish: Spark's xxhash64 skips null
         // children entirely (the running hash passes through
         // unchanged), so without an explicit null marker a
@@ -1563,7 +1650,8 @@ object IvfIndex {
       centroids: Option[DataFrame] = None,
       residual: Boolean = false,
       payloadCols: Seq[String] = Nil,
-      histogramCols: Seq[String] = Nil
+      histogramCols: Seq[String] = Nil,
+      refineInt8: Boolean = false
   ): String = {
     import org.apache.hadoop.fs.Path
     val r = new Path(root)
@@ -1571,7 +1659,7 @@ object IvfIndex {
     val gen = f"gen-${System.currentTimeMillis()}%013d"
     buildPq(corpus, idCol, vecCol, new Path(r, gen).toString,
       dims, m, ksub, iters, nlist, scoreDecimals, centroids, residual, payloadCols,
-      histogramCols)
+      histogramCols, refineInt8)
     publishGeneration(fs, r, gen)
     new Path(r, gen).toString
   }
@@ -1819,7 +1907,9 @@ object IvfIndex {
         // verbatim too (the unit-copy contract).
         val late = fromLayout
           .select((Seq(col("cent_id").cast("long").as("cent_id"), col(idCol),
-            col("__pq__"), col("__xn__")) ++ payload.map(col)): _*)
+            col("__pq__"), col("__xn__")) ++
+            RefineCols.filter(fromSchema.fieldNames.contains).map(col) ++
+            payload.map(col)): _*)
           .join(missing, Seq(idCol), "left_semi")
         if (!late.isEmpty) {
           upsertAssigned(spark, toPath, late, idCol, layoutMeta)
@@ -2144,7 +2234,8 @@ object IvfIndex {
       nprobes: Seq[Int],
       scoreDecimals: Int = 4,
       truthCorpus: Option[DataFrame] = None,
-      filter: Option[org.apache.spark.sql.Column] = None
+      filter: Option[org.apache.spark.sql.Column] = None,
+      refine: Int = 0
   ): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     import spark.implicits._
@@ -2170,7 +2261,7 @@ object IvfIndex {
       val total = truth.count()
       val rows = nprobes.map { nprobe =>
         val served = searchTopK(spark, path, queries, idCol, vecCol, k, nprobe,
-          scoreDecimals, filter)
+          scoreDecimals, filter, refine)
           .select(col("query_id"), col("neighbor_id"))
         val hits = truth.join(served, Seq("query_id", "neighbor_id"), "left_semi").count()
         (nlist, nprobe, nlist,
@@ -2206,6 +2297,19 @@ object IvfIndex {
     * more cells). Measure it with [[recallReport]]'s `filter` and
     * size `nprobe` for the predicate, or let [[searchTopKAdaptive]]
     * widen it by the measured selectivity.
+    *
+    * `refine` (r19, REFINE layouts only — [[buildPq]]'s
+    * `refineInt8`): re-rank the top `refine` ADC candidates per
+    * query by EXACT int8 cosine over the stored triple, then keep
+    * top-k — the IVFPQ+refine serve. `refine` bounds the re-rank
+    * pool (must be ≥ k; 20–50× k is the usual setting): ADC recall
+    * saturates at the quantization ceiling because candidate
+    * ORDERING is lossy, and the re-rank restores ordering for the
+    * shortlist at `refine` integer dot products per query — never a
+    * stored float, never a second scan (the triple rides the same
+    * probed cell rows). Scores in the result are the int8 cosine
+    * (q_ann_ivf_store_int8's scoring math). 0 disables (every
+    * non-refine layout requires 0).
     */
   def searchTopK(
       spark: SparkSession,
@@ -2216,13 +2320,14 @@ object IvfIndex {
       k: Int,
       nprobe: Int = 4,
       scoreDecimals: Int = 4,
-      filter: Option[org.apache.spark.sql.Column] = None
+      filter: Option[org.apache.spark.sql.Column] = None,
+      refine: Int = 0
   ): DataFrame = {
     // ONE read of the cell layout serves the layout dispatch AND the
     // probed scan — a second spark.read.parquet(path) would re-list
     // the cell directory per query batch (object-store cost at scale)
     searchTopKOver(spark, path, spark.read.parquet(path), centsOpt = None,
-      queries, idCol, vecCol, k, nprobe, scoreDecimals, filter)
+      queries, idCol, vecCol, k, nprobe, scoreDecimals, filter, refine = refine)
   }
 
   /** `cent_id IN (probed…)` as a partition-pruning Column; an empty
@@ -2250,11 +2355,15 @@ object IvfIndex {
       nprobe: Int,
       scoreDecimals: Int,
       filter: Option[org.apache.spark.sql.Column],
-      cellRestrict: Option[Set[Long]] = None
+      cellRestrict: Option[Set[Long]] = None,
+      refine: Int = 0
   ): DataFrame = {
     if (layoutDf.columns.contains("__pq__"))
       return searchTopKPq(spark, path, layoutDf, queries, idCol, vecCol, k, nprobe,
-        scoreDecimals, filter, centsOpt, cellRestrict)
+        scoreDecimals, filter, centsOpt, cellRestrict, refine)
+    require(refine == 0,
+      "searchTopK: refine re-ranking needs a PQ layout built with refineInt8 = true " +
+        "(float and int8 layouts already score candidates at their full stored fidelity)")
     val cents = centsOpt.getOrElse(broadcast(spark.read.parquet(s"$path/$CentroidsDir")))
     val qNz = Similarity.dropZeroVectors(queries, vecCol)
     val qCells = Similarity
@@ -2354,6 +2463,10 @@ object IvfIndex {
     *    rare-but-present one scans the match-bearing cells within
     *    the widened routing instead of every routed cell. Predicates
     *    over non-histogram columns fall back to the scan estimate.
+    *
+    * `refine` (r19) composes: the widened, filtered, cell-restricted
+    * ADC shortlist re-ranks by exact int8 cosine before the top-k —
+    * see [[searchTopK]]'s `refine` (REFINE layouts only).
     */
   def searchTopKAdaptive(
       spark: SparkSession,
@@ -2365,9 +2478,12 @@ object IvfIndex {
       nprobe: Int = 4,
       scoreDecimals: Int = 4,
       filter: Option[org.apache.spark.sql.Column] = None,
-      maxProbe: Int = 0
+      maxProbe: Int = 0,
+      refine: Int = 0
   ): DataFrame = filter match {
-    case None => searchTopK(spark, path, queries, idCol, vecCol, k, nprobe, scoreDecimals)
+    case None =>
+      searchTopK(spark, path, queries, idCol, vecCol, k, nprobe, scoreDecimals,
+        refine = refine)
     case Some(pred) =>
       val layoutDf = spark.read.parquet(path)
       val cents = broadcast(spark.read.parquet(s"$path/$CentroidsDir"))
@@ -2391,12 +2507,14 @@ object IvfIndex {
           // means the predicate is absent from the corpus and the
           // serve probes nothing
           searchTopKOver(spark, path, layoutDf, Some(cents), queries, idCol, vecCol,
-            k, widenBy(n, m), scoreDecimals, filter, cellRestrict = Some(matches.keySet))
+            k, widenBy(n, m), scoreDecimals, filter, cellRestrict = Some(matches.keySet),
+            refine = refine)
         case None =>
           val est = layoutDf.where(cellsIn(probed))
             .agg(count(lit(1)).as("n"), count(when(pred, 1)).as("m")).head()
           searchTopKOver(spark, path, layoutDf, Some(cents), queries, idCol, vecCol,
-            k, widenBy(est.getLong(0), est.getLong(1)), scoreDecimals, filter)
+            k, widenBy(est.getLong(0), est.getLong(1)), scoreDecimals, filter,
+            refine = refine)
       }
   }
 
@@ -2427,8 +2545,15 @@ object IvfIndex {
       scoreDecimals: Int,
       filter: Option[org.apache.spark.sql.Column] = None,
       centsOpt: Option[DataFrame] = None,
-      cellRestrict: Option[Set[Long]] = None
+      cellRestrict: Option[Set[Long]] = None,
+      refine: Int = 0
   ): DataFrame = {
+    require(refine == 0 || layoutDf.columns.contains("__codes__"),
+      "searchTopK: refine re-ranking needs the stored int8 triple - build the index with " +
+        "buildPq(refineInt8 = true)")
+    require(refine == 0 || refine >= k,
+      s"searchTopK: refine=$refine must be >= k=$k - the re-rank pool cannot be smaller " +
+        "than the result")
     val cents = centsOpt.getOrElse(broadcast(spark.read.parquet(s"$path/$CentroidsDir")))
     val cb = broadcast(spark.read.parquet(s"$path/$CodebooksDir"))
     // DECLARED shape from the _pq_meta sidecar when the store has one
@@ -2458,10 +2583,13 @@ object IvfIndex {
     val probed0 = queryCells.select(col("cent_id").cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted
     val probed = cellRestrict.map(r => probed0.filter(r.contains)).getOrElse(probed0)
+    // refine carries the candidates' int8 codes + code norms through
+    // the ADC join (column-pruned out of the scan when refine = 0)
     val cells = filter.foldLeft(
       layoutDf.where(cellsIn(probed)))(_ where _)
-      .select(col("cent_id").cast("long").as("cent_id"),
-        col(idCol).as("neighbor_id"), col("__pq__"), col("__xn__"))
+      .select(Seq(col("cent_id").cast("long").as("cent_id"),
+        col(idCol).as("neighbor_id"), col("__pq__"), col("__xn__")) ++
+        (if (refine > 0) Seq(col("__codes__"), col("__cn__")) else Nil): _*)
     // per-query flat ADC LUT — pqSearch's construction verbatim
     val subsArr = array((0 until m).map(s0 =>
       slice(col(vecCol).cast("array<double>"), s0 * sub + 1, sub)): _*)
@@ -2488,13 +2616,40 @@ object IvfIndex {
         (s0 * ksub + element_at(col("__pq__"), s0 + 1) + (rankOffset + 1)).cast("int")))
     val num = if (residual) col("__qcd__") + adc else adc
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
-    queryCells
+    val adcRanked = queryCells
       .join(cells, Seq("cent_id"))
       .where(col("query_id") =!= col("neighbor_id"))
       .join(broadcast(lutArr), Seq("query_id"))
       .withColumn("score", round(num / (col("__qn__") * col("__xn__")), scoreDecimals))
       .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+    if (refine == 0)
+      adcRanked.where(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+    else {
+      // REFINE (r19): the ADC window shortlists `refine` candidates
+      // per query, then one exact integer-dot re-rank over the
+      // shortlist restores the candidate ordering the 8-byte codes
+      // lost. Query codes quantize at serve time (broadcast-small),
+      // candidate codes rode the probed scan — no second corpus
+      // touch. The re-ranked score IS the int8 cosine, so the refine
+      // serve shares q_ann_ivf_store_int8's scoring math.
+      val cand = adcRanked.where(col("rank") <= refine)
+        .select(col("query_id"), col("neighbor_id"), col("__codes__"), col("__cn__"))
+      val qCoded = Similarity
+        .quantizeInt8(queriesNz.select(col(idCol).as("query_id"), col(vecCol)),
+          vecCol, "__qc__", "__qs__")
+        .select(col("query_id"), col("__qc__").cast("array<tinyint>").as("__qv8__"))
+        .withColumn("__qn8__", Similarity.normRaw(col("__qv8__")))
+      val w2 = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("neighbor_id").asc)
+      cand
+        .join(broadcast(qCoded), Seq("query_id"))
+        .withColumn("score",
+          round(Similarity.dotRaw(col("__qv8__"), col("__codes__")) /
+            (col("__qn8__") * col("__cn__")), scoreDecimals))
+        .withColumn("rank", row_number().over(w2))
+        .where(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+    }
   }
 }

@@ -1285,4 +1285,132 @@ class IvfIndexSpec extends SparkSuite {
       "a PQ store's histogram must answer an absent predicate with the empty top-k")
     SparkEntry.runPendingCleanups()
   }
+
+  test("REFINE layout (IVFPQ+R): triple stored next to the ranks; full-probe refine IS int8 brute force; survives append + rebuild (r19)") {
+    val s = spark
+    val q = emb.where(col("vec_id") % 50 === 0)
+    val path = tempPath("refine")
+    IvfIndex.buildPq(emb.where(col("vec_id") < 400), "vec_id", "emb", path,
+      dims = 64, m = 4, ksub = 8, iters = 1, nlist = 16, refineInt8 = true)
+    // layout: PQ ranks AND the int8 triple, never a float vector
+    val schema = spark.read.parquet(path).schema
+    assert(schema.fieldNames.toSet.intersect(
+      Set("__pq__", "__xn__", "__codes__", "__scale__", "__cn__")).size == 5,
+      s"refine layout must store ranks + triple, got ${schema.fieldNames.mkString(",")}")
+    assert(!schema.fieldNames.contains("emb"), "refine layout must not store float vectors")
+    // FULL probe + refine >= corpus: the ADC stage shortlists every
+    // candidate and the re-rank is exact int8 cosine over all pairs —
+    // identical to the in-memory int8 brute force, which pins the
+    // refine scoring math end to end
+    def int8Truth(corpus: DataFrame) =
+      Similarity.int8TopK(corpus, q, "vec_id", "emb", k = 5)
+    val full = IvfIndex.searchTopK(s, path, q, "vec_id", "emb", k = 5,
+      nprobe = 16, refine = 600)
+    assert(resultSet(full) == resultSet(int8Truth(emb.where(col("vec_id") < 400))),
+      "full-probe refine must reproduce int8 brute force exactly")
+    // refine recovers ORDERING, not COVERAGE: vs the store's own
+    // (int8-reconstructed) truth, the re-ranked serve can only improve
+    // on raw ADC at the same probe — and at a FULL probe (coverage
+    // complete) a shortlist spanning the whole corpus must recover the
+    // truth exactly, where raw ADC stays quantization-limited
+    def recallAt(nprobe: Int, refine: Int): Double =
+      IvfIndex.recallReport(s, path, q, "vec_id", "emb", k = 5, nprobes = Seq(nprobe),
+        refine = refine).select("recall_at_k").head().getDouble(0)
+    val (adc, refined) = (recallAt(4, 0), recallAt(4, 200))
+    assert(refined >= adc,
+      s"refined recall must not lose to raw ADC at the same probe: $adc -> $refined")
+    // ~1.0, not == 1.0: the report's truth reconstructs code*scale
+    // floats while the serve scores integer dots — mathematically the
+    // same cosine, but a pair landing within one ulp of a 4-decimal
+    // rounding boundary can round apart (exact serving parity is
+    // pinned bit-for-bit against int8TopK above; this pins that the
+    // re-rank ESCAPES the ADC ceiling, which sits near 0.5 here)
+    val fullRefine = recallAt(16, 600)
+    assert(fullRefine >= 0.95 && fullRefine >= recallAt(16, 0),
+      s"a full-probe, full-shortlist refine must recover (nearly all of) the int8 truth, " +
+        s"got $fullRefine")
+    // appendBatch derives the batch's OWN triple (build parity): the
+    // full-probe equality then holds over the grown corpus
+    IvfIndex.appendBatch(s, path,
+      emb.where(col("vec_id") >= 400 && col("vec_id") < 420), "vec_id", "emb")
+    val afterAppend = IvfIndex.searchTopK(s, path, q, "vec_id", "emb", k = 5,
+      nprobe = 16, refine = 600)
+    assert(resultSet(afterAppend) == resultSet(int8Truth(emb.where(col("vec_id") < 420))),
+      "append must carry the refine layout (triple derived from the batch)")
+    // rebuild carries ranks AND triple verbatim; routing re-derives
+    // from the higher-fidelity code*scale reconstruction
+    val path2 = tempPath("refine-rebuilt")
+    IvfIndex.rebuild(s, path, path2, "vec_id", "emb", nlist = 16)
+    val cols2 = spark.read.parquet(path2).columns.toSet
+    assert(Set("__pq__", "__codes__", "__scale__", "__cn__").subsetOf(cols2),
+      "rebuild must carry the refine triple")
+    val afterRebuild = IvfIndex.searchTopK(s, path2, q, "vec_id", "emb", k = 5,
+      nprobe = 16, refine = 600)
+    assert(resultSet(afterRebuild) == resultSet(int8Truth(emb.where(col("vec_id") < 420))),
+      "rebuilt refine store must serve identically at a full probe")
+    // RESIDUAL refine: the triple quantizes the FULL vector, so the
+    // same full-probe equality holds on the IVFADC rung, and the
+    // compaction-only rebuild carries it
+    val pathR = tempPath("refine-resid")
+    IvfIndex.buildPq(emb.where(col("vec_id") < 400), "vec_id", "emb", pathR,
+      dims = 64, m = 4, ksub = 8, iters = 1, nlist = 16, residual = true,
+      refineInt8 = true)
+    val fullR = IvfIndex.searchTopK(s, pathR, q, "vec_id", "emb", k = 5,
+      nprobe = 16, refine = 600)
+    assert(resultSet(fullR) == resultSet(int8Truth(emb.where(col("vec_id") < 400))),
+      "residual refine at a full probe must reproduce int8 brute force")
+    val pathR2 = tempPath("refine-resid-rebuilt")
+    IvfIndex.rebuild(s, pathR, pathR2, "vec_id", "emb")
+    assert(Set("__pq__", "__codes__", "__scale__", "__cn__")
+      .subsetOf(spark.read.parquet(pathR2).columns.toSet),
+      "the compaction-only residual rebuild must carry the refine triple")
+    assert(resultSet(IvfIndex.searchTopK(s, pathR2, q, "vec_id", "emb", k = 5,
+      nprobe = 16, refine = 600)) == resultSet(fullR))
+  }
+
+  test("refine maintenance + refusals: catch-up carries the triple across the flip; non-refine layouts fail fast (r19)") {
+    val s = spark
+    val q = emb.where(col("vec_id") % 50 === 0)
+    // managed lifecycle: late arrivals to the old generation follow
+    // through catch-up WITH their triple, and the drain gate (whose
+    // scheme-2 version hash now folds the triple in next to the
+    // ranks) holds across the flip
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-refmng").toString + "/root"
+    val gen1 = IvfIndex.managedInitPq(emb.where(col("vec_id") < 400), "vec_id", "emb", root,
+      dims = 64, m = 4, ksub = 8, iters = 1, nlist = 8, refineInt8 = true)
+    val next = IvfIndex.managedMaintain(s, root, "vec_id", "emb",
+      maxSkew = 0.0, nlist = 8, publish = false).get
+    IvfIndex.appendBatch(s, gen1, emb.where(col("vec_id") === 450), "vec_id", "emb")
+    assert(IvfIndex.managedFinishPending(s, root, "vec_id", "emb").contains(next))
+    def tripleOf(p: String) = s.read.parquet(p)
+      .select(col("vec_id"), col("__codes__").cast("array<int>"), col("__scale__"))
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[Int](1), r.getDouble(2)))).toMap
+    val (oldT, newT) = (tripleOf(gen1), tripleOf(next))
+    assert(newT.keySet == oldT.keySet && newT == oldT,
+      "the int8 triple must cross the generation flip byte-identically")
+    assert(resultSet(IvfIndex.searchTopK(s, next, q, "vec_id", "emb", k = 5,
+      nprobe = 8, refine = 600)) ==
+      resultSet(Similarity.int8TopK(
+        emb.where(col("vec_id") < 400 || col("vec_id") === 450), q, "vec_id", "emb", k = 5)),
+      "the published generation must serve refined results over every caught-up row")
+    // refusals: a plain PQ store has no triple; float layouts have
+    // nothing finer to refine with; a sub-k pool is a contract error
+    val plainPq = tempPath("refine-plainpq")
+    IvfIndex.buildPq(emb, "vec_id", "emb", plainPq, dims = 64, m = 4, ksub = 8,
+      iters = 1, nlist = 16)
+    val e1 = intercept[IllegalArgumentException](
+      IvfIndex.searchTopK(s, plainPq, q, "vec_id", "emb", k = 5, nprobe = 4, refine = 20))
+    assert(e1.getMessage.contains("refineInt8"))
+    val floatIdx = tempPath("refine-float")
+    IvfIndex.build(emb, "vec_id", "emb", floatIdx, nlist = 16)
+    val e2 = intercept[IllegalArgumentException](
+      IvfIndex.searchTopK(s, floatIdx, q, "vec_id", "emb", k = 5, nprobe = 4, refine = 20))
+    assert(e2.getMessage.contains("PQ layout"))
+    val refIdx = tempPath("refine-subk")
+    IvfIndex.buildPq(emb, "vec_id", "emb", refIdx, dims = 64, m = 4, ksub = 8,
+      iters = 1, nlist = 16, refineInt8 = true)
+    val e3 = intercept[IllegalArgumentException](
+      IvfIndex.searchTopK(s, refIdx, q, "vec_id", "emb", k = 5, nprobe = 4, refine = 3))
+    assert(e3.getMessage.contains("refine"))
+  }
 }
