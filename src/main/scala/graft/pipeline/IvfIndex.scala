@@ -55,6 +55,46 @@ object IvfIndex {
   // stays small, few enough that the sidecar doesn't fragment
   private val KeymapBuckets = 64
 
+  /** Optimization-round debug hook: when the session conf
+    * `graft.debug.dumpBuildPlans` names a directory, every store build
+    * writes the FORMATTED physical plan of its assigned cell-row frame
+    * there (file `<dirTag>_<basename(path)>.txt`) — the receipt for
+    * build-side plan-shape claims (plans/r19). Off by default; never
+    * changes what a build computes.
+    */
+  private def dumpBuildPlan(df: DataFrame, path: String): Unit = {
+    val dir = df.sparkSession.conf.get("graft.debug.dumpBuildPlans", "")
+    if (dir.nonEmpty) {
+      val base = new java.io.File(path).getName
+      val sf = new java.io.File(path).getParentFile.getName
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, s"build_${sf}_$base.txt"),
+        df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
+    }
+  }
+
+  /** Collect a model-sized frame (centroids, codebooks — rows the
+    * driver already holds whole whenever the frame is broadcast) and
+    * re-embed it as a depth-1 literal relation, broadcast-tagged.
+    * [[Similarity]]'s compactCentroids recipe: values round-trip
+    * exactly (double / array-of-double / longs), so every consumer
+    * sees identical bits — but sidecar writes and routing joins stop
+    * re-planning (and re-executing) the fit lineage per action.
+    */
+  private def compactFrame(df: DataFrame): DataFrame =
+    compactRows(df.sparkSession, df.collect(), df.schema)
+
+  /** [[compactFrame]] over already-collected rows. */
+  private def compactRows(
+      spark: SparkSession,
+      rows: Array[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType
+  ): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    broadcast(spark.createDataFrame(rows.toList.asJava, schema))
+  }
+
   /** Post-maintenance cell-balance report (drift under frozen
     * centroids is how IVF recall decays): `meanCell` averages over
     * ALL `nlist` cells — emptied cells are drift too. Derived from
@@ -239,19 +279,26 @@ object IvfIndex {
   ): Unit = {
     requireHistSubset(histogramCols, payloadCols)
     val nz = Similarity.dropZeroVectors(corpus, vecCol)
-    val cents = centroids.map(broadcast)
+    // the centroid frame is tiny (nlist rows) but its LINEAGE is the
+    // corpus-wide md5 draw (or a Lloyd fit): collect once and re-embed
+    // as a literal relation (compactCentroids' recipe — values
+    // round-trip exactly), so the sidecar write and every routing
+    // reference below plan against a depth-1 relation instead of
+    // re-optimizing (and re-executing) the draw per action (r19 opt)
+    val cents = compactFrame(centroids.map(broadcast)
       .getOrElse(Similarity.ivfCentroids(nz, idCol, vecCol,
-        Similarity.resolveNlist(nlist, nz)))
-    // the assignment pipeline feeds BOTH the cell write and the
-    // keymap write — persist so it computes once, not per sink
-    val assigned0 = cellRows(
-      Similarity.ivfAssignTwoLevel(nz, cents, idCol, vecCol, "row", scoreDecimals),
-      idCol, vecCol, int8)
-    val assigned = (
-      if (payloadCols.isEmpty) assigned0
-      else assigned0.join(nz.select((idCol +: payloadCols).map(col): _*), Seq(idCol))
-    ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Similarity.resolveNlist(nlist, nz))))
+    // payload rides the routing aggregations (carryCols) instead of a
+    // second corpus-sized join back by id (r19 opt, guide §2.4); the
+    // assignment pipeline feeds BOTH the cell write and the keymap
+    // write — persist so it computes once, not per sink
+    val assigned = cellRows(
+      Similarity.ivfAssignTwoLevel(nz, cents, idCol, vecCol, "row", scoreDecimals,
+        carryCols = payloadCols),
+      idCol, vecCol, int8, payloadCols)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      dumpBuildPlan(assigned, path)
       graft.sources.Sink.writePartitioned(
         assigned, path, partitionCols = Seq("cent_id"), sortCols = Seq(idCol))
       cents.write.mode("overwrite").parquet(s"$path/$CentroidsDir")
@@ -354,60 +401,65 @@ object IvfIndex {
     requireHistSubset(histogramCols, payloadCols)
     val spark = corpus.sparkSession
     val nz = Similarity.dropZeroVectors(corpus, vecCol)
-    val cents = centroids.map(broadcast)
+    // centroid frame compacted to a literal relation (r19 opt — see
+    // compactFrame): the sidecar write, the residual joins, and the
+    // two-level router's internal collect all stop re-planning /
+    // re-executing the corpus-wide draw
+    val cents = compactFrame(centroids.map(broadcast)
       .getOrElse(Similarity.ivfCentroids(nz, idCol, vecCol,
-        Similarity.resolveNlist(nlist, nz)))
+        Similarity.resolveNlist(nlist, nz))))
     if (residual)
       return buildPqResidual(spark, nz, cents, idCol, vecCol, path, dims, m, ksub,
         iters, scoreDecimals, payloadCols, histogramCols, refineInt8)
     val meta = LayoutMeta(vecCol, payloadCols)
-    // the fitted codebooks feed encode, the rank map, the recon norms
-    // AND the sidecar write — persist, or each consumer replays Lloyd
-    val cb = Similarity.pqCodebooks(nz, idCol, vecCol, dims, m, ksub, iters, scoreDecimals)
+    // ONE collect of the fitted codebook (m·ksub rows — a frame
+    // serving already broadcasts whole) feeds the codeword-count
+    // check, the PACKED encode, and the sidecar write (re-embedded as
+    // a literal relation) — replacing the former persist whose every
+    // consumer re-planned the Lloyd lineage (r19 opt). The stored
+    // codebooks carry the RANK of each codeword within its subspace's
+    // (code_id) order — pqSearch's flat-LUT index — so appends and
+    // serving never need the original draw ids.
+    val wCi = Window.partitionBy(col("sub_id")).orderBy(col("cent_id"))
+    val cbPlan = Similarity.pqCodebooks(nz, idCol, vecCol, dims, m, ksub, iters, scoreDecimals)
+      .withColumn("__ci__", row_number().over(wCi) - 1)
+    val cbRows = cbPlan.collect()
+    // fail fast on a dropped codeword (ADVICE r16): Lloyd drops a
+    // codeword whose cluster empties, and a subspace with fewer
+    // than ksub codewords would silently mis-address the flat ADC
+    // LUT (s*ksub + rank) everywhere downstream
+    val bySub = cbRows.groupBy(_.getAs[Int]("sub_id")).map { case (s, rs) => s -> rs.length.toLong }
+    require(bySub.size == m && bySub.valuesIterator.forall(_ == ksub.toLong),
+      s"buildPq: Lloyd training left unequal codeword counts per subspace " +
+        s"(expected $m x $ksub, got ${bySub.toSeq.map { case (s, n) => s"sub $s: $n" }.sorted.mkString(", ")}) " +
+        "- the flat ADC addressing requires exactly ksub codewords in every subspace; " +
+        "lower ksub (an empty cluster means the corpus cannot support this many codewords), " +
+        "reduce iters, or train on more rows")
+    val cbStored = compactRows(spark, cbRows, cbPlan.schema)
+    val tiny = ksub <= 256
+    // routed streams straight into the packed single-projection encode
+    // (ONE consumer — refine triple and payload ride the same
+    // projection), so the former corpus-sized persist + id-join
+    // fan-out is gone (r19 opt, guide §2.4)
+    val routed = Similarity.ivfAssignTwoLevel(nz, cents, idCol, vecCol, "row", scoreDecimals,
+      carryCols = payloadCols)
+    val assigned = pqCellRows(cbStored, routed, idCol, scoreDecimals, tiny,
+      refine = refineInt8, payload = payloadCols)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // fail fast on a dropped codeword (ADVICE r16): Lloyd drops a
-      // codeword whose cluster empties, and a subspace with fewer
-      // than ksub codewords would silently mis-address the flat ADC
-      // LUT (s*ksub + rank) everywhere downstream
-      val counts = cb.groupBy(col("sub_id")).agg(count(lit(1)).as("n")).collect()
-      require(counts.length == m && counts.forall(_.getLong(1) == ksub.toLong),
-        s"buildPq: Lloyd training left unequal codeword counts per subspace " +
-          s"(expected $m x $ksub, got ${counts.map(r => s"sub ${r.getInt(0)}: ${r.getLong(1)}").sorted.mkString(", ")}) " +
-          "- the flat ADC addressing requires exactly ksub codewords in every subspace; " +
-          "lower ksub (an empty cluster means the corpus cannot support this many codewords), " +
-          "reduce iters, or train on more rows")
-      // stored codebooks carry the RANK of each codeword within its
-      // subspace's (code_id) order — pqSearch's flat-LUT index — so
-      // appends and serving never need the original draw ids
-      val wCi = Window.partitionBy(col("sub_id")).orderBy(col("cent_id"))
-      val cbStored = cb.withColumn("__ci__", row_number().over(wCi) - 1)
-      val tiny = ksub <= 256
-      val routed = Similarity.ivfAssignTwoLevel(nz, cents, idCol, vecCol, "row", scoreDecimals)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      try {
-        val assigned1 = pqCellRows(broadcast(cbStored), routed, idCol, scoreDecimals, tiny)
-        val assigned0 =
-          if (!refineInt8) assigned1 else assigned1.join(refineTriple(routed, idCol), Seq(idCol))
-        val assigned = (
-          if (payloadCols.isEmpty) assigned0
-          else assigned0.join(nz.select((idCol +: payloadCols).map(col): _*), Seq(idCol))
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        try {
-          graft.sources.Sink.writePartitioned(
-            assigned, path, partitionCols = Seq("cent_id"), sortCols = Seq(idCol))
-          cents.write.mode("overwrite").parquet(s"$path/$CentroidsDir")
-          cbStored.write.mode("overwrite").parquet(s"$path/$CodebooksDir")
-          writePqMeta(spark, path, m, ksub, dims / m, tiny, residual = false)
-          writeLayoutMeta(spark, path, meta)
-          graft.sources.Sink.writePartitioned(
-            keymapRows(assigned, idCol, Some(meta)), s"$path/$KeymapDir",
-            partitionCols = Seq("kb"), sortCols = Seq(idCol))
-          if (histogramCols.nonEmpty)
-            writeCellHist(spark, path, assigned, histogramCols)
-        } finally { assigned.unpersist(); () }
-      } finally { routed.unpersist(); () }
-    } finally { cb.unpersist(); () }
+      dumpBuildPlan(assigned, path)
+      graft.sources.Sink.writePartitioned(
+        assigned, path, partitionCols = Seq("cent_id"), sortCols = Seq(idCol))
+      cents.write.mode("overwrite").parquet(s"$path/$CentroidsDir")
+      cbStored.write.mode("overwrite").parquet(s"$path/$CodebooksDir")
+      writePqMeta(spark, path, m, ksub, dims / m, tiny, residual = false)
+      writeLayoutMeta(spark, path, meta)
+      graft.sources.Sink.writePartitioned(
+        keymapRows(assigned, idCol, Some(meta)), s"$path/$KeymapDir",
+        partitionCols = Seq("kb"), sortCols = Seq(idCol))
+      if (histogramCols.nonEmpty)
+        writeCellHist(spark, path, assigned, histogramCols)
+    } finally { assigned.unpersist(); () }
   }
 
   /** The residual-mode build behind [[buildPq]] (`residual = true`) —
@@ -451,53 +503,55 @@ object IvfIndex {
   ): Unit = {
     import org.apache.spark.storage.StorageLevel
     val meta = LayoutMeta(vecCol, payloadCols)
-    val routed = Similarity.ivfAssignTwoLevel(nz, cents, idCol, vecCol, "row", scoreDecimals)
+    // routed feeds TWO consumers here (codebook training over the
+    // residuals, then the encode) — the persist stays, unlike the raw
+    // build's single-consumer stream-through
+    val routed = Similarity.ivfAssignTwoLevel(nz, cents, idCol, vecCol, "row", scoreDecimals,
+      carryCols = payloadCols)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val resid = routed
         .join(cents.select(col("cent_id"), col("__cv__")), Seq("cent_id"))
         .select(col("row_id"), col("cent_id"),
           zip_with(col("__rowv__"), col("__cv__"), (a, b) => a - b).as("__rv__"))
-      val cb = Similarity.pqCodebooks(resid.select(col("row_id").as(idCol), col("__rv__")),
+      // ONE collect of the fitted codebook feeds the count check, the
+      // packed encode, and the sidecar write (see buildPq — r19 opt)
+      val wCi = Window.partitionBy(col("sub_id")).orderBy(col("cent_id"))
+      val cbPlan = Similarity.pqCodebooks(resid.select(col("row_id").as(idCol), col("__rv__")),
         idCol, "__rv__", dims, m, ksub, iters, scoreDecimals, l2 = true)
+        .withColumn("__ci__", row_number().over(wCi) - 1)
+      val cbRows = cbPlan.collect()
+      val bySub = cbRows.groupBy(_.getAs[Int]("sub_id")).map { case (s, rs) => s -> rs.length.toLong }
+      require(bySub.size == m && bySub.valuesIterator.forall(_ == ksub.toLong),
+        s"buildPq(residual): Lloyd training left unequal codeword counts per subspace " +
+          s"(expected $m x $ksub, got ${bySub.toSeq.map { case (s, n) => s"sub $s: $n" }.sorted.mkString(", ")}) " +
+          "- flat ADC addressing requires exactly ksub codewords per subspace; lower ksub, " +
+          "reduce iters, or train on more rows")
+      val cbStored = compactRows(spark, cbRows, cbPlan.schema)
+      val tiny = ksub <= 256
+      // the refine triple quantizes the FULL vector, not the
+      // residual — exact re-ranking needs cosine against x, and a
+      // full-vector code is what can carry verbatim through the
+      // compaction-only rebuild (a residual-scoped code would be
+      // bound to the frozen cells twice over). It rides the packed
+      // encode projection, like the payload (r19 opt).
+      val assigned = pqCellRowsResidual(cbStored, routed, cents, idCol,
+        scoreDecimals, tiny, dims, m, refine = refineInt8, payload = payloadCols)
         .persist(StorageLevel.MEMORY_AND_DISK)
       try {
-        val counts = cb.groupBy(col("sub_id")).agg(count(lit(1)).as("n")).collect()
-        require(counts.length == m && counts.forall(_.getLong(1) == ksub.toLong),
-          s"buildPq(residual): Lloyd training left unequal codeword counts per subspace " +
-            s"(expected $m x $ksub, got ${counts.map(r => s"sub ${r.getInt(0)}: ${r.getLong(1)}").sorted.mkString(", ")}) " +
-            "- flat ADC addressing requires exactly ksub codewords per subspace; lower ksub, " +
-            "reduce iters, or train on more rows")
-        val wCi = Window.partitionBy(col("sub_id")).orderBy(col("cent_id"))
-        val cbStored = cb.withColumn("__ci__", row_number().over(wCi) - 1)
-        val tiny = ksub <= 256
-        val assigned1 = pqCellRowsResidual(broadcast(cbStored), routed, cents, idCol,
-          scoreDecimals, tiny, dims, m)
-        // the refine triple quantizes the FULL vector, not the
-        // residual — exact re-ranking needs cosine against x, and a
-        // full-vector code is what can carry verbatim through the
-        // compaction-only rebuild (a residual-scoped code would be
-        // bound to the frozen cells twice over)
-        val assigned0 =
-          if (!refineInt8) assigned1 else assigned1.join(refineTriple(routed, idCol), Seq(idCol))
-        val assigned = (
-          if (payloadCols.isEmpty) assigned0
-          else assigned0.join(nz.select((idCol +: payloadCols).map(col): _*), Seq(idCol))
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        try {
-          graft.sources.Sink.writePartitioned(
-            assigned, path, partitionCols = Seq("cent_id"), sortCols = Seq(idCol))
-          cents.write.mode("overwrite").parquet(s"$path/$CentroidsDir")
-          cbStored.write.mode("overwrite").parquet(s"$path/$CodebooksDir")
-          writePqMeta(spark, path, m, ksub, dims / m, tiny, residual = true)
-          writeLayoutMeta(spark, path, meta)
-          graft.sources.Sink.writePartitioned(
-            keymapRows(assigned, idCol, Some(meta)), s"$path/$KeymapDir",
-            partitionCols = Seq("kb"), sortCols = Seq(idCol))
-          if (histogramCols.nonEmpty)
-            writeCellHist(spark, path, assigned, histogramCols)
-        } finally { assigned.unpersist(); () }
-      } finally { cb.unpersist(); () }
+        dumpBuildPlan(assigned, path)
+        graft.sources.Sink.writePartitioned(
+          assigned, path, partitionCols = Seq("cent_id"), sortCols = Seq(idCol))
+        cents.write.mode("overwrite").parquet(s"$path/$CentroidsDir")
+        cbStored.write.mode("overwrite").parquet(s"$path/$CodebooksDir")
+        writePqMeta(spark, path, m, ksub, dims / m, tiny, residual = true)
+        writeLayoutMeta(spark, path, meta)
+        graft.sources.Sink.writePartitioned(
+          keymapRows(assigned, idCol, Some(meta)), s"$path/$KeymapDir",
+          partitionCols = Seq("kb"), sortCols = Seq(idCol))
+        if (histogramCols.nonEmpty)
+          writeCellHist(spark, path, assigned, histogramCols)
+      } finally { assigned.unpersist(); () }
     } finally { routed.unpersist(); () }
   }
 
@@ -508,6 +562,56 @@ object IvfIndex {
     * recipe, so the stored path shares q_ann_pq_residual's oracle.
     */
   private def pqCellRowsResidual(
+      cb: DataFrame,
+      routed: DataFrame,
+      cents: DataFrame,
+      idCol: String,
+      scoreDecimals: Int,
+      tiny: Boolean,
+      dims: Int,
+      m: Int,
+      refine: Boolean = false,
+      payload: Seq[String] = Nil
+  ): DataFrame =
+    Similarity.packCodebook(cb.collect(), cb.schema) match {
+      case Some(packed) =>
+        // PACKED residual encode (r19 opt): residual against the
+        // broadcast cell centroid, L2 rank-1 argmax over the collected
+        // codebook, rank packing, and the FULL reconstruction norm
+        // |c_cell + r̂| — one projection after the (broadcast) centroid
+        // join, replacing pqEncode's explode × join × window and two
+        // id-keyed regroups. Values bit-identical: same residual
+        // zip_with, same rounded L2 metric ((sv·sv) − 2·dot + stored
+        // __cbn2__, pqRank1's expression with the identical stored
+        // squared norm), same (dist asc, id asc) tiebreak, same
+        // norm(c + r̂) expression over the same codeword doubles.
+        val mm = packed.length
+        val withRv = routed
+          .join(cents.select(col("cent_id"), col("__cv__")), Seq("cent_id"))
+          .withColumn("__rv__", zip_with(col("__rowv__"), col("__cv__"), (a, b) => a - b))
+        val (staged, winners) = Similarity.pqPackedWinners(
+          col("__rv__"), packed, scoreDecimals, l2 = true, needV = true)
+        val q8 = if (refine) Seq(int8TripleStruct(col("__rowv__")).as("__q8__")) else Nil
+        val s1 = withRv.select(Seq(col("cent_id"), col("row_id").as(idCol), col("__cv__")) ++
+          staged ++ q8 ++ payload.map(col): _*)
+        val carry = (if (refine) Seq(col("__q8__")) else Nil) ++ payload.map(col)
+        val s2 = s1.select(Seq(col("cent_id"), col(idCol), col("__cv__")) ++ winners ++ carry: _*)
+        val ws = (0 until mm).map(s => col(s"__w${s}__"))
+        val rh = concat(ws.map(w => w("v")): _*)
+        pqPackedFinal(s2, idCol, ws, tiny,
+          xn = Similarity.norm(zip_with(col("__cv__"), rh, (a, b) => a + b)),
+          refine, payload)
+      case None =>
+        withJoinedExtras(
+          pqCellRowsResidualShuffled(cb, routed, cents, idCol, scoreDecimals, tiny, dims, m),
+          routed, idCol, refine, payload)
+    }
+
+  /** The pre-r19-opt shuffled residual encode — the fallback for
+    * codebooks the packed path can't take (see
+    * [[Similarity.packCodebook]]).
+    */
+  private def pqCellRowsResidualShuffled(
       cb: DataFrame,
       routed: DataFrame,
       cents: DataFrame,
@@ -624,6 +728,100 @@ object IvfIndex {
     * carry the stored-codebook schema (incl. `__ci__`, `__cbn2__`).
     */
   private def pqCellRows(
+      cb: DataFrame,
+      routed: DataFrame,
+      idCol: String,
+      scoreDecimals: Int,
+      tiny: Boolean,
+      refine: Boolean = false,
+      payload: Seq[String] = Nil
+  ): DataFrame =
+    Similarity.packCodebook(cb.collect(), cb.schema) match {
+      case Some(packed) =>
+        // PACKED raw encode (r19 opt): rank-1 cosine argmax over the
+        // collected codebook + rank packing + codeword-norm
+        // reconstruction, as ONE projection over the routed frame —
+        // replacing pqEncode's explode × codebook join × per-(row,sub)
+        // window plus two regroup/joins by id. Values bit-identical:
+        // same rounded cosine (pqRank1's expression over the same
+        // stored norms), same (sim desc, id asc) tiebreak, and __xn__
+        // sums the stored squared norms in ascending-subspace order —
+        // the arrival order of the former hash aggregation.
+        val (staged, winners) = Similarity.pqPackedWinners(
+          col("__rowv__"), packed, scoreDecimals, l2 = false, needV = false)
+        val q8 = if (refine) Seq(int8TripleStruct(col("__rowv__")).as("__q8__")) else Nil
+        val s1 = routed.select(Seq(col("cent_id"), col("row_id").as(idCol)) ++
+          staged ++ q8 ++ payload.map(col): _*)
+        val carry = (if (refine) Seq(col("__q8__")) else Nil) ++ payload.map(col)
+        val s2 = s1.select(Seq(col("cent_id"), col(idCol)) ++ winners ++ carry: _*)
+        val ws = packed.indices.map(s => col(s"__w${s}__"))
+        pqPackedFinal(s2, idCol, ws, tiny,
+          xn = sqrt(ws.map(w => w("n2")).reduce(_ + _)), refine, payload)
+      case None =>
+        withJoinedExtras(pqCellRowsShuffled(cb, routed, idCol, scoreDecimals, tiny),
+          routed, idCol, refine, payload)
+    }
+
+  /** Shared tail of the packed encodes: `__pq__` rank packing (tinyint
+    * −128 offset / smallint — the stored encodings, byte-identical to
+    * the former transform-over-collect_list), `__xn__`, the refine
+    * triple split out of its staged quantize struct, and the LEGACY
+    * column order of the former join-built frames (id first when
+    * refine/payload are present) so packed and join-built layouts stay
+    * schema-identical.
+    */
+  private def pqPackedFinal(
+      s2: DataFrame,
+      idCol: String,
+      ws: Seq[org.apache.spark.sql.Column],
+      tiny: Boolean,
+      xn: org.apache.spark.sql.Column,
+      refine: Boolean,
+      payload: Seq[String]
+  ): DataFrame = {
+    val ranks =
+      if (tiny) array(ws.map(w => (w("ci") - 128).cast("tinyint")): _*)
+      else array(ws.map(w => w("ci").cast("smallint")): _*)
+    val refineCols =
+      if (!refine) Nil
+      else Seq(col("__q8__")("codes").cast("array<tinyint>").as("__codes__"),
+        col("__q8__")("scale").as("__scale__"),
+        Similarity.normRaw(col("__q8__")("codes").cast("array<tinyint>")).as("__cn__"))
+    val base = Seq(col("cent_id"), col(idCol), ranks.as("__pq__"), xn.as("__xn__")) ++
+      refineCols ++ payload.map(col)
+    val out = s2.select(base: _*)
+    if (!refine && payload.isEmpty) out
+    else out.select((idCol +: out.columns.filterNot(_ == idCol).toSeq).map(col): _*)
+  }
+
+  /** [[Similarity.quantizeInt8]]'s kernel as a single struct column —
+    * the staged form the packed encodes carry the refine triple in
+    * (one kernel eval per row; codes/scale/norm split out in the final
+    * projection). Identical math to [[cellRows]]' int8 layout.
+    */
+  private def int8TripleStruct(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.internal.exprColumn(graft.plans.Int8QuantizeExpr(
+      graft.internal.columnExpr(vec.cast("array<double>"))))
+
+  /** Fallback-path extras: the former id-joins for the refine triple
+    * and carried payload, applied to a shuffled-encode result.
+    */
+  private def withJoinedExtras(
+      base: DataFrame,
+      routed: DataFrame,
+      idCol: String,
+      refine: Boolean,
+      payload: Seq[String]
+  ): DataFrame = {
+    val r1 = if (!refine) base else base.join(refineTriple(routed, idCol), Seq(idCol))
+    if (payload.isEmpty) r1
+    else r1.join(routed.select((col("row_id").as(idCol) +: payload.map(col)): _*), Seq(idCol))
+  }
+
+  /** The pre-r19-opt shuffled raw encode — the fallback for codebooks
+    * the packed path can't take (see [[Similarity.packCodebook]]).
+    */
+  private def pqCellRowsShuffled(
       cb: DataFrame,
       routed: DataFrame,
       idCol: String,
@@ -976,7 +1174,6 @@ object IvfIndex {
   ): IvfStats = {
     val cents = broadcast(spark.read.parquet(s"$path/$CentroidsDir"))
     val nz = Similarity.dropZeroVectors(batch, vecCol)
-    val routed = Similarity.ivfAssignTwoLevel(nz, cents, idCol, vecCol, "row", scoreDecimals)
     // ONE schema read + ONE layout-meta read decide the layout —
     // appendBatch runs per micro-batch, and each
     // spark.read.parquet(path) lists the cell directory (real cost on
@@ -985,23 +1182,20 @@ object IvfIndex {
     val layoutCols = layoutSchema.fieldNames.toSet
     val layoutMeta = readLayoutMeta(spark, path)
     // payload layouts (r17): every extra stored column must arrive
-    // with the batch, or the upsert would corrupt the cell schema
+    // with the batch, or the upsert would corrupt the cell schema.
+    // It rides the routing aggregations (carryCols) and the encode
+    // projection, like the build's (r19 opt).
     val payload = payloadColsOf(layoutSchema.fieldNames, idCol, vecCol, layoutMeta)
-    def withPayload(base: DataFrame): DataFrame =
-      if (payload.isEmpty) base
-      else {
-        val missing = payload.filterNot(batch.columns.contains)
-        require(missing.isEmpty,
-          s"appendBatch: the index at $path stores payload columns ${payload.mkString(", ")} " +
-            s"but the batch lacks ${missing.mkString(", ")} - supply them or rebuild without payload")
-        base.join(nz.select((idCol +: payload).map(col): _*), Seq(idCol))
-      }
+    val missing = payload.filterNot(batch.columns.contains)
+    require(missing.isEmpty,
+      s"appendBatch: the index at $path stores payload columns ${payload.mkString(", ")} " +
+        s"but the batch lacks ${missing.mkString(", ")} - supply them or rebuild without payload")
+    val routed = Similarity.ivfAssignTwoLevel(nz, cents, idCol, vecCol, "row", scoreDecimals,
+      carryCols = payload)
     // refine layouts (r19): the batch's int8 triple derives from its
     // own float vectors, exactly like the build's — the upsert must
     // carry every stored column or it would corrupt the cell schema
-    def withRefine(base: DataFrame): DataFrame =
-      if (!layoutCols.contains("__codes__")) base
-      else base.join(refineTriple(routed, idCol), Seq(idCol))
+    val refine = layoutCols.contains("__pq__") && layoutCols.contains("__codes__")
     val assigned =
       if (layoutCols.contains("__pq__")) {
         // conform to the STORE's rank encoding (tinyint-offset vs
@@ -1009,20 +1203,20 @@ object IvfIndex {
         // append must never mix widths into one cell layout
         val cb = broadcast(spark.read.parquet(s"$path/$CodebooksDir"))
         val meta = readPqMeta(spark, path)
-        withPayload(withRefine(
-          if (meta.exists(_._4)) {
-            // residual store: residual vs the FROZEN cell centroid,
-            // L2-encoded under the FROZEN codebooks — the append is the
-            // one maintenance path that re-derives residual codes, and
-            // it does so from original float vectors, so the coupling
-            // contract (see buildPqResidual) holds
-            val (m0, _, sub0, _) = meta.get
-            pqCellRowsResidual(cb, routed, cents, idCol, scoreDecimals,
-              pqCodesTiny(layoutSchema), m0 * sub0, m0)
-          } else
-            pqCellRows(cb, routed, idCol, scoreDecimals, pqCodesTiny(layoutSchema))))
+        if (meta.exists(_._4)) {
+          // residual store: residual vs the FROZEN cell centroid,
+          // L2-encoded under the FROZEN codebooks — the append is the
+          // one maintenance path that re-derives residual codes, and
+          // it does so from original float vectors, so the coupling
+          // contract (see buildPqResidual) holds
+          val (m0, _, sub0, _) = meta.get
+          pqCellRowsResidual(cb, routed, cents, idCol, scoreDecimals,
+            pqCodesTiny(layoutSchema), m0 * sub0, m0, refine, payload)
+        } else
+          pqCellRows(cb, routed, idCol, scoreDecimals, pqCodesTiny(layoutSchema),
+            refine, payload)
       } else
-        withPayload(cellRows(routed, idCol, vecCol, layoutCols.contains("__codes__")))
+        cellRows(routed, idCol, vecCol, layoutCols.contains("__codes__"), payload)
     upsertAssigned(spark, path, assigned, idCol, layoutMeta)
   }
 
@@ -1162,16 +1356,25 @@ object IvfIndex {
       routed: DataFrame,
       idCol: String,
       vecCol: String,
-      int8: Boolean
+      int8: Boolean,
+      payload: Seq[String] = Nil
   ): DataFrame = {
-    val base = routed.select(col("cent_id"), col("row_id").as(idCol),
-      col("__rowv__").as(vecCol), col("__rown__").as("__vn__"))
-    if (!int8) base
-    else Similarity.quantizeInt8(base, vecCol, "__codes0__", "__scale__")
-      .select(col("cent_id"), col(idCol),
-        col("__codes0__").cast("array<tinyint>").as("__codes__"),
-        col("__scale__"))
-      .withColumn("__cn__", Similarity.normRaw(col("__codes__")))
+    // payload columns arrive CARRIED on the routed frame (r19 opt) and
+    // pass through the projection; the column order mirrors the former
+    // join-by-id form (id first when payload is present) so packed and
+    // join-built layouts stay schema-identical
+    val base = routed.select(Seq(col("cent_id"), col("row_id").as(idCol),
+      col("__rowv__").as(vecCol), col("__rown__").as("__vn__")) ++ payload.map(col): _*)
+    val out =
+      if (!int8) base
+      else Similarity.quantizeInt8(base, vecCol, "__codes0__", "__scale__")
+        .select(Seq(col("cent_id"), col(idCol),
+          col("__codes0__").cast("array<tinyint>").as("__codes__"),
+          col("__scale__"),
+          Similarity.normRaw(col("__codes0__").cast("array<tinyint>")).as("__cn__")) ++
+          payload.map(col): _*)
+    if (payload.isEmpty) out
+    else out.select((idCol +: out.columns.filterNot(_ == idCol).toSeq).map(col): _*)
   }
 
   /** Whether the layout at `path` stores PQ codes (the `__pq__`

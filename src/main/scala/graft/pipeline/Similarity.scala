@@ -651,6 +651,118 @@ object Similarity {
     broadcast(cents.withColumn("__cbn2__", dot(col("__cbv__"), col("__cbv__"))))
   }
 
+  /** One collected codeword of the PACKED rank-1 encode (r19 opt):
+    * `(draw id, stored rank, codeword vector, norm, squared norm)` —
+    * the per-subspace literal array the packed argmax scans per row.
+    */
+  private[pipeline] final case class PqCw(id: Long, ci: Int, v: Seq[Double], n: Double, n2: Double)
+
+  /** Collect a stored-schema codebook frame's rows into per-subspace
+    * [[PqCw]] arrays for the packed encode — `None` when the shape
+    * can't take the packed path (non-integral draw ids, a legacy
+    * sidecar lacking `__ci__`/`__cbn2__`, or a Long.MinValue id whose
+    * negation would overflow the tiebreak), in which case callers keep
+    * the shuffled explode/join/window pipeline. The collect is bounded
+    * by m·ksub — the same frame [[pqSearch]] already broadcasts whole.
+    */
+  private[pipeline] def packCodebook(
+      rows: Array[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType
+  ): Option[Array[Array[PqCw]]] = {
+    import org.apache.spark.sql.types._
+    def idx(n: String): Option[Int] = if (schema.fieldNames.contains(n)) Some(schema.fieldIndex(n)) else None
+    val out = for {
+      subI <- idx("sub_id"); idI <- idx("cent_id"); ciI <- idx("__ci__")
+      vI <- idx("__cbv__"); nI <- idx("__cbn__"); n2I <- idx("__cbn2__")
+      integral = schema(idI).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      if integral && rows.nonEmpty && rows.forall(r => !r.isNullAt(idI) && !r.isNullAt(ciI))
+      entries = rows.map { r =>
+        val id = r.get(idI) match {
+          case b: Byte => b.toLong; case s: Short => s.toLong
+          case i: Int => i.toLong; case l: Long => l
+        }
+        (r.getInt(subI), PqCw(id, r.getInt(ciI), r.getSeq[Double](vI), r.getDouble(nI), r.getDouble(n2I)))
+      }
+      if !entries.exists(_._2.id == Long.MinValue)
+      m = entries.map(_._1).max + 1
+      grouped = entries.groupBy(_._1)
+      if (0 until m).forall(grouped.contains)
+    } yield (0 until m).map(s => grouped(s).map(_._2)).toArray
+    out
+  }
+
+  /** The PACKED form of [[pqRank1]] (r19 opt): the winning codeword of
+    * every subspace computed per ROW as an argmax over the collected
+    * codebook — `array_max`/`array_min` over a literal array of scored
+    * structs — instead of explode × codebook-join × window over
+    * n·m·ksub rows. ONE projection, zero exchanges; at corpus scale
+    * the encode stops shuffling anything at all (guide §2.4).
+    *
+    * Bit-identical to the shuffled form by construction:
+    *  - the metric expression is pqRank1's verbatim — same native
+    *    [[dot]], same staged subvector norm (`__svn/sv2`, computed once
+    *    per row, not per codeword), same `round(..., scoreDecimals)`,
+    *    and `n2` is the codebook's stored `__cbn2__` (itself
+    *    `dot(__cbv__, __cbv__)`, the exact value pqRank1's l2 branch
+    *    recomputes);
+    *  - the comparator is the same ordering the engine applies in the
+    *    window sort: cosine picks max of `struct(sim, -id)` (the
+    *    two-level router's trick — max sim, then min id), l2 picks min
+    *    of `struct(dist, id)`; Spark's struct ordering ranks NaN
+    *    above every double and a null metric loses under max / wins
+    *    under min, exactly the `desc NULLS LAST` / `asc NULLS FIRST`
+    *    defaults of the window form (rounded metrics can never be
+    *    -0.0 — Spark's Round returns +0.0 — so the total-order
+    *    -0.0 < 0.0 distinction is unreachable);
+    *  - ranked ids are unique per subspace, so comparisons never reach
+    *    the payload fields riding behind `(metric, id)`.
+    *
+    * Returns (staging columns, winner columns): callers select the
+    * staging columns first (slices + norms hoisted so each computes
+    * once per row), then the winner structs `__w0__..__w{m-1}__`, and
+    * read `ci` / `n2` / `v` off the winners.
+    */
+  private[pipeline] def pqPackedWinners(
+      vec: Column,
+      packed: Array[Array[PqCw]],
+      scoreDecimals: Int,
+      l2: Boolean,
+      needV: Boolean
+  ): (Seq[Column], Seq[Column]) = {
+    val m = packed.length
+    val sub = packed.head.head.v.length
+    // staging select: slices + their norms hoisted out of the lambda
+    // (a column referenced inside a HOF lambda re-evaluates per
+    // element). The norm re-derives the slice expression — twice per
+    // row, not ksub times — because a projection cannot reference its
+    // own output aliases.
+    val staged = (0 until m).flatMap { s =>
+      val svExpr = slice(vec.cast("array<double>"), s * sub + 1, sub)
+      val aux =
+        if (l2) dot(svExpr, svExpr).as(s"__sv2${s}__")
+        else norm(svExpr).as(s"__svn${s}__")
+      Seq(svExpr.as(s"__sv${s}__"), aux)
+    }
+    val winners = (0 until m).map { s =>
+      val cws = typedLit(packed(s).toSeq)
+      val svC = col(s"__sv${s}__")
+      val scored =
+        if (!l2) transform(cws, cw => struct(
+          Seq(round(dot(svC, cw("v")) / (col(s"__svn${s}__") * cw("n")), scoreDecimals).as("a"),
+            (cw("id") * lit(-1L)).as("b"), cw("ci").as("ci"), cw("n2").as("n2")) ++
+            (if (needV) Seq(cw("v").as("v")) else Nil): _*))
+        else transform(cws, cw => struct(
+          Seq(round(col(s"__sv2${s}__") - lit(2.0) * dot(svC, cw("v")) + cw("n2"), scoreDecimals).as("a"),
+            cw("id").as("b"), cw("ci").as("ci"), cw("n2").as("n2")) ++
+            (if (needV) Seq(cw("v").as("v")) else Nil): _*))
+      (if (!l2) array_max(scored) else array_min(scored)).as(s"__w${s}__")
+    }
+    (staged, winners)
+  }
+
   /** Rank-1 codeword assignment for one exploded (row, sub_id, __sv__)
     * frame — the step shared by PQ training and [[pqEncode]]. Two
     * metrics behind one deterministic contract:
@@ -675,7 +787,7 @@ object Similarity {
       idCol: String,
       scoreDecimals: Int,
       l2: Boolean
-  ): DataFrame =
+  ): DataFrame = pqRank1Packed(ex, cents, scoreDecimals, l2).getOrElse {
     if (!l2) {
       val w = Window.partitionBy(col(idCol), col("sub_id"))
         .orderBy(col("__psim__").desc, col("cent_id").asc)
@@ -699,6 +811,86 @@ object Similarity {
         .where(col("__pr__") === 1)
         .drop("__sv2__", "__cbn2a__", "__pd__")
     }
+  }
+
+  /** The PACKED form of [[pqRank1]] (r19 opt): the per-(row, subspace)
+    * winning codeword as an argmax over the COLLECTED codebook — one
+    * projection over the exploded frame instead of a ksub-fold
+    * codebook join plus a per-(row, sub) window sort. This is the step
+    * every Lloyd training iteration and every [[pqEncode]] pays, so at
+    * corpus scale it removes the largest shuffle+sort of each PQ fit.
+    * `None` (→ shuffled fallback) for codebooks the packed path can't
+    * take: non-integral draw ids or a Long.MinValue id.
+    *
+    * Bit-identical to the window form: same staged subvector norm /
+    * squared norm, the same rounded metric expression (the l2 branch's
+    * codeword squared norm is computed driver-side by the same
+    * left-to-right accumulation as [[graft.plans.DotProductExpr]] —
+    * IEEE double arithmetic is engine-independent), and the same
+    * (metric, id) tiebreak with the same NaN/null placement (see
+    * [[pqPackedWinners]]'s comparator note). The collect is bounded by
+    * m·ksub — the frame every consumer already broadcasts whole; the
+    * per-iteration collect also REPLACES the compactCentroids
+    * plan-depth relief (each iteration now trains from a literal).
+    */
+  private def pqRank1Packed(
+      ex: DataFrame,
+      cents: DataFrame,
+      scoreDecimals: Int,
+      l2: Boolean
+  ): Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    val schema = cents.schema
+    val need = Seq("sub_id", "cent_id", "__cbv__", "__cbn__")
+    if (!need.forall(schema.fieldNames.contains)) return None
+    val idI = schema.fieldIndex("cent_id")
+    val integral = schema(idI).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (!integral) return None
+    val rows = cents
+      .select(col("sub_id"), col("cent_id").cast("long"), col("__cbv__"), col("__cbn__")).collect()
+    if (rows.isEmpty || rows.exists(r => r.isNullAt(1) || r.getLong(1) == Long.MinValue)) return None
+    val bySub = rows.groupBy(_.getInt(0))
+    val m = bySub.keysIterator.max + 1
+    if (!(0 until m).forall(bySub.contains)) return None
+    // the l2 metric's codeword squared norm, by the same left-to-right
+    // accumulation as DotProductExpr (the value the shuffled form
+    // computes fresh per join row) — IEEE doubles, engine-independent
+    def dotLR(a: Seq[Double]): Double = {
+      var s = 0.0d; var i = 0
+      while (i < a.length) { s += a(i) * a(i); i += 1 }
+      s
+    }
+    val packed: Seq[Seq[PqCw]] = (0 until m).map { s =>
+      bySub(s).toSeq.map { r =>
+        val v = r.getSeq[Double](2)
+        PqCw(r.getLong(1), -1, v, r.getDouble(3), dotLR(v))
+      }
+    }
+    val all = typedLit(packed)
+    val cands = element_at(all, col("sub_id") + 1)
+    val out =
+      if (!l2) {
+        val staged = ex.withColumn("__svn__", norm(col("__sv__")))
+        val win = array_max(transform(cands, cw => struct(
+          round(dot(col("__sv__"), cw("v")) / (col("__svn__") * cw("n")), scoreDecimals).as("a"),
+          (cw("id") * lit(-1L)).as("b"))))
+        staged.withColumn("__win__", win)
+          .withColumn("cent_id", col("__win__")("b") * lit(-1L))
+          .drop("__win__")
+      } else {
+        val staged = ex.withColumn("__sv2__", dot(col("__sv__"), col("__sv__")))
+        val win = array_min(transform(cands, cw => struct(
+          round(col("__sv2__") - lit(2.0) * dot(col("__sv__"), cw("v")) + cw("n2"), scoreDecimals).as("a"),
+          cw("id").as("b"))))
+        staged.withColumn("__win__", win)
+          .withColumn("cent_id", col("__win__")("b"))
+          .drop("__win__", "__sv2__")
+      }
+    Some(out)
+  }
 
   /** PQ codes: one `(idCol, sub_id, code_id)` row per (vector,
     * subspace) — the nearest codeword by the deterministic (rounded
@@ -1286,7 +1478,8 @@ object Similarity {
       idCol: String,
       vecCol: String,
       pfx: String,
-      scoreDecimals: Int
+      scoreDecimals: Int,
+      carryCols: Seq[String] = Nil
   ): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
     import scala.jdk.CollectionConverters._
@@ -1321,7 +1514,7 @@ object Similarity {
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"ivfAssignTwoLevel: centroid id type ${cents0.schema(idIdx).dataType} is not integral; " +
             "routing FLAT (n·nlist) — use integral non-negative ids for the two-level (n·√nlist) route")
-      ivfAssign(df, cents, idCol, vecCol, pfx, keep = 1, scoreDecimals)
+      ivfAssign(df, cents, idCol, vecCol, pfx, keep = 1, scoreDecimals, carryCols)
     } else {
       require(!rows.exists(r => r.isNullAt(idIdx) || java.lang.Long.parseLong(r.get(idIdx).toString) < 0L),
         "ivfAssignTwoLevel: centroid ids must be non-negative — the two-level tiebreak " +
@@ -1363,20 +1556,25 @@ object Similarity {
       val live = broadcast(
         mem.select(col("cent_id").as("__sup__"), col("__cv__").as("__sv__"), col("__cn__").as("__sn__"))
           .join(mem.select(col("__sup__")).distinct(), Seq("__sup__")))
-      val base = df.select(col(idCol).as(s"${pfx}_id"), col(vecCol).as(s"__${pfx}v__"),
-        norm(col(vecCol)).as(s"__${pfx}n__"))
+      val base = df.select(Seq(col(idCol).as(s"${pfx}_id"), col(vecCol).as(s"__${pfx}v__"),
+        norm(col(vecCol)).as(s"__${pfx}n__")) ++ carryCols.map(col): _*)
+      // carried metadata columns (r19 opt): payload rides the routing
+      // aggregations as first() — every group is ONE row id, so the
+      // value is deterministic — instead of a second corpus-sized
+      // join back by id downstream (guide §2.4)
+      val carryAggs = carryCols.map(c => first(col(c)).as(c))
       val ssim = round(dot(col(s"__${pfx}v__"), col("__sv__")) / (col(s"__${pfx}n__") * col("__sn__")), scoreDecimals)
       val lvl1 = base.crossJoin(live)
         .withColumn("__sk__", struct(ssim.as("s"), (col("__sup__") * lit(-1)).as("i")))
         .groupBy(col(s"${pfx}_id"), col(s"__${pfx}v__"), col(s"__${pfx}n__"))
-        .agg(max(col("__sk__")).as("__skw__"))
+        .agg(max(col("__sk__")).as("__skw__"), carryAggs: _*)
         .withColumn("__sup__", col("__skw__").getField("i") * lit(-1))
         .drop("__skw__")
       val csim = round(dot(col(s"__${pfx}v__"), col("__cv__")) / (col(s"__${pfx}n__") * col("__cn__")), scoreDecimals)
       lvl1.join(broadcast(mem), Seq("__sup__"))
         .withColumn("__ck__", struct(csim.as("s"), (col("cent_id") * lit(-1)).as("i")))
         .groupBy(col(s"${pfx}_id"), col(s"__${pfx}v__"), col(s"__${pfx}n__"))
-        .agg(max(col("__ck__")).as("__ckw__"))
+        .agg(max(col("__ck__")).as("__ckw__"), carryAggs: _*)
         .withColumn("cent_id", col("__ckw__").getField("i") * lit(-1))
         .drop("__ckw__")
     }
@@ -1393,11 +1591,12 @@ object Similarity {
       vecCol: String,
       pfx: String,
       keep: Int,
-      scoreDecimals: Int
+      scoreDecimals: Int,
+      carryCols: Seq[String] = Nil
   ): DataFrame = {
     val scored = df
-      .select(col(idCol).as(s"${pfx}_id"), col(vecCol).as(s"__${pfx}v__"),
-        norm(col(vecCol)).as(s"__${pfx}n__"))
+      .select(Seq(col(idCol).as(s"${pfx}_id"), col(vecCol).as(s"__${pfx}v__"),
+        norm(col(vecCol)).as(s"__${pfx}n__")) ++ carryCols.map(col): _*)
       .crossJoin(cents)
       .withColumn("__csim__",
         round(dot(col(s"__${pfx}v__"), col("__cv__")) / (col(s"__${pfx}n__") * col("__cn__")), scoreDecimals))
