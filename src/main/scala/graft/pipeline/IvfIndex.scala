@@ -585,20 +585,17 @@ object IvfIndex {
         // __cbn2__, pqRank1's expression with the identical stored
         // squared norm), same (dist asc, id asc) tiebreak, same
         // norm(c + r̂) expression over the same codeword doubles.
-        val mm = packed.length
+        val pc = new Similarity.PackedCodebook(packed, scoreDecimals, l2 = true)
         val withRv = routed
           .join(cents.select(col("cent_id"), col("__cv__")), Seq("cent_id"))
           .withColumn("__rv__", zip_with(col("__rowv__"), col("__cv__"), (a, b) => a - b))
-        val (staged, winners) = Similarity.pqPackedWinners(
-          col("__rv__"), packed, scoreDecimals, l2 = true, needV = true)
         val q8 = if (refine) Seq(int8TripleStruct(col("__rowv__")).as("__q8__")) else Nil
-        val s1 = withRv.select(Seq(col("cent_id"), col("row_id").as(idCol), col("__cv__")) ++
-          staged ++ q8 ++ payload.map(col): _*)
         val carry = (if (refine) Seq(col("__q8__")) else Nil) ++ payload.map(col)
-        val s2 = s1.select(Seq(col("cent_id"), col(idCol), col("__cv__")) ++ winners ++ carry: _*)
-        val ws = (0 until mm).map(s => col(s"__w${s}__"))
-        val rh = concat(ws.map(w => w("v")): _*)
-        pqPackedFinal(s2, idCol, ws, tiny,
+        val s1 = withRv.select(Seq(col("cent_id"), col("row_id").as(idCol), col("__cv__")) ++
+          pc.stagedCols(col("__rv__")) ++ q8 ++ payload.map(col): _*)
+        val s2 = s1.select(Seq(col("cent_id"), col(idCol), col("__cv__")) ++ pc.idxCols ++ carry: _*)
+        val rh = concat((0 until pc.m).map(pc.v): _*)
+        pqPackedFinal(s2, idCol, pc, tiny,
           xn = Similarity.norm(zip_with(col("__cv__"), rh, (a, b) => a + b)),
           refine, payload)
       case None =>
@@ -747,16 +744,14 @@ object IvfIndex {
         // stored norms), same (sim desc, id asc) tiebreak, and __xn__
         // sums the stored squared norms in ascending-subspace order —
         // the arrival order of the former hash aggregation.
-        val (staged, winners) = Similarity.pqPackedWinners(
-          col("__rowv__"), packed, scoreDecimals, l2 = false, needV = false)
+        val pc = new Similarity.PackedCodebook(packed, scoreDecimals, l2 = false)
         val q8 = if (refine) Seq(int8TripleStruct(col("__rowv__")).as("__q8__")) else Nil
-        val s1 = routed.select(Seq(col("cent_id"), col("row_id").as(idCol)) ++
-          staged ++ q8 ++ payload.map(col): _*)
         val carry = (if (refine) Seq(col("__q8__")) else Nil) ++ payload.map(col)
-        val s2 = s1.select(Seq(col("cent_id"), col(idCol)) ++ winners ++ carry: _*)
-        val ws = packed.indices.map(s => col(s"__w${s}__"))
-        pqPackedFinal(s2, idCol, ws, tiny,
-          xn = sqrt(ws.map(w => w("n2")).reduce(_ + _)), refine, payload)
+        val s1 = routed.select(Seq(col("cent_id"), col("row_id").as(idCol)) ++
+          pc.stagedCols(col("__rowv__")) ++ q8 ++ payload.map(col): _*)
+        val s2 = s1.select(Seq(col("cent_id"), col(idCol)) ++ pc.idxCols ++ carry: _*)
+        pqPackedFinal(s2, idCol, pc, tiny,
+          xn = sqrt((0 until pc.m).map(pc.n2).reduce(_ + _)), refine, payload)
       case None =>
         withJoinedExtras(pqCellRowsShuffled(cb, routed, idCol, scoreDecimals, tiny),
           routed, idCol, refine, payload)
@@ -773,15 +768,16 @@ object IvfIndex {
   private def pqPackedFinal(
       s2: DataFrame,
       idCol: String,
-      ws: Seq[org.apache.spark.sql.Column],
+      pc: Similarity.PackedCodebook,
       tiny: Boolean,
       xn: org.apache.spark.sql.Column,
       refine: Boolean,
       payload: Seq[String]
   ): DataFrame = {
+    val cis = (0 until pc.m).map(pc.ci)
     val ranks =
-      if (tiny) array(ws.map(w => (w("ci") - 128).cast("tinyint")): _*)
-      else array(ws.map(w => w("ci").cast("smallint")): _*)
+      if (tiny) array(cis.map(c => (c - 128).cast("tinyint")): _*)
+      else array(cis.map(_.cast("smallint")): _*)
     val refineCols =
       if (!refine) Nil
       else Seq(col("__q8__")("codes").cast("array<tinyint>").as("__codes__"),

@@ -694,73 +694,70 @@ object Similarity {
     out
   }
 
-  /** The PACKED form of [[pqRank1]] (r19 opt): the winning codeword of
-    * every subspace computed per ROW as an argmax over the collected
-    * codebook — `array_max`/`array_min` over a literal array of scored
-    * structs — instead of explode × codebook-join × window over
-    * n·m·ksub rows. ONE projection, zero exchanges; at corpus scale
-    * the encode stops shuffling anything at all (guide §2.4).
+  /** The PACKED rank-1 encode helper (r19 opt): the winning codeword
+    * of every subspace computed per ROW against the driver-collected
+    * codebook — [[graft.plans.PqArgBestExpr]], a codegen'd primitive
+    * loop — instead of explode × codebook-join × window over
+    * n·m·ksub rows. ONE projection chain, zero exchanges; at corpus
+    * scale the encode stops shuffling anything at all (guide §2.4).
     *
-    * Bit-identical to the shuffled form by construction:
-    *  - the metric expression is pqRank1's verbatim — same native
-    *    [[dot]], same staged subvector norm (`__svn/sv2`, computed once
-    *    per row, not per codeword), same `round(..., scoreDecimals)`,
-    *    and `n2` is the codebook's stored `__cbn2__` (itself
-    *    `dot(__cbv__, __cbv__)`, the exact value pqRank1's l2 branch
-    *    recomputes);
-    *  - the comparator is the same ordering the engine applies in the
-    *    window sort: cosine picks max of `struct(sim, -id)` (the
-    *    two-level router's trick — max sim, then min id), l2 picks min
-    *    of `struct(dist, id)`; Spark's struct ordering ranks NaN
-    *    above every double and a null metric loses under max / wins
-    *    under min, exactly the `desc NULLS LAST` / `asc NULLS FIRST`
-    *    defaults of the window form (rounded metrics can never be
-    *    -0.0 — Spark's Round returns +0.0 — so the total-order
-    *    -0.0 < 0.0 distinction is unreachable);
-    *  - ranked ids are unique per subspace, so comparisons never reach
-    *    the payload fields riding behind `(metric, id)`.
+    * Bit-identical to the shuffled form by construction: the kernel
+    * replays pqRank1's metric arithmetic term for term over the same
+    * staged subvector norms and the same collected codeword doubles,
+    * and applies the same (metric, draw-id) tiebreak with the window
+    * defaults' NaN/null placement — see [[graft.plans.PqArgBestExpr]]'s
+    * contract note.
     *
-    * Returns (staging columns, winner columns): callers select the
-    * staging columns first (slices + norms hoisted so each computes
-    * once per row), then the winner structs `__w0__..__w{m-1}__`, and
-    * read `ci` / `n2` / `v` off the winners.
+    * Usage: select [[stagedCols]] first (slices + norms hoisted so
+    * each computes once per row), then [[idxCols]] (`__bi{s}__`, the
+    * winner positions — ONE kernel eval per (row, subspace)), then
+    * map positions to rank / squared norm / codeword via [[ci]] /
+    * [[n2]] / [[v]] literal lookups.
     */
-  private[pipeline] def pqPackedWinners(
-      vec: Column,
+  private[pipeline] final class PackedCodebook(
       packed: Array[Array[PqCw]],
       scoreDecimals: Int,
-      l2: Boolean,
-      needV: Boolean
-  ): (Seq[Column], Seq[Column]) = {
-    val m = packed.length
-    val sub = packed.head.head.v.length
-    // staging select: slices + their norms hoisted out of the lambda
-    // (a column referenced inside a HOF lambda re-evaluates per
-    // element). The norm re-derives the slice expression — twice per
-    // row, not ksub times — because a projection cannot reference its
-    // own output aliases.
-    val staged = (0 until m).flatMap { s =>
+      l2: Boolean
+  ) {
+    val m: Int = packed.length
+    val sub: Int = packed.head.head.v.length
+    private val ids = packed.map(_.map(_.id))
+    private val vsA = packed.map(_.map(_.v.toArray))
+    private val nsA = packed.map(_.map(_.n))
+
+    /** Slices + their norms, hoisted so each computes once per row
+      * (the norm re-derives the slice expression — twice per row, not
+      * ksub times — because a projection cannot reference its own
+      * output aliases).
+      */
+    def stagedCols(vec: Column): Seq[Column] = (0 until m).flatMap { s =>
       val svExpr = slice(vec.cast("array<double>"), s * sub + 1, sub)
       val aux =
         if (l2) dot(svExpr, svExpr).as(s"__sv2${s}__")
         else norm(svExpr).as(s"__svn${s}__")
       Seq(svExpr.as(s"__sv${s}__"), aux)
     }
-    val winners = (0 until m).map { s =>
-      val cws = typedLit(packed(s).toSeq)
-      val svC = col(s"__sv${s}__")
-      val scored =
-        if (!l2) transform(cws, cw => struct(
-          Seq(round(dot(svC, cw("v")) / (col(s"__svn${s}__") * cw("n")), scoreDecimals).as("a"),
-            (cw("id") * lit(-1L)).as("b"), cw("ci").as("ci"), cw("n2").as("n2")) ++
-            (if (needV) Seq(cw("v").as("v")) else Nil): _*))
-        else transform(cws, cw => struct(
-          Seq(round(col(s"__sv2${s}__") - lit(2.0) * dot(svC, cw("v")) + cw("n2"), scoreDecimals).as("a"),
-            cw("id").as("b"), cw("ci").as("ci"), cw("n2").as("n2")) ++
-            (if (needV) Seq(cw("v").as("v")) else Nil): _*))
-      (if (!l2) array_max(scored) else array_min(scored)).as(s"__w${s}__")
+
+    def idxCols: Seq[Column] = (0 until m).map { s =>
+      val aux = if (l2) col(s"__sv2${s}__") else col(s"__svn${s}__")
+      graft.internal.exprColumn(graft.plans.PqArgBestExpr(
+        graft.internal.columnExpr(col(s"__sv${s}__")),
+        graft.internal.columnExpr(aux),
+        graft.internal.columnExpr(lit(s)),
+        ids, vsA, nsA, scoreDecimals, l2)).as(s"__bi${s}__")
     }
-    (staged, winners)
+
+    /** Winner rank (`__ci__`) of subspace `s` — a literal lookup. */
+    def ci(s: Int): Column =
+      element_at(typedLit(packed(s).map(_.ci).toSeq), col(s"__bi${s}__") + 1)
+
+    /** Winner stored squared norm (`__cbn2__`) of subspace `s`. */
+    def n2(s: Int): Column =
+      element_at(typedLit(packed(s).map(_.n2).toSeq), col(s"__bi${s}__") + 1)
+
+    /** Winner codeword vector (`__cbv__`) of subspace `s`. */
+    def v(s: Int): Column =
+      element_at(typedLit(packed(s).map(_.v).toSeq), col(s"__bi${s}__") + 1)
   }
 
   /** Rank-1 codeword assignment for one exploded (row, sub_id, __sv__)
@@ -869,26 +866,23 @@ object Similarity {
         PqCw(r.getLong(1), -1, v, r.getDouble(3), dotLR(v))
       }
     }
-    val all = typedLit(packed)
-    val cands = element_at(all, col("sub_id") + 1)
-    val out =
-      if (!l2) {
-        val staged = ex.withColumn("__svn__", norm(col("__sv__")))
-        val win = array_max(transform(cands, cw => struct(
-          round(dot(col("__sv__"), cw("v")) / (col("__svn__") * cw("n")), scoreDecimals).as("a"),
-          (cw("id") * lit(-1L)).as("b"))))
-        staged.withColumn("__win__", win)
-          .withColumn("cent_id", col("__win__")("b") * lit(-1L))
-          .drop("__win__")
-      } else {
-        val staged = ex.withColumn("__sv2__", dot(col("__sv__"), col("__sv__")))
-        val win = array_min(transform(cands, cw => struct(
-          round(col("__sv2__") - lit(2.0) * dot(col("__sv__"), cw("v")) + cw("n2"), scoreDecimals).as("a"),
-          cw("id").as("b"))))
-        staged.withColumn("__win__", win)
-          .withColumn("cent_id", col("__win__")("b"))
-          .drop("__win__", "__sv2__")
-      }
+    val ids = packed.map(_.map(_.id).toArray).toArray
+    val vsA = packed.map(_.map(_.v.toArray).toArray).toArray
+    val nsA = packed.map(_.map(_.n).toArray).toArray
+    val allIds = typedLit(packed.map(_.map(_.id)))
+    val staged =
+      if (!l2) ex.withColumn("__svn__", norm(col("__sv__")))
+      else ex.withColumn("__sv2__", dot(col("__sv__"), col("__sv__")))
+    val aux = if (l2) col("__sv2__") else col("__svn__")
+    val idx = graft.internal.exprColumn(graft.plans.PqArgBestExpr(
+      graft.internal.columnExpr(col("__sv__")),
+      graft.internal.columnExpr(aux),
+      graft.internal.columnExpr(col("sub_id").cast("int")),
+      ids, vsA, nsA, scoreDecimals, l2))
+    val out = staged.withColumn("__bi__", idx)
+      .withColumn("cent_id",
+        element_at(element_at(allIds, col("sub_id") + 1), col("__bi__") + 1))
+      .drop("__bi__", "__sv2__")
     Some(out)
   }
 

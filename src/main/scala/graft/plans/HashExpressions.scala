@@ -273,3 +273,137 @@ case class WinnowExpr(child: Expression, k: Int, w: Int)
   override protected def withNewChildInternal(newChild: Expression): WinnowExpr =
     copy(child = newChild)
 }
+
+/** Codegen'd rank-1 codeword argbest for the PACKED PQ encode/training
+  * (r19 opt): the winning codeword index of one subvector against one
+  * subspace's codebook, as a tight primitive loop over driver-collected
+  * codeword arrays — replacing the interpreted
+  * `array_max(transform(lit, ...))` fold, whose per-element lambda
+  * machinery dominated the m=8/ksub=256 builds (4M lambda evals per
+  * corpus pass at sf0.1; 400M at sf10).
+  *
+  * Bit-identical to the window/argmax forms it stands in for:
+  *  - the metric replays the expression arithmetic term for term —
+  *    cosine `round(dot / (aux * |cw|), dec)` with `aux` the staged
+  *    subvector norm, L2 `round((aux - 2·dot) + |cw|², dec)` with
+  *    `aux` the staged squared norm; dot is the same left-to-right
+  *    accumulation as [[graft.functions.VectorKernel.dotOrNull]]
+  *    (null on length mismatch or null element), and `round` is
+  *    Spark's own Round recipe for doubles —
+  *    `BigDecimal.valueOf(x).setScale(dec, HALF_UP)` with NaN/Inf
+  *    passed through;
+  *  - the tiebreak is (metric best, then draw id ascending); a null
+  *    metric orders SMALLEST exactly like the window defaults (desc
+  *    NULLS LAST → loses under cosine-max; asc NULLS FIRST → wins
+  *    under L2-min) and NaN orders largest, NaN == NaN
+  *    (java.lang.Double.compare — divergence from SQL comparison
+  *    semantics is only possible at -0.0 vs 0.0, which Spark's Round
+  *    can never emit).
+  *
+  * Children: (subvector: array<double>, aux: double, subId: int).
+  * The codebook rides the expression as driver data (one entry array
+  * per subspace, bounded by m·ksub — the frame serving broadcasts
+  * whole) and lands on executors inside the serialized plan, exactly
+  * like a literal. Returns the winner's position in `ids(subId)`;
+  * callers map the index to rank/norm/codeword via literal lookups.
+  */
+case class PqArgBestExpr(
+    sv: Expression,
+    aux: Expression,
+    subId: Expression,
+    ids: Array[Array[Long]],
+    vs: Array[Array[Array[Double]]],
+    ns: Array[Array[Double]],
+    dec: Int,
+    l2: Boolean
+) extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def first: Expression = sv
+  override def second: Expression = aux
+  override def third: Expression = subId
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (sv.dataType, aux.dataType, subId.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs (array<double>, double, int), got $other")
+    }
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_pq_argbest"
+
+  // L2 codeword squared norms: the same left-to-right self-dot the
+  // shuffled form computes per join row (IEEE doubles — deterministic)
+  private lazy val n2s: Array[Array[Double]] = vs.map(_.map { v =>
+    var s = 0.0d; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    s
+  })
+
+  private def roundHalfUp(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(dec, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** dot(sv, cw) with dotOrNull's null contract; null encoded as NaN
+    * sentinel is NOT possible (NaN is a legal value), so the winner
+    * loop carries an explicit null flag instead.
+    */
+  def best(svA: ArrayData, aux: Double, s: Int): Int = {
+    val idsS = ids(s); val vsS = vs(s); val nsS = ns(s); val n2sS = n2s(s)
+    val n = svA.numElements()
+    var bi = 0
+    var bNull = true
+    var bMet = 0.0d
+    var bId = 0L
+    var j = 0
+    while (j < idsS.length) {
+      val cw = vsS(j)
+      var d = 0.0d
+      var isNull = n != cw.length
+      var i = 0
+      while (!isNull && i < n) {
+        if (svA.isNullAt(i)) isNull = true
+        else { d += svA.getDouble(i) * cw(i); i += 1 }
+      }
+      var met = 0.0d
+      var metNull = isNull
+      if (!isNull) {
+        met =
+          if (!l2) roundHalfUp(d / (aux * nsS(j)))
+          else roundHalfUp((aux - 2.0d * d) + n2sS(j))
+      }
+      val id = idsS(j)
+      val better =
+        if (j == 0) true
+        else {
+          // cmp with null smallest, NaN largest (Double.compare)
+          val c =
+            if (metNull && bNull) 0
+            else if (metNull) -1
+            else if (bNull) 1
+            else java.lang.Double.compare(met, bMet)
+          if (!l2) c > 0 || (c == 0 && id < bId) // max (sim desc, id asc)
+          else c < 0 || (c == 0 && id < bId)     // min (dist asc, id asc)
+        }
+      if (better) { bi = j; bNull = metNull; bMet = met; bId = id }
+      j += 1
+    }
+    bi
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    best(a.asInstanceOf[ArrayData], b.asInstanceOf[Double], c.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) => {
+      val ref = ctx.addReferenceObj("pqArgBest", this, classOf[PqArgBestExpr].getName)
+      s"${ev.value} = $ref.best($a, $b, $c);"
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): PqArgBestExpr =
+    copy(sv = f, aux = s, subId = t)
+}
