@@ -847,7 +847,8 @@ object Similarity {
     }
     if (!integral) return None
     val rows = cents
-      .select(col("sub_id"), col("cent_id").cast("long"), col("__cbv__"), col("__cbn__")).collect()
+      .select(col("sub_id"), col("cent_id").cast("long"),
+        col("__cbv__").cast("array<double>"), col("__cbn__")).collect()
     if (rows.isEmpty || rows.exists(r => r.isNullAt(1) || r.getLong(1) == Long.MinValue)) return None
     val bySub = rows.groupBy(_.getInt(0))
     val m = bySub.keysIterator.max + 1
@@ -1539,38 +1540,60 @@ object Similarity {
         .drop("__mkw__")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.Cleanup.defer(() => { mem.unpersist(); () })
-      // one eager materialization: the membership frame is referenced
-      // three times below (live twice, the level-2 join once) — a
-      // tiny nlist-row job here beats three racing recomputes, and
-      // the serving plan then references only the cache
-      mem.count()
+      // the membership frame is tiny (one row per centroid) and below
+      // it feeds only driver-side collection — materialize via the
+      // collect itself (the former mem.count() warm-up job is gone,
+      // r19 opt)
       // live super-cells (those that won >= 1 member), vectors
       // included — every centroid appears exactly once as a mem
       // cent_id, so the super's own row supplies its vector
-      val live = broadcast(
+      val live =
         mem.select(col("cent_id").as("__sup__"), col("__cv__").as("__sv__"), col("__cn__").as("__sn__"))
-          .join(mem.select(col("__sup__")).distinct(), Seq("__sup__")))
+          .join(mem.select(col("__sup__")).distinct(), Seq("__sup__"))
+      // PACKED two-level routing (r19 opt, guide §2.4): the former
+      // crossJoin + max(struct) aggregations shuffled the corpus
+      // TWICE (hash-agg exchanges keyed on the row, vectors riding
+      // along). Both levels are per-row argmaxes over frames the
+      // driver already holds whole, so route in ONE projection with
+      // zero exchanges: level 1 picks the nearest live super
+      // ([[graft.plans.PqArgBestExpr]] — the same rounded cosine and
+      // the same (sim desc, id asc) tiebreak with the aggregation
+      // form's NaN/null placement), and level 2's `subId` child is
+      // the level-1 winner index, selecting that super's member-cell
+      // array. Values bit-identical: same metric expressions over
+      // the same collected doubles, same comparator semantics (see
+      // PqArgBestExpr's contract note).
+      val liveRows = live.select(col("__sup__"),
+        col("__sv__").cast("array<double>"), col("__sn__")).collect()
+      val memRows = mem.select(col("cent_id").cast("long"),
+        col("__cv__").cast("array<double>"), col("__cn__"),
+        col("__sup__").cast("long")).collect()
+      val supIds = liveRows.map(r => java.lang.Long.parseLong(r.get(0).toString))
+      val supVs = liveRows.map(_.getSeq[Double](1).toArray)
+      val supNs = liveRows.map(_.getDouble(2))
+      val memBySup: Map[Long, Array[org.apache.spark.sql.Row]] = memRows.groupBy(_.getLong(3))
+      val memIds = supIds.map(s => memBySup(s).map(_.getLong(0)))
+      val memVs = supIds.map(s => memBySup(s).map(_.getSeq[Double](1).toArray))
+      val memNs = supIds.map(s => memBySup(s).map(_.getDouble(2)))
       val base = df.select(Seq(col(idCol).as(s"${pfx}_id"), col(vecCol).as(s"__${pfx}v__"),
         norm(col(vecCol)).as(s"__${pfx}n__")) ++ carryCols.map(col): _*)
-      // carried metadata columns (r19 opt): payload rides the routing
-      // aggregations as first() — every group is ONE row id, so the
-      // value is deterministic — instead of a second corpus-sized
-      // join back by id downstream (guide §2.4)
-      val carryAggs = carryCols.map(c => first(col(c)).as(c))
-      val ssim = round(dot(col(s"__${pfx}v__"), col("__sv__")) / (col(s"__${pfx}n__") * col("__sn__")), scoreDecimals)
-      val lvl1 = base.crossJoin(live)
-        .withColumn("__sk__", struct(ssim.as("s"), (col("__sup__") * lit(-1)).as("i")))
-        .groupBy(col(s"${pfx}_id"), col(s"__${pfx}v__"), col(s"__${pfx}n__"))
-        .agg(max(col("__sk__")).as("__skw__"), carryAggs: _*)
-        .withColumn("__sup__", col("__skw__").getField("i") * lit(-1))
-        .drop("__skw__")
-      val csim = round(dot(col(s"__${pfx}v__"), col("__cv__")) / (col(s"__${pfx}n__") * col("__cn__")), scoreDecimals)
-      lvl1.join(broadcast(mem), Seq("__sup__"))
-        .withColumn("__ck__", struct(csim.as("s"), (col("cent_id") * lit(-1)).as("i")))
-        .groupBy(col(s"${pfx}_id"), col(s"__${pfx}v__"), col(s"__${pfx}n__"))
-        .agg(max(col("__ck__")).as("__ckw__"), carryAggs: _*)
-        .withColumn("cent_id", col("__ckw__").getField("i") * lit(-1))
-        .drop("__ckw__")
+      val supIdx = graft.internal.exprColumn(graft.plans.PqArgBestExpr(
+        graft.internal.columnExpr(col(s"__${pfx}v__").cast("array<double>")),
+        graft.internal.columnExpr(col(s"__${pfx}n__")),
+        graft.internal.columnExpr(lit(0)),
+        Array(supIds), Array(supVs), Array(supNs), scoreDecimals, l2 = false))
+      val centIdx = graft.internal.exprColumn(graft.plans.PqArgBestExpr(
+        graft.internal.columnExpr(col(s"__${pfx}v__").cast("array<double>")),
+        graft.internal.columnExpr(col(s"__${pfx}n__")),
+        graft.internal.columnExpr(col("__si__")),
+        memIds, memVs, memNs, scoreDecimals, l2 = false))
+      base.withColumn("__si__", supIdx)
+        // preserve the centroid frame's id type (the long literal
+        // lookup would otherwise widen an int cent_id)
+        .withColumn("cent_id",
+          element_at(element_at(typedLit(memIds.map(_.toSeq).toSeq), col("__si__") + 1),
+            centIdx + 1).cast(cents0.schema(idIdx).dataType))
+        .drop("__si__")
     }
   }
 
@@ -1588,6 +1611,44 @@ object Similarity {
       scoreDecimals: Int,
       carryCols: Seq[String] = Nil
   ): DataFrame = {
+    // keep=1 PACKED route (r19 opt): rank-1 nearest-centroid is the
+    // same per-row argbest the PQ encode runs — one projection over
+    // the collected centroid frame ([[graft.plans.PqArgBestExpr]],
+    // same rounded cosine, same (sim desc, id asc) tiebreak with the
+    // window defaults' NaN/null placement), replacing the
+    // crossJoin × per-row window sort that shuffled the corpus with
+    // its vectors. Non-integral / overflow-risk ids keep the window.
+    if (keep == 1) {
+      import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+      val sch = cents.schema
+      val ok = Seq("cent_id", "__cv__", "__cn__").forall(sch.fieldNames.contains) &&
+        (sch(sch.fieldIndex("cent_id")).dataType match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        })
+      if (ok) {
+        val rows = cents.select(col("cent_id").cast("long"),
+          col("__cv__").cast("array<double>"), col("__cn__")).collect()
+        if (rows.nonEmpty && !rows.exists(r => r.isNullAt(0) || r.getLong(0) == Long.MinValue)) {
+          val ids = rows.map(_.getLong(0))
+          val vs = rows.map(_.getSeq[Double](1).toArray)
+          val ns = rows.map(_.getDouble(2))
+          val base = df.select(Seq(col(idCol).as(s"${pfx}_id"),
+            col(vecCol).as(s"__${pfx}v__"),
+            norm(col(vecCol)).as(s"__${pfx}n__")) ++ carryCols.map(col): _*)
+          val idx = graft.internal.exprColumn(graft.plans.PqArgBestExpr(
+            graft.internal.columnExpr(col(s"__${pfx}v__").cast("array<double>")),
+            graft.internal.columnExpr(col(s"__${pfx}n__")),
+            graft.internal.columnExpr(lit(0)),
+            Array(ids), Array(vs), Array(ns), scoreDecimals, l2 = false))
+          // preserve the centroid frame's id type (the long literal
+          // lookup would otherwise widen an int cent_id)
+          return base.withColumn("cent_id",
+            element_at(typedLit(ids.toSeq), idx + 1)
+              .cast(sch(sch.fieldIndex("cent_id")).dataType))
+        }
+      }
+    }
     val scored = df
       .select(Seq(col(idCol).as(s"${pfx}_id"), col(vecCol).as(s"__${pfx}v__"),
         norm(col(vecCol)).as(s"__${pfx}n__")) ++ carryCols.map(col): _*)

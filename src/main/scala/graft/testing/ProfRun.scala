@@ -13,9 +13,15 @@ object ProfRun {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_PROF_CONF="k=v;k=v" — extra session confs for
+    // A/B-testing size-adaptive knobs (e.g. the percentile threshold)
+    val extraConf = sys.env.getOrElse("SPARK_GRAFT_PROF_CONF", "")
+      .split(";").filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2); (k, v)
+      }
+    val spark = extraConf.foldLeft(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", cpus))((b, kv) => b.config(kv._1, kv._2))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.cleaner.periodicGC.interval", "30s")

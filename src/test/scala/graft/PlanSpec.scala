@@ -129,16 +129,16 @@ class PlanSpec extends SparkSuite {
       "vec_id", "embedding", "row", 4)
     val plan = routed.queryExecution.executedPlan.toString
     SparkEntry.runPendingCleanups()
-    // count only exchanges that carry CORPUS rows (row_id/__rowv__):
-    // the membership frame's own tiny nlist-row exchanges live inside
-    // cached/broadcast subtrees whose printing varies with
-    // materialization state, and they carry O(√n) rows — the scale
-    // claim is about the n-row corpus side
+    // r19 opt: the two-level route is a PACKED projection
+    // (graft_pq_argbest over the collected super/member arrays) — the
+    // n-row corpus side crosses ZERO exchanges; the former corpus-keyed
+    // struct-max aggregations (one exchange carrying the vectors) are
+    // gone, and with them the map-side partial_max stages
     val hashExchanges = plan.linesIterator.count(l =>
       l.contains("Exchange hashpartitioning") && l.contains("row_id"))
-    assert(hashExchanges == 1, s"corpus rows should cross one exchange, saw $hashExchanges:\n$plan")
-    assert(plan.contains("partial_max") || plan.contains("partial max"),
-      s"rank-1 must partial-aggregate map-side before the exchange:\n$plan")
+    assert(hashExchanges == 0, s"corpus rows should cross zero exchanges, saw $hashExchanges:\n$plan")
+    assert(plan.contains("graft_pq_argbest"),
+      s"two-level routing should run the packed argbest kernel:\n$plan")
   }
 
   test("PQ catch-up semi-join pushes below the reconstruction Aggregate (r17)") {
@@ -223,7 +223,14 @@ class PlanSpec extends SparkSuite {
       "vec_id", "embedding", "row", 4)
     val plan = flat.queryExecution.executedPlan.toString
     SparkEntry.runPendingCleanups()
-    assert(plan.contains("Window"), s"flat route should rank via a window:\n$plan")
+    // r19 opt: keep=1 assignment is the packed argbest projection on
+    // BOTH routes now — the flat/two-level distinction is the shape of
+    // the collected model (one candidate array vs super+member
+    // arrays), not window-vs-aggregation. Flat still must not build
+    // the two-level membership stages.
+    assert(plan.contains("graft_pq_argbest"),
+      s"flat route should rank via the packed argbest kernel:\n$plan")
+    assert(!plan.contains("Window"), s"flat keep=1 route must not window-sort the corpus:\n$plan")
     assert(!plan.contains("partial_max") && !plan.contains("partial max"),
       s"flat route must not build the two-level struct-max stages:\n$plan")
   }
@@ -253,9 +260,14 @@ class PlanSpec extends SparkSuite {
     // assignment (a shuffled join would re-partition the corpus per
     // Lloyd round), and dsir's buckets-row model likewise broadcasts
     // into the per-gram scoring join
+    // r19 opt: the centroid set no longer JOINS at all — assignment is
+    // the packed argbest projection over the collected centroids, so
+    // the corpus-side plan carries neither a broadcast nor a shuffle
     val km = planOf("q_kmeans")
-    assert(km.contains("BroadcastNestedLoopJoin") || km.contains("BroadcastExchange"),
-      s"kmeans centroids are not broadcast:\n$km")
+    assert(km.contains("graft_pq_argbest"),
+      s"kmeans assignment should run the packed argbest kernel:\n$km")
+    assert(!km.linesIterator.exists(l => l.contains("Exchange hashpartitioning") && l.contains("emb")),
+      s"kmeans assignment must not shuffle corpus vectors:\n$km")
     val ds = planOf("q_dsir")
     assert(ds.contains("BroadcastExchange"), s"dsir log-ratio table is not broadcast:\n$ds")
     // the gram stream itself never sorts (hash aggs + broadcast hash
@@ -298,12 +310,12 @@ class PlanSpec extends SparkSuite {
       "q_asof_join"          -> 4, // events pre-agg + range-join repartition pair + group-limit
       "q_tfidf"              -> 6, // tf agg + df agg + word join + top-3 window (N is broadcast)
       "q_minhash_candidates" -> 3, // banded persist barrier + bucket join + pair agg
-      // kmeans training (1 Lloyd round: assign window + 2 tiny
-      // (cent,dim)-keyed aggs) + final assignment window + cell-cap
-      // count window + co-partitioned pair join + distinct; the anti
-      // join rides a broadcast. Only the three per-row windows and
-      // the pair join touch full-corpus data.
-      "q_semdedup"           -> 14,
+      // r19 opt: assignment windows collapsed into the packed argbest
+      // projection (zero corpus exchanges). What remains: kmeans
+      // training's 2 tiny (cent,dim)-keyed aggs + cell-cap count
+      // window + co-partitioned pair join / distinct pair — none over
+      // full-corpus vector rows (was 14 pre-opt).
+      "q_semdedup"           -> 4,
       // corpus-wide distinct + WindowGroupLimit rank build the slice
       // sketches; everything after runs over O(pairs x k) rows
       "q_kmv_overlap"        -> 12,
