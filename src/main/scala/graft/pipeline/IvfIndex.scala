@@ -74,6 +74,35 @@ object IvfIndex {
     }
   }
 
+  /** Run independent sink actions CONCURRENTLY (guide §2.6 — overlap
+    * independent jobs). Every sidecar write of a store build is its
+    * own Spark action paying a full Catalyst plan + job cycle;
+    * serialized, those cycles dominated the builds (r19 profile:
+    * ~40-50 jobs with ~5 s of inter-job planning gaps per PQ store,
+    * core-count-flat). Submitting them from a small pool overlaps one
+    * write's planning with another's execution and lets short jobs
+    * back-fill the tail. Safe by construction: every task writes a
+    * DISTINCT directory (no commit overlap), the frames they consume
+    * are either driver-literal or an already-materialized persist
+    * (no duplicate recompute), and job-description state is
+    * thread-local. All tasks are drained before the first failure is
+    * rethrown, so no write is left in flight.
+    */
+  private def runConcurrent(tasks: Seq[() => Unit]): Unit =
+    if (tasks.sizeIs <= 1) tasks.foreach(_())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
+      try {
+        val futs = tasks.map(t => pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = t()
+        }))
+        val errs = futs.flatMap(f =>
+          try { f.get(); None }
+          catch { case e: java.util.concurrent.ExecutionException => Option(e.getCause) })
+        errs.headOption.foreach(e => throw e)
+      } finally { pool.shutdownNow(); () }
+    }
+
   /** Collect a model-sized frame (centroids, codebooks — rows the
     * driver already holds whole whenever the frame is broadcast) and
     * re-embed it as a depth-1 literal relation, broadcast-tagged.
@@ -279,6 +308,11 @@ object IvfIndex {
   ): Unit = {
     requireHistSubset(histogramCols, payloadCols)
     val nz = Similarity.dropZeroVectors(corpus, vecCol)
+    // the AutoNlist count is ALSO the routing's smallCorpus count —
+    // take it once and thread it through (r20 opt: the two-level
+    // router's guard scanned the corpus a second time per build)
+    val nzCount =
+      if (centroids.isEmpty && nlist == Similarity.AutoNlist) Some(nz.count()) else None
     // the centroid frame is tiny (nlist rows) but its LINEAGE is the
     // corpus-wide md5 draw (or a Lloyd fit): collect once and re-embed
     // as a literal relation (compactCentroids' recipe — values
@@ -287,27 +321,34 @@ object IvfIndex {
     // re-optimizing (and re-executing) the draw per action (r19 opt)
     val cents = compactFrame(centroids.map(broadcast)
       .getOrElse(Similarity.ivfCentroids(nz, idCol, vecCol,
-        Similarity.resolveNlist(nlist, nz))))
+        nzCount.map(Similarity.autoNlist).getOrElse(nlist))))
     // payload rides the routing aggregations (carryCols) instead of a
     // second corpus-sized join back by id (r19 opt, guide §2.4); the
     // assignment pipeline feeds BOTH the cell write and the keymap
     // write — persist so it computes once, not per sink
     val assigned = cellRows(
       Similarity.ivfAssignTwoLevel(nz, cents, idCol, vecCol, "row", scoreDecimals,
-        carryCols = payloadCols),
+        carryCols = payloadCols, knownRows = nzCount),
       idCol, vecCol, int8, payloadCols)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       dumpBuildPlan(assigned, path)
-      graft.sources.Sink.writePartitioned(
-        assigned, path, partitionCols = Seq("cent_id"), sortCols = Seq(idCol))
-      cents.write.mode("overwrite").parquet(s"$path/$CentroidsDir")
-      meta.foreach(writeLayoutMeta(corpus.sparkSession, path, _))
-      graft.sources.Sink.writePartitioned(
-        keymapRows(assigned, idCol, meta), s"$path/$KeymapDir",
-        partitionCols = Seq("kb"), sortCols = Seq(idCol))
-      if (histogramCols.nonEmpty)
-        writeCellHist(corpus.sparkSession, path, assigned, histogramCols)
+      // phase 1 — the cell write (which materializes the persist) runs
+      // CONCURRENTLY with the driver-literal sidecars; phase 2 — the
+      // sinks that re-read `assigned` run once the persist is
+      // populated, again overlapped (r20 opt, guide §2.6)
+      runConcurrent(Seq(
+        () => graft.sources.Sink.writePartitioned(
+          assigned, path, partitionCols = Seq("cent_id"), sortCols = Seq(idCol)),
+        () => cents.write.mode("overwrite").parquet(s"$path/$CentroidsDir"),
+        () => meta.foreach(writeLayoutMeta(corpus.sparkSession, path, _))))
+      runConcurrent(Seq(
+        () => graft.sources.Sink.writePartitioned(
+          keymapRows(assigned, idCol, meta), s"$path/$KeymapDir",
+          partitionCols = Seq("kb"), sortCols = Seq(idCol))) ++
+        (if (histogramCols.nonEmpty)
+          Seq(() => writeCellHist(corpus.sparkSession, path, assigned, histogramCols))
+        else Nil))
     } finally { assigned.unpersist(); () }
   }
 
@@ -401,16 +442,20 @@ object IvfIndex {
     requireHistSubset(histogramCols, payloadCols)
     val spark = corpus.sparkSession
     val nz = Similarity.dropZeroVectors(corpus, vecCol)
+    // one count serves AutoNlist AND the router's smallCorpus guard
+    // (r20 opt — was two corpus scans per build)
+    val nzCount =
+      if (centroids.isEmpty && nlist == Similarity.AutoNlist) Some(nz.count()) else None
     // centroid frame compacted to a literal relation (r19 opt — see
     // compactFrame): the sidecar write, the residual joins, and the
     // two-level router's internal collect all stop re-planning /
     // re-executing the corpus-wide draw
     val cents = compactFrame(centroids.map(broadcast)
       .getOrElse(Similarity.ivfCentroids(nz, idCol, vecCol,
-        Similarity.resolveNlist(nlist, nz))))
+        nzCount.map(Similarity.autoNlist).getOrElse(nlist))))
     if (residual)
       return buildPqResidual(spark, nz, cents, idCol, vecCol, path, dims, m, ksub,
-        iters, scoreDecimals, payloadCols, histogramCols, refineInt8)
+        iters, scoreDecimals, payloadCols, histogramCols, refineInt8, nzCount)
     val meta = LayoutMeta(vecCol, payloadCols)
     // ONE collect of the fitted codebook (m·ksub rows — a frame
     // serving already broadcasts whole) feeds the codeword-count
@@ -442,23 +487,29 @@ object IvfIndex {
     // projection), so the former corpus-sized persist + id-join
     // fan-out is gone (r19 opt, guide §2.4)
     val routed = Similarity.ivfAssignTwoLevel(nz, cents, idCol, vecCol, "row", scoreDecimals,
-      carryCols = payloadCols)
+      carryCols = payloadCols, knownRows = nzCount)
     val assigned = pqCellRows(cbStored, routed, idCol, scoreDecimals, tiny,
       refine = refineInt8, payload = payloadCols)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       dumpBuildPlan(assigned, path)
-      graft.sources.Sink.writePartitioned(
-        assigned, path, partitionCols = Seq("cent_id"), sortCols = Seq(idCol))
-      cents.write.mode("overwrite").parquet(s"$path/$CentroidsDir")
-      cbStored.write.mode("overwrite").parquet(s"$path/$CodebooksDir")
-      writePqMeta(spark, path, m, ksub, dims / m, tiny, residual = false)
-      writeLayoutMeta(spark, path, meta)
-      graft.sources.Sink.writePartitioned(
-        keymapRows(assigned, idCol, Some(meta)), s"$path/$KeymapDir",
-        partitionCols = Seq("kb"), sortCols = Seq(idCol))
-      if (histogramCols.nonEmpty)
-        writeCellHist(spark, path, assigned, histogramCols)
+      // phase 1 — cells (materializing the persist) overlapped with the
+      // four driver-literal sidecars; phase 2 — the assigned re-readers
+      // (r20 opt, guide §2.6)
+      runConcurrent(Seq(
+        () => graft.sources.Sink.writePartitioned(
+          assigned, path, partitionCols = Seq("cent_id"), sortCols = Seq(idCol)),
+        () => cents.write.mode("overwrite").parquet(s"$path/$CentroidsDir"),
+        () => cbStored.write.mode("overwrite").parquet(s"$path/$CodebooksDir"),
+        () => writePqMeta(spark, path, m, ksub, dims / m, tiny, residual = false),
+        () => writeLayoutMeta(spark, path, meta)))
+      runConcurrent(Seq(
+        () => graft.sources.Sink.writePartitioned(
+          keymapRows(assigned, idCol, Some(meta)), s"$path/$KeymapDir",
+          partitionCols = Seq("kb"), sortCols = Seq(idCol))) ++
+        (if (histogramCols.nonEmpty)
+          Seq(() => writeCellHist(spark, path, assigned, histogramCols))
+        else Nil))
     } finally { assigned.unpersist(); () }
   }
 
@@ -499,7 +550,8 @@ object IvfIndex {
       scoreDecimals: Int,
       payloadCols: Seq[String],
       histogramCols: Seq[String] = Nil,
-      refineInt8: Boolean = false
+      refineInt8: Boolean = false,
+      knownRows: Option[Long] = None
   ): Unit = {
     import org.apache.spark.storage.StorageLevel
     val meta = LayoutMeta(vecCol, payloadCols)
@@ -507,7 +559,7 @@ object IvfIndex {
     // residuals, then the encode) — the persist stays, unlike the raw
     // build's single-consumer stream-through
     val routed = Similarity.ivfAssignTwoLevel(nz, cents, idCol, vecCol, "row", scoreDecimals,
-      carryCols = payloadCols)
+      carryCols = payloadCols, knownRows = knownRows)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val resid = routed
@@ -540,17 +592,21 @@ object IvfIndex {
         .persist(StorageLevel.MEMORY_AND_DISK)
       try {
         dumpBuildPlan(assigned, path)
-        graft.sources.Sink.writePartitioned(
-          assigned, path, partitionCols = Seq("cent_id"), sortCols = Seq(idCol))
-        cents.write.mode("overwrite").parquet(s"$path/$CentroidsDir")
-        cbStored.write.mode("overwrite").parquet(s"$path/$CodebooksDir")
-        writePqMeta(spark, path, m, ksub, dims / m, tiny, residual = true)
-        writeLayoutMeta(spark, path, meta)
-        graft.sources.Sink.writePartitioned(
-          keymapRows(assigned, idCol, Some(meta)), s"$path/$KeymapDir",
-          partitionCols = Seq("kb"), sortCols = Seq(idCol))
-        if (histogramCols.nonEmpty)
-          writeCellHist(spark, path, assigned, histogramCols)
+        // overlapped sink phases, as in the raw build (r20 opt, §2.6)
+        runConcurrent(Seq(
+          () => graft.sources.Sink.writePartitioned(
+            assigned, path, partitionCols = Seq("cent_id"), sortCols = Seq(idCol)),
+          () => cents.write.mode("overwrite").parquet(s"$path/$CentroidsDir"),
+          () => cbStored.write.mode("overwrite").parquet(s"$path/$CodebooksDir"),
+          () => writePqMeta(spark, path, m, ksub, dims / m, tiny, residual = true),
+          () => writeLayoutMeta(spark, path, meta)))
+        runConcurrent(Seq(
+          () => graft.sources.Sink.writePartitioned(
+            keymapRows(assigned, idCol, Some(meta)), s"$path/$KeymapDir",
+            partitionCols = Seq("kb"), sortCols = Seq(idCol))) ++
+          (if (histogramCols.nonEmpty)
+            Seq(() => writeCellHist(spark, path, assigned, histogramCols))
+          else Nil))
       } finally { assigned.unpersist(); () }
     } finally { routed.unpersist(); () }
   }
@@ -692,11 +748,13 @@ object IvfIndex {
     if (!fs.exists(p)) None
     else {
       val df = spark.read.parquet(p.toString)
-      val r = df.select("m", "ksub", "sub").head()
-      val residual =
-        if (df.columns.contains("residual")) df.select("residual").head().getBoolean(0)
-        else false
-      Some((r.getInt(0), r.getInt(1), r.getInt(2), residual))
+      // ONE head() for all four fields (r20 opt): the former
+      // two-action form (m/ksub/sub, then residual) paid a second
+      // plan+job cycle per serve for a one-row sidecar
+      val residualCol =
+        if (df.columns.contains("residual")) col("residual") else lit(false)
+      val r = df.select(col("m"), col("ksub"), col("sub"), residualCol.as("residual")).head()
+      Some((r.getInt(0), r.getInt(1), r.getInt(2), r.getBoolean(3)))
     }
   }
 
@@ -742,8 +800,12 @@ object IvfIndex {
         // window plus two regroup/joins by id. Values bit-identical:
         // same rounded cosine (pqRank1's expression over the same
         // stored norms), same (sim desc, id asc) tiebreak, and __xn__
-        // sums the stored squared norms in ascending-subspace order —
-        // the arrival order of the former hash aggregation.
+        // sums the stored squared norms in FIXED ascending-subspace
+        // order. (The replaced sqrt(sum(__cbn2__)) hash aggregation had
+        // no guaranteed add order, so this is a determinism IMPROVEMENT
+        // over the old path, not a bit replay of it — pre-r19 stores
+        // can differ at the ULP; the oracle recipe also sums in
+        // ascending subspace order, making the packed form canonical.)
         val pc = new Similarity.PackedCodebook(packed, scoreDecimals, l2 = false)
         val q8 = if (refine) Seq(int8TripleStruct(col("__rowv__")).as("__q8__")) else Nil
         val carry = (if (refine) Seq(col("__q8__")) else Nil) ++ payload.map(col)
@@ -753,8 +815,15 @@ object IvfIndex {
         pqPackedFinal(s2, idCol, pc, tiny,
           xn = sqrt((0 until pc.m).map(pc.n2).reduce(_ + _)), refine, payload)
       case None =>
-        withJoinedExtras(pqCellRowsShuffled(cb, routed, idCol, scoreDecimals, tiny),
-          routed, idCol, refine, payload)
+        // the fallback consumes routed up to three times (shuffled
+        // encode, refine triple, payload join) and callers stream it
+        // unpersisted (the packed path is ONE consumer) — persist here
+        // so the two-level routing doesn't recompute per consumer;
+        // released after the consuming action (ADVICE r19)
+        val routedP = routed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.Cleanup.defer(() => { routedP.unpersist(); () })
+        withJoinedExtras(pqCellRowsShuffled(cb, routedP, idCol, scoreDecimals, tiny),
+          routedP, idCol, refine, payload)
     }
 
   /** Shared tail of the packed encodes: `__pq__` rank packing (tinyint
@@ -2555,18 +2624,26 @@ object IvfIndex {
       scoreDecimals: Int,
       filter: Option[org.apache.spark.sql.Column],
       cellRestrict: Option[Set[Long]] = None,
-      refine: Int = 0
+      refine: Int = 0,
+      qRankedOpt: Option[DataFrame] = None
   ): DataFrame = {
     if (layoutDf.columns.contains("__pq__"))
       return searchTopKPq(spark, path, layoutDf, queries, idCol, vecCol, k, nprobe,
-        scoreDecimals, filter, centsOpt, cellRestrict, refine)
+        scoreDecimals, filter, centsOpt, cellRestrict, refine, qRankedOpt)
     require(refine == 0,
       "searchTopK: refine re-ranking needs a PQ layout built with refineInt8 = true " +
         "(float and int8 layouts already score candidates at their full stored fidelity)")
     val cents = centsOpt.getOrElse(broadcast(spark.read.parquet(s"$path/$CentroidsDir")))
     val qNz = Similarity.dropZeroVectors(queries, vecCol)
-    val qCells = Similarity
-      .ivfAssign(qNz, cents, idCol, vecCol, "query", keep = nprobe, scoreDecimals)
+    // qRankedOpt (r20 opt): a caller that already ranked the queries
+    // against every cell (the adaptive serve) passes the ranked frame;
+    // row_number's prefix property makes the rank filter identical to
+    // a fresh keep = nprobe assignment
+    val qCells = qRankedOpt match {
+      case Some(qr) => qr.where(col("__cr__") <= nprobe).drop("__cr__")
+      case None => Similarity
+        .ivfAssign(qNz, cents, idCol, vecCol, "query", keep = nprobe, scoreDecimals)
+    }
     // the partition-pruning predicate: distinct probed cells, <= nlist
     // values by construction. `cellRestrict` (r19) intersects with the
     // cells KNOWN (from the payload histogram) to contain filter
@@ -2685,12 +2762,27 @@ object IvfIndex {
         refine = refine)
     case Some(pred) =>
       val layoutDf = spark.read.parquet(path)
-      val cents = broadcast(spark.read.parquet(s"$path/$CentroidsDir"))
-      val nlist = cents.count().toInt
+      // ONE collect of the centroid sidecar (r20 opt): nlist comes from
+      // the collected rows (the former count() job is gone) and every
+      // downstream routing reference plans against a literal relation
+      val centDf = spark.read.parquet(s"$path/$CentroidsDir")
+      val centRows = centDf.collect()
+      val cents = compactRows(spark, centRows, centDf.schema)
+      val nlist = centRows.length
       val cap = if (maxProbe > 0) math.min(maxProbe, nlist) else nlist
       val qNz = Similarity.dropZeroVectors(queries, vecCol)
-      val probed = Similarity
-        .ivfAssign(qNz, cents, idCol, vecCol, "query", keep = nprobe, scoreDecimals)
+      // route the queries ONCE, ranked against every cell up to the
+      // cap (r20 opt): the base probe set is the rank <= nprobe slice
+      // and the widened serve reuses the same frame at rank <= widened
+      // — row_number's prefix property makes both identical to fresh
+      // assignments at those widths, so the second routing pass (and
+      // its window) is gone. The frame is queries x cap rows — tiny —
+      // and persisted across its two consumers.
+      val qRanked = Similarity
+        .ivfAssignRanked(qNz, cents, idCol, vecCol, "query", keep = cap, scoreDecimals)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.Cleanup.defer(() => { qRanked.unpersist(); () })
+      val probed = qRanked.where(col("__cr__") <= nprobe)
         .select(col("cent_id").cast("long")).distinct()
         .collect().map(_.getLong(0)).sorted
       def widenBy(n: Long, mHits: Long): Int =
@@ -2707,13 +2799,13 @@ object IvfIndex {
           // serve probes nothing
           searchTopKOver(spark, path, layoutDf, Some(cents), queries, idCol, vecCol,
             k, widenBy(n, m), scoreDecimals, filter, cellRestrict = Some(matches.keySet),
-            refine = refine)
+            refine = refine, qRankedOpt = Some(qRanked))
         case None =>
           val est = layoutDf.where(cellsIn(probed))
             .agg(count(lit(1)).as("n"), count(when(pred, 1)).as("m")).head()
           searchTopKOver(spark, path, layoutDf, Some(cents), queries, idCol, vecCol,
             k, widenBy(est.getLong(0), est.getLong(1)), scoreDecimals, filter,
-            refine = refine)
+            refine = refine, qRankedOpt = Some(qRanked))
       }
   }
 
@@ -2745,7 +2837,8 @@ object IvfIndex {
       filter: Option[org.apache.spark.sql.Column] = None,
       centsOpt: Option[DataFrame] = None,
       cellRestrict: Option[Set[Long]] = None,
-      refine: Int = 0
+      refine: Int = 0,
+      qRankedOpt: Option[DataFrame] = None
   ): DataFrame = {
     require(refine == 0 || layoutDf.columns.contains("__codes__"),
       "searchTopK: refine re-ranking needs the stored int8 triple - build the index with " +
@@ -2768,8 +2861,13 @@ object IvfIndex {
       (m0, (mk.getLong(1) / m0).toInt, mk.getInt(2), false)
     }
     val queriesNz = Similarity.dropZeroVectors(queries, vecCol)
-    val qAssigned = Similarity
-      .ivfAssign(queriesNz, cents, idCol, vecCol, "query", keep = nprobe, scoreDecimals)
+    // reuse the adaptive serve's one routing pass when given (r20 opt;
+    // see searchTopKOver's qRankedOpt note)
+    val qAssigned = qRankedOpt match {
+      case Some(qr) => qr.where(col("__cr__") <= nprobe).drop("__cr__")
+      case None => Similarity
+        .ivfAssign(queriesNz, cents, idCol, vecCol, "query", keep = nprobe, scoreDecimals)
+    }
     // residual stores decompose dot(q, x̂) = dot(q, c_cell) + Σ LUT —
     // the first term is nprobe scalars per query, derived against the
     // broadcast centroid frame (Similarity.pqSearch's recipe)

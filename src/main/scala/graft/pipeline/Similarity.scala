@@ -627,15 +627,59 @@ object Similarity {
     // zero codeword and collapse to one. The oracle applies the same
     // nonzero filter to its init CTE.
     val initSrc = if (l2) dropZeroVectors(corpus, vecCol) else corpus
-    val initIds = broadcast(initSrc
-      .select(col(idCol).as("cent_id"), md5(col(idCol).cast("string")).as("__h__"))
+    // ONE narrow collect of the ksub init rows (r20 opt, guide §2.4):
+    // the former form broadcast the draw ids and re-scanned the WHOLE
+    // exploded corpus through a join just to slice out ksub rows — an
+    // extra corpus pass (plus its broadcast job) at the head of every
+    // PQ fit. The subspace slices and norms are computed driver-side
+    // with the exact SQL arithmetic (slice copies doubles; norm is the
+    // same left-to-right self-dot + sqrt the kernel uses), so the init
+    // codebook is bit-identical. Null/irregular vectors keep the join
+    // form — the proven path for shapes the fast one can't take.
+    val initRows = initSrc
+      .select(col(idCol).as("cent_id"), col(vecCol).cast("array<double>").as("__v__"),
+        md5(col(idCol).cast("string")).as("__h__"))
       .orderBy(col("__h__"), col("cent_id"))
       .limit(ksub)
-      .drop("__h__"))
-    var cents = broadcast(ex
-      .join(initIds, ex(idCol) === initIds("cent_id"))
-      .select(col("sub_id"), col("cent_id"), col("__sv__").as("__cbv__"))
-      .withColumn("__cbn__", norm(col("__cbv__"))))
+      .select(col("cent_id"), col("__v__"))
+      .collect()
+    val cleanInit = initRows.forall { r =>
+      !r.isNullAt(0) && !r.isNullAt(1) && {
+        val v = r.getSeq[Any](1); v.length == dims && v.forall(_ != null)
+      }
+    }
+    var cents =
+      if (cleanInit) {
+        import org.apache.spark.sql.types._
+        import scala.jdk.CollectionConverters._
+        val idType = initSrc.schema(initSrc.schema.fieldIndex(idCol)).dataType
+        val initSchema = StructType(Seq(
+          StructField("sub_id", IntegerType, nullable = false),
+          StructField("cent_id", idType),
+          StructField("__cbv__", ArrayType(DoubleType)),
+          StructField("__cbn__", DoubleType)))
+        val rows = initRows.toSeq.flatMap { r =>
+          val v = r.getSeq[Double](1)
+          (0 until m).map { s0 =>
+            val sv = v.slice(s0 * sub, s0 * sub + sub)
+            var acc = 0.0d
+            var i = 0
+            while (i < sv.length) { acc += sv(i) * sv(i); i += 1 }
+            org.apache.spark.sql.Row(s0, r.get(0), sv, math.sqrt(acc))
+          }
+        }
+        broadcast(corpus.sparkSession.createDataFrame(rows.asJava, initSchema))
+      } else {
+        val initIds = broadcast(initSrc
+          .select(col(idCol).as("cent_id"), md5(col(idCol).cast("string")).as("__h__"))
+          .orderBy(col("__h__"), col("cent_id"))
+          .limit(ksub)
+          .drop("__h__"))
+        broadcast(ex
+          .join(initIds, ex(idCol) === initIds("cent_id"))
+          .select(col("sub_id"), col("cent_id"), col("__sv__").as("__cbv__"))
+          .withColumn("__cbn__", norm(col("__cbv__"))))
+      }
     for (i <- 1 to iters) {
       val assigned = pqRank1(ex, cents, idCol, scoreDecimals, l2)
       cents = broadcast(assigned
@@ -1474,7 +1518,8 @@ object Similarity {
       vecCol: String,
       pfx: String,
       scoreDecimals: Int,
-      carryCols: Seq[String] = Nil
+      carryCols: Seq[String] = Nil,
+      knownRows: Option[Long] = None
   ): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
     import scala.jdk.CollectionConverters._
@@ -1502,8 +1547,10 @@ object Similarity {
     // enough for flat to be in play — auto-sized paths with nlist
     // < 64 imply n ≲ 4k, so the count is trivial there; a fixed
     // small-nlist quantizer over a big corpus pays one narrow scan
-    // and is repaid many times over by the routing it buys
-    def smallCorpus: Boolean = df.count() < TwoLevelMinRows
+    // and is repaid many times over by the routing it buys. Callers
+    // that already counted the frame (the AutoNlist builds) pass
+    // `knownRows` so the scan never runs twice (r20 opt).
+    def smallCorpus: Boolean = knownRows.getOrElse(df.count()) < TwoLevelMinRows
     if (!integralId || (rows.length < TwoLevelMinNlist && smallCorpus)) {
       if (!integralId && rows.length >= TwoLevelMinNlist)
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
@@ -1649,6 +1696,28 @@ object Similarity {
         }
       }
     }
+    ivfAssignRanked(df, cents, idCol, vecCol, pfx, keep, scoreDecimals, carryCols)
+      .drop("__cr__")
+  }
+
+  /** The window form of [[ivfAssign]] KEEPING the per-row rank column
+    * `__cr__` (1-based nearest-centroid order). A caller that serves
+    * several probe widths from one routing pass filters
+    * `__cr__ <= width` instead of re-ranking — row_number's prefix
+    * property makes the filtered frame identical to a fresh
+    * keep = width assignment (r20 opt: the adaptive serve routed its
+    * queries twice, once for the estimate and once widened).
+    */
+  private[graft] def ivfAssignRanked(
+      df: DataFrame,
+      cents: DataFrame,
+      idCol: String,
+      vecCol: String,
+      pfx: String,
+      keep: Int,
+      scoreDecimals: Int,
+      carryCols: Seq[String] = Nil
+  ): DataFrame = {
     val scored = df
       .select(Seq(col(idCol).as(s"${pfx}_id"), col(vecCol).as(s"__${pfx}v__"),
         norm(col(vecCol)).as(s"__${pfx}n__")) ++ carryCols.map(col): _*)
@@ -1659,6 +1728,6 @@ object Similarity {
     scored
       .withColumn("__cr__", row_number().over(w))
       .where(col("__cr__") <= keep)
-      .drop("__cv__", "__cn__", "__csim__", "__cr__")
+      .drop("__cv__", "__cn__", "__csim__")
   }
 }

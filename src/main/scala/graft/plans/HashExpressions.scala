@@ -352,6 +352,13 @@ case class PqArgBestExpr(
     * loop carries an explicit null flag instead.
     */
   def best(svA: ArrayData, aux: Double, s: Int): Int = {
+    // NON-NULL INPUT CONTRACT: nullable = false means codegen omits
+    // child null guards, so a null vector would otherwise NPE deep in
+    // the loop. Every call site routes through dropZeroVectors first;
+    // this names the contract violation instead of crashing opaquely.
+    if (svA == null) throw new IllegalArgumentException(
+      "graft_pq_argbest: null subvector - callers must drop null/zero vectors " +
+        "(Similarity.dropZeroVectors) before the packed encode")
     val idsS = ids(s); val vsS = vs(s); val nsS = ns(s); val n2sS = n2s(s)
     val n = svA.numElements()
     var bi = 0
@@ -371,9 +378,18 @@ case class PqArgBestExpr(
       var met = 0.0d
       var metNull = isNull
       if (!isNull) {
-        met =
-          if (!l2) roundHalfUp(d / (aux * nsS(j)))
-          else roundHalfUp((aux - 2.0d * d) + n2sS(j))
+        if (!l2) {
+          // Spark's Divide returns NULL on a zero divisor (non-ANSI),
+          // so a zero-norm codeword LOSES under desc NULLS LAST in the
+          // window/aggregation forms this kernel replays — replicate
+          // that instead of Java's 0/0 = NaN, which the comparator
+          // would rank LARGEST (a zero-norm codeword would win every
+          // row in its subspace). Reachable: an init draw over an
+          // all-zero subvector slice, or Lloyd means rounding to zero.
+          val div = aux * nsS(j)
+          if (div == 0.0d) metNull = true
+          else met = roundHalfUp(d / div)
+        } else met = roundHalfUp((aux - 2.0d * d) + n2sS(j))
       }
       val id = idsS(j)
       val better =

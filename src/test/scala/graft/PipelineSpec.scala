@@ -934,6 +934,49 @@ class PipelineSpec extends SparkSuite {
     assert(recall >= 0.4, f"IVF-PQ recall@5 fell to $recall%.3f (bar 0.4)")
   }
 
+  test("pqEncode: zero-norm codeword loses like Spark Divide's null-on-zero (r20 fix)") {
+    val s = spark; import s.implicits._
+    // Subspace 0's codeword 5 is ALL-ZERO — reachable when the init
+    // draw lands on an all-zero subvector slice (sparse/padded
+    // embeddings) or a Lloyd mean rounds to exactly zero. The window
+    // form scores round(dot / (svn * cbn), 4) with Spark's Divide,
+    // which returns NULL on a zero divisor; NULL loses under desc
+    // NULLS LAST. Java's d/0.0 in the packed kernel would instead be
+    // NaN (0/0), which the comparator ranks LARGEST — every row would
+    // silently assign to the zero codeword. This A/Bs the packed path
+    // (integral ids) against the shuffled window fallback (decimal ids
+    // force it) over the identical codebook values.
+    val cbRows = Seq(
+      (0, 5L, Seq(0.0, 0.0)), (0, 9L, Seq(1.0, 0.25)),
+      (1, 5L, Seq(0.5, 1.0)), (1, 9L, Seq(0.25, 0.5)))
+    def cbDf(decimalIds: Boolean) = {
+      val base = cbRows.toDF("sub_id", "cent_id", "__cbv__")
+        .withColumn("__cbn__", Similarity.norm(col("__cbv__")))
+      if (decimalIds) base.withColumn("cent_id", col("cent_id").cast("decimal(10,0)"))
+      else base
+    }
+    val corpus = Seq(
+      (1L, Seq(0.3, 0.7, 0.2, 0.9)),
+      (2L, Seq(0.8, 0.1, 0.4, 0.6)),
+      // a zero SLICE on the row side: every divisor is zero, so every
+      // metric is null and the id-asc tiebreak picks codeword 5 —
+      // identical in both forms
+      (3L, Seq(0.0, 0.0, 1.0, 1.0))).toDF("id", "v")
+    def enc(cb: org.apache.spark.sql.DataFrame) =
+      Similarity.pqEncode(corpus, cb, "id", "v", dims = 4, m = 2)
+        .select(col("id"), col("sub_id"), col("code_id").cast("long").as("code_id"))
+    val packed = enc(cbDf(decimalIds = false))
+    val shuffled = enc(cbDf(decimalIds = true))
+    assertSame(packed, shuffled)
+    // and explicitly: rows with a nonzero slice never assign to the
+    // zero-norm codeword in subspace 0
+    val sub0 = packed.where(col("sub_id") === 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(sub0(1L) == 9L && sub0(2L) == 9L,
+      s"zero-norm codeword must lose for nonzero slices, got $sub0")
+    assert(sub0(3L) == 5L, s"all-null metrics tiebreak by id asc, got $sub0")
+  }
+
   test("pqFit/pqSearch: one fit serves many query batches from cache, release drops it") {
     val s = spark; import s.implicits._
     val sc = s.sparkContext
