@@ -231,7 +231,8 @@ object Percentiles {
   def boundsMulti(
       df: DataFrame,
       bounds: Seq[(String, Column, Double)],
-      byvars: Seq[String]
+      byvars: Seq[String],
+      routeDistributed: Option[Boolean] = None
   ): (DataFrame, () => Unit) = {
     require(bounds.nonEmpty, "bounds must be non-empty")
     val keys = byvars.map(col)
@@ -239,7 +240,15 @@ object Percentiles {
     val threshold = spark.conf
       .get("graft.percentiles.distributedThresholdBytes", (16L << 20).toString).toLong
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (est < threshold) {
+    // `routeDistributed` (r20 opt): a caller computing several DEPENDENT
+    // passes over the same underlying data routes them all by the BASE
+    // frame's size — a later pass's input carries the earlier bounds
+    // join, whose multiplied size ESTIMATE otherwise flips that pass to
+    // the distributed pipeline even when the data is builtin-small
+    // (q_winsorize_by at sf0.1 ran builtin hi + distributed lo). Both
+    // physical paths are bit-identical by contract (PercentilesSpec),
+    // so routing never changes results.
+    if (routeDistributed.map(!_).getOrElse(est < threshold)) {
       // one pass: clean per-column inside the aggregate (percentile
       // ignores nulls; NaN pre-nulled to match the distributed path)
       val aggs = bounds.map { case (out, v, p) =>

@@ -108,17 +108,29 @@ object Winsorize {
     // path the second pass's aggregate needs the first pass's `hi`
     // joined into its input anyway, and a single tail is a single
     // pass by construction.
+    // The physical route is decided ONCE, on the base frame, and
+    // applied to every pass (r20 opt): the literal two-pass form's
+    // second pass reads the first pass's broadcast join, whose
+    // MULTIPLIED size estimate routed it to the distributed rank
+    // pipeline even when the base data was builtin-small — at sf0.1
+    // q_winsorize_by paid a full stacked count/rank cascade for the
+    // bottom tail while the top tail ran the one-pass aggregate. Both
+    // routes are bit-identical by contract, so this changes plans,
+    // never values.
+    val distributed = Percentiles.distributedPath(df)
     val withBounds =
-      if (top && bot && Percentiles.distributedPath(df))
+      if (top && bot && distributed)
         attachFrame(df, Percentiles.winsorBounds(
           df, cols.map(c => (s"__hi_$c", s"__lo_$c", cleanOf(c))), byvars, topPct, botPct))
       else {
         val withHi =
           if (top) attachFrame(df, Percentiles.boundsMulti(
-            df, cols.map(c => (s"__hi_$c", cleanOf(c), topPct)), byvars))
+            df, cols.map(c => (s"__hi_$c", cleanOf(c), topPct)), byvars,
+            routeDistributed = Some(distributed)))
           else df
         if (bot) attachFrame(withHi, Percentiles.boundsMulti(
-          withHi, cols.map(c => (s"__lo_$c", topClamped(c), botPct)), byvars))
+          withHi, cols.map(c => (s"__lo_$c", topClamped(c), botPct)), byvars,
+          routeDistributed = Some(distributed)))
         else withHi
       }
     val clamped = cols.foldLeft(withBounds)(applyClamp)

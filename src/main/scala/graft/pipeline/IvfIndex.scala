@@ -2527,7 +2527,9 @@ object IvfIndex {
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val total = truth.count()
-      val rows = nprobes.map { nprobe =>
+      // independent per-nprobe serves overlapped, results in declared
+      // order (r20 opt, guide §2.6 — see [[Similarity.concurrently]])
+      val rows = Similarity.concurrently(nprobes) { nprobe =>
         val served = searchTopK(spark, path, queries, idCol, vecCol, k, nprobe,
           scoreDecimals, filter, refine)
           .select(col("query_id"), col("neighbor_id"))

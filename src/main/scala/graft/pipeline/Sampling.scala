@@ -301,11 +301,15 @@ object Sampling {
       .groupBy(col("__id__"), col("__b__"))
       .agg(count(lit(1)).as("__c__"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted: consumed by its total AND the log-ratio assembly —
+    // without the barrier the target tokenize + shingle pass ran twice
+    // (r20 opt); the cached frame is at most `buckets` rows
     val tCnt = withGrams(target)
       .select(explode(col("__gs__")).as("__g__"))
       .select(bucketOf(col("__g__")).as("__b__"))
       .groupBy(col("__b__"))
       .agg(count(lit(1)).as("__c__"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rCnt = rawDocBuckets.groupBy(col("__b__")).agg(sum(col("__c__")).as("__c__"))
     // totals as broadcast scalar aggs (the tfIdf corpus-size pattern)
     val tTot = broadcast(tCnt.agg(coalesce(sum(col("__c__")), lit(0L)).cast("double").as("__tt__")))
@@ -330,7 +334,7 @@ object Sampling {
     val out = raw.select(col(idCol))
       .join(scores.withColumnRenamed("__id__", idCol), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("logw"), lit(0.0)).as("logw"))
-    (out, () => { rawDocBuckets.unpersist(); () })
+    (out, () => { rawDocBuckets.unpersist(); tCnt.unpersist(); () })
   }
 
   /** Keep at most `n` rows per group, chosen deterministically by

@@ -1331,7 +1331,13 @@ object Similarity {
     try {
       val total = truth.count()
       val nzCount = dropZeroVectors(corpus, vecCol).count()
-      val rows = configs.map { case (nlist, nprobe) =>
+      // the per-config serves are INDEPENDENT given the persisted
+      // truth — run them concurrently so one config's Catalyst
+      // planning overlaps another's execution and short jobs back-fill
+      // the tail (r20 opt, guide §2.6); `futs.map(_.get())` keeps the
+      // declared configs order, and each value is a pure function of
+      // its config, so the report is unchanged
+      val rows = concurrently(configs) { case (nlist, nprobe) =>
         // clamped to the nonzero corpus count (r17, ADVICE r16):
         // ivfCentroids' limit(nlist) yields fewer cells when the
         // corpus is smaller than nlist, so the unclamped value would
@@ -1349,6 +1355,27 @@ object Similarity {
       rows.toDF("nlist", "nprobe", "resolved_nlist", "probed_fraction", "recall_at_k")
     } finally { truth.unpersist(); () }
   }
+
+  /** Map `items` through `f` on a small thread pool and return the
+    * results in input order — the guide §2.6 overlap-independent-jobs
+    * pattern for the per-config recall serves (each config is its own
+    * chain of Spark actions; serialized, every chain's planning gap
+    * idles the cluster). Exceptions propagate (first failure rethrown
+    * after all tasks settle).
+    */
+  private[pipeline] def concurrently[A, B](items: Seq[A])(f: A => B): Seq[B] =
+    if (items.sizeIs <= 1) items.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(items.size, 4))
+      try {
+        val futs = items.map(a => pool.submit(new java.util.concurrent.Callable[B] {
+          override def call(): B = f(a)
+        }))
+        futs.map(fu =>
+          try fu.get()
+          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause })
+      } finally { pool.shutdownNow(); () }
+    }
 
   /** [[recallReport]] for a FITTED quantizer: sweep `nprobes` under
     * one trained centroid frame (a [[kmeansCentroids]] fit — or any
@@ -1397,7 +1424,9 @@ object Similarity {
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val total = truth.count()
-      val rows = nprobes.map { nprobe =>
+      // independent per-nprobe serves overlapped, results in declared
+      // order (r20 opt, guide §2.6 — see [[concurrently]])
+      val rows = concurrently(nprobes) { nprobe =>
         val served = ivfTopK(corpus, queries, idCol, vecCol, k,
           nlist, nprobe, scoreDecimals, centroids = Some(cents))
           .select(col("query_id"), col("neighbor_id"))

