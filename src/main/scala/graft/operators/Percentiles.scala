@@ -79,7 +79,8 @@ object Percentiles {
       value: Column,
       byvars: Seq[String],
       ps: Seq[Double],
-      cutsCol: String = "__cuts__"
+      cutsCol: String = "__cuts__",
+      routeDistributed: Option[Boolean] = None
   ): (DataFrame, () => Unit) = {
     require(ps.nonEmpty, "ps must be non-empty")
     require(ps.forall(p => p >= 0 && p <= 1), s"percentiles must be in [0,1], got $ps")
@@ -104,7 +105,13 @@ object Percentiles {
     val threshold = spark.conf
       .get("graft.percentiles.distributedThresholdBytes", (16L << 20).toString).toLong
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (est < threshold) {
+    // `routeDistributed` (r20 opt): as in [[boundsMulti]] — a caller
+    // whose input is a 1:1 derivation of a frame it already routed
+    // (ZOrder's file-bucket cuts over the zvalue projection, whose
+    // crossJoin-inflated ESTIMATE would always read as huge) passes
+    // the base frame's routing so the physical path tracks the real
+    // data size. Both paths are bit-identical (PercentilesSpec).
+    if (routeDistributed.map(!_).getOrElse(est < threshold)) {
       val agg = percentile(col("__v__"), lit(ps.toArray)).as(cutsCol)
       val out =
         (if (byvars.isEmpty) vals.agg(agg) else vals.groupBy(keys: _*).agg(agg))
@@ -186,6 +193,56 @@ object Percentiles {
     val out = agged.select((keys :+ array(cutExprs: _*).as(cutsCol)): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (out, () => { out.unpersist(); parts.unpersist(); () })
+  }
+
+  /** [[cutsWithCleanup]] for SEVERAL value columns over the same frame
+    * (r20 opt — the ZOrder shape: every clustered column needs its
+    * full cuts array at the same `ps`). One physical pass serves all
+    * columns: the builtin route aggregates N `percentile` expressions
+    * in a single scan; the distributed route stacks the columns
+    * through the one shared rank pipeline ([[stackedComponents]],
+    * the winsorBounds shape) and assembles each column's array with
+    * [[interpolate]] — the same arithmetic as [[cutsWithCleanup]], so
+    * cuts are bit-identical to N separate calls. Returns ONE wide
+    * frame carrying byvars plus every cuts array (callers broadcast
+    * it back once instead of once per column).
+    */
+  def cutsMultiWithCleanup(
+      df: DataFrame,
+      values: Seq[(String, Column)],
+      byvars: Seq[String],
+      ps: Seq[Double],
+      routeDistributed: Option[Boolean] = None
+  ): (DataFrame, () => Unit) = {
+    require(values.nonEmpty, "values must be non-empty")
+    require(ps.nonEmpty, "ps must be non-empty")
+    require(ps.forall(p => p >= 0 && p <= 1), s"percentiles must be in [0,1], got $ps")
+    val keys = byvars.map(col)
+    val spark = df.sparkSession
+    val threshold = spark.conf
+      .get("graft.percentiles.distributedThresholdBytes", (16L << 20).toString).toLong
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (routeDistributed.map(!_).getOrElse(est < threshold)) {
+      // one pass, N percentile expressions; NaN pre-nulled per column
+      // exactly like the single-column path's vals filter
+      val aggs = values.map { case (out, v) =>
+        val clean = when(isnan(v.cast("double")), lit(null)).otherwise(v.cast("double"))
+        percentile(clean, lit(ps.toArray)).as(out)
+      }
+      val out =
+        (if (byvars.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+         else df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (out, () => { out.unpersist(); () })
+    } else {
+      val (wide, cleanup) =
+        stackedComponents(df, values.map(v => (v._2.cast("double"), ps)), byvars)
+      val out = wide.select(byvars.map(col) ++ values.zipWithIndex.map {
+        case ((outCol, _), i) =>
+          array(ps.indices.map(j => interpolate(i, j, ps(j))): _*).as(outCol)
+      }: _*).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (out, () => { out.unpersist(); cleanup() })
+    }
   }
 
   /** [[cuts]] for a single percentile, unwrapped to a scalar column

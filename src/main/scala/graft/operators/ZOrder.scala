@@ -67,15 +67,18 @@ object ZOrder {
     val nCuts = (1 << bits) - 1
     val ps = (1 to nCuts).map(_.toDouble / (1 << bits))
     val cleanups = scala.collection.mutable.ListBuffer.empty[() => Unit]
-    val withCuts = zCols.zipWithIndex.foldLeft(df) { case (acc, (c, i)) =>
-      val (cuts, cleanup) =
-        Percentiles.cutsWithCleanup(df, col(c).cast("double"), Nil, ps, s"__zc${i}__")
-      cleanups += cleanup
-      // 6-decimal rounding makes the bucket boundaries engine-portable
-      // (the kmeans/PageRank recipe); layout quality is unaffected
-      acc.crossJoin(broadcast(
-        cuts.select(transform(col(s"__zc${i}__"), x => round(x, 6)).as(s"__zc${i}__"))))
-    }
+    // ONE cuts pipeline for every clustered column (r20 opt — was one
+    // full percentile pass + one broadcast join per column), joined
+    // back in a single broadcast
+    val (cuts, cleanup) = Percentiles.cutsMultiWithCleanup(
+      df, zCols.zipWithIndex.map { case (c, i) => (s"__zc${i}__", col(c).cast("double")) },
+      Nil, ps)
+    cleanups += cleanup
+    // 6-decimal rounding makes the bucket boundaries engine-portable
+    // (the kmeans/PageRank recipe); layout quality is unaffected
+    val withCuts = df.crossJoin(broadcast(
+      cuts.select(zCols.indices.map(i =>
+        transform(col(s"__zc${i}__"), x => round(x, 6)).as(s"__zc${i}__")): _*)))
     val buckets = zCols.zipWithIndex.map { case (c, i) =>
       bucketOf(col(c).cast("double"), col(s"__zc${i}__"))
     }
@@ -99,8 +102,13 @@ object ZOrder {
     require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
     val (withZ, cleanZ) = withZValue(df, zCols, bits)
     val ps = (1 until nBuckets).map(_.toDouble / nBuckets)
+    // the zvalue frame is a 1:1 projection of `df` (plus broadcast cut
+    // joins whose multiplied size ESTIMATE reads as huge), so its cuts
+    // route by the BASE frame's size (r20 opt — the small-input case
+    // paid the full distributed rank cascade for the file buckets)
     val (cuts, cleanCuts) =
-      Percentiles.cutsWithCleanup(withZ, col("zvalue").cast("double"), Nil, ps, "__zfc__")
+      Percentiles.cutsWithCleanup(withZ, col("zvalue").cast("double"), Nil, ps, "__zfc__",
+        routeDistributed = Some(Percentiles.distributedPath(df)))
     val out = withZ
       .crossJoin(broadcast(cuts.select(transform(col("__zfc__"), x => round(x, 6)).as("__zfc__"))))
       .withColumn("zbucket", bucketOf(col("zvalue").cast("double"), col("__zfc__")))
