@@ -112,7 +112,7 @@ object Percentiles {
     // the base frame's routing so the physical path tracks the real
     // data size. Both paths are bit-identical (PercentilesSpec).
     if (routeDistributed.map(!_).getOrElse(est < threshold)) {
-      val agg = percentile(col("__v__"), lit(ps.toArray)).as(cutsCol)
+      val agg = exactPercentiles(col("__v__"), ps).as(cutsCol)
       val out =
         (if (byvars.isEmpty) vals.agg(agg) else vals.groupBy(keys: _*).agg(agg))
           // the cuts frame is 1 row per group but referenced from
@@ -227,7 +227,7 @@ object Percentiles {
       // exactly like the single-column path's vals filter
       val aggs = values.map { case (out, v) =>
         val clean = when(isnan(v.cast("double")), lit(null)).otherwise(v.cast("double"))
-        percentile(clean, lit(ps.toArray)).as(out)
+        exactPercentiles(clean, ps).as(out)
       }
       val out =
         (if (byvars.isEmpty) df.agg(aggs.head, aggs.tail: _*)
@@ -310,7 +310,7 @@ object Percentiles {
       // ignores nulls; NaN pre-nulled to match the distributed path)
       val aggs = bounds.map { case (out, v, p) =>
         val clean = when(isnan(v.cast("double")), lit(null)).otherwise(v.cast("double"))
-        percentile(clean, lit(p)).as(out)
+        exactPercentile(clean, p).as(out)
       }
       val out =
         (if (byvars.isEmpty) df.agg(aggs.head, aggs.tail: _*)
@@ -396,6 +396,28 @@ object Percentiles {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (out, () => { out.unpersist(); cleanup() })
   }
+
+  /** The builtin `percentile` aggregate's exact semantics as the
+    * native primitive-buffer kernel
+    * ([[graft.plans.ExactPercentiles]], r20 opt): the builtin boxes
+    * every double into an OpenHashMap and re-sorts boxed key-count
+    * pairs at the single-threaded final merge, which dominated the
+    * small-input winsorize/portfolio passes. Bit-identical by
+    * construction (same sort order, same position arithmetic, same
+    * bitwise key-equality interpolation skip — pinned against the
+    * builtin in PercentilesSpec); only the builtin small-input route
+    * uses it, so buffer size is bounded by the documented threshold.
+    */
+  private def exactPercentiles(value: Column, ps: Seq[Double]): Column =
+    graft.internal.exprColumn(graft.plans.ExactPercentiles(
+      graft.internal.columnExpr(value.cast("double")), ps, scalarOut = false)
+      .toAggregateExpression())
+
+  /** Single-percentile scalar form of [[exactPercentiles]]. */
+  private def exactPercentile(value: Column, p: Double): Column =
+    graft.internal.exprColumn(graft.plans.ExactPercentiles(
+      graft.internal.columnExpr(value.cast("double")), Seq(p), scalarOut = true)
+      .toAggregateExpression())
 
   /** Approximate quantiles as ONE mergeable aggregation — the scale
     * escape hatch for where even the distributed exact plan is too

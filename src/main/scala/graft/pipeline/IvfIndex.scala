@@ -103,6 +103,50 @@ object IvfIndex {
       } finally { pool.shutdownNow(); () }
     }
 
+  /** Collect a fitted codebook plan and append the stored rank column
+    * `__ci__` = row_number over (sub_id, cent_id asc) − 1. For
+    * integral draw-id types the rank derives DRIVER-SIDE from the
+    * collected rows (r20 opt: the in-plan window paid an exchange +
+    * sort per build for an m·ksub frame; a stable sort by the numeric
+    * id replays SQL's row_number exactly — ids are distinct within a
+    * subspace, so the rank is unambiguous). Non-integral id types keep
+    * the window form, whose SQL ordering is the defined contract.
+    */
+  private def collectCodebookWithCi(
+      cbPlan0: DataFrame): (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType) = {
+    import org.apache.spark.sql.types._
+    val idIdx = cbPlan0.schema.fieldIndex("cent_id")
+    val subIdx = cbPlan0.schema.fieldIndex("sub_id")
+    val integral = cbPlan0.schema(idIdx).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    def windowed(): (Array[org.apache.spark.sql.Row], StructType) = {
+      val wCi = Window.partitionBy(col("sub_id")).orderBy(col("cent_id"))
+      val p = cbPlan0.withColumn("__ci__", row_number().over(wCi) - 1)
+      (p.collect(), p.schema)
+    }
+    if (!integral) windowed()
+    else {
+      val raw = cbPlan0.collect()
+      // a null draw id has no defined numeric order here — keep SQL's
+      if (raw.exists(_.isNullAt(idIdx))) return windowed()
+      val schema = cbPlan0.schema.add(StructField("__ci__", IntegerType, nullable = false))
+      val rows = raw
+        .groupBy(_.getAs[Int](subIdx))
+        .valuesIterator
+        .flatMap { rs =>
+          rs.sortBy(r => java.lang.Long.parseLong(r.get(idIdx).toString))
+            .zipWithIndex
+            .map { case (r, ci) =>
+              org.apache.spark.sql.Row.fromSeq(r.toSeq :+ ci)
+            }
+        }
+        .toArray
+      (rows, schema)
+    }
+  }
+
   /** Collect a model-sized frame (centroids, codebooks — rows the
     * driver already holds whole whenever the frame is broadcast) and
     * re-embed it as a depth-1 literal relation, broadcast-tagged.
@@ -465,10 +509,8 @@ object IvfIndex {
     // codebooks carry the RANK of each codeword within its subspace's
     // (code_id) order — pqSearch's flat-LUT index — so appends and
     // serving never need the original draw ids.
-    val wCi = Window.partitionBy(col("sub_id")).orderBy(col("cent_id"))
-    val cbPlan = Similarity.pqCodebooks(nz, idCol, vecCol, dims, m, ksub, iters, scoreDecimals)
-      .withColumn("__ci__", row_number().over(wCi) - 1)
-    val cbRows = cbPlan.collect()
+    val (cbRows, cbSchema) = collectCodebookWithCi(
+      Similarity.pqCodebooks(nz, idCol, vecCol, dims, m, ksub, iters, scoreDecimals))
     // fail fast on a dropped codeword (ADVICE r16): Lloyd drops a
     // codeword whose cluster empties, and a subspace with fewer
     // than ksub codewords would silently mis-address the flat ADC
@@ -480,7 +522,7 @@ object IvfIndex {
         "- the flat ADC addressing requires exactly ksub codewords in every subspace; " +
         "lower ksub (an empty cluster means the corpus cannot support this many codewords), " +
         "reduce iters, or train on more rows")
-    val cbStored = compactRows(spark, cbRows, cbPlan.schema)
+    val cbStored = compactRows(spark, cbRows, cbSchema)
     val tiny = ksub <= 256
     // routed streams straight into the packed single-projection encode
     // (ONE consumer — refine triple and payload ride the same
@@ -568,18 +610,16 @@ object IvfIndex {
           zip_with(col("__rowv__"), col("__cv__"), (a, b) => a - b).as("__rv__"))
       // ONE collect of the fitted codebook feeds the count check, the
       // packed encode, and the sidecar write (see buildPq — r19 opt)
-      val wCi = Window.partitionBy(col("sub_id")).orderBy(col("cent_id"))
-      val cbPlan = Similarity.pqCodebooks(resid.select(col("row_id").as(idCol), col("__rv__")),
-        idCol, "__rv__", dims, m, ksub, iters, scoreDecimals, l2 = true)
-        .withColumn("__ci__", row_number().over(wCi) - 1)
-      val cbRows = cbPlan.collect()
+      val (cbRows, cbSchema) = collectCodebookWithCi(
+        Similarity.pqCodebooks(resid.select(col("row_id").as(idCol), col("__rv__")),
+          idCol, "__rv__", dims, m, ksub, iters, scoreDecimals, l2 = true))
       val bySub = cbRows.groupBy(_.getAs[Int]("sub_id")).map { case (s, rs) => s -> rs.length.toLong }
       require(bySub.size == m && bySub.valuesIterator.forall(_ == ksub.toLong),
         s"buildPq(residual): Lloyd training left unequal codeword counts per subspace " +
           s"(expected $m x $ksub, got ${bySub.toSeq.map { case (s, n) => s"sub $s: $n" }.sorted.mkString(", ")}) " +
           "- flat ADC addressing requires exactly ksub codewords per subspace; lower ksub, " +
           "reduce iters, or train on more rows")
-      val cbStored = compactRows(spark, cbRows, cbPlan.schema)
+      val cbStored = compactRows(spark, cbRows, cbSchema)
       val tiny = ksub <= 256
       // the refine triple quantizes the FULL vector, not the
       // residual — exact re-ranking needs cosine against x, and a

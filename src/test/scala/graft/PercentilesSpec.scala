@@ -158,6 +158,30 @@ class PercentilesSpec extends SparkSuite {
     assert(ours("b") == Seq(3.0, 3.0, 3.0)) // single row: every cut is the value itself
   } }
 
+  test("native exact-percentile kernel: signed-zero rank boundary matches the builtin bit-for-bit (r20)") {
+    // ranks landing on (-0.0, 0.0): the builtin's counts map merges
+    // the pair into ONE key (primitive equality), so no interpolation
+    // happens across it and the surviving representative's SIGN is
+    // arrival-order-dependent; the kernel replays the no-interpolation
+    // rule with primitive == and deterministically returns the
+    // sort-lower value. Values must agree under SQL equality
+    // everywhere, and bit-for-bit wherever no signed zero is involved.
+    val s = spark; import s.implicits._
+    val df = Seq(-1.0, -0.0, 0.0, 1.0).toDF("v")
+    val qs = Seq(0.25, 1.0 / 3.0, 0.5, 2.0 / 3.0, 0.4)
+    val (cuts, cleanup) = Percentiles.cutsWithCleanup(df, col("v"), Nil, qs) // builtin route at this size
+    try {
+      val kernel = cuts.collect().head.getSeq[Double](0)
+      val builtin = df.agg(percentile(col("v"), lit(qs.toArray))).collect().head.getSeq[Double](0)
+      kernel.zip(builtin).foreach { case (k, b) =>
+        assert(k == b, s"kernel $kernel != builtin $builtin (value)")
+        if (k != 0.0)
+          assert(java.lang.Double.doubleToLongBits(k) == java.lang.Double.doubleToLongBits(b),
+            s"kernel $kernel != builtin $builtin (bitwise, nonzero)")
+      }
+    } finally cleanup()
+  }
+
   test("NULL grouping keys survive both physical paths (cuts + boundsMulti)") { bothPaths {
     // the builtin path's groupBy emits a NULL-keyed group; the
     // distributed path's offsets broadcast joins back on the byvars
